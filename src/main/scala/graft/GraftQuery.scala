@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One named, oracle-checked query: the unit of the driver's correctness
+  * gate (see SURVEY.md §5). `build` is the Spark plan; `oracle` is the
+  * equivalent ANSI SQL DuckDB runs over the same parquet tables. Queries
+  * without a SQL-expressible oracle (sketch-based dedup, ANN, streaming)
+  * leave `oracle` empty and are covered by ScalaTest golden tests instead.
+  */
+final case class GraftQuery(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+object GraftQuery {
+  /** Float-parity helpers.
+    *
+    * Double addition is not associative, so a plain `sum(double)` differs
+    * between Spark (32-way partial aggregation) and DuckDB in the last
+    * bits — enough to break a hash compare. Per-row IEEE-754 arithmetic
+    * (+,-,*,/) IS bit-deterministic across both engines, so the rule is:
+    * compute per-row values in double, cast to decimal immediately before
+    * the sum (decimal addition is exact and order-independent), and cast
+    * the exact result back to double. At 100 TB the same property makes
+    * results reproducible across retries/partitioning changes.
+    */
+  val D2: DecimalType = DecimalType(18, 2)
+  val D4: DecimalType = DecimalType(18, 4)
+  val D6: DecimalType = DecimalType(18, 6)
+
+  /** Order-independent sum of a double column, returned as double. */
+  def dsum(c: Column, dt: DecimalType = D2): Column = sum(c.cast(dt)).cast("double")
+
+  /** SQL mirror of [[dsum]] for the DuckDB oracle. */
+  def dsumSql(expr: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+}

@@ -1,13 +1,56 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is assembled from the per-module registries; every entry with
+  * a SQL-expressible oracle also appears in `oracleSql` (same key), which
+  * is what the driver's DuckDB differential gate consumes.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** All registered queries, in module order. */
+  def registry: Seq[GraftQuery] =
+    queries_.flatten
+
+  private def queries_ : Seq[Seq[GraftQuery]] = Seq(
+    graft.queries.CoreRelational.all)
+
+  /** Flagship query (SURVEY.md §7.5, the HAB-alert spine,
+    * reference: code/ifcb_hab_alert.R:102-119,197-200): per brand ("taxon"),
+    * the single highest-revenue lineitem ("max concentration sample"),
+    * joined to a per-brand warning threshold dim, flagged where it exceeds.
+    * Scan → broadcast dim join → window top-1 → threshold predicate → sort.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, d)
+    val pt = Tables.part(spark, d)
+    // warning-level dim (taxa_lookup.csv analog): per brand, a threshold.
+    val warn = pt.groupBy($"p_brand")
+      .agg((avg($"p_retailprice") * lit(20.0)).as("warning_level"))
+    val w = Window.partitionBy($"p_brand")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+    li.join(broadcast(pt.select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .join(broadcast(warn), Seq("p_brand"))
+      .withColumn("alert", $"l_extendedprice" > $"warning_level")
+      .select($"p_brand", $"l_orderkey", $"l_extendedprice", $"warning_level", $"alert")
+      .orderBy($"p_brand")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.build).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(sql => q.name -> sql.stripMargin.trim)).toMap
 }
