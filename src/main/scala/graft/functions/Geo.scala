@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geospatial column functions — SURVEY.md §2.8 geo family.
+  *
+  * All are pure `Column` expression trees over built-in math functions, so
+  * they stay inside whole-stage codegen (no UDF serialization boundary) and
+  * Catalyst can push/reorder them freely.
+  */
+object Geo {
+
+  val EarthRadiusKm = 6371.0088 // IUGG mean Earth radius
+
+  /** Great-circle distance in km (haversine) — reference:
+    * code/plot/compare_microscopy.R:61-64 (`distHaversine`, used in the
+    * ≤5 km microscopy match J7) — as a codegen-able expression.
+    */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1) / 2.0
+    val dLon = radians(lon2 - lon1) / 2.0
+    val a = pow(sin(dLat), 2.0) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2.0)
+    lit(2.0 * EarthRadiusKm) * asin(least(lit(1.0), sqrt(a)))
+  }
+
+  /** Fixed-grid cell id — reference: code/plot/samples_frequency_map.R:36-43
+    * (grid-cell `st_intersects` counting). A lat/lon floor-bin replaces the
+    * geometric intersection entirely: groupBy(cell) is one hash shuffle, no
+    * geometry library, no skew beyond the data's own spatial skew.
+    */
+  def gridCell(lat: Column, lon: Column, cellDeg: Double): (Column, Column) =
+    (floor(lat / cellDeg), floor(lon / cellDeg))
+
+  /** Point-in-polygon (ray casting) over a small broadcast polygon, as a
+    * UDF — reference: `ifcb_is_in_basin` (ifcb-data-pipeline.Rmd:729-736).
+    * Polygons are driver-side constants (basin shapes are KBs); the UDF is
+    * the pragmatic v1 per SURVEY.md §7.3 — swap for a codegen Expression
+    * only if profiling demands.
+    */
+  def pointInPolygon(polygon: Seq[(Double, Double)]): (Column, Column) => Column = {
+    val poly = polygon.toArray
+    val f = udf { (lat: Double, lon: Double) =>
+      var inside = false
+      var j = poly.length - 1
+      var i = 0
+      while (i < poly.length) {
+        val (yi, xi) = poly(i)
+        val (yj, xj) = poly(j)
+        if ((yi > lat) != (yj > lat) &&
+          lon < (xj - xi) * (lat - yi) / (yj - yi) + xi) inside = !inside
+        j = i
+        i += 1
+      }
+      inside
+    }
+    (lat: Column, lon: Column) => f(lat, lon)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range-containment) join — SURVEY.md §2.3 J4, the bin-time ∈
+  * cruise-interval join (reference: code/ifcb_ingest_and_qc.R:217-221
+  * `join_by(between(datetime, startdate, stopdate))`).
+  *
+  * Scale design: `pt BETWEEN start AND stop` alone is non-equi →
+  * broadcast-nested-loop. Here each interval is exploded into the fixed
+  * time buckets it covers (via `sequence`), points carry their single
+  * bucket, and the join becomes an equi hash join on (keys, bucket)
+  * refined by the exact between predicate. Each qualifying (point,
+  * interval) pair matches on exactly one bucket — the point's — so no
+  * dedup pass is needed. Bucket width should be of the order of the
+  * typical interval length: replication factor ≈ len/bucket + 1.
+  */
+object IntervalJoin {
+
+  /** @param points     fact side with a timestamp column `pointTs`
+    * @param intervals  interval side with `startCol`/`endCol` timestamps
+    *                   (inclusive bounds, matching R's `between`)
+    * @param on         extra equi key column names on both sides (may be empty)
+    * @param bucketSec  bucket width in seconds
+    */
+  def contains(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointTs: String,
+      startCol: String,
+      endCol: String,
+      on: Seq[String] = Nil,
+      bucketSec: Long = 3600L,
+      joinType: String = "inner"): DataFrame = {
+    val bUs = bucketSec * 1000000L
+    val iv = intervals.withColumn(
+      "__bucket",
+      explode(sequence(
+        floor(unix_micros(col(startCol)) / bUs),
+        floor(unix_micros(col(endCol)) / bUs))))
+    val pt = points.withColumn("__bucket", floor(unix_micros(col(pointTs)) / bUs))
+    pt.join(
+        iv,
+        (on :+ "__bucket").map(c => pt(c) === iv(c)).reduce(_ && _) &&
+          pt(pointTs) >= iv(startCol) && pt(pointTs) <= iv(endCol),
+        joinType)
+      .drop("__bucket")
+  }
+}
