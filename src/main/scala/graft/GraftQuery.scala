@@ -30,6 +30,7 @@ object GraftQuery {
   val D2: DecimalType = DecimalType(18, 2)
   val D4: DecimalType = DecimalType(18, 4)
   val D6: DecimalType = DecimalType(18, 6)
+  val D12: DecimalType = DecimalType(28, 12)
 
   /** Order-independent sum of a double column, returned as double. */
   def dsum(c: Column, dt: DecimalType = D2): Column = sum(c.cast(dt)).cast("double")

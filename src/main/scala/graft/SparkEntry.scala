@@ -18,7 +18,9 @@ object SparkEntry {
 
   private def queries_ : Seq[Seq[GraftQuery]] = Seq(
     graft.queries.CoreRelational.all,
-    graft.queries.OrderedNonEqui.all)
+    graft.queries.OrderedNonEqui.all,
+    graft.queries.ScalarBattery.all,
+    graft.queries.Domain.all)
 
   /** Flagship query (SURVEY.md §7.5, the HAB-alert spine,
     * reference: code/ifcb_hab_alert.R:102-119,197-200): per brand ("taxon"),

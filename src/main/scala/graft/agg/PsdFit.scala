@@ -1,0 +1,104 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Particle-size-distribution power-law fit — SURVEY.md §2.4 A17
+  * (reference: `ifcb_psd` call ifcb-data-pipeline.Rmd:652-669; per-sample
+  * size histogram → power-curve fit → params + R² + rule-based flags).
+  *
+  * The fit is ordinary least squares on the log-log linearization
+  * ln(n) = ln(a) − k·ln(x): a power law n = a·x^−k over histogram bins.
+  * Both implementations accumulate only *symmetric moments* (Σx, Σy, Σxx,
+  * Σxy, Σyy, count), so the result is independent of row order and
+  * partitioning (SURVEY.md §7.4 risk 5) — safe under any shuffle.
+  *
+  * Two forms:
+  *  - [[PsdFit.moments]]: plain DataFrame expressions (codegen, oracle-
+  *    checkable in SQL) — preferred in the relational path;
+  *  - [[PsdFit]] the typed `Aggregator`, for `Dataset`/UDAF callers
+  *    (registered via `udaf(...)`), demonstrating the custom-aggregate
+  *    surface the PSD fit genuinely needs at 100 TB (single pass, no
+  *    per-sample collect).
+  */
+final case class FitResult(slope: Double, intercept: Double, r2: Double, nBins: Long)
+
+private[agg] final case class FitBuf(
+    var n: Long, var sx: Double, var sy: Double,
+    var sxx: Double, var sxy: Double, var syy: Double)
+
+/** Input: (lnX, lnY) — one histogram bin per row. */
+class PsdFit extends Aggregator[(Double, Double), FitBuf, FitResult] {
+  override def zero: FitBuf = FitBuf(0L, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+  override def reduce(b: FitBuf, in: (Double, Double)): FitBuf = {
+    val (x, y) = in
+    b.n += 1; b.sx += x; b.sy += y
+    b.sxx += x * x; b.sxy += x * y; b.syy += y * y
+    b
+  }
+
+  override def merge(a: FitBuf, b: FitBuf): FitBuf = {
+    a.n += b.n; a.sx += b.sx; a.sy += b.sy
+    a.sxx += b.sxx; a.sxy += b.sxy; a.syy += b.syy
+    a
+  }
+
+  override def finish(b: FitBuf): FitResult = PsdFit.solve(b)
+
+  override def bufferEncoder: Encoder[FitBuf] = Encoders.product[FitBuf]
+  override def outputEncoder: Encoder[FitResult] = Encoders.product[FitResult]
+}
+
+object PsdFit {
+
+  private[agg] def solve(b: FitBuf): FitResult = {
+    if (b.n < 2) return FitResult(Double.NaN, Double.NaN, Double.NaN, b.n)
+    val det = b.n * b.sxx - b.sx * b.sx
+    if (det == 0.0) return FitResult(Double.NaN, Double.NaN, Double.NaN, b.n)
+    val slope = (b.n * b.sxy - b.sx * b.sy) / det
+    val intercept = (b.sy - slope * b.sx) / b.n
+    val varY = b.n * b.syy - b.sy * b.sy
+    val r2 =
+      if (varY == 0.0) 1.0
+      else {
+        val num = b.n * b.sxy - b.sx * b.sy
+        num * num / (det * varY)
+      }
+    FitResult(slope, intercept, r2, b.n)
+  }
+
+  /** DataFrame form: aggregate expressions producing (slope, intercept,
+    * r2, n_bins) from lnX/lnY columns inside an existing `groupBy.agg`.
+    */
+  def moments(lnX: Column, lnY: Column): Seq[(String, Column)] = {
+    Seq(
+      "fit_n" -> count(lit(1)),
+      "fit_sx" -> sum(lnX), "fit_sy" -> sum(lnY),
+      "fit_sxx" -> sum(lnX * lnX), "fit_sxy" -> sum(lnX * lnY),
+      "fit_syy" -> sum(lnY * lnY))
+  }
+
+  /** Post-agg solve from the [[moments]] columns. */
+  def solveCols(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column,
+      syy: Column): (Column, Column, Column) = {
+    val det = n * sxx - sx * sx
+    val slope = (n * sxy - sx * sy) / det
+    val intercept = (sy - slope * sx) / n
+    val num = n * sxy - sx * sy
+    val varY = n * syy - sy * sy
+    val r2 = when(varY === 0.0, 1.0).otherwise(num * num / (det * varY))
+    (slope, intercept, r2)
+  }
+
+  /** PSD QC flag rules (reference flag set at ifcb_ingest_and_qc.R:500-518:
+    * bubbles/incomplete/missing_cells/biomass/bloom thresholds) — a `when`
+    * chain over fit params + sample totals.
+    */
+  def flag(slope: Column, r2: Column, totalCount: Column): Column =
+    when(totalCount < 50L, "incomplete")
+      .when(r2 < 0.55, "poor_fit")
+      .when(slope > -0.1, "flat_psd")
+      .otherwise("ok")
+}

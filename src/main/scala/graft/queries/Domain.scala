@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.GraftQuery._
+import graft.agg.{Biovolume, PsdFit}
+
+/** Domain aggregates (SURVEY.md §2.4 A17/A18) and the grouping-sets
+  * replacement for the reference's year×classifier outer loops (§2.4
+  * note at SURVEY.md:187-189), demonstrated on the synthetic tables:
+  * lineitem rows stand in for per-ROI feature rows.
+  */
+object Domain {
+
+  import Tables._
+
+  /** A18 biovolume/carbon rollup (ifcb_summarize_biovolumes;
+    * shark.R:224-233): per-ROI carbon from the MDL2000 piecewise power law
+    * computed *before* the grouped sum (map-side combine applies), then
+    * per-(sample, class) counts, volume, carbon, per-liter scaling from a
+    * sample-grain dim join. Per-row carbon is rounded to 4 decimals before
+    * the exact decimal sum so the result is partitioning- and
+    * engine-independent.
+    */
+  private val q37 = GraftQuery(
+    "q37_biovolume_rollup",
+    (s, d) => {
+      import s.implicits._
+      val ml = orders(s, d).select($"o_orderkey", ($"o_totalprice" / 10000.0).as("ml_analyzed"))
+      val roi = lineitem(s, d)
+        .withColumn("vol_um3", $"l_extendedprice" / 10.0)
+        .withColumn("carbon_pg",
+          round(Biovolume.carbonPg($"l_returnflag" === "A", $"vol_um3"), 4))
+      roi
+        .groupBy($"l_orderkey", $"l_returnflag")
+        .agg(
+          count(lit(1)).as("counts"),
+          dsum($"vol_um3", D4).as("sum_vol_um3"),
+          dsum($"carbon_pg", D4).as("carbon_pg_total"))
+        .join(ml, $"l_orderkey" === $"o_orderkey")
+        .select(
+          $"l_orderkey".as("sample"), $"l_returnflag".as("class"),
+          $"counts", $"sum_vol_um3",
+          ($"carbon_pg_total" / 1e6).as("carbon_ug"),
+          Biovolume.perLiter($"counts", $"ml_analyzed").as("counts_per_liter"),
+          Biovolume.perLiter($"carbon_pg_total" / 1e6, $"ml_analyzed").as("carbon_ug_per_liter"))
+        .orderBy($"sample", $"class")
+    },
+    Some("""
+      SELECT l_orderkey AS sample, l_returnflag AS class,
+        COUNT(*) AS counts,
+        CAST(SUM(CAST(l_extendedprice / 10.0 AS DECIMAL(18,4))) AS DOUBLE) AS sum_vol_um3,
+        CAST(SUM(CAST(ROUND(CASE
+            WHEN l_returnflag = 'A' THEN 0.288 * POW(l_extendedprice / 10.0, 0.811)
+            WHEN l_extendedprice / 10.0 > 3000.0 THEN 0.117 * POW(l_extendedprice / 10.0, 0.881)
+            ELSE 0.216 * POW(l_extendedprice / 10.0, 0.939) END, 4) AS DECIMAL(18,4))) AS DOUBLE) / 1e6 AS carbon_ug,
+        COUNT(*) / (o_totalprice / 10000.0) * 1000.0 AS counts_per_liter,
+        CAST(SUM(CAST(ROUND(CASE
+            WHEN l_returnflag = 'A' THEN 0.288 * POW(l_extendedprice / 10.0, 0.811)
+            WHEN l_extendedprice / 10.0 > 3000.0 THEN 0.117 * POW(l_extendedprice / 10.0, 0.881)
+            ELSE 0.216 * POW(l_extendedprice / 10.0, 0.939) END, 4) AS DECIMAL(18,4))) AS DOUBLE) / 1e6
+          / (o_totalprice / 10000.0) * 1000.0 AS carbon_ug_per_liter
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_orderkey, l_returnflag, o_totalprice
+      ORDER BY sample, class"""))
+
+  /** A17 PSD power-law fit (ifcb_psd, Rmd:652-669): per-sample size
+    * histogram → OLS fit of ln(n) = ln(a) − k·ln(size) → params + R² +
+    * rule flags. Pure moment sums (order/partitioning independent); the
+    * typed-Aggregator twin lives in [[graft.agg.PsdFit]] with golden
+    * tests.
+    */
+  private val q38 = GraftQuery(
+    "q38_psd_fit",
+    (s, d) => {
+      import s.implicits._
+      val hist = lineitem(s, d)
+        .withColumn("bucket", floor($"l_quantity" / 5.0))
+        .filter($"bucket" >= 1)
+        .groupBy($"l_suppkey", $"bucket")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lnx", log(($"bucket" + 0.5) * 5.0))
+        .withColumn("lny", log($"n".cast("double")))
+      val agged = hist.groupBy($"l_suppkey").agg(
+        sum($"n").as("total_count"),
+        count(lit(1)).as("fit_n"),
+        dsum($"lnx", D12).as("sx"), dsum($"lny", D12).as("sy"),
+        dsum($"lnx" * $"lnx", D12).as("sxx"),
+        dsum($"lnx" * $"lny", D12).as("sxy"),
+        dsum($"lny" * $"lny", D12).as("syy"))
+      val (slope, intercept, r2) = PsdFit.solveCols(
+        $"fit_n".cast("double"), $"sx", $"sy", $"sxx", $"sxy", $"syy")
+      agged
+        .select(
+          $"l_suppkey".as("sample"), $"total_count", $"fit_n".as("n_bins"),
+          round(slope, 6).as("slope"),
+          round(intercept, 6).as("intercept"),
+          round(r2, 6).as("r2"))
+        .withColumn("flag", PsdFit.flag($"slope", $"r2", $"total_count"))
+        .orderBy($"sample")
+    },
+    Some("""
+      WITH hist AS (
+        SELECT l_suppkey, FLOOR(l_quantity / 5.0) AS bucket, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY 1, 2
+        HAVING FLOOR(l_quantity / 5.0) >= 1),
+      lg AS (
+        SELECT l_suppkey, n,
+          LN((bucket + 0.5) * 5.0) AS lnx, LN(CAST(n AS DOUBLE)) AS lny
+        FROM hist),
+      m AS (
+        SELECT l_suppkey AS sample, CAST(SUM(n) AS BIGINT) AS total_count,
+          CAST(COUNT(*) AS DOUBLE) AS k, COUNT(*) AS n_bins,
+          CAST(SUM(CAST(lnx AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(lny AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(lnx * lnx AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(lnx * lny AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(lny * lny AS DECIMAL(28,12))) AS DOUBLE) AS syy
+        FROM lg GROUP BY 1)
+      SELECT sample, total_count, n_bins,
+        ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+        ROUND((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6) AS intercept,
+        ROUND(CASE WHEN k * syy - sy * sy = 0.0 THEN 1.0
+          ELSE (k * sxy - sx * sy) * (k * sxy - sx * sy)
+               / ((k * sxx - sx * sx) * (k * syy - sy * sy)) END, 6) AS r2,
+        CASE WHEN total_count < 50 THEN 'incomplete'
+             WHEN ROUND(CASE WHEN k * syy - sy * sy = 0.0 THEN 1.0
+               ELSE (k * sxy - sx * sy) * (k * sxy - sx * sy)
+                    / ((k * sxx - sx * sx) * (k * syy - sy * sy)) END, 6) < 0.55 THEN 'poor_fit'
+             WHEN ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) > -0.1 THEN 'flat_psd'
+             ELSE 'ok' END AS flag
+      FROM m
+      ORDER BY sample"""))
+
+  /** §2.4 note: GROUPING SETS / ROLLUP replaces the reference's outer
+    * for-loops over years×classifiers (Rmd:1078) — one shuffle computes
+    * every breakdown level.
+    */
+  private val q39 = GraftQuery(
+    "q39_rollup_breakdowns",
+    (s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  /** The flagship HAB-alert spine (SURVEY.md §7.5; hab_alert.R:102-119,
+    * 197-200) as an oracle-checked query: per brand ("taxon"), the
+    * top-concentration lineitem, joined to a warning-level dim, flagged
+    * where it exceeds — with engine-exact decimal math in the dim.
+    */
+  private val q40 = GraftQuery(
+    "q40_hab_alert",
+    (s, d) => {
+      import s.implicits._
+      val warn = part(s, d).groupBy($"p_brand")
+        .agg(((dsum($"p_retailprice") / count(lit(1))) * 20.0).as("warning_level"))
+      val w = Window.partitionBy($"p_brand")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+      lineitem(s, d)
+        .join(broadcast(part(s, d).select($"p_partkey", $"p_brand")),
+          $"l_partkey" === $"p_partkey")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .join(broadcast(warn), Seq("p_brand"))
+        .select($"p_brand", $"l_orderkey", $"l_extendedprice", $"warning_level",
+          ($"l_extendedprice" > $"warning_level").as("alert"))
+        .orderBy($"p_brand")
+    },
+    Some("""
+      WITH warn AS (
+        SELECT p_brand,
+          CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 20.0 AS warning_level
+        FROM part GROUP BY 1),
+      top AS (
+        SELECT p_brand, l_orderkey, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY p_brand
+          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) = 1)
+      SELECT t.p_brand, l_orderkey, l_extendedprice, warning_level,
+        l_extendedprice > warning_level AS alert
+      FROM top t JOIN warn ON t.p_brand = warn.p_brand
+      ORDER BY t.p_brand"""))
+
+  val all: Seq[GraftQuery] = Seq(q37, q38, q39, q40)
+}
