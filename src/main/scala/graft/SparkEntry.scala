@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.CoreRelational.all,
     graft.queries.OrderedNonEqui.all,
     graft.queries.ScalarBattery.all,
-    graft.queries.Domain.all)
+    graft.queries.Domain.all,
+    graft.queries.TrainingData.all)
 
   /** Flagship query (SURVEY.md §7.5, the HAB-alert spine,
     * reference: code/ifcb_hab_alert.R:102-119,197-200): per brand ("taxon"),

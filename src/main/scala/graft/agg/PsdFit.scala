@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * The fit is ordinary least squares on the log-log linearization
   * ln(n) = ln(a) − k·ln(x): a power law n = a·x^−k over histogram bins.
   * Both implementations accumulate only *symmetric moments* (Σx, Σy, Σxx,
-  * Σxy, Σyy, count), so the result is independent of row order and
-  * partitioning (SURVEY.md §7.4 risk 5) — safe under any shuffle.
+  * Σxy, Σyy, count) — no data-order-dependent state (SURVEY.md §7.4 risk
+  * 5). The DataFrame form with decimal-cast sums (see q38) is exactly
+  * order-independent; the double-buffer Aggregator is order-independent
+  * up to fp rounding (~1e-13 relative).
   *
   * Two forms:
   *  - [[PsdFit.moments]]: plain DataFrame expressions (codegen, oracle-

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines: language
+  * ID, quality scoring, token counting — the text slice of the brief's
+  * large-scale-pipeline extensions. All pure expression trees; each has a
+  * SQL twin for the DuckDB oracle where used.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language marker lexicons (n-gram-heuristic language ID).
+    * Real deployments plug in fastText-style models via mapInPandas; the
+    * relational skeleton — score per language, argmax with deterministic
+    * tie-break, unknown fallback — is what this implements.
+    */
+  val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow", "value"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "de"),
+    "fr" -> Seq("le", "les", "des", "est", "une"),
+    "zh" -> Seq("的", "了", "是", "在", "我"))
+
+  /** Occurrences of lexicon words in a word array. */
+  private def score(ws: Column, lex: Seq[String]): Column =
+    size(filter(ws, w => lex.map(l => w === l).reduce(_ || _)))
+
+  private def scoreSql(ws: String, lex: Seq[String]): String =
+    s"len(list_filter($ws, w -> w IN (${lex.map(l => s"'$l'").mkString(", ")})))"
+
+  /** Predicted language: argmax lexicon hit count, ties to the earlier
+    * lexicon in [[Lexicons]] order, all-zero → 'und'.
+    */
+  def langId(ws: Column): Column = {
+    val scores = Lexicons.map { case (lang, lex) => lang -> score(ws, lex) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), rest) =>
+      when(s === best && best > 0, lang).otherwise(rest)
+    }
+  }
+
+  def langIdSql(ws: String): String = {
+    val scores = Lexicons.map { case (lang, lex) => lang -> scoreSql(ws, lex) }
+    val best = scores.map(_._2).reduce((a, b) => s"GREATEST($a, $b)")
+    scores.foldRight("'und'") { case ((lang, s), rest) =>
+      s"CASE WHEN $s = $best AND $best > 0 THEN '$lang' ELSE $rest END"
+    }
+  }
+
+  /** Composite quality score in [0,1]: word-count saturation, stopword
+    * ratio, mean-word-length saturation — the length/punct/stopword-ratio
+    * battery (deterministic double arithmetic, no aggregation).
+    */
+  def qualityScore(ws: Column): Column = {
+    val nWords = size(ws).cast("double")
+    val stopRatio = score(ws, Lexicons.head._2).cast("double") / nWords
+    val meanLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / nWords
+    lit(0.4) * least(lit(1.0), nWords / 50.0) +
+      lit(0.3) * stopRatio +
+      lit(0.3) * least(lit(1.0), meanLen / 8.0)
+  }
+
+  def qualityScoreSql(ws: String): String = {
+    val n = s"CAST(len($ws) AS DOUBLE)"
+    val stop = scoreSql(ws, Lexicons.head._2)
+    val meanLen = s"CAST(list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform($ws, w -> length(w)::BIGINT)), (a, b) -> a + b) AS DOUBLE) / $n"
+    s"(0.4 * LEAST(1.0, $n / 50.0) + 0.3 * CAST($stop AS DOUBLE) / $n + " +
+      s"0.3 * LEAST(1.0, $meanLen / 8.0))"
+  }
+
+  /** BPE-ish token count: letter runs, digit runs, single other glyphs
+    * (the tokenizer-free token-count estimate).
+    */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpePattern), lit(0)))
+
+  def bpeTokenCountSql(text: String): String =
+    s"len(regexp_extract_all(lower($text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))"
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`) — the similarity-search extension the brief requires
+  * alongside the reference's relational surface.
+  *
+  * Design: brute-force cosine top-k as the exact baseline (a broadcast
+  * join of the small query set against the full corpus — scans the corpus
+  * once, no shuffle of the corpus itself), and an IVF-style variant that
+  * restricts the scan to candidate cells, cutting scanned rows by the cell
+  * fan-out. All arithmetic is pure expression trees (zip_with + aggregate
+  * → codegen), no UDFs.
+  */
+object Similarity {
+
+  /** Deterministic dot product: per-element double products, left-fold
+    * sum in array order — bit-identical under any partitioning (and in
+    * the DuckDB oracle, which folds the same sequence).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+
+  /** SQL twin of [[cosine]] for DuckDB oracles: identical fold order. */
+  def cosineSql(a: String, b: String): String = {
+    def dotSql(x: String, y: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($x, $y), " +
+        s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
+    s"${dotSql(a, b)} / SQRT(${dotSql(a, a)}) / SQRT(${dotSql(b, b)})"
+  }
+
+  /** Exact brute-force cosine top-k: every query row against the whole
+    * corpus. Queries are broadcast (they are few); the corpus never
+    * shuffles; ranking is a per-query window over k·|cells| candidates.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int): DataFrame = {
+    val joined = corpus.join(broadcast(queries), col(qId) =!= col(cId))
+      .withColumn("cosine", cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cosine").desc, col(cId).asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId).as("query_id"), col(cId).as("neighbor_id"),
+        col("rank"), col("cosine"))
+  }
+
+  /** IVF-style restricted top-k: corpus pre-assigned to cells
+    * (`cellCol`); each query probes only its own cell's rows. With
+    * n/cells rows scanned per query this is the path that scales to
+    * billions of vectors; recall depends on the cell assignment
+    * (true IVF centroids, or any hash/label blocking).
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, qCell: String,
+      cId: String, cVec: String, cCell: String,
+      k: Int): DataFrame = {
+    val joined = corpus.join(broadcast(queries),
+        col(qCell) === col(cCell) && col(qId) =!= col(cId))
+      .withColumn("cosine", cosine(col(qVec), col(cVec)))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cosine").desc, col(cId).asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId).as("query_id"), col(cId).as("neighbor_id"),
+        col("rank"), col("cosine"))
+  }
+
+  /** Random-hyperplane LSH bucket id (signed projections → sign bits).
+    * Planes are a deterministic pseudo-random function of (plane, dim) so
+    * executors need no shared state. Used to block cosine search/dedup
+    * when no natural cell column exists; tested in ScalaTest (no SQL
+    * oracle — the plane constants are impractical to mirror in SQL).
+    */
+  def hyperplaneBucket(vec: Column, planes: Int, dims: Int): Column = {
+    def coef(p: Int, d: Int): Double =
+      (((p.toLong * 64 + d) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
+    (0 until planes).map { p =>
+      val proj = (0 until dims).map { d =>
+        element_at(vec, d + 1).cast("double") * lit(coef(p, d))
+      }.reduce(_ + _)
+      when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+}

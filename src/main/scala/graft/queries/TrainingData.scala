@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.GraftQuery._
+import graft.functions.{Hashing, TextAnalysis}
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data pipeline battery over `documents`/`embeddings`: exact +
+  * sketch-based dedup, ANN similarity search, and text analysis — the
+  * 100 TB-pipeline extensions the brief requires as first-class
+  * operators. Every DuckDB oracle is *generated from the same hash
+  * constants* as the Spark plan (graft.functions.Hashing), so both
+  * engines evaluate the identical integer function and compare exactly.
+  */
+object TrainingData {
+
+  import Tables._
+
+  private val W = Hashing.wordsSql("text")
+
+  /** Exact dedup by normalized content key (A12 shape,
+    * 01_create_file_index.R:69-75): one hash shuffle; at 100 TB this is
+    * groupBy(xxhash64(key)) with the same plan.
+    */
+  private val q41 = GraftQuery(
+    "q41_exact_dedup",
+    (s, d) => {
+      import s.implicits._
+      Dedup.exactGroups(
+          documents(s, d), "doc_id",
+          array_join(slice(Hashing.words($"text"), 1, 8), " "))
+        .orderBy($"dup_key")
+    },
+    Some(s"""
+      SELECT array_to_string($W[1:8], ' ') AS dup_key,
+             COUNT(*) AS n, MIN(doc_id) AS keeper
+      FROM documents
+      GROUP BY 1
+      HAVING COUNT(*) > 1
+      ORDER BY 1"""))
+
+  private def shingleBaseSql = {
+    val sh = Hashing.shinglesSql("w", 3)
+    s"""w AS (SELECT doc_id, $W AS w FROM documents),
+      base AS (
+        SELECT doc_id, sh, ${Hashing.tokHashesSql("sh")} AS th
+        FROM (SELECT doc_id, $sh AS sh FROM w) t
+        WHERE len(sh) > 0)"""
+  }
+
+  private def jaccardSql(a: String, b: String) =
+    s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / (len($a) + len($b) - len(list_intersect($a, $b)))"
+
+  /** MinHash+LSH near-dup detection (Broder sketch; scales as
+    * O(n·bands) instead of O(n²)) — [[Dedup.minhashLshPairs]].
+    */
+  private val q42 = GraftQuery(
+    "q42_minhash_lsh_dedup",
+    (s, d) => {
+      import s.implicits._
+      Dedup.minhashLshPairs(documents(s, d), "doc_id", "text")
+        .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some {
+      val bands = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, ${Hashing.minhashSql("th", 2 * b)} * ${Hashing.MinP} + " +
+          s"${Hashing.minhashSql("th", 2 * b + 1)} AS key FROM base"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH ${shingleBaseSql},
+      banded AS (
+        $bands),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+      SELECT id_a, id_b, ROUND(${jaccardSql("xa.sh", "xb.sh")}, 4) AS jaccard
+      FROM cand
+      JOIN base xa ON id_a = xa.doc_id
+      JOIN base xb ON id_b = xb.doc_id
+      WHERE ${jaccardSql("xa.sh", "xb.sh")} >= 0.5
+      ORDER BY id_a, id_b"""
+    })
+
+  /** SimHash near-dup detection (Charikar sketch): 32-bit signature,
+    * banded candidates, Hamming verify — [[Dedup.simhashPairs]].
+    */
+  private val q43 = GraftQuery(
+    "q43_simhash_dedup",
+    (s, d) => {
+      import s.implicits._
+      Dedup.simhashPairs(documents(s, d), "doc_id", "text")
+        .orderBy($"id_a", $"id_b")
+    },
+    Some {
+      val bands = (0 until 4).map { b =>
+        s"SELECT doc_id, sig, $b AS band, (sig >> ${8 * b}) & 255 AS key FROM sigs"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH ${shingleBaseSql},
+      sigs AS (SELECT doc_id, ${Hashing.simhashSql("th")} AS sig FROM base),
+      banded AS (
+        $bands),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+               x.sig AS sig_a, y.sig AS sig_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+      SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
+      FROM cand
+      WHERE bit_count(xor(sig_a, sig_b)) <= 3
+      ORDER BY id_a, id_b"""
+    })
+
+  /** Exact n-gram-Jaccard dedup via inverted-index candidates —
+    * [[Dedup.ngramJaccardPairs]]. The oracle enumerates all pairs (any
+    * pair at J ≥ 0.5 necessarily shares a shingle, so the sets agree).
+    */
+  private val q44 = GraftQuery(
+    "q44_ngram_jaccard_dedup",
+    (s, d) => {
+      import s.implicits._
+      Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text")
+        .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""
+      WITH ${shingleBaseSql}
+      SELECT xa.doc_id AS id_a, xb.doc_id AS id_b,
+             ROUND(${jaccardSql("xa.sh", "xb.sh")}, 4) AS jaccard
+      FROM base xa JOIN base xb ON xa.doc_id < xb.doc_id
+      WHERE ${jaccardSql("xa.sh", "xb.sh")} >= 0.5
+      ORDER BY id_a, id_b"""))
+
+  /** Embedding-cosine near-dup within IVF-style blocks (label = cell
+    * stand-in) — [[Dedup.embeddingNearDupPairs]]; deterministic fold-order
+    * cosine on both engines.
+    */
+  private val q45 = GraftQuery(
+    "q45_embedding_neardup",
+    (s, d) => {
+      import s.implicits._
+      Dedup.embeddingNearDupPairs(
+          embeddings(s, d), "vec_id", "embedding",
+          minCosine = 0.4, blockCol = Some("label"))
+        .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(${Similarity.cosineSql("a.embedding", "b.embedding")}, 6) AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.4
+      ORDER BY id_a, id_b"""))
+
+  /** Brute-force cosine top-k ANN baseline — [[Similarity.bruteForceTopK]]
+    * (broadcast queries, one corpus scan, per-query window).
+    */
+  private val q46 = GraftQuery(
+    "q46_ann_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+      val queries = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      Similarity.bruteForceTopK(queries, e,
+          "q_id", "q_vec", "vec_id", "embedding", k = 5)
+        .select($"query_id", $"neighbor_id", $"rank", round($"cosine", 6).as("cosine"))
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          ORDER BY ${Similarity.cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank,
+        ROUND(${Similarity.cosineSql("q.embedding", "c.embedding")}, 6) AS cosine
+      FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+      JOIN embeddings c ON q.vec_id <> c.vec_id
+      QUALIFY rank <= 5
+      ORDER BY query_id, rank"""))
+
+  /** Language-ID confusion matrix (lexicon-hit argmax with deterministic
+    * tie-break) — [[TextAnalysis.langId]].
+    */
+  private val q47 = GraftQuery(
+    "q47_langid_confusion",
+    (s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .withColumn("predicted", TextAnalysis.langId(Hashing.words($"text")))
+        .groupBy($"lang", $"predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"predicted")
+    },
+    Some(s"""
+      SELECT lang, ${TextAnalysis.langIdSql(W)} AS predicted, COUNT(*) AS n
+      FROM documents
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
+  /** Quality scoring + banding — [[TextAnalysis.qualityScore]]. */
+  private val q48 = GraftQuery(
+    "q48_quality_score",
+    (s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .withColumn("q", TextAnalysis.qualityScore(Hashing.words($"text")))
+        .withColumn("band",
+          when($"q" >= 0.8, "high").when($"q" >= 0.5, "mid").otherwise("low"))
+        // floor to integer micro-units: floor of a bit-identical double is
+        // engine-stable, unlike round(.., n) whose tie handling differs
+        .groupBy($"source", $"band")
+        .agg(count(lit(1)).as("n"),
+          sum(floor($"q" * 1e6).cast("long")).as("sum_q_micro"))
+        .orderBy($"source", $"band")
+    },
+    Some(s"""
+      SELECT source, band, COUNT(*) AS n,
+        CAST(SUM(CAST(FLOOR(q * 1000000) AS BIGINT)) AS BIGINT) AS sum_q_micro
+      FROM (
+        SELECT source,
+          CASE WHEN q >= 0.8 THEN 'high' WHEN q >= 0.5 THEN 'mid' ELSE 'low' END AS band, q
+        FROM (SELECT source, ${TextAnalysis.qualityScoreSql(W)} AS q
+              FROM documents) t) b
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
+  /** Token counting: whitespace words + BPE-ish regex pieces —
+    * [[TextAnalysis.bpeTokenCount]].
+    */
+  private val q49 = GraftQuery(
+    "q49_token_count",
+    (s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .withColumn("ws_tokens", size(Hashing.words($"text")).cast("long"))
+        .withColumn("bpe_tokens", TextAnalysis.bpeTokenCount($"text").cast("long"))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"ws_tokens").as("sum_ws_tokens"),
+          sum($"bpe_tokens").as("sum_bpe_tokens"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(len($W)) AS BIGINT) AS sum_ws_tokens,
+        CAST(SUM(${TextAnalysis.bpeTokenCountSql("text")}) AS BIGINT) AS sum_bpe_tokens
+      FROM documents
+      GROUP BY 1
+      ORDER BY 1"""))
+
+  /** Document fingerprinting (rolling hash of the normalized content key)
+    * — [[Hashing.fingerprint]]: same groups as q41 but through a 1-word
+    * integer identity, the form that scales to content-addressed dedup.
+    */
+  private val q50 = GraftQuery(
+    "q50_fingerprint_dups",
+    (s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .withColumn("fp",
+          Hashing.fingerprint(array_join(slice(Hashing.words($"text"), 1, 8), " ")))
+        .groupBy($"fp")
+        .agg(count(lit(1)).as("n"), min($"doc_id").as("keeper"))
+        .filter($"n" > 1)
+        .orderBy($"fp")
+    },
+    Some(s"""
+      SELECT ${Hashing.fingerprintSql(s"array_to_string($W[1:8], ' ')")} AS fp,
+             COUNT(*) AS n, MIN(doc_id) AS keeper
+      FROM documents
+      GROUP BY 1
+      HAVING COUNT(*) > 1
+      ORDER BY 1"""))
+
+  val all: Seq[GraftQuery] = Seq(
+    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
+}

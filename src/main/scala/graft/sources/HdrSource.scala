@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S2 HDR metadata source (SURVEY.md §2.1): the instrument's `key: value`
+  * text headers → one typed metadata row per file (reference:
+  * `ifcb_read_hdr_data` call at ifcb-data-pipeline.Rmd:246; produced
+  * columns listed at Rmd:253-254).
+  *
+  * Spark-first shape: `spark.read.text` with `input_file_name()` as the
+  * grain key, a relational pivot from key/value lines to columns — no
+  * custom FileFormat needed; the text scan is splittable and parallel, and
+  * the per-file aggregation is one hash shuffle on file name. The sample
+  * id (`DYYYYMMDDTHHMMSS_IFCBnnn`) and its timestamp are decoded from the
+  * file name exactly as the reference does from bin ids
+  * (code/ifcb_ingest_and_qc.R:194,213).
+  */
+object HdrSource {
+
+  val SampleIdPattern = "(D\\d{8}T\\d{6}_IFCB\\d+)"
+
+  /** Reads a directory of `.hdr` files into one row per sample. `keys`
+    * selects which header keys become columns (double-typed when
+    * `numeric`).
+    */
+  def read(
+      spark: SparkSession,
+      path: String,
+      stringKeys: Seq[String],
+      numericKeys: Seq[String]): DataFrame = {
+    val lines = spark.read.text(path)
+      .withColumn("file", input_file_name())
+      .withColumn("sample", regexp_extract(col("file"), SampleIdPattern, 1))
+      .withColumn("key", trim(regexp_extract(col("value"), "^([^:]+):", 1)))
+      .withColumn("v", trim(regexp_extract(col("value"), "^[^:]+:(.*)$", 1)))
+      .filter(col("key") =!= "")
+    val kv = lines.groupBy(col("sample"))
+      .agg(map_from_entries(collect_list(struct(col("key"), col("v")))).as("kv"))
+    val typed = stringKeys.map(k => element_at(col("kv"), k).as(k)) ++
+      numericKeys.map(k => element_at(col("kv"), k).cast("double").as(k))
+    kv.select(
+      (col("sample") +:
+        toTimestampFromSampleId(col("sample")).as("timestamp") +:
+        typed): _*)
+  }
+
+  /** Filename→timestamp codec (`ifcb_convert_filenames`, Rmd:769):
+    * D20240101T123000_IFCB134 → 2024-01-01 12:30:00 UTC.
+    */
+  def toTimestampFromSampleId(sample: org.apache.spark.sql.Column) =
+    to_timestamp(
+      regexp_extract(sample, "D(\\d{8}T\\d{6})", 1), "yyyyMMdd'T'HHmmss")
+}

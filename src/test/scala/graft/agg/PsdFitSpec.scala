@@ -1,0 +1,71 @@
+package graft.agg
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** A17 PSD fit: golden values on a known power law and partitioning
+  * independence (SURVEY.md §7.4 risk 5).
+  */
+class PsdFitSpec extends SparkSpec {
+  import spark.implicits._
+
+  // exact power law n = 1000 · x^-2  →  slope -2, intercept ln(1000), R² 1
+  private val bins: Seq[(Double, Double)] =
+    (1 to 10).map { i =>
+      val x = i * 5.0
+      (math.log(x), math.log(1000.0 * math.pow(x, -2.0)))
+    }
+
+  test("typed Aggregator recovers slope/intercept/r2 exactly on a pure power law") {
+    val agg = new PsdFit().toColumn
+    val r = bins.toDS().select(agg).head()
+    assert(math.abs(r.slope - -2.0) < 1e-9)
+    assert(math.abs(r.intercept - math.log(1000.0)) < 1e-9)
+    assert(math.abs(r.r2 - 1.0) < 1e-9)
+    assert(r.nBins == 10)
+  }
+
+  test("result is stable under repartitioning to fp rounding") {
+    // double moment sums commute only up to fp rounding; the exactly
+    // order-independent path is the decimal-cast DataFrame form (q38)
+    val agg = new PsdFit().toColumn
+    val one = bins.toDS().repartition(1).select(agg).head()
+    val many = bins.toDS().repartition(7).select(agg).head()
+    assert(math.abs(one.slope - many.slope) < 1e-12)
+    assert(math.abs(one.intercept - many.intercept) < 1e-12)
+  }
+
+  test("degenerate inputs: <2 bins → NaN, vertical data → NaN slope") {
+    val agg = new PsdFit().toColumn
+    val r1 = Seq((1.0, 2.0)).toDS().select(agg).head()
+    assert(r1.slope.isNaN && r1.nBins == 1)
+    val r2 = Seq((1.0, 2.0), (1.0, 3.0)).toDS().select(agg).head()
+    assert(r2.slope.isNaN) // same x for all rows: det == 0
+  }
+
+  test("DataFrame moments path matches the Aggregator") {
+    val df = bins.toDF("lnx", "lny")
+    val m = df.agg(
+      count(lit(1)).as("n"),
+      sum($"lnx").as("sx"), sum($"lny").as("sy"),
+      sum($"lnx" * $"lnx").as("sxx"), sum($"lnx" * $"lny").as("sxy"),
+      sum($"lny" * $"lny").as("syy"))
+    val (slope, intercept, r2) = PsdFit.solveCols(
+      $"n".cast("double"), $"sx", $"sy", $"sxx", $"sxy", $"syy")
+    val row = m.select(slope.as("s"), intercept.as("i"), r2.as("r")).head()
+    assert(math.abs(row.getDouble(0) - -2.0) < 1e-9)
+    assert(math.abs(row.getDouble(1) - math.log(1000.0)) < 1e-9)
+    assert(math.abs(row.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("flag rules fire in priority order") {
+    val df = Seq(
+      (-2.0, 0.99, 40L),   // incomplete wins over ok
+      (-2.0, 0.20, 100L),  // poor fit
+      (-0.05, 0.99, 100L), // flat
+      (-2.0, 0.99, 100L)   // ok
+    ).toDF("slope", "r2", "total")
+    val flags = df.select(PsdFit.flag($"slope", $"r2", $"total")).as[String].collect()
+    assert(flags.toSeq == Seq("incomplete", "poor_fit", "flat_psd", "ok"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkSpec
+
+/** Scalar function units + the SURVEY.md §5.3 property tests (scalacheck
+  * generators sampled explicitly — the scalatest bridge isn't a dep).
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int = 30): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("shingles produce k-grams, empty under k words") {
+    val df = Seq("a b c d", "a b", "").toDF("t")
+    val out = df.select(Hashing.shingles(Hashing.words($"t"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1).isEmpty && out(2).isEmpty)
+  }
+
+  test("tokHash/fingerprint are deterministic and spread") {
+    val toks = Seq("spark", "Spark", "spark ", "catalyst", "").toDF("t")
+    val hs = toks.select(Hashing.tokHash($"t")).as[Long].collect()
+    assert(hs.distinct.length == 5)
+    assert(hs.forall(h => h >= 0 && h < Hashing.TokP))
+    assert(toks.select(Hashing.tokHash($"t")).as[Long].collect().toSeq == hs.toSeq)
+  }
+
+  test("simhash: identical docs → distance 0; near docs closer than far docs") {
+    def sig(s: String): Long =
+      Seq(s).toDF("t")
+        .select(Hashing.simhash(Hashing.tokHashes(
+          Hashing.shingles(Hashing.words($"t"), 3))).as("s"))
+        .as[Long].head()
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy cat again and again today"
+    val c = "catalyst optimizer rewrites logical plans into physical spark plans fast"
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(sig(a), sig(a)) == 0)
+    assert(ham(sig(a), sig(b)) < ham(sig(a), sig(c)))
+  }
+
+  test("taxa-cleaner idempotence (SURVEY §5.3): clean(clean(x)) == clean(x)") {
+    val rules = Seq("\\b(spp|sp)\\.?\\b" -> "", "_+" -> " ")
+    def clean(c: org.apache.spark.sql.Column) =
+      Strings.sentenceCase(Strings.squish(Strings.regexClean(rules)(c)))
+    val inputs = samples(
+      Gen.listOf(Gen.oneOf("Skeletonema", "spp", "sp.", "marinoi", "_", "x")))
+      .map(_.mkString(" "))
+    val once = inputs.toDF("t").select(clean($"t")).as[String].collect()
+    val twice = once.toSeq.toDF("t").select(clean($"t")).as[String].collect()
+    assert(twice.toSeq == once.toSeq)
+  }
+
+  test("concat_ws skips nulls like unite(na.rm=TRUE) (SURVEY §5.3)") {
+    val df = Seq((Some("a"), None: Option[String], Some("c"))).toDF("x", "y", "z")
+    assert(df.select(concat_ws(", ", $"x", $"y", $"z")).as[String].head() == "a, c")
+  }
+
+  test("per-liter math: x*1000/ml == coeff*x (SURVEY §5.3)") {
+    val cases = samples(Gen.zip(Gen.choose(1, 10000), Gen.choose(0.1, 50.0)))
+    val got = cases.map { case (c, ml) => (c.toDouble, ml) }.toDF("x", "ml")
+      .select(graft.agg.Biovolume.perLiter($"x", $"ml")).as[Double].collect()
+    cases.zip(got).foreach { case ((count, ml), perL) =>
+      val coeff = 1000.0 / ml * count
+      assert(math.abs(perL - coeff) <= math.ulp(coeff) * 4, s"($count, $ml)")
+    }
+  }
+
+  test("signifPos matches R signif on representative values") {
+    val cases = Seq(123456.789 -> 123500.0, 99999.9 -> 100000.0,
+      1234.0 -> 1234.0, 10000.0 -> 10000.0)
+    cases.foreach { case (in, want) =>
+      val got = Seq(in).toDF("x").select(Nums.signifPos($"x", 4)).as[Double].head()
+      assert(got == want, s"signif($in, 4)")
+    }
+  }
+
+  test("langId picks argmax with deterministic ties and unknown fallback") {
+    val df = Seq("the fast value", "der und das nicht", "xyPeople unrelated").toDF("t")
+    val got = df.select(TextAnalysis.langId(Hashing.words($"t"))).as[String].collect()
+    assert(got.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("haversine: zero distance, known city pair, symmetry") {
+    val df = Seq((57.7089, 11.9746, 59.3293, 18.0686)).toDF("a", "b", "c", "d")
+    val gotExpr = Geo.haversineKm($"a", $"b", $"c", $"d")
+    val d1 = df.select(gotExpr).as[Double].head()
+    assert(math.abs(d1 - 397.0) < 5.0) // Göteborg→Stockholm ≈ 397 km
+    val d2 = df.select(Geo.haversineKm($"c", $"d", $"a", $"b")).as[Double].head()
+    assert(d1 == d2)
+    assert(df.select(Geo.haversineKm($"a", $"b", $"a", $"b")).as[Double].head() == 0.0)
+  }
+
+  test("pointInPolygon: inside, outside, non-convex") {
+    val poly = Seq((0.0, 0.0), (0.0, 4.0), (2.0, 2.0), (4.0, 4.0), (4.0, 0.0))
+    val f = Geo.pointInPolygon(poly)
+    val df = Seq((1.0, 1.0), (3.0, 3.5), (2.5, 2.0), (5.0, 5.0)).toDF("lat", "lon")
+    val got = df.select(f($"lat", $"lon")).as[Boolean].collect().toSeq
+    assert(got == Seq(true, false, true, false))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Sketch-dedup behavior on a controlled fixture: near-dups found, unrelated
+  * docs not, and MinHash-LSH recall vs the exact n-gram path.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home " +
+    "while the sun sets slowly behind distant mountains casting long shadows " +
+    "upon the quiet valley where rivers flow gently past old stone bridges " +
+    "and travelers rest beneath tall green trees watching evening stars appear"
+  private def mutate(s: String, i: Int): String = {
+    val w = s.split(" ")
+    w.updated(i, "XX").mkString(" ")
+  }
+
+  private def docs = Seq(
+    (1L, base),
+    (2L, mutate(base, 5)),            // near-dup of 1
+    (3L, base.split(" ").reverse.mkString(" ")), // same words, different order
+    (4L, "completely different content about spark catalyst optimizer rules and physical plans with many operators involved here today")
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH finds the near-dup pair and not the unrelated doc") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // doc 3 shares every word but almost no 3-gram: must not pair with 1
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("ngram jaccard (exact) agrees with LSH on this fixture") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash pairs the near-dup at small hamming distance") {
+    // one word changed in ~45 → hamming 4 of 32 on this fixture
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("exactGroups keeps smallest id and counts members") {
+    val df = Seq((10L, "a"), (7L, "a"), (3L, "b"), (1L, "c"), (2L, "c"), (5L, "c"))
+      .toDF("id", "k")
+    val g = Dedup.exactGroups(df, "id", $"k")
+      .select("dup_key", "n", "keeper").as[(String, Long, Long)].collect().toSet
+    assert(g == Set(("a", 2L, 7L), ("c", 3L, 1L)))
+  }
+
+  test("embedding near-dup pairs respect blocks and threshold") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),  // ~0.994 cosine with 1
+      (3L, Array(0.0f, 1.0f), 0),  // orthogonal to 1
+      (4L, Array(1.0f, 0.0f), 1)   // identical to 1 but other block
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.9, Some("label"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

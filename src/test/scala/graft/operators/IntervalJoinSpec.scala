@@ -1,0 +1,48 @@
+package graft.operators
+
+import java.sql.Timestamp
+import graft.SparkSpec
+
+/** J4 interval join: inclusive bounds, bucket-boundary straddling,
+  * multi-interval overlap — semantics of R's `between`
+  * (code/ifcb_ingest_and_qc.R:217-221).
+  */
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("inclusive bounds, overlaps, and bucket straddling") {
+    val points = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // == start (inclusive)
+      (2L, ts("2024-01-01 11:30:00")), // inside, interval straddles hour buckets
+      (3L, ts("2024-01-01 12:00:00")), // == end (inclusive); also in iv B
+      (4L, ts("2024-01-01 12:00:01")), // one second past end of A, in B
+      (5L, ts("2024-01-02 00:00:00"))  // matches nothing
+    ).toDF("pid", "pt")
+    val ivs = Seq(
+      ("A", ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+      ("B", ts("2024-01-01 11:45:00"), ts("2024-01-01 13:00:00"))
+    ).toDF("iv", "start", "stop")
+
+    val got = IntervalJoin.contains(points, ivs, "pt", "start", "stop")
+      .select("pid", "iv").as[(Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, "A"), (2L, "A"), (3L, "A"), (3L, "B"), (4L, "B")))
+  }
+
+  test("agrees with the naive non-equi join on random data") {
+    val points = (1 to 500).map(i =>
+      (i.toLong, new Timestamp(1700000000000L + i * 7919L * 1000))).toDF("pid", "pt")
+    val ivs = (1 to 50).map { i =>
+      val s = 1700000000000L + i * 80000L * 1000
+      ("iv" + i, new Timestamp(s), new Timestamp(s + 3600L * 1000))
+    }.toDF("iv", "start", "stop")
+    val fast = IntervalJoin.contains(points, ivs, "pt", "start", "stop")
+      .select("pid", "iv").as[(Long, String)].collect().toSet
+    val naive = points.join(ivs,
+        points("pt") >= ivs("start") && points("pt") <= ivs("stop"))
+      .select("pid", "iv").as[(Long, String)].collect().toSet
+    assert(fast == naive)
+  }
+}

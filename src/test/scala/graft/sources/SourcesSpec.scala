@@ -1,0 +1,89 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** S2 HDR parser, S11 file index, K1/K2 sinks — driven end-to-end through
+  * real files in a temp dir.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): Path = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  test("HdrSource parses key:value headers into one typed row per sample") {
+    val dir = tmpDir("hdr")
+    Files.writeString(dir.resolve("D20240101T123000_IFCB134.hdr"),
+      """gpsLatitude: 57.5969
+        |gpsLongitude: 11.8465
+        |runTime: 1187.5
+        |sampleType: normal
+        |""".stripMargin)
+    Files.writeString(dir.resolve("D20240102T000000_IFCB134.hdr"),
+      """gpsLatitude: 58.0
+        |gpsLongitude: 12.0
+        |runTime: 1200.0
+        |sampleType: beads
+        |""".stripMargin)
+    val df = HdrSource.read(spark, dir.toString + "/*.hdr",
+      stringKeys = Seq("sampleType"),
+      numericKeys = Seq("gpsLatitude", "gpsLongitude", "runTime"))
+    val rows = df.orderBy("sample").collect()
+    assert(rows.length == 2)
+    val r = rows.head
+    assert(r.getAs[String]("sample") == "D20240101T123000_IFCB134")
+    assert(r.getAs[java.sql.Timestamp]("timestamp").toString == "2024-01-01 12:30:00.0")
+    assert(r.getAs[String]("sampleType") == "normal")
+    assert(math.abs(r.getAs[Double]("gpsLatitude") - 57.5969) < 1e-9)
+  }
+
+  test("FileIndex lists files, gates size, detects new samples") {
+    val dir = tmpDir("fidx")
+    Files.write(dir.resolve("D20240101T123000_IFCB134.roi"), Array.fill[Byte](100)(1))
+    Files.write(dir.resolve("D20240102T000000_IFCB134.roi"), Array.fill[Byte](3000)(1))
+    Files.write(dir.resolve("D20240103T000000_IFCB134.roi"), Array.emptyByteArray)
+    val idx = FileIndex.list(spark, dir.toString)
+    // binaryFile skips 0-byte files at the source — the reference's
+    // empty-bin exclusion (ifcb_ingest_and_qc.R:190-197) comes free
+    assert(idx.count() == 2)
+    val (clean, dead) = FileIndex.sizeGate(idx, maxBytes = 1000L)
+    assert(clean.count() == 1)
+    assert(dead.select("reason").as[String].collect().toSet == Set("oversize"))
+    val processed = Seq("D20240101T123000_IFCB134").toDF("sample")
+    val fresh = FileIndex.newFiles(idx, processed)
+    assert(fresh.select("sample").as[String].collect().toSet ==
+      Set("D20240102T000000_IFCB134"))
+  }
+
+  test("partitionedTsv writes one folder per class with format-code first row") {
+    val dir = tmpDir("k2").resolve("out").toString
+    val df = Seq(
+      ("img1", "diatom", 10.5), ("img2", "diatom", 11.0), ("img3", "ciliate", 3.0)
+    ).toDF("img", "class_name", "area")
+    Sinks.partitionedTsv(df, "class_name", dir,
+      formatCodes = Some(Map("img" -> "[t]", "area" -> "[f]")))
+    val diatom = spark.read.option("sep", "\t").option("header", "true")
+      .csv(dir + "/class_name=diatom")
+    assert(diatom.count() == 3) // code row + 2 data rows
+    val first = diatom.head()
+    assert(first.getAs[String]("img") == "[t]" && first.getAs[String]("area") == "[f]")
+    val ciliate = spark.read.option("sep", "\t").option("header", "true")
+      .csv(dir + "/class_name=ciliate")
+    assert(ciliate.count() == 2)
+  }
+
+  test("deliveryTsv writes nulls as empty strings") {
+    val dir = tmpDir("k1").resolve("out").toString
+    Seq(("a", Some(1.0)), ("b", None)).toDF("k", "v")
+      .write.mode("overwrite").option("sep", "\t").option("header", "true")
+      .option("nullValue", "").csv(dir) // same options as Sinks.deliveryTsv
+    Sinks.deliveryTsv(Seq(("a", Option(1.0)), ("b", Option.empty[Double])).toDF("k", "v"), dir)
+    val lines = spark.read.text(dir).as[String].collect()
+    assert(lines.exists(_ == "b\t"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+
+/** §2.9 streaming semantics driven through MemoryStream micro-batches. */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dailyAlerts emits only above-warning daily maxima after watermark close") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "taxon", "conc")
+    val warn = Seq(("algae", 50.0), ("cyano", 100.0)).toDF("taxon", "warning_level")
+
+    val alerts = Streams.dailyAlerts(events, warn, "ts", "taxon", "conc")
+    val q = alerts.writeStream.format("memory").queryName("alerts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "algae", 60.0),
+        (Timestamp.valueOf("2024-01-01 11:00:00"), "algae", 80.0),
+        (Timestamp.valueOf("2024-01-01 12:00:00"), "cyano", 90.0)) // below level
+      q.processAllAvailable()
+      // advance watermark past Jan 1 so the daily window closes
+      in.addData((Timestamp.valueOf("2024-01-03 00:00:01"), "algae", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("alerts")
+        .select("taxon", "daily_max").as[(String, Double)].collect().toSet
+      assert(rows == Set(("algae", 80.0))) // cyano under its level; no dup rows
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap and carries state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.SessionEvent]
+    val out = Streams.sessionize(in.toDS(), gapMicros = 60L * 1000000)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Streams.SessionEvent(1L, 0L, 1.0),
+        Streams.SessionEvent(1L, 30L * 1000000, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // still open
+      in.addData(Streams.SessionEvent(1L, 500L * 1000000, 5.0)) // gap > 60 s
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("key", "n", "sum").as[(Long, Long, Double)].collect().toSet
+      assert(rows == Set((1L, 2L, 3.0))) // first session closed with 2 events
+    } finally q.stop()
+  }
+
+  test("incremental file source processes each file exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-in")
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-ckpt")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir.toString + "/batch1")
+    val src = Streams.incrementalFileSource(
+      spark, dir.toString + "/*", Seq((0L, "")).toDF("id", "v").schema)
+    val q = src.writeStream.format("memory").queryName("inc")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("inc").count() == 2)
+      Seq((3L, "c")).toDF("id", "v")
+        .write.mode("overwrite").parquet(dir.toString + "/batch2")
+      q.processAllAvailable()
+      assert(spark.table("inc").count() == 3) // only the new file added rows
+    } finally q.stop()
+  }
+}
