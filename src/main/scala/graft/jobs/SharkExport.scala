@@ -1,0 +1,106 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.agg.Biovolume
+import graft.sources.Sinks
+
+/** The flagship end-to-end job (SURVEY.md §3.1, `ifcb-data-pipeline.Rmd`):
+  * one lazy DAG from scans through enrichment joins, the biovolume
+  * rollup, QC gating, the W1 adjacency filter, to the fixed-contract
+  * delivery projection and TSV sink (K1).
+  *
+  * Inputs are abstract frames so the job runs identically over the real
+  * IFCB-shaped tables or the synthetic stand-ins; the driver smoke path
+  * uses [[runOnSynthetic]].
+  *
+  * Plan shape at scale: dims broadcast (J1 chain — no fact shuffle),
+  * one groupBy shuffle for the rollup, one window partitioned by sample
+  * prefix (never a global sort), projection is pure map-side.
+  */
+object SharkExport {
+
+  /** @param roi       per-ROI rows: sample, class_name, vol_um3, is_diatom
+    * @param sampleDim sample-grain dim: sample, ml_analyzed, lat, lon
+    * @param flags     QC flags per sample: sample, flag
+    * @param removeFlagged flags whose samples are dropped (P4 semantics,
+    *                  case-insensitive substring — Rmd:1300-1302)
+    */
+  def delivery(
+      roi: DataFrame, sampleDim: DataFrame, flags: DataFrame,
+      removeFlagged: Seq[String],
+      adjacencyPartition: org.apache.spark.sql.Column = lit(0)): DataFrame = {
+    val rolled = roi
+      .withColumn("carbon_pg",
+        Biovolume.carbonPg(col("is_diatom"), col("vol_um3")))
+      .groupBy(col("sample"), col("class_name"))
+      .agg(
+        count(lit(1)).as("counts"),
+        sum(col("vol_um3")).as("biovolume_um3"),
+        sum(col("carbon_pg")).as("carbon_pg"))
+
+    // J1 star enrichment: sample dim + flags, both broadcast
+    val flagged = rolled
+      .join(broadcast(sampleDim), Seq("sample"), "left")
+      .join(broadcast(
+        flags.groupBy("sample").agg(concat_ws(", ", collect_list("flag")).as("flag"))),
+        Seq("sample"), "left")
+
+    // P4: drop samples whose flag contains any removeFlagged term
+    val lowered = lower(coalesce(col("flag"), lit("")))
+    val keep = removeFlagged
+      .map(t => !lowered.contains(t.toLowerCase))
+      .reduceOption(_ && _).getOrElse(lit(true))
+
+    // W1: also drop samples adjacent (±1 in sample order) to a "bubbles"
+    // flag. Adjacency is meaningful within one instrument's run sequence
+    // (SURVEY.md §7.4 risk 2) — callers pass e.g. (instrument, year) as
+    // adjacencyPartition so the sort is distributed, never global.
+    val w = Window.partitionBy(adjacencyPartition).orderBy(col("sample"))
+    val bubbles = lowered.contains("bubbles")
+    val adj = flagged
+      .withColumn("__bub", bubbles)
+      .withColumn("__drop_adj",
+        coalesce(lag(col("__bub"), 1).over(w), lit(false)) ||
+          coalesce(lead(col("__bub"), 1).over(w), lit(false)))
+
+    adj
+      .filter(keep && !col("__drop_adj"))
+      .select(
+        year(try_to_timestamp(col("sample"))).as("MYEAR"),
+        col("sample").as("SMPNO"),
+        col("lat").as("LATIT"),
+        col("lon").as("LONGI"),
+        col("class_name").as("LATNM"),
+        col("counts").as("COUNTNR"),
+        Biovolume.perLiter(col("counts"), col("ml_analyzed")).as("ABUND"),
+        (col("biovolume_um3") / 1e9).as("BIOVOL"),
+        Biovolume.perLiter(col("carbon_pg") / 1e6, col("ml_analyzed")).as("C_CONC"))
+  }
+
+  /** Synthetic-table instantiation (driver smoke): lineitem as ROI grain,
+    * orders as the sample dim, a deterministic flag table.
+    */
+  def runOnSynthetic(spark: SparkSession, dir: String, out: String): DataFrame = {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val or = spark.read.parquet(s"$dir/orders.parquet")
+    val roi = li.select(
+      concat(lit("S"), $"l_orderkey").as("sample"),
+      $"l_returnflag".as("class_name"),
+      ($"l_extendedprice" / 10.0).as("vol_um3"),
+      ($"l_returnflag" === "A").as("is_diatom"))
+    val dim = or.select(
+      concat(lit("S"), $"o_orderkey").as("sample"),
+      ($"o_totalprice" / 10000.0).as("ml_analyzed"),
+      lit(57.5).as("lat"), lit(11.8).as("lon"))
+    val flags = or.filter($"o_orderkey" % 97 === 0).select(
+      concat(lit("S"), $"o_orderkey").as("sample"),
+      when($"o_orderkey" % 2 === 0, "bubbles").otherwise("beads").as("flag"))
+    val out0 = delivery(roi, dim, flags, removeFlagged = Seq("beads"))
+      .drop("MYEAR") // synthetic sample ids carry no timestamp
+    Sinks.deliveryTsv(out0, out)
+    out0
+  }
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S3 ADC/ROI binary source (SURVEY.md §2.1): the `.roi` file is a bare
+  * concatenation of 8-bit grayscale images; the `.adc` CSV carries one row
+  * per trigger with the byte offset and image geometry (reference: pyifcb
+  * `DataDirectory` use at extract_slim_features.py:62,103; export logic
+  * code/extract_all.R:13-19).
+  *
+  * Spark-first: the `.adc` is a plain CSV scan; the `.roi` bytes arrive
+  * via `binaryFile`; slicing is a join on sample + a `substr` over the
+  * binary column — one row per image, `BinaryType` pixels (“the
+  * multimodal column of this pipeline”, SURVEY.md §1.1). Rows with
+  * zero-area triggers (no image) are dropped as the reference does.
+  *
+  * Scale note: a bin file is ≲0.5 GB (the reference's own ingest guard)
+  * and one bin = one task, so the whole-file binaryFile read matches the
+  * reference's parallelism unit; images explode to rows immediately after
+  * the slice, so downstream operators stream per-image without holding
+  * whole bins.
+  */
+object RoiSource {
+
+  /** ADC schema: trigger rows with image geometry + byte offset. */
+  def readAdc(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("roi_number INT, width INT, height INT, start_byte LONG")
+      .option("header", "true")
+      .csv(path)
+      .withColumn("sample",
+        regexp_extract(input_file_name(), HdrSource.SampleIdPattern, 1))
+
+  /** One row per image: (sample, roi_number, width, height, pixels). */
+  def images(adc: DataFrame, roiFiles: DataFrame): DataFrame = {
+    val roi = roiFiles
+      .withColumn("sample",
+        regexp_extract(col("path"), HdrSource.SampleIdPattern, 1))
+      .select(col("sample"), col("content"))
+    adc
+      .filter(col("width") > 0 && col("height") > 0)
+      .join(roi, "sample")
+      .select(
+        col("sample"), col("roi_number"), col("width"), col("height"),
+        expr("substring(content, cast(start_byte + 1 as int), width * height)")
+          .as("pixels"))
+  }
+
+  /** Convenience: read a directory of bin trios. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val adc = readAdc(spark, s"$dir/*.adc")
+    val roi = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.roi").load(dir)
+    images(adc, roi)
+  }
+}
