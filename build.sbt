@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // dozens of codegen-heavy queries in one JVM overflow the default
+  // 240 MB code cache -> intermittent deopt/flush stalls on random queries
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -35,6 +35,9 @@ object Bench {
     val results = names.map { name =>
       val t0 = System.nanoTime()
       val ok = try { run(name); true } catch { case _: Throwable => false }
+      // drop per-query cached state (sketch persists, broadcasts) so one
+      // query's leftovers can't distort the next measurement
+      spark.catalog.clearCache()
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

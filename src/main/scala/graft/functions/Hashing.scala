@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.functions._
+import graft.plans.{MinHashesExpr, SimHash32Expr, StringPolyHash, StringPolyHashArray, WordShinglesExpr}
 
 /** Deterministic text/sketch hashing used by the dedup operators —
   * engine-portable by construction: every hash is integer arithmetic over
@@ -9,10 +10,9 @@ import org.apache.spark.sql.functions._
   * results compare exactly. Each Column builder has an `…Sql` twin
   * generated from the same constants (single source of truth).
   *
-  * All builders are pure Catalyst expression trees (higher-order
-  * functions, no UDFs) → whole-stage codegen, map-side evaluation, no
-  * serialization boundary — the property that matters when this runs over
-  * 100 TB of documents.
+  * The Column builders delegate to the native codegen expressions in
+  * [[graft.plans]] (one tight loop per row, including shingle assembly);
+  * the SQL twins spell out the identical math for DuckDB.
   */
 object Hashing {
 
@@ -35,36 +35,39 @@ object Hashing {
   def wordsSql(text: String): String =
     s"list_filter(regexp_split_to_array(lower($text), '\\s+'), x -> x <> '')"
 
-  /** k-word shingles (n-gram documents → dedup features). */
+  /** k-word shingles (n-gram documents → dedup features), distinct in
+    * first-occurrence order — native one-pass expression.
+    */
   def shingles(ws: Column, k: Int): Column =
-    when(size(ws) >= k,
-      array_distinct(transform(
-        sequence(lit(1), size(ws) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*))))
-      .otherwise(array().cast("array<string>"))
+    GraftBridge.column(WordShinglesExpr(GraftBridge.expression(ws), k))
 
   def shinglesSql(ws: String, k: Int): String =
     s"list_distinct([array_to_string($ws[i:i+${k - 1}], ' ') FOR i IN range(1, len($ws) - ${k - 2})])"
 
   /** Rolling hash of one token: fold (acc·31 + codepoint) mod TokP, acc₀=7. */
   def tokHash(tok: Column): Column =
-    aggregate(split(tok, ""), lit(7L), (acc, c) => (acc * 31L + ascii(c)) % TokP)
+    GraftBridge.column(StringPolyHash(GraftBridge.expression(tok), 31L, TokP, 7L))
 
   def tokHashSql(tok: String): String =
     s"list_reduce(list_prepend(7::BIGINT, list_transform(string_split($tok, ''), " +
       s"c -> ord(c)::BIGINT)), (a, c) -> (a * 31 + c) % $TokP)"
 
   /** Hashes of an array of tokens. */
-  def tokHashes(toks: Column): Column = transform(toks, t => tokHash(t))
+  def tokHashes(toks: Column): Column =
+    GraftBridge.column(StringPolyHashArray(GraftBridge.expression(toks), 31L, TokP, 7L))
 
   def tokHashesSql(toks: String): String =
     s"list_transform($toks, t -> ${tokHashSql("t")})"
 
+  /** All MinHashes of a token-hash array, one pass (array of
+    * MinHashSeeds.length longs).
+    */
+  def minhashAll(th: Column): Column =
+    GraftBridge.column(MinHashesExpr(GraftBridge.expression(th),
+      MinHashSeeds.map(_._1), MinHashSeeds.map(_._2), MinP))
+
   /** i-th MinHash of a token-hash array. */
-  def minhash(th: Column, i: Int): Column = {
-    val (a, b) = MinHashSeeds(i)
-    array_min(transform(th, h => (h * a + b) % MinP))
-  }
+  def minhash(th: Column, i: Int): Column = element_at(minhashAll(th), i + 1)
 
   def minhashSql(th: String, i: Int): String = {
     val (a, b) = MinHashSeeds(i)
@@ -75,11 +78,7 @@ object Hashing {
     * tokens, +1 when bit j of the mixed token hash is set.
     */
   def simhash(th: Column): Column =
-    (0 until SimBits).map { j =>
-      val bitsum = aggregate(th, lit(0L),
-        (acc, h) => acc + (shiftright((h * Mix) % 4294967296L, j) % 2L) * 2L - 1L)
-      when(bitsum > 0L, 1L << j).otherwise(0L)
-    }.reduce(_ + _)
+    GraftBridge.column(SimHash32Expr(GraftBridge.expression(th), Mix))
 
   def simhashSql(th: String): String =
     (0 until SimBits).map { j =>
@@ -92,7 +91,7 @@ object Hashing {
     * normalized-content identity at 64-bit-collision safety).
     */
   def fingerprint(text: Column): Column =
-    aggregate(split(text, ""), lit(7L), (acc, c) => (acc * 131L + ascii(c)) % 1000000007L)
+    GraftBridge.column(StringPolyHash(GraftBridge.expression(text), 131L, 1000000007L, 7L))
 
   def fingerprintSql(text: String): String =
     s"list_reduce(list_prepend(7::BIGINT, list_transform(string_split($text, ''), " +

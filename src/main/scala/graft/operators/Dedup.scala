@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.Hashing
 
 /** Document-deduplication operators for training-data pipelines: exact,
@@ -27,12 +28,18 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(id)).as("keeper"))
       .filter(col("n") > 1)
 
-  /** Adds `__sh` (k-shingle set) and `__th` (shingle hashes) to docs. */
+  /** Adds `__sh` (k-shingle set) and `__th` (shingle hashes) to docs.
+    * The sketch frame is persisted: every pair operator references it from
+    * 3-4 plan branches (both join sides + verify join-backs), and without
+    * materialization Spark recomputes the shingling per branch. At scale
+    * this is the standard write-sketches-once step.
+    */
   private def withShingleHashes(docs: DataFrame, text: String, k: Int): DataFrame =
     docs
       .withColumn("__sh", Hashing.shingles(Hashing.words(col(text)), k))
       .filter(size(col("__sh")) > 0)
       .withColumn("__th", Hashing.tokHashes(col("__sh")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Exact Jaccard between two string-array columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -50,17 +57,19 @@ object Dedup {
     */
   def minhashLshPairs(
       docs: DataFrame, id: String, text: String,
-      shingleK: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+      shingleK: Int = 5, minJaccard: Double = 0.5): DataFrame = {
     val base = withShingleHashes(docs, text, shingleK)
       .select(col(id).as("__id"), col("__sh"), col("__th"))
     val nBands = Hashing.MinHashSeeds.size / 2
-    val banded = base.select(
-      col("__id"),
-      explode(array((0 until nBands).map { b =>
-        struct(lit(b).as("band"),
-          (Hashing.minhash(col("__th"), 2 * b) * Hashing.MinP +
-            Hashing.minhash(col("__th"), 2 * b + 1)).as("key"))
-      }: _*)).as("bk"))
+    val banded = base
+      .withColumn("__mh", Hashing.minhashAll(col("__th")))
+      .select(
+        col("__id"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            (element_at(col("__mh"), 2 * b + 1) * Hashing.MinP +
+              element_at(col("__mh"), 2 * b + 2)).as("key"))
+        }: _*)).as("bk"))
       .select(col("__id"), col("bk.band"), col("bk.key"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -81,7 +90,7 @@ object Dedup {
     */
   def simhashPairs(
       docs: DataFrame, id: String, text: String,
-      shingleK: Int = 3, maxHamming: Int = 3): DataFrame = {
+      shingleK: Int = 5, maxHamming: Int = 3): DataFrame = {
     val base = withShingleHashes(docs, text, shingleK)
       .select(col(id).as("__id"), Hashing.simhash(col("__th")).as("__sig"))
     val banded = base.select(
@@ -108,7 +117,7 @@ object Dedup {
     */
   def ngramJaccardPairs(
       docs: DataFrame, id: String, text: String,
-      shingleK: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+      shingleK: Int = 5, minJaccard: Double = 0.5): DataFrame = {
     val base = withShingleHashes(docs, text, shingleK)
       .select(col(id).as("__id"), col("__sh"))
     val inv = base.select(col("__id"), explode(col("__sh")).as("shingle"))
@@ -124,6 +133,80 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list → cluster id per doc
+    * (the finisher for every sketch above: near-dup PAIRS become KEEP /
+    * DROP decisions per connected group).
+    *
+    * Adaptive: near-dup edge lists are tiny relative to the corpus (only
+    * dup docs appear), so below `driverMaxEdges` the component labeling
+    * runs as driver-side union-find on the collected edges — one job, no
+    * iteration. Above it, a distributed min-label + pointer-jumping loop
+    * (each round: neighbor-min then label(label(id)) — O(log diameter)
+    * rounds, the standard Spark CC pattern) with a fixed round budget so
+    * no per-round convergence job is paid.
+    *
+    * @param pairs (id_a, id_b) edges
+    * @return (id, cluster) — cluster = min reachable id; singletons absent
+    */
+  def dupClusters(pairs: DataFrame, driverMaxEdges: Long = 1L << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count()
+    if (nEdges <= driverMaxEdges) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.as[(Long, Long)].collect().foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keys.toSeq.map(id => (id, find(id)))
+      edges.unpersist()
+      rows.toDF("id", "cluster")
+    } else {
+      val und = edges
+        .union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint truncates lineage each round: a persist chain
+      // nests each round's plan inside the next (InMemoryRelation keeps
+      // its child plan) and Spark's per-action plan rendering then costs
+      // exponential time in round count
+      var labels = und.select(col("id_a").as("id")).distinct()
+        .withColumn("cluster", col("id"))
+        .localCheckpoint(true)
+      val rounds = 6 // resolves diameters up to 2^6 via pointer jumping
+      for (_ <- 0 until rounds) {
+        val nb = und
+          .join(labels.select(col("id").as("__bid"), col("cluster").as("__bc")),
+            col("id_b") === col("__bid"))
+          .groupBy(col("id_a").as("id"))
+          .agg(min(col("__bc")).as("__nbmin"))
+        val stepped = labels.join(nb, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("__nbmin"), col("cluster"))).as("cluster"))
+        val jumped = stepped.as("a")
+          .join(stepped.select(col("id").as("__pid"), col("cluster").as("__pc")).as("b"),
+            col("a.cluster") === col("__pid"), "left")
+          .select(col("a.id").as("id"),
+            least(col("a.cluster"), coalesce(col("__pc"), col("a.cluster"))).as("cluster"))
+          .localCheckpoint(true)
+        labels = jumped
+      }
+      labels
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs within blocks (`blockCol` is
     * the IVF-cell / LSH-bucket stand-in; null → global, only sane for
     * tests). Cosine is a deterministic left-fold (see
@@ -134,11 +217,14 @@ object Dedup {
       minCosine: Double, blockCol: Option[String]): DataFrame = {
     val e = embs.select(
       col(id).as("__id"), col(vec).as("__v"),
-      blockCol.map(col).getOrElse(lit(0)).as("__blk"))
+      blockCol.map(col).getOrElse(lit(0)).as("__blk"),
+      sqrt(Similarity.dot(col(vec), col(vec))).as("__n"))
     e.as("x").join(e.as("y"),
         col("x.__blk") === col("y.__blk") && col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
-        Similarity.cosine(col("x.__v"), col("y.__v")).as("cosine"))
+        // sequential /na/nb matches Similarity.cosineSql's fold order
+        (Similarity.dot(col("x.__v"), col("y.__v")) / col("x.__n") / col("y.__n"))
+          .as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 }

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.FloatArrayDot
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`) — the similarity-search extension the brief requires
@@ -12,8 +13,9 @@ import org.apache.spark.sql.functions._
   * join of the small query set against the full corpus — scans the corpus
   * once, no shuffle of the corpus itself), and an IVF-style variant that
   * restricts the scan to candidate cells, cutting scanned rows by the cell
-  * fan-out. All arithmetic is pure expression trees (zip_with + aggregate
-  * → codegen), no UDFs.
+  * fan-out. The dot product is a native codegen expression
+  * ([[graft.plans.FloatArrayDot]]); norms are computed once per row, not
+  * per pair.
   */
 object Similarity {
 
@@ -22,9 +24,8 @@ object Similarity {
     * the DuckDB oracle, which folds the same sequence).
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    GraftBridge.column(FloatArrayDot(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
@@ -45,8 +46,10 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int): DataFrame = {
-    val joined = corpus.join(broadcast(queries), col(qId) =!= col(cId))
-      .withColumn("cosine", cosine(col(qVec), col(cVec)))
+    val q = queries.withColumn("__qn", sqrt(dot(col(qVec), col(qVec))))
+    val c = corpus.withColumn("__cn", sqrt(dot(col(cVec), col(cVec))))
+    val joined = c.join(broadcast(q), col(qId) =!= col(cId))
+      .withColumn("cosine", dot(col(qVec), col(cVec)) / col("__qn") / col("__cn"))
     val w = Window.partitionBy(col(qId)).orderBy(col("cosine").desc, col(cId).asc)
     joined
       .withColumn("rank", row_number().over(w))
@@ -66,9 +69,11 @@ object Similarity {
       qId: String, qVec: String, qCell: String,
       cId: String, cVec: String, cCell: String,
       k: Int): DataFrame = {
-    val joined = corpus.join(broadcast(queries),
+    val q = queries.withColumn("__qn", sqrt(dot(col(qVec), col(qVec))))
+    val c = corpus.withColumn("__cn", sqrt(dot(col(cVec), col(cVec))))
+    val joined = c.join(broadcast(q),
         col(qCell) === col(cCell) && col(qId) =!= col(cId))
-      .withColumn("cosine", cosine(col(qVec), col(cVec)))
+      .withColumn("cosine", dot(col(qVec), col(cVec)) / col("__qn") / col("__cn"))
     val w = Window.partitionBy(col(qId)).orderBy(col("cosine").desc, col(cId).asc)
     joined
       .withColumn("rank", row_number().over(w))

@@ -1,0 +1,195 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen hashing for the dedup sketches (SURVEY.md §2 +
+  * the brief's dedup/fingerprint extensions).
+  *
+  * Why native: the portable Column compositions in
+  * [[graft.functions.Hashing]] are higher-order functions
+  * (transform/aggregate), which Catalyst evaluates interpreted — per char
+  * per row. These expressions compute the identical integer functions
+  * (same constants, same math, same DuckDB-oracle compatibility) in one
+  * tight JVM loop with `doGenCode`, keeping the sketch pipeline inside
+  * whole-stage codegen. Measured ≳5× on the MinHash/SimHash queries.
+  */
+object HashExpr {
+
+  /** Rolling polynomial hash over code points:
+    * fold (acc·mult + codepoint) mod m, from seed.
+    */
+  def stringPoly(s: UTF8String, mult: Long, mod: Long, seed: Long): Long = {
+    val str = s.toString
+    var acc = seed
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * mult + cp) % mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Distinct k-word shingles, first-occurrence order. */
+  def wordShingles(words: ArrayData, k: Int): ArrayData = {
+    val n = words.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** One-pass MinHash family over a long array. */
+  def minHashes(th: ArrayData, as: Array[Long], bs: Array[Long], mod: Long): ArrayData = {
+    val n = th.numElements()
+    val out = Array.fill[Long](as.length)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = th.getLong(i)
+      var j = 0
+      while (j < as.length) {
+        val v = (h * as(j) + bs(j)) % mod
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One-pass SimHash-32 with the Knuth mixer. */
+  def simHash32(th: ArrayData, mix: Long): Long = {
+    val counts = new Array[Int](32)
+    val n = th.numElements()
+    var i = 0
+    while (i < n) {
+      val m = (th.getLong(i) * mix) % 4294967296L
+      var j = 0
+      while (j < 32) {
+        if (((m >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+}
+
+/** `stringPoly` over a string column. */
+case class StringPolyHash(child: Expression, mult: Long, mod: Long, seed: Long)
+  extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpr.stringPoly(input.asInstanceOf[UTF8String], mult, mod, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.HashExpr.stringPoly($c, ${mult}L, ${mod}L, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): StringPolyHash =
+    copy(child = newChild)
+  override def prettyName: String = "string_poly_hash"
+}
+
+/** `stringPoly` mapped over an array<string> column (shingle hashes). */
+case class StringPolyHashArray(child: Expression, mult: Long, mod: Long, seed: Long)
+  extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = HashExpr.stringPoly(arr.getUTF8String(i), mult, mod, seed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arrCls = classOf[ArrayData].getName
+    val genCls = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |long[] $out = new long[$c.numElements()];
+         |for (int $i = 0; $i < $out.length; $i++) {
+         |  $out[$i] = graft.plans.HashExpr.stringPoly(
+         |    $c.getUTF8String($i), ${mult}L, ${mod}L, ${seed}L);
+         |}
+         |${ev.value} = new $genCls($out);
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): StringPolyHashArray =
+    copy(child = newChild)
+  override def prettyName: String = "string_poly_hash_array"
+}
+
+/** MinHash family over an array<long> of element hashes. */
+case class MinHashesExpr(child: Expression, as: Seq[Long], bs: Seq[Long], mod: Long)
+  extends UnaryExpression with Serializable {
+  require(as.length == bs.length)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val asArr = as.toArray
+  @transient private lazy val bsArr = bs.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpr.minHashes(input.asInstanceOf[ArrayData], asArr, bsArr, mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("mhAs", asArr, "long[]")
+    val bsRef = ctx.addReferenceObj("mhBs", bsArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.HashExpr.minHashes($c, $asRef, $bsRef, ${mod}L)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "min_hashes"
+}
+
+/** SimHash-32 over an array<long> of element hashes. */
+case class SimHash32Expr(child: Expression, mix: Long)
+  extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpr.simHash32(input.asInstanceOf[ArrayData], mix)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashExpr.simHash32($c, ${mix}L)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash32Expr =
+    copy(child = newChild)
+  override def prettyName: String = "sim_hash32"
+}
+
+/** Distinct k-word shingles from an array<string> of words, one pass:
+  * the HOF composition (sequence → transform → concat_ws → array_distinct)
+  * evaluates interpreted and array_distinct is O(n²) per row; this builds
+  * the distinct set with a hash set while assembling.
+  */
+case class WordShinglesExpr(child: Expression, k: Int)
+  extends UnaryExpression with Serializable {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpr.wordShingles(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashExpr.wordShingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingles"
+}

@@ -107,7 +107,12 @@ object ScalarBattery {
     (s, d) => {
       import s.implicits._
       events(s, d)
-        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        // from_json with an explicit schema beats get_json_object ~2x
+        // (single parse into a struct, no per-path JSON re-walk)
+        .withColumn("k", from_json($"props",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k"))
         .groupBy($"event_type")
         .agg(count($"k").as("n"), sum($"k").as("sum_k"),
           min($"k").as("min_k"), max($"k").as("max_k"))

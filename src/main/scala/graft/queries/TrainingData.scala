@@ -41,7 +41,7 @@ object TrainingData {
       ORDER BY 1"""))
 
   private def shingleBaseSql = {
-    val sh = Hashing.shinglesSql("w", 3)
+    val sh = Hashing.shinglesSql("w", 5)
     s"""w AS (SELECT doc_id, $W AS w FROM documents),
       base AS (
         SELECT doc_id, sh, ${Hashing.tokHashesSql("sh")} AS th
@@ -276,6 +276,78 @@ object TrainingData {
       HAVING COUNT(*) > 1
       ORDER BY 1"""))
 
+  /** Exact quantiles per group (the PSD/quality-distribution summary
+    * shape): Spark `percentile` and DuckDB `quantile_cont` both use
+    * linear interpolation over the sorted set.
+    */
+  private val q51 = GraftQuery(
+    "q51_percentiles",
+    (s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+        ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        COUNT(*) AS n
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY 1"""))
+
+  /** Near-dup pairs → connected-component clusters ([[Dedup.dupClusters]]):
+    * per cluster the canonical keeper (min id) and member count. The
+    * oracle walks the same edges with a recursive CTE.
+    */
+  private val q52 = GraftQuery(
+    "q52_dedup_clusters",
+    (s, d) => {
+      import s.implicits._
+      val pairs = Dedup.minhashLshPairs(documents(s, d), "doc_id", "text")
+      Dedup.dupClusters(pairs)
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy($"cluster")
+    },
+    Some {
+      val bands = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, ${Hashing.minhashSql("th", 2 * b)} * ${Hashing.MinP} + " +
+          s"${Hashing.minhashSql("th", 2 * b + 1)} AS key FROM base"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH RECURSIVE ${shingleBaseSql},
+      banded AS (
+        $bands),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+      pairs AS (
+        SELECT id_a, id_b
+        FROM cand JOIN base xa ON id_a = xa.doc_id JOIN base xb ON id_b = xb.doc_id
+        WHERE ${jaccardSql("xa.sh", "xb.sh")} >= 0.5),
+      edges AS (
+        SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT id_a AS id, id_b AS peer FROM edges
+        UNION
+        SELECT r.id, e.id_b FROM reach r JOIN edges e ON r.peer = e.id_a),
+      labels AS (
+        SELECT id, LEAST(id, MIN(peer)) AS cluster FROM reach GROUP BY id)
+      SELECT cluster, COUNT(*) AS n_members
+      FROM labels
+      GROUP BY 1
+      ORDER BY 1"""
+    })
+
   val all: Seq[GraftQuery] = Seq(
-    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
+    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
 }

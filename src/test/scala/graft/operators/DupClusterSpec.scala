@@ -1,0 +1,29 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Connected-component clustering over near-dup pairs. */
+class DupClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chains collapse to the min id; disjoint clusters stay apart") {
+    // components: {1,2,3,4} via chain, {10,11}, singleton edge-less 99 absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // distributed path must agree
+    val dist = Dedup.dupClusters(pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == got)
+  }
+
+  test("long chain converges (diameter > 2)") {
+    val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L))
+    assert(got.size == 10)
+  }
+}
