@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigated equi join (SURVEY.md §4 / the brief's "salting for
+  * skew"): explicit key salting for engines/paths where AQE's runtime
+  * skew-join split doesn't apply (e.g. the build side is too big to
+  * broadcast and one key dominates).
+  *
+  * The skewed (large) side gets a uniform random-ish salt derived from a
+  * stable row expression; the small side is replicated `salts` times.
+  * Join key becomes (key, salt) — the hot key's rows spread over `salts`
+  * reducers. Replication factor is `salts` on the small side only.
+  */
+object SkewJoin {
+
+  /** @param large    skewed fact side
+    * @param small    dimension side (replicated; must be modest)
+    * @param on       equi key column name present on both
+    * @param salts    number of splits for hot keys
+    * @param saltExpr deterministic per-row expression on `large` used to
+    *                 derive the salt (e.g. a unique id column); keeps the
+    *                 join reproducible across retries, unlike rand()
+    */
+  def saltedJoin(
+      large: DataFrame, small: DataFrame, on: String, salts: Int,
+      saltExpr: org.apache.spark.sql.Column): DataFrame = {
+    val l = large.withColumn("__salt", pmod(xxhash64(saltExpr), lit(salts)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    l.join(s, Seq(on, "__salt")).drop("__salt")
+  }
+}

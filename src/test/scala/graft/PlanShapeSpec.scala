@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape regressions: the plans that must survive a 100×
+  * scale-up (SURVEY.md §4). These assert on the formatted plan text at
+  * sf0.001 — shape, not timing.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(n: String): String =
+    SparkEntry.queries(n)(spark, d)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01: filter + projection reach the parquet scan; partial agg before shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"))
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("l_quantity") && !rs.contains("l_partkey"), rs)
+    assert(p.contains("partial_count"))
+  }
+
+  test("q04: both dims broadcast, fact never shuffles before aggregation") {
+    val p = plan("q04_star_broadcast_join")
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("bucketed non-equi joins plan as hash joins, not nested loops") {
+    Seq("q23_asof_join", "q24_interval_join").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("BroadcastNestedLoopJoin"), n)
+      assert(!p.contains("CartesianProduct"), n)
+    }
+  }
+
+  test("q25: distance join = broadcast equi join + refine, no cross product") {
+    val p = plan("q25_distance_join")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q42: LSH candidate join is an equi join, no cross product") {
+    val p = plan("q42_minhash_lsh_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q46: queries broadcast (BuildRight), corpus side streams; top-k group-limit pushed") {
+    val p = plan("q46_ann_topk")
+    // the q<>c condition is non-equi by design: tiny build side broadcast
+    assert(p.contains("BroadcastNestedLoopJoin Inner BuildRight"))
+    assert(p.contains("WindowGroupLimit")) // rank<=k pushed below the window
+  }
+
+  test("q11: global top-k plans as TakeOrderedAndProject, no global sort") {
+    assert(plan("q11_global_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q37: one shuffle, decimal partial aggregation map-side") {
+    val p = plan("q37_biovolume_rollup")
+    assert(p.contains("partial_sum(cast(vol_um3"))
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size <= 2) // agg + final sort
+  }
+}

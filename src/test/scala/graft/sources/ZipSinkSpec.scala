@@ -1,0 +1,34 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.util.zip.ZipFile
+import scala.jdk.CollectionConverters._
+import graft.SparkSpec
+
+class ZipSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packs size-capped parts with manifest; all entries round-trip") {
+    val dir = Files.createTempDirectory("zip").toString + "/out"
+    val rows = (1 to 10).map(i => (f"img$i%03d.png", Array.fill[Byte](100)(i.toByte)))
+    val manifest = ZipSink.write(rows.toDF("name", "bytes"), "name", "bytes",
+      dir, maxPartBytes = 350L)
+    val m = manifest.collect()
+    assert(m.length == 10)
+    val parts = m.map(_.getAs[Int]("part")).distinct.sorted
+    assert(parts.length >= 3) // 1000 bytes / 350 cap
+    val entries = parts.flatMap { p =>
+      val zf = new ZipFile(s"$dir/part-$p.zip")
+      try {
+        val es = zf.entries().asScala.map(_.getName).toSeq
+        assert(es.contains("MANIFEST.txt"))
+        es.filterNot(_ == "MANIFEST.txt").map { e =>
+          val data = zf.getInputStream(zf.getEntry(e)).readAllBytes()
+          assert(data.length == 100)
+          e
+        }
+      } finally zf.close()
+    }
+    assert(entries.sorted.toSeq == rows.map(_._1))
+  }
+}
