@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.Inflater
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S4 MATLAB `.mat` (Level 5) source (SURVEY.md §2.1): the reference
+  * consumes `.mat` for classifier class lists, per-ROI score matrices and
+  * manual annotations (`ifcb_get_mat_variable` call sites at
+  * ifcb-data-pipeline.Rmd:859; code/annotations/compare_classlists.R:6-8).
+  *
+  * This is a minimal MAT-5 parser for the subset those files use —
+  * numeric matrices (stored column-major), char arrays, cell arrays of
+  * strings, zlib-compressed elements — implemented from the public
+  * "MAT-File Format" specification. Little-endian files only (the
+  * format's `IM` endian tag is checked).
+  *
+  * Spark shape: `.mat` files are small (per-bin); they arrive via
+  * `binaryFile` and parse inside executors — one file = one task, the
+  * same unit as the reference. Parsed variables explode to relational
+  * rows; nothing MATLAB-shaped leaks past this module.
+  */
+object MatSource {
+
+  sealed trait MatValue
+  final case class MatNum(dims: Seq[Int], data: Array[Double]) extends MatValue
+  final case class MatStr(value: String) extends MatValue
+  final case class MatCell(dims: Seq[Int], items: Seq[MatValue]) extends MatValue
+
+  /** Parses all top-level variables of a MAT-5 byte stream. */
+  def parse(bytes: Array[Byte]): Map[String, MatValue] = {
+    require(bytes.length > 128, "not a MAT-5 file: too short")
+    val endian = new String(bytes, 126, 2, "US-ASCII")
+    require(endian == "IM", s"unsupported endianness tag: $endian")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    buf.position(128)
+    val out = Map.newBuilder[String, MatValue]
+    while (buf.remaining() >= 8) {
+      readElement(buf) match {
+        case Some((tpe, data)) if tpe == MiMatrix =>
+          parseMatrix(data).foreach(out += _)
+        case Some((tpe, data)) if tpe == MiCompressed =>
+          val inflated = inflate(data)
+          val ib = ByteBuffer.wrap(inflated).order(ByteOrder.LITTLE_ENDIAN)
+          readElement(ib) match {
+            case Some((t2, d2)) if t2 == MiMatrix => parseMatrix(d2).foreach(out += _)
+            case _ => ()
+          }
+        case Some(_) => () // skip other top-level element kinds
+        case None => buf.position(buf.limit())
+      }
+    }
+    out.result()
+  }
+
+  // --- element framing -----------------------------------------------------
+
+  private val MiMatrix = 14
+  private val MiCompressed = 15
+
+  /** Reads one tagged element: returns (type, payload) and advances past
+    * padding. Handles the small-element (packed) format.
+    */
+  private def readElement(buf: ByteBuffer): Option[(Int, Array[Byte])] = {
+    if (buf.remaining() < 8) return None
+    val tpeWord = buf.getInt()
+    val small = (tpeWord >>> 16) != 0
+    if (small) {
+      val tpe = tpeWord & 0xffff
+      val n = tpeWord >>> 16
+      val data = new Array[Byte](4)
+      buf.get(data)
+      Some((tpe, data.take(n)))
+    } else {
+      val n = buf.getInt()
+      if (n < 0 || n > buf.remaining()) return None
+      val data = new Array[Byte](n)
+      buf.get(data)
+      // elements are padded to 8-byte boundaries (compressed ones are not)
+      if (tpeWord != MiCompressed) {
+        val pad = (8 - (n % 8)) % 8
+        buf.position(math.min(buf.limit(), buf.position() + pad))
+      }
+      Some((tpeWord, data))
+    }
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val chunk = new Array[Byte](8192)
+    while (!inf.finished() && !inf.needsInput()) {
+      val n = inf.inflate(chunk)
+      if (n > 0) out.write(chunk, 0, n) else if (n == 0 && !inf.finished()) {
+        inf.end(); throw new IllegalArgumentException("bad zlib stream")
+      }
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  // --- miMATRIX ------------------------------------------------------------
+
+  private def parseMatrix(data: Array[Byte]): Option[(String, MatValue)] = {
+    val buf = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val flags = readElement(buf).getOrElse(return None)._2
+    val clazz = flags(0) & 0xff
+    val dims = {
+      val d = readElement(buf).getOrElse(return None)._2
+      val db = ByteBuffer.wrap(d).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until d.length / 4).map(_ => db.getInt())
+    }
+    val name = new String(readElement(buf).getOrElse(return None)._2, "US-ASCII")
+    val value: MatValue = clazz match {
+      case 1 => // mxCELL_CLASS: sequence of nested miMATRIX elements
+        val items = Seq.newBuilder[MatValue]
+        var n = dims.product
+        while (n > 0 && buf.remaining() >= 8) {
+          readElement(buf) match {
+            case Some((MiMatrix, d)) =>
+              items += parseMatrix(d).map(_._2).getOrElse(MatStr(""))
+            case _ => ()
+          }
+          n -= 1
+        }
+        MatCell(dims, items.result())
+      case 4 => // mxCHAR_CLASS
+        val (tpe, d) = readElement(buf).getOrElse(return None)
+        MatStr(decodeChars(tpe, d))
+      case _ => // numeric classes: decode the real-part element
+        val (tpe, d) = readElement(buf).getOrElse(return None)
+        MatNum(dims, decodeNumeric(tpe, d))
+    }
+    Some(name -> value)
+  }
+
+  private def decodeChars(tpe: Int, d: Array[Byte]): String = tpe match {
+    case 16 => new String(d, "UTF-8") // miUTF8
+    case 4 | 17 => // miUINT16 / miUTF16
+      val b = ByteBuffer.wrap(d).order(ByteOrder.LITTLE_ENDIAN)
+      val sb = new StringBuilder
+      while (b.remaining() >= 2) sb.append(b.getChar())
+      sb.toString
+    case _ => new String(d, "US-ASCII")
+  }
+
+  private def decodeNumeric(tpe: Int, d: Array[Byte]): Array[Double] = {
+    val b = ByteBuffer.wrap(d).order(ByteOrder.LITTLE_ENDIAN)
+    tpe match {
+      case 1 => d.map(_.toDouble) // miINT8
+      case 2 => d.map(x => (x & 0xff).toDouble) // miUINT8
+      case 3 => Array.fill(d.length / 2)(b.getShort().toDouble)
+      case 4 => Array.fill(d.length / 2)((b.getShort() & 0xffff).toDouble)
+      case 5 => Array.fill(d.length / 4)(b.getInt().toDouble)
+      case 6 => Array.fill(d.length / 4)((b.getInt().toLong & 0xffffffffL).toDouble)
+      case 7 => Array.fill(d.length / 4)(b.getFloat().toDouble)
+      case 9 => Array.fill(d.length / 8)(b.getDouble())
+      case 12 | 13 => Array.fill(d.length / 8)(b.getLong().toDouble)
+      case t => throw new IllegalArgumentException(s"numeric mi type $t")
+    }
+  }
+
+  // --- relational views ----------------------------------------------------
+
+  /** Class-score files → (sample, roi_number, scores array) plus the class
+    * label list: expects variables `TBscores` (nROI × nClass, column-major)
+    * and `class2useTB` (cell of strings) — the layout the reference's
+    * classified `.mat` results carry.
+    */
+  def classScores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.mat").load(dir)
+      .select(col("path"), col("content"))
+    val rows = files.as[(String, Array[Byte])].flatMap { case (path, bytes) =>
+      val sample = HdrSource.SampleIdPattern.r.findFirstIn(path).getOrElse(path)
+      val vars = parse(bytes)
+      val labels = vars.get("class2useTB") match {
+        case Some(MatCell(_, items)) => items.collect { case MatStr(s) => s }
+        case _ => Seq.empty[String]
+      }
+      vars.get("TBscores") match {
+        case Some(MatNum(Seq(nRoi, nClass), data)) =>
+          (0 until nRoi).map { r =>
+            // column-major: score(r, c) = data(c*nRoi + r)
+            val scores = Array.tabulate(nClass)(c => data(c * nRoi + r))
+            (sample, r + 1, scores, labels)
+          }
+        case _ => Seq.empty
+      }
+    }
+    rows.toDF("sample", "roi_number", "scores", "class_labels")
+  }
+}

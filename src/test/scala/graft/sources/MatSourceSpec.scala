@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.Files
+import java.util.zip.Deflater
+import graft.SparkSpec
+import MatSource._
+
+/** MAT-5 parser: fixtures are written by a tiny spec-local writer that
+  * follows the same public format spec, including the compressed and
+  * small-element encodings.
+  */
+class MatSourceSpec extends SparkSpec {
+
+  // --- minimal MAT-5 writer (test fixture only) ---------------------------
+
+  private def pad8(n: Int): Int = (8 - (n % 8)) % 8
+
+  private def element(tpe: Int, data: Array[Byte]): Array[Byte] = {
+    val out = ByteBuffer.allocate(8 + data.length + pad8(data.length))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.putInt(tpe).putInt(data.length).put(data)
+    out.array()
+  }
+
+  private def matrix(name: String, clazz: Int, dims: Seq[Int],
+      payload: Array[Byte], payloadType: Int,
+      cells: Seq[Array[Byte]] = Nil): Array[Byte] = {
+    val flags = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(clazz).putInt(0).array()
+    val dimBytes = {
+      val b = ByteBuffer.allocate(dims.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      dims.foreach(b.putInt)
+      b.array()
+    }
+    val body = new ByteArrayOutputStream()
+    body.write(element(6, flags)) // miUINT32 array flags
+    body.write(element(5, dimBytes)) // miINT32 dims
+    body.write(element(1, name.getBytes("US-ASCII"))) // miINT8 name
+    if (cells.nonEmpty) cells.foreach(c => body.write(element(14, c)))
+    else body.write(element(payloadType, payload))
+    element(14, body.toByteArray)
+  }
+
+  private def doubles(xs: Seq[Double]): Array[Byte] = {
+    val b = ByteBuffer.allocate(xs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    xs.foreach(b.putDouble)
+    b.array()
+  }
+
+  private def matFile(vars: Array[Byte]*): Array[Byte] = {
+    val header = new Array[Byte](128)
+    val desc = "MATLAB 5.0 MAT-file, graft test fixture".getBytes("US-ASCII")
+    System.arraycopy(desc, 0, header, 0, desc.length)
+    header(124) = 0; header(125) = 1 // version 0x0100
+    header(126) = 'I'; header(127) = 'M'
+    val out = new ByteArrayOutputStream()
+    out.write(header)
+    vars.foreach(out.write)
+    out.toByteArray
+  }
+
+  private def charMatrix(name: String, s: String): Array[Byte] =
+    matrix(name, 4, Seq(1, s.length), s.getBytes("UTF-8"), 16)
+
+  // --- tests ---------------------------------------------------------------
+
+  test("numeric, char and cell-of-strings variables round-trip") {
+    val scores = matrix("TBscores", 6, Seq(3, 2), doubles(
+      // column-major 3x2: col0 = (.1,.2,.3), col1 = (.9,.8,.7)
+      Seq(0.1, 0.2, 0.3, 0.9, 0.8, 0.7)), 9)
+    val cells = matrix("class2useTB", 1, Seq(2, 1), Array.empty, 0,
+      cells = Seq(
+        // nested char matrices, stripped of their outer element tag
+        stripTag(charMatrix("", "Mesodinium")),
+        stripTag(charMatrix("", "Skeletonema"))))
+    val bytes = matFile(scores, cells)
+    val vars = parse(bytes)
+    val MatNum(dims, data) = vars("TBscores"): @unchecked
+    assert(dims == Seq(3, 2) && data.length == 6 && data(3) == 0.9)
+    val MatCell(_, items) = vars("class2useTB"): @unchecked
+    assert(items == Seq(MatStr("Mesodinium"), MatStr("Skeletonema")))
+  }
+
+  private def stripTag(e: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.wrap(e).order(ByteOrder.LITTLE_ENDIAN)
+    b.getInt(); val n = b.getInt()
+    val out = new Array[Byte](n)
+    b.get(out)
+    out
+  }
+
+  test("compressed elements are inflated") {
+    val plain = matrix("x", 6, Seq(1, 2), doubles(Seq(4.0, 5.0)), 9)
+    val deflater = new Deflater()
+    deflater.setInput(plain); deflater.finish()
+    val buf = new Array[Byte](plain.length * 2 + 64)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val bytes = matFile(element(15, java.util.Arrays.copyOf(buf, n)))
+    val MatNum(_, data) = parse(bytes)("x"): @unchecked
+    assert(data.toSeq == Seq(4.0, 5.0))
+  }
+
+  test("classScores explodes per-ROI rows with labels from the class list") {
+    val dir = Files.createTempDirectory("mat")
+    val scores = matrix("TBscores", 6, Seq(2, 2), doubles(Seq(0.9, 0.2, 0.1, 0.8)), 9)
+    val cells = matrix("class2useTB", 1, Seq(2, 1), Array.empty, 0,
+      cells = Seq(stripTag(charMatrix("", "A")), stripTag(charMatrix("", "B"))))
+    Files.write(dir.resolve("D20240101T123000_IFCB134_class.mat"),
+      matFile(scores, cells))
+    val df = MatSource.classScores(spark, dir.toString)
+    val rows = df.orderBy("roi_number").collect()
+    assert(rows.length == 2)
+    val r1 = rows(0)
+    assert(r1.getAs[String]("sample") == "D20240101T123000_IFCB134")
+    assert(r1.getAs[scala.collection.Seq[Double]]("scores").toSeq == Seq(0.9, 0.1))
+    assert(r1.getAs[scala.collection.Seq[String]]("class_labels").toSeq == Seq("A", "B"))
+  }
+}
