@@ -54,4 +54,28 @@ class AsOfJoinSpec extends SparkSpec {
       Seq("event_id"), Seq("event_id"))
     assert(out.count() == 0)
   }
+
+  test("agrees with the naive non-equi formulation on random data") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val l = (1 to 400).map(i => (i.toLong, (i % 9).toLong,
+      new Timestamp(1700000000000L + rnd.nextInt(500000) * 1000L))).toDF("event_id", "user_id", "ts")
+    val r = (1 to 300).map(i => ((i + 1000).toLong, (i % 9).toLong,
+      new Timestamp(1700000000000L + rnd.nextInt(500000) * 1000L))).toDF("event_id", "user_id", "ts")
+    val fast = AsOfJoin.nearest(l, r, Seq("user_id"), "ts", "ts", 600L,
+        Seq("event_id"), Seq("event_id"))
+      .select("event_id", "asof_event_id").as[(Long, Long)].collect().toMap
+    // naive: non-equi join + window pick
+    val naive = l.as("a").join(r.as("b"),
+        $"a.user_id" === $"b.user_id" &&
+          abs(unix_micros($"a.ts") - unix_micros($"b.ts")) <= 600L * 1000000L)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"a.event_id").orderBy(
+          abs(unix_micros($"a.ts") - unix_micros($"b.ts")).asc,
+          $"b.ts".asc, $"b.event_id".asc)))
+      .filter($"rn" === 1)
+      .select($"a.event_id", $"b.event_id").as[(Long, Long)].collect().toMap
+    assert(fast == naive)
+  }
 }
