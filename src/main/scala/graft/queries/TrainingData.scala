@@ -276,9 +276,11 @@ object TrainingData {
       HAVING COUNT(*) > 1
       ORDER BY 1"""))
 
-  /** Exact quantiles per group (the PSD/quality-distribution summary
-    * shape): Spark `percentile` and DuckDB `quantile_cont` both use
-    * linear interpolation over the sorted set.
+  /** A3 mean±sd + exact quantiles per group (monthly mean/sd spec at
+    * Rmd:1200-1204; distribution summaries). Spark `percentile` and
+    * DuckDB `quantile_cont` both interpolate linearly; mean/stddev are
+    * computed from decimal moment sums — the built-in streaming stddev
+    * differs across engines in the last bits.
     */
   private val q51 = GraftQuery(
     "q51_percentiles",
@@ -290,17 +292,29 @@ object TrainingData {
           round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
           round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
           round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          dsum($"l_quantity").as("sx"),
+          dsum($"l_quantity" * $"l_quantity", D4).as("sxx"))
+        .withColumn("mean", round($"sx" / $"n", 6))
+        .withColumn("sd", round(
+          sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 6))
+        .select($"l_returnflag", $"p25", $"p50", $"p90", $"n", $"mean", $"sd")
         .orderBy($"l_returnflag")
     },
     Some("""
-      SELECT l_returnflag,
-        ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
-        ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
-        ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90,
-        COUNT(*) AS n
-      FROM lineitem
-      GROUP BY 1
+      SELECT l_returnflag, p25, p50, p90, n,
+        ROUND(sx / n, 6) AS mean,
+        ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS sd
+      FROM (
+        SELECT l_returnflag,
+          ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+          ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+          ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+        FROM lineitem
+        GROUP BY 1) t
       ORDER BY 1"""))
 
   /** Near-dup pairs → connected-component clusters ([[Dedup.dupClusters]]):
