@@ -362,6 +362,48 @@ object TrainingData {
       ORDER BY 1"""
     })
 
+  /** Approximate sketch tier — the exact queries' 100 TB swap-ins
+    * (q16's countDistinct → HLL, q51's percentile → GK sketch). No SQL
+    * oracle: sketch implementations differ across engines by design;
+    * accuracy is asserted against the exact answers in ScalaTest
+    * (ApproxSpec), the driver records a rows-only check.
+    */
+  private val q53 = GraftQuery(
+    "q53_approx_sketches",
+    (s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_partkey", 0.02).as("apx_parts"),
+          expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").as("apx_q"),
+          count(lit(1)).as("n"))
+        .select($"l_returnflag", $"apx_parts",
+          $"apx_q".getItem(0).as("apx_p50"), $"apx_q".getItem(1).as("apx_p90"), $"n")
+        .orderBy($"l_returnflag")
+    },
+    None)
+
+  /** LSH-bucketed ANN (the scale path of q46): queries probe only their
+    * hyperplane bucket — corpus scanned once to bucket, then per-bucket
+    * candidate ranking. Rows-only check; recall vs brute force asserted
+    * in ApproxSpec.
+    */
+  private val q54 = GraftQuery(
+    "q54_lsh_ann",
+    (s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+        .withColumn("bucket", Similarity.hyperplaneBucket($"embedding", 4, 64))
+      val queries = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"bucket".as("q_bucket"))
+      Similarity.ivfTopK(queries, e,
+          "q_id", "q_vec", "q_bucket", "vec_id", "embedding", "bucket", k = 5)
+        .select($"query_id", $"neighbor_id", $"rank", round($"cosine", 6).as("cosine"))
+        .orderBy($"query_id", $"rank")
+    },
+    None)
+
   val all: Seq[GraftQuery] = Seq(
-    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
+    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
 }
