@@ -33,6 +33,9 @@ object AsOfJoin {
     * @param toleranceSec max |leftTs - rightTs| in seconds (inclusive)
     * @param leftId     column(s) uniquely identifying a left row (window key)
     * @param joinType   "inner" (drop unmatched left rows) or "left"
+    * @param direction  "nearest" (abs-diff, the reference's semantics),
+    *                   "backward" (right.ts <= left.ts, the SQL ASOF JOIN
+    *                   convention) or "forward" (right.ts >= left.ts)
     */
   def nearest(
       left: DataFrame,
@@ -44,8 +47,11 @@ object AsOfJoin {
       leftId: Seq[String],
       rightTieBreak: Seq[String] = Nil,
       rightPrefix: String = "asof_",
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      direction: String = "nearest"): DataFrame = {
     require(joinType == "inner" || joinType == "left", s"joinType=$joinType")
+    require(Seq("nearest", "backward", "forward").contains(direction),
+      s"direction=$direction")
     val tolUs = toleranceSec * 1000000L
 
     val r0 = right.columns.foldLeft(right) { (df, c) =>
@@ -60,7 +66,12 @@ object AsOfJoin {
     val l = left.withColumn("__bucket", floor(unix_micros(col(leftTs)) / tolUs))
 
     val joined = l.join(r, on :+ "__bucket", "left")
-    val diff = abs(unix_micros(col(leftTs)) - unix_micros(col(rts)))
+    val rawDiff = unix_micros(col(leftTs)) - unix_micros(col(rts))
+    val diff = direction match {
+      case "nearest" => abs(rawDiff)
+      case "backward" => when(rawDiff >= 0L, rawDiff) // right at or before left
+      case "forward" => when(rawDiff <= 0L, -rawDiff)
+    }
     val withDiff = joined.withColumn(
       "__diff", when(col(rts).isNotNull && diff <= tolUs, diff))
 

@@ -78,4 +78,18 @@ class AsOfJoinSpec extends SparkSpec {
       .select($"a.event_id", $"b.event_id").as[(Long, Long)].collect().toMap
     assert(fast == naive)
   }
+
+  test("backward/forward directions pick the right side of the timeline") {
+    val l = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val r = Seq(
+      (101L, 10L, ts("2024-01-01 11:58:00")), // 2 min before
+      (102L, 10L, ts("2024-01-01 12:01:00"))  // 1 min after (nearest overall)
+    ).toDF("event_id", "user_id", "ts")
+    def run(dir: String) = AsOfJoin.nearest(l, r, Seq("user_id"), "ts", "ts",
+      300L, Seq("event_id"), Seq("event_id"), direction = dir)
+      .select("asof_event_id").as[Long].collect().toSeq
+    assert(run("nearest") == Seq(102L))
+    assert(run("backward") == Seq(101L))
+    assert(run("forward") == Seq(102L))
+  }
 }
