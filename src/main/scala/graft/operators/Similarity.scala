@@ -82,6 +82,70 @@ object Similarity {
         col("rank"), col("cosine"))
   }
 
+  /** Driver-trained k-means centroids for IVF cells: Lloyd iterations on
+    * a bounded sample collected to the driver (deterministic — fixed seed,
+    * fixed iteration count), centroids broadcast back as literals. At
+    * 100 TB the sample bound keeps driver memory flat; executors only
+    * evaluate argmin-distance over k centroid literals (native dot).
+    *
+    * @return column assigning each vector its nearest-centroid cell id
+    */
+  def kmeansCellAssign(
+      corpus: DataFrame, vec: String, k: Int,
+      iters: Int = 10, sampleMax: Int = 10000): Column = {
+    val sample = corpus.select(col(vec)).limit(sampleMax).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "empty corpus")
+    val dims = sample.head.length
+    // deterministic init: evenly spaced sample vectors
+    var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k, dims)(0.0)
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var d = 0
+        while (d < dims) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    val centroidLits = centroids.map(c => typedLit(c.toSeq))
+    // argmin over squared distance = argmax(dot - ||c||²/2) for unit-free vecs;
+    // use explicit squared distance for clarity
+    val dists = centroidLits.map { cl =>
+      // ||v - c||² expanded via native dots: v·v - 2 v·c + c·c; v·v constant
+      // per row across cells, so compare -2 v·c + c·c
+      val vc = GraftBridge.column(FloatArrayDot(
+        GraftBridge.expression(col(vec)), GraftBridge.expression(cl.cast("array<float>"))))
+      val cc = GraftBridge.column(FloatArrayDot(
+        GraftBridge.expression(cl.cast("array<float>")), GraftBridge.expression(cl.cast("array<float>"))))
+      cc - vc * 2.0
+    }
+    dists.zipWithIndex.tail.foldLeft((lit(0), dists.head)) {
+      case ((bestIdx, bestDist), (d, i)) =>
+        (when(d < bestDist, lit(i)).otherwise(bestIdx),
+          when(d < bestDist, d).otherwise(bestDist))
+    }._1
+  }
+
+  private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Random-hyperplane LSH bucket id (signed projections → sign bits).
     * Planes are a deterministic pseudo-random function of (plane, dim) so
     * executors need no shared state. Used to block cosine search/dedup
