@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.functions._
-import graft.plans.{MinHashesExpr, SimHash32Expr, StringPolyHash, StringPolyHashArray, WordShinglesExpr}
+import graft.plans.{MinHashesExpr, SimHash32Expr, SimHash64Expr, StringPolyHash, StringPolyHashArray, WordShinglesExpr}
 
 /** Deterministic text/sketch hashing used by the dedup operators —
   * engine-portable by construction: every hash is integer arithmetic over
@@ -27,6 +27,12 @@ object Hashing {
   /** Knuth multiplicative mixer for SimHash bit material. */
   val Mix = 2654435761L
   val SimBits = 32
+  /** Second 32-bit mixer (xxhash prime 2) — supplies the high 32 bits of
+    * the 64-bit SimHash; two 32-bit products keep every intermediate
+    * below 2⁶³ so DuckDB can mirror the math without BIGINT overflow.
+    */
+  val Mix2 = 2246822519L
+  val SimBits64 = 64
 
   /** Whitespace word split, lowercased, empties dropped. */
   def words(text: Column): Column =
@@ -85,6 +91,27 @@ object Hashing {
       s"(CASE WHEN CAST(list_sum(list_transform($th, h -> " +
         s"CASE WHEN ((h * $Mix) % 4294967296 >> $j) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0 " +
         s"THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** SimHash-64 of a token-hash array: bits 0-31 from the [[Mix]]ed hash,
+    * bits 32-63 from the [[Mix2]]ed hash. 64 bits make 16-bit LSH bands
+    * possible (65,536-way key space per band vs 256 for 32-bit — the
+    * difference between a hash join and a disguised cross product at
+    * scale).
+    */
+  def simhash64(th: Column): Column =
+    GraftBridge.column(SimHash64Expr(GraftBridge.expression(th), Mix, Mix2))
+
+  def simhash64Sql(th: String): String =
+    (0 until SimBits64).map { j =>
+      val (mix, bit) = if (j < 32) (Mix, j) else (Mix2, j - 32)
+      // bit 63's weight is Long.MinValue; DuckDB rejects both the bare
+      // literal and 1<<63, so spell it as (-(2^63-1) - 1). Summation order
+      // (ascending j) keeps every partial sum inside BIGINT.
+      val weight = if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
+      s"(CASE WHEN CAST(list_sum(list_transform($th, h -> " +
+        s"CASE WHEN ((h * $mix) % 4294967296 >> $bit) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0 " +
+        s"THEN $weight ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   /** Rolling fingerprint of a whole string (document fingerprinting —

@@ -29,17 +29,51 @@ object Dedup {
       .filter(col("n") > 1)
 
   /** Adds `__sh` (k-shingle set) and `__th` (shingle hashes) to docs.
-    * The sketch frame is persisted: every pair operator references it from
-    * 3-4 plan branches (both join sides + verify join-backs), and without
-    * materialization Spark recomputes the shingling per branch. At scale
-    * this is the standard write-sketches-once step.
+    * When `cache` is set the sketch frame is persisted: every pair
+    * operator references it from 3-4 plan branches (both join sides +
+    * verify join-backs), and without materialization Spark recomputes the
+    * shingling per branch. At scale this is the standard
+    * write-sketches-once step.
     */
-  private def withShingleHashes(docs: DataFrame, text: String, k: Int): DataFrame =
-    docs
+  private def withShingleHashes(
+      docs: DataFrame, text: String, k: Int, cache: Boolean): DataFrame = {
+    val sk = docs
       .withColumn("__sh", Hashing.shingles(Hashing.words(col(text)), k))
       .filter(size(col("__sh")) > 0)
       .withColumn("__th", Hashing.tokHashes(col("__sh")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (cache) sk.persist(StorageLevel.MEMORY_AND_DISK) else sk
+  }
+
+  /** Pair-frame lifecycle: warm the sketch cache with ONE action (so the
+    * 3-4 plan branches that read it all hit warm cache instead of racing
+    * a cold one), pin the (tiny) pair result via eager `localCheckpoint`
+    * (lineage truncated — downstream count/collect/joins can never re-run
+    * the sketch+join work), then drop the sketch cache immediately. No
+    * cache entry outlives the call; checkpoint blocks are reclaimed by
+    * the ContextCleaner when the frame is garbage-collected.
+    */
+  private def materializePairs(sketch: DataFrame, pairs: DataFrame): DataFrame = {
+    sketch.count()
+    val out = pairs.localCheckpoint(true)
+    sketch.unpersist()
+    out
+  }
+
+  /** Drops LSH buckets larger than `cap` from candidate generation.
+    * Boilerplate-heavy corpora concentrate mass in a few (band, key)
+    * buckets; a bucket of size m contributes m² candidate pairs, so one
+    * hot bucket is a disguised cross product. Capping trades bounded
+    * recall loss (pairs in a dropped bucket are still found via their
+    * other bands) for a hard fan-out bound — the standard large-scale
+    * LSH mitigation.
+    */
+  private def capBuckets(
+      banded: DataFrame, keys: Seq[String], cap: Option[Int]): DataFrame =
+    cap.fold(banded) { c =>
+      val hot = banded.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__bn")).filter(col("__bn") > c)
+      banded.join(hot, keys, "left_anti")
+    }
 
   /** Exact Jaccard between two string-array columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -51,56 +85,72 @@ object Dedup {
     * 8 MinHashes in 4 bands of 2; a shared band is the join key; survivors
     * are verified with exact shingle-set Jaccard ≥ `minJaccard`.
     *
-    * At scale: the band join's fan-out is bounded by bucket size; a
-    * pathological hot bucket (boilerplate shingles) should be capped or
-    * salted — bucket sizes are observable via `groupBy(band, key).count`.
+    * At scale: the band join's fan-out is bounded by bucket size; cap
+    * pathological hot buckets (boilerplate shingles) with `maxBucket`
+    * (bounded recall loss, documented at [[capBuckets]]).
+    *
+    * `materialize = true` (default) computes the pairs eagerly with the
+    * [[materializePairs]] lifecycle; pass false only to inspect the lazy
+    * plan.
     */
   def minhashLshPairs(
       docs: DataFrame, id: String, text: String,
-      shingleK: Int = 5, minJaccard: Double = 0.5): DataFrame = {
-    val base = withShingleHashes(docs, text, shingleK)
-      .select(col(id).as("__id"), col("__sh"), col("__th"))
+      shingleK: Int = 5, minJaccard: Double = 0.5,
+      maxBucket: Option[Int] = None, materialize: Boolean = true): DataFrame = {
+    val sketch = withShingleHashes(docs, text, shingleK, cache = materialize)
+    val base = sketch.select(col(id).as("__id"), col("__sh"), col("__th"))
     val nBands = Hashing.MinHashSeeds.size / 2
-    val banded = base
-      .withColumn("__mh", Hashing.minhashAll(col("__th")))
-      .select(
-        col("__id"),
-        explode(array((0 until nBands).map { b =>
-          struct(lit(b).as("band"),
-            (element_at(col("__mh"), 2 * b + 1) * Hashing.MinP +
-              element_at(col("__mh"), 2 * b + 2)).as("key"))
-        }: _*)).as("bk"))
-      .select(col("__id"), col("bk.band"), col("bk.key"))
+    val banded = capBuckets(
+      base
+        .withColumn("__mh", Hashing.minhashAll(col("__th")))
+        .select(
+          col("__id"),
+          explode(array((0 until nBands).map { b =>
+            struct(lit(b).as("band"),
+              (element_at(col("__mh"), 2 * b + 1) * Hashing.MinP +
+                element_at(col("__mh"), 2 * b + 2)).as("key"))
+          }: _*)).as("bk"))
+        .select(col("__id"), col("bk.band"), col("bk.key")),
+      Seq("band", "key"), maxBucket)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
       .distinct()
-    cand
+    val pairs = cand
       .join(base.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(base.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    if (materialize) materializePairs(sketch, pairs) else pairs
   }
 
-  /** SimHash near-duplicate pairs: 32-bit signature, 4 bands of 8 bits as
+  /** SimHash near-duplicate pairs: 64-bit signature, 4 bands of 16 bits as
     * candidate keys (any pair at Hamming ≤ 3 shares ≥ 1 band — pigeonhole),
     * verified by popcount(xor) ≤ `maxHamming`.
+    *
+    * 16-bit bands give a 65,536-way key space per band: expected bucket
+    * size n/65536, candidate volume O(n²/2³⁴) — a 32-bit/8-bit-band
+    * variant has 256 keys per band and degenerates into a near cross
+    * product as n grows.
     */
   def simhashPairs(
       docs: DataFrame, id: String, text: String,
-      shingleK: Int = 5, maxHamming: Int = 3): DataFrame = {
-    val base = withShingleHashes(docs, text, shingleK)
-      .select(col(id).as("__id"), Hashing.simhash(col("__th")).as("__sig"))
-    val banded = base.select(
-      col("__id"), col("__sig"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("__sig"), 8 * b).bitwiseAND(255L).as("key"))
-      }: _*)).as("bk"))
-      .select(col("__id"), col("__sig"), col("bk.band"), col("bk.key"))
-    banded.as("x").join(banded.as("y"),
+      shingleK: Int = 5, maxHamming: Int = 3,
+      maxBucket: Option[Int] = None, materialize: Boolean = true): DataFrame = {
+    val sketch = withShingleHashes(docs, text, shingleK, cache = materialize)
+    val base = sketch.select(col(id).as("__id"), Hashing.simhash64(col("__th")).as("__sig"))
+    val banded = capBuckets(
+      base.select(
+        col("__id"), col("__sig"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("__sig"), 16 * b).bitwiseAND(65535L).as("key"))
+        }: _*)).as("bk"))
+        .select(col("__id"), col("__sig"), col("bk.band"), col("bk.key")),
+      Seq("band", "key"), maxBucket)
+    val pairs = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
@@ -109,6 +159,7 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    if (materialize) materializePairs(sketch, pairs) else pairs
   }
 
   /** n-gram Jaccard pairs without sketching: candidates share ≥ 1 shingle
@@ -117,20 +168,24 @@ object Dedup {
     */
   def ngramJaccardPairs(
       docs: DataFrame, id: String, text: String,
-      shingleK: Int = 5, minJaccard: Double = 0.5): DataFrame = {
-    val base = withShingleHashes(docs, text, shingleK)
-      .select(col(id).as("__id"), col("__sh"))
-    val inv = base.select(col("__id"), explode(col("__sh")).as("shingle"))
+      shingleK: Int = 5, minJaccard: Double = 0.5,
+      maxBucket: Option[Int] = None, materialize: Boolean = true): DataFrame = {
+    val sketch = withShingleHashes(docs, text, shingleK, cache = materialize)
+    val base = sketch.select(col(id).as("__id"), col("__sh"))
+    val inv = capBuckets(
+      base.select(col("__id"), explode(col("__sh")).as("shingle")),
+      Seq("shingle"), maxBucket)
     val cand = inv.as("x").join(inv.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
       .distinct()
-    cand
+    val pairs = cand
       .join(base.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(base.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    if (materialize) materializePairs(sketch, pairs) else pairs
   }
 
   /** Connected components over a near-dup pair list → cluster id per doc
@@ -142,13 +197,19 @@ object Dedup {
     * runs as driver-side union-find on the collected edges — one job, no
     * iteration. Above it, a distributed min-label + pointer-jumping loop
     * (each round: neighbor-min then label(label(id)) — O(log diameter)
-    * rounds, the standard Spark CC pattern) with a fixed round budget so
-    * no per-round convergence job is paid.
+    * rounds, the standard Spark CC pattern). The first `freeRounds`
+    * rounds run without convergence checks (they resolve any diameter
+    * ≤ 2⁶); after that each round pays one cheap change-count job on the
+    * (tiny, checkpointed) label frame and the loop exits at fixpoint.
+    * `maxRounds` is a hard stop — hitting it throws rather than silently
+    * under-merging.
     *
     * @param pairs (id_a, id_b) edges
     * @return (id, cluster) — cluster = min reachable id; singletons absent
     */
-  def dupClusters(pairs: DataFrame, driverMaxEdges: Long = 1L << 20): DataFrame = {
+  def dupClusters(
+      pairs: DataFrame, driverMaxEdges: Long = 1L << 20,
+      freeRounds: Int = 6, maxRounds: Int = 24): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
@@ -185,8 +246,9 @@ object Dedup {
       var labels = und.select(col("id_a").as("id")).distinct()
         .withColumn("cluster", col("id"))
         .localCheckpoint(true)
-      val rounds = 6 // resolves diameters up to 2^6 via pointer jumping
-      for (_ <- 0 until rounds) {
+      var round = 0
+      var converged = false
+      while (round < maxRounds && !converged) {
         val nb = und
           .join(labels.select(col("id").as("__bid"), col("cluster").as("__bc")),
             col("id_b") === col("__bid"))
@@ -201,8 +263,21 @@ object Dedup {
           .select(col("a.id").as("id"),
             least(col("a.cluster"), coalesce(col("__pc"), col("a.cluster"))).as("cluster"))
           .localCheckpoint(true)
+        round += 1
+        if (round >= freeRounds) {
+          // fixpoint ⟺ a full neighbor-min + pointer round changed nothing
+          converged = jumped.as("n")
+            .join(labels.select(col("id"), col("cluster").as("__oc")), "id")
+            .filter(col("cluster") =!= col("__oc"))
+            .isEmpty
+        }
         labels = jumped
       }
+      und.unpersist()
+      edges.unpersist()
+      if (!converged) throw new IllegalStateException(
+        s"dupClusters: not converged after $maxRounds pointer-jumping rounds " +
+          "(component diameter beyond budget) — raise maxRounds")
       labels
     }
   }

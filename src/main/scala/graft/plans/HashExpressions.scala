@@ -70,6 +70,36 @@ object HashExpr {
     new GenericArrayData(out)
   }
 
+  /** One-pass SimHash-64: two 32-bit mixes supply the 64 bits of material
+    * (each product stays < 2⁶³, so the DuckDB oracle can evaluate the
+    * identical math without BIGINT overflow — a single 64-bit mixer could
+    * not be mirrored there).
+    */
+  def simHash64(th: ArrayData, mixLo: Long, mixHi: Long): Long = {
+    val counts = new Array[Int](64)
+    val n = th.numElements()
+    var i = 0
+    while (i < n) {
+      val h = th.getLong(i)
+      val lo = (h * mixLo) % 4294967296L
+      val hi = (h * mixHi) % 4294967296L
+      var j = 0
+      while (j < 32) {
+        if (((lo >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        if (((hi >> j) & 1L) == 1L) counts(j + 32) += 1 else counts(j + 32) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
   /** One-pass SimHash-32 with the Knuth mixer. */
   def simHash32(th: ArrayData, mix: Long): Long = {
     val counts = new Array[Int](32)
@@ -174,6 +204,20 @@ case class SimHash32Expr(child: Expression, mix: Long)
   override protected def withNewChildInternal(newChild: Expression): SimHash32Expr =
     copy(child = newChild)
   override def prettyName: String = "sim_hash32"
+}
+
+/** SimHash-64 over an array<long> of element hashes. */
+case class SimHash64Expr(child: Expression, mixLo: Long, mixHi: Long)
+  extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpr.simHash64(input.asInstanceOf[ArrayData], mixLo, mixHi)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.HashExpr.simHash64($c, ${mixLo}L, ${mixHi}L)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+  override def prettyName: String = "sim_hash64"
 }
 
 /** Distinct k-word shingles from an array<string> of words, one pass:

@@ -84,8 +84,9 @@ object TrainingData {
       ORDER BY id_a, id_b"""
     })
 
-  /** SimHash near-dup detection (Charikar sketch): 32-bit signature,
-    * banded candidates, Hamming verify — [[Dedup.simhashPairs]].
+  /** SimHash near-dup detection (Charikar sketch): 64-bit signature,
+    * 4×16-bit banded candidates (65,536-way key space per band — the
+    * scale-safe variant), Hamming verify — [[Dedup.simhashPairs]].
     */
   private val q43 = GraftQuery(
     "q43_simhash_dedup",
@@ -96,11 +97,11 @@ object TrainingData {
     },
     Some {
       val bands = (0 until 4).map { b =>
-        s"SELECT doc_id, sig, $b AS band, (sig >> ${8 * b}) & 255 AS key FROM sigs"
+        s"SELECT doc_id, sig, $b AS band, (sig >> ${16 * b}) & 65535 AS key FROM sigs"
       }.mkString("\n        UNION ALL ")
       s"""
       WITH ${shingleBaseSql},
-      sigs AS (SELECT doc_id, ${Hashing.simhashSql("th")} AS sig FROM base),
+      sigs AS (SELECT doc_id, ${Hashing.simhash64Sql("th")} AS sig FROM base),
       banded AS (
         $bands),
       cand AS (

@@ -42,7 +42,19 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q42: LSH candidate join is an equi join, no cross product") {
-    val p = plan("q42_minhash_lsh_dedup")
+    // materialize=false: the query-level plan is a checkpointed RDD scan
+    // (pairs are computed eagerly once); the shape that must hold at scale
+    // is the *lazy* sketch+join plan
+    val p = operators.Dedup
+      .minhashLshPairs(Tables.documents(spark, d), "doc_id", "text", materialize = false)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q43: SimHash candidate join is an equi join, no cross product") {
+    val p = operators.Dedup
+      .simhashPairs(Tables.documents(spark, d), "doc_id", "text", materialize = false)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 

@@ -42,8 +42,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash pairs the near-dup at small hamming distance") {
-    // one word changed in ~45 → hamming 4 of 32 on this fixture
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+    // one word changed in ~45 → small hamming out of 64 on this fixture
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
@@ -67,5 +67,38 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.9, Some("label"))
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
+  }
+
+  test("pair operators leave no cache entries behind (explicit lifecycle)") {
+    spark.catalog.clearCache()
+    Dedup.minhashLshPairs(docs, "doc_id", "text").count()
+    Dedup.simhashPairs(docs, "doc_id", "text").count()
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text").count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedup pair operators must unpersist their sketch frames")
+  }
+
+  test("materialized pairs survive multiple actions without recompute races") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+    // count + collect + a join-back: all must read the checkpointed pairs
+    assert(pairs.count() == pairs.collect().length)
+    val d = docs.select($"doc_id".as("did"))
+    assert(pairs.join(d, pairs("id_a") === d("did")).count() == pairs.count())
+  }
+
+  test("hot-bucket cap bounds candidate fan-out (with documented recall loss)") {
+    // 30 docs sharing one boilerplate sentence + a distinct tail: every
+    // doc lands in the same shingle buckets for the boilerplate part
+    val boiler = (0 until 30).map { i =>
+      (i.toLong, s"shared legal disclaimer text repeated verbatim everywhere unique$i tail$i marker$i")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(boiler, "doc_id", "text", shingleK = 3,
+      minJaccard = 0.1, maxBucket = Some(5))
+    val uncapped = Dedup.ngramJaccardPairs(boiler, "doc_id", "text", shingleK = 3,
+      minJaccard = 0.1)
+    // the shared-shingle buckets (30 docs each) are dropped: candidates
+    // collapse; uncapped finds the full near-dup clique
+    assert(uncapped.count() > 0)
+    assert(capped.count() < uncapped.count())
   }
 }

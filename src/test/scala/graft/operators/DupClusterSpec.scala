@@ -26,4 +26,21 @@ class DupClusterSpec extends SparkSpec {
     assert(got.values.toSet == Set(1L))
     assert(got.size == 10)
   }
+
+  test("chain with diameter beyond the free-round budget still fully merges") {
+    // 200-node path: pointer jumping needs > 6 rounds; the convergence
+    // loop must keep going until fixpoint instead of silently under-merging
+    val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs, driverMaxEdges = 0L, freeRounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L))
+    assert(got.size == 200)
+  }
+
+  test("round budget exhaustion throws instead of under-merging") {
+    val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assertThrows[IllegalStateException] {
+      Dedup.dupClusters(pairs, driverMaxEdges = 0L, freeRounds = 2, maxRounds = 3).count()
+    }
+  }
 }

@@ -1,0 +1,445 @@
+#!/usr/bin/env python3
+"""Golden-value generator for the graft feature-extraction kernel.
+
+Runs the REFERENCE implementation (/root/reference/code/python/ifcb-features,
+the Moberg-Sosik biovolume + blob-geometry kernel) over small synthetic
+fixtures and writes the expected feature values to
+src/test/resources/features_golden.json, which FeatureKernelSpec checks the
+Scala port against.
+
+The container has numpy but not scipy/skimage/phasepack, so this script
+installs numpy-only shims for the handful of primitives the reference
+imports. Each shim implements the exact documented algorithm (exact
+euclidean distance transform, 4/8-connected labeling, monotone-chain convex
+hull, skimage border semantics for binary morphology), so the reference's
+own float32/float64 arithmetic produces the golden numbers — the shims only
+replace library plumbing, never the science.
+
+Phase congruency (phasepack) is NOT shimmed faithfully: segmentation
+goldens use a Sobel-magnitude edge stand-in, injected identically here and
+in the Scala port (graft.features.Segmentation.sobelEdges). Parity for the
+rest of the segmentation chain (hysteresis threshold, border trim, closing,
+thinning, k-means background split, fill, erosion, blob-min) is exact.
+
+Builder-side tooling only; not part of the library.
+"""
+import json
+import math
+import os
+import sys
+import types
+
+import numpy as np
+
+REF = "/root/reference/code/python/ifcb-features"
+OUT = os.path.join(os.path.dirname(__file__), "..",
+                   "src", "test", "resources", "features_golden.json")
+
+
+# ---------------------------------------------------------------- shims
+
+def _pad_correlate(img, w, flip, cval=0.0):
+    """ndimage.correlate/convolve with mode='constant'."""
+    img = np.asarray(img, dtype=np.float64)
+    w = np.asarray(w, dtype=np.float64)
+    if flip:
+        w = w[::-1, ::-1]
+    kh, kw = w.shape
+    ch, cw = kh // 2, kw // 2
+    padded = np.pad(img, ((ch, kh - 1 - ch), (cw, kw - 1 - cw)),
+                    constant_values=cval)
+    out = np.zeros_like(img)
+    for di in range(kh):
+        for dj in range(kw):
+            if w[di, dj] != 0:
+                out += w[di, dj] * padded[di:di + img.shape[0],
+                                          dj:dj + img.shape[1]]
+    return out
+
+
+def sh_correlate(img, weights, mode="constant", cval=0.0):
+    assert mode == "constant"
+    return _pad_correlate(img, weights, flip=False, cval=cval)
+
+
+def sh_convolve(img, weights, mode="constant", cval=0.0):
+    assert mode == "constant"
+    return _pad_correlate(img, weights, flip=True, cval=cval)
+
+
+def sh_label(img, structure=None):
+    """Connected-component labeling, raster-scan numbering."""
+    img = np.asarray(img) != 0
+    if structure is None:
+        nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    else:
+        s = np.asarray(structure) != 0
+        nbrs = [(di - 1, dj - 1) for di in range(3) for dj in range(3)
+                if s[di, dj] and not (di == 1 and dj == 1)]
+    h, w = img.shape
+    lab = np.zeros((h, w), dtype=np.int32)
+    nxt = 0
+    for i in range(h):
+        for j in range(w):
+            if img[i, j] and lab[i, j] == 0:
+                nxt += 1
+                stack = [(i, j)]
+                lab[i, j] = nxt
+                while stack:
+                    y, x = stack.pop()
+                    for dy, dx in nbrs:
+                        ny, nx_ = y + dy, x + dx
+                        if 0 <= ny < h and 0 <= nx_ < w and \
+                                img[ny, nx_] and lab[ny, nx_] == 0:
+                            lab[ny, nx_] = nxt
+                            stack.append((ny, nx_))
+    return lab, nxt
+
+
+def sh_find_objects(lab):
+    n = int(lab.max())
+    out = []
+    for k in range(1, n + 1):
+        ys, xs = np.where(lab == k)
+        if ys.size == 0:
+            out.append(None)
+        else:
+            out.append((slice(int(ys.min()), int(ys.max()) + 1),
+                        slice(int(xs.min()), int(xs.max()) + 1)))
+    return out
+
+
+def sh_distance_transform_edt(img):
+    """Exact EDT: distance from each nonzero pixel to nearest zero."""
+    img = np.asarray(img) != 0
+    h, w = img.shape
+    zy, zx = np.where(~img)
+    if zy.size == 0:
+        return np.full((h, w), np.inf)
+    yy, xx = np.indices((h, w))
+    pts = np.stack([yy.ravel(), xx.ravel()], axis=1).astype(np.int64)
+    zs = np.stack([zy, zx], axis=1).astype(np.int64)
+    d2 = ((pts[:, None, :] - zs[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+    return np.sqrt(d2.astype(np.float64)).reshape(h, w)
+
+
+def sh_binary_fill_holes(img, structure=None):
+    """Flood background 4-connected from border; unreached bg = holes."""
+    img = np.asarray(img) != 0
+    h, w = img.shape
+    reach = np.zeros((h, w), dtype=bool)
+    stack = [(i, j) for i in range(h) for j in (0, w - 1) if not img[i, j]]
+    stack += [(i, j) for i in (0, h - 1) for j in range(w) if not img[i, j]]
+    for i, j in stack:
+        reach[i, j] = True
+    while stack:
+        y, x = stack.pop()
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            ny, nx_ = y + dy, x + dx
+            if 0 <= ny < h and 0 <= nx_ < w and \
+                    not img[ny, nx_] and not reach[ny, nx_]:
+                reach[ny, nx_] = True
+                stack.append((ny, nx_))
+    return img | ~reach
+
+
+class QhullError(Exception):
+    pass
+
+
+class _Hull:
+    """Monotone-chain 2D convex hull; .vertices in CCW order (scipy)."""
+
+    def __init__(self, points):
+        pts = np.asarray(points, dtype=np.float64)
+        order = np.lexsort((pts[:, 1], pts[:, 0]))
+        uniq = []
+        for i in order:
+            if not uniq or tuple(pts[i]) != tuple(pts[uniq[-1]]):
+                uniq.append(i)
+        if len(uniq) < 3:
+            raise QhullError("fewer than 3 unique points")
+
+        def cross(o, a, b):
+            return ((pts[a][0] - pts[o][0]) * (pts[b][1] - pts[o][1]) -
+                    (pts[a][1] - pts[o][1]) * (pts[b][0] - pts[o][0]))
+
+        lower, upper = [], []
+        for i in uniq:
+            while len(lower) >= 2 and cross(lower[-2], lower[-1], i) <= 0:
+                lower.pop()
+            lower.append(i)
+        for i in reversed(uniq):
+            while len(upper) >= 2 and cross(upper[-2], upper[-1], i) <= 0:
+                upper.pop()
+            upper.append(i)
+        verts = lower[:-1] + upper[:-1]
+        if len(verts) < 3:
+            raise QhullError("collinear input")
+        self.vertices = np.array(verts, dtype=np.int64)
+
+
+def sh_pdist(pts):
+    pts = np.asarray(pts, dtype=np.float64)
+    n = pts.shape[0]
+    out = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            out.append(math.sqrt(((pts[i] - pts[j]) ** 2).sum()))
+    return np.array(out)
+
+
+def _binary_dilate(img, selem):
+    """skimage semantics: out-of-bounds = False for dilation."""
+    img = np.asarray(img) != 0
+    selem = np.asarray(selem) != 0
+    kh, kw = selem.shape
+    ch, cw = kh // 2, kw // 2
+    padded = np.pad(img, ((ch, kh - 1 - ch), (cw, kw - 1 - cw)),
+                    constant_values=False)
+    out = np.zeros_like(img)
+    for di in range(kh):
+        for dj in range(kw):
+            if selem[di, dj]:
+                out |= padded[di:di + img.shape[0], dj:dj + img.shape[1]]
+    return out
+
+
+def _binary_erode(img, selem):
+    """skimage semantics: out-of-bounds = True for erosion."""
+    img = np.asarray(img) != 0
+    selem = np.asarray(selem) != 0
+    kh, kw = selem.shape
+    ch, cw = kh // 2, kw // 2
+    padded = np.pad(img, ((ch, kh - 1 - ch), (cw, kw - 1 - cw)),
+                    constant_values=True)
+    out = np.ones_like(img)
+    for di in range(kh):
+        for dj in range(kw):
+            if selem[di, dj]:
+                out &= padded[di:di + img.shape[0], dj:dj + img.shape[1]]
+    return out
+
+
+def sh_diamond(r):
+    n = 2 * r + 1
+    yy, xx = np.indices((n, n))
+    return (np.abs(yy - r) + np.abs(xx - r) <= r)
+
+
+def sh_disk(r):
+    n = 2 * r + 1
+    yy, xx = np.indices((n, n))
+    return ((yy - r) ** 2 + (xx - r) ** 2 <= r * r)
+
+
+class _Region:
+    def __init__(self, lab, k):
+        ys, xs = np.where(lab == k)
+        self.area = int(ys.size)
+        self.bbox = (int(ys.min()), int(xs.min()),
+                     int(ys.max()) + 1, int(xs.max()) + 1)
+        self.image = (lab[self.bbox[0]:self.bbox[2],
+                          self.bbox[1]:self.bbox[3]] == k)
+        self.equivalent_diameter = math.sqrt(4.0 * self.area / math.pi)
+        bh = self.bbox[2] - self.bbox[0]
+        bw = self.bbox[3] - self.bbox[1]
+        self.extent = self.area / float(bh * bw)
+        self.centroid = (float(ys.mean()), float(xs.mean()))
+
+
+def sh_sk_label(img, connectivity=2):
+    structure = np.ones((3, 3)) if connectivity == 2 else None
+    lab, _ = sh_label(img, structure)
+    return lab
+
+
+def sh_regionprops(lab):
+    n = int(lab.max())
+    return [_Region(lab, k) for k in range(1, n + 1)]
+
+
+def _mod(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def install_shims():
+    def _unused(*a, **k):
+        raise NotImplementedError("shim: not needed for slim features")
+
+    scipy = _mod("scipy")
+    ndimage = _mod("scipy.ndimage",
+                   correlate=sh_correlate, convolve=sh_convolve,
+                   label=sh_label, find_objects=sh_find_objects,
+                   distance_transform_edt=sh_distance_transform_edt,
+                   binary_fill_holes=sh_binary_fill_holes,
+                   zoom=_unused)
+    _mod("scipy.ndimage.morphology", binary_fill_holes=sh_binary_fill_holes)
+    meas = _mod("scipy.ndimage.measurements",
+                label=sh_label, find_objects=sh_find_objects)
+    ndimage.measurements = meas
+    ndimage.morphology = sys.modules["scipy.ndimage.morphology"]
+    scipy.ndimage = ndimage
+
+    spatial = _mod("scipy.spatial", ConvexHull=_Hull, QhullError=QhullError,
+                   cKDTree=_unused)
+    _mod("scipy.spatial.distance", pdist=sh_pdist, cdist=_unused)
+    spatial.distance = sys.modules["scipy.spatial.distance"]
+    scipy.spatial = spatial
+
+    stats = _mod("scipy.stats", skew=_unused, kurtosis=_unused,
+                 moment=_unused)
+    scipy.stats = stats
+
+    skimage = _mod("skimage", img_as_float=lambda x: np.asarray(
+        x, dtype=np.float64) / 255.0)
+    _mod("skimage.morphology",
+         binary_dilation=_binary_dilate, binary_erosion=_binary_erode,
+         binary_closing=lambda img, selem: _binary_erode(
+             _binary_dilate(img, selem), selem),
+         diamond=sh_diamond, disk=sh_disk, reconstruction=_unused)
+    _mod("skimage.measure", label=sh_sk_label, regionprops=sh_regionprops)
+    _mod("skimage.draw", polygon=_unused, line=_unused)
+    _mod("skimage.filters")
+    _mod("skimage.exposure", rescale_intensity=_unused, histogram=_unused)
+    _mod("skimage.feature")
+    for sub in ["morphology", "measure", "draw", "filters", "exposure",
+                "feature"]:
+        setattr(skimage, sub, sys.modules[f"skimage.{sub}"])
+    _mod("phasepack", phasecong=_unused)
+
+
+# ------------------------------------------------- edge-detector stand-in
+
+def sobel_edges(roi):
+    """Deterministic stand-in for phasecong_Mm: normalized Sobel gradient
+    magnitude on roi/255, float64. Mirrored exactly by
+    graft.features.Segmentation.sobelEdges.
+    """
+    r = np.asarray(roi, dtype=np.float64) / 255.0
+    gx = sh_correlate(r, np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]]))
+    gy = sh_correlate(r, np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]]))
+    g = np.sqrt(gx * gx + gy * gy)
+    m = g.max()
+    return g / m if m > 0 else g
+
+
+# ------------------------------------------------------------- fixtures
+
+def fixtures():
+    """Deterministic synthetic (roi, blob-mask) pairs. The prng is a
+    hand-rolled LCG so the fixture is reproducible from this file alone.
+    """
+    out = {}
+
+    def lcg(seed):
+        state = [seed]
+
+        def nxt():
+            state[0] = (state[0] * 1103515245 + 12345) % (1 << 31)
+            return state[0]
+        return nxt
+
+    # 1. solid ellipse (round blob: SOR path of the shape rule)
+    h, w = 25, 35
+    yy, xx = np.indices((h, w))
+    ellipse = (((yy - 12) / 8.0) ** 2 + ((xx - 17) / 13.0) ** 2) <= 1.0
+    out["ellipse"] = ellipse
+
+    # 2. crescent (concave: distmap path — convex_area/area > 1.2)
+    crescent = ellipse & ~((((yy - 10) / 7.0) ** 2 +
+                            ((xx - 20) / 11.0) ** 2) <= 1.0)
+    out["crescent"] = crescent
+
+    # 3. thin diagonal rod (eccentric, distmap path)
+    rod = np.zeros((30, 30), dtype=bool)
+    for i in range(26):
+        rod[2 + i, 2 + i] = True
+        if 2 + i + 1 < 30:
+            rod[2 + i + 1, 2 + i] = True
+            rod[2 + i, 2 + i + 1] = True
+    out["rod"] = rod
+
+    # 4. two blobs (numBlobs / summed features)
+    two = np.zeros((28, 40), dtype=bool)
+    two[((yy[:28, :40] - 13) ** 2 + (xx[:28, :40] - 10) ** 2) <= 49] = True
+    two[4:22, 24:32] = True
+    out["two_blobs"] = two
+
+    # 5. blob with a hole (fill_holes in the distmap path)
+    ring = (((yy - 12) ** 2 + (xx - 17) ** 2) <= 100) & \
+           (((yy - 12) ** 2 + (xx - 17) ** 2) >= 16)
+    out["ring"] = ring
+
+    # 6. random speckle + core (blob-min filtering, multiple components)
+    rnd = lcg(42)
+    spk = np.zeros((32, 32), dtype=bool)
+    spk[8:20, 8:22] = True
+    for _ in range(40):
+        i, j = rnd() % 32, rnd() % 32
+        spk[i, j] = True
+    out["speckle"] = spk
+
+    return out
+
+
+def roi_for(mask, seed):
+    """Synthetic grayscale uint8 roi: bright background, dark blob,
+    deterministic noise.
+    """
+    h, w = mask.shape
+    state = seed
+
+    def nxt():
+        nonlocal state
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        return state
+    img = np.zeros((h, w), dtype=np.uint8)
+    for i in range(h):
+        for j in range(w):
+            base = 80 if mask[i, j] else 200
+            img[i, j] = base + nxt() % 21  # +0..20 noise
+    return img
+
+
+# --------------------------------------------------------------- main
+
+def main():
+    install_shims()
+    sys.path.insert(0, REF)
+    from ifcb_features.all import compute_features  # noqa: E402
+    import ifcb_features.segmentation as seg  # noqa: E402
+    seg.phasecong_Mm = sobel_edges  # inject the documented stand-in
+
+    golden = {"features": {}, "segmentation": {}}
+    for name, mask in fixtures().items():
+        roi = roi_for(mask, seed=7)
+        _, feats = compute_features(roi, blobs_image=mask)
+        golden["features"][name] = {
+            "mask": ["".join("1" if v else "0" for v in row)
+                     for row in mask],
+            "roi": [[int(v) for v in row] for row in roi],
+            "expected": {k: (None if isinstance(v, float) and math.isnan(v)
+                             else float(v)) for k, v in feats},
+        }
+        # end-to-end segmentation golden (stand-in edges)
+        seg_mask = seg.segment_roi(roi)
+        golden["segmentation"][name] = {
+            "roi": [[int(v) for v in row] for row in roi],
+            "mask": ["".join("1" if v else "0" for v in row)
+                     for row in seg_mask],
+        }
+
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(golden, f, indent=1, sort_keys=True)
+    n = len(golden["features"])
+    print(f"wrote {OUT}: {n} feature fixtures, {n} segmentation fixtures")
+
+
+if __name__ == "__main__":
+    main()
