@@ -1,0 +1,204 @@
+package graft.features
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** The slim per-ROI feature contract of the reference pipeline
+  * (`ifcb-features/extract_slim_features.py:16-47`,
+  * `ifcb_features/all.py:494-539`): blob geometry + Moberg-Sosik
+  * biovolume for the largest blob, counts and sums over all blobs.
+  *
+  * Scale shape: [[extract]] runs the kernel as a `mapPartitions` over a
+  * binary image column — pure per-row CPU work with no shuffle, so it
+  * parallelizes linearly with input splits at 100 TB. The kernel itself
+  * (segmentation → labeling → geometry → biovolume) is the executor-side
+  * scalar path.
+  */
+object Features {
+
+  /** The 30 slim feature columns, reference order. */
+  final case class FeatureRow(
+      roi_id: Long,
+      Area: Double, Biovolume: Double,
+      BoundingBox_xwidth: Double, BoundingBox_ywidth: Double,
+      ConvexArea: Double, ConvexPerimeter: Double,
+      Eccentricity: Double, EquivDiameter: Double, Extent: Double,
+      MajorAxisLength: Double, MinorAxisLength: Double, Orientation: Double,
+      Perimeter: Double, RepresentativeWidth: Double, Solidity: Double,
+      SurfaceArea: Double, maxFeretDiameter: Double, minFeretDiameter: Double,
+      numBlobs: Double,
+      summedArea: Double, summedBiovolume: Double, summedConvexArea: Double,
+      summedConvexPerimeter: Double, summedMajorAxisLength: Double,
+      summedMinorAxisLength: Double, summedPerimeter: Double,
+      summedSurfaceArea: Double,
+      Area_over_PerimeterSquared: Double, Area_over_Perimeter: Double,
+      summedConvexPerimeter_over_Perimeter: Double)
+
+  /** Per-blob features (all.py BlobFeatures, slim subset). */
+  final case class Blob(
+      area: Double, biovolume: Double, bboxX: Double, bboxY: Double,
+      convexArea: Double, convexPerimeter: Double, eccentricity: Double,
+      equivDiameter: Double, extent: Double, majorAxis: Double,
+      minorAxis: Double, orientation: Double, perimeter: Double,
+      repWidth: Double, solidity: Double, surfaceArea: Double,
+      maxFeret: Double, minFeret: Double)
+
+  /** Finds blobs in a mask: 8-connected components sorted by
+    * (-area, bbox col start, bbox row start) (blobs.py:13-30), cropped to
+    * their bounding boxes.
+    */
+  def findBlobs(mask: Mask): Seq[Mask] = {
+    val (lab, n) = Raster.label(mask, conn8 = true)
+    val h = mask.h; val w = mask.w
+    (1 to n).map { k =>
+      var area = 0; var y0 = h; var y1 = -1; var x0 = w; var x1 = -1
+      var p = 0
+      while (p < lab.length) {
+        if (lab(p) == k) {
+          area += 1
+          val y = p / w; val x = p % w
+          if (y < y0) y0 = y
+          if (y > y1) y1 = y
+          if (x < x0) x0 = x
+          if (x > x1) x1 = x
+        }
+        p += 1
+      }
+      val bh = y1 - y0 + 1; val bw = x1 - x0 + 1
+      val cropped = Mask.empty(bh, bw)
+      for (i <- 0 until bh; j <- 0 until bw)
+        cropped.set(i, j, lab((y0 + i) * w + (x0 + j)) == k)
+      (area, x0, y0, cropped)
+    }.sortBy { case (area, x0, y0, _) => (-area, x0, y0) }
+      .map(_._4)
+  }
+
+  /** All slim features of one cropped blob (all.py:25-316). */
+  def blobFeatures(blob: Mask): Blob = {
+    // largest 8-connected region (MATLAB blob_geomprop parity; blobs from
+    // findBlobs are single components already)
+    val (lab, n) = Raster.label(blob, conn8 = true)
+    val counts = new Array[Int](n + 1)
+    lab.foreach(counts(_) += 1)
+    counts(0) = 0
+    var largest = 1
+    for (k <- 2 to n) if (counts(k) > counts(largest)) largest = k
+    val area = counts(largest).toDouble
+    // tight crop of the largest region for the distmap algorithm
+    var y0 = blob.h; var y1 = -1; var x0 = blob.w; var x1 = -1
+    for (i <- 0 until blob.h; j <- 0 until blob.w) if (lab(i * blob.w + j) == largest) {
+      if (i < y0) y0 = i
+      if (i > y1) y1 = i
+      if (j < x0) x0 = j
+      if (j > x1) x1 = j
+    }
+    val region = Mask.empty(y1 - y0 + 1, x1 - x0 + 1)
+    for (i <- 0 until region.h; j <- 0 until region.w)
+      region.set(i, j, lab((y0 + i) * blob.w + (x0 + j)) == largest)
+
+    val equivDiameter = math.sqrt(4.0 * area / math.Pi)
+    val extent = area / (region.h * region.w).toDouble
+    val perimImage = Raster.perimeter(blob)
+    val perimeter = BlobGeometry.benkridPerimeter(perimImage)
+    val perimPts = (for (i <- 0 until blob.h; j <- 0 until blob.w if perimImage(i, j))
+      yield (i, j)).toArray
+    val hullOpt = BlobGeometry.convexHull(perimPts)
+    val (convexPerimeter, convexArea) = hullOpt match {
+      case Some(hull) => BlobGeometry.hullProperties(hull)
+      case None       => (perimeter, area) // degenerate-hull fallback (all.py:93-96)
+    }
+    val (minFeret, maxFeret) = hullOpt match {
+      case Some(hull) => BlobGeometry.feretDiameters(hull)
+      case None       => (0.0, 0.0)
+    }
+    val (majA, minA, ecc) = BlobGeometry.ellipseProperties(blob)
+    val orient = BlobGeometry.orientation(blob)
+    // shape rule (all.py:225-233): near-convex or round-ish blobs take the
+    // solid-of-revolution path, everything else the distance map
+    val areaRatio = convexArea / area
+    val p = equivDiameter / majA
+    val volSa =
+      if (areaRatio < 1.2 || (ecc < 0.8 && p > 0.8))
+        VolumeKernel.sor(BlobGeometry.rotateBlob(blob, orient))
+      else
+        VolumeKernel.distmap(region)
+    Blob(
+      area = area, biovolume = volSa.volume,
+      bboxX = blob.w.toDouble, bboxY = blob.h.toDouble,
+      convexArea = convexArea, convexPerimeter = convexPerimeter,
+      eccentricity = ecc, equivDiameter = equivDiameter, extent = extent,
+      majorAxis = majA, minorAxis = minA, orientation = orient,
+      perimeter = perimeter, repWidth = volSa.rep, solidity = area / convexArea,
+      surfaceArea = volSa.surfaceArea, maxFeret = maxFeret, minFeret = minFeret)
+  }
+
+  /** `compute_features` (all.py:494-539): headline features from the
+    * largest blob, counts/sums over all blobs, zero→NaN ratios.
+    */
+  def compute(roiId: Long, mask: Mask): FeatureRow = {
+    val blobs = findBlobs(mask).map(blobFeatures)
+    def nan0(v: Double): Double = if (v == 0.0) Double.NaN else v
+    if (blobs.isEmpty) {
+      FeatureRow(roiId, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, Double.NaN, Double.NaN, Double.NaN)
+    } else {
+      val b = blobs.maxBy(_.area) // sorted desc already; maxBy keeps first
+      val sumPerim = blobs.map(_.perimeter).sum
+      val sumConvexPerim = blobs.map(_.convexPerimeter).sum
+      FeatureRow(
+        roiId,
+        Area = b.area, Biovolume = b.biovolume,
+        BoundingBox_xwidth = b.bboxX, BoundingBox_ywidth = b.bboxY,
+        ConvexArea = b.convexArea, ConvexPerimeter = b.convexPerimeter,
+        Eccentricity = b.eccentricity, EquivDiameter = b.equivDiameter,
+        Extent = b.extent, MajorAxisLength = b.majorAxis,
+        MinorAxisLength = b.minorAxis, Orientation = b.orientation,
+        Perimeter = b.perimeter, RepresentativeWidth = b.repWidth,
+        Solidity = b.solidity, SurfaceArea = b.surfaceArea,
+        maxFeretDiameter = b.maxFeret, minFeretDiameter = b.minFeret,
+        numBlobs = blobs.size.toDouble,
+        summedArea = blobs.map(_.area).sum,
+        summedBiovolume = blobs.map(_.biovolume).sum,
+        summedConvexArea = blobs.map(_.convexArea).sum,
+        summedConvexPerimeter = sumConvexPerim,
+        summedMajorAxisLength = blobs.map(_.majorAxis).sum,
+        summedMinorAxisLength = blobs.map(_.minorAxis).sum,
+        summedPerimeter = sumPerim,
+        summedSurfaceArea = blobs.map(_.surfaceArea).sum,
+        Area_over_PerimeterSquared = nan0(b.area / (b.perimeter * b.perimeter)),
+        Area_over_Perimeter = nan0(b.area / b.perimeter),
+        summedConvexPerimeter_over_Perimeter = nan0(sumConvexPerim / sumPerim))
+    }
+  }
+
+  /** Segment + extract in one step (raw grayscale ROI → features). */
+  def computeFromRoi(roiId: Long, roi: Segmentation.Gray): FeatureRow =
+    compute(roiId, Segmentation.segmentRoi(roi))
+
+  /** Distributed extraction over a binary image column:
+    * (roi_id, image bytes, height, width) rows → [[FeatureRow]]s. Images
+    * are row-major 8-bit grayscale — the layout [[graft.sources.RoiSource]]
+    * produces. One task per input split, no shuffle; the kernel never
+    * leaves the executor.
+    */
+  def extract(images: Dataset[(Long, Array[Byte], Int, Int)]): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { it =>
+      it.map { case (id, bytes, h, w) =>
+        val px = new Array[Int](h * w)
+        var k = 0
+        while (k < px.length) { px(k) = bytes(k) & 0xff; k += 1 }
+        computeFromRoi(id, Segmentation.Gray(h, w, px))
+      }
+    }.toDF()
+  }
+
+  /** Convenience: run [[extract]] over RoiSource-shaped frames. */
+  def extractFrom(spark: SparkSession, df: DataFrame,
+                  idCol: String, imgCol: String, hCol: String, wCol: String): DataFrame = {
+    import spark.implicits._
+    extract(df.select(
+      df(idCol).cast("long"), df(imgCol), df(hCol).cast("int"), df(wCol).cast("int"))
+      .as[(Long, Array[Byte], Int, Int)])
+  }
+}

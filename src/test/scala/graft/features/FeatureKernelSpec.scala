@@ -1,0 +1,113 @@
+package graft.features
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Golden-parity tests for the feature-extraction kernel: expected values
+  * are produced by the REFERENCE implementation (ifcb-features Python)
+  * running over the same fixtures — see tools/golden_features.py for how
+  * they are generated and exactly which primitives are shimmed.
+  *
+  * Float32-deterministic reference paths (distmap biovolume) are compared
+  * at 1e-5 relative; float64 paths at 1e-9 relative (the reference's
+  * np.sum uses pairwise summation, so the last bits legitimately differ).
+  * Segmentation masks (stand-in edge detector on both sides) compare
+  * pixel-exact.
+  */
+class FeatureKernelSpec extends AnyFunSuite {
+
+  private lazy val golden: JValue = {
+    val in = getClass.getResourceAsStream("/features_golden.json")
+    require(in != null, "features_golden.json missing — run tools/golden_features.py")
+    val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    JsonMethods.parse(txt)
+  }
+
+  private def maskOf(v: JValue): Mask =
+    Mask.from(v.asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s))
+
+  private def grayOf(v: JValue): Segmentation.Gray = {
+    val rows = v.asInstanceOf[JArray].arr.map(_.asInstanceOf[JArray].arr.map {
+      case JInt(n)    => n.toInt
+      case JDouble(d) => d.toInt
+      case other      => fail(s"unexpected $other")
+    })
+    val h = rows.size; val w = rows.head.size
+    Segmentation.Gray(h, w, rows.flatten.toArray)
+  }
+
+  private val float32Cols = Set("Biovolume", "RepresentativeWidth", "SurfaceArea",
+    "summedBiovolume", "summedSurfaceArea")
+
+  private def rowValue(r: Features.FeatureRow, name: String): Double = name match {
+    case "Area" => r.Area
+    case "Biovolume" => r.Biovolume
+    case "BoundingBox_xwidth" => r.BoundingBox_xwidth
+    case "BoundingBox_ywidth" => r.BoundingBox_ywidth
+    case "ConvexArea" => r.ConvexArea
+    case "ConvexPerimeter" => r.ConvexPerimeter
+    case "Eccentricity" => r.Eccentricity
+    case "EquivDiameter" => r.EquivDiameter
+    case "Extent" => r.Extent
+    case "MajorAxisLength" => r.MajorAxisLength
+    case "MinorAxisLength" => r.MinorAxisLength
+    case "Orientation" => r.Orientation
+    case "Perimeter" => r.Perimeter
+    case "RepresentativeWidth" => r.RepresentativeWidth
+    case "Solidity" => r.Solidity
+    case "SurfaceArea" => r.SurfaceArea
+    case "maxFeretDiameter" => r.maxFeretDiameter
+    case "minFeretDiameter" => r.minFeretDiameter
+    case "numBlobs" => r.numBlobs
+    case "summedArea" => r.summedArea
+    case "summedBiovolume" => r.summedBiovolume
+    case "summedConvexArea" => r.summedConvexArea
+    case "summedConvexPerimeter" => r.summedConvexPerimeter
+    case "summedMajorAxisLength" => r.summedMajorAxisLength
+    case "summedMinorAxisLength" => r.summedMinorAxisLength
+    case "summedPerimeter" => r.summedPerimeter
+    case "summedSurfaceArea" => r.summedSurfaceArea
+    case "Area_over_PerimeterSquared" => r.Area_over_PerimeterSquared
+    case "Area_over_Perimeter" => r.Area_over_Perimeter
+    case "summedConvexPerimeter_over_Perimeter" => r.summedConvexPerimeter_over_Perimeter
+    case other => fail(s"unknown feature $other")
+  }
+
+  private def fixtures(section: String): List[(String, JValue)] =
+    (golden \ section).asInstanceOf[JObject].obj.map { case (k, v) => (k, v) }
+
+  for ((name, fx) <- fixtures("features")) {
+    test(s"feature parity vs reference kernel: $name") {
+      val mask = maskOf(fx \ "mask")
+      val got = Features.compute(0L, mask)
+      val expected = (fx \ "expected").asInstanceOf[JObject].obj
+      for ((col, jv) <- expected) {
+        val want: Double = jv match {
+          case JNull      => Double.NaN
+          case JDouble(d) => d
+          case JInt(n)    => n.toDouble
+          case other      => fail(s"unexpected $other")
+        }
+        val have = rowValue(got, col)
+        val tol = if (float32Cols(col)) 1e-5 else 1e-9
+        if (want.isNaN) assert(have.isNaN, s"$col: expected NaN, got $have")
+        else {
+          val rel = math.abs(have - want) / math.max(math.abs(want), 1e-12)
+          assert(rel <= tol, s"$col: got $have, want $want (rel $rel)")
+        }
+      }
+    }
+  }
+
+  for ((name, fx) <- fixtures("segmentation")) {
+    test(s"segmentation parity vs reference chain (stand-in edges): $name") {
+      val roi = grayOf(fx \ "roi")
+      val want = (fx \ "mask").asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s)
+      val got = Segmentation.segmentRoi(roi)
+      val gotRows = (0 until got.h).map(i =>
+        (0 until got.w).map(j => if (got(i, j)) '1' else '0').mkString)
+      assert(gotRows == want, s"segmentation mask mismatch for $name")
+    }
+  }
+}

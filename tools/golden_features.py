@@ -59,7 +59,11 @@ def _pad_correlate(img, w, flip, cval=0.0):
 
 def sh_correlate(img, weights, mode="constant", cval=0.0):
     assert mode == "constant"
-    return _pad_correlate(img, weights, flip=False, cval=cval)
+    out = _pad_correlate(img, weights, flip=False, cval=cval)
+    if np.issubdtype(np.asarray(img).dtype, np.integer) and \
+            np.issubdtype(np.asarray(weights).dtype, np.integer):
+        return np.rint(out).astype(np.int64)
+    return out
 
 
 def sh_convolve(img, weights, mode="constant", cval=0.0):
@@ -268,6 +272,12 @@ def _mod(name, **attrs):
 
 
 def install_shims():
+    # the reference targets an older numpy with the removed scalar aliases
+    for alias, typ in [("bool", bool), ("int", int), ("float", float),
+                       ("object", object)]:
+        if not hasattr(np, alias):
+            setattr(np, alias, typ)
+
     def _unused(*a, **k):
         raise NotImplementedError("shim: not needed for slim features")
 
@@ -365,8 +375,8 @@ def fixtures():
     out["rod"] = rod
 
     # 4. two blobs (numBlobs / summed features)
-    two = np.zeros((28, 40), dtype=bool)
-    two[((yy[:28, :40] - 13) ** 2 + (xx[:28, :40] - 10) ** 2) <= 49] = True
+    ty, tx = np.indices((28, 40))
+    two = ((ty - 13) ** 2 + (tx - 10) ** 2) <= 49
     two[4:22, 24:32] = True
     out["two_blobs"] = two
 
@@ -375,14 +385,17 @@ def fixtures():
            (((yy - 12) ** 2 + (xx - 17) ** 2) >= 16)
     out["ring"] = ring
 
-    # 6. random speckle + core (blob-min filtering, multiple components)
+    # 6. random speckle + core (blob-min filtering, multiple components).
+    # Segmentation-only: the reference kernel assumes segmented masks
+    # (blob-min >= 41 px) and crashes on 1-px blobs, so this fixture only
+    # exercises the segmentation chain.
     rnd = lcg(42)
     spk = np.zeros((32, 32), dtype=bool)
     spk[8:20, 8:22] = True
     for _ in range(40):
         i, j = rnd() % 32, rnd() % 32
         spk[i, j] = True
-    out["speckle"] = spk
+    out["speckle@seg_only"] = spk
 
     return out
 
@@ -417,15 +430,19 @@ def main():
 
     golden = {"features": {}, "segmentation": {}}
     for name, mask in fixtures().items():
+        seg_only = name.endswith("@seg_only")
+        name = name.removesuffix("@seg_only")
         roi = roi_for(mask, seed=7)
-        _, feats = compute_features(roi, blobs_image=mask)
-        golden["features"][name] = {
-            "mask": ["".join("1" if v else "0" for v in row)
-                     for row in mask],
-            "roi": [[int(v) for v in row] for row in roi],
-            "expected": {k: (None if isinstance(v, float) and math.isnan(v)
-                             else float(v)) for k, v in feats},
-        }
+        if not seg_only:
+            _, feats = compute_features(roi, blobs_image=mask)
+            golden["features"][name] = {
+                "mask": ["".join("1" if v else "0" for v in row)
+                         for row in mask],
+                "roi": [[int(v) for v in row] for row in roi],
+                "expected": {k: (None if isinstance(v, float) and
+                                 math.isnan(v) else float(v))
+                             for k, v in feats},
+            }
         # end-to-end segmentation golden (stand-in edges)
         seg_mask = seg.segment_roi(roi)
         golden["segmentation"][name] = {
