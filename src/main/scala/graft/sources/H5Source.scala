@@ -1,0 +1,371 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.Inflater
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S5 HDF5 `.h5` source (SURVEY.md §2.1): CNN classifier results arrive
+  * as flat HDF5 files — root-group datasets `classifier_name`,
+  * `class_labels`, `output_scores`, `roi_numbers`, `thresholds` &c.
+  * (reference: code/convert_h5_to_irfcb_format.R:38-66).
+  *
+  * Minimal HDF5 reader implemented from the public "HDF5 File Format
+  * Specification Version 3.0" for the subset those files use:
+  * superblock v0, v1 object headers, symbol-table root group (B-tree v1 +
+  * local heap + SNOD), contiguous / compact / chunked(+deflate) data
+  * layouts, little-endian fixed-point and IEEE-float datatypes,
+  * fixed-length strings, and variable-length strings via the global heap.
+  * This matches what rhdf5 / hdf5r / h5py write in their default
+  * ("earliest-compatible") mode; v2+ superblocks are out of scope and
+  * rejected loudly.
+  *
+  * Spark shape: same as [[MatSource]] — per-bin files via `binaryFile`,
+  * parsed inside executors (one file = one task), exploded to relational
+  * rows; nothing HDF5-shaped leaks past this module.
+  */
+object H5Source {
+
+  sealed trait H5Value
+  final case class H5Num(dims: Seq[Long], data: Array[Double]) extends H5Value
+  final case class H5Str(dims: Seq[Long], data: Array[String]) extends H5Value
+
+  private val Signature = Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte)
+  private val Undef = -1L // 0xFFFFFFFFFFFFFFFF as signed
+
+  /** Parses every root-group dataset of an HDF5 byte stream. */
+  def parse(bytes: Array[Byte]): Map[String, H5Value] = {
+    require(bytes.length > 96, "not an HDF5 file: too short")
+    require(bytes.take(8).sameElements(Signature), "not an HDF5 file: bad signature")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val sbVersion = buf.get(8) & 0xff
+    require(sbVersion == 0,
+      s"unsupported superblock version $sbVersion (reader covers the v0 " +
+        "earliest-compatible layout rhdf5/h5py write by default)")
+    require((buf.get(13) & 0xff) == 8 && (buf.get(14) & 0xff) == 8,
+      "unsupported offset/length size (only 8/8)")
+    // root group symbol table entry at offset 24 + 32
+    val rootEntry = 56
+    val rootHeader = buf.getLong(rootEntry + 8)
+    val (btreeAddr, heapAddr) = symbolTableOf(buf, rootHeader)
+    val out = Map.newBuilder[String, H5Value]
+    for (snod <- btreeChildren(buf, btreeAddr)) {
+      val n = buf.getShort(snod.toInt + 6) & 0xffff
+      for (k <- 0 until n) {
+        val e = snod.toInt + 8 + 40 * k
+        val nameOff = buf.getLong(e)
+        val objAddr = buf.getLong(e + 8)
+        val name = heapString(buf, heapAddr, nameOff)
+        readDataset(buf, objAddr).foreach(v => out += name -> v)
+      }
+    }
+    out.result()
+  }
+
+  /** Walks a v1 group B-tree, returning SNOD addresses left to right. */
+  private def btreeChildren(buf: ByteBuffer, addr: Long): Seq[Long] = {
+    require(sig(buf, addr) == "TREE", s"expected TREE at $addr")
+    val level = buf.get(addr.toInt + 5) & 0xff
+    val used = buf.getShort(addr.toInt + 6) & 0xffff
+    val kids = (0 until used).map { i =>
+      // entries: key0(8) child0(8) key1(8) ... — children at +8 skip key0
+      buf.getLong(addr.toInt + 24 + 8 + i * 16)
+    }
+    if (level == 0) kids else kids.flatMap(btreeChildren(buf, _))
+  }
+
+  private def sig(buf: ByteBuffer, addr: Long): String =
+    new String(Array(buf.get(addr.toInt), buf.get(addr.toInt + 1),
+      buf.get(addr.toInt + 2), buf.get(addr.toInt + 3)), "US-ASCII")
+
+  private def heapString(buf: ByteBuffer, heapAddr: Long, off: Long): String = {
+    require(sig(buf, heapAddr) == "HEAP", s"expected HEAP at $heapAddr")
+    val dataAddr = buf.getLong(heapAddr.toInt + 24)
+    var p = (dataAddr + off).toInt
+    val sb = new StringBuilder
+    while (buf.get(p) != 0) { sb.append(buf.get(p).toChar); p += 1 }
+    sb.toString
+  }
+
+  /** All (type, body-offset, body-size) messages of a v1 object header. */
+  private def messages(buf: ByteBuffer, addr: Long): Seq[(Int, Int, Int)] = {
+    val version = buf.get(addr.toInt) & 0xff
+    require(version == 1, s"unsupported object header version $version")
+    val nMsgs = buf.getShort(addr.toInt + 2) & 0xffff
+    val out = Seq.newBuilder[(Int, Int, Int)]
+    var p = addr.toInt + 16 // 12-byte prefix + 4 pad: messages are 8-aligned
+    var remaining = nMsgs
+    var continuation: Option[(Long, Long)] = None
+    var limit = Int.MaxValue
+    while (remaining > 0) {
+      if (continuation.isDefined && p + 8 > limit) {
+        val (ca, cs) = continuation.get
+        p = ca.toInt; limit = (ca + cs).toInt
+        continuation = None
+      }
+      val tpe = buf.getShort(p) & 0xffff
+      val size = buf.getShort(p + 2) & 0xffff
+      if (tpe == 0x0010) { // continuation: body = address(8) + length(8)
+        continuation = Some((buf.getLong(p + 8), buf.getLong(p + 16)))
+      } else {
+        out += ((tpe, p + 8, size))
+      }
+      p += 8 + size
+      remaining -= 1
+    }
+    out.result()
+  }
+
+  private def symbolTableOf(buf: ByteBuffer, headerAddr: Long): (Long, Long) =
+    messages(buf, headerAddr).collectFirst {
+      case (0x0011, off, _) => (buf.getLong(off), buf.getLong(off + 8))
+    }.getOrElse(throw new IllegalArgumentException("root group: no symbol table message"))
+
+  private final case class Datatype(clazz: Int, size: Int, signed: Boolean)
+
+  private def readDataset(buf: ByteBuffer, addr: Long): Option[H5Value] = {
+    val msgs = messages(buf, addr)
+    val dims: Seq[Long] = msgs.collectFirst { case (0x0001, off, _) =>
+      val rank = buf.get(off + 1) & 0xff
+      (0 until rank).map(i => buf.getLong(off + 8 + 8 * i))
+    }.getOrElse(return None)
+    val dt: Datatype = msgs.collectFirst { case (0x0003, off, _) =>
+      val cv = buf.get(off) & 0xff
+      val clazz = cv & 0x0f
+      val bits0 = buf.get(off + 1) & 0xff
+      val size = buf.getInt(off + 4)
+      Datatype(clazz, size, (bits0 & 0x08) != 0)
+    }.getOrElse(return None)
+    val filters: Seq[Int] = msgs.collectFirst { case (0x000b, off, _) =>
+      val n = buf.get(off + 1) & 0xff
+      // v1 filter pipeline: 8-byte header then filter descriptions; we
+      // only need the filter ids (deflate = 1)
+      var p = off + 8
+      (0 until n).map { _ =>
+        val id = buf.getShort(p) & 0xffff
+        val nameLen = buf.getShort(p + 2) & 0xffff
+        val nVals = buf.getShort(p + 6) & 0xffff
+        var sz = 8 + nameLen + 4 * nVals
+        if (nVals % 2 == 1) sz += 4 // pad to 8
+        p += sz
+        id
+      }
+    }.getOrElse(Seq.empty)
+    val raw: Array[Byte] = msgs.collectFirst { case (0x0008, off, _) =>
+      val version = buf.get(off) & 0xff
+      require(version == 3, s"unsupported data layout version $version")
+      (buf.get(off + 1) & 0xff) match {
+        case 0 => // compact: size(2) + data
+          val n = buf.getShort(off + 2) & 0xffff
+          val a = new Array[Byte](n)
+          for (i <- 0 until n) a(i) = buf.get(off + 4 + i)
+          a
+        case 1 => // contiguous: address(8) + size(8)
+          val dataAddr = buf.getLong(off + 2)
+          val n = buf.getLong(off + 10)
+          if (dataAddr == Undef) new Array[Byte](0)
+          else {
+            val a = new Array[Byte](n.toInt)
+            for (i <- 0 until n.toInt) a(i) = buf.get((dataAddr + i).toInt)
+            a
+          }
+        case 2 => // chunked: dimensionality(1) btree(8) dims(4 each) elem(4)
+          val ndims = buf.get(off + 2) & 0xff // rank + 1
+          val btree = buf.getLong(off + 3)
+          val chunkDims = (0 until ndims - 1).map(i => buf.getInt(off + 11 + 4 * i).toLong)
+          readChunked(buf, btree, dims, chunkDims, dt.size, filters)
+        case c => throw new IllegalArgumentException(s"unsupported layout class $c")
+      }
+    }.getOrElse(return None)
+    Some(decode(buf, dt, dims, raw))
+  }
+
+  /** Reassembles a chunked dataset from its v1 raw-data B-tree (node type
+    * 1), inflating deflate-filtered chunks. Chunk keys carry the chunk's
+    * logical offset; data is copied element-wise into the row-major
+    * output (edge chunks may overhang).
+    */
+  private def readChunked(buf: ByteBuffer, btree: Long, dims: Seq[Long],
+                          chunkDims: Seq[Long], elemSize: Int,
+                          filters: Seq[Int]): Array[Byte] = {
+    val total = dims.product.toInt * elemSize
+    val out = new Array[Byte](total)
+    def walk(addr: Long): Unit = {
+      require(sig(buf, addr) == "TREE", s"expected TREE at $addr")
+      val level = buf.get(addr.toInt + 5) & 0xff
+      val used = buf.getShort(addr.toInt + 6) & 0xffff
+      // node type 1 keys: size(4) mask(4) + (rank+1) offsets of 8
+      val keySize = 8 + 8 * (chunkDims.size + 1)
+      var p = addr.toInt + 24
+      for (_ <- 0 until used) {
+        val chunkBytes = buf.getInt(p)
+        val offsets = (0 until chunkDims.size).map(i => buf.getLong(p + 8 + 8 * i))
+        val child = buf.getLong(p + keySize)
+        if (level > 0) walk(child)
+        else {
+          var data = new Array[Byte](chunkBytes)
+          for (i <- 0 until chunkBytes) data(i) = buf.get((child + i).toInt)
+          if (filters.contains(1)) data = inflate(data)
+          copyChunk(out, data, dims, chunkDims, offsets, elemSize)
+        }
+        p += keySize + 8
+      }
+    }
+    walk(btree)
+    out
+  }
+
+  private def copyChunk(out: Array[Byte], chunk: Array[Byte], dims: Seq[Long],
+                        chunkDims: Seq[Long], offs: Seq[Long], elemSize: Int): Unit = {
+    val rank = dims.size
+    if (rank == 1) {
+      val n = math.min(chunkDims(0), dims(0) - offs(0)).toInt
+      System.arraycopy(chunk, 0, out, offs(0).toInt * elemSize, n * elemSize)
+    } else if (rank == 2) {
+      val rows = math.min(chunkDims(0), dims(0) - offs(0)).toInt
+      val cols = math.min(chunkDims(1), dims(1) - offs(1)).toInt
+      for (r <- 0 until rows) {
+        val src = (r * chunkDims(1)).toInt * elemSize
+        val dst = ((offs(0) + r) * dims(1) + offs(1)).toInt * elemSize
+        System.arraycopy(chunk, src, out, dst, cols * elemSize)
+      }
+    } else throw new IllegalArgumentException(s"chunked rank $rank unsupported")
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val tmp = new Array[Byte](8192)
+    while (!inf.finished() && !inf.needsInput()) {
+      val n = inf.inflate(tmp)
+      if (n > 0) out.write(tmp, 0, n)
+      else if (n == 0 && !inf.finished()) { inf.end(); throw new IllegalArgumentException("bad deflate chunk") }
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  private def decode(buf: ByteBuffer, dt: Datatype, dims: Seq[Long], raw: Array[Byte]): H5Value = {
+    val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    dt.clazz match {
+      case 0 => // fixed-point
+        val n = raw.length / dt.size
+        val out = new Array[Double](n)
+        for (i <- 0 until n) out(i) = dt.size match {
+          case 1 => if (dt.signed) raw(i).toDouble else (raw(i) & 0xff).toDouble
+          case 2 => if (dt.signed) b.getShort(i * 2).toDouble else (b.getShort(i * 2) & 0xffff).toDouble
+          case 4 => if (dt.signed) b.getInt(i * 4).toDouble else (b.getInt(i * 4).toLong & 0xffffffffL).toDouble
+          case 8 => b.getLong(i * 8).toDouble
+          case s => throw new IllegalArgumentException(s"fixed-point size $s")
+        }
+        H5Num(dims, out)
+      case 1 => // IEEE float
+        val n = raw.length / dt.size
+        val out = new Array[Double](n)
+        for (i <- 0 until n) out(i) =
+          if (dt.size == 4) b.getFloat(i * 4).toDouble else b.getDouble(i * 8)
+        H5Num(dims, out)
+      case 3 => // fixed-length string
+        val n = if (dims.isEmpty) 1 else dims.product.toInt
+        val out = Array.tabulate(n) { i =>
+          val s = new String(raw, i * dt.size, dt.size, "UTF-8")
+          val z = s.indexOf('\u0000')
+          if (z >= 0) s.substring(0, z) else s
+        }
+        H5Str(dims, out)
+      case 9 => // variable-length string: len(4) + gheap addr(8) + index(4)
+        val n = raw.length / 16
+        val out = Array.tabulate(n) { i =>
+          val len = b.getInt(i * 16)
+          val gaddr = b.getLong(i * 16 + 4)
+          val idx = b.getInt(i * 16 + 12)
+          globalHeapObject(buf, gaddr, idx, len)
+        }
+        H5Str(dims, out)
+      case c => throw new IllegalArgumentException(s"unsupported datatype class $c")
+    }
+  }
+
+  private def globalHeapObject(buf: ByteBuffer, addr: Long, index: Int, len: Int): String = {
+    require(sig(buf, addr) == "GCOL", s"expected GCOL at $addr")
+    val collSize = buf.getLong(addr.toInt + 8)
+    var p = addr.toInt + 16
+    val end = (addr + collSize).toInt
+    while (p < end) {
+      val idx = buf.getShort(p) & 0xffff
+      val size = buf.getLong(p + 8)
+      if (idx == index) {
+        val bytes = new Array[Byte](len)
+        for (i <- 0 until len) bytes(i) = buf.get(p + 16 + i)
+        return new String(bytes, "UTF-8")
+      }
+      if (idx == 0) return "" // free-space object terminates the walk
+      p += 16 + ((size + 7) / 8 * 8).toInt
+    }
+    throw new IllegalArgumentException(s"global heap object $index not found at $addr")
+  }
+
+  // --- relational views ----------------------------------------------------
+
+  /** CNN class-score files → long form: one row per (ROI, class) with the
+    * score and per-class threshold (convert_h5_to_irfcb_format.R:47-55
+    * schema: `output_scores` [nROI × nClass] row-major, `roi_numbers`,
+    * `class_labels`, `thresholds`, scalar `classifier_name`).
+    */
+  def classScores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.h5").load(dir)
+      .select(col("path"), col("content"))
+    val rows = files.as[(String, Array[Byte])].flatMap { case (path, bytes) =>
+      val sample = HdrSource.SampleIdPattern.r.findFirstIn(path).getOrElse(path)
+      val vars = parse(bytes)
+      val labels = vars.get("class_labels") match {
+        case Some(H5Str(_, v)) => v
+        case _ => Array.empty[String]
+      }
+      val thresholds = vars.get("thresholds") match {
+        case Some(H5Num(_, v)) => v
+        case _ => Array.empty[Double]
+      }
+      val classifier = vars.get("classifier_name") match {
+        case Some(H5Str(_, v)) if v.nonEmpty => v(0)
+        case _ => ""
+      }
+      val rois = vars.get("roi_numbers") match {
+        case Some(H5Num(_, v)) => v.map(_.toInt)
+        case _ => Array.empty[Int]
+      }
+      vars.get("output_scores") match {
+        case Some(H5Num(Seq(nRoi, nClass), data)) =>
+          for {
+            r <- 0 until nRoi.toInt
+            c <- 0 until nClass.toInt
+          } yield (sample, classifier,
+            if (r < rois.length) rois(r) else r + 1,
+            if (c < labels.length) labels(c) else s"class_$c",
+            data(r * nClass.toInt + c),
+            if (c < thresholds.length) thresholds(c) else Double.NaN)
+        case _ => Seq.empty
+      }
+    }
+    rows.toDF("sample", "classifier", "roi_number", "class_name", "score", "threshold")
+  }
+
+  /** Top-scoring class per ROI, gated by the per-class threshold — the
+    * `class_labels_above_threshold` view downstream deliveries consume.
+    */
+  def topClassPerRoi(scores: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("sample"), col("roi_number"))
+      .orderBy(col("score").desc, col("class_name").asc)
+    scores
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("class_above_threshold",
+        when(col("score") >= col("threshold"), col("class_name"))
+          .otherwise(lit("unclassified")))
+      .drop("rn")
+  }
+}

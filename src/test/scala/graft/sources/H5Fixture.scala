@@ -1,0 +1,274 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.Deflater
+
+/** Minimal HDF5 v0 writer for H5SourceSpec fixtures, composing the same
+  * public-spec structures the reader parses: superblock v0, symbol-table
+  * root group (B-tree v1 + local heap + SNOD), v1 object headers,
+  * contiguous and chunked(+deflate) layouts, fixed-point / IEEE-float /
+  * variable-length-string datatypes with a global heap. Field layouts
+  * follow the "HDF5 File Format Specification Version 3.0" so the fixture
+  * bytes structurally match what libhdf5 writes in earliest-compatible
+  * mode.
+  */
+object H5Fixture {
+
+  sealed trait Ds { def name: String }
+  final case class I32(name: String, values: Array[Int]) extends Ds
+  final case class F64(name: String, values: Array[Double]) extends Ds
+  /** 2-D float32, chunked + deflate (one chunk per dataset). */
+  final case class F32Matrix(name: String, rows: Int, cols: Int, values: Array[Float]) extends Ds
+  final case class VStr(name: String, values: Array[String]) extends Ds
+
+  private val Undef = -1L
+
+  def write(datasets: Seq[Ds]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(1 << 20).order(ByteOrder.LITTLE_ENDIAN)
+
+    def pad8(): Unit = while (buf.position() % 8 != 0) buf.put(0.toByte)
+
+    // ---- reserve the superblock (96 bytes), fill at the end
+    buf.position(96)
+
+    // ---- local heap: header + data segment
+    val heapDataSize = 8L * 8 + datasets.map(_.name.length + 1).sum
+    val heapDataSizeAligned = (heapDataSize + 7) / 8 * 8
+    val heapHeaderAddr = buf.position()
+    val heapDataAddr = heapHeaderAddr + 32
+    buf.put("HEAP".getBytes("US-ASCII")).put(0.toByte).put(new Array[Byte](3))
+    buf.putLong(heapDataSizeAligned)
+    buf.putLong(heapDataSize) // free-list head (unused by reader)
+    buf.putLong(heapDataAddr)
+    // heap data: offset 0 = empty root link name; names from offset 8
+    val nameOffsets = scala.collection.mutable.Map.empty[String, Long]
+    val heapStart = buf.position()
+    buf.put(new Array[Byte](8))
+    for (ds <- datasets) {
+      nameOffsets(ds.name) = buf.position() - heapStart
+      buf.put(ds.name.getBytes("US-ASCII")).put(0.toByte)
+    }
+    buf.position(heapStart + heapDataSizeAligned.toInt)
+
+    // ---- placeholder: group B-tree (1 level-0 node, 1 SNOD child)
+    val btreeAddr = buf.position()
+    buf.put("TREE".getBytes("US-ASCII"))
+    buf.put(0.toByte) // node type 0 = group
+    buf.put(0.toByte) // level
+    buf.putShort(1.toShort) // entries used
+    buf.putLong(Undef).putLong(Undef)
+    val snodAddrPos = buf.position() + 8 // after key0
+    buf.putLong(0L) // key0: heap offset of smallest name
+    buf.putLong(0L) // child0 -> patched to SNOD
+    buf.putLong(nameOffsets(datasets.last.name)) // keyN
+
+    // ---- SNOD with one entry per dataset (alphabetical, like libhdf5)
+    val sorted = datasets.sortBy(_.name)
+    val snodAddr = buf.position()
+    buf.put("SNOD".getBytes("US-ASCII"))
+    buf.put(1.toByte).put(0.toByte)
+    buf.putShort(sorted.size.toShort)
+    val entryPos = buf.position()
+    buf.position(entryPos + 40 * sorted.size)
+    buf.putLong(snodAddrPos, snodAddr.toLong)
+
+    // ---- datasets: object header + data
+    val headerAddrs = scala.collection.mutable.Map.empty[String, Long]
+    // global heap for all vlen strings
+    val vstrs = sorted.collect { case v: VStr => v }
+    val gheapAddr: Long = if (vstrs.isEmpty) Undef else {
+      pad8()
+      val a = buf.position()
+      val objBytes = vstrs.flatMap(_.values).zipWithIndex.map { case (s, i) =>
+        (i + 1, s.getBytes("UTF-8"))
+      }
+      val collSize = 16L + objBytes.map(o => 16L + (o._2.length + 7) / 8 * 8).sum + 16L
+      buf.put("GCOL".getBytes("US-ASCII"))
+      buf.put(1.toByte).put(new Array[Byte](3))
+      buf.putLong(collSize)
+      for ((idx, data) <- objBytes) {
+        buf.putShort(idx.toShort)
+        buf.putShort(1.toShort) // refcount
+        buf.putInt(0)
+        buf.putLong(data.length.toLong)
+        buf.put(data)
+        pad8()
+      }
+      buf.putShort(0.toShort) // free-space object terminator
+      buf.putShort(0.toShort)
+      buf.putInt(0)
+      buf.putLong(0L)
+      a.toLong
+    }
+    // global heap object index per (dataset, element)
+    var gIdx = 0
+    val gIndexOf = vstrs.flatMap(v => v.values.indices.map { i =>
+      gIdx += 1; (v.name, i) -> gIdx
+    }).toMap
+
+    def message(tpe: Int, body: Array[Byte]): Array[Byte] = {
+      val padded = body ++ new Array[Byte]((8 - body.length % 8) % 8)
+      val m = ByteBuffer.allocate(8 + padded.length).order(ByteOrder.LITTLE_ENDIAN)
+      m.putShort(tpe.toShort).putShort(padded.length.toShort)
+      m.put(0.toByte).put(new Array[Byte](3)).put(padded)
+      m.array()
+    }
+
+    def dataspace(dims: Seq[Long]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + 8 * dims.size).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte).put(dims.size.toByte).put(0.toByte).put(new Array[Byte](5))
+      dims.foreach(b.putLong)
+      b.array()
+    }
+
+    def objectHeader(msgs: Seq[Array[Byte]]): Long = {
+      pad8()
+      val addr = buf.position()
+      val total = msgs.map(_.length).sum
+      buf.put(1.toByte).put(0.toByte)
+      buf.putShort(msgs.size.toShort)
+      buf.putInt(1)
+      buf.putInt(total)
+      buf.put(new Array[Byte](4)) // align messages to 8
+      msgs.foreach(buf.put)
+      addr.toLong
+    }
+
+    for (ds <- sorted) ds match {
+      case I32(name, values) =>
+        pad8()
+        val dataAddr = buf.position()
+        values.foreach(buf.putInt)
+        val dt = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+        dt.put(0x10.toByte).put(0x08.toByte).put(0.toByte).put(0.toByte)
+        dt.putInt(4).putShort(0.toShort).putShort(32.toShort)
+        val layout = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+        layout.put(3.toByte).put(1.toByte).putLong(dataAddr.toLong).putLong(4L * values.length)
+        headerAddrs(name) = objectHeader(Seq(
+          message(0x0001, dataspace(Seq(values.length.toLong))),
+          message(0x0003, dt.array()),
+          message(0x0008, layout.array())))
+      case F64(name, values) =>
+        pad8()
+        val dataAddr = buf.position()
+        values.foreach(buf.putDouble)
+        val dt = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+        dt.put(0x11.toByte).put(0x20.toByte).put(0x3f.toByte).put(0.toByte)
+        dt.putInt(8).putShort(0.toShort).putShort(64.toShort)
+        dt.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte).putInt(1023)
+        val layout = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+        layout.put(3.toByte).put(1.toByte).putLong(dataAddr.toLong).putLong(8L * values.length)
+        headerAddrs(name) = objectHeader(Seq(
+          message(0x0001, dataspace(Seq(values.length.toLong))),
+          message(0x0003, dt.array()),
+          message(0x0008, layout.array())))
+      case F32Matrix(name, rows, cols, values) =>
+        // raw chunk = whole matrix, deflate-compressed
+        val raw = ByteBuffer.allocate(4 * values.length).order(ByteOrder.LITTLE_ENDIAN)
+        values.foreach(raw.putFloat)
+        val deflater = new Deflater()
+        deflater.setInput(raw.array()); deflater.finish()
+        val compBuf = new Array[Byte](raw.array().length + 64)
+        val compLen = deflater.deflate(compBuf)
+        deflater.end()
+        pad8()
+        val chunkAddr = buf.position()
+        buf.put(compBuf, 0, compLen)
+        // chunk B-tree: one level-0 node, node type 1
+        pad8()
+        val cbtree = buf.position()
+        val keySize = 8 + 8 * 3 // size(4) mask(4) + (rank+1) offsets
+        buf.put("TREE".getBytes("US-ASCII"))
+        buf.put(1.toByte).put(0.toByte)
+        buf.putShort(1.toShort)
+        buf.putLong(Undef).putLong(Undef)
+        buf.putInt(compLen).putInt(0) // key0: nbytes, filter mask
+        buf.putLong(0L).putLong(0L).putLong(0L) // chunk offset + datatype dim
+        buf.putLong(chunkAddr.toLong) // child0
+        buf.putInt(0).putInt(0) // keyN
+        buf.putLong(rows.toLong).putLong(cols.toLong).putLong(0L)
+        val dt = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+        dt.put(0x11.toByte).put(0x20.toByte).put(0x1f.toByte).put(0.toByte)
+        dt.putInt(4).putShort(0.toShort).putShort(32.toShort)
+        dt.put(23.toByte).put(8.toByte).put(0.toByte).put(23.toByte).putInt(127)
+        val layout = ByteBuffer.allocate(23).order(ByteOrder.LITTLE_ENDIAN)
+        layout.put(3.toByte).put(2.toByte).put(3.toByte) // v3, chunked, rank+1
+        layout.putLong(cbtree.toLong)
+        layout.putInt(rows).putInt(cols).putInt(4) // chunk dims + elem size
+        val filters = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+        filters.put(1.toByte).put(1.toByte).put(new Array[Byte](6))
+        filters.putShort(1.toShort) // deflate
+        filters.putShort(0.toShort) // name length
+        filters.putShort(1.toShort) // flags: optional
+        filters.putShort(1.toShort) // 1 client value
+        // (level) + pad handled by message padding
+        val filterBody = filters.array() ++ Array[Byte](6, 0, 0, 0)
+        headerAddrs(name) = objectHeader(Seq(
+          message(0x0001, dataspace(Seq(rows.toLong, cols.toLong))),
+          message(0x0003, dt.array()),
+          message(0x000b, filterBody),
+          message(0x0008, layout.array())))
+      case VStr(name, values) =>
+        pad8()
+        val dataAddr = buf.position()
+        for (i <- values.indices) {
+          buf.putInt(values(i).getBytes("UTF-8").length)
+          buf.putLong(gheapAddr)
+          buf.putInt(gIndexOf((name, i)))
+        }
+        val dt = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+        dt.put(0x19.toByte).put(0x01.toByte).put(0.toByte).put(0.toByte)
+        dt.putInt(16)
+        // embedded base type: 1-byte string
+        dt.put(0x13.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(1)
+        val layout = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+        layout.put(3.toByte).put(1.toByte).putLong(dataAddr.toLong).putLong(16L * values.length)
+        headerAddrs(name) = objectHeader(Seq(
+          message(0x0001, dataspace(Seq(values.length.toLong))),
+          message(0x0003, dt.array()),
+          message(0x0008, layout.array())))
+    }
+
+    // ---- SNOD entries now that header addresses are known
+    for ((ds, k) <- sorted.zipWithIndex) {
+      val e = entryPos + 40 * k
+      buf.putLong(e, nameOffsets(ds.name))
+      buf.putLong(e + 8, headerAddrs(ds.name))
+      buf.putInt(e + 16, 0) // cache type 0
+      buf.putInt(e + 20, 0)
+      // scratch already zero
+    }
+
+    // ---- root group object header (symbol table message)
+    val st = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    st.putLong(btreeAddr.toLong).putLong(heapHeaderAddr.toLong)
+    val rootHeaderAddr = objectHeader(Seq(message(0x0011, st.array())))
+
+    val eof = buf.position()
+
+    // ---- superblock
+    buf.position(0)
+    buf.put(Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    buf.put(0.toByte) // superblock v0
+    buf.put(0.toByte).put(0.toByte).put(0.toByte) // fs, root-group, reserved
+    buf.put(0.toByte) // shared header version
+    buf.put(8.toByte).put(8.toByte).put(0.toByte) // offset/length sizes
+    buf.putShort(4.toShort).putShort(16.toShort) // leaf/internal k
+    buf.putInt(0) // consistency flags
+    buf.putLong(0L) // base address
+    buf.putLong(Undef) // free-space
+    buf.putLong(eof.toLong)
+    buf.putLong(Undef) // driver info
+    // root symbol table entry
+    buf.putLong(0L) // link name offset
+    buf.putLong(rootHeaderAddr)
+    buf.putInt(1) // cache type 1
+    buf.putInt(0)
+    buf.putLong(btreeAddr.toLong).putLong(heapHeaderAddr.toLong)
+
+    val out = new Array[Byte](eof)
+    buf.position(0)
+    buf.get(out)
+    out
+  }
+}

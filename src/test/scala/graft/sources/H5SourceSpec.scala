@@ -1,0 +1,66 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+
+/** H5Source against generated spec-faithful fixtures: raw parse of every
+  * supported datatype/layout combination, then the classScores relational
+  * view end to end through Spark.
+  */
+class H5SourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture: Array[Byte] = H5Fixture.write(Seq(
+    H5Fixture.VStr("classifier_name", Array("cnn_v4")),
+    H5Fixture.VStr("class_labels", Array("Mesodinium_rubrum", "Dinophysis_acuminata", "other")),
+    H5Fixture.I32("roi_numbers", Array(3, 7, 12, 20)),
+    H5Fixture.F64("thresholds", Array(0.9, 0.75, 0.5)),
+    H5Fixture.F32Matrix("output_scores", 4, 3, Array(
+      0.95f, 0.03f, 0.02f,
+      0.10f, 0.85f, 0.05f,
+      0.20f, 0.30f, 0.50f,
+      0.40f, 0.70f, 0.10f))))
+
+  test("parse reads every dataset type: vlen strings, i32, f64, chunked+deflate f32") {
+    val vars = H5Source.parse(fixture)
+    assert(vars.keySet == Set("classifier_name", "class_labels", "roi_numbers",
+      "thresholds", "output_scores"))
+    val H5Source.H5Str(_, names) = vars("classifier_name"): @unchecked
+    assert(names.toSeq == Seq("cnn_v4"))
+    val H5Source.H5Str(_, labels) = vars("class_labels"): @unchecked
+    assert(labels.toSeq == Seq("Mesodinium_rubrum", "Dinophysis_acuminata", "other"))
+    val H5Source.H5Num(_, rois) = vars("roi_numbers"): @unchecked
+    assert(rois.toSeq == Seq(3.0, 7.0, 12.0, 20.0))
+    val H5Source.H5Num(_, th) = vars("thresholds"): @unchecked
+    assert(th.toSeq == Seq(0.9, 0.75, 0.5))
+    val H5Source.H5Num(dims, scores) = vars("output_scores"): @unchecked
+    assert(dims == Seq(4L, 3L))
+    assert(math.abs(scores(0) - 0.95) < 1e-6 && math.abs(scores(4) - 0.85) < 1e-6)
+  }
+
+  test("classScores view: long form with labels, thresholds, classifier") {
+    val dir = Files.createTempDirectory("h5src").toFile
+    Files.write(Paths.get(dir.toString, "D20230801T120000_IFCB134_class.h5"), fixture)
+    val df = H5Source.classScores(spark, dir.toString)
+    assert(df.count() == 12) // 4 ROIs x 3 classes
+    val row = df.filter($"roi_number" === 7 && $"class_name" === "Dinophysis_acuminata")
+      .select("sample", "classifier", "score", "threshold")
+      .as[(String, String, Double, Double)].collect().head
+    assert(row._1 == "D20230801T120000_IFCB134")
+    assert(row._2 == "cnn_v4")
+    assert(math.abs(row._3 - 0.85) < 1e-6)
+    assert(row._4 == 0.75)
+  }
+
+  test("topClassPerRoi applies the per-class threshold gate") {
+    val dir = Files.createTempDirectory("h5src2").toFile
+    Files.write(Paths.get(dir.toString, "D20230801T120000_IFCB134_class.h5"), fixture)
+    val top = H5Source.topClassPerRoi(H5Source.classScores(spark, dir.toString))
+    val byRoi = top.select("roi_number", "class_name", "class_above_threshold")
+      .as[(Int, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byRoi(3) == (("Mesodinium_rubrum", "Mesodinium_rubrum")))   // 0.95 >= 0.9
+    assert(byRoi(7) == (("Dinophysis_acuminata", "Dinophysis_acuminata"))) // 0.85 >= 0.75
+    assert(byRoi(12) == (("other", "other")))                          // 0.50 >= 0.5
+    assert(byRoi(20) == (("Dinophysis_acuminata", "unclassified")))    // 0.70 < 0.75
+  }
+}
