@@ -1,0 +1,178 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S6 SQLite source (SURVEY.md §2.1): manual annotations live in a
+  * SQLite database's `annotations` table (reference:
+  * code/ifcb_delivery_data_to_shark.R:236-243), driving the `manual`
+  * delivery variant.
+  *
+  * No JDBC driver is available offline, so this is a minimal reader for
+  * the public "SQLite Database File Format" covering what annotation
+  * databases need: table B-trees (interior + leaf pages), record serial
+  * types (null, ints, float, text), column names parsed from the
+  * sqlite_master schema row. Not covered (rejected loudly): overflow
+  * pages (cells larger than a page), WAL mode side files, indexes.
+  *
+  * Spark shape: like [[MatSource]] — small per-deployment files via
+  * `binaryFile`, parsed in executors, exploded to relational rows.
+  */
+object SqliteSource {
+
+  final case class Table(columns: Seq[String], rows: Seq[Seq[Any]])
+
+  /** Reads one table of a SQLite main-database byte image. */
+  def readTable(bytes: Array[Byte], table: String): Table = {
+    require(bytes.length >= 512, "not a SQLite file: too short")
+    val magic = new String(bytes, 0, 16, "US-ASCII")
+    require(magic.startsWith("SQLite format 3"), "not a SQLite file")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val pageSizeRaw = buf.getShort(16) & 0xffff
+    val pageSize = if (pageSizeRaw == 1) 65536 else pageSizeRaw
+    // sqlite_master b-tree lives on page 1 (header occupies first 100 bytes)
+    val master = walkTable(buf, pageSize, 1)
+    val (rootPage, createSql) = master.collectFirst {
+      case Seq(tpe: String, name: String, _, root: Long, sql: String)
+        if tpe == "table" && name == table => (root.toInt, sql)
+    }.getOrElse(throw new IllegalArgumentException(s"table $table not found"))
+    val columns = parseColumns(createSql)
+    Table(columns, walkTable(buf, pageSize, rootPage))
+  }
+
+  /** Column names from a CREATE TABLE statement (good enough for the
+    * plain comma-separated definitions annotation tools write).
+    */
+  private[sources] def parseColumns(sql: String): Seq[String] = {
+    val body = sql.substring(sql.indexOf('(') + 1, sql.lastIndexOf(')'))
+    body.split(",").map(_.trim).filter(_.nonEmpty)
+      .filterNot(c => Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
+        .contains(c.split("\\s+").head.toUpperCase))
+      .map { c =>
+        // quoted identifiers may contain spaces: "b c" / [b c] / `b c`
+        val closer = Map('"' -> '"', '[' -> ']', '`' -> '`')
+        c.headOption.flatMap(closer.get) match {
+          case Some(close) => c.substring(1, c.indexOf(close, 1))
+          case None        => c.split("\\s+").head
+        }
+      }
+      .toSeq
+  }
+
+  /** In-order traversal of a table B-tree, decoding every leaf record. */
+  private def walkTable(buf: ByteBuffer, pageSize: Int, page: Int): Seq[Seq[Any]] = {
+    val base = (page - 1) * pageSize
+    val hdr = base + (if (page == 1) 100 else 0)
+    val pageType = buf.get(hdr) & 0xff
+    val nCells = buf.getShort(hdr + 3) & 0xffff
+    pageType match {
+      case 0x0d => // leaf table
+        (0 until nCells).flatMap { i =>
+          val cellPtr = base + (buf.getShort(hdr + 8 + 2 * i) & 0xffff)
+          var p = cellPtr
+          val (payloadLen, p1) = varint(buf, p); p = p1
+          val (_, p2) = varint(buf, p); p = p2 // rowid
+          Some(record(buf, p, payloadLen.toInt))
+        }
+      case 0x05 => // interior table: cells carry left-child pointers
+        val kids = (0 until nCells).map { i =>
+          val cellPtr = base + (buf.getShort(hdr + 12 + 2 * i) & 0xffff)
+          buf.getInt(cellPtr)
+        } :+ buf.getInt(hdr + 8) // right-most pointer
+        kids.flatMap(walkTable(buf, pageSize, _))
+      case t => throw new IllegalArgumentException(s"unsupported page type 0x${t.toHexString}")
+    }
+  }
+
+  /** One record: header of serial types, then values. */
+  private def record(buf: ByteBuffer, start: Int, payloadLen: Int): Seq[Any] = {
+    val (headerLen, afterHeaderLen) = varint(buf, start)
+    var p = afterHeaderLen
+    val headerEnd = start + headerLen.toInt
+    val types = Seq.newBuilder[Long]
+    while (p < headerEnd) {
+      val (t, np) = varint(buf, p)
+      types += t
+      p = np
+    }
+    var q = headerEnd
+    types.result().map { t =>
+      val (v, nq) = value(buf, q, t)
+      q = nq
+      v
+    }
+  }
+
+  private def value(buf: ByteBuffer, p: Int, serial: Long): (Any, Int) = serial match {
+    case 0 => (null, p)
+    case 1 => (buf.get(p).toLong, p + 1)
+    case 2 => (buf.getShort(p).toLong, p + 2)
+    case 3 => ((((buf.get(p).toLong << 16) | ((buf.get(p + 1) & 0xffL) << 8) |
+                 (buf.get(p + 2) & 0xffL))), p + 3)
+    case 4 => (buf.getInt(p).toLong, p + 4)
+    case 5 => (((buf.getShort(p).toLong << 32) | (buf.getInt(p + 2).toLong & 0xffffffffL)), p + 6)
+    case 6 => (buf.getLong(p), p + 8)
+    case 7 => (buf.getDouble(p), p + 8)
+    case 8 => (0L, p)
+    case 9 => (1L, p)
+    case t if t >= 13 && t % 2 == 1 =>
+      val n = ((t - 13) / 2).toInt
+      val b = new Array[Byte](n)
+      for (i <- 0 until n) b(i) = buf.get(p + i)
+      (new String(b, "UTF-8"), p + n)
+    case t if t >= 12 =>
+      val n = ((t - 12) / 2).toInt
+      val b = new Array[Byte](n)
+      for (i <- 0 until n) b(i) = buf.get(p + i)
+      (b, p + n)
+    case t => throw new IllegalArgumentException(s"serial type $t")
+  }
+
+  /** Big-endian 7-bit varint (9th byte carries 8 bits); returns
+    * (value, next offset).
+    */
+  private def varint(buf: ByteBuffer, start: Int): (Long, Int) = {
+    var v = 0L
+    var p = start
+    var i = 0
+    while (i < 8) {
+      val b = buf.get(p) & 0xff
+      p += 1
+      v = (v << 7) | (b & 0x7f)
+      if ((b & 0x80) == 0) return (v, p)
+      i += 1
+    }
+    val b = buf.get(p) & 0xff
+    ((v << 8) | b, p + 1)
+  }
+
+  // --- relational views ----------------------------------------------------
+
+  /** Manual-annotation databases → rows, with the reference's derived
+    * `image_name` (sample_name + zero-padded ROI,
+    * ifcb_delivery_data_to_shark.R:241-243).
+    */
+  def annotations(spark: SparkSession, dir: String,
+                  table: String = "annotations"): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.db").load(dir)
+      .select(col("path"), col("content"))
+    val rows = files.as[(String, Array[Byte])].flatMap { case (_, bytes) =>
+      val t = readTable(bytes, table)
+      val ci = t.columns.zipWithIndex.toMap
+      def str(r: Seq[Any], c: String): String =
+        ci.get(c).map(r(_)).map { case null => null; case v => v.toString }.orNull
+      def num(r: Seq[Any], c: String): Long =
+        ci.get(c).map(r(_)).collect { case l: Long => l; case d: Double => d.toLong }.getOrElse(0L)
+      t.rows.map { r =>
+        (str(r, "sample_name"), num(r, "roi_number").toInt, str(r, "class_name"),
+          str(r, "annotator"), str(r, "timestamp"))
+      }
+    }
+    rows.toDF("sample_name", "roi_number", "class_name", "annotator", "timestamp")
+      .withColumn("image_name",
+        concat(col("sample_name"), lit("_"), format_string("%05d", col("roi_number"))))
+  }
+}
