@@ -22,4 +22,52 @@ object Strings {
 
   /** `str_squish`: trim + collapse internal whitespace runs. */
   def squish(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+
+  // --- encoding normalization (SURVEY.md §2.8 "Encoding") ------------------
+
+  /** Windows-1252 bytes → UTF-8 string (`iconv(from = "Windows-1252")`,
+    * reference: ifcb-data-pipeline.Rmd:1426): legacy classifier paths and
+    * headers arrive in the Windows codepage. Spark 4's `decode` whitelist
+    * excludes windows-1252, so: decode as iso-8859-1 (identical outside
+    * 0x80-0x9F), then translate the 27 codepage specials natively —
+    * still a pure codegen expression chain, no UDF.
+    */
+  def decodeWin1252(bytes: Column): Column = {
+    // windows-1252 0x80-0x9F -> Unicode (undefined slots pass through)
+    val mapping = Seq(
+      0x80 -> 0x20ac, 0x82 -> 0x201a, 0x83 -> 0x0192, 0x84 -> 0x201e,
+      0x85 -> 0x2026, 0x86 -> 0x2020, 0x87 -> 0x2021, 0x88 -> 0x02c6,
+      0x89 -> 0x2030, 0x8a -> 0x0160, 0x8b -> 0x2039, 0x8c -> 0x0152,
+      0x8e -> 0x017d, 0x91 -> 0x2018, 0x92 -> 0x2019, 0x93 -> 0x201c,
+      0x94 -> 0x201d, 0x95 -> 0x2022, 0x96 -> 0x2013, 0x97 -> 0x2014,
+      0x98 -> 0x02dc, 0x99 -> 0x2122, 0x9a -> 0x0161, 0x9b -> 0x203a,
+      0x9c -> 0x0153, 0x9e -> 0x017e, 0x9f -> 0x0178)
+    val from = mapping.map(_._1.toChar).mkString
+    val to = mapping.map(_._2.toChar).mkString
+    translate(decode(bytes, "iso-8859-1"), from, to)
+  }
+
+  /** Scandinavian-letter fold the reference applies to classifier names
+    * ("Replace å in Tångesund", Rmd:861-863): å/Å→a/A, ä/Ä→a/A, ö/Ö→o/O.
+    */
+  def foldScandinavian(c: Column): Column =
+    translate(c, "åÅäÄöÖ", "aAaAoO")
+
+  /** µ-header cleanup (`gsub("μ", "u", colnames)`,
+    * code/ifcb_ingest_and_qc.R:474): GREEK SMALL LETTER MU and the
+    * Latin-1 MICRO SIGN both fold to "u".
+    */
+  def muToU(c: Column): Column = translate(c, "μµ", "uu")
+
+  /** Windows path → basename (`basename(gsub("\\\\", "/", ...))`,
+    * Rmd:1426): backslashes normalized, last path segment kept.
+    */
+  def pathBasename(c: Column): Column =
+    element_at(split(regexp_replace(c, "\\\\", "/"), "/"), -1)
+
+  /** The full classifier-name normalization chain the reference applies
+    * before names reach deliveries (Rmd:861-863, 1426).
+    */
+  def normalizeClassifierName(c: Column): Column =
+    foldScandinavian(muToU(pathBasename(c)))
 }

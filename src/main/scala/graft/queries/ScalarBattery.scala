@@ -193,5 +193,40 @@ object ScalarBattery {
         GROUP BY o_orderpriority) t
       ORDER BY o_orderpriority"""))
 
-  val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34, q35, q36)
+  /** §2.8 encoding family (SURVEY §7.4 risk 8): legacy classifier path
+    * names carry Windows-1252 Scandinavian letters, µ-unit headers, and
+    * backslash paths (Rmd:861-863, 1426; ifcb_ingest_and_qc.R:474).
+    * Synthesizes the mojibake deterministically from `part` rows, then
+    * normalizes with [[Strings.normalizeClassifierName]]; the oracle
+    * mirrors each step with DuckDB string functions. (The byte-level
+    * Windows-1252 → UTF-8 decode is native `decode()` — spec-covered in
+    * FunctionsSpec; not SQL-expressible in DuckDB.)
+    */
+  private val q56 = GraftQuery(
+    "q56_encoding_cleanup",
+    (s, d) => {
+      import s.implicits._
+      val raw = concat(
+        lit("C:\\classifiers\\Tångesund_"), $"p_brand",
+        lit("_µm_v"), ($"p_partkey" % 5).cast("string"))
+      part(s, d)
+        .withColumn("classifier", Strings.normalizeClassifierName(raw))
+        .groupBy($"classifier")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"classifier")
+    },
+    Some("""
+      SELECT classifier, COUNT(*) AS n
+      FROM (
+        SELECT translate(
+                 list_extract(string_split(replace(
+                   'C:\classifiers\Tångesund_' || p_brand ||
+                     '_µm_v' || CAST(p_partkey % 5 AS VARCHAR),
+                   '\', '/'), '/'), -1),
+                 'åÅäÄöÖμµ', 'aAaAoOuu') AS classifier
+        FROM part) t
+      GROUP BY classifier
+      ORDER BY classifier"""))
+
+  val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34, q35, q36, q56)
 }

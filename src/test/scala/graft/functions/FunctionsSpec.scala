@@ -103,4 +103,22 @@ class FunctionsSpec extends SparkSpec {
     val got = df.select(f($"lat", $"lon")).as[Boolean].collect().toSeq
     assert(got == Seq(true, false, true, false))
   }
+
+  test("decodeWin1252 decodes legacy classifier bytes (å as 0xE5)") {
+    // "Tångesund" in Windows-1252: å = 0xE5
+    val bytes = "T\u00e5ngesund".getBytes("windows-1252")
+    assert(bytes.contains(0xe5.toByte))
+    val df = Seq(Tuple1(bytes)).toDF("raw")
+    val got = df.select(Strings.decodeWin1252($"raw")).as[String].collect().head
+    assert(got == "Tångesund")
+  }
+
+  test("normalizeClassifierName: path, å-fold, µ-fold chain") {
+    val df = Seq("C:\\classifiers\\Tångesund_µm_v3.mat").toDF("c")
+    val got = df.select(Strings.normalizeClassifierName($"c")).as[String].collect().head
+    assert(got == "Tangesund_um_v3.mat")
+    // GREEK MU (U+03BC) and MICRO SIGN (U+00B5) both fold
+    val mu = Seq("a\u03bcm b\u00b5m").toDF("c")
+    assert(mu.select(Strings.muToU($"c")).as[String].collect().head == "aum bum")
+  }
 }
