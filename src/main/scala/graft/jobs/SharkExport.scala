@@ -26,11 +26,18 @@ object SharkExport {
     * @param flags     QC flags per sample: sample, flag
     * @param removeFlagged flags whose samples are dropped (P4 semantics,
     *                  case-insensitive substring — Rmd:1300-1302)
+    * @param adjacencyPartition REQUIRED partition for the W1 adjacency
+    *                  window — pass the run-sequence grain, e.g.
+    *                  (instrument, year). No default: a constant here
+    *                  funnels the whole delivery through ONE task's sort
+    *                  (the scale footgun VERDICT r1 flagged); callers
+    *                  with a single small run can pass an explicit
+    *                  constant consciously.
     */
   def delivery(
       roi: DataFrame, sampleDim: DataFrame, flags: DataFrame,
       removeFlagged: Seq[String],
-      adjacencyPartition: org.apache.spark.sql.Column = lit(0)): DataFrame = {
+      adjacencyPartition: org.apache.spark.sql.Column): DataFrame = {
     val rolled = roi
       .withColumn("carbon_pg",
         Biovolume.carbonPg(col("is_diatom"), col("vol_um3")))
@@ -98,7 +105,11 @@ object SharkExport {
     val flags = or.filter($"o_orderkey" % 97 === 0).select(
       concat(lit("S"), $"o_orderkey").as("sample"),
       when($"o_orderkey" % 2 === 0, "bubbles").otherwise("beads").as("flag"))
-    val out0 = delivery(roi, dim, flags, removeFlagged = Seq("beads"))
+    // stand-in for the (instrument, year) run grain: synthetic sample ids
+    // have no instrument, so partition on the id prefix — distributed
+    // window, never a global single-task sort
+    val out0 = delivery(roi, dim, flags, removeFlagged = Seq("beads"),
+        adjacencyPartition = substring($"sample", 1, 3))
       .drop("MYEAR") // synthetic sample ids carry no timestamp
     Sinks.deliveryTsv(out0, out)
     out0

@@ -23,6 +23,16 @@ object IntervalJoin {
     *                   (inclusive bounds, matching R's `between`)
     * @param on         extra equi key column names on both sides (may be empty)
     * @param bucketSec  bucket width in seconds
+    * @param maxReplication replication clamp: intervals spanning more than
+    *        this many buckets (a year-long interval at an hourly bucket
+    *        replicates 8,760x; a malformed end ≪ start worse) are kept out
+    *        of the explode and joined through a plain range predicate
+    *        instead — a broadcast-nested-loop over the outliers ONLY, so
+    *        the bucketed hash join's fan-out stays bounded. Malformed
+    *        intervals (null bounds, end < start) never match, same as R's
+    *        `between`. Pass None to disable the clamp (required for
+    *        non-inner join types, where the two-path union is not
+    *        decomposable).
     */
   def contains(
       points: DataFrame,
@@ -32,19 +42,40 @@ object IntervalJoin {
       endCol: String,
       on: Seq[String] = Nil,
       bucketSec: Long = 3600L,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      maxReplication: Option[Long] = Some(1000L)): DataFrame = {
+    require(maxReplication.isEmpty || joinType == "inner",
+      "maxReplication clamp requires an inner join; pass maxReplication=None")
     val bUs = bucketSec * 1000000L
-    val iv = intervals.withColumn(
+    val span = floor(unix_micros(col(endCol)) / bUs) -
+      floor(unix_micros(col(startCol)) / bUs) + 1
+    val valid = intervals.filter(col(endCol) >= col(startCol))
+    val bucketable = maxReplication.fold(valid)(m => valid.filter(span <= m))
+    val iv = bucketable.withColumn(
       "__bucket",
       explode(sequence(
         floor(unix_micros(col(startCol)) / bUs),
         floor(unix_micros(col(endCol)) / bUs))))
     val pt = points.withColumn("__bucket", floor(unix_micros(col(pointTs)) / bUs))
-    pt.join(
+    val bucketed = pt.join(
         iv,
         (on :+ "__bucket").map(c => pt(c) === iv(c)).reduce(_ && _) &&
           pt(pointTs) >= iv(startCol) && pt(pointTs) <= iv(endCol),
         joinType)
       .drop("__bucket")
+    maxReplication match {
+      case None => bucketed
+      case Some(m) =>
+        val outliers = valid.filter(span > m)
+        val wide = points.join(
+          outliers,
+          on.map(c => points(c) === outliers(c)).foldLeft(
+            points(pointTs) >= outliers(startCol) &&
+              points(pointTs) <= outliers(endCol))(_ && _),
+          "inner")
+        // positional union: both branches emit points-cols ++ interval-cols
+        // (unionByName rejects the duplicated equi-key names)
+        bucketed.union(wide)
+    }
   }
 }

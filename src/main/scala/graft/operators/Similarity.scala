@@ -93,7 +93,19 @@ object Similarity {
   def kmeansCellAssign(
       corpus: DataFrame, vec: String, k: Int,
       iters: Int = 10, sampleMax: Int = 10000): Column = {
-    val sample = corpus.select(col(vec)).limit(sampleMax).collect()
+    // Seeded cross-partition sample, NOT limit(): limit pulls from the
+    // first partitions, and on a partition-ordered corpus (by source, by
+    // date) the centroids would train on a biased slice. The 1.2x
+    // overshoot fraction + hash-ordered limit keeps the final cut
+    // unbiased; only ~sampleMax rows ever shuffle.
+    val n = corpus.count()
+    require(n > 0, "empty corpus")
+    val fraction = math.min(1.0, sampleMax.toDouble * 1.2 / n.toDouble)
+    val sample = corpus.select(col(vec))
+      .sample(withReplacement = false, fraction, seed = 42L)
+      .sort(xxhash64(col(vec)))
+      .limit(sampleMax)
+      .collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(sample.nonEmpty, "empty corpus")
     val dims = sample.head.length

@@ -24,7 +24,10 @@ class SharkExportSpec extends SparkSpec {
     // S2 has beads (dropped by P4); S4 has bubbles (dropped + neighbors S3/S5)
     val flags = Seq(("S2", "beads"), ("S4", "Bubbles")).toDF("sample", "flag")
 
-    val out = SharkExport.delivery(roi, dim, flags, removeFlagged = Seq("beads", "bubbles"))
+    // one instrument run → one explicit adjacency partition
+    val out = SharkExport.delivery(roi, dim, flags,
+      removeFlagged = Seq("beads", "bubbles"),
+      adjacencyPartition = org.apache.spark.sql.functions.lit("run1"))
     val rows = out.collect().map(r => r.getAs[String]("SMPNO")).toSet
     assert(rows == Set("S1")) // S2 beads, S4 bubbles, S3/S5 adjacent
     val s1 = out.filter($"SMPNO" === "S1").collect().head

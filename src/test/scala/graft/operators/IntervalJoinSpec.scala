@@ -45,4 +45,38 @@ class IntervalJoinSpec extends SparkSpec {
       .select("pid", "iv").as[(Long, String)].collect().toSet
     assert(fast == naive)
   }
+
+  test("replication clamp routes year-long and malformed intervals around the explode") {
+    val points = Seq(
+      (1L, ts("2024-06-15 10:00:00")),
+      (2L, ts("2024-01-01 10:30:00")),
+      (3L, ts("2025-02-01 00:00:00"))
+    ).toDF("pid", "pt")
+    val ivs = Seq(
+      // year-long: 8761 hourly buckets — must NOT explode (clamp = 1000)
+      ("year", ts("2024-01-01 00:00:00"), ts("2024-12-31 23:59:59")),
+      ("normal", ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+      // malformed: end < start — never matches, never explodes
+      ("broken", ts("2024-12-31 00:00:00"), ts("2024-01-01 00:00:00"))
+    ).toDF("iv", "start", "stop")
+    val got = IntervalJoin.contains(points, ivs, "pt", "start", "stop")
+      .select("pid", "iv").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "year"), (2L, "year"), (2L, "normal")))
+    // sanity: the same call with the clamp disabled agrees (the year
+    // interval replicates 8761x here — fine at fixture scale)
+    val unclamped = IntervalJoin.contains(points, ivs.filter($"iv" =!= "broken"),
+        "pt", "start", "stop", maxReplication = None)
+      .select("pid", "iv").as[(Long, String)].collect().toSet
+    assert(unclamped == got)
+  }
+
+  test("clamp with non-inner join is rejected loudly") {
+    val points = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("pid", "pt")
+    val ivs = Seq(("A", ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("iv", "start", "stop")
+    assertThrows[IllegalArgumentException] {
+      IntervalJoin.contains(points, ivs, "pt", "start", "stop",
+        joinType = "left", maxReplication = Some(10L))
+    }
+  }
 }

@@ -41,4 +41,24 @@ class IvfRecallSpec extends SparkSpec {
     // fan-out; assert it beats the random-baseline expectation (~1/k)
     assert(r > 0.25, s"recall@5 = $r")
   }
+
+  test("centroid training sees the whole corpus on a partition-ordered layout") {
+    // two well-separated clusters, corpus ORDERED so the first partitions
+    // hold only cluster A with far more rows than the training sample: a
+    // limit()-style sample would train on A alone and lump B into one
+    // far-away cell edge; the seeded cross-partition sample must see both
+    val a = (0 until 400).map(i => (i.toLong, Array(10.0f + i % 3 * 0.1f, 0.0f)))
+    val b = (0 until 400).map(i => (400L + i, Array(0.0f, 10.0f + i % 3 * 0.1f)))
+    val corpus = (a ++ b).toDF("vec_id", "embedding")
+      .repartitionByRange(8, $"vec_id") // physically ordered: A first
+    val cell = Similarity.kmeansCellAssign(corpus, "embedding", k = 2,
+      iters = 5, sampleMax = 100)
+    val cells = corpus.withColumn("cell", cell)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect()
+    val aCells = cells.filter(_._1 < 400).map(_._2).toSet
+    val bCells = cells.filter(_._1 >= 400).map(_._2).toSet
+    // each cluster maps to exactly one cell and the cells differ
+    assert(aCells.size == 1 && bCells.size == 1 && aCells != bCells,
+      s"aCells=$aCells bCells=$bCells")
+  }
 }
