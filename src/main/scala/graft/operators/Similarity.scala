@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, GraftBridge}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.plans.FloatArrayDot
 
@@ -38,9 +38,56 @@ object Similarity {
     s"${dotSql(a, b)} / SQRT(${dotSql(a, a)}) / SQRT(${dotSql(b, b)})"
   }
 
+  /** One scored neighbor candidate (aggregator input). */
+  final case class Neighbor(id: Long, cosine: Double)
+  /** One ranked result (aggregator output element). */
+  final case class Ranked(neighbor_id: Long, rank: Int, cosine: Double)
+
+  /** Bounded top-k by (cosine desc, id asc): a fixed-size buffer per
+    * group with map-side partial aggregation — candidates never
+    * materialize through a window sort, so per-query state is O(k)
+    * regardless of corpus size (the |corpus|x|queries| window sort was
+    * the one non-scalable piece of the ANN paths).
+    */
+  final class TopKNeighbors(k: Int)
+      extends Aggregator[Neighbor, List[Neighbor], Seq[Ranked]] {
+    private def insert(b: List[Neighbor], a: Neighbor): List[Neighbor] = {
+      // k is small (top-5/top-100): sorted-list insertion keeps exact
+      // (cosine desc, id asc) order with O(k) work per candidate
+      val nb = (a :: b).sortBy(n => (-n.cosine, n.id))
+      if (nb.length > k) nb.take(k) else nb
+    }
+    override def zero: List[Neighbor] = Nil
+    override def reduce(b: List[Neighbor], a: Neighbor): List[Neighbor] = insert(b, a)
+    override def merge(b1: List[Neighbor], b2: List[Neighbor]): List[Neighbor] =
+      b2.foldLeft(b1)(insert)
+    override def finish(b: List[Neighbor]): Seq[Ranked] =
+      b.zipWithIndex.map { case (n, i) => Ranked(n.id, i + 1, n.cosine) }
+    override def bufferEncoder: Encoder[List[Neighbor]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Neighbor]]()
+    override def outputEncoder: Encoder[Seq[Ranked]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Ranked]]()
+  }
+
+  /** Shared tail of both top-k paths: scored pairs → bounded aggregate →
+    * exploded ranked rows.
+    */
+  private def rankTopK(scored: DataFrame, qId: String, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val agg = udaf(new TopKNeighbors(k))
+    scored
+      .groupBy(col(qId).as("query_id"))
+      .agg(agg(col("__cid"), col("cosine")).as("__topk"))
+      .select(col("query_id"), explode(col("__topk")).as("r"))
+      .select(col("query_id"), col("r.neighbor_id"),
+        col("r.rank"), col("r.cosine"))
+  }
+
   /** Exact brute-force cosine top-k: every query row against the whole
     * corpus. Queries are broadcast (they are few); the corpus never
-    * shuffles; ranking is a per-query window over k·|cells| candidates.
+    * shuffles; ranking is the bounded [[TopKNeighbors]] aggregate (no
+    * window sort over |corpus| candidate rows).
     */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
@@ -50,12 +97,8 @@ object Similarity {
     val c = corpus.withColumn("__cn", sqrt(dot(col(cVec), col(cVec))))
     val joined = c.join(broadcast(q), col(qId) =!= col(cId))
       .withColumn("cosine", dot(col(qVec), col(cVec)) / col("__qn") / col("__cn"))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cosine").desc, col(cId).asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qId).as("query_id"), col(cId).as("neighbor_id"),
-        col("rank"), col("cosine"))
+      .withColumn("__cid", col(cId).cast("long"))
+    rankTopK(joined, qId, k)
   }
 
   /** IVF-style restricted top-k: corpus pre-assigned to cells
@@ -74,12 +117,8 @@ object Similarity {
     val joined = c.join(broadcast(q),
         col(qCell) === col(cCell) && col(qId) =!= col(cId))
       .withColumn("cosine", dot(col(qVec), col(cVec)) / col("__qn") / col("__cn"))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cosine").desc, col(cId).asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qId).as("query_id"), col(cId).as("neighbor_id"),
-        col("rank"), col("cosine"))
+      .withColumn("__cid", col(cId).cast("long"))
+    rankTopK(joined, qId, k)
   }
 
   /** Driver-trained k-means centroids for IVF cells: Lloyd iterations on

@@ -63,11 +63,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("q46: queries broadcast (BuildRight), corpus side streams; top-k group-limit pushed") {
+  test("q46: queries broadcast (BuildRight), corpus streams into a bounded top-k aggregate") {
     val p = plan("q46_ann_topk")
     // the q<>c condition is non-equi by design: tiny build side broadcast
     assert(p.contains("BroadcastNestedLoopJoin Inner BuildRight"))
-    assert(p.contains("WindowGroupLimit")) // rank<=k pushed below the window
+    // ranking is the O(k)-state aggregate — candidates must NOT flow
+    // through a window sort (|corpus|x|queries| rows materialized)
+    assert(!p.contains("WindowGroupLimit") && !p.contains(" Window "), p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    assert(p.contains("Aggregate"), "bounded top-k aggregate expected")
   }
 
   test("q11: global top-k plans as TakeOrderedAndProject, no global sort") {
