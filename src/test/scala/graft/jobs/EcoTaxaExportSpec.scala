@@ -1,0 +1,51 @@
+package graft.jobs
+
+import java.nio.file.Files
+import graft.SparkSpec
+
+/** EcoTaxa export: contract shape, metadata/feature mapping, per-class
+  * TSV layout with the format-code first row.
+  */
+class EcoTaxaExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def input = Seq(
+    ("D20230801T120000_IFCB134_00003.png", 3L, 57.5, 11.8, "20230801", "12:00:00",
+      "Dinophysis acuta, flagellate", "Dinophysis acuta, flagellate", 109604L,
+      "Mesodinium_rubrum", 231.0, 1523.5, 61.2),
+    ("D20230801T120000_IFCB134_00007.png", 7L, 57.5, 11.8, "20230801", "12:00:00",
+      "Mesodinium rubrum", "Mesodinium rubrum", 232069L,
+      "Mesodinium_rubrum", 180.0, 1100.0, 55.0)
+  ).toDF("image", "roi", "lat", "lon", "date", "time",
+    "subfolder", "class_clean", "aphia_id",
+    "sample_name", "Area", "Biovolume", "Perimeter")
+
+  test("project emits the full contract in reference order, nulls for unmapped") {
+    val out = EcoTaxaExport.project(input)
+    assert(out.columns.toSeq == EcoTaxaExport.contract)
+    assert(out.columns.length > 250, s"got ${out.columns.length}")
+    val r = out.collect().head
+    assert(r.getAs[String]("img_file_name") == "D20230801T120000_IFCB134_00003.png")
+    assert(r.getAs[String]("object_id") == "D20230801T120000_IFCB134_00003")
+    assert(r.getAs[String]("object_time") == "120000")
+    assert(r.getAs[Double]("object_area") == 231.0)
+    assert(r.getAs[String]("object_annotation_status") == "validated")
+    assert(r.getAs[String]("object_hog81") == null) // non-slim tail = null
+  }
+
+  test("write lays out one folder per truncated category with code row first") {
+    val dir = Files.createTempDirectory("ecotaxa").toString
+    EcoTaxaExport.write(input, dir)
+    val sub = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    // categories truncated at the first comma
+    assert(sub.toSeq == Seq(
+      "object_annotation_category=Dinophysis acuta",
+      "object_annotation_category=Mesodinium rubrum"))
+    val read = spark.read.option("sep", "\t").option("header", "true").csv(dir)
+    // 2 data rows + 2 code rows
+    assert(read.count() == 4)
+    val codeRows = read.filter($"object_link" === "[t]")
+    assert(codeRows.count() == 2)
+    assert(codeRows.select("object_area").as[String].collect().forall(_ == "[f]"))
+  }
+}
