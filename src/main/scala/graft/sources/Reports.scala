@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.DataFrame
+
+/** K5/K6 report and templated-text sinks (SURVEY.md §2.1).
+  *
+  * K5: the per-year QC flag summary the reference renders with
+  * `knitr::kable` (ifcb-data-pipeline.Rmd:686-699) — here an HTML table
+  * from an aggregated frame. The AGGREGATION runs distributed; only the
+  * few summary rows are collected for rendering, so this stays safe at
+  * any input scale.
+  *
+  * K6: the delivery-note text template (Rmd:1503-1519) — ordered
+  * key/value lines rendered from caller-supplied values (dates and
+  * contacts are parameters, never Sys calls, so runs are reproducible).
+  */
+object Reports {
+
+  /** K5: renders an already-aggregated summary frame as a minimal HTML
+    * table (header from column names). Collects only the summary rows.
+    */
+  def htmlSummary(summary: DataFrame, caption: String, maxRows: Int = 1000): String = {
+    val cols = summary.columns
+    val rows = summary.limit(maxRows).collect()
+    val sb = new StringBuilder
+    sb ++= "<table>\n"
+    sb ++= s"  <caption>${escape(caption)}</caption>\n"
+    sb ++= cols.map(c => s"<th>${escape(c)}</th>").mkString("  <tr>", "", "</tr>\n")
+    for (r <- rows) {
+      sb ++= cols.indices.map { i =>
+        val v = r.get(i)
+        s"<td>${escape(if (v == null) "" else v.toString)}</td>"
+      }.mkString("  <tr>", "", "</tr>\n")
+    }
+    sb ++= "</table>\n"
+    sb.toString
+  }
+
+  /** K5: flag summary report — the PSD Q-flag counts by descending
+    * frequency (Rmd:688-693), aggregated in Spark, rendered to HTML.
+    */
+  def flagSummaryHtml(flags: DataFrame, flagCol: String, caption: String): String = {
+    import org.apache.spark.sql.functions._
+    val summary = flags
+      .groupBy(col(flagCol).as("Q-flag"))
+      .agg(count(lit(1)).as("Number of samples"))
+      .orderBy(col("Number of samples").desc, col("Q-flag").asc)
+    htmlSummary(summary, caption)
+  }
+
+  /** K6: delivery-note template — ordered (key, value) lines in the
+    * reference's `key: value` format (Rmd:1503-1519); keys with empty
+    * values still emit the bare `key:` line (the reference's
+    * "kommentarer:" row).
+    */
+  def deliveryNote(entries: Seq[(String, String)]): String =
+    entries.map {
+      case (k, "") => s"$k:"
+      case (k, v)  => s"$k: $v"
+    }.mkString("", "\n", "\n")
+
+  /** Writes text to a file, creating parent directories. */
+  def writeText(path: String, content: String): Unit = {
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.writeString(p, content,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  private def escape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+}
