@@ -193,6 +193,36 @@ object Features {
     }.toDF()
   }
 
+  /** Like [[extract]] but also computing the extended feature tail
+    * ([[ExtendedFeatures]]: perimeter stats, symmetry, rotated box,
+    * invariant moments, texture, HOG) — the full EcoTaxa population.
+    * Same mapPartitions shape; ~3x the per-row CPU of the slim path.
+    */
+  def extractFull(images: Dataset[(Long, Array[Byte], Int, Int)]): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    val rows = images.mapPartitions { it =>
+      it.map { case (id, bytes, h, w) =>
+        val px = new Array[Int](h * w)
+        var k = 0
+        while (k < px.length) { px(k) = bytes(k) & 0xff; k += 1 }
+        val roi = Segmentation.Gray(h, w, px)
+        val mask = Segmentation.segmentRoi(roi)
+        val slim = compute(id, mask)
+        val ext =
+          if (findBlobs(mask).isEmpty) Map.empty[String, Double]
+          else ExtendedFeatures.compute(mask, roi)
+        (slim, ext)
+      }
+    }
+    import org.apache.spark.sql.functions.{col, element_at}
+    val base = rows.toDF("slim", "ext")
+    base.select(
+      (base.schema("slim").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.map(f => col(s"slim.$f").as(f)) ++
+        ExtendedFeatures.keys.map(k => element_at(col("ext"), k).as(k))): _*)
+  }
+
   /** Convenience: run [[extract]] over RoiSource-shaped frames. */
   def extractFrom(spark: SparkSession, df: DataFrame,
                   idCol: String, imgCol: String, hCol: String, wCol: String): DataFrame = {

@@ -162,7 +162,39 @@ object EcoTaxaExport {
       "object_area_over_perimeter_squared" -> src("Area_over_PerimeterSquared"),
       "object_area_over_perimeter" -> src("Area_over_Perimeter"),
       "object_summed_convex_perimeter_over_perimeter" -> src("summedConvexPerimeter_over_Perimeter"))
-    (meta ++ features).collect { case (k, Some(v)) => k -> v }
+    // extended tail (graft.features.ExtendedFeatures output names)
+    val extended: Map[String, Option[Column]] = Map(
+      "object_h180" -> src("h180"),
+      "object_h90" -> src("h90"),
+      "object_hflip" -> src("hflip"),
+      "object_h90_over_hflip" -> ((src("h90"), src("hflip")) match {
+        case (Some(a), Some(b)) => Some(a / b); case _ => None
+      }),
+      "object_h90_over_h180" -> ((src("h90"), src("h180")) match {
+        case (Some(a), Some(b)) => Some(a / b); case _ => None
+      }),
+      "object_hflip_over_h180" -> ((src("hflip"), src("h180")) match {
+        case (Some(a), Some(b)) => Some(a / b); case _ => None
+      }),
+      "object_rotated_area" -> src("rotated_area"),
+      "object_rotated_bounding_box_xwidth" -> src("rotated_bbox_xwidth"),
+      "object_rotated_bounding_box_ywidth" -> src("rotated_bbox_ywidth"),
+      "object_rotated_bounding_box_solidity" -> src("rotated_bbox_solidity"),
+      "object_shapehist_mean_norm_eq_d" -> src("perimeter_mean"),
+      "object_shapehist_median_norm_eq_d" -> src("perimeter_median"),
+      "object_shapehist_skewness_norm_eq_d" -> src("perimeter_skewness"),
+      "object_shapehist_kurtosis_norm_eq_d" -> src("perimeter_kurtosis"),
+      "object_texture_average_contrast" -> src("texture_average_contrast"),
+      "object_texture_average_gray_level" -> src("texture_average_gray_level"),
+      "object_texture_entropy" -> src("texture_entropy"),
+      "object_texture_smoothness" -> src("texture_smoothness"),
+      "object_texture_third_moment" -> src("texture_third_moment"),
+      "object_texture_uniformity" -> src("texture_uniformity")) ++
+      (1 to 7).map(i =>
+        s"object_moment_invariant$i" -> src(s"moment_invariant$i")).toMap ++
+      (1 to 81).map(i =>
+        f"object_hog$i%02d" -> src(f"hog$i%02d")).toMap
+    (meta ++ features ++ extended).collect { case (k, Some(v)) => k -> v }
   }
 
   /** Projects an input frame onto the full contract (unmapped → null). */

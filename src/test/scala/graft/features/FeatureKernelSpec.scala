@@ -100,6 +100,30 @@ class FeatureKernelSpec extends AnyFunSuite {
     }
   }
 
+  for ((name, fx) <- fixtures("features_ext")) {
+    test(s"extended feature parity vs reference kernel: $name") {
+      val base = (golden \ "features" \ name)
+      val mask = maskOf(base \ "mask")
+      val roi = grayOf(base \ "roi")
+      val got = ExtendedFeatures.compute(mask, roi)
+      val expected = (fx \ "expected").asInstanceOf[JObject].obj
+      for ((col, jv) <- expected) {
+        val want: Double = jv match {
+          case JNull      => Double.NaN
+          case JDouble(d) => d
+          case JInt(n)    => n.toDouble
+          case other      => fail(s"unexpected $other")
+        }
+        val have = got.getOrElse(col, fail(s"missing extended feature $col"))
+        if (want.isNaN) assert(have.isNaN, s"$col: expected NaN, got $have")
+        else {
+          val rel = math.abs(have - want) / math.max(math.abs(want), 1e-12)
+          assert(rel <= 1e-9, s"$col: got $have, want $want (rel $rel)")
+        }
+      }
+    }
+  }
+
   for ((name, fx) <- fixtures("segmentation")) {
     test(s"segmentation parity vs reference chain (stand-in edges): $name") {
       val roi = grayOf(fx \ "roi")

@@ -48,4 +48,19 @@ class EcoTaxaExportSpec extends SparkSpec {
     assert(codeRows.count() == 2)
     assert(codeRows.select("object_area").as[String].collect().forall(_ == "[f]"))
   }
+
+  test("extended feature columns populate when the input carries them") {
+    val withExt = input
+      .withColumn("h180", org.apache.spark.sql.functions.lit(1.5))
+      .withColumn("h90", org.apache.spark.sql.functions.lit(3.0))
+      .withColumn("texture_entropy", org.apache.spark.sql.functions.lit(4.2))
+      .withColumn("hog01", org.apache.spark.sql.functions.lit(0.07))
+    val out = EcoTaxaExport.project(withExt)
+    val r = out.collect().head
+    assert(r.getAs[Double]("object_h180") == 1.5)
+    assert(r.getAs[Double]("object_h90_over_h180") == 2.0)
+    assert(r.getAs[Double]("object_texture_entropy") == 4.2)
+    assert(r.getAs[Double]("object_hog01") == 0.07)
+    assert(r.getAs[String]("object_hog02") == null)
+  }
 }

@@ -193,6 +193,57 @@ def sh_pdist(pts):
     return np.array(out)
 
 
+class _KDTree:
+    """Brute-force stand-in for cKDTree: exact nearest distances."""
+
+    def __init__(self, pts):
+        self.pts = np.asarray(pts, dtype=np.float64)
+
+    def query(self, q, k=1):
+        q = np.asarray(q, dtype=np.float64)
+        d = np.sqrt(((q[:, None, :] - self.pts[None, :, :]) ** 2).sum(axis=2))
+        return d.min(axis=1), d.argmin(axis=1)
+
+
+def sh_skew(a):
+    a = np.asarray(a, dtype=np.float64)
+    m = a.mean()
+    m2 = ((a - m) ** 2).mean()
+    m3 = ((a - m) ** 3).mean()
+    return m3 / m2 ** 1.5
+
+
+def sh_kurtosis(a, fisher=True):
+    a = np.asarray(a, dtype=np.float64)
+    m = a.mean()
+    m2 = ((a - m) ** 2).mean()
+    m4 = ((a - m) ** 4).mean()
+    g = m4 / m2 ** 2
+    return g - 3.0 if fisher else g
+
+
+def sh_moment(a, k):
+    a = np.asarray(a, dtype=np.float64)
+    return ((a - a.mean()) ** k).mean()
+
+
+def sh_rescale_intensity(img, in_range):
+    lo, hi = in_range
+    img = np.asarray(img, dtype=np.float64)
+    out = (np.clip(img, lo, hi) - lo) / (hi - lo)
+    return out
+
+
+def sh_histogram(image, nbins=256):
+    """skimage.exposure.histogram for float input: np.histogram over the
+    data range."""
+    image = np.asarray(image, dtype=np.float64)
+    hist, edges = np.histogram(image, bins=nbins,
+                               range=(image.min(), image.max()))
+    centers = (edges[:-1] + edges[1:]) / 2
+    return hist, centers
+
+
 def _binary_dilate(img, selem):
     """skimage semantics: out-of-bounds = False for dilation."""
     img = np.asarray(img) != 0
@@ -296,13 +347,13 @@ def install_shims():
     scipy.ndimage = ndimage
 
     spatial = _mod("scipy.spatial", ConvexHull=_Hull, QhullError=QhullError,
-                   cKDTree=_unused)
+                   cKDTree=_KDTree)
     _mod("scipy.spatial.distance", pdist=sh_pdist, cdist=_unused)
     spatial.distance = sys.modules["scipy.spatial.distance"]
     scipy.spatial = spatial
 
-    stats = _mod("scipy.stats", skew=_unused, kurtosis=_unused,
-                 moment=_unused)
+    stats = _mod("scipy.stats", skew=sh_skew, kurtosis=sh_kurtosis,
+                 moment=sh_moment)
     scipy.stats = stats
 
     skimage = _mod("skimage", img_as_float=lambda x: np.asarray(
@@ -315,7 +366,8 @@ def install_shims():
     _mod("skimage.measure", label=sh_sk_label, regionprops=sh_regionprops)
     _mod("skimage.draw", polygon=_unused, line=_unused)
     _mod("skimage.filters")
-    _mod("skimage.exposure", rescale_intensity=_unused, histogram=_unused)
+    _mod("skimage.exposure", rescale_intensity=sh_rescale_intensity,
+         histogram=sh_histogram)
     _mod("skimage.feature")
     for sub in ["morphology", "measure", "draw", "filters", "exposure",
                 "feature"]:
@@ -421,14 +473,50 @@ def roi_for(mask, seed):
 
 # --------------------------------------------------------------- main
 
+def extended_features(RoiFeatures, roi, mask):
+    """Non-slim feature tail (perimeter stats, symmetry, rotated box,
+    invariant moments, texture, HOG) via the reference accessors.
+    """
+    r = RoiFeatures(roi, blobs_image=mask)
+    b = r.blobs[0]
+    # parity precondition: subsample_dist sorts by a possibly-colliding
+    # key with a non-stable sort — fixtures must keep keys unique
+    pts = np.vstack(b.perimeter_points).T
+    keys = (pts * [pts[:, 1].max(), 1]).sum(axis=1)
+    assert len(set(keys.tolist())) == len(keys), "perimeter sort-key collision"
+    out = {
+        "perimeter_mean": b.perimeter_mean,
+        "perimeter_median": b.perimeter_median,
+        "perimeter_skewness": b.perimeter_skewness,
+        "perimeter_kurtosis": b.perimeter_kurtosis,
+        "h180": b.h180, "h90": b.h90, "hflip": b.hflip,
+        "b180": b.b180, "b90": b.b90, "bflip": b.bflip,
+        "rotated_area": float(b.rotated_area),
+        "rotated_bbox_xwidth": float(b.rotated_bbox_xwidth),
+        "rotated_bbox_ywidth": float(b.rotated_bbox_ywidth),
+        "rotated_bbox_solidity": b.rotated_bbox_solidity,
+    }
+    for i, v in enumerate(r.invmoments):
+        out[f"moment_invariant{i + 1}"] = float(v)
+    tx = r.texture_stats
+    for k, v in zip(["texture_average_gray_level", "texture_average_contrast",
+                     "texture_smoothness", "texture_third_moment",
+                     "texture_uniformity", "texture_entropy"], tx):
+        out[k] = float(v)
+    for i, v in enumerate(r.hog):
+        out[f"hog{i + 1:02d}"] = float(v)
+    return {k: (None if isinstance(v, float) and math.isnan(v) else float(v))
+            for k, v in out.items()}
+
+
 def main():
     install_shims()
     sys.path.insert(0, REF)
-    from ifcb_features.all import compute_features  # noqa: E402
+    from ifcb_features.all import compute_features, RoiFeatures  # noqa: E402
     import ifcb_features.segmentation as seg  # noqa: E402
     seg.phasecong_Mm = sobel_edges  # inject the documented stand-in
 
-    golden = {"features": {}, "segmentation": {}}
+    golden = {"features": {}, "segmentation": {}, "features_ext": {}}
     for name, mask in fixtures().items():
         seg_only = name.endswith("@seg_only")
         name = name.removesuffix("@seg_only")
@@ -442,6 +530,9 @@ def main():
                 "expected": {k: (None if isinstance(v, float) and
                                  math.isnan(v) else float(v))
                              for k, v in feats},
+            }
+            golden["features_ext"][name] = {
+                "expected": extended_features(RoiFeatures, roi, mask),
             }
         # end-to-end segmentation golden (stand-in edges)
         seg_mask = seg.segment_roi(roi)
