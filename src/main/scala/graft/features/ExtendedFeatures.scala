@@ -317,7 +317,10 @@ object ExtendedFeatures {
       "texture_smoothness", "texture_third_moment", "texture_uniformity",
       "texture_entropy") ++
       (1 to 7).map(i => s"moment_invariant$i") ++
-      (1 to 81).map(i => f"hog$i%02d")
+      (1 to 81).map(i => f"hog$i%02d") ++
+      Seq("rw_power_integral", "rw_power_ratio") ++
+      (1 to 50).map(i => f"ring$i%02d") ++
+      (1 to 48).map(i => f"wedge$i%02d")
 
   /** All extended features for one (mask, roi) pair: blob-level stats of
     * the largest blob + roi-level invariant moments / texture / HOG.
@@ -341,6 +344,7 @@ object ExtendedFeatures {
     val phis = invMoments(mask)
     val (tMean, tStd, tSmooth, tThird, tUnif, tEnt) = statxture(texturePixels(roi, mask))
     val hogV = hog(roi)
+    val (rwIntegral, rwRatio, wedges, rings) = RingWedge.ringWedge(mask)
     Map(
       "perimeter_mean" -> pm, "perimeter_median" -> pmed,
       "perimeter_skewness" -> pskew, "perimeter_kurtosis" -> pkurt,
@@ -357,6 +361,9 @@ object ExtendedFeatures {
       "texture_uniformity" -> tUnif,
       "texture_entropy" -> tEnt) ++
       phis.zipWithIndex.map { case (v, i) => s"moment_invariant${i + 1}" -> v } ++
-      hogV.zipWithIndex.map { case (v, i) => f"hog${i + 1}%02d" -> v }
+      hogV.zipWithIndex.map { case (v, i) => f"hog${i + 1}%02d" -> v } ++
+      Map("rw_power_integral" -> rwIntegral, "rw_power_ratio" -> rwRatio) ++
+      rings.zipWithIndex.map { case (v, i) => f"ring${i + 1}%02d" -> v } ++
+      wedges.zipWithIndex.map { case (v, i) => f"wedge${i + 1}%02d" -> v }
   }
 }

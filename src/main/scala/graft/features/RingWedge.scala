@@ -1,0 +1,270 @@
+package graft.features
+
+/** Ring/wedge power-spectrum features (reference:
+  * `ifcb-features/ifcb_features/ringwedge.py`, MATLAB original by
+  * Kaccie Li 2005): the 2-D power spectrum of the blob mask, endpoint-
+  * aligned-bilinear resampled to 301x301, integrated over 50 concentric
+  * ring masks and 48 bottom-half wedge masks, normalized by the wedge
+  * power integral.
+  *
+  * The FFT is an exact DFT via the Bluestein chirp-z transform (any
+  * image size), matching numpy's unnormalized forward convention to
+  * ~1e-12 relative. The `scipy.ndimage.zoom(order=1, mode='nearest')`
+  * resample is mirrored as endpoint-aligned bilinear interpolation —
+  * identical math in the golden generator's shim.
+  */
+object RingWedge {
+
+  val Dim = 301
+  val NRings = 50
+  val NWedges = 48
+
+  // --- exact DFT (Bluestein) ----------------------------------------------
+
+  /** In-place radix-2 complex FFT; n must be a power of two. */
+  private def fftPow2(re: Array[Double], im: Array[Double], inverse: Boolean): Unit = {
+    val n = re.length
+    // bit reversal
+    var j = 0
+    for (i <- 0 until n - 1) {
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      var m = n >> 1
+      while (m >= 1 && j >= m) { j -= m; m >>= 1 }
+      j += m
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = (if (inverse) 2.0 else -2.0) * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var i = 0
+      while (i < n) {
+        var cwr = 1.0; var cwi = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(i + k); val ui = im(i + k)
+          val vr = re(i + k + len / 2) * cwr - im(i + k + len / 2) * cwi
+          val vi = re(i + k + len / 2) * cwi + im(i + k + len / 2) * cwr
+          re(i + k) = ur + vr; im(i + k) = ui + vi
+          re(i + k + len / 2) = ur - vr; im(i + k + len / 2) = ui - vi
+          val nwr = cwr * wr - cwi * wi
+          cwi = cwr * wi + cwi * wr
+          cwr = nwr
+          k += 1
+        }
+        i += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Arbitrary-length forward DFT (numpy convention, unnormalized). */
+  def dft(re: Array[Double], im: Array[Double]): (Array[Double], Array[Double]) = {
+    val n = re.length
+    if (n == 1) return (re.clone(), im.clone())
+    if ((n & (n - 1)) == 0) {
+      val r = re.clone(); val i = im.clone()
+      fftPow2(r, i, inverse = false)
+      return (r, i)
+    }
+    // Bluestein: x_k · w_k convolved with the conjugate chirp
+    var m = 1
+    while (m < 2 * n - 1) m <<= 1
+    val ar = new Array[Double](m); val ai = new Array[Double](m)
+    val br = new Array[Double](m); val bi = new Array[Double](m)
+    val wr = new Array[Double](n); val wi = new Array[Double](n)
+    for (k <- 0 until n) {
+      // angle from k² mod 2n to keep the chirp argument small and exact
+      val a = math.Pi * ((k.toLong * k) % (2L * n)).toDouble / n
+      wr(k) = math.cos(a); wi(k) = -math.sin(a)
+      ar(k) = re(k) * wr(k) - im(k) * wi(k)
+      ai(k) = re(k) * wi(k) + im(k) * wr(k)
+      br(k) = wr(k); bi(k) = -wi(k)
+      if (k > 0) { br(m - k) = wr(k); bi(m - k) = -wi(k) }
+    }
+    fftPow2(ar, ai, inverse = false)
+    fftPow2(br, bi, inverse = false)
+    for (k <- 0 until m) {
+      val r = ar(k) * br(k) - ai(k) * bi(k)
+      ai(k) = ar(k) * bi(k) + ai(k) * br(k)
+      ar(k) = r
+    }
+    fftPow2(ar, ai, inverse = true)
+    val outR = new Array[Double](n); val outI = new Array[Double](n)
+    for (k <- 0 until n) {
+      // scale the inverse FFT and apply the final chirp
+      val cr = ar(k) / m; val ci = ai(k) / m
+      outR(k) = cr * wr(k) - ci * wi(k)
+      outI(k) = cr * wi(k) + ci * wr(k)
+    }
+    (outR, outI)
+  }
+
+  /** 2-D forward DFT of a real matrix (rows then columns). */
+  def fft2(x: Array[Double], h: Int, w: Int): (Array[Double], Array[Double]) = {
+    val re = x.clone()
+    val im = new Array[Double](h * w)
+    // rows
+    for (i <- 0 until h) {
+      val (rr, ri) = dft(
+        Array.tabulate(w)(j => re(i * w + j)),
+        Array.tabulate(w)(j => im(i * w + j)))
+      for (j <- 0 until w) { re(i * w + j) = rr(j); im(i * w + j) = ri(j) }
+    }
+    // columns
+    for (j <- 0 until w) {
+      val (cr, ci) = dft(
+        Array.tabulate(h)(i => re(i * w + j)),
+        Array.tabulate(h)(i => im(i * w + j)))
+      for (i <- 0 until h) { re(i * w + j) = cr(i); im(i * w + j) = ci(i) }
+    }
+    (re, im)
+  }
+
+  /** numpy `fftshift`: roll each axis by n/2. */
+  def fftshift(x: Array[Double], h: Int, w: Int): Array[Double] = {
+    val out = new Array[Double](h * w)
+    for (i <- 0 until h; j <- 0 until w)
+      out(((i + h / 2) % h) * w + ((j + w / 2) % w)) = x(i * w + j)
+    out
+  }
+
+  /** Endpoint-aligned bilinear resize (the golden generator's zoom
+    * semantics: out endpoint = in endpoint).
+    */
+  def bilinearZoom(img: Array[Double], ih: Int, iw: Int, oh: Int, ow: Int): Array[Double] = {
+    val out = new Array[Double](oh * ow)
+    val ry = if (oh > 1) (ih - 1).toDouble / (oh - 1) else 0.0
+    val rx = if (ow > 1) (iw - 1).toDouble / (ow - 1) else 0.0
+    for (i <- 0 until oh) {
+      val y = i * ry
+      val y0 = y.toInt
+      val y1 = math.min(y0 + 1, ih - 1)
+      val fy = y - y0
+      for (j <- 0 until ow) {
+        val x = j * rx
+        val x0 = x.toInt
+        val x1 = math.min(x0 + 1, iw - 1)
+        val fx = x - x0
+        out(i * ow + j) =
+          img(y0 * iw + x0) * (1 - fy) * (1 - fx) +
+            img(y0 * iw + x1) * (1 - fy) * fx +
+            img(y1 * iw + x0) * fy * (1 - fx) +
+            img(y1 * iw + x1) * fy * fx
+      }
+    }
+    out
+  }
+
+  // --- masks (ringwedge.py:20-76), computed once per JVM -------------------
+
+  /** numpy `linspace` bit-exact: value = start + k·step with
+    * step = (stop-start)/(num-1) rounded once, endpoint forced — mask
+    * boundaries (th == 3π/4 on the anti-diagonal) depend on these bits.
+    */
+  private def linspace(start: Double, stop: Double, num: Int): Array[Double] = {
+    val step = (stop - start) / (num - 1)
+    val out = Array.tabulate(num)(k => start + k * step)
+    out(num - 1) = stop
+    out
+  }
+
+  private lazy val unitCircle: (Array[Double], Array[Double]) = {
+    val i0 = linspace(-1.0, 1.0, Dim)
+    val r = new Array[Double](Dim * Dim)
+    val th = new Array[Double](Dim * Dim)
+    for (i <- 0 until Dim; j <- 0 until Dim) {
+      val x = i0(j); val y = i0(i)
+      r(i * Dim + j) = math.sqrt(x * x + y * y)
+      th(i * Dim + j) = math.atan2(y, x)
+    }
+    (r, th)
+  }
+
+  private lazy val ringMasks: Array[Array[Boolean]] = {
+    val c = Dim / 2
+    val df = (1.0 / Dim) * (1.0 / 6.45)
+    // f = linspace(-0.5/6.45, 0.5/6.45, Dim+1)[:Dim]
+    val f = linspace(-0.5 / 6.45, 0.5 / 6.45, Dim + 1).take(Dim)
+    Array.tabulate(NRings) { ri =>
+      val inner = (ri / (NRings - 1.0)) * (c - 3) * df
+      val outer = inner + 3 * df
+      val m = new Array[Boolean](Dim * Dim)
+      for (i <- 0 until Dim; j <- 0 until Dim) {
+        val x = f(j); val y = f(i)
+        val r = math.sqrt(x * x + y * y)
+        m(i * Dim + j) = r > inner && r < outer
+      }
+      m
+    }
+  }
+
+  private lazy val wedgeMasks: Array[Array[Boolean]] = {
+    val (r, th) = unitCircle
+    Array.tabulate(NWedges) { wi =>
+      val lo = wi * math.Pi / NWedges
+      val hi = (wi + 1) * math.Pi / NWedges
+      val m = new Array[Boolean](Dim * Dim)
+      for (k <- 0 until Dim * Dim)
+        m(k) = r(k) <= 1 && th(k) > lo && th(k) <= hi
+      // correct the vertical-strip error on the middle wedge
+      if (wi == NWedges / 2 - 1)
+        for (k <- 0 until Dim * Dim)
+          if (th(k) == math.Pi / 2) m(k) = !m(k)
+      m
+    }
+  }
+
+  private lazy val centerMask: Array[Boolean] = {
+    val df = (1.0 / (Dim - 1)) / 6.45
+    val i0 = linspace(-0.5 / 6.45, 0.5 / 6.45, Dim)
+    val m = new Array[Boolean](Dim * Dim)
+    for (i <- 0 until Dim; j <- 0 until Dim) {
+      val x = i0(i); val y = i0(j)
+      m(i * Dim + j) = math.sqrt(x * x + y * y) <= 15 * df
+    }
+    m
+  }
+
+  /** (power integral, center/total power ratio, 48 wedges, 50 rings) —
+    * `ring_wedge` (ringwedge.py:78-109) over the blob mask.
+    */
+  def ringWedge(mask: Mask): (Double, Double, Array[Double], Array[Double]) = {
+    val h = mask.h; val w = mask.w
+    val img = Array.tabulate(h * w)(k => if (mask.data(k)) 1.0 else 0.0)
+    val (fr, fi) = fft2(img, h, w)
+    val power = Array.tabulate(h * w)(k => fr(k) * fr(k) + fi(k) * fi(k))
+    val shifted = fftshift(power, h, w)
+    val it = bilinearZoom(shifted, h, w, Dim, Dim)
+    var innerInt = 0.0; var totalInt = 0.0
+    for (k <- 0 until Dim * Dim) {
+      totalInt += it(k)
+      if (centerMask(k)) innerInt += it(k)
+    }
+    val pwrRatio = innerInt / totalInt
+    // bottom half: rows Dim/2+1 .. Dim-1
+    val halfStart = (Dim / 2 + 1) * Dim
+    val wedgeVec = new Array[Double](NWedges)
+    val ringVec = new Array[Double](NRings)
+    for (k <- halfStart until Dim * Dim) {
+      val v = it(k)
+      if (!centerMask(k)) {
+        var wi = 0
+        while (wi < NWedges) {
+          if (wedgeMasks(wi)(k)) wedgeVec(wi) += v
+          wi += 1
+        }
+      }
+      var ri = 0
+      while (ri < NRings) {
+        if (ringMasks(ri)(k)) ringVec(ri) += v
+        ri += 1
+      }
+    }
+    val pwrIntegral = wedgeVec.sum
+    (pwrIntegral, pwrRatio,
+      wedgeVec.map(_ / pwrIntegral), ringVec.map(_ / pwrIntegral))
+  }
+}

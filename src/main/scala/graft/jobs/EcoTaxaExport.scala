@@ -193,7 +193,12 @@ object EcoTaxaExport {
       (1 to 7).map(i =>
         s"object_moment_invariant$i" -> src(s"moment_invariant$i")).toMap ++
       (1 to 81).map(i =>
-        f"object_hog$i%02d" -> src(f"hog$i%02d")).toMap
+        f"object_hog$i%02d" -> src(f"hog$i%02d")).toMap ++
+      Map(
+        "object_r_wcenter2total_powerratio" -> src("rw_power_ratio"),
+        "object_r_whalfpowerintegral" -> src("rw_power_integral")) ++
+      (1 to 50).map(i => f"object_ring$i%02d" -> src(f"ring$i%02d")).toMap ++
+      (1 to 48).map(i => f"object_wedge$i%02d" -> src(f"wedge$i%02d")).toMap
     (meta ++ features ++ extended).collect { case (k, Some(v)) => k -> v }
   }
 

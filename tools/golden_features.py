@@ -127,6 +127,36 @@ def sh_distance_transform_edt(img):
     return np.sqrt(d2.astype(np.float64)).reshape(h, w)
 
 
+def sh_zoom(img, z, order=1, mode="nearest"):
+    """scipy.ndimage.zoom subset: order-1 (bilinear), grid_mode=False
+    endpoint-aligned mapping (out endpoint = in endpoint), 2D only.
+    Mirrored exactly by graft.features.RingWedge.bilinearZoom.
+    """
+    assert order == 1
+    img = np.asarray(img, dtype=np.float64)
+    ih, iw = img.shape
+    oh = int(round(ih * z[0]))
+    ow = int(round(iw * z[1]))
+    out = np.zeros((oh, ow))
+    ry = (ih - 1) / (oh - 1) if oh > 1 else 0.0
+    rx = (iw - 1) / (ow - 1) if ow > 1 else 0.0
+    for i in range(oh):
+        y = i * ry
+        y0 = int(np.floor(y))
+        y1 = min(y0 + 1, ih - 1)
+        fy = y - y0
+        for j in range(ow):
+            x = j * rx
+            x0 = int(np.floor(x))
+            x1 = min(x0 + 1, iw - 1)
+            fx = x - x0
+            out[i, j] = (img[y0, x0] * (1 - fy) * (1 - fx) +
+                         img[y0, x1] * (1 - fy) * fx +
+                         img[y1, x0] * fy * (1 - fx) +
+                         img[y1, x1] * fy * fx)
+    return out
+
+
 def sh_binary_fill_holes(img, structure=None):
     """Flood background 4-connected from border; unreached bg = holes."""
     img = np.asarray(img) != 0
@@ -338,7 +368,7 @@ def install_shims():
                    label=sh_label, find_objects=sh_find_objects,
                    distance_transform_edt=sh_distance_transform_edt,
                    binary_fill_holes=sh_binary_fill_holes,
-                   zoom=_unused)
+                   zoom=sh_zoom)
     _mod("scipy.ndimage.morphology", binary_fill_holes=sh_binary_fill_holes)
     meas = _mod("scipy.ndimage.measurements",
                 label=sh_label, find_objects=sh_find_objects)
@@ -505,6 +535,13 @@ def extended_features(RoiFeatures, roi, mask):
         out[k] = float(v)
     for i, v in enumerate(r.hog):
         out[f"hog{i + 1:02d}"] = float(v)
+    pwr_integral, pwr_ratio, wedges, rings = r.ring_wedge
+    out["rw_power_integral"] = float(pwr_integral)
+    out["rw_power_ratio"] = float(pwr_ratio)
+    for i, v in enumerate(rings):
+        out[f"ring{i + 1:02d}"] = float(v)
+    for i, v in enumerate(wedges):
+        out[f"wedge{i + 1:02d}"] = float(v)
     return {k: (None if isinstance(v, float) and math.isnan(v) else float(v))
             for k, v in out.items()}
 
