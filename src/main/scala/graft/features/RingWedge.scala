@@ -19,117 +19,12 @@ object RingWedge {
   val NRings = 50
   val NWedges = 48
 
-  // --- exact DFT (Bluestein) ----------------------------------------------
+  // DFT kernels live in [[Fft]] (shared with PhaseCongruency)
+  def fft2(x: Array[Double], h: Int, w: Int): (Array[Double], Array[Double]) =
+    Fft.fft2(x, h, w)
 
-  /** In-place radix-2 complex FFT; n must be a power of two. */
-  private def fftPow2(re: Array[Double], im: Array[Double], inverse: Boolean): Unit = {
-    val n = re.length
-    // bit reversal
-    var j = 0
-    for (i <- 0 until n - 1) {
-      if (i < j) {
-        val tr = re(i); re(i) = re(j); re(j) = tr
-        val ti = im(i); im(i) = im(j); im(j) = ti
-      }
-      var m = n >> 1
-      while (m >= 1 && j >= m) { j -= m; m >>= 1 }
-      j += m
-    }
-    var len = 2
-    while (len <= n) {
-      val ang = (if (inverse) 2.0 else -2.0) * math.Pi / len
-      val wr = math.cos(ang); val wi = math.sin(ang)
-      var i = 0
-      while (i < n) {
-        var cwr = 1.0; var cwi = 0.0
-        var k = 0
-        while (k < len / 2) {
-          val ur = re(i + k); val ui = im(i + k)
-          val vr = re(i + k + len / 2) * cwr - im(i + k + len / 2) * cwi
-          val vi = re(i + k + len / 2) * cwi + im(i + k + len / 2) * cwr
-          re(i + k) = ur + vr; im(i + k) = ui + vi
-          re(i + k + len / 2) = ur - vr; im(i + k + len / 2) = ui - vi
-          val nwr = cwr * wr - cwi * wi
-          cwi = cwr * wi + cwi * wr
-          cwr = nwr
-          k += 1
-        }
-        i += len
-      }
-      len <<= 1
-    }
-  }
-
-  /** Arbitrary-length forward DFT (numpy convention, unnormalized). */
-  def dft(re: Array[Double], im: Array[Double]): (Array[Double], Array[Double]) = {
-    val n = re.length
-    if (n == 1) return (re.clone(), im.clone())
-    if ((n & (n - 1)) == 0) {
-      val r = re.clone(); val i = im.clone()
-      fftPow2(r, i, inverse = false)
-      return (r, i)
-    }
-    // Bluestein: x_k · w_k convolved with the conjugate chirp
-    var m = 1
-    while (m < 2 * n - 1) m <<= 1
-    val ar = new Array[Double](m); val ai = new Array[Double](m)
-    val br = new Array[Double](m); val bi = new Array[Double](m)
-    val wr = new Array[Double](n); val wi = new Array[Double](n)
-    for (k <- 0 until n) {
-      // angle from k² mod 2n to keep the chirp argument small and exact
-      val a = math.Pi * ((k.toLong * k) % (2L * n)).toDouble / n
-      wr(k) = math.cos(a); wi(k) = -math.sin(a)
-      ar(k) = re(k) * wr(k) - im(k) * wi(k)
-      ai(k) = re(k) * wi(k) + im(k) * wr(k)
-      br(k) = wr(k); bi(k) = -wi(k)
-      if (k > 0) { br(m - k) = wr(k); bi(m - k) = -wi(k) }
-    }
-    fftPow2(ar, ai, inverse = false)
-    fftPow2(br, bi, inverse = false)
-    for (k <- 0 until m) {
-      val r = ar(k) * br(k) - ai(k) * bi(k)
-      ai(k) = ar(k) * bi(k) + ai(k) * br(k)
-      ar(k) = r
-    }
-    fftPow2(ar, ai, inverse = true)
-    val outR = new Array[Double](n); val outI = new Array[Double](n)
-    for (k <- 0 until n) {
-      // scale the inverse FFT and apply the final chirp
-      val cr = ar(k) / m; val ci = ai(k) / m
-      outR(k) = cr * wr(k) - ci * wi(k)
-      outI(k) = cr * wi(k) + ci * wr(k)
-    }
-    (outR, outI)
-  }
-
-  /** 2-D forward DFT of a real matrix (rows then columns). */
-  def fft2(x: Array[Double], h: Int, w: Int): (Array[Double], Array[Double]) = {
-    val re = x.clone()
-    val im = new Array[Double](h * w)
-    // rows
-    for (i <- 0 until h) {
-      val (rr, ri) = dft(
-        Array.tabulate(w)(j => re(i * w + j)),
-        Array.tabulate(w)(j => im(i * w + j)))
-      for (j <- 0 until w) { re(i * w + j) = rr(j); im(i * w + j) = ri(j) }
-    }
-    // columns
-    for (j <- 0 until w) {
-      val (cr, ci) = dft(
-        Array.tabulate(h)(i => re(i * w + j)),
-        Array.tabulate(h)(i => im(i * w + j)))
-      for (i <- 0 until h) { re(i * w + j) = cr(i); im(i * w + j) = ci(i) }
-    }
-    (re, im)
-  }
-
-  /** numpy `fftshift`: roll each axis by n/2. */
-  def fftshift(x: Array[Double], h: Int, w: Int): Array[Double] = {
-    val out = new Array[Double](h * w)
-    for (i <- 0 until h; j <- 0 until w)
-      out(((i + h / 2) % h) * w + ((j + w / 2) % w)) = x(i * w + j)
-    out
-  }
+  def fftshift(x: Array[Double], h: Int, w: Int): Array[Double] =
+    Fft.fftshift(x, h, w)
 
   /** Endpoint-aligned bilinear resize (the golden generator's zoom
     * semantics: out endpoint = in endpoint).

@@ -7,13 +7,13 @@ package graft.features
   * blob-min filtering.
   *
   * Edge detection: the reference uses phase congruency
-  * (phasecong.py:41-60, via the external phasepack FFT library). That
-  * dependency is NOT ported; [[sobelEdges]] is a clearly-documented
-  * stand-in (normalized Sobel gradient magnitude) used identically by the
-  * golden generator (tools/golden_features.py), so parity of every later
-  * stage is still exact. A faithful phase-congruency detector can be
-  * plugged in via the `edges` parameter of [[segmentRoi]] without
-  * touching the rest of the chain.
+  * (phasecong.py:41-60, via the external phasepack FFT library). The
+  * default detector is [[PhaseCongruency.edges]] — Kovesi's published
+  * log-Gabor algorithm with the reference's parameters, golden-tested
+  * against an independent numpy transcription (see PhaseCongruency's
+  * provenance note). [[sobelEdges]] remains as a cheap alternative;
+  * any detector plugs in via the `edges` parameter of [[segmentRoi]]
+  * without touching the rest of the chain, whose parity is exact.
   */
 object Segmentation {
 
@@ -336,10 +336,10 @@ object Segmentation {
     out
   }
 
-  /** Full chain (`segment_roi`, segmentation.py:156-186). `edges` defaults
-    * to [[sobelEdges]] (phase-congruency stand-in, see object docs).
+  /** Full chain (`segment_roi`, segmentation.py:156-186). `edges`
+    * defaults to phase congruency like the reference (see object docs).
     */
-  def segmentRoi(roi: Gray, edges: Gray => Array[Double] = sobelEdges): Mask = {
+  def segmentRoi(roi: Gray, edges: Gray => Array[Double] = PhaseCongruency.edges): Mask = {
     val h = roi.h; val w = roi.w
     var b = hysthresh(edges(roi), h, w, HtT1, HtT2)
     // trim pixels off the border (segmentation.py:167-170), in order:

@@ -125,13 +125,42 @@ class FeatureKernelSpec extends AnyFunSuite {
   }
 
   for ((name, fx) <- fixtures("segmentation")) {
-    test(s"segmentation parity vs reference chain (stand-in edges): $name") {
+    test(s"segmentation parity vs reference chain (Sobel edges): $name") {
       val roi = grayOf(fx \ "roi")
+      val want = (fx \ "mask").asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s)
+      val got = Segmentation.segmentRoi(roi, Segmentation.sobelEdges)
+      val gotRows = (0 until got.h).map(i =>
+        (0 until got.w).map(j => if (got(i, j)) '1' else '0').mkString)
+      assert(gotRows == want, s"segmentation mask mismatch for $name")
+    }
+  }
+
+  for ((name, fx) <- fixtures("phasecong")) {
+    test(s"phase congruency M+m parity vs numpy transcription: $name") {
+      val roi = grayOf((golden \ "segmentation" \ name) \ "roi")
+      val want = (fx \ "mm").asInstanceOf[JArray].arr.map(
+        _.asInstanceOf[JArray].arr.map {
+          case JDouble(d) => d
+          case JInt(n)    => n.toDouble
+          case other      => fail(s"unexpected $other")
+        })
+      val got = PhaseCongruency.edges(roi)
+      for (i <- 0 until roi.h; j <- 0 until roi.w) {
+        val g = got(i * roi.w + j); val e = want(i)(j)
+        assert(math.abs(g - e) <= 1e-9 * math.max(math.abs(e), 1.0),
+          s"($i,$j): got $g want $e")
+      }
+    }
+  }
+
+  for ((name, fx) <- fixtures("segmentation_pc")) {
+    test(s"segmentation parity with phase-congruency edges (default): $name") {
+      val roi = grayOf((golden \ "segmentation" \ name) \ "roi")
       val want = (fx \ "mask").asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s)
       val got = Segmentation.segmentRoi(roi)
       val gotRows = (0 until got.h).map(i =>
         (0 until got.w).map(j => if (got(i, j)) '1' else '0').mkString)
-      assert(gotRows == want, s"segmentation mask mismatch for $name")
+      assert(gotRows == want, s"pc segmentation mask mismatch for $name")
     }
   }
 }

@@ -405,6 +405,94 @@ def install_shims():
     _mod("phasepack", phasecong=_unused)
 
 
+# ------------------------------------------- phase congruency (numpy mirror)
+
+def phasecong_Mm_numpy(roi):
+    """Kovesi's published phase-congruency algorithm (phasecong3 /
+    phasepack covariance path) with the IFCB parameters — an independent
+    numpy transcription used to golden-test the Scala port
+    (graft.features.PhaseCongruency). NOT phasepack itself (unavailable
+    offline); both sides implement the same public description.
+    Returns M + m.
+    """
+    nscale, norient = 4, 6
+    min_wl, mult, sigma_onf = 2.0, 2.5, 0.55
+    k_sd, cut_off, g = 2.0, 0.3, 5.0
+    eps = 1e-4
+    img = np.asarray(roi, dtype=np.float64)
+    h, w = img.shape
+    IM = np.fft.fft2(img)
+
+    if w % 2 == 1:
+        xr = (np.arange(w) - (w - 1) // 2) / float(w - 1)
+    else:
+        xr = (np.arange(w) - w // 2) / float(w)
+    if h % 2 == 1:
+        yr = (np.arange(h) - (h - 1) // 2) / float(h - 1)
+    else:
+        yr = (np.arange(h) - h // 2) / float(h)
+    x, y = np.meshgrid(xr, yr)
+    radius = np.fft.ifftshift(np.sqrt(x ** 2 + y ** 2))
+    theta = np.fft.ifftshift(np.arctan2(-y, x))
+    radius[0, 0] = 1.0
+    sintheta, costheta = np.sin(theta), np.cos(theta)
+    lp = 1.0 / (1.0 + (radius / 0.45) ** 30)
+    log_gabor = []
+    for s in range(nscale):
+        fo = 1.0 / (min_wl * mult ** s)
+        gab = np.exp(-(np.log(radius / fo)) ** 2 /
+                     (2 * np.log(sigma_onf) ** 2)) * lp
+        gab[0, 0] = 0.0
+        log_gabor.append(gab)
+
+    covx2 = np.zeros((h, w)); covy2 = np.zeros((h, w)); covxy = np.zeros((h, w))
+    for o in range(norient):
+        angl = o * np.pi / norient
+        ds = sintheta * np.cos(angl) - costheta * np.sin(angl)
+        dc = costheta * np.cos(angl) + sintheta * np.sin(angl)
+        dtheta = np.minimum(np.abs(np.arctan2(ds, dc)) * norient / 2.0, np.pi)
+        spread = (np.cos(dtheta) + 1.0) / 2.0
+        sumE = np.zeros((h, w)); sumO = np.zeros((h, w))
+        sumAn = np.zeros((h, w)); maxAn = np.zeros((h, w))
+        EO = []
+        tau = 0.0
+        for s in range(nscale):
+            eo = np.fft.ifft2(IM * log_gabor[s] * spread)
+            EO.append(eo)
+            an = np.abs(eo)
+            sumAn += an
+            sumE += np.real(eo)
+            sumO += np.imag(eo)
+            if s == 0:
+                tau = np.median(an) / np.sqrt(np.log(4.0))
+                maxAn = an.copy()
+            else:
+                maxAn = np.maximum(maxAn, an)
+        xe = np.sqrt(sumE ** 2 + sumO ** 2) + eps
+        meanE, meanO = sumE / xe, sumO / xe
+        energy = np.zeros((h, w))
+        for s in range(nscale):
+            e, oo = np.real(EO[s]), np.imag(EO[s])
+            energy += e * meanE + oo * meanO - np.abs(e * meanO - oo * meanE)
+        total_tau = tau * (1.0 - (1.0 / mult) ** nscale) / (1.0 - 1.0 / mult)
+        noise_mean = total_tau * np.sqrt(np.pi / 2.0)
+        noise_sigma = total_tau * np.sqrt((4.0 - np.pi) / 2.0)
+        energy = np.maximum(energy - (noise_mean + k_sd * noise_sigma), 0.0)
+        width = (sumAn / (maxAn + eps) - 1.0) / (nscale - 1)
+        weight = 1.0 / (1.0 + np.exp(g * (cut_off - width)))
+        pc = weight * energy / sumAn
+        covx = pc * np.cos(angl); covy = pc * np.sin(angl)
+        covx2 += covx ** 2; covy2 += covy ** 2; covxy += covx * covy
+
+    covx2 /= norient / 2.0
+    covy2 /= norient / 2.0
+    covxy *= 4.0 / norient
+    denom = np.sqrt(covxy ** 2 + (covx2 - covy2) ** 2) + eps
+    M = (covy2 + covx2 + denom) / 2.0
+    m = (covy2 + covx2 - denom) / 2.0
+    return M + m
+
+
 # ------------------------------------------------- edge-detector stand-in
 
 def sobel_edges(roi):
@@ -553,7 +641,8 @@ def main():
     import ifcb_features.segmentation as seg  # noqa: E402
     seg.phasecong_Mm = sobel_edges  # inject the documented stand-in
 
-    golden = {"features": {}, "segmentation": {}, "features_ext": {}}
+    golden = {"features": {}, "segmentation": {}, "features_ext": {},
+              "segmentation_pc": {}, "phasecong": {}}
     for name, mask in fixtures().items():
         seg_only = name.endswith("@seg_only")
         name = name.removesuffix("@seg_only")
@@ -571,12 +660,25 @@ def main():
             golden["features_ext"][name] = {
                 "expected": extended_features(RoiFeatures, roi, mask),
             }
-        # end-to-end segmentation golden (stand-in edges)
+        # end-to-end segmentation golden (Sobel stand-in edges)
+        seg.phasecong_Mm = sobel_edges
         seg_mask = seg.segment_roi(roi)
         golden["segmentation"][name] = {
             "roi": [[int(v) for v in row] for row in roi],
             "mask": ["".join("1" if v else "0" for v in row)
                      for row in seg_mask],
+        }
+        # and with the phase-congruency numpy mirror (the default chain)
+        seg.phasecong_Mm = phasecong_Mm_numpy
+        seg_mask_pc = seg.segment_roi(roi)
+        golden["segmentation_pc"][name] = {
+            "mask": ["".join("1" if v else "0" for v in row)
+                     for row in seg_mask_pc],
+        }
+        # raw M+m map for direct transcription parity
+        mm = phasecong_Mm_numpy(roi)
+        golden["phasecong"][name] = {
+            "mm": [[float(v) for v in row] for row in mm],
         }
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
