@@ -7,17 +7,63 @@ import org.apache.spark.sql.functions._
   * metadata (the brief's multimodal requirement; in the reference the
   * binary modality is the ROI image stream, SURVEY.md §1.1 "Images").
   *
-  * The Spark-side plumbing — schema, batch shape, partition-friendly
-  * kernels — is real and tested; the actual codec calls are STUBBED
-  * behind [[MediaKernels]] with deterministic fakes, clearly marked,
-  * because no image/audio library ships in this container. Swapping in a
-  * real decoder changes one function body, not the plan shape.
+  * Image decode/encode is REAL for PNG/BMP/GIF/JPEG via the JDK's
+  * built-in `javax.imageio` (no external library needed) — the EcoTaxa
+  * image path is PNG (ifcb-image-export-pipeline.Rmd:833-849). Raw
+  * 8-bit payloads (the IFCB ROI stream) pass through unchanged. Audio /
+  * video codecs remain out of scope (no libs in this container): those
+  * payloads use the raw-bytes fallback, and [[sampleFrames]] treats
+  * video as fixed-size frame slices.
   *
   * Kernels run via `mapPartitions` over a typed Dataset: one JVM-side
   * batch per partition (the Scala analog of `mapInPandas`), no per-row
   * UDF serialization, safe to scale by repartitioning on the id.
   */
 object Media {
+
+  private val PngMagic = Array(0x89, 'P', 'N', 'G').map(_.toByte)
+
+  /** Decodes an image payload to 8-bit grayscale pixels + dimensions:
+    * container formats (PNG &c., sniffed by magic) through ImageIO with
+    * ITU-R BT.601 luma conversion; anything else is raw 8-bit pixels
+    * (the ROI-stream layout) with caller-supplied dimensions.
+    */
+  def decodeImage(bytes: Array[Byte], rawW: Int, rawH: Int): (Array[Int], Int, Int) = {
+    if (bytes.length >= 4 && bytes.take(4).sameElements(PngMagic)) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable PNG payload")
+      val w = img.getWidth; val h = img.getHeight
+      val px = new Array[Int](w * h)
+      if (img.getRaster.getNumBands == 1) {
+        // grayscale: read raster samples directly (getRGB would route
+        // through sRGB color management and distort the levels)
+        val raster = img.getRaster
+        for (y <- 0 until h; x <- 0 until w)
+          px(y * w + x) = raster.getSample(x, y, 0)
+      } else {
+        for (y <- 0 until h; x <- 0 until w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          px(y * w + x) = ((299 * r + 587 * g + 114 * b) + 500) / 1000
+        }
+      }
+      (px, w, h)
+    } else {
+      (bytes.map(b => b & 0xff), rawW, rawH)
+    }
+  }
+
+  /** Encodes 8-bit grayscale pixels as PNG (the EcoTaxa image format). */
+  def encodePng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      raster.setSample(x, y, 0, px(y * w + x))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 
   final case class MediaRow(
       media_id: Long, kind: String, bytes: Array[Byte],
@@ -29,14 +75,6 @@ object Media {
 
   final case class Frame(media_id: Long, frame_no: Int, bytes: Array[Byte])
 
-  /** STUB decode: a real implementation would call an image codec here
-    * (???-equivalent marked per the brief). The deterministic fake
-    * treats the payload as raw 8-bit pixels — which is exactly correct
-    * for IFCB ROI images, and a placeholder for everything else.
-    */
-  private[multimodal] def decodeStub(bytes: Array[Byte]): Array[Int] =
-    bytes.map(b => b & 0xff)
-
   /** Per-image feature extraction — the §2.10 heavy-compute kernel shape:
     * partition-local, no shuffle, emits a narrow typed row per image.
     */
@@ -44,7 +82,7 @@ object Media {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val px = decodeStub(m.bytes)
+        val (px, _, _) = decodeImage(m.bytes, m.width, m.height)
         val mean = if (px.isEmpty) 0.0 else px.map(_.toLong).sum.toDouble / px.length
         ImageFeatures(
           m.media_id, m.bytes.length.toLong, mean,
@@ -54,25 +92,26 @@ object Media {
     }
   }
 
-  /** STUB resize: nearest-neighbor over the raw-pixel fake decode; the
-    * plan shape (binary→binary, partition-local) is what a real resize
-    * kernel keeps.
+  /** Nearest-neighbor resize over the decoded grayscale raster (PNG or
+    * raw payloads); output is raw 8-bit pixels. Partition-local,
+    * binary→binary — the plan shape any resize kernel keeps.
     */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        if (m.width <= 0 || m.height <= 0) m.copy(width = 0, height = 0, bytes = Array.empty)
+        val (px, sw, sh) = decodeImage(m.bytes, m.width, m.height)
+        if (sw <= 0 || sh <= 0) m.copy(width = 0, height = 0, bytes = Array.empty)
         else {
           val out = new Array[Byte](w * h)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
-              val sx = x * m.width / w
-              val sy = y * m.height / h
-              val idx = sy * m.width + sx
-              out(y * w + x) = if (idx < m.bytes.length) m.bytes(idx) else 0
+              val sx = x * sw / w
+              val sy = y * sh / h
+              val idx = sy * sw + sx
+              out(y * w + x) = if (idx < px.length) px(idx).toByte else 0
               x += 1
             }
             y += 1

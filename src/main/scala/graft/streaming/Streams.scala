@@ -64,6 +64,39 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) => notify(batch, id) }
 
+  /** Streaming feature extraction: new image files (PNG or raw ROI
+    * payloads) flow through the full kernel — decode → segmentation →
+    * slim features — as they arrive, exactly once per file. This is the
+    * reference's scheduled "extract features for new bins" job
+    * (extract_slim_features.py over new data) as a checkpointed stream:
+    * the kernel is partition-local, so the stream scales like the batch
+    * path.
+    *
+    * @param path directory watched via the binaryFile stream source
+    */
+  def featureStream(spark: SparkSession, path: String,
+                    maxFilesPerTrigger: Int = 100): DataFrame = {
+    import spark.implicits._
+    // streaming sources need the schema up front; binaryFile's is fixed
+    val binaryFileSchema = StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+    val files = spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.png")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(path)
+      .select(col("path"), col("content"))
+    files.as[(String, Array[Byte])].map { case (p, bytes) =>
+      val (px, w, h) = graft.multimodal.Media.decodeImage(bytes, 0, 0)
+      val roiId = "(\\d+)\\.png$".r.findFirstMatchIn(p).map(_.group(1).toLong).getOrElse(0L)
+      val row = graft.features.Features.computeFromRoi(roiId,
+        graft.features.Segmentation.Gray(h, w, px))
+      (p, row)
+    }.toDF("path", "features")
+      .select(col("path"), col("features.*"))
+  }
+
   final case class SessionEvent(key: Long, tsMicros: Long, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(key: Long, startMicros: Long, endMicros: Long,

@@ -2,9 +2,7 @@ package graft.multimodal
 
 import graft.SparkSpec
 
-/** Multimodal plumbing: schema/batch shape are real; decode is the
-  * documented deterministic stub.
-  */
+/** Multimodal plumbing + the real JDK PNG codec path. */
 class MediaSpec extends SparkSpec {
   import spark.implicits._
   import Media._
@@ -23,6 +21,37 @@ class MediaSpec extends SparkSpec {
     val out = resize(Seq(img(1, 8, 8, 42)).toDS(), 4, 4).collect().head
     assert(out.width == 4 && out.height == 4 && out.bytes.length == 16)
     assert(out.bytes.forall(_ == 42.toByte))
+  }
+
+  test("png encode/decode round-trips grayscale pixels exactly") {
+    val w = 7; val h = 5
+    val px = Array.tabulate(w * h)(k => (k * 37) % 256)
+    val png = Media.encodePng(px, w, h)
+    assert(png.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    val (back, dw, dh) = Media.decodeImage(png, 0, 0)
+    assert(dw == w && dh == h)
+    assert(back.sameElements(px))
+  }
+
+  test("imageFeatures and resize handle PNG payloads through the codec") {
+    val px = Array.fill(16)(42)
+    val png = Media.encodePng(px, 4, 4)
+    val ds = Seq(MediaRow(9L, "image", png, 4, 4, 0)).toDS()
+    val f = imageFeatures(ds).collect().head
+    assert(f.mean_px == 42.0 && f.max_px == 42)
+    val r = resize(ds, 2, 2).collect().head
+    assert(r.bytes.length == 4 && r.bytes.forall(_ == 42.toByte))
+  }
+
+  test("feature kernel runs end-to-end on a PNG input") {
+    // encode a synthetic roi as PNG, decode through Media, segment+extract
+    val (raw, h, w) = graft.queries.FeatureExtract.renderRoi(123L)
+    val png = Media.encodePng(raw.map(_ & 0xff), w, h)
+    val (px, dw, dh) = Media.decodeImage(png, 0, 0)
+    assert(dw == w && dh == h)
+    val row = graft.features.Features.computeFromRoi(123L,
+      graft.features.Segmentation.Gray(dh, dw, px))
+    assert(row.numBlobs > 0 && row.Biovolume > 0)
   }
 
   test("sampleFrames explodes strided fixed-size frames") {

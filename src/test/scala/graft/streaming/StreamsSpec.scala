@@ -73,4 +73,30 @@ class StreamsSpec extends SparkSpec {
       assert(spark.table("inc").count() == 3) // only the new file added rows
     } finally q.stop()
   }
+
+  test("featureStream extracts slim features from arriving PNGs exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("feat-in")
+    val ckpt = java.nio.file.Files.createTempDirectory("feat-ckpt")
+    def writePng(id: Long): Unit = {
+      val (raw, h, w) = graft.queries.FeatureExtract.renderRoi(id)
+      val png = graft.multimodal.Media.encodePng(raw.map(_ & 0xff), w, h)
+      java.nio.file.Files.write(dir.resolve(s"roi_$id.png"), png)
+    }
+    writePng(100L); writePng(200L)
+    val q = Streams.featureStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("feats")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val t1 = spark.table("feats")
+      assert(t1.count() == 2)
+      assert(t1.filter($"numBlobs" > 0 && $"Biovolume" > 0).count() == 2)
+      writePng(300L)
+      q.processAllAvailable()
+      assert(spark.table("feats").count() == 3) // incremental, exactly once
+      assert(spark.table("feats").select("roi_id").as[Long].collect().toSet ==
+        Set(100L, 200L, 300L))
+    } finally q.stop()
+  }
 }
