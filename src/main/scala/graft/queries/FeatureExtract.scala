@@ -59,10 +59,14 @@ object FeatureExtract {
     "q55_feature_extract",
     (s, d) => {
       import s.implicits._
+      // repartition the (few, CPU-heavy) rows across all cores: the
+      // parquet scan yields a handful of partitions, which would leave
+      // most executors idle through the kernel stage
       val seeds = Tables.part(s, d)
         .filter($"p_partkey" % 50 === 0)
         .select($"p_partkey".cast("long").as("roi_id"))
         .as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
       val images = seeds.map { id =>
         val (px, h, w) = renderRoi(id)
         (id, px, h, w)
