@@ -40,15 +40,12 @@ object Bench {
       spark.catalog.clearCache()
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    // two full passes, keep the per-query minimum: the host shows roaming
+    // multi-second stalls unrelated to any query, and first executions
+    // still pay residual JIT — min-of-2 measures the query, not the noise
     val first = names.map(n => n -> timed(n))
-    // the host shows rare multi-second stalls unrelated to the query (they
-    // move between runs); re-measure outliers once and keep the minimum
-    val med = {
-      val ts = first.map(_._2).filter(_ >= 0).sorted
-      if (ts.isEmpty) 0.0 else ts(ts.length / 2)
-    }
     val results = first.map { case (n, t) =>
-      if (t > math.max(5 * med, 5.0)) n -> math.min(t, timed(n)) else n -> t
+      if (t < 0) n -> t else n -> math.min(t, timed(n))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

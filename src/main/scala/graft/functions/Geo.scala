@@ -33,6 +33,60 @@ object Geo {
   def gridCell(lat: Column, lon: Column, cellDeg: Double): (Column, Column) =
     (floor(lat / cellDeg), floor(lon / cellDeg))
 
+  /** Near-polygon test: inside OR within `distanceM` meters of any edge
+    * (reference: `ifcb_is_near_land` with a 500 m coastline buffer,
+    * ifcb-data-pipeline.Rmd:722-726). Instead of buffering the polygon
+    * (a geometry-library operation), the distance to each edge segment is
+    * measured directly in a local equirectangular projection around the
+    * query point — equivalent for QC-scale distances (≤ a few km), no
+    * geometry dependency.
+    */
+  def nearPolygon(polygon: Seq[(Double, Double)], distanceM: Double): (Column, Column) => Column = {
+    val poly = polygon.toArray
+    val inside = pointInPolygonEval(poly) _
+    val f = udf { (lat: Double, lon: Double) =>
+      if (inside(lat, lon)) true
+      else {
+        val mPerDegLat = 111320.0
+        val mPerDegLon = 111320.0 * math.cos(math.toRadians(lat))
+        var best = Double.MaxValue
+        var j = poly.length - 1
+        var i = 0
+        while (i < poly.length && best > distanceM) {
+          val (y1, x1) = poly(j); val (y2, x2) = poly(i)
+          // segment in local meters
+          val ax = (x1 - lon) * mPerDegLon; val ay = (y1 - lat) * mPerDegLat
+          val bx = (x2 - lon) * mPerDegLon; val by = (y2 - lat) * mPerDegLat
+          val dx = bx - ax; val dy = by - ay
+          val len2 = dx * dx + dy * dy
+          val t = if (len2 == 0) 0.0
+                  else math.max(0.0, math.min(1.0, -(ax * dx + ay * dy) / len2))
+          val px = ax + t * dx; val py = ay + t * dy
+          best = math.min(best, math.sqrt(px * px + py * py))
+          j = i
+          i += 1
+        }
+        best <= distanceM
+      }
+    }
+    (lat: Column, lon: Column) => f(lat, lon)
+  }
+
+  private def pointInPolygonEval(poly: Array[(Double, Double)])(lat: Double, lon: Double): Boolean = {
+    var inside = false
+    var j = poly.length - 1
+    var i = 0
+    while (i < poly.length) {
+      val (yi, xi) = poly(i)
+      val (yj, xj) = poly(j)
+      if ((yi > lat) != (yj > lat) &&
+        lon < (xj - xi) * (lat - yi) / (yj - yi) + xi) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
   /** Point-in-polygon (ray casting) over a small broadcast polygon, as a
     * UDF — reference: `ifcb_is_in_basin` (ifcb-data-pipeline.Rmd:729-736).
     * Polygons are driver-side constants (basin shapes are KBs); the UDF is
