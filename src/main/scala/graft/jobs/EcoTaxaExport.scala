@@ -208,6 +208,35 @@ object EcoTaxaExport {
     df.select(contract.map(c => m.getOrElse(c, lit(null).cast("string")).as(c)): _*)
   }
 
+  /** EcoTaxa image packaging (`ifcb_zip_pngs`, Rmd:833-849): raw 8-bit
+    * ROI rasters encoded as grayscale PNGs under `<class>/<name>.png`
+    * entries, packed into size-capped zip parts with a MANIFEST via the
+    * K4 sink. Encoding runs on executors; only part planning touches
+    * metadata.
+    *
+    * @param images rows: class (folder), name (without extension),
+    *               bytes (raw 8-bit), width, height
+    */
+  def writeImageZips(images: DataFrame, dir: String,
+                     maxPartBytes: Long = 500L * 1024 * 1024): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    val pngs = images
+      .select(col("class").cast("string"), col("name").cast("string"),
+        col("bytes"), col("width").cast("int"), col("height").cast("int"))
+      .as[(String, String, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (cls, name, bytes, w, h) =>
+          val px = new Array[Int](w * h)
+          var k = 0
+          while (k < px.length) { px(k) = bytes(k) & 0xff; k += 1 }
+          (s"$cls/$name.png", graft.multimodal.Media.encodePng(px, w, h))
+        }
+      }
+      .toDF("entry", "png")
+    graft.sources.ZipSink.write(pngs, "entry", "png", dir, maxPartBytes)
+  }
+
   /** Full export: contract projection → truncated category → one TSV
     * folder per class with the format-code first row (K2 layout, all
     * classes in one pass — Rmd:793-830's per-class loop re-expressed).

@@ -49,6 +49,31 @@ class EcoTaxaExportSpec extends SparkSpec {
     assert(codeRows.select("object_area").as[String].collect().forall(_ == "[f]"))
   }
 
+  test("writeImageZips packages per-class PNGs with manifest, round-trip exact") {
+    val dir = Files.createTempDirectory("ecozip").toString
+    val (raw, h, w) = graft.queries.FeatureExtract.renderRoi(77L)
+    val images = Seq(
+      ("Mesodinium_rubrum", "D2023_00077", raw, w, h),
+      ("other", "D2023_00078", raw, w, h)
+    ).toDF("class", "name", "bytes", "width", "height")
+    val manifest = EcoTaxaExport.writeImageZips(images, dir, maxPartBytes = 10L * 1024 * 1024)
+    assert(manifest.count() == 2)
+    // read the zip back and decode one PNG
+    val zips = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".zip"))
+    assert(zips.nonEmpty)
+    val zf = new java.util.zip.ZipFile(zips.head)
+    import scala.jdk.CollectionConverters._
+    val names = zf.entries().asScala.map(_.getName).toSet
+    assert(names.contains("Mesodinium_rubrum/D2023_00077.png"))
+    assert(names.contains("MANIFEST.txt"))
+    val entry = zf.getEntry("Mesodinium_rubrum/D2023_00077.png")
+    val png = zf.getInputStream(entry).readAllBytes()
+    val (px, dw, dh) = graft.multimodal.Media.decodeImage(png, 0, 0)
+    zf.close()
+    assert(dw == w && dh == h)
+    assert(px.sameElements(raw.map(_ & 0xff)))
+  }
+
   test("extended feature columns populate when the input carries them") {
     val withExt = input
       .withColumn("h180", org.apache.spark.sql.functions.lit(1.5))
