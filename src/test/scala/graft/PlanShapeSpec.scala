@@ -77,6 +77,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q11_global_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("q55: kernel stage spreads across cores, single rollup shuffle after") {
+    val p = plan("q55_feature_extract")
+    // the CPU-heavy kernel must not inherit the scan's few partitions
+    assert(p.contains("RoundRobinPartitioning"),
+      p.linesIterator.filter(_.contains("partitioning")).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q56: encoding cleanup is scan -> project -> one hash aggregate") {
+    val p = plan("q56_encoding_cleanup")
+    assert(!p.contains("Join"))
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size <= 2) // agg + sort
+    assert(p.contains("partial_count"))
+  }
+
   test("q37: one shuffle, decimal partial aggregation map-side") {
     val p = plan("q37_biovolume_rollup")
     assert(p.contains("partial_sum(cast(vol_um3"))

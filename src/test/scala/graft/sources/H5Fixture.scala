@@ -17,8 +17,11 @@ object H5Fixture {
   sealed trait Ds { def name: String }
   final case class I32(name: String, values: Array[Int]) extends Ds
   final case class F64(name: String, values: Array[Double]) extends Ds
-  /** 2-D float32, chunked + deflate (one chunk per dataset). */
-  final case class F32Matrix(name: String, rows: Int, cols: Int, values: Array[Float]) extends Ds
+  /** 2-D float32, chunked + deflate (`chunkRows` rows per chunk —
+    * multiple chunks exercise the reader's chunk-reassembly path).
+    */
+  final case class F32Matrix(name: String, rows: Int, cols: Int, values: Array[Float],
+                             chunkRows: Int = Int.MaxValue) extends Ds
   final case class VStr(name: String, values: Array[String]) extends Ds
 
   private val Undef = -1L
@@ -162,29 +165,40 @@ object H5Fixture {
           message(0x0001, dataspace(Seq(values.length.toLong))),
           message(0x0003, dt.array()),
           message(0x0008, layout.array())))
-      case F32Matrix(name, rows, cols, values) =>
-        // raw chunk = whole matrix, deflate-compressed
-        val raw = ByteBuffer.allocate(4 * values.length).order(ByteOrder.LITTLE_ENDIAN)
-        values.foreach(raw.putFloat)
-        val deflater = new Deflater()
-        deflater.setInput(raw.array()); deflater.finish()
-        val compBuf = new Array[Byte](raw.array().length + 64)
-        val compLen = deflater.deflate(compBuf)
-        deflater.end()
-        pad8()
-        val chunkAddr = buf.position()
-        buf.put(compBuf, 0, compLen)
-        // chunk B-tree: one level-0 node, node type 1
+      case F32Matrix(name, rows, cols, values, chunkRowsRaw) =>
+        val chunkRows = math.min(chunkRowsRaw, rows)
+        // per-chunk raw bytes (edge chunks zero-padded to full chunk size,
+        // like libhdf5), deflate-compressed
+        val chunkStarts = (0 until rows by chunkRows)
+        val chunks = chunkStarts.map { r0 =>
+          val raw = ByteBuffer.allocate(4 * chunkRows * cols).order(ByteOrder.LITTLE_ENDIAN)
+          for (r <- r0 until r0 + chunkRows; c <- 0 until cols)
+            raw.putFloat(if (r < rows) values(r * cols + c) else 0.0f)
+          val deflater = new Deflater()
+          deflater.setInput(raw.array()); deflater.finish()
+          val compBuf = new Array[Byte](raw.array().length + 64)
+          val compLen = deflater.deflate(compBuf)
+          deflater.end()
+          (r0, compBuf.take(compLen))
+        }
+        val chunkAddrs = chunks.map { case (r0, data) =>
+          pad8()
+          val a = buf.position()
+          buf.put(data)
+          (r0, a, data.length)
+        }
+        // chunk B-tree: one level-0 node, node type 1, N children
         pad8()
         val cbtree = buf.position()
-        val keySize = 8 + 8 * 3 // size(4) mask(4) + (rank+1) offsets
         buf.put("TREE".getBytes("US-ASCII"))
         buf.put(1.toByte).put(0.toByte)
-        buf.putShort(1.toShort)
+        buf.putShort(chunkAddrs.size.toShort)
         buf.putLong(Undef).putLong(Undef)
-        buf.putInt(compLen).putInt(0) // key0: nbytes, filter mask
-        buf.putLong(0L).putLong(0L).putLong(0L) // chunk offset + datatype dim
-        buf.putLong(chunkAddr.toLong) // child0
+        for ((r0, addr, len) <- chunkAddrs) {
+          buf.putInt(len).putInt(0) // key: nbytes, filter mask
+          buf.putLong(r0.toLong).putLong(0L).putLong(0L) // chunk offset + dtype dim
+          buf.putLong(addr.toLong) // child
+        }
         buf.putInt(0).putInt(0) // keyN
         buf.putLong(rows.toLong).putLong(cols.toLong).putLong(0L)
         val dt = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
@@ -194,7 +208,7 @@ object H5Fixture {
         val layout = ByteBuffer.allocate(23).order(ByteOrder.LITTLE_ENDIAN)
         layout.put(3.toByte).put(2.toByte).put(3.toByte) // v3, chunked, rank+1
         layout.putLong(cbtree.toLong)
-        layout.putInt(rows).putInt(cols).putInt(4) // chunk dims + elem size
+        layout.putInt(chunkRows).putInt(cols).putInt(4) // chunk dims + elem size
         val filters = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
         filters.put(1.toByte).put(1.toByte).put(new Array[Byte](6))
         filters.putShort(1.toShort) // deflate

@@ -38,6 +38,15 @@ class H5SourceSpec extends SparkSpec {
     assert(math.abs(scores(0) - 0.95) < 1e-6 && math.abs(scores(4) - 0.85) < 1e-6)
   }
 
+  test("multi-chunk datasets reassemble correctly (2-row chunks, edge padding)") {
+    val vals = Array.tabulate(5 * 3)(_.toFloat)
+    val bytes = H5Fixture.write(Seq(
+      H5Fixture.F32Matrix("scores", 5, 3, vals, chunkRows = 2)))
+    val H5Source.H5Num(dims, data) = H5Source.parse(bytes)("scores"): @unchecked
+    assert(dims == Seq(5L, 3L))
+    assert(data.map(_.toFloat).sameElements(vals))
+  }
+
   test("classScores view: long form with labels, thresholds, classifier") {
     val dir = Files.createTempDirectory("h5src").toFile
     Files.write(Paths.get(dir.toString, "D20230801T120000_IFCB134_class.h5"), fixture)

@@ -44,6 +44,15 @@ class SqliteSourceSpec extends SparkSpec {
     assert(classes == Set("Mesodinium_rubrum", "Dinophysis_acuminata", "other"))
   }
 
+  test("interior B-tree pages traverse in order (multi-page table)") {
+    val manyRows: Seq[Seq[Any]] = (1 to 6).map(i =>
+      Seq(s"D2023080${i}T000000_IFCB134", i.toLong, s"class_$i", "alice", "2023-08-10"))
+    val t = SqliteSource.readTable(
+      SqliteFixture.write("annotations", cols, manyRows), "annotations")
+    assert(t.rows.size == 6)
+    assert(t.rows.map(_(1)) == (1 to 6).map(_.toLong))
+  }
+
   test("parseColumns handles quoting and constraint clauses") {
     assert(SqliteSource.parseColumns(
       "CREATE TABLE t (a TEXT, \"b c\" INTEGER, d REAL, PRIMARY KEY (a))")
