@@ -2,46 +2,97 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so
   * `spark.sql("SELECT haversine_km(a,b,c,d)")` and the Column API both hit
   * the codegen Expression. Install with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
-  * `.withExtensions(new GraftExtensions)`.
+  * `.withExtensions(new GraftExtensions)`; [[GraftExtensions.install]]
+  * registers into an already-built session.
+  *
+  * Hash functions are bound to the graft constants
+  * ([[graft.functions.Hashing]]) so SQL results match the Column API and
+  * the DuckDB oracles exactly.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("haversine_km"),
-      new ExpressionInfo(classOf[HaversineKm].getName, "haversine_km"),
-      (children: Seq[Expression]) => {
-        require(children.length == 4, "haversine_km(lat1, lon1, lat2, lon2)")
-        HaversineKm(GraftExtensions.toDouble(children(0)),
-          GraftExtensions.toDouble(children(1)),
-          GraftExtensions.toDouble(children(2)),
-          GraftExtensions.toDouble(children(3)))
-      }))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registry.foreach { case (name, info, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name), info, builder))
+    }
 }
 
 object GraftExtensions {
   import org.apache.spark.sql.GraftBridge
+  import graft.functions.Hashing
 
-  /** Registers the functions into an already-built session (the
-    * `withExtensions` path only applies at session construction).
-    */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      new FunctionIdentifier("haversine_km"),
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, info, builder) for every SQL-exposed native expression. */
+  private[plans] val registry: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("haversine_km",
       new ExpressionInfo(classOf[HaversineKm].getName, "haversine_km"),
       (children: Seq[Expression]) => {
         require(children.length == 4, "haversine_km(lat1, lon1, lat2, lon2)")
         HaversineKm(toDouble(children(0)), toDouble(children(1)),
           toDouble(children(2)), toDouble(children(3)))
-      })
-  }
+      }),
+    ("graft_fingerprint",
+      new ExpressionInfo(classOf[StringPolyHash].getName, "graft_fingerprint"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_fingerprint(text)")
+        StringPolyHash(children(0), 131L, 1000000007L, 7L)
+      }),
+    ("graft_tok_hash",
+      new ExpressionInfo(classOf[StringPolyHash].getName, "graft_tok_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_tok_hash(token)")
+        StringPolyHash(children(0), 31L, Hashing.TokP, 7L)
+      }),
+    ("graft_tok_hashes",
+      new ExpressionInfo(classOf[StringPolyHashArray].getName, "graft_tok_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_tok_hashes(tokens)")
+        StringPolyHashArray(children(0), 31L, Hashing.TokP, 7L)
+      }),
+    ("graft_shingles",
+      new ExpressionInfo(classOf[WordShinglesExpr].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_shingles(words, k)")
+        WordShinglesExpr(children(0), litInt(children(1), "k"))
+      }),
+    ("graft_minhashes",
+      new ExpressionInfo(classOf[MinHashesExpr].getName, "graft_minhashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_minhashes(token_hashes)")
+        MinHashesExpr(children(0),
+          Hashing.MinHashSeeds.map(_._1), Hashing.MinHashSeeds.map(_._2), Hashing.MinP)
+      }),
+    ("graft_simhash64",
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_simhash64(token_hashes)")
+        SimHash64Expr(children(0), Hashing.Mix, Hashing.Mix2)
+      }),
+    ("float_array_dot",
+      new ExpressionInfo(classOf[FloatArrayDot].getName, "float_array_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "float_array_dot(a, b)")
+        FloatArrayDot(children(0), children(1))
+      }))
+
+  /** Registers the functions into an already-built session (the
+    * `withExtensions` path only applies at session construction).
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    registry.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        new FunctionIdentifier(name), info, builder)
+    }
 
   private[plans] def toDouble(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(

@@ -42,4 +42,27 @@ class HaversineExpressionSpec extends SparkSpec {
       .collect().head
     assert(r.isNullAt(0))
   }
+
+  test("hash/sketch family registered in SQL matches the Column API") {
+    import graft.functions.Hashing
+    extSpark.range(1).createOrReplaceTempView("one")
+    val sql = extSpark.sql(
+      """SELECT
+        |  graft_fingerprint('hello world') AS fp,
+        |  graft_tok_hash('hello') AS th,
+        |  graft_simhash64(graft_tok_hashes(
+        |    graft_shingles(array('a','b','c','d','e','f'), 5))) AS sh,
+        |  float_array_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS dot
+        |FROM one""".stripMargin).collect().head
+    val viaCols = extSpark.sql("SELECT 'hello world' AS t, 'hello' AS tok, 'a b c d e f' AS words")
+      .select(
+        Hashing.fingerprint($"t"),
+        Hashing.tokHash($"tok"),
+        Hashing.simhash64(Hashing.tokHashes(Hashing.shingles(Hashing.words($"words"), 5))))
+      .collect().head
+    assert(sql.getLong(0) == viaCols.getLong(0))
+    assert(sql.getLong(1) == viaCols.getLong(1))
+    assert(sql.getLong(2) == viaCols.getLong(2))
+    assert(math.abs(sql.getDouble(3) - 11.0) < 1e-12)
+  }
 }
