@@ -87,20 +87,28 @@ object H5Source {
     sb.toString
   }
 
-  /** All (type, body-offset, body-size) messages of a v1 object header. */
+  /** All (type, body-offset, body-size) messages of a v1 object header,
+    * following continuation blocks: the first block ends at prefix +
+    * header-size; when the cursor would cross a block boundary, reading
+    * resumes at the pending continuation's address.
+    */
   private def messages(buf: ByteBuffer, addr: Long): Seq[(Int, Int, Int)] = {
     val version = buf.get(addr.toInt) & 0xff
     require(version == 1, s"unsupported object header version $version")
     val nMsgs = buf.getShort(addr.toInt + 2) & 0xffff
+    val headerSize = buf.getInt(addr.toInt + 8)
     val out = Seq.newBuilder[(Int, Int, Int)]
     var p = addr.toInt + 16 // 12-byte prefix + 4 pad: messages are 8-aligned
+    var limit = p + headerSize
     var remaining = nMsgs
     var continuation: Option[(Long, Long)] = None
-    var limit = Int.MaxValue
     while (remaining > 0) {
-      if (continuation.isDefined && p + 8 > limit) {
-        val (ca, cs) = continuation.get
-        p = ca.toInt; limit = (ca + cs).toInt
+      if (p + 8 > limit) {
+        val (ca, cs) = continuation.getOrElse(
+          throw new IllegalArgumentException(
+            s"object header at $addr: ran past block end with $remaining messages left"))
+        p = ca.toInt
+        limit = (ca + cs).toInt
         continuation = None
       }
       val tpe = buf.getShort(p) & 0xffff

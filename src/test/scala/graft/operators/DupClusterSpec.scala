@@ -43,4 +43,17 @@ class DupClusterSpec extends SparkSpec {
       Dedup.dupClusters(pairs, driverMaxEdges = 0L, freeRounds = 2, maxRounds = 3).count()
     }
   }
+
+  test("driver union-find and distributed pointer jumping agree on a random graph") {
+    val rnd = new scala.util.Random(1234)
+    val edges = (0 until 800).map { _ =>
+      val a = rnd.nextInt(500).toLong
+      val b = rnd.nextInt(500).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val pairs = edges.toDF("id_a", "id_b")
+    val driver = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.dupClusters(pairs, driverMaxEdges = 0L).as[(Long, Long)].collect().toMap
+    assert(dist == driver)
+  }
 }

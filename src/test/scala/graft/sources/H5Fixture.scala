@@ -15,7 +15,11 @@ import java.util.zip.Deflater
 object H5Fixture {
 
   sealed trait Ds { def name: String }
-  final case class I32(name: String, values: Array[Int]) extends Ds
+  /** `splitHeader` routes this dataset's messages through an object-header
+    * continuation block (exercises the reader's continuation path).
+    */
+  final case class I32(name: String, values: Array[Int],
+                       splitHeader: Boolean = false) extends Ds
   final case class F64(name: String, values: Array[Double]) extends Ds
   /** 2-D float32, chunked + deflate (`chunkRows` rows per chunk —
     * multiple chunks exercise the reader's chunk-reassembly path).
@@ -124,21 +128,44 @@ object H5Fixture {
       b.array()
     }
 
-    def objectHeader(msgs: Seq[Array[Byte]]): Long = {
+    def objectHeader(msgs: Seq[Array[Byte]], split: Boolean = false): Long = {
       pad8()
       val addr = buf.position()
-      val total = msgs.map(_.length).sum
-      buf.put(1.toByte).put(0.toByte)
-      buf.putShort(msgs.size.toShort)
-      buf.putInt(1)
-      buf.putInt(total)
-      buf.put(new Array[Byte](4)) // align messages to 8
-      msgs.foreach(buf.put)
+      if (!split) {
+        val total = msgs.map(_.length).sum
+        buf.put(1.toByte).put(0.toByte)
+        buf.putShort(msgs.size.toShort)
+        buf.putInt(1)
+        buf.putInt(total)
+        buf.put(new Array[Byte](4)) // align messages to 8
+        msgs.foreach(buf.put)
+      } else {
+        // first block: first message + continuation message pointing at a
+        // block holding the rest (continuation counts toward nMsgs)
+        val contMsg = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+        contMsg.putShort(0x0010.toShort).putShort(16.toShort)
+        contMsg.put(0.toByte).put(new Array[Byte](3))
+        val contBodyPatch = addr + 16 + msgs.head.length + 8
+        contMsg.putLong(0L).putLong(0L) // patched below
+        buf.put(1.toByte).put(0.toByte)
+        buf.putShort((msgs.size + 1).toShort)
+        buf.putInt(1)
+        buf.putInt(msgs.head.length + 24)
+        buf.put(new Array[Byte](4))
+        buf.put(msgs.head)
+        buf.put(contMsg.array())
+        pad8()
+        val contAddr = buf.position()
+        val rest = msgs.tail
+        rest.foreach(buf.put)
+        buf.putLong(contBodyPatch, contAddr.toLong)
+        buf.putLong(contBodyPatch + 8, rest.map(_.length).sum.toLong)
+      }
       addr.toLong
     }
 
     for (ds <- sorted) ds match {
-      case I32(name, values) =>
+      case I32(name, values, splitHeader) =>
         pad8()
         val dataAddr = buf.position()
         values.foreach(buf.putInt)
@@ -150,7 +177,7 @@ object H5Fixture {
         headerAddrs(name) = objectHeader(Seq(
           message(0x0001, dataspace(Seq(values.length.toLong))),
           message(0x0003, dt.array()),
-          message(0x0008, layout.array())))
+          message(0x0008, layout.array())), split = splitHeader)
       case F64(name, values) =>
         pad8()
         val dataAddr = buf.position()

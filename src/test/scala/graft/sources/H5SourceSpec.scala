@@ -38,6 +38,13 @@ class H5SourceSpec extends SparkSpec {
     assert(math.abs(scores(0) - 0.95) < 1e-6 && math.abs(scores(4) - 0.85) < 1e-6)
   }
 
+  test("object-header continuation blocks are followed") {
+    val bytes = H5Fixture.write(Seq(
+      H5Fixture.I32("rois", Array(5, 6, 7), splitHeader = true)))
+    val H5Source.H5Num(_, vals) = H5Source.parse(bytes)("rois"): @unchecked
+    assert(vals.toSeq == Seq(5.0, 6.0, 7.0))
+  }
+
   test("multi-chunk datasets reassemble correctly (2-row chunks, edge padding)") {
     val vals = Array.tabulate(5 * 3)(_.toFloat)
     val bytes = H5Fixture.write(Seq(
