@@ -202,15 +202,13 @@ object Similarity {
     * executors need no shared state. Used to block cosine search/dedup
     * when no natural cell column exists; tested in ScalaTest (no SQL
     * oracle — the plane constants are impractical to mirror in SQL).
+    *
+    * Native codegen expression ([[graft.plans.HyperplaneBucket]]): one
+    * loop per row instead of a planes×dims `element_at` tree (256 nodes
+    * at 4×64); accumulation order matches the column composition it
+    * replaced, so bucket assignments are identical.
     */
-  def hyperplaneBucket(vec: Column, planes: Int, dims: Int): Column = {
-    def coef(p: Int, d: Int): Double =
-      (((p.toLong * 64 + d) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
-    (0 until planes).map { p =>
-      val proj = (0 until dims).map { d =>
-        element_at(vec, d + 1).cast("double") * lit(coef(p, d))
-      }.reduce(_ + _)
-      when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def hyperplaneBucket(vec: Column, planes: Int, dims: Int): Column =
+    GraftBridge.column(graft.plans.HyperplaneBucket(
+      GraftBridge.expression(vec), planes, dims))
 }

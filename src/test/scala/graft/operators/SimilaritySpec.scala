@@ -42,4 +42,24 @@ class SimilaritySpec extends SparkSpec {
     assert(b(1L) != b(3L)) // negated vector flips every nonzero projection
     assert(b.values.forall(v => v >= 0 && v < 256))
   }
+
+  test("native hyperplane bucket matches the column-composition it replaced") {
+    import org.apache.spark.sql.functions.{element_at, lit, when}
+    // the original planes x dims element_at tree, for regression only
+    def hofBucket(vec: org.apache.spark.sql.Column, planes: Int, dims: Int) = {
+      def coef(p: Int, d: Int): Double =
+        (((p.toLong * 64 + d) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
+      (0 until planes).map { p =>
+        val proj = (0 until dims).map { d =>
+          element_at(vec, d + 1).cast("double") * lit(coef(p, d))
+        }.reduce(_ + _)
+        when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cmp = e.select(
+      Similarity.hyperplaneBucket($"embedding", 4, 64).as("native"),
+      hofBucket($"embedding", 4, 64).as("hof"))
+    assert(cmp.filter($"native" =!= $"hof").count() == 0)
+  }
 }
