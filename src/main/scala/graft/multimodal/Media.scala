@@ -53,6 +53,83 @@ object Media {
     }
   }
 
+  /** Decodes a RIFF/WAVE PCM payload (8/16-bit, any channel count) to
+    * normalized [-1, 1] mono samples + sample rate — straight from the
+    * public RIFF spec, no codec library. Non-WAV payloads (no RIFF
+    * magic) raise; PCM is the only supported encoding (format tag 1).
+    */
+  def decodeWav(bytes: Array[Byte]): (Array[Double], Int) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length > 44 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE payload")
+    var p = 12
+    var sampleRate = 0
+    var channels = 0
+    var bits = 0
+    var data: Option[(Int, Int)] = None
+    while (p + 8 <= bytes.length && (sampleRate == 0 || data.isEmpty)) {
+      val id = new String(bytes, p, 4, "US-ASCII")
+      val size = buf.getInt(p + 4)
+      id match {
+        case "fmt " =>
+          val tag = buf.getShort(p + 8) & 0xffff
+          require(tag == 1, s"unsupported WAVE encoding $tag (PCM only)")
+          channels = buf.getShort(p + 10) & 0xffff
+          sampleRate = buf.getInt(p + 12)
+          bits = buf.getShort(p + 22) & 0xffff
+        case "data" => data = Some((p + 8, size))
+        case _ => ()
+      }
+      p += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    val (off, size) = data.getOrElse(throw new IllegalArgumentException("no data chunk"))
+    require(bits == 8 || bits == 16, s"unsupported bit depth $bits")
+    val bytesPerFrame = channels * bits / 8
+    val nFrames = math.min(size, bytes.length - off) / bytesPerFrame
+    val out = new Array[Double](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var acc = 0.0
+      var c = 0
+      while (c < channels) {
+        val q = off + f * bytesPerFrame + c * bits / 8
+        acc += (if (bits == 16) buf.getShort(q) / 32768.0
+                else ((bytes(q) & 0xff) - 128) / 128.0)
+        c += 1
+      }
+      out(f) = acc / channels
+      f += 1
+    }
+    (out, sampleRate)
+  }
+
+  final case class AudioFeatures(
+      media_id: Long, n_samples: Long, sample_rate: Int,
+      duration_s: Double, rms: Double, peak: Double)
+
+  /** Per-clip audio features over decoded WAV payloads — same
+    * partition-local kernel shape as [[imageFeatures]].
+    */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (samples, rate) = decodeWav(m.bytes)
+        var sumSq = 0.0
+        var peak = 0.0
+        for (s <- samples) {
+          sumSq += s * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+        }
+        AudioFeatures(m.media_id, samples.length.toLong, rate,
+          if (rate == 0) 0.0 else samples.length.toDouble / rate,
+          if (samples.isEmpty) 0.0 else math.sqrt(sumSq / samples.length), peak)
+      }
+    }
+  }
+
   /** Encodes 8-bit grayscale pixels as PNG (the EcoTaxa image format). */
   def encodePng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(

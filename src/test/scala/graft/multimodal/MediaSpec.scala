@@ -54,6 +54,31 @@ class MediaSpec extends SparkSpec {
     assert(row.numBlobs > 0 && row.Biovolume > 0)
   }
 
+  test("wav decode + audio features: 16-bit PCM sine, known rms") {
+    // hand-built RIFF/WAVE: 1 channel, 16-bit, 8000 Hz, one second sine
+    val rate = 8000
+    val n = rate
+    val samples = Array.tabulate(n)(i =>
+      (math.sin(2 * math.Pi * 440 * i / rate) * 16384).toInt.toShort)
+    val b = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    samples.foreach(b.putShort)
+    val wav = b.array()
+    val (decoded, r) = Media.decodeWav(wav)
+    assert(r == rate && decoded.length == n)
+    val ds = Seq(MediaRow(5L, "audio", wav, 0, 0, rate)).toDS()
+    val f = Media.audioFeatures(ds).collect().head
+    assert(f.n_samples == n && f.duration_s == 1.0)
+    // sine rms = amplitude/sqrt(2); amplitude = 16384/32768 = 0.5
+    assert(math.abs(f.rms - 0.5 / math.sqrt(2)) < 1e-3, f.rms)
+    assert(math.abs(f.peak - 0.5) < 1e-3)
+  }
+
   test("sampleFrames explodes strided fixed-size frames") {
     val media = Seq((1L, Array.tabulate[Byte](40)(_.toByte))).toDF("media_id", "bytes")
     val frames = sampleFrames(media, frameBytes = 10, stride = 2)
