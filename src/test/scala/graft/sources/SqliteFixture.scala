@@ -26,23 +26,33 @@ object SqliteFixture {
       }
     }
 
-    def record(values: Seq[Any]): Array[Byte] = {
-      val types = values.map {
-        case null       => 0L
-        case _: Long    => 6L
-        case _: Int     => 6L
-        case d: Double  => 7L
-        case s: String  => 13L + 2L * s.getBytes("UTF-8").length
+    // minimal-width integer serial type, like real SQLite
+    def intSerial(v: Long): (Long, Array[Byte]) = {
+      def be(n: Int): Array[Byte] = {
+        val b = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN).putLong(v).array()
+        b.takeRight(n)
       }
-      val typeBytes = types.flatMap(varint).toArray
+      if (v >= Byte.MinValue && v <= Byte.MaxValue) (1L, be(1))
+      else if (v >= Short.MinValue && v <= Short.MaxValue) (2L, be(2))
+      else if (v >= -(1L << 23) && v < (1L << 23)) (3L, be(3))
+      else if (v >= Int.MinValue && v <= Int.MaxValue) (4L, be(4))
+      else if (v >= -(1L << 47) && v < (1L << 47)) (5L, be(6))
+      else (6L, be(8))
+    }
+
+    def record(values: Seq[Any]): Array[Byte] = {
+      val encoded: Seq[(Long, Array[Byte])] = values.map {
+        case null      => (0L, Array.empty[Byte])
+        case l: Long   => intSerial(l)
+        case i: Int    => intSerial(i.toLong)
+        case d: Double => (7L, ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN).putDouble(d).array())
+        case s: String =>
+          val b = s.getBytes("UTF-8")
+          (13L + 2L * b.length, b)
+      }
+      val typeBytes = encoded.map(_._1).flatMap(varint).toArray
       val headerLen = varint(typeBytes.length + 1) // assumes short header
-      val body = values.flatMap {
-        case null      => Array.empty[Byte]
-        case l: Long   => ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN).putLong(l).array()
-        case i: Int    => ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN).putLong(i.toLong).array()
-        case d: Double => ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN).putDouble(d).array()
-        case s: String => s.getBytes("UTF-8")
-      }.toArray
+      val body = encoded.flatMap(_._2).toArray
       headerLen ++ typeBytes ++ body
     }
 

@@ -53,6 +53,24 @@ class SqliteSourceSpec extends SparkSpec {
     assert(t.rows.map(_(1)) == (1 to 6).map(_.toLong))
   }
 
+  test("round-trips every integer serial-type width, doubles, unicode, nulls") {
+    val wideCols = Seq("s" -> "TEXT", "v" -> "INTEGER", "d" -> "REAL", "n" -> "TEXT")
+    val tricky: Seq[Seq[Any]] = Seq(
+      Seq("plain", 7L, 1.5, null),                         // int8
+      Seq("Tångesund_µm", -300L, -0.0, "x"),               // int16, unicode
+      Seq("", 100000L, Double.MaxValue, null),             // int24, empty str
+      Seq("q''uote", -2000000000L, 4.9e-324, "y"),         // int32
+      Seq("tab\tsep", 1L << 40, Double.NaN, null),         // int48
+      Seq("big", Long.MinValue + 1, 0.0, "z"))             // int64
+    val t = SqliteSource.readTable(
+      SqliteFixture.write("annotations", wideCols, tricky), "annotations")
+    assert(t.rows.size == tricky.size)
+    for ((got, want) <- t.rows.zip(tricky); (g, w) <- got.zip(want)) (g, w) match {
+      case (gd: Double, wd: Double) if wd.isNaN => assert(gd.isNaN)
+      case _ => assert(g == w, s"$g != $w")
+    }
+  }
+
   test("parseColumns handles quoting and constraint clauses") {
     assert(SqliteSource.parseColumns(
       "CREATE TABLE t (a TEXT, \"b c\" INTEGER, d REAL, PRIMARY KEY (a))")
