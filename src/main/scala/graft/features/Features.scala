@@ -108,7 +108,10 @@ object Features {
     }
     val (minFeret, maxFeret) = hullOpt match {
       case Some(hull) => BlobGeometry.feretDiameters(hull)
-      case None       => (0.0, 0.0)
+      case None =>
+        // degenerate (collinear) perimeter: the reference falls back to
+        // the raw points (all.py:84-88) — rotating projections still work
+        BlobGeometry.feretDiameters(perimPts.map(p => (p._1.toDouble, p._2.toDouble)))
     }
     val (majA, minA, ecc) = BlobGeometry.ellipseProperties(blob)
     val orient = BlobGeometry.orientation(blob)

@@ -555,7 +555,14 @@ def fixtures():
            (((yy - 12) ** 2 + (xx - 17) ** 2) >= 16)
     out["ring"] = ring
 
-    # 6. random speckle + core (blob-min filtering, multiple components).
+    # 6. degenerate blob: a 1-px-tall bar — collinear perimeter points
+    # exercise the QhullError/raw-points fallbacks (hull props fall back
+    # to (perimeter, area); Feret diameters compute from the raw points)
+    bar = np.zeros((8, 50), dtype=bool)
+    bar[3, 2:48] = True
+    out["bar"] = bar
+
+    # 7. random speckle + core (blob-min filtering, multiple components).
     # Segmentation-only: the reference kernel assumes segmented masks
     # (blob-min >= 41 px) and crashes on 1-px blobs, so this fixture only
     # exercises the segmentation chain.
