@@ -23,15 +23,26 @@ object Media {
 
   private val PngMagic = Array(0x89, 'P', 'N', 'G').map(_.toByte)
 
+  /** True when the payload starts with a magic ImageIO can decode:
+    * PNG (89 50 4E 47), JPEG (FF D8 FF), GIF ("GIF8"), BMP ("BM").
+    */
+  private def isContainerImage(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && (
+      bytes.take(4).sameElements(PngMagic) ||
+      ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) ||
+      (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8') ||
+      (bytes(0) == 'B' && bytes(1) == 'M'))
+
   /** Decodes an image payload to 8-bit grayscale pixels + dimensions:
-    * container formats (PNG &c., sniffed by magic) through ImageIO with
-    * ITU-R BT.601 luma conversion; anything else is raw 8-bit pixels
-    * (the ROI-stream layout) with caller-supplied dimensions.
+    * container formats (PNG/JPEG/GIF/BMP, sniffed by magic) through
+    * ImageIO with ITU-R BT.601 luma conversion; anything else is raw
+    * 8-bit pixels (the ROI-stream layout) with caller-supplied
+    * dimensions.
     */
   def decodeImage(bytes: Array[Byte], rawW: Int, rawH: Int): (Array[Int], Int, Int) = {
-    if (bytes.length >= 4 && bytes.take(4).sameElements(PngMagic)) {
+    if (isContainerImage(bytes)) {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      require(img != null, "undecodable PNG payload")
+      require(img != null, "undecodable container-image payload")
       val w = img.getWidth; val h = img.getHeight
       val px = new Array[Int](w * h)
       if (img.getRaster.getNumBands == 1) {
@@ -71,6 +82,7 @@ object Media {
     while (p + 8 <= bytes.length && (sampleRate == 0 || data.isEmpty)) {
       val id = new String(bytes, p, 4, "US-ASCII")
       val size = buf.getInt(p + 4)
+      require(size >= 0, s"malformed WAVE chunk '$id': negative size $size")
       id match {
         case "fmt " =>
           val tag = buf.getShort(p + 8) & 0xffff

@@ -30,9 +30,10 @@ object IntervalJoin {
     *        instead — a broadcast-nested-loop over the outliers ONLY, so
     *        the bucketed hash join's fan-out stays bounded. Malformed
     *        intervals (null bounds, end < start) never match, same as R's
-    *        `between`. Pass None to disable the clamp (required for
-    *        non-inner join types, where the two-path union is not
-    *        decomposable).
+    *        `between`. Pass None to disable the clamp (required for any
+    *        join type but inner, where the two-path union is not
+    *        decomposable). Right/full joins bypass bucketing entirely
+    *        (plain range join) so unmatched intervals appear exactly once.
     */
   def contains(
       points: DataFrame,
@@ -46,9 +47,29 @@ object IntervalJoin {
       maxReplication: Option[Long] = Some(1000L)): DataFrame = {
     require(maxReplication.isEmpty || joinType == "inner",
       "maxReplication clamp requires an inner join; pass maxReplication=None")
+    // The bucketed rewrite is only sound for point-preserving join types:
+    // each qualifying pair matches on exactly one bucket, so inner/left/
+    // semi/anti semantics are exact. Interval-preserving types (right,
+    // full) would duplicate an unmatched interval once per exploded
+    // bucket and drop null-bound intervals through `explode` — those go
+    // through the plain range predicate instead (exact semantics;
+    // malformed intervals surface as unmatched rows with nulls).
+    val norm = joinType.toLowerCase.replace("_", "")
+    val pointPreserving =
+      Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
+    if (!pointPreserving.contains(norm)) {
+      return points.join(
+        intervals,
+        on.map(c => points(c) === intervals(c)).foldLeft(
+          points(pointTs) >= intervals(startCol) &&
+            points(pointTs) <= intervals(endCol))(_ && _),
+        joinType)
+    }
     val bUs = bucketSec * 1000000L
     val span = floor(unix_micros(col(endCol)) / bUs) -
       floor(unix_micros(col(startCol)) / bUs) + 1
+    // Malformed intervals (null bounds, end < start) never match, same
+    // as R's `between`; safe to drop pre-explode on the bucketed path.
     val valid = intervals.filter(col(endCol) >= col(startCol))
     val bucketable = maxReplication.fold(valid)(m => valid.filter(span <= m))
     val iv = bucketable.withColumn(

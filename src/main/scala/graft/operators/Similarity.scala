@@ -69,10 +69,27 @@ object Similarity {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Ranked]]()
   }
 
-  /** Shared tail of both top-k paths: scored pairs → bounded aggregate →
-    * exploded ranked rows.
+  /** The aggregator keys neighbors by long; require an integral id up
+    * front so a string/decimal corpus id fails loudly instead of
+    * silently nulling through `cast("long")`.
     */
-  private def rankTopK(scored: DataFrame, qId: String, k: Int): DataFrame = {
+  private def integralIdType(df: DataFrame, idCol: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(dt.isInstanceOf[ByteType] || dt.isInstanceOf[ShortType] ||
+      dt.isInstanceOf[IntegerType] || dt.isInstanceOf[LongType],
+      s"corpus id column '$idCol' must be integral (got $dt); " +
+        "TopKNeighbors keys by long — pre-assign a dense long id for other key types")
+    dt
+  }
+
+  /** Shared tail of both top-k paths: scored pairs → bounded aggregate →
+    * exploded ranked rows. `idType` restores the corpus id's original
+    * integral type on output (the aggregator works in long).
+    */
+  private def rankTopK(
+      scored: DataFrame, qId: String, k: Int,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     val agg = udaf(new TopKNeighbors(k))
@@ -80,7 +97,7 @@ object Similarity {
       .groupBy(col(qId).as("query_id"))
       .agg(agg(col("__cid"), col("cosine")).as("__topk"))
       .select(col("query_id"), explode(col("__topk")).as("r"))
-      .select(col("query_id"), col("r.neighbor_id"),
+      .select(col("query_id"), col("r.neighbor_id").cast(idType).as("neighbor_id"),
         col("r.rank"), col("r.cosine"))
   }
 
@@ -93,12 +110,13 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int): DataFrame = {
+    val idType = integralIdType(corpus, cId)
     val q = queries.withColumn("__qn", sqrt(dot(col(qVec), col(qVec))))
     val c = corpus.withColumn("__cn", sqrt(dot(col(cVec), col(cVec))))
     val joined = c.join(broadcast(q), col(qId) =!= col(cId))
       .withColumn("cosine", dot(col(qVec), col(cVec)) / col("__qn") / col("__cn"))
       .withColumn("__cid", col(cId).cast("long"))
-    rankTopK(joined, qId, k)
+    rankTopK(joined, qId, k, idType)
   }
 
   /** IVF-style restricted top-k: corpus pre-assigned to cells
@@ -112,13 +130,14 @@ object Similarity {
       qId: String, qVec: String, qCell: String,
       cId: String, cVec: String, cCell: String,
       k: Int): DataFrame = {
+    val idType = integralIdType(corpus, cId)
     val q = queries.withColumn("__qn", sqrt(dot(col(qVec), col(qVec))))
     val c = corpus.withColumn("__cn", sqrt(dot(col(cVec), col(cVec))))
     val joined = c.join(broadcast(q),
         col(qCell) === col(cCell) && col(qId) =!= col(cId))
       .withColumn("cosine", dot(col(qVec), col(cVec)) / col("__qn") / col("__cn"))
       .withColumn("__cid", col(cId).cast("long"))
-    rankTopK(joined, qId, k)
+    rankTopK(joined, qId, k, idType)
   }
 
   /** Driver-trained k-means centroids for IVF cells: Lloyd iterations on

@@ -70,6 +70,41 @@ class IntervalJoinSpec extends SparkSpec {
     assert(unclamped == got)
   }
 
+  test("left join preserves unmatched points once each") {
+    val points = Seq(
+      (1L, ts("2024-01-01 10:30:00")), // matches A
+      (2L, ts("2024-03-01 00:00:00"))  // matches nothing
+    ).toDF("pid", "pt")
+    val ivs = Seq(("A", ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")))
+      .toDF("iv", "start", "stop")
+    val got = IntervalJoin.contains(points, ivs, "pt", "start", "stop",
+        joinType = "left", maxReplication = None)
+      .select("pid", "iv").as[(Long, Option[String])].collect().toSet
+    assert(got == Set((1L, Some("A")), (2L, None)))
+  }
+
+  test("full outer preserves malformed and unmatched intervals exactly once") {
+    val points = Seq((1L, ts("2024-01-01 10:30:00"))).toDF("pid", "pt")
+    val ivs = Seq(
+      ("hit", ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+      // spans many buckets AND unmatched: bucketing would emit it once
+      // per exploded bucket; the plain-path full join emits it once
+      ("wideMiss", ts("2024-02-01 00:00:00"), ts("2024-02-20 00:00:00")),
+      // inverted bounds: must surface as an unmatched row, not vanish
+      ("broken", ts("2024-12-31 00:00:00"), ts("2024-01-01 00:00:00")),
+      // null bound: ditto (explode(sequence(null,...)) would drop it)
+      ("nullEnd", ts("2024-05-01 00:00:00"), null.asInstanceOf[Timestamp])
+    ).toDF("iv", "start", "stop")
+    val got = IntervalJoin.contains(points, ivs, "pt", "start", "stop",
+        joinType = "full", maxReplication = None)
+      .select("pid", "iv").as[(Option[Long], Option[String])].collect().toList
+    assert(got.count(_ == (Some(1L), Some("hit"))) == 1)
+    assert(got.count(_ == (None, Some("wideMiss"))) == 1)
+    assert(got.count(_ == (None, Some("broken"))) == 1)
+    assert(got.count(_ == (None, Some("nullEnd"))) == 1)
+    assert(got.size == 4)
+  }
+
   test("clamp with non-inner join is rejected loudly") {
     val points = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("pid", "pt")
     val ivs = Seq(("A", ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00")))

@@ -38,4 +38,33 @@ class MalformedInputSpec extends AnyFunSuite {
     val fakePng = Array[Byte](0x89.toByte, 'P', 'N', 'G') ++ junk
     intercept[Exception](graft.multimodal.Media.decodeImage(fakePng, 0, 0))
   }
+
+  test("decodeWav raises on a negative chunk size instead of looping") {
+    // valid RIFF/WAVE preamble, then a chunk whose size field is -8:
+    // the naive scan would stop advancing and spin forever
+    val b = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(56)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("junk".getBytes("US-ASCII")).putInt(-8)
+    val ex = intercept[IllegalArgumentException](
+      graft.multimodal.Media.decodeWav(b.array()))
+    assert(ex.getMessage.contains("negative size"))
+  }
+
+  test("decodeImage sniffs JPEG/GIF/BMP magics (no silent raw fallback)") {
+    // garbage after a real container magic must raise, not produce
+    // garbage "raw pixel" features
+    val fakeJpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ junk
+    intercept[Exception](graft.multimodal.Media.decodeImage(fakeJpeg, 8, 8))
+    val fakeGif = "GIF8".getBytes("US-ASCII") ++ junk
+    intercept[Exception](graft.multimodal.Media.decodeImage(fakeGif, 8, 8))
+    // and a REAL BMP round-trips through ImageIO with exact gray levels
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 2; x <- 0 until 3) img.getRaster.setSample(x, y, 0, y * 3 + x + 10)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    val (px, w, h) = graft.multimodal.Media.decodeImage(out.toByteArray, 0, 0)
+    assert((w, h) == (3, 2) && px.toSeq == Seq(10, 11, 12, 13, 14, 15))
+  }
 }
