@@ -35,22 +35,33 @@ object Bench {
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
       val ok = try { run(name); true } catch { case _: Throwable => false }
-      // drop per-query cached state (sketch persists, broadcasts) so one
-      // query's leftovers can't distort the next measurement
+      val t = (System.nanoTime() - t0) / 1e9
+      // drop per-query leftover state so one query can't distort the
+      // next measurement: the SQL cache (sketch persists, broadcasts)
+      // AND persistent RDD blocks — localCheckpoint() blocks are NOT
+      // covered by clearCache() and were the round-2 q53 "regression"
+      // (q52's checkpointed pair RDDs inflating the query after it)
       spark.catalog.clearCache()
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      if (ok) t else -1.0
     }
-    // two full passes, keep the per-query minimum: the host shows roaming
-    // multi-second stalls unrelated to any query, and first executions
-    // still pay residual JIT — min-of-2 measures the query, not the noise
-    val first = names.map(n => n -> timed(n))
-    val results = first.map { case (n, t) =>
-      if (t < 0) n -> t else n -> math.min(t, timed(n))
+    // three full passes: report the per-query MINIMUM (the host shows
+    // roaming multi-second stalls unrelated to any query, and first
+    // executions pay residual JIT — min measures the query, not the
+    // noise) plus the max-min spread so a future regression is
+    // attributable to the query vs the host
+    val passes = Seq.fill(3)(names.map(n => timed(n)))
+    val results = names.zipWithIndex.map { case (n, i) =>
+      val ts = passes.map(_(i)).filter(_ >= 0)
+      if (ts.isEmpty) (n, -1.0, -1.0) else (n, ts.min, ts.max - ts.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + s }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
