@@ -82,15 +82,21 @@ object PsdFit {
       "fit_syy" -> sum(lnY * lnY))
   }
 
-  /** Post-agg solve from the [[moments]] columns. */
+  /** Post-agg solve from the [[moments]] columns. Degenerate fits
+    * (fewer than 2 bins, or all bins at one x — det = 0) yield null,
+    * the Column twin of [[solve]]'s NaN contract; the guarded CaseWhen
+    * branches keep the divisions ANSI-safe.
+    */
   def solveCols(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column,
       syy: Column): (Column, Column, Column) = {
     val det = n * sxx - sx * sx
-    val slope = (n * sxy - sx * sy) / det
-    val intercept = (sy - slope * sx) / n
+    val ok = n >= 2 && det =!= 0.0
+    val slope = when(ok, (n * sxy - sx * sy) / det)
+    val intercept = when(ok, (sy - slope * sx) / n)
     val num = n * sxy - sx * sy
     val varY = n * syy - sy * sy
-    val r2 = when(varY === 0.0, 1.0).otherwise(num * num / (det * varY))
+    val r2 = when(ok && varY === 0.0, 1.0)
+      .when(ok, num * num / (det * varY))
     (slope, intercept, r2)
   }
 

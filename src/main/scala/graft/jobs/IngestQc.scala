@@ -1,0 +1,370 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.features.{Features, Segmentation}
+import graft.operators.{AsOfJoin, IntervalJoin}
+import graft.sources.{FileIndex, HdrSource, RoiSource, Sinks}
+import graft.functions.Geo
+
+/** The §3.2 scheduled incremental ingest-and-QC job (reference:
+  * `code/ifcb_ingest_and_qc.R:86-529`) composed end-to-end from the
+  * library's operators — the most-run job of the production deployment:
+  *
+  *  1. bin inventory + size/empty gate with a dead-letter side
+  *     (R:113-141 skip >0.5 GB + log, R:190-197 empty bins);
+  *  2. blacklist regex matching (R:86-110) — skip flagging, never
+  *     silent drops;
+  *  3. new-bin detection by anti-join against already-processed bins
+  *     (R:173-181, :490-493);
+  *  4. cruise attachment via the interval join (R:217-221) with the
+  *     R-faithful `SVEA_<year>_<no>` label (R:255, `paste0` turns a
+  *     missing number into the literal "NA");
+  *  5. HDR GPS with the 10-minute fix-staleness gate (R:265-287),
+  *     ferrybox as-of fallback within 5 minutes (R:300-340), provenance
+  *     comment (R:357-359), `-999` for position-less bins (R:362-364);
+  *  6. basin tagging (R:385-387) and the dashboard-metadata contract row
+  *     (R:373-388: pid, latitude, longitude, depth, qc_bad, skip,
+  *     sample_type, cruise, tag, comment), blacklist skip rows appended
+  *     (R:390-406), already-commented suppression against a dashboard
+  *     snapshot (R:412-422);
+  *  7. feature extraction over new bins only (R:436-448) through the
+  *     [[graft.features.Features]] kernel;
+  *  8. PSD µm histogram + power-law fit + QC flags over the extracted
+  *     `EquivDiameter` with the reference's `micron_factor` pixel→µm
+  *     scaling (R:495-518), appended idempotently (R:521-528).
+  *
+  * Plan shape at scale: the file index is a parallel `binaryFile`
+  * listing; blacklist/cruise/ferrybox dims broadcast; the one heavy
+  * stage (the kernel) is partition-local mapPartitions; PSD is a single
+  * hash aggregation per (sample, µm-bin) then per sample. No stage
+  * collects to the driver, so the job runs unchanged over a day or a
+  * decade of bins.
+  */
+object IngestQc {
+
+  /** Knobs, with the reference's production values as defaults. */
+  final case class Config(
+      rawDir: String,
+      maxBinBytes: Long = 512L * 1024 * 1024, // R: size_threshold (0.5 GB)
+      gpsMaxFixAgeMin: Long = 10,             // R:282-285
+      ferryboxToleranceSec: Long = 300,       // R:308 max_time_diff_min = 5
+      micronFactor: Double = 1.0 / 2.77,      // R:516
+      psdStartFitUm: Double = 15.0,           // R:507 start_fit
+      depthM: Double = 4.0,                   // R:379
+      sampleType: String = "underway",        // R:384
+      cruisePrefix: String = "SVEA")          // R:255
+
+  /** The job's output frames — all lazy until written. */
+  final case class Frames(
+      metadata: DataFrame,   // dashboard-metadata contract (R:388 column set)
+      features: DataFrame,   // slim kernel features for NEW bins, keyed (sample, roi_number)
+      psdData: DataFrame,    // (sample, esd_um, n) µm histogram, long form
+      psdFits: DataFrame,    // (sample, slope, intercept, r2, n_bins)
+      psdFlags: DataFrame,   // (sample, flag)
+      deadLetter: DataFrame) // gated-out files + reason (R's skip log)
+
+  /** Inventory of `.roi` bins under `rawDir`, split into (clean, dead)
+    * by the empty/oversize gate.
+    */
+  def binIndex(spark: SparkSession, cfg: Config): (DataFrame, DataFrame) =
+    FileIndex.sizeGate(
+      FileIndex.list(spark, cfg.rawDir, "*.roi"), cfg.maxBinBytes)
+
+  /** Samples whose file name matches any blacklist pattern (R:106-110 —
+    * patterns are regexes OR-ed over the path). Blacklist is a dim:
+    * broadcast non-equi semi join, the index never shuffles.
+    */
+  def blacklistedSamples(index: DataFrame, blacklist: DataFrame): DataFrame =
+    index
+      .join(broadcast(blacklist.select(col("sample").as("__pat"))),
+        expr("filename RLIKE __pat"), "left_semi")
+      .select("sample").distinct()
+
+  /** Cruise attachment (R:217-221, 249-256): bin timestamp ∈ cruise
+    * interval via the J4 interval join, then the `SVEA_<year>_<no>`
+    * label — `paste0` in R renders a missing cruise number as the
+    * literal "NA", reproduced faithfully.
+    */
+  def withCruise(binTimes: DataFrame, cruises: DataFrame, cfg: Config): DataFrame =
+    IntervalJoin.contains(
+        binTimes, cruises, "datetime", "startdate", "stopdate",
+        joinType = "left", maxReplication = None)
+      .withColumn("cruise",
+        concat(lit(cfg.cruisePrefix), lit("_"), year(col("datetime")),
+          lit("_"), coalesce(col("cruise_no").cast("string"), lit("NA"))))
+      .drop("startdate", "stopdate", "cruise_no")
+
+  /** HDR GPS positions with the fix-staleness gate (R:265-287): a fix
+    * older than `gpsMaxFixAgeMin` relative to the sample timestamp
+    * nulls the coordinates. `gpsTimeFromFix` is the instrument's
+    * `Mon/dd/yyyy HH:mm:ss[.SSS]` text format (R:279-281).
+    */
+  def hdrPositions(spark: SparkSession, cfg: Config): DataFrame = {
+    val hdr = HdrSource.read(spark, s"${cfg.rawDir}/*.hdr",
+      stringKeys = Seq("gpsTimeFromFix"),
+      numericKeys = Seq("gpsLatitude", "gpsLongitude"))
+    val fixTs = coalesce(
+      to_timestamp(col("gpsTimeFromFix"), "MMM/dd/yyyy HH:mm:ss.SSS"),
+      to_timestamp(col("gpsTimeFromFix"), "MMM/dd/yyyy HH:mm:ss"))
+    val stale = abs(unix_micros(fixTs) - unix_micros(col("timestamp"))) >
+      cfg.gpsMaxFixAgeMin * 60L * 1000000L
+    hdr
+      .withColumn("gpsLatitude",
+        when(stale, lit(null).cast("double")).otherwise(col("gpsLatitude")))
+      .withColumn("gpsLongitude",
+        when(stale, lit(null).cast("double")).otherwise(col("gpsLongitude")))
+      .drop("gpsTimeFromFix")
+  }
+
+  /** Ferrybox position fallback (R:300-368): nearest ferrybox record
+    * within tolerance fills missing HDR GPS (J2 left join + coalesce
+    * over the J3 as-of match); filled rows get the provenance comment
+    * (R:359); rows with no position from either source get `-999`
+    * (R:362-364).
+    *
+    * @param ferrybox (timestamp, latitude, longitude)
+    */
+  def withFerryboxFallback(
+      positions: DataFrame, ferrybox: DataFrame, cfg: Config): DataFrame = {
+    val matched = AsOfJoin.nearest(
+      positions, ferrybox, on = Nil,
+      leftTs = "timestamp", rightTs = "timestamp",
+      toleranceSec = cfg.ferryboxToleranceSec,
+      leftId = Seq("sample"), rightPrefix = "fb_", joinType = "left")
+    matched
+      .withColumn("comment",
+        when(col("gpsLatitude").isNull && col("fb_latitude").isNotNull,
+          "GPS location originates from ferrybox data"))
+      .withColumn("latitude", coalesce(col("gpsLatitude"), col("fb_latitude")))
+      .withColumn("longitude", coalesce(col("gpsLongitude"), col("fb_longitude")))
+      .withColumn("latitude", coalesce(col("latitude"), lit(-999.0)))
+      .withColumn("longitude", coalesce(col("longitude"), lit(-999.0)))
+      .select("sample", "timestamp", "latitude", "longitude", "comment")
+  }
+
+  /** The dashboard-metadata contract frame (R:373-428). */
+  def dashboardMetadata(
+      binTimes: DataFrame,
+      cruised: DataFrame,
+      positions: DataFrame,
+      blacklisted: DataFrame,
+      blacklist: DataFrame,
+      deadSamples: DataFrame,
+      balticBasin: Seq[(Double, Double)],
+      currentMetadata: Option[DataFrame],
+      cfg: Config): DataFrame = {
+    val inBaltic = Geo.pointInPolygon(balticBasin)
+    val base = cruised
+      .withColumnRenamed("sample", "pid")
+      .join(positions.withColumnRenamed("sample", "pid").drop("timestamp"),
+        Seq("pid"), "left")
+      .join(broadcast(blacklisted.select(col("sample").as("pid"))
+        .withColumn("__bl", lit(true))), Seq("pid"), "left")
+      .withColumn("depth", lit(cfg.depthM))
+      .withColumn("qc_bad", lit(null).cast("boolean")) // R:382 qc_bad = NA
+      .withColumn("skip", coalesce(col("__bl"), lit(false)))
+      .withColumn("sample_type", lit(cfg.sampleType))
+      .withColumn("tag",
+        when(col("latitude") === -999.0, "missing_position")
+          .when(inBaltic(col("latitude"), col("longitude")), "baltic")
+          .otherwise("skagerrak_kattegat"))
+      .select("pid", "latitude", "longitude", "depth", "qc_bad", "skip",
+        "sample_type", "cruise", "tag", "comment")
+
+    // R:390-401: blacklisted exact bin ids + size-gated bins appear as
+    // skip rows (qc_bad = TRUE) unless already present
+    val skipIds = blacklist.select(col("sample").as("pid"))
+      .filter(!col("pid").rlike("^D\\d{8}$"))
+      .unionByName(deadSamples.select(col("sample").as("pid")))
+      .distinct()
+      .join(base.select("pid"), Seq("pid"), "left_anti")
+      .withColumn("latitude", lit(null).cast("double"))
+      .withColumn("longitude", lit(null).cast("double"))
+      .withColumn("depth", lit(cfg.depthM))
+      .withColumn("qc_bad", lit(true))
+      .withColumn("skip", lit(true))
+      .withColumn("sample_type", lit(cfg.sampleType))
+      .withColumn("cruise", lit(null).cast("string"))
+      .withColumn("tag", lit(null).cast("string"))
+      .withColumn("comment", lit(null).cast("string"))
+
+    // R:404-406: day-level blacklist patterns never become rows
+    val all = base.unionByName(skipIds).filter(!col("pid").rlike("^D\\d{8}$"))
+
+    // R:412-422: suppress the ferrybox comment for pids the dashboard
+    // already carries it on (snapshot via sources.DashboardSnapshot)
+    currentMetadata match {
+      case None => all
+      case Some(cur) =>
+        val commented = cur
+          .filter(col("comment_summary")
+            .contains("GPS location originates from ferrybox data"))
+          .select(col("pid")).withColumn("__seen", lit(true))
+        all.join(broadcast(commented), Seq("pid"), "left")
+          .withColumn("comment",
+            when(col("__seen"), lit(null).cast("string")).otherwise(col("comment")))
+          .drop("__seen")
+    }
+  }
+
+  /** Kernel feature extraction for the given bins (R:436-448), keyed by
+    * (sample, roi_number) — partition-local, shuffle-free.
+    */
+  def extractFeatures(spark: SparkSession, cfg: Config, bins: DataFrame): DataFrame = {
+    import spark.implicits._
+    val images = RoiSource.read(spark, cfg.rawDir)
+      .join(broadcast(bins.select("sample")), Seq("sample"), "left_semi")
+      .select($"sample", $"roi_number", $"width", $"height", $"pixels")
+      .as[(String, Int, Int, Int, Array[Byte])]
+      // few CPU-heavy rows per file split: spread across all cores
+      .repartition(spark.sparkContext.defaultParallelism)
+    val rows = images.mapPartitions { it =>
+      it.map { case (sample, roiNo, w, h, bytes) =>
+        val px = new Array[Int](h * w)
+        var k = 0
+        while (k < px.length) { px(k) = bytes(k) & 0xff; k += 1 }
+        (sample, roiNo,
+          Features.computeFromRoi(roiNo.toLong, Segmentation.Gray(h, w, px)))
+      }
+    }.toDF("sample", "roi_number", "f")
+    rows.select(col("sample") +: col("roi_number") +:
+      rows.schema("f").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.filter(_ != "roiId").map(n => col(s"f.$n").as(n)).toSeq: _*)
+  }
+
+  /** PSD over kernel output (R:495-518): ESD µm = `EquivDiameter` px ×
+    * `micron_factor`, 1-µm histogram per sample, ln-ln power-law fit
+    * from `psdStartFitUm` upward, rule-based flags.
+    */
+  def psd(features: DataFrame, cfg: Config): (DataFrame, DataFrame, DataFrame) = {
+    import graft.agg.PsdFit
+    val data = features
+      .withColumn("esd_um",
+        floor(col("EquivDiameter") * cfg.micronFactor).cast("int"))
+      .groupBy(col("sample"), col("esd_um"))
+      .agg(count(lit(1)).as("n"))
+    val mid = col("esd_um") + lit(0.5)
+    val fitRows = data.filter(mid >= cfg.psdStartFitUm && col("n") > 0)
+    val moments = PsdFit.moments(log(mid), log(col("n")))
+    val fitted = fitRows.groupBy(col("sample"))
+      .agg(moments.head._2.as(moments.head._1),
+        moments.tail.map { case (n, c) => c.as(n) }: _*)
+    val (slope, intercept, r2) = PsdFit.solveCols(
+      col("fit_n"), col("fit_sx"), col("fit_sy"),
+      col("fit_sxx"), col("fit_sxy"), col("fit_syy"))
+    val totals = data.groupBy(col("sample")).agg(sum(col("n")).as("total_n"))
+    val fits = totals
+      .join(fitted, Seq("sample"), "left")
+      .select(col("sample"),
+        slope.as("slope"), intercept.as("intercept"), r2.as("r2"),
+        coalesce(col("fit_n"), lit(0L)).as("n_bins"), col("total_n"))
+    val flags = fits.select(col("sample"),
+      PsdFit.flag(col("slope"), col("r2"), col("total_n")).as("flag"))
+    (data, fits.drop("total_n"), flags)
+  }
+
+  /** One incremental run, all frames lazy. Processed-state inputs are
+    * the previously written outputs (or None on first run); `ferrybox`,
+    * `cruises`, `blacklist` are small dims.
+    */
+  def run(
+      spark: SparkSession,
+      cfg: Config,
+      blacklist: DataFrame,
+      cruises: DataFrame,
+      ferrybox: DataFrame,
+      balticBasin: Seq[(Double, Double)],
+      existingFeatures: Option[DataFrame] = None,
+      existingPsdSamples: Option[DataFrame] = None,
+      currentMetadata: Option[DataFrame] = None): Frames = {
+    val (clean, dead) = binIndex(spark, cfg)
+    val blacklisted = blacklistedSamples(clean, blacklist)
+    val candidates = clean.select("sample").distinct()
+      .join(blacklisted, Seq("sample"), "left_anti")
+
+    // metadata spine covers every clean bin (R builds bin_times over all
+    // roi_bins; blacklisted ones carry skip = TRUE)
+    val binTimes = clean.select(col("sample"), HdrSource
+      .toTimestampFromSampleId(col("sample")).as("datetime")).distinct()
+    val cruised = withCruise(binTimes, cruises, cfg)
+    val positions = withFerryboxFallback(hdrPositions(spark, cfg), ferrybox, cfg)
+    val metadata = dashboardMetadata(
+      binTimes, cruised, positions, blacklisted, blacklist,
+      dead.filter(col("reason") === "oversize"), balticBasin,
+      currentMetadata, cfg)
+
+    // feature extraction: new, non-blacklisted bins only (R:181,436)
+    val binsToProcess = existingFeatures.fold(candidates)(e =>
+      FileIndex.newFiles(candidates, e.select("sample")))
+    val feats = extractFeatures(spark, cfg, binsToProcess)
+
+    // PSD: bins not yet PSD-processed (R:490-493); consumes this run's
+    // features plus previously extracted ones so a bin featurized in an
+    // earlier run still gets its PSD
+    val allFeats = existingFeatures.fold(feats)(e =>
+      e.select(feats.columns.map(col): _*).unionByName(feats))
+    val binsToPsd = existingPsdSamples.fold(candidates)(e =>
+      FileIndex.newFiles(candidates, e.select("sample")))
+    val (psdData, psdFits, psdFlags) = psd(
+      allFeats.join(broadcast(binsToPsd.select("sample")), Seq("sample"), "left_semi"),
+      cfg)
+
+    Frames(metadata, feats, psdData, psdFits, psdFlags, dead)
+  }
+
+  /** Persist one run's frames under `outDir`: metadata overwritten
+    * (R:425-427), features/PSD appended idempotently keyed by sample
+    * (R:521-528 + the K3 anti-join semantics).
+    */
+  def write(frames: Frames, outDir: String): Unit = {
+    val spark = frames.metadata.sparkSession
+    def existing(path: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        Some(spark.read.option("header", "true").csv(path))
+      else None
+    }
+    frames.metadata.write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("nullValue", "").option("emptyValue", "")
+      .csv(s"$outDir/metadata")
+    Sinks.appendNew(frames.features, existing(s"$outDir/features"),
+      Seq("sample"), s"$outDir/features")
+    Sinks.appendNew(frames.psdData, existing(s"$outDir/psd_data"),
+      Seq("sample"), s"$outDir/psd_data")
+    Sinks.appendNew(frames.psdFits, existing(s"$outDir/psd_fits"),
+      Seq("sample"), s"$outDir/psd_fits")
+    Sinks.appendNew(frames.psdFlags, existing(s"$outDir/psd_flags"),
+      Seq("sample"), s"$outDir/psd_flags")
+  }
+
+  /** The daily entrypoint: read processed state from `outDir`, run
+    * incrementally, persist. Running it twice over unchanged input is a
+    * no-op on the appended sinks.
+    */
+  def runIncremental(
+      spark: SparkSession,
+      cfg: Config,
+      blacklist: DataFrame,
+      cruises: DataFrame,
+      ferrybox: DataFrame,
+      balticBasin: Seq[(Double, Double)],
+      outDir: String,
+      currentMetadata: Option[DataFrame] = None): Frames = {
+    def existing(path: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        Some(spark.read.option("header", "true")
+          .option("inferSchema", "true").csv(path))
+      else None
+    }
+    val frames = run(spark, cfg, blacklist, cruises, ferrybox, balticBasin,
+      existingFeatures = existing(s"$outDir/features"),
+      existingPsdSamples = existing(s"$outDir/psd_fits"),
+      currentMetadata = currentMetadata)
+    write(frames, outDir)
+    frames
+  }
+}

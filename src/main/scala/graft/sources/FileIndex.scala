@@ -15,17 +15,30 @@ import org.apache.spark.sql.functions._
   */
 object FileIndex {
 
-  /** File inventory with the bin/sample id decoded from the file name. */
-  def list(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", glob)
-      .load(path)
+  /** File inventory with the bin/sample id decoded from the file name.
+    *
+    * Listed via the Hadoop FileSystem, not the `binaryFile` source:
+    * binaryFile silently omits 0-byte files, and the empty-bin gate
+    * (ifcb_ingest_and_qc.R:190-197) exists precisely to catch those.
+    * Driver-side listing is what Spark's own InMemoryFileIndex does for
+    * any scan; payload reads stay distributed (see [[RoiSource]]).
+    */
+  def list(spark: SparkSession, path: String, glob: String = "*"): DataFrame = {
+    import spark.implicits._
+    val pattern = new org.apache.hadoop.fs.Path(path, glob)
+    val fs = pattern.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = Option(fs.globStatus(pattern)).map(_.toSeq).getOrElse(Nil)
+      .filter(_.isFile)
+      .map(s => (s.getPath.toString, s.getLen,
+        new java.sql.Timestamp(s.getModificationTime)))
+    statuses.toDF("path", "length", "modificationTime")
       .select(
         col("path"),
         col("length"),
         col("modificationTime"),
         regexp_extract(col("path"), "([^/]+)$", 1).as("filename"),
         regexp_extract(col("path"), HdrSource.SampleIdPattern, 1).as("sample"))
+  }
 
   /** J10/§2.9 new-data detection: files not yet in `processed`
     * (reference anti-join at code/ifcb_ingest_and_qc.R:173-181).

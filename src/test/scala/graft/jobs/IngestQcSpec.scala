@@ -1,0 +1,175 @@
+package graft.jobs
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+import graft.SparkSpec
+import graft.queries.FeatureExtract
+
+/** §3.2 ingest-and-QC job end-to-end over generated hdr/adc/roi fixture
+  * bins (reference: code/ifcb_ingest_and_qc.R:86-529): dashboard
+  * metadata contract, blacklist/oversize skip rows, ferrybox fallback +
+  * provenance comment, cruise interval labels, kernel features, PSD
+  * over kernel output, and idempotent incrementality (run twice ⇒ the
+  * appended sinks gain nothing).
+  */
+class IngestQcSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // --- fixture: a raw dir of bin trios -------------------------------
+  private val BinA = "D20240601T100000_IFCB134" // GPS ok, in cruise, baltic
+  private val BinB = "D20240601T110000_IFCB134" // no GPS -> ferrybox, kattegat
+  private val BinC = "D20240601T120000_IFCB134" // stale fix + no ferrybox -> -999
+  private val BinBL = "D20240601T130000_IFCB134" // blacklisted, has files
+  private val BinBig = "D20240601T140000_IFCB134" // oversize -> dead letter
+  private val PhantomBL = "D20231201T000000_IFCB777" // blacklisted, no files
+
+  /** Writes one bin trio; returns nothing. `seeds` pick the rendered
+    * ROI images; `gps`/`fix` control the hdr position block.
+    */
+  private def writeBin(dir: Path, bin: String, seeds: Seq[Long],
+      gps: Option[(Double, Double)], fix: Option[String]): Unit = {
+    val imgs = seeds.map(FeatureExtract.renderRoi)
+    val roi = imgs.flatMap(_._1).toArray
+    Files.write(dir.resolve(s"$bin.roi"), roi)
+    val adcRows = imgs.zipWithIndex.scanLeft(("roi_number,width,height,start_byte", 0L)) {
+      case ((_, off), ((px, h, w), i)) =>
+        (s"${i + 1},$w,$h,$off", off + px.length)
+    }.map(_._1)
+    Files.writeString(dir.resolve(s"$bin.adc"), adcRows.mkString("", "\n", "\n"))
+    val gpsLines = gps.map { case (la, lo) =>
+      s"gpsLatitude: $la\ngpsLongitude: $lo\n" }.getOrElse("")
+    val fixLine = fix.map(f => s"gpsTimeFromFix: $f\n").getOrElse("")
+    Files.writeString(dir.resolve(s"$bin.hdr"),
+      s"softwareVersion: 4.1\n$gpsLines$fixLine")
+  }
+
+  private lazy val rawDir: Path = {
+    val dir = Files.createTempDirectory("ingestqc")
+    writeBin(dir, BinA, Seq(3L, 10L),
+      gps = Some((57.0, 16.0)), fix = Some("Jun/01/2024 09:59:30.000"))
+    writeBin(dir, BinB, Seq(20L), gps = None, fix = None)
+    writeBin(dir, BinC, Seq(31L),
+      gps = Some((56.0, 12.0)), fix = Some("Jun/01/2024 11:30:00.000")) // 30 min stale
+    writeBin(dir, BinBL, Seq(40L), gps = None, fix = None)
+    writeBin(dir, BinBig, Seq(50L, 51L, 52L, 53L, 54L, 55L, 56L, 57L),
+      gps = None, fix = None)
+    // empty (0-byte) bin: excluded everywhere (R:190-197)
+    Files.write(dir.resolve("D20240601T150000_IFCB134.roi"), Array.empty[Byte])
+    Files.writeString(dir.resolve("D20240601T150000_IFCB134.adc"),
+      "roi_number,width,height,start_byte\n1,2,2,0\n")
+    dir
+  }
+
+  private lazy val cfg = IngestQc.Config(
+    rawDir = rawDir.toString,
+    maxBinBytes = 5000L,    // BinBig (8 images) trips this
+    psdStartFitUm = 2.0)    // fixture blobs are ~4-6 um ESD
+
+  private val blacklist = Seq(BinBL, PhantomBL, "D20240115").toDF("sample")
+  private val cruises = Seq(("77", ts("2024-06-01 09:00:00"), ts("2024-06-01 10:30:00")))
+    .toDF("cruise_no", "startdate", "stopdate")
+  private val ferrybox = Seq(
+    (ts("2024-06-01 11:00:30"), 57.7, 11.0), // 30 s from BinB
+    (ts("2024-06-01 03:00:00"), 55.0, 13.0)  // matches nothing
+  ).toDF("timestamp", "latitude", "longitude")
+  // baltic box: lat 55-58, lon 14-20 (BinA inside; ferrybox pos outside)
+  private val baltic = Seq((55.0, 14.0), (58.0, 14.0), (58.0, 20.0), (55.0, 20.0))
+
+  private lazy val frames = IngestQc.run(
+    spark, cfg, blacklist, cruises, ferrybox, baltic)
+
+  test("dashboard metadata matches the R:373-428 contract") {
+    val md = frames.metadata.collect()
+      .map(r => r.getAs[String]("pid") -> r).toMap
+    assert(md.keySet == Set(BinA, BinB, BinC, BinBL, BinBig, PhantomBL))
+
+    val a = md(BinA)
+    assert(a.getAs[Double]("latitude") == 57.0)
+    assert(a.getAs[String]("cruise") == "SVEA_2024_77")
+    assert(a.getAs[String]("tag") == "baltic")
+    assert(!a.getAs[Boolean]("skip"))
+    assert(a.getAs[String]("comment") == null)
+
+    val b = md(BinB)
+    assert(b.getAs[Double]("latitude") == 57.7)
+    assert(b.getAs[String]("comment") ==
+      "GPS location originates from ferrybox data")
+    assert(b.getAs[String]("tag") == "skagerrak_kattegat")
+    assert(b.getAs[String]("cruise") == "SVEA_2024_NA") // R paste0 NA-literal
+
+    val c = md(BinC)
+    assert(c.getAs[Double]("latitude") == -999.0)
+    assert(c.getAs[String]("tag") == "missing_position")
+
+    assert(md(BinBL).getAs[Boolean]("skip"))
+    val big = md(BinBig)
+    assert(big.getAs[Boolean]("qc_bad") && big.getAs[Boolean]("skip"))
+    val ph = md(PhantomBL)
+    assert(ph.getAs[Boolean]("qc_bad") && ph.getAs[Boolean]("skip"))
+    // the day-level pattern D20240115 never becomes a row (R:404-406)
+  }
+
+  test("features cover new non-blacklisted bins only; PSD flags per sample") {
+    val bySample = frames.features.groupBy("sample").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySample == Map(BinA -> 2L, BinB -> 1L, BinC -> 1L))
+    assert(frames.features.columns.contains("EquivDiameter"))
+
+    val flags = frames.psdFlags.as[(String, String)].collect().toMap
+    assert(flags.keySet == Set(BinA, BinB, BinC))
+    // < 50 rois per bin => "incomplete" under the rule chain
+    assert(flags.values.toSet == Set("incomplete"))
+
+    val fits = frames.psdFits.collect().map(r =>
+      r.getAs[String]("sample") -> r.getAs[Long]("n_bins")).toMap
+    assert(fits.keySet == Set(BinA, BinB, BinC))
+    assert(fits.values.forall(_ >= 1L)) // fixture ESD ~4-6 um >= startFit 2
+
+    val dead = frames.deadLetter
+      .select("sample", "reason").as[(String, String)].collect().toSet
+    assert(dead == Set(
+      (BinBig, "oversize"), ("D20240601T150000_IFCB134", "empty")))
+  }
+
+  test("psd data is the micron_factor histogram of EquivDiameter") {
+    val viaJob = frames.psdData
+      .as[(String, Int, Long)].collect().toSet
+    val expected = frames.features
+      .select(col("sample"),
+        org.apache.spark.sql.functions.floor(
+          col("EquivDiameter") * cfg.micronFactor).cast("int").as("esd_um"))
+      .groupBy("sample", "esd_um").count()
+      .as[(String, Int, Long)].collect().toSet
+    assert(viaJob == expected && viaJob.nonEmpty)
+  }
+
+  test("runIncremental is idempotent: second run appends nothing") {
+    val out = Files.createTempDirectory("ingestout").toString
+    IngestQc.runIncremental(spark, cfg, blacklist, cruises, ferrybox, baltic, out)
+    def counts() = Seq("features", "psd_data", "psd_fits", "psd_flags").map { t =>
+      t -> spark.read.option("header", "true").csv(s"$out/$t").count()
+    }.toMap
+    val first = counts()
+    assert(first("features") == 4L && first("psd_fits") == 3L)
+
+    val second = IngestQc.runIncremental(
+      spark, cfg, blacklist, cruises, ferrybox, baltic, out)
+    assert(second.features.isEmpty) // nothing new to extract
+    assert(counts() == first)       // sinks unchanged
+    // metadata is overwritten, not appended: same contract rows
+    assert(spark.read.option("header", "true").csv(s"$out/metadata").count() == 6L)
+  }
+
+  test("dashboard snapshot suppresses already-commented pids (R:412-422)") {
+    val current = Seq((BinB, "GPS location originates from ferrybox data (2024)"))
+      .toDF("pid", "comment_summary")
+    val suppressed = IngestQc.run(
+      spark, cfg, blacklist, cruises, ferrybox, baltic,
+      currentMetadata = Some(current))
+    val b = suppressed.metadata.filter(col("pid") === BinB).collect().head
+    assert(b.getAs[String]("comment") == null)
+  }
+}

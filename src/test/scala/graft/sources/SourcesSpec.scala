@@ -48,16 +48,18 @@ class SourcesSpec extends SparkSpec {
     Files.write(dir.resolve("D20240102T000000_IFCB134.roi"), Array.fill[Byte](3000)(1))
     Files.write(dir.resolve("D20240103T000000_IFCB134.roi"), Array.emptyByteArray)
     val idx = FileIndex.list(spark, dir.toString)
-    // binaryFile skips 0-byte files at the source — the reference's
-    // empty-bin exclusion (ifcb_ingest_and_qc.R:190-197) comes free
-    assert(idx.count() == 2)
+    // 0-byte files must be LISTED so the empty-bin gate can dead-letter
+    // them (ifcb_ingest_and_qc.R:190-197) — the binaryFile source
+    // silently omits them, which is why list() uses an FS listing
+    assert(idx.count() == 3)
     val (clean, dead) = FileIndex.sizeGate(idx, maxBytes = 1000L)
     assert(clean.count() == 1)
-    assert(dead.select("reason").as[String].collect().toSet == Set("oversize"))
+    assert(dead.select("reason").as[String].collect().toSet ==
+      Set("oversize", "empty"))
     val processed = Seq("D20240101T123000_IFCB134").toDF("sample")
     val fresh = FileIndex.newFiles(idx, processed)
     assert(fresh.select("sample").as[String].collect().toSet ==
-      Set("D20240102T000000_IFCB134"))
+      Set("D20240102T000000_IFCB134", "D20240103T000000_IFCB134"))
   }
 
   test("partitionedTsv writes one folder per class with format-code first row") {
