@@ -86,6 +86,74 @@ object SharkExport {
         Biovolume.perLiter(col("carbon_pg") / 1e6, col("ml_analyzed")).as("C_CONC"))
   }
 
+  /** Manual-annotation ROI rows (ifcb_delivery_data_to_shark.R:236-254):
+    * human class labels from the SQLite annotations keyed to kernel
+    * features by (sample, roi_number) — class from the annotator, volume
+    * from the kernel, diatom flag from the class dim. Pixel³ biovolume
+    * scales to µm³ by `micronFactor`³.
+    *
+    * @param annotations [[graft.sources.SqliteSource.annotations]] frame
+    * @param features    kernel output keyed (sample, roi_number) with
+    *                    `Biovolume` in px³ (the IngestQc/Features shape)
+    * @param diatomDim   (class_name, is_diatom) lookup
+    */
+  def manualRoi(
+      annotations: DataFrame, features: DataFrame, diatomDim: DataFrame,
+      micronFactor: Double = 1.0 / 2.77): DataFrame =
+    annotations
+      .select(col("sample_name").as("sample"), col("roi_number"),
+        col("class_name"))
+      .join(features.select(col("sample"), col("roi_number"),
+        col("Biovolume")), Seq("sample", "roi_number"))
+      .join(broadcast(diatomDim), Seq("class_name"), "left")
+      .select(
+        col("sample"), col("class_name"),
+        (col("Biovolume") * math.pow(micronFactor, 3)).as("vol_um3"),
+        coalesce(col("is_diatom"), lit(false)).as("is_diatom"))
+
+  /** A5 last-annotation-per-sample (shark.R:268-277): each sample's
+    * final annotator + analysis date, by annotation timestamp.
+    */
+  def manualAnalysisDates(annotations: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("sample_name"))
+      .orderBy(col("timestamp").desc, col("annotator").desc)
+    annotations
+      .select(col("sample_name"), col("annotator"), col("timestamp"))
+      .distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("sample_name").as("sample"), col("annotator"),
+        to_date(col("timestamp")).as("analysis_date"))
+  }
+
+  /** Auto + manual delivery union (Rmd:1135-1139 `bind_rows`): machine
+    * rows carry `PredictedByMachine`, annotation-derived rows
+    * `ValidatedByHuman` with the A5 annotator/date provenance. Both
+    * sides run through the same [[delivery]] contract projection.
+    */
+  def deliveryWithManual(
+      autoRoi: DataFrame,
+      annotations: DataFrame, features: DataFrame, diatomDim: DataFrame,
+      sampleDim: DataFrame, flags: DataFrame,
+      removeFlagged: Seq[String],
+      adjacencyPartition: org.apache.spark.sql.Column,
+      micronFactor: Double = 1.0 / 2.77): DataFrame = {
+    val auto = delivery(autoRoi, sampleDim, flags, removeFlagged, adjacencyPartition)
+      .withColumn("VERIF", lit("PredictedByMachine"))
+      .withColumn("ANA_RESP", lit(null).cast("string"))
+      .withColumn("ANADATE", lit(null).cast("date"))
+    val manual = delivery(
+        manualRoi(annotations, features, diatomDim, micronFactor),
+        sampleDim, flags, removeFlagged, adjacencyPartition)
+      .join(broadcast(manualAnalysisDates(annotations))
+          .withColumnRenamed("sample", "SMPNO"),
+        Seq("SMPNO"), "left")
+      .withColumn("VERIF", lit("ValidatedByHuman"))
+      .withColumnRenamed("annotator", "ANA_RESP")
+      .withColumnRenamed("analysis_date", "ANADATE")
+    auto.unionByName(manual.select(auto.columns.map(col): _*))
+  }
+
   /** Synthetic-table instantiation (driver smoke): lineitem as ROI grain,
     * orders as the sample dim, a deterministic flag table.
     */

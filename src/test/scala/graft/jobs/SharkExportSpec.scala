@@ -36,6 +36,54 @@ class SharkExportSpec extends SparkSpec {
     assert(math.abs(s1.getAs[Double]("BIOVOL") - 3e-6) < 1e-18)
   }
 
+  test("manual delivery from SQLite annotations unions with auto rows") {
+    // annotations DB fixture: two annotators touch S6, the later one wins
+    // the A5 analysis-date window (shark.R:268-277)
+    val db = graft.sources.SqliteFixture.write("annotations",
+      Seq("sample_name" -> "TEXT", "roi_number" -> "INTEGER",
+        "class_name" -> "TEXT", "annotator" -> "TEXT", "timestamp" -> "TEXT"),
+      Seq(
+        Seq("S6", 1L, "diatom", "alice", "2024-06-02 10:00:00"),
+        Seq("S6", 2L, "algae", "bob", "2024-06-03 09:00:00"),
+        Seq("S7", 1L, "algae", "alice", "2024-06-02 11:00:00")))
+    val dir = Files.createTempDirectory("anndb")
+    Files.write(dir.resolve("ann.db"), db)
+    val annotations = graft.sources.SqliteSource.annotations(spark, dir.toString)
+
+    // kernel-shaped features: Biovolume in px³
+    val features = Seq(
+      ("S6", 1, 1000.0), ("S6", 2, 2000.0), ("S7", 1, 500.0)
+    ).toDF("sample", "roi_number", "Biovolume")
+    val diatomDim = Seq(("diatom", true), ("algae", false))
+      .toDF("class_name", "is_diatom")
+    val autoRoi = Seq(("S1", "algae", 1000.0, false))
+      .toDF("sample", "class_name", "vol_um3", "is_diatom")
+    val dim = Seq(("S1", 5.0, 57.0, 11.0), ("S6", 5.0, 57.0, 11.0),
+      ("S7", 5.0, 57.0, 11.0)).toDF("sample", "ml_analyzed", "lat", "lon")
+    val flags = Seq.empty[(String, String)].toDF("sample", "flag")
+
+    val out = SharkExport.deliveryWithManual(
+      autoRoi, annotations, features, diatomDim, dim, flags,
+      removeFlagged = Nil,
+      adjacencyPartition = org.apache.spark.sql.functions.lit("run1"))
+      .collect()
+
+    val byKey = out.map(r =>
+      (r.getAs[String]("SMPNO"), r.getAs[String]("LATNM")) -> r).toMap
+    assert(byKey.keySet == Set(
+      ("S1", "algae"), ("S6", "diatom"), ("S6", "algae"), ("S7", "algae")))
+    assert(byKey(("S1", "algae")).getAs[String]("VERIF") == "PredictedByMachine")
+    val s6 = byKey(("S6", "diatom"))
+    assert(s6.getAs[String]("VERIF") == "ValidatedByHuman")
+    // last annotation on S6 is bob's (2024-06-03)
+    assert(s6.getAs[String]("ANA_RESP") == "bob")
+    assert(s6.getAs[java.sql.Date]("ANADATE").toString == "2024-06-03")
+    // manual biovolume: px³ × (1/2.77)³, per-liter over 5 ml, µm³→mm³/L
+    val mf3 = math.pow(1.0 / 2.77, 3)
+    assert(math.abs(s6.getAs[Double]("BIOVOL") - 1000.0 * mf3 / 1e9) < 1e-18)
+    assert(byKey(("S7", "algae")).getAs[String]("ANA_RESP") == "alice")
+  }
+
   test("runOnSynthetic writes a TSV delivery and returns rows") {
     val out = Files.createTempDirectory("shark").resolve("delivery").toString
     val df = SharkExport.runOnSynthetic(spark, "/root/testdata/sf0.001", out)
