@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Taxonomy post-lookup logic (reference: ifcb-data-pipeline.Rmd
+  * class-names assembly): species-flag derivation from the raw class
+  * name, the CF parent-name substitution against WoRMS parent records,
+  * and the per-class F1 score used for classifier threshold selection.
+  *
+  * All pure column expressions / broadcast dim joins: the class dim is
+  * tiny (hundreds of rows), the fact side never shuffles for any of
+  * these.
+  */
+object Taxonomy {
+
+  /** Species flag from the raw class name (Rmd:992-1008): `CF` for
+    * `-like`/`_cf_`/`_like` names, then word-boundary `spp`/`group`/`sp`
+    * (underscores read as spaces) append `SPP`/`GRP`/`SP` — the R
+    * `paste` chain, trimmed.
+    */
+  def sflag(name: Column): Column = {
+    val spaced = regexp_replace(name, "_", " ")
+    val cf = when(
+      name.contains("-like") || name.contains("_cf_") || name.contains("_like"),
+      lit("CF"))
+    def appendIf(cur: Column, cond: Column, tag: String): Column =
+      when(cond, trim(concat_ws(" ", coalesce(cur, lit("")), lit(tag))))
+        .otherwise(cur)
+    val s1 = appendIf(cf, spaced.rlike("\\bspp\\b"), "SPP")
+    val s2 = appendIf(s1, spaced.rlike("\\bgroup\\b"), "GRP")
+    appendIf(s2, spaced.rlike("\\bsp\\b"), "SP")
+  }
+
+  /** Per-class F1 (Rmd:1001-1008): NaN inputs null out first (R's
+    * `mutate_all(~ifelse(is.nan(.), NA, .))`), then 2PR/(P+R), null when
+    * the denominator is zero (ANSI-safe).
+    */
+  def f1(precision: Column, recall: Column): Column = {
+    val p = when(!isnan(precision), precision)
+    val r = when(!isnan(recall), recall)
+    when(p + r =!= 0.0, lit(2.0) * p * r / (p + r))
+  }
+
+  /** CF parent substitution (Rmd:1027-1049): for taxa flagged exactly
+    * `CF`, the scientific name and AphiaID are replaced by the parent
+    * record's; every row falls back `parentName → scientificname →
+    * class_clean` (R's coalesce chain), and a consumed `CF` flag nulls
+    * out. Parent records are restricted to the parent ids of CF rows
+    * (the reference only fetches those) and broadcast.
+    *
+    * @param classNames (class, class_clean, sflag, scientificname,
+    *                   aphia_id, parentNameUsageID)
+    * @param parents    WoRMS records (AphiaID, scientificname)
+    */
+  def substituteCfParents(classNames: DataFrame, parents: DataFrame): DataFrame = {
+    val cfParentIds = classNames
+      .filter(col("sflag") === "CF")
+      .select(col("parentNameUsageID")).distinct()
+    val parentRecords = parents
+      .select(col("AphiaID").as("parentNameUsageID"),
+        col("scientificname").as("parentName"))
+      .join(cfParentIds, Seq("parentNameUsageID"), "left_semi")
+    classNames
+      .join(broadcast(parentRecords), Seq("parentNameUsageID"), "left")
+      .withColumn("scientificname",
+        coalesce(col("parentName"), col("scientificname"), col("class_clean")))
+      .withColumn("aphia_id",
+        coalesce(
+          when(col("parentName").isNotNull, col("parentNameUsageID")),
+          col("aphia_id")))
+      .withColumn("sflag",
+        when(col("sflag") === "CF", lit(null).cast("string"))
+          .otherwise(col("sflag")))
+      .drop("parentNameUsageID", "parentName")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Taxonomy post-lookup logic: sflag derivation chain, F1 edge cases,
+  * CF parent substitution semantics (Rmd:992-1049).
+  */
+class TaxonomySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sflag follows the R paste chain, including combinations") {
+    val got = Seq(
+      "alexandrium_spp",          // SPP
+      "chaetoceros_cf_xx",        // CF
+      "dino-like_cells",          // CF (-like)
+      "cryptomonadales_group",    // GRP
+      "mesodinium_sp",            // SP
+      "thalassiosira_cf_spp",     // CF then SPP -> "CF SPP"
+      "plain_taxon"               // null
+    ).toDF("name")
+      .select(col("name"), Taxonomy.sflag(col("name")).as("sflag"))
+      .as[(String, Option[String])].collect().toMap
+    assert(got("alexandrium_spp").contains("SPP"))
+    assert(got("chaetoceros_cf_xx").contains("CF"))
+    assert(got("dino-like_cells").contains("CF"))
+    assert(got("cryptomonadales_group").contains("GRP"))
+    assert(got("mesodinium_sp").contains("SP"))
+    assert(got("thalassiosira_cf_spp").contains("CF SPP"))
+    assert(got("plain_taxon").isEmpty)
+  }
+
+  test("f1 nulls NaN inputs and zero denominators (R mutate_all + 2PR/(P+R))") {
+    val got = Seq(
+      (0.8, 0.6),                       // 2*.48/1.4
+      (Double.NaN, 0.5),                // NaN precision -> null
+      (0.0, 0.0)                        // zero denominator -> null
+    ).toDF("p", "r")
+      .select(Taxonomy.f1(col("p"), col("r")).as("f1"))
+      .as[Option[Double]].collect()
+    assert(math.abs(got(0).get - 2 * 0.8 * 0.6 / 1.4) < 1e-12)
+    assert(got(1).isEmpty && got(2).isEmpty)
+  }
+
+  test("substituteCfParents replaces only CF rows' lineage, with fallbacks") {
+    val classNames = Seq(
+      // pure CF with a known parent: name+id replaced, sflag consumed
+      ("a_cf_xx", "a", "CF", Some("Sci a"), 1L, 10L),
+      // CF whose parent is unknown: falls back to own scientificname
+      ("b_cf_xx", "b", "CF", Some("Sci b"), 2L, 99L),
+      // CF, no parent, no scientificname: falls back to class_clean
+      ("c_cf_xx", "c", "CF", None, 3L, 99L),
+      // "CF SPP" is NOT exactly CF -> its parent is never fetched
+      ("d_cf_spp", "d", "CF SPP", Some("Sci d"), 4L, 20L),
+      // plain row untouched
+      ("e", "e", null, Some("Sci e"), 5L, 10L)
+    ).toDF("class", "class_clean", "sflag", "scientificname",
+      "aphia_id", "parentNameUsageID")
+    val parents = Seq((10L, "Parent ten"), (20L, "Parent twenty"))
+      .toDF("AphiaID", "scientificname")
+
+    val got = Taxonomy.substituteCfParents(classNames, parents)
+      .select("class", "sflag", "scientificname", "aphia_id")
+      .as[(String, Option[String], String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+
+    assert(got("a_cf_xx") == ("a_cf_xx", None, "Parent ten", 10L))
+    assert(got("b_cf_xx") == ("b_cf_xx", None, "Sci b", 2L))
+    assert(got("c_cf_xx") == ("c_cf_xx", None, "c", 3L))
+    // d: parent 20 was fetched? No - only exact-CF rows feed the parent
+    // fetch, so d keeps its own name (sflag untouched)
+    assert(got("d_cf_spp") == ("d_cf_spp", Some("CF SPP"), "Sci d", 4L))
+    // e: parent 10 IS in the fetched set (via a) and e's parent id
+    // matches -> the R semantics substitute it too, sflag stays null
+    assert(got("e") == ("e", None, "Parent ten", 10L))
+  }
+}
