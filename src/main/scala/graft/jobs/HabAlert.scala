@@ -1,0 +1,186 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.agg.Biovolume
+
+/** The daily HAB-alert job (reference: `code/ifcb_hab_alert.R:21-299,410`)
+  * composed end-to-end: biovolume/carbon rollup → HAB dim join → A4
+  * per-taxon max-concentration sample → A7 bloom carbon bands → alert
+  * predicate → rendered HTML notification.
+  *
+  * Plan shape: one grouped rollup shuffle; the HAB/warning dims are tiny
+  * and broadcast; the per-taxon top-1 is a key-partitioned window (never
+  * a global sort); rendering collects only one row per HAB taxon plus
+  * per-sample bloom bands for the day — bounded regardless of ROI count.
+  * The notification side effect runs through `foreachBatch`
+  * ([[graft.streaming.Streams.notifySink]]) in the streaming deployment.
+  */
+object HabAlert {
+
+  final case class Config(
+      dashboardBase: String = "https://ifcb-dashboard-utv.smhi.se",
+      dataset: String = "RV_Svea",
+      minorBloomUgC: Double = 40.0,   // R:126-131 case_when bands
+      bloomUgC: Double = 70.0,
+      majorBloomUgC: Double = 120.0)
+
+  /** Per-(sample, class) biovolume rollup with per-liter scaling — the
+    * `ifcb_summarize_biovolumes` output columns the alert consumes
+    * (counts, counts_per_liter, carbon_ug_per_liter).
+    *
+    * @param roi       (sample, class_name, vol_um3, is_diatom) per-ROI rows
+    * @param sampleDim (sample, ml_analyzed)
+    */
+  def biovolumes(roi: DataFrame, sampleDim: DataFrame): DataFrame =
+    roi
+      .withColumn("carbon_pg",
+        Biovolume.carbonPg(col("is_diatom"), col("vol_um3")))
+      .groupBy(col("sample"), col("class_name"))
+      .agg(
+        count(lit(1)).as("counts"),
+        sum(col("vol_um3")).as("biovolume_um3"),
+        sum(col("carbon_pg")).as("carbon_pg"))
+      .join(broadcast(sampleDim), Seq("sample"), "left")
+      .withColumn("counts_per_liter",
+        Biovolume.perLiter(col("counts"), col("ml_analyzed")))
+      // pg/ml → µg/L: ÷1e6 (pg→µg) × 1000 (ml→L)
+      .withColumn("carbon_ug_per_liter",
+        Biovolume.perLiter(col("carbon_pg") / 1e6, col("ml_analyzed")))
+
+  /** A4: per-HAB-taxon max-concentration sample (R:106-119
+    * `slice_max(n = 1, with_ties = FALSE)` — deterministic tie-break on
+    * sample id).
+    *
+    * @param biovol   [[biovolumes]] output
+    * @param classDim (class_name, aphia_id, class_clean, worms_phylum)
+    * @param habDim   (aphia_id, warning_level) — HAB taxa only
+    */
+  def maxCounts(
+      biovol: DataFrame, classDim: DataFrame, habDim: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("aphia_id"))
+      .orderBy(col("counts_per_liter").desc, col("sample").asc)
+    biovol
+      .join(broadcast(classDim), Seq("class_name"))
+      .join(broadcast(habDim), Seq("aphia_id"), "left_semi")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(broadcast(habDim), Seq("aphia_id"), "left")
+      .select(
+        col("aphia_id"), col("class_clean"), col("sample"), col("counts"),
+        round(col("counts_per_liter")).cast("long").as("counts_per_liter"),
+        col("warning_level"))
+      .orderBy(col("class_clean"))
+  }
+
+  /** A7: per-sample total carbon + bloom band (R:121-136). */
+  def biomassBands(biovol: DataFrame, cfg: Config): DataFrame =
+    biovol
+      .groupBy(col("sample"))
+      .agg(sum(coalesce(col("carbon_ug_per_liter"), lit(0.0))).as("total_carbon"))
+      .withColumn("bloom_category",
+        when(col("total_carbon") > cfg.majorBloomUgC, "Major bloom")
+          .when(col("total_carbon") >= cfg.bloomUgC, "Bloom")
+          .when(col("total_carbon") >= cfg.minorBloomUgC, "Minor bloom")
+          .otherwise("No bloom"))
+
+  /** Cyanobacteria counterpart of [[maxCounts]] (R:138-153). */
+  def cyanoCounts(
+      biovol: DataFrame, classDim: DataFrame, habDim: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("aphia_id"))
+      .orderBy(col("counts_per_liter").desc, col("sample").asc)
+    biovol
+      .join(broadcast(classDim), Seq("class_name"))
+      .filter(col("worms_phylum") === "Cyanobacteria")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(broadcast(habDim), Seq("aphia_id"), "left")
+      .select(
+        col("aphia_id"), col("class_clean"), col("sample"), col("counts"),
+        round(col("counts_per_liter")).cast("long").as("counts_per_liter"),
+        col("warning_level"))
+      .orderBy(col("class_clean"))
+  }
+
+  /** The alert predicate (R:197-200, 217): concentration exceeds a
+    * configured warning level.
+    */
+  def alertCol: Column =
+    col("warning_level").isNotNull &&
+      col("counts_per_liter") > col("warning_level")
+
+  /** Renders the daily notification HTML (R:208-289): per-taxon table
+    * with dashboard links and red alert rows, plus the bloom notice
+    * block when any sample reached bloom level. Collects only the
+    * bounded summary frames.
+    */
+  def emailHtml(
+      maxCountRows: DataFrame, biomass: DataFrame, dateString: String,
+      cfg: Config = Config()): String = {
+    def link(sample: String) =
+      s"""<a href="${cfg.dashboardBase}/timeline?dataset=${cfg.dataset}&bin=$sample">$sample</a>"""
+
+    val blooms = biomass.filter(col("bloom_category") =!= "No bloom")
+      .orderBy(col("total_carbon").desc).collect()
+    val bloomNotice =
+      if (blooms.isEmpty) ""
+      else {
+        val top = blooms.head
+        val cat = top.getAs[String]("bloom_category")
+        val carbon = BigDecimal(top.getAs[Double]("total_carbon"))
+          .setScale(1, BigDecimal.RoundingMode.HALF_UP)
+        s"""<p style="background-color:#ffcccc;font-weight:bold;padding:8px;">""" +
+          s"${blooms.length} sample(s) reached bloom level. " +
+          s"Highest particle carbon: $carbon &micro;g C/L ($cat) in sample " +
+          link(top.getAs[String]("sample")) + ".</p>"
+      }
+
+    val rows = maxCountRows.withColumn("alert", alertCol).collect().map { r =>
+      val style =
+        if (r.getAs[Boolean]("alert"))
+          """ style="background-color:#ffcccc;font-weight:bold;""""
+        else ""
+      val warn = Option(r.getAs[Any]("warning_level")).map(_.toString).getOrElse("")
+      s"<tr$style>" +
+        s"<td>${r.getAs[Any]("aphia_id")}</td>" +
+        s"<td>${r.getAs[String]("class_clean")}</td>" +
+        s"<td>${link(r.getAs[String]("sample"))}</td>" +
+        s"<td>${r.getAs[Any]("counts")}</td>" +
+        s"<td>${r.getAs[Any]("counts_per_liter")}</td>" +
+        s"<td>$warn</td></tr>"
+    }.mkString("\n")
+
+    s"""<html><body><p>Hej,</p>$bloomNotice
+       |<p>The table below summarizes the maximum observed abundance for each
+       |HAB taxon during $dateString.</p>
+       |<table border="1" cellpadding="5" cellspacing="0">
+       |<tr><th>Aphia ID</th><th>Scientific name</th><th>Sample</th>
+       |<th>Images</th><th>Counts/L</th><th>Warning level</th></tr>
+       |$rows
+       |</table>
+       |<p>Rows highlighted in red indicate that the observed concentration
+       |exceeded the configured warning level.</p></body></html>""".stripMargin
+  }
+
+  /** One daily run: frames + subject + rendered body. `warningDetected`
+    * drives the ALERT vs Summary subject line (R:202-206).
+    */
+  final case class Result(
+      maxCounts: DataFrame, biomass: DataFrame, cyano: DataFrame,
+      warningDetected: Boolean, subject: String, html: String)
+
+  def runDaily(
+      roi: DataFrame, sampleDim: DataFrame, classDim: DataFrame,
+      habDim: DataFrame, dateString: String, cfg: Config = Config()): Result = {
+    val biovol = biovolumes(roi, sampleDim)
+    val mc = maxCounts(biovol, classDim, habDim)
+    val bands = biomassBands(biovol, cfg)
+    val cy = cyanoCounts(biovol, classDim, habDim)
+    val warning = !mc.filter(alertCol).isEmpty
+    val subject =
+      if (warning) s"IFCB HAB ALERT - $dateString"
+      else s"IFCB HAB Summary - $dateString"
+    Result(mc, bands, cy, warning, subject, emailHtml(mc, bands, dateString, cfg))
+  }
+}
