@@ -48,7 +48,15 @@ object EcoTaxaExport {
   private def range(prefix: String, n: Int): Seq[String] =
     (1 to n).map(i => f"$prefix$i%02d")
 
-  /** The wide contract, reference order (Rmd:483-700). */
+  /** The wide contract, reference order (Rmd:483-783, the populated
+    * field sequence: identity/process block, object/annotation block,
+    * depth, sample block, morphology, misc + shapehist + rotated,
+    * texture, 7 moment invariants, ring01-50, hog01-81, wedge01-48).
+    * The reference's ultimate order source is `ifcb_get_ecotaxa_example()`
+    * (iRfcb package data, not vendored here); the Rmd's assignment
+    * sequence is the best public in-repo evidence and is pinned
+    * verbatim by EcoTaxaExportSpec's golden header test.
+    */
   val contract: Seq[String] =
     Seq("img_file_name",
       "object_link", "object_annotation_status",
@@ -91,8 +99,8 @@ object EcoTaxaExport {
       "object_texture_third_moment", "object_texture_uniformity") ++
       (1 to 7).map(i => s"object_moment_invariant$i") ++
       range("object_ring", 50) ++
-      range("object_wedge", 48) ++
-      range("object_hog", 81)
+      range("object_hog", 81) ++
+      range("object_wedge", 48)
 
   /** Source column for each contract column: metadata by canonical name,
     * features by the slim-feature names ([[graft.features.Features]]).

@@ -33,6 +33,73 @@ class EcoTaxaExportSpec extends SparkSpec {
     assert(r.getAs[String]("object_hog81") == null) // non-slim tail = null
   }
 
+  test("header order is pinned verbatim to the Rmd:483-783 assignment sequence") {
+    // golden, spelled out independently of the contract builder: the
+    // scalar block in the reference's exact order, then ring01-50,
+    // hog01-81, wedge01-48 (the Rmd's section sequence)
+    val scalarBlock = Seq(
+      "img_file_name",
+      "object_link", "object_annotation_status",
+      "acq_resolution_pixels_per_micron", "acq_instrument", "sample_source",
+      "process_soft", "process_soft_version", "process_library",
+      "process_library_version", "process_script", "process_script_version",
+      "process_date", "process_time",
+      "object_id", "object_roi_number", "object_lat", "object_lon",
+      "object_date", "object_time", "object_annotation_hierarchy",
+      "object_annotation_category", "object_aphiaid",
+      "object_annotation_date", "object_annotation_time",
+      "object_annotation_person_name", "object_annotation_person_email",
+      "object_depth_min", "object_depth_max",
+      "sample_vessel", "sample_id", "sample_station", "sample_cruise",
+      "object_pmt_scattering", "object_pmt_fluorescence",
+      "object_area", "object_biovolume", "object_perimeter",
+      "object_bounding_box_xwidth", "object_bounding_box_ywidth",
+      "object_convex_area", "object_convex_perimeter",
+      "object_feret_diameter", "object_major_axis_length",
+      "object_minor_axis_length", "object_orientation",
+      "object_eccentricity", "object_equiv_diameter", "object_extent",
+      "object_r_wcenter2total_powerratio", "object_r_whalfpowerintegral",
+      "object_solidity", "object_num_blobs",
+      "object_h180", "object_h90", "object_hflip",
+      "object_summed_area", "object_summed_biovolume",
+      "object_summed_convex_area", "object_summed_convex_perimeter",
+      "object_summed_feret_diameter", "object_summed_major_axis_length",
+      "object_summed_minor_axis_length", "object_summed_perimeter",
+      "object_shapehist_kurtosis_norm_eq_d", "object_shapehist_mean_norm_eq_d",
+      "object_shapehist_median_norm_eq_d", "object_shapehist_mode_norm_eq_d",
+      "object_shapehist_skewness_norm_eq_d",
+      "object_area_over_perimeter_squared", "object_area_over_perimeter",
+      "object_h90_over_hflip", "object_h90_over_h180",
+      "object_hflip_over_h180",
+      "object_summed_convex_perimeter_over_perimeter",
+      "object_rotated_bounding_box_solidity", "object_rotated_area",
+      "object_rotated_bounding_box_xwidth", "object_rotated_bounding_box_ywidth",
+      "object_texture_average_contrast", "object_texture_average_gray_level",
+      "object_texture_entropy", "object_texture_smoothness",
+      "object_texture_third_moment", "object_texture_uniformity",
+      "object_moment_invariant1", "object_moment_invariant2",
+      "object_moment_invariant3", "object_moment_invariant4",
+      "object_moment_invariant5", "object_moment_invariant6",
+      "object_moment_invariant7")
+    val golden = scalarBlock ++
+      (1 to 50).map(i => f"object_ring$i%02d") ++
+      (1 to 81).map(i => f"object_hog$i%02d") ++
+      (1 to 48).map(i => f"object_wedge$i%02d")
+    assert(EcoTaxaExport.contract == golden)
+    assert(golden.length == 92 + 50 + 81 + 48)
+
+    // and the physical TSV header line carries exactly that order
+    val dir = Files.createTempDirectory("ecohdr").toString
+    EcoTaxaExport.write(input, dir)
+    val part = Files.walk(java.nio.file.Paths.get(dir)).iterator()
+    import scala.jdk.CollectionConverters._
+    val tsv = part.asScala.find(p => p.getFileName.toString.endsWith(".csv")).get
+    val header = Files.readAllLines(tsv).get(0)
+    // write() drops the category column into the directory layout
+    val expected = golden.filterNot(_ == "object_annotation_category")
+    assert(header == expected.mkString("\t"))
+  }
+
   test("write lays out one folder per truncated category with code row first") {
     val dir = Files.createTempDirectory("ecotaxa").toString
     EcoTaxaExport.write(input, dir)
