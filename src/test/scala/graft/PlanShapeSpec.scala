@@ -97,4 +97,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_sum(cast(vol_um3"))
     assert("Exchange hashpartitioning".r.findAllMatchIn(p).size <= 2) // agg + final sort
   }
+
+  test("q57: taxonomy substitution joins broadcast, no cross product") {
+    val p = plan("q57_taxonomy_parents")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"), "class dim must never shuffle-sort")
+  }
+
+  test("HabAlert: dims broadcast, per-taxon window partitioned by key") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val roi = Tables.lineitem(spark, d).select(
+      $"l_orderkey".cast("string").as("sample"),
+      $"l_returnflag".as("class_name"),
+      $"l_extendedprice".as("vol_um3"), lit(false).as("is_diatom"))
+    val dim = Tables.orders(spark, d).select(
+      $"o_orderkey".cast("string").as("sample"), lit(5.0).as("ml_analyzed"))
+    val classDim = Seq(("A", 1L, "a", "Cyanobacteria"))
+      .toDF("class_name", "aphia_id", "class_clean", "worms_phylum")
+    val habDim = Seq((1L, 100L)).toDF("aphia_id", "warning_level")
+    val p = jobs.HabAlert
+      .maxCounts(jobs.HabAlert.biovolumes(roi, dim), classDim, habDim)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), "HAB dims must broadcast")
+    // the top-1 window partitions by aphia_id — a global-sort window
+    // would print an empty partition spec (a single-task funnel)
+    assert(p.contains("windowspecdefinition(aphia_id"),
+      p.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n"))
+  }
 }
