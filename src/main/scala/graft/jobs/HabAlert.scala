@@ -163,12 +163,69 @@ object HabAlert {
        |exceeded the configured warning level.</p></body></html>""".stripMargin
   }
 
-  /** One daily run: frames + subject + rendered body. `warningDetected`
-    * drives the ALERT vs Summary subject line (R:202-206).
+  /** Filamentous cyanobacteria of particular bloom/toxin concern
+    * (R:329): always highlighted green in the BAWS table.
+    */
+  val PrioritySpecies: Seq[String] =
+    Seq("Aphanizomenon flosaquae", "Nodularia spumigena", "Dolichospermum")
+
+  /** BAWS seasonal send gate (R:410-411): May 1 through October 31. */
+  def bawsInSeason(dateString: String): Boolean = {
+    val monthDay = dateString.substring(5) // yyyy-MM-dd → MM-dd
+    monthDay >= "05-01" && monthDay <= "10-31"
+  }
+
+  /** Renders the BAWS notification HTML (R:331-408): cyano table sorted
+    * priority-first then alphabetical, red rows for exceeded warning
+    * levels, green rows for [[PrioritySpecies]]; no warning-level
+    * column.
+    */
+  def bawsHtml(
+      cyano: DataFrame, dateString: String, cfg: Config = Config()): String = {
+    def link(sample: String) =
+      s"""<a href="${cfg.dashboardBase}/timeline?dataset=${cfg.dataset}&bin=$sample">$sample</a>"""
+    val rows = cyano
+      .withColumn("alert", alertCol)
+      .withColumn("is_priority", col("class_clean").isin(PrioritySpecies: _*))
+      .orderBy(col("is_priority").desc, col("class_clean").asc)
+      .collect()
+      .map { r =>
+        val style =
+          if (r.getAs[Boolean]("alert"))
+            """ style="background-color:#ffcccc;font-weight:bold;""""
+          else if (r.getAs[Boolean]("is_priority"))
+            """ style="background-color:#d4edda;color:#155724;font-weight:bold;""""
+          else ""
+        s"<tr$style>" +
+          s"<td>${r.getAs[Any]("aphia_id")}</td>" +
+          s"<td>${r.getAs[String]("class_clean")}</td>" +
+          s"<td>${link(r.getAs[String]("sample"))}</td>" +
+          s"<td>${r.getAs[Any]("counts")}</td>" +
+          s"<td>${r.getAs[Any]("counts_per_liter")}</td></tr>"
+      }.mkString("\n")
+    s"""<html><body><p>Hej,</p>
+       |<p>The table below summarizes the maximum observed abundance of each
+       |cyanobacterial taxon on $dateString.</p>
+       |<table border="1" cellpadding="5" cellspacing="0">
+       |<tr><th>Aphia ID</th><th>Scientific name</th><th>Sample</th>
+       |<th>Images</th><th>Counts/L</th></tr>
+       |$rows
+       |</table>
+       |<p style="font-size:0.9em;color:#155724;">Rows highlighted in green
+       |indicate filamentous cyanobacteria of particular concern for bloom
+       |formation and toxin production.</p></body></html>""".stripMargin
+  }
+
+  /** One daily run: frames + subjects + rendered bodies. The HAB table
+    * drives the ALERT vs Summary subject (R:202-206); the BAWS branch
+    * has its own cyano-based predicate (R:318-327) and the seasonal
+    * send gate (R:410-411).
     */
   final case class Result(
       maxCounts: DataFrame, biomass: DataFrame, cyano: DataFrame,
-      warningDetected: Boolean, subject: String, html: String)
+      warningDetected: Boolean, subject: String, html: String,
+      bawsWarningDetected: Boolean, bawsSubject: String, bawsHtml: String,
+      bawsSendToday: Boolean)
 
   def runDaily(
       roi: DataFrame, sampleDim: DataFrame, classDim: DataFrame,
@@ -181,6 +238,12 @@ object HabAlert {
     val subject =
       if (warning) s"IFCB HAB ALERT - $dateString"
       else s"IFCB HAB Summary - $dateString"
-    Result(mc, bands, cy, warning, subject, emailHtml(mc, bands, dateString, cfg))
+    val cyWarning = !cy.filter(alertCol).isEmpty
+    val bawsSubject =
+      if (cyWarning) s"IFCB BAWS ALERT - $dateString"
+      else s"IFCB BAWS Summary - $dateString"
+    Result(mc, bands, cy, warning, subject, emailHtml(mc, bands, dateString, cfg),
+      cyWarning, bawsSubject, bawsHtml(cy, dateString, cfg),
+      bawsInSeason(dateString))
   }
 }

@@ -339,6 +339,47 @@ object IngestQc {
       Seq("sample"), s"$outDir/psd_flags")
   }
 
+  /** Streaming deployment (§2.9): the file-source stream watches
+    * `rawDir` for new `.roi` bins and drives [[runIncremental]] through
+    * `foreachBatch`. Exactly-once comes from two independent layers —
+    * the checkpointed source offsets, and the idempotent anti-join
+    * sinks — so a crashed batch replays safely. `Trigger.AvailableNow`
+    * makes one scheduled invocation process everything outstanding and
+    * stop: the reference's cron shape (ifcb_ingest_and_qc.R:1-2) with
+    * streaming bookkeeping.
+    */
+  def stream(
+      spark: SparkSession,
+      cfg: Config,
+      blacklist: DataFrame,
+      cruises: DataFrame,
+      ferrybox: DataFrame,
+      balticBasin: Seq[(Double, Double)],
+      outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.StructType
+    val binaryFileSchema = StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+    spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.roi")
+      .load(cfg.rawDir)
+      .select(col("path")) // content pruned: the batch is only a trigger
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          runIncremental(spark, cfg, blacklist, cruises, ferrybox,
+            balticBasin, outDir)
+          ()
+        }
+      }
+      .start()
+  }
+
   /** The daily entrypoint: read processed state from `outDir`, run
     * incrementally, persist. Running it twice over unchanged input is a
     * no-op on the appended sinks.

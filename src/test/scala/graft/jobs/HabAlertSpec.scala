@@ -82,6 +82,21 @@ class HabAlertSpec extends SparkSpec {
     assert(cy.head.getAs[Long]("aphia_id") == 160566L)
   }
 
+  test("BAWS branch: priority-species rows green, seasonal gate, own subject") {
+    assert(result.bawsSubject == "IFCB BAWS Summary - 2024-06-01")
+    assert(result.bawsSendToday) // June is in the May-Oct window
+    // Nodularia spumigena is a priority species -> green row
+    assert(result.bawsHtml.contains(
+      "background-color:#d4edda;color:#155724;font-weight:bold;"))
+    assert(result.bawsHtml.contains("Nodularia spumigena"))
+    // no warning-level column in the BAWS table
+    assert(!result.bawsHtml.contains("<th>Warning level</th>"))
+    // out-of-season dates gate the send
+    assert(!HabAlert.bawsInSeason("2024-11-15"))
+    assert(!HabAlert.bawsInSeason("2024-04-30"))
+    assert(HabAlert.bawsInSeason("2024-05-01") && HabAlert.bawsInSeason("2024-10-31"))
+  }
+
   test("bloom notice renders for bloom-level samples") {
     // scale volumes up so S2 total carbon passes the 120 ug/L band
     val bigRoi = roi.withColumn("vol_um3", col("vol_um3") * 50)

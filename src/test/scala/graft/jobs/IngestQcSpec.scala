@@ -163,6 +163,22 @@ class IngestQcSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(s"$out/metadata").count() == 6L)
   }
 
+  test("streaming deployment processes outstanding bins exactly once") {
+    val out = Files.createTempDirectory("ingeststream").toString
+    val ckpt = Files.createTempDirectory("ingestckpt").toString
+    val q = IngestQc.stream(
+      spark, cfg, blacklist, cruises, ferrybox, baltic, out, ckpt)
+    q.awaitTermination(120000)
+    val features = spark.read.option("header", "true").csv(s"$out/features")
+    assert(features.count() == 4L)
+    // second trigger over the same checkpoint: no new files -> batch is
+    // empty or the idempotent sinks append nothing
+    val q2 = IngestQc.stream(
+      spark, cfg, blacklist, cruises, ferrybox, baltic, out, ckpt)
+    q2.awaitTermination(120000)
+    assert(spark.read.option("header", "true").csv(s"$out/features").count() == 4L)
+  }
+
   test("dashboard snapshot suppresses already-commented pids (R:412-422)") {
     val current = Seq((BinB, "GPS location originates from ferrybox data (2024)"))
       .toDF("pid", "comment_summary")
