@@ -1,0 +1,100 @@
+package graft.jobs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, TextAnalysis}
+import graft.operators.Dedup
+
+/** Training-corpus preparation composed end-to-end — the LLM-pipeline
+  * counterpart of [[IngestQc]]: every operator existed individually
+  * (quality scoring, language ID, exact + near dedup, clustering); this
+  * is the one job a data-curation deployment runs over a raw document
+  * dump.
+  *
+  * Stages: annotate (lang, quality, tokens) → quality/language gate →
+  * exact dedup (canonical = min id per content key) → near-dup
+  * clustering (MinHash LSH pairs → connected components, canonical =
+  * cluster minimum) → kept corpus + per-stage attrition stats.
+  *
+  * Scale shape: annotation is pure map-side expression work; the exact
+  * dedup is one hash shuffle on the content key; near-dup candidates
+  * come from banded LSH (never all-pairs) with the hot-bucket cap;
+  * clustering is the adaptive union-find/pointer-jumping operator. At
+  * 100 TB nothing here collects unbounded state to the driver.
+  */
+object CorpusPrep {
+
+  final case class Config(
+      minQuality: Double = 0.3,
+      dropUnknownLang: Boolean = true,
+      exactKeyWords: Int = 8,
+      shingleK: Int = 5,
+      minJaccard: Double = 0.5)
+
+  final case class Frames(
+      annotated: DataFrame, // input + lang, quality, tokens
+      kept: DataFrame,      // canonical surviving docs
+      stats: DataFrame)     // (stage, docs) attrition ledger
+
+  /** Map-side annotation: language, quality score, token count. */
+  def annotate(docs: DataFrame, text: String): DataFrame = {
+    val ws = Hashing.words(col(text))
+    docs
+      .withColumn("lang", TextAnalysis.langId(ws))
+      .withColumn("quality", TextAnalysis.qualityScore(ws))
+      .withColumn("tokens", TextAnalysis.bpeTokenCount(col(text)))
+  }
+
+  /** Quality + language gate. */
+  def gate(annotated: DataFrame, cfg: Config): DataFrame = {
+    val q = annotated.filter(col("quality") >= cfg.minQuality)
+    if (cfg.dropUnknownLang) q.filter(col("lang") =!= "und") else q
+  }
+
+  /** Exact dedup: canonical row = min id per leading-words content key
+    * (the q41 key), all rows kept for singleton keys.
+    */
+  def exactCanonical(
+      df: DataFrame, id: String, text: String, cfg: Config): DataFrame = {
+    val key = array_join(
+      slice(Hashing.words(col(text)), 1, cfg.exactKeyWords), " ")
+    val w = Window.partitionBy(key)
+    df.withColumn("__keeper", min(col(id)).over(w))
+      .filter(col(id) === col("__keeper"))
+      .drop("__keeper")
+  }
+
+  /** Near-dup canonical selection: LSH pairs → connected components →
+    * drop every member that is not its cluster's minimum id.
+    */
+  def nearDupCanonical(
+      df: DataFrame, id: String, text: String, cfg: Config): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(
+      df, id, text, shingleK = cfg.shingleK, minJaccard = cfg.minJaccard)
+    val labels = Dedup.dupClusters(pairs)
+    // no broadcast hint: the non-canonical set is bounded by the dup
+    // count, which can be a large corpus fraction — AQE picks the
+    // strategy from the actual size
+    df.join(
+      labels.filter(col("id") =!= col("cluster")).select(col("id").as(id)),
+      Seq(id), "left_anti")
+  }
+
+  def run(docs: DataFrame, id: String, text: String,
+      cfg: Config = Config()): Frames = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ann = annotate(docs, text)
+    val gated = gate(ann, cfg)
+    val exact = exactCanonical(gated, id, text, cfg)
+    val kept = nearDupCanonical(exact, id, text, cfg)
+    val stats = Seq(
+      ("input", docs.count()),
+      ("quality_lang_gate", gated.count()),
+      ("exact_dedup", exact.count()),
+      ("near_dup", kept.count())
+    ).toDF("stage", "docs")
+    Frames(ann, kept, stats)
+  }
+}
