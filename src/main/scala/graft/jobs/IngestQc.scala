@@ -82,18 +82,25 @@ object IngestQc {
       .select("sample").distinct()
 
   /** Cruise attachment (R:217-221, 249-256): bin timestamp ∈ cruise
-    * interval via the J4 interval join, then the `SVEA_<year>_<no>`
+    * interval via the J4 interval join, an optional SVEPA snapshot fill
+    * for bins the intervals miss (R:223-253 — see
+    * [[graft.sources.SvepaSnapshot]]), then the `SVEA_<year>_<no>`
     * label — `paste0` in R renders a missing cruise number as the
     * literal "NA", reproduced faithfully.
     */
-  def withCruise(binTimes: DataFrame, cruises: DataFrame, cfg: Config): DataFrame =
-    IntervalJoin.contains(
-        binTimes, cruises, "datetime", "startdate", "stopdate",
-        joinType = "left", maxReplication = None)
+  def withCruise(binTimes: DataFrame, cruises: DataFrame, cfg: Config,
+      svepa: Option[DataFrame] = None): DataFrame = {
+    val joined = IntervalJoin.contains(
+      binTimes, cruises, "datetime", "startdate", "stopdate",
+      joinType = "left", maxReplication = None)
+    val filled = svepa.fold(joined)(
+      graft.sources.SvepaSnapshot.resolveCruiseNo(joined, _))
+    filled
       .withColumn("cruise",
         concat(lit(cfg.cruisePrefix), lit("_"), year(col("datetime")),
           lit("_"), coalesce(col("cruise_no").cast("string"), lit("NA"))))
       .drop("startdate", "stopdate", "cruise_no")
+  }
 
   /** HDR GPS positions with the fix-staleness gate (R:265-287): a fix
     * older than `gpsMaxFixAgeMin` relative to the sample timestamp
@@ -277,7 +284,8 @@ object IngestQc {
       balticBasin: Seq[(Double, Double)],
       existingFeatures: Option[DataFrame] = None,
       existingPsdSamples: Option[DataFrame] = None,
-      currentMetadata: Option[DataFrame] = None): Frames = {
+      currentMetadata: Option[DataFrame] = None,
+      svepa: Option[DataFrame] = None): Frames = {
     val (clean, dead) = binIndex(spark, cfg)
     val blacklisted = blacklistedSamples(clean, blacklist)
     val candidates = clean.select("sample").distinct()
@@ -287,7 +295,7 @@ object IngestQc {
     // roi_bins; blacklisted ones carry skip = TRUE)
     val binTimes = clean.select(col("sample"), HdrSource
       .toTimestampFromSampleId(col("sample")).as("datetime")).distinct()
-    val cruised = withCruise(binTimes, cruises, cfg)
+    val cruised = withCruise(binTimes, cruises, cfg, svepa)
     val positions = withFerryboxFallback(hdrPositions(spark, cfg), ferrybox, cfg)
     val metadata = dashboardMetadata(
       binTimes, cruised, positions, blacklisted, blacklist,

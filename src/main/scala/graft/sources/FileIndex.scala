@@ -46,6 +46,40 @@ object FileIndex {
   def newFiles(index: DataFrame, processed: DataFrame, key: String = "sample"): DataFrame =
     index.join(processed.select(col(key)).distinct(), Seq(key), "left_anti")
 
+  /** [[newFiles]] with a broadcast Bloom-filter pre-gate, for the scale
+    * where the processed log holds billions of keys. Spark's runtime
+    * bloom filters (`spark.sql.optimizer.runtime.bloomFilter.enabled`)
+    * never apply to anti joins — each probe row must be checked, not
+    * pruned — so the plain form shuffles the FULL index against the FULL
+    * log every scheduled run even when almost everything is already
+    * processed.
+    *
+    * Here the log is sketched once (one scan, no shuffle), the sketch is
+    * broadcast, and the index splits into "definitely new" (bloom miss —
+    * no false negatives, these rows never shuffle) and "maybe processed"
+    * (bloom hit), with only the maybes going through the exact anti-join
+    * to strip false positives. The result is exactly [[newFiles]]; at
+    * `fpp` = 1% the shuffled probe side shrinks ~100× on a steady-state
+    * incremental run.
+    *
+    * @param expectedItems sizing for the sketch — overestimate freely,
+    *                      the sketch is ~1.2 bytes/item at 1% fpp
+    */
+  def newFilesBloom(
+      index: DataFrame,
+      processed: DataFrame,
+      key: String = "sample",
+      expectedItems: Long = 1L << 24,
+      fpp: Double = 0.01): DataFrame = {
+    val keys = processed.select(col(key))
+    val bf = keys.stat.bloomFilter(key, expectedItems, fpp)
+    val bfB = index.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
+    val definitelyNew = index.filter(!mightContain(col(key)))
+    val maybeProcessed = index.filter(mightContain(col(key)))
+    definitelyNew.unionByName(newFiles(maybeProcessed, keys, key))
+  }
+
   /** Oversize/empty guards with a dead-letter side (reference: skip >0.5 GB
     * bins + log, ifcb_ingest_and_qc.R:113-141; empty-bin exclusion :190-197).
     * Returns (clean, deadLetter).

@@ -62,6 +62,22 @@ class SourcesSpec extends SparkSpec {
       Set("D20240102T000000_IFCB134", "D20240103T000000_IFCB134"))
   }
 
+  test("newFilesBloom is exactly newFiles (bloom false positives stripped)") {
+    // large-ish processed log + a sloppy fpp so false positives are
+    // plausible; the exact anti-join on the maybe side must strip them
+    val processed = (1 to 5000).map(i => f"D2024$i%04d_IFCB134").toDF("sample")
+    val index = ((4900 to 5100).map(i => f"D2024$i%04d_IFCB134") :+ "UNSEEN")
+      .toDF("sample")
+      .withColumn("length", lit(1L))
+    val expect = FileIndex.newFiles(index, processed)
+      .select("sample").as[String].collect().toSet
+    val got = FileIndex.newFilesBloom(index, processed,
+        expectedItems = 5000, fpp = 0.2)
+      .select("sample").as[String].collect().toSet
+    assert(got == expect)
+    assert(got.contains("UNSEEN") && got.size == 101)
+  }
+
   test("partitionedTsv writes one folder per class with format-code first row") {
     val dir = tmpDir("k2").resolve("out").toString
     val df = Seq(
