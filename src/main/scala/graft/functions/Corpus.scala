@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation scalars for the training-data pipeline: the
+  * deterministic train/val/test splitter, PII redaction patterns, and
+  * the sequence-packing bucket — each with a DuckDB SQL mirror so the
+  * oracle evaluates the identical function (the [[Hashing]] pattern).
+  *
+  * Engine-parity notes baked into the design:
+  *  - the splitter compares fixed-width lowercase *hex strings* (both
+  *    engines render md5 the same way), never converts hex→int — DuckDB
+  *    has no `conv`;
+  *  - every regex is RE2-safe (no backreferences/lookaround), so Java's
+  *    regex and DuckDB's RE2 agree;
+  *  - DuckDB `regexp_replace` replaces the FIRST match unless passed the
+  *    `'g'` flag — the mirror always passes it.
+  */
+object Corpus {
+
+  /** Deterministic, id-stable train/val/test assignment: the first 4 hex
+    * chars of `md5(id ++ ":" ++ salt)` give a uniform 16-bit bucket;
+    * fraction thresholds become fixed hex-string bounds. Stable across
+    * runs, partitionings, and engines — re-running the pipeline over
+    * 100 TB never migrates a document between splits, and changing the
+    * salt reshuffles every assignment at once.
+    */
+  def hashSplit(id: Column, salt: String,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): Column = {
+    val (trainHex, valHex) = splitBounds(trainFrac, valFrac)
+    val h = substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 4)
+    when(h < trainHex, "train").when(h < valHex, "val").otherwise("test")
+  }
+
+  /** SQL mirror of [[hashSplit]] (DuckDB). */
+  def hashSplitSql(idExpr: String, salt: String,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): String = {
+    val (trainHex, valHex) = splitBounds(trainFrac, valFrac)
+    val h = s"substr(md5(CAST($idExpr AS VARCHAR) || ':$salt'), 1, 4)"
+    s"CASE WHEN $h < '$trainHex' THEN 'train' WHEN $h < '$valHex' THEN 'val' ELSE 'test' END"
+  }
+
+  private def splitBounds(trainFrac: Double, valFrac: Double): (String, String) = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      s"invalid split fractions ($trainFrac, $valFrac)")
+    (f"${math.round(65536 * trainFrac)}%04x",
+      f"${math.round(65536 * (trainFrac + valFrac))}%04x")
+  }
+
+  /** Redaction patterns, applied in order (an email's digits must not be
+    * half-eaten by the number rule first).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}-\\d{4}\\b"
+  val NumberPattern = "\\d{5,}"
+
+  /** Emails → `<EMAIL>`, phone-shaped digits → `<PHONE>`, long digit
+    * runs → `<NUM>`. Pure map-side expression work — at 100 TB this is
+    * a whole-stage-codegen'd scan, no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      NumberPattern, "<NUM>")
+
+  /** SQL mirror of [[redactPii]] (DuckDB needs the 'g' flag for
+    * replace-all).
+    */
+  def redactPiiSql(textExpr: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($textExpr,
+       | '$EmailPattern', '<EMAIL>', 'g'),
+       | '$PhonePattern', '<PHONE>', 'g'),
+       | '$NumberPattern', '<NUM>', 'g')""".stripMargin.replace("\n", "")
+
+  /** Sequence-packing bucket: documents ordered within a partition key
+    * concatenate into `budget`-token context windows; a document belongs
+    * to the pack its FIRST token lands in (start-offset packing — the
+    * contiguous, shuffle-once strategy; greedy first-fit would be
+    * order-sequential and unparallelizable). `startOffset` is the
+    * exclusive running sum of `tokens` over the caller's window.
+    */
+  def packId(startOffset: Column, budget: Int): Column = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    floor(startOffset / budget).cast("long")
+  }
+}
