@@ -28,24 +28,30 @@ object Corpus {
     */
   def hashSplit(id: Column, salt: String,
       trainFrac: Double = 0.8, valFrac: Double = 0.1): Column = {
-    val (trainHex, valHex) = splitBounds(trainFrac, valFrac)
+    val (trainB, valB) = splitBounds(trainFrac, valFrac)
     val h = substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 4)
-    when(h < trainHex, "train").when(h < valHex, "val").otherwise("test")
+    // a bound of 65536 formats as the 5-char "10000", which compares
+    // LESS than 4-char hex strings lexicographically — special-case it
+    // as always-true so trainFrac (+valFrac) == 1.0 works
+    def below(bound: Long): Column =
+      if (bound >= 65536L) lit(true) else h < f"$bound%04x"
+    when(below(trainB), "train").when(below(valB), "val").otherwise("test")
   }
 
   /** SQL mirror of [[hashSplit]] (DuckDB). */
   def hashSplitSql(idExpr: String, salt: String,
       trainFrac: Double = 0.8, valFrac: Double = 0.1): String = {
-    val (trainHex, valHex) = splitBounds(trainFrac, valFrac)
+    val (trainB, valB) = splitBounds(trainFrac, valFrac)
     val h = s"substr(md5(CAST($idExpr AS VARCHAR) || ':$salt'), 1, 4)"
-    s"CASE WHEN $h < '$trainHex' THEN 'train' WHEN $h < '$valHex' THEN 'val' ELSE 'test' END"
+    def below(bound: Long): String =
+      if (bound >= 65536L) "TRUE" else f"$h < '$bound%04x'"
+    s"CASE WHEN ${below(trainB)} THEN 'train' WHEN ${below(valB)} THEN 'val' ELSE 'test' END"
   }
 
-  private def splitBounds(trainFrac: Double, valFrac: Double): (String, String) = {
+  private def splitBounds(trainFrac: Double, valFrac: Double): (Long, Long) = {
     require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
       s"invalid split fractions ($trainFrac, $valFrac)")
-    (f"${math.round(65536 * trainFrac)}%04x",
-      f"${math.round(65536 * (trainFrac + valFrac))}%04x")
+    (math.round(65536 * trainFrac), math.round(65536 * (trainFrac + valFrac)))
   }
 
   /** Redaction patterns, applied in order (an email's digits must not be

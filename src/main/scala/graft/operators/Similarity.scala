@@ -219,8 +219,7 @@ object Similarity {
   /** Random-hyperplane LSH bucket id (signed projections → sign bits).
     * Planes are a deterministic pseudo-random function of (plane, dim) so
     * executors need no shared state. Used to block cosine search/dedup
-    * when no natural cell column exists; tested in ScalaTest (no SQL
-    * oracle — the plane constants are impractical to mirror in SQL).
+    * when no natural cell column exists.
     *
     * Native codegen expression ([[graft.plans.HyperplaneBucket]]): one
     * loop per row instead of a planes×dims `element_at` tree (256 nodes
@@ -230,4 +229,26 @@ object Similarity {
   def hyperplaneBucket(vec: Column, planes: Int, dims: Int): Column =
     GraftBridge.column(graft.plans.HyperplaneBucket(
       GraftBridge.expression(vec), planes, dims))
+
+  /** SQL twin of [[hyperplaneBucket]] for the DuckDB oracle: the plane
+    * coefficients are a pure function of (plane, dim)
+    * ([[graft.plans.HyperplaneExpr.coef]]), rendered here as double
+    * literals (Java's shortest round-trip `toString`, parsed back to the
+    * bit-identical double). Each projection multiplies float→double and
+    * left-folds in dimension order — the same IEEE operation sequence as
+    * the native expression, so bucket ids match exactly, not just
+    * approximately.
+    */
+  def hyperplaneBucketSql(vec: String, planes: Int, dims: Int): String = {
+    val projs = (0 until planes).map { p =>
+      val coefs = (0 until dims)
+        .map(d => graft.plans.HyperplaneExpr.coef(p, d).toString)
+        .mkString("[", ", ", "]")
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($vec, $coefs), " +
+        s"pr -> CAST(pr[1] AS DOUBLE) * pr[2])), (acc, v) -> acc + v)"
+    }
+    projs.zipWithIndex
+      .map { case (proj, p) => s"(CASE WHEN $proj > 0.0 THEN ${1L << p} ELSE 0 END)" }
+      .mkString("(", " + ", ")")
+  }
 }

@@ -42,10 +42,15 @@ object CorpusBattery {
 
   /** Benchmark decontamination: documents containing a held-out eval
     * phrase (first-5-words of every 97th document, a stand-in for a
-    * benchmark suite) are flagged via a broadcast containment join —
-    * small dim × corpus scan, the 100 TB shape (Spark plans a
-    * BroadcastNestedLoopJoin; the corpus side never shuffles). Self-hits
-    * excluded: a match means ANOTHER document carries the phrase.
+    * benchmark suite) are flagged via a broadcast containment join over
+    * the small phrase dim (BroadcastNestedLoopJoin; the corpus side
+    * never shuffles — but the per-pair `contains` scan is quadratic in
+    * the PHRASE count, so this shape only holds while the benchmark
+    * suite stays small; [[q63]] is the fingerprint equi-join that holds
+    * on both axes). Matching is case/whitespace-insensitive: the phrase
+    * is built from lowercased words, so the text is normalized the same
+    * way before the containment test. Self-hits excluded: a match means
+    * ANOTHER document carries the phrase.
     */
   private val q60 = GraftQuery(
     "q60_decontaminate",
@@ -55,8 +60,10 @@ object CorpusBattery {
       val bench = docs.filter($"doc_id" % 97 === 0)
         .select($"doc_id".as("bench_id"),
           array_join(slice(Hashing.words($"text"), 1, 5), " ").as("phrase"))
-      docs.join(broadcast(bench),
-          $"text".contains($"phrase") && $"doc_id" =!= $"bench_id")
+      docs
+        .withColumn("norm_text", regexp_replace(lower($"text"), "\\s+", " "))
+        .join(broadcast(bench),
+          $"norm_text".contains($"phrase") && $"doc_id" =!= $"bench_id")
         .select($"doc_id", $"bench_id")
         .orderBy($"doc_id", $"bench_id")
     },
@@ -65,8 +72,9 @@ object CorpusBattery {
         SELECT doc_id AS bench_id, array_to_string($W[1:5], ' ') AS phrase
         FROM documents WHERE doc_id % 97 = 0)
       SELECT d.doc_id AS doc_id, b.bench_id AS bench_id
-      FROM documents d JOIN bench b
-        ON contains(d.text, b.phrase) AND d.doc_id <> b.bench_id
+      FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm_text
+            FROM documents) d JOIN bench b
+        ON contains(d.norm_text, b.phrase) AND d.doc_id <> b.bench_id
       ORDER BY 1, 2"""))
 
   /** PII redaction: synthetic contact lines are appended deterministically
@@ -140,5 +148,55 @@ object CorpusBattery {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
-  val all: Seq[GraftQuery] = Seq(q59, q60, q61, q62)
+  /** Fingerprint decontamination — the shape that scales on BOTH axes
+    * (corpus size AND benchmark size): shingle each document once into
+    * 3-word shingles, fingerprint them, and hash-equi-join against the
+    * fingerprinted phrase dim; `contains` runs only on the (rare)
+    * candidate pairs to reject fingerprint collisions. One map-side
+    * explode + one broadcast HASH join (q60's BroadcastNestedLoopJoin
+    * degrades quadratically once the held-out suite carries 10⁵-10⁶
+    * n-grams; this stays a hash probe per shingle). Matches are 3-word
+    * aligned by construction — the standard n-gram decontamination
+    * semantics (3-word grams rather than q60's 5: short enough that the
+    * synthetic corpus actually carries cross-document hits, so the
+    * candidate join and the collision-verify both run non-degenerately).
+    */
+  private val q63 = GraftQuery(
+    "q63_decontaminate_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val bench = docs.filter($"doc_id" % 97 === 0)
+        .select($"doc_id".as("bench_id"),
+          array_join(slice(Hashing.words($"text"), 1, 3), " ").as("phrase"))
+        .withColumn("fp", Hashing.fingerprint($"phrase"))
+      docs
+        .withColumn("norm_text", regexp_replace(lower($"text"), "\\s+", " "))
+        .select($"doc_id", $"norm_text",
+          explode(Hashing.shingles(Hashing.words($"text"), 3)).as("shingle"))
+        .withColumn("fp", Hashing.fingerprint($"shingle"))
+        .join(broadcast(bench), Seq("fp"))
+        .filter($"doc_id" =!= $"bench_id" && $"norm_text".contains($"phrase"))
+        .select($"doc_id", $"bench_id")
+        .distinct()
+        .orderBy($"doc_id", $"bench_id")
+    },
+    Some(s"""
+      WITH bench AS (
+        SELECT doc_id AS bench_id, phrase, ${Hashing.fingerprintSql("phrase")} AS fp
+        FROM (SELECT doc_id, array_to_string($W[1:3], ' ') AS phrase
+              FROM documents WHERE doc_id % 97 = 0) p),
+      sh AS (
+        SELECT doc_id, norm_text, unnest(${Hashing.shinglesSql(W, 3)}) AS shingle
+        FROM (SELECT doc_id, text,
+                regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm_text
+              FROM documents) t)
+      SELECT DISTINCT s.doc_id AS doc_id, b.bench_id AS bench_id
+      FROM (SELECT doc_id, norm_text, shingle,
+              ${Hashing.fingerprintSql("shingle")} AS fp FROM sh) s
+      JOIN bench b ON s.fp = b.fp
+      WHERE s.doc_id <> b.bench_id AND contains(s.norm_text, b.phrase)
+      ORDER BY 1, 2"""))
+
+  val all: Seq[GraftQuery] = Seq(q59, q60, q61, q62, q63)
 }

@@ -54,6 +54,16 @@ object FeatureExtract {
   /** q55: synthetic ROI render → segmentation → slim features →
     * per-bucket biovolume rollup. Scales with the `part` table (1 image
     * per 50 part keys).
+    *
+    * Oracle-checked on its SQL-expressible half: `n_rois` is a pure
+    * function of the part keys, and each synthetic ROI draws exactly one
+    * dark ellipse that segments to exactly one blob (golden-verified in
+    * FeatureKernelSpec), so `n_blobs = n_rois` — DuckDB recomputes both
+    * exactly. The kernel numerics (biovolume/area/eccentricity) are not
+    * SQL-expressible; the oracle pins their deterministic acceptance
+    * booleans (positive volumes and areas, eccentricity in [0,1)) to
+    * TRUE, and numeric parity stays spec-verified against
+    * reference-generated goldens.
     */
   private val q55 = GraftQuery(
     "q55_feature_extract",
@@ -77,12 +87,19 @@ object FeatureExtract {
         .agg(
           count(lit(1)).as("n_rois"),
           sum(col("numBlobs")).cast("long").as("n_blobs"),
-          round(sum(col("Biovolume")), 2).as("sum_biovolume"),
-          round(sum(col("Area")), 2).as("sum_area"),
-          round(avg(col("Eccentricity")), 4).as("avg_ecc"))
+          (sum(col("Biovolume")) > 0.0).as("biovol_ok"),
+          (sum(col("Area")) > 0.0).as("area_ok"),
+          (avg(col("Eccentricity")) >= 0.0 && avg(col("Eccentricity")) < 1.0).as("ecc_ok"))
         .orderBy(col("bucket"))
     },
-    None)
+    Some("""
+      SELECT CAST(FLOOR(p_partkey / 5000.0) AS BIGINT) AS bucket,
+             COUNT(*) AS n_rois, COUNT(*) AS n_blobs,
+             TRUE AS biovol_ok, TRUE AS area_ok, TRUE AS ecc_ok
+      FROM part
+      WHERE p_partkey % 50 = 0
+      GROUP BY 1
+      ORDER BY 1"""))
 
   val all: Seq[GraftQuery] = Seq(q55)
 }

@@ -364,10 +364,14 @@ object TrainingData {
     })
 
   /** Approximate sketch tier — the exact queries' 100 TB swap-ins
-    * (q16's countDistinct → HLL, q51's percentile → GK sketch). No SQL
-    * oracle: sketch implementations differ across engines by design;
-    * accuracy is asserted against the exact answers in ScalaTest
-    * (ApproxSpec), the driver records a rows-only check.
+    * (q16's countDistinct → HLL, q51's percentile → GK sketch). Sketch
+    * VALUES differ across engines by design, so the oracle checks the
+    * deterministic *acceptance criteria* instead: the exact sides
+    * (count-distinct, counts) recomputed by DuckDB, plus tolerance
+    * booleans the oracle pins to TRUE — HLL within ±5% of exact (2.5×
+    * the 2% configured rsd), each approx percentile inside the exact
+    * [q−0.05, q+0.05] quantile band. ApproxSpec keeps the tighter
+    * spec-side bounds.
     */
   private val q53 = GraftQuery(
     "q53_approx_sketches",
@@ -377,18 +381,34 @@ object TrainingData {
         .groupBy($"l_returnflag")
         .agg(
           approx_count_distinct($"l_partkey", 0.02).as("apx_parts"),
+          countDistinct($"l_partkey").as("exact_parts"),
           expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").as("apx_q"),
+          expr("percentile(l_quantity, array(0.45, 0.55, 0.85, 0.95))").as("ex_q"),
           count(lit(1)).as("n"))
-        .select($"l_returnflag", $"apx_parts",
-          $"apx_q".getItem(0).as("apx_p50"), $"apx_q".getItem(1).as("apx_p90"), $"n")
+        .select($"l_returnflag", $"exact_parts", $"n",
+          (abs($"apx_parts" - $"exact_parts") <= $"exact_parts" * 0.05).as("parts_ok"),
+          ($"apx_q".getItem(0) >= $"ex_q".getItem(0) &&
+            $"apx_q".getItem(0) <= $"ex_q".getItem(1)).as("p50_ok"),
+          ($"apx_q".getItem(1) >= $"ex_q".getItem(2) &&
+            $"apx_q".getItem(1) <= $"ex_q".getItem(3)).as("p90_ok"))
         .orderBy($"l_returnflag")
     },
-    None)
+    Some("""
+      SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+             COUNT(*) AS n, TRUE AS parts_ok, TRUE AS p50_ok, TRUE AS p90_ok
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY 1"""))
 
   /** LSH-bucketed ANN (the scale path of q46): queries probe only their
     * hyperplane bucket — corpus scanned once to bucket, then per-bucket
-    * candidate ranking. Rows-only check; recall vs brute force asserted
-    * in ApproxSpec.
+    * candidate ranking. Fully oracle-checked: the plane coefficients are
+    * a pure function of (plane, dim) and both engines fold the
+    * projections in dimension order, so DuckDB recomputes the *same*
+    * buckets, the *same* restricted candidate sets, and the *same*
+    * cosines ([[Similarity.hyperplaneBucketSql]] /
+    * [[Similarity.cosineSql]]) — the approximate path hash-matches
+    * end-to-end. Recall vs brute force stays asserted in IvfRecallSpec.
     */
   private val q54 = GraftQuery(
     "q54_lsh_ann",
@@ -403,7 +423,26 @@ object TrainingData {
         .select($"query_id", $"neighbor_id", $"rank", round($"cosine", 6).as("cosine"))
         .orderBy($"query_id", $"rank")
     },
-    None)
+    Some(s"""
+      WITH b AS (
+        SELECT vec_id, embedding,
+               ${Similarity.hyperplaneBucketSql("embedding", 4, 64)} AS bucket
+        FROM embeddings),
+      q AS (
+        SELECT vec_id AS q_id, embedding AS q_vec, bucket AS q_bucket
+        FROM b WHERE vec_id < 5),
+      scored AS (
+        SELECT q.q_id, c.vec_id AS nid,
+               ${Similarity.cosineSql("q.q_vec", "c.embedding")} AS cos
+        FROM b c JOIN q ON c.bucket = q.q_bucket AND c.vec_id <> q.q_id),
+      ranked AS (
+        SELECT q_id, nid, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid) AS rk
+        FROM scored)
+      SELECT q_id AS query_id, nid AS neighbor_id,
+             CAST(rk AS INTEGER) AS "rank", round(cos, 6) AS cosine
+      FROM ranked WHERE rk <= 5
+      ORDER BY query_id, "rank""""))
 
   val all: Seq[GraftQuery] = Seq(
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)

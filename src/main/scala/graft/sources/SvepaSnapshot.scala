@@ -40,13 +40,19 @@ object SvepaSnapshot {
     * `{"sample": ..., "id": <event id or null>, "error": <msg or null>}`)
     * — into the `(sample, svepa_cruise_no)` dim. Failed lookups (null
     * id) are kept as null so the downstream coalesce renders the
-    * R-faithful "NA" label instead of dropping the bin.
+    * R-faithful "NA" label instead of dropping the bin. The dim is
+    * deduplicated per sample (a retried lookup saved twice must not fan
+    * bin rows out through the left join — the reference loop emits
+    * exactly one row per missing pid), preferring a non-null id (`max`
+    * ignores nulls) so a retry that eventually succeeded wins.
     */
   def parseResponses(spark: SparkSession, dir: String): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "sample STRING, id STRING, error STRING")
     spark.read.schema(schema).json(dir)
       .select(col("sample"), col("id").as("svepa_cruise_no"))
+      .groupBy(col("sample"))
+      .agg(max(col("svepa_cruise_no")).as("svepa_cruise_no"))
   }
 
   /** The fill (R:249-253): left join the SVEPA dim by sample and

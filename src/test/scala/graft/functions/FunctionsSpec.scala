@@ -30,6 +30,25 @@ class FunctionsSpec extends SparkSpec {
     assert(toks.select(Hashing.tokHash($"t")).as[Long].collect().toSeq == hs.toSeq)
   }
 
+  test("hashSplit boundary fractions: trainFrac+valFrac == 1.0 leaves no test rows") {
+    val ids = (0L until 2000L).toDF("id")
+    // trainFrac + valFrac == 1.0: the val bound is 65536, which %04x
+    // would render as the 5-char "10000" (< every 4-char hex string
+    // lexicographically) — must behave as always-true instead
+    val splits = ids.select(Corpus.hashSplit($"id", "s", 0.5, 0.5).as("sp"))
+      .groupBy($"sp").count().as[(String, Long)].collect().toMap
+    assert(!splits.contains("test"))
+    assert(splits.keySet == Set("train", "val"))
+    assert(splits("train") > 500 && splits("val") > 500) // roughly half each
+    // trainFrac == 1.0: everything is train
+    val all = ids.select(Corpus.hashSplit($"id", "s", 1.0, 0.0).as("sp"))
+      .select($"sp").distinct().as[String].collect()
+    assert(all.toSeq == Seq("train"))
+    // SQL mirror renders the same always-true branch
+    assert(Corpus.hashSplitSql("id", "s", 0.5, 0.5).contains("WHEN TRUE THEN 'val'"))
+    assert(Corpus.hashSplitSql("id", "s", 1.0, 0.0).contains("WHEN TRUE THEN 'train'"))
+  }
+
   test("simhash: identical docs → distance 0; near docs closer than far docs") {
     def sig(s: String): Long =
       Seq(s).toDF("t")

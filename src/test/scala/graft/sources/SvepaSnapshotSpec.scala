@@ -42,4 +42,28 @@ class SvepaSnapshotSpec extends SparkSpec {
     assert(filled("D20240101T123000_IFCB134").contains("77-2024"))
     assert(filled("D20240106T000000_IFCB134").isEmpty)
   }
+
+  test("duplicate response lines collapse to one dim row, preferring the non-null id") {
+    val dir = Files.createTempDirectory("svepa-dup")
+    dir.toFile.deleteOnExit()
+    // a retried lookup saved twice: first attempt failed, retry succeeded
+    Files.writeString(dir.resolve("responses.json"),
+      """{"sample": "D20240101T123000_IFCB134", "id": null, "error": "timeout"}
+        |{"sample": "D20240101T123000_IFCB134", "id": "77-2024", "error": null}
+        |{"sample": "D20240106T000000_IFCB134", "id": null, "error": "no event"}
+        |{"sample": "D20240106T000000_IFCB134", "id": null, "error": "no event"}
+        |""".stripMargin)
+    val svepa = SvepaSnapshot.parseResponses(spark, dir.toString)
+    // exactly one row per looked-up sample (the reference loop emits one
+    // row per missing pid) — duplicates must not fan out bin rows
+    assert(svepa.count() == 2)
+    val byId = svepa.as[(String, Option[String])].collect().toMap
+    assert(byId("D20240101T123000_IFCB134").contains("77-2024"))
+    assert(byId("D20240106T000000_IFCB134").isEmpty)
+    // the left-join fill stays 1:1 under duplicated responses
+    val bins = Seq(
+      ("D20240101T123000_IFCB134", java.sql.Timestamp.valueOf("2024-01-01 12:30:00"), None: Option[Int]))
+      .toDF("sample", "datetime", "cruise_no")
+    assert(SvepaSnapshot.resolveCruiseNo(bins, svepa).count() == 1)
+  }
 }
