@@ -42,6 +42,87 @@ object Taxonomy {
     when(p + r =!= 0.0, lit(2.0) * p * r / (p + r))
   }
 
+  /** The 40-rule training-folder class-name cleaner
+    * (reference: code/count_pngs_images.R:26-88): the ordered `gsub`
+    * chain applied to CNN training-folder names before the WoRMS match —
+    * version-suffix truncation (`iRfcb:::truncate_folder_name`; exactly
+    * three trailing digits: a looser `_\d+$` would consume the "30" that
+    * the `larger/smaller than 30` rules downstream exist to match),
+    * Gymnodiniales/Ciliophora/Proboscia special cases, underscore
+    * spacing, the morphology-suffix removals in source order, the
+    * word-bounded species flags (R's `\<cf\>` ≡ `\bcf\b`), forma
+    * dotting, the capital-letter slash join (applied twice, as in the
+    * source), then first comma-part and trim.
+    *
+    * One ordered rule table renders BOTH the Spark Column chain and the
+    * DuckDB SQL mirror, so the oracle evaluates the identical sequence
+    * (`$1` backreferences translate to RE2's `\1`; every pattern is
+    * RE2-safe).
+    */
+  val CleanRules: Seq[(String, String)] = Seq(
+    "_\\d{3}$" -> "", // truncate_folder_name: "_001"-style version folders
+    "Gymnodiniales_S" -> "Gymnodiniales",
+    "Gymnodiniales_CS" -> "Gymnodiniales",
+    "Gymnodiniales_CC" -> "Gymnodiniales",
+    "Ciliophora_S" -> "Ciliophora",
+    "cf_Proboscia_rhizosolenia" -> "Proboscia_Rhizosolenia",
+    "_" -> " ",
+    " single cell" -> "",
+    " single" -> "",
+    " chain" -> "",
+    " coil" -> "",
+    "-coiled" -> "",
+    " filament" -> "",
+    " pair" -> "",
+    "-like" -> "",
+    " like" -> "",
+    " bundle" -> "",
+    " larger than 30" -> "",
+    " larger than 30unidentified" -> "",
+    " than 30" -> "",
+    " smaller than 30unidentified" -> "",
+    " smaller than 30" -> "",
+    " smaller" -> "",
+    " elliptical" -> "",
+    " thin" -> "",
+    " small" -> "",
+    " sideview" -> "",
+    " bottomview" -> "",
+    " heterotrof" -> "",
+    " heterotropic" -> "",
+    " large" -> "",
+    " thick" -> "",
+    " sp01" -> "",
+    " sp02" -> "",
+    " sp1" -> "",
+    " sp2" -> "",
+    "\\bcf\\b" -> "",
+    "\\bspp\\b" -> "",
+    "\\bsp\\b" -> "",
+    " group" -> "",
+    "  " -> " ",
+    "\\bf\\b" -> "f.",
+    " ([A-Z])" -> "/$1",
+    " ([A-Z])" -> "/$1")
+
+  /** Applies [[CleanRules]], then the combined-class first-name cut and
+    * trim (count_pngs_images.R:83-88) — one codegen'd projection.
+    */
+  def cleanClassName(c: Column): Column = {
+    val replaced = CleanRules.foldLeft(c) {
+      case (acc, (p, r)) => regexp_replace(acc, p, r)
+    }
+    trim(element_at(split(replaced, ","), 1))
+  }
+
+  /** DuckDB mirror of [[cleanClassName]] — same table, same order. */
+  def cleanClassNameSql(expr: String): String = {
+    val replaced = CleanRules.foldLeft(expr) { case (acc, (p, r)) =>
+      s"regexp_replace($acc, '$p', '${r.replace("$1", "\\1")}', 'g')"
+    }
+    s"trim(string_split($replaced, ',')[1])"
+  }
+
   /** CF parent substitution (Rmd:1027-1049): for taxa flagged exactly
     * `CF`, the scientific name and AphiaID are replaced by the parent
     * record's; every row falls back `parentName → scientificname →

@@ -24,7 +24,12 @@ object HabAlert {
       dataset: String = "RV_Svea",
       minorBloomUgC: Double = 40.0,   // R:126-131 case_when bands
       bloomUgC: Double = 70.0,
-      majorBloomUgC: Double = 120.0)
+      majorBloomUgC: Double = 120.0,
+      // mail endpoints (R: ifcb_email / emails config lines); the SMTP
+      // server itself lives in the injected Mailer transport
+      mailFrom: String = "ifcb-pipeline@localhost",
+      recipients: Seq[String] = Nil,
+      bawsRecipients: Seq[String] = Nil)
 
   /** Per-(sample, class) biovolume rollup with per-liter scaling — the
     * `ifcb_summarize_biovolumes` output columns the alert consumes
@@ -245,5 +250,19 @@ object HabAlert {
     Result(mc, bands, cy, warning, subject, emailHtml(mc, bands, dateString, cfg),
       cyWarning, bawsSubject, bawsHtml(cy, dateString, cfg),
       bawsInSeason(dateString))
+  }
+
+  /** Delivery step (R:292-299 and :404-415): the HAB mail goes out every
+    * day — ALERT or Summary subject per [[Result.warningDetected]] — and
+    * the BAWS mail only inside the May–October season gate. Exactly one
+    * send per list per day; rendering already happened in [[runDaily]],
+    * so this touches no frame.
+    */
+  def deliver(result: Result, mailer: graft.sources.Mailer,
+      cfg: Config = Config()): Unit = {
+    mailer.send(cfg.mailFrom, cfg.recipients, result.subject, result.html)
+    if (result.bawsSendToday)
+      mailer.send(cfg.mailFrom, cfg.bawsRecipients,
+        result.bawsSubject, result.bawsHtml)
   }
 }

@@ -392,6 +392,26 @@ object IngestQc {
     * incrementally, persist. Running it twice over unchanged input is a
     * no-op on the appended sinks.
     */
+  /** Pinned schemas for the on-disk state re-reads. An `inferSchema`
+    * round-trip would adopt whatever a drifted or hand-edited state file
+    * happens to look like, and the damage would surface downstream as
+    * silent anti-join misses (bins re-processed or skipped) or a union
+    * type error far from the cause. The features schema is derived from
+    * the same [[Features.FeatureRow]] the extractor writes — one source
+    * of truth, not a copied column list.
+    */
+  private[jobs] val featuresStateSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(
+      StructField("sample", StringType) +: StructField("roi_number", IntegerType) +:
+        org.apache.spark.sql.Encoders.product[Features.FeatureRow].schema.fields
+          .filterNot(_.name == "roiId").toSeq)
+  }
+
+  private[jobs] val psdFitsStateSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "sample STRING, slope DOUBLE, intercept DOUBLE, r2 DOUBLE, n_bins BIGINT")
+
   def runIncremental(
       spark: SparkSession,
       cfg: Config,
@@ -401,17 +421,31 @@ object IngestQc {
       balticBasin: Seq[(Double, Double)],
       outDir: String,
       currentMetadata: Option[DataFrame] = None): Frames = {
-    def existing(path: String): Option[DataFrame] = {
+    // FAILFAST + enforceSchema=false: a drifted column type fails the
+    // read loudly, and a renamed/reordered header fails the name check —
+    // neither degrades into silently-null join keys. The validation scan
+    // (`foreach`) forces EVERY column through the parser once: the
+    // downstream plans project only `sample`, and the CSV reader's
+    // column pruning would otherwise never parse — hence never catch —
+    // a drifted value in an unprojected column. One extra pass over the
+    // CSV state per scheduled run; the state is the job's own bounded
+    // output, not the 100 TB fact side.
+    def existing(path: String,
+        schema: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-        Some(spark.read.option("header", "true")
-          .option("inferSchema", "true").csv(path))
-      else None
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+        val df = spark.read.option("header", "true")
+          .option("mode", "FAILFAST")
+          .option("enforceSchema", "false")
+          .schema(schema).csv(path)
+        df.foreach(_ => ())
+        Some(df)
+      } else None
     }
     val frames = run(spark, cfg, blacklist, cruises, ferrybox, balticBasin,
-      existingFeatures = existing(s"$outDir/features"),
-      existingPsdSamples = existing(s"$outDir/psd_fits"),
+      existingFeatures = existing(s"$outDir/features", featuresStateSchema),
+      existingPsdSamples = existing(s"$outDir/psd_fits", psdFitsStateSchema),
       currentMetadata = currentMetadata)
     write(frames, outDir)
     frames

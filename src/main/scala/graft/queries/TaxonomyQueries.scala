@@ -131,5 +131,69 @@ object TaxonomyQueries {
       FROM scores
       ORDER BY class"""))
 
-  val all: Seq[GraftQuery] = Seq(q57, q58)
+  /** Folder-name decorations by key residue — every [[Taxonomy.CleanRules]]
+    * family represented: morphology suffixes, flags, a versioned folder,
+    * a comma-combined class, a forma marker.
+    */
+  private val Decos = Seq("", "_single_cell", "_chain", "_cf", "_spp",
+    "_larger_than_30", "_smaller_than_30", "_001", "_like",
+    ",Nodularia_spumigena_coil", "_group", "_sp1", "_f",
+    "_heterotrof", "_single", "_filament")
+
+  /** q64: the 40-rule training-folder class-name cleaner
+    * (count_pngs_images.R:26-88 — the long-tail variant of q31's chain)
+    * over class-folder names synthesized deterministically from `part`:
+    * versioned folders, morphology suffixes, species flags, forma
+    * markers, comma-combined classes, and the Gymnodiniales/Ciliophora/
+    * Proboscia special cases, each selected by key residue so every rule
+    * family fires. The chain itself is [[Taxonomy.CleanRules]] — one
+    * ordered table rendering both engines' identical regex sequence.
+    * Pure map-side projection + one count shuffle.
+    */
+  private val q64 = GraftQuery(
+    "q64_taxa_cleaner_40",
+    (s, d) => {
+      import s.implicits._
+      val w = split($"p_name", " ")
+      def cap(c: org.apache.spark.sql.Column) =
+        concat(upper(substring(c, 1, 1)), substring(c, 2, 1000))
+      val species = when($"p_partkey" % 7 === 0, cap(element_at(w, 2)))
+        .otherwise(element_at(w, 2))
+      val deco = element_at(
+        array(Decos.map(lit): _*), ($"p_partkey" % 16).cast("int") + 1)
+      val folder = when($"p_partkey" % 23 === 0, lit("Gymnodiniales_S"))
+        .when($"p_partkey" % 23 === 1, lit("Gymnodiniales_CS"))
+        .when($"p_partkey" % 23 === 2, lit("Gymnodiniales_CC"))
+        .when($"p_partkey" % 23 === 3, lit("Ciliophora_S"))
+        .when($"p_partkey" % 23 === 4, lit("cf_Proboscia_rhizosolenia"))
+        .otherwise(concat(cap(element_at(w, 1)), lit("_"), species, deco))
+      part(s, d)
+        .select(Taxonomy.cleanClassName(folder).as("clean_name"))
+        .groupBy($"clean_name")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"clean_name")
+    },
+    Some(s"""
+      WITH folders AS (
+        SELECT CASE
+          WHEN p_partkey % 23 = 0 THEN 'Gymnodiniales_S'
+          WHEN p_partkey % 23 = 1 THEN 'Gymnodiniales_CS'
+          WHEN p_partkey % 23 = 2 THEN 'Gymnodiniales_CC'
+          WHEN p_partkey % 23 = 3 THEN 'Ciliophora_S'
+          WHEN p_partkey % 23 = 4 THEN 'cf_Proboscia_rhizosolenia'
+          ELSE upper(substr(w[1], 1, 1)) || substr(w[1], 2, 1000) || '_' ||
+            CASE WHEN p_partkey % 7 = 0
+                 THEN upper(substr(w[2], 1, 1)) || substr(w[2], 2, 1000)
+                 ELSE w[2] END ||
+            (${Decos.map("'" + _ + "'").mkString("[", ", ", "]")})
+              [CAST(p_partkey % 16 AS INTEGER) + 1]
+          END AS folder
+        FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part) t)
+      SELECT ${Taxonomy.cleanClassNameSql("folder")} AS clean_name,
+             COUNT(*) AS n
+      FROM folders
+      GROUP BY 1
+      ORDER BY 1"""))
+
+  val all: Seq[GraftQuery] = Seq(q57, q58, q64)
 }

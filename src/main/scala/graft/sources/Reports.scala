@@ -15,6 +15,28 @@ import org.apache.spark.sql.DataFrame
   * key/value lines rendered from caller-supplied values (dates and
   * contacts are parameters, never Sys calls, so runs are reproducible).
   */
+/** Mail-transport seam for the notification sinks (reference:
+  * code/ifcb_hab_alert.R:292-299 — `send_mail(mail_from, mail_rcpt,
+  * message, smtp_server, use_ssl)`). The pipeline renders subject + HTML
+  * ([[graft.jobs.HabAlert]]); *delivery* is an injected effect so a
+  * deployment plugs an SMTP transport and specs plug [[RecordingMailer]].
+  * Actually speaking SMTP stays outside the library (zero-egress build,
+  * and the reference treats the server as deploy-time config too).
+  */
+trait Mailer extends Serializable {
+  def send(from: String, to: Seq[String], subject: String, html: String): Unit
+}
+
+/** Test/dry-run transport: records every send in order. */
+final class RecordingMailer extends Mailer {
+  import scala.collection.mutable
+  val sent: mutable.ArrayBuffer[(String, Seq[String], String, String)] =
+    mutable.ArrayBuffer.empty
+  override def send(from: String, to: Seq[String], subject: String,
+      html: String): Unit =
+    synchronized { sent += ((from, to, subject, html)) }
+}
+
 object Reports {
 
   /** K5: renders an already-aggregated summary frame as a minimal HTML

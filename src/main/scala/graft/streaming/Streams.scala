@@ -64,6 +64,26 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) => notify(batch, id) }
 
+  /** [[notifySink]] wired to the [[graft.sources.Mailer]] transport seam
+    * (hab_alert.R:292-299): each non-empty micro-batch — one day's
+    * exceeding keys under [[dailyAlerts]]' watermark — renders to a
+    * single mail. `dailyAlerts` emits only threshold-exceeding rows, so
+    * a non-empty batch IS an alert: the subject carries the ALERT
+    * marker, matching [[graft.jobs.HabAlert]]'s daily-batch subjects.
+    * Empty batches send nothing (exactly-one-send-per-alert-day comes
+    * from the checkpointed offsets + append mode).
+    */
+  def mailSink(alerts: DataFrame, checkpoint: String,
+      mailer: graft.sources.Mailer, from: String, to: Seq[String],
+      subjectPrefix: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    notifySink(alerts, checkpoint) { (batch, _) =>
+      if (!batch.isEmpty) {
+        val html = graft.sources.Reports.htmlSummary(
+          batch, s"$subjectPrefix daily maxima above warning level")
+        mailer.send(from, to, s"$subjectPrefix ALERT", html)
+      }
+    }
+
   /** Streaming feature extraction: new image files (PNG or raw ROI
     * payloads) flow through the full kernel — decode → segmentation →
     * slim features — as they arrive, exactly once per file. This is the

@@ -74,4 +74,34 @@ class TaxonomySpec extends SparkSpec {
     // matches -> the R semantics substitute it too, sflag stays null
     assert(got("e") == ("e", None, "Parent ten", 10L))
   }
+
+  test("40-rule folder cleaner matches the reference chain on representative names") {
+    // count_pngs_images.R:26-88 — one row per rule family
+    val cases = Seq(
+      // combined classes cut at the first comma (R:85)
+      "Nodularia_spumigena_coil,Nodularia_spumigena_filament" -> "Nodularia spumigena",
+      // iRfcb truncate_folder_name: 3-digit version folder
+      "Dinophysis_acuminata_001" -> "Dinophysis acuminata",
+      // special cases (R:27-33)
+      "Gymnodiniales_CS" -> "Gymnodiniales",
+      "Ciliophora_S" -> "Ciliophora",
+      "cf_Proboscia_rhizosolenia" -> "Proboscia/Rhizosolenia",
+      // size-qualifier phrases survive truncation (two digits, not three)
+      "Aphanizomenon_flosaquae_larger_than_30" -> "Aphanizomenon flosaquae",
+      // word-bounded cf leaves a double space the squish rule collapses
+      "Chaetoceros_cf_simplex" -> "Chaetoceros simplex",
+      // forma marker dotted (R:70)
+      "Nodularia_spumigena_f_spumigena" -> "Nodularia spumigena f. spumigena",
+      // capital-letter slash join (R:74-76)
+      "Snowella_Woronichinia" -> "Snowella/Woronichinia",
+      // hyphenated genus: word-bounded sp removed, hyphen kept
+      "Pseudo-nitzschia_sp" -> "Pseudo-nitzschia",
+      "Mesodinium_rubrum_single_cell" -> "Mesodinium rubrum")
+    val got = cases.map(_._1).toDF("folder")
+      .select($"folder", Taxonomy.cleanClassName($"folder").as("clean"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"cleanClassName($in) = ${got(in)}, want $want")
+    }
+  }
 }

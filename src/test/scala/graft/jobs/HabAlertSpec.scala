@@ -76,6 +76,30 @@ class HabAlertSpec extends SparkSpec {
     assert(alert.html.contains("background-color:#ffcccc;font-weight:bold;"))
   }
 
+  test("deliver sends one HAB mail per day with the ALERT subject on warning") {
+    val roi2 = roi.unionByName(
+      Seq(("S2", "Alexandrium_spp", 4000.0, false))
+        .toDF("sample", "class_name", "vol_um3", "is_diatom"))
+    val cfg = HabAlert.Config(
+      recipients = Seq("hab@example.org"), bawsRecipients = Seq("baws@example.org"))
+    val inSeason = HabAlert.runDaily(roi2, dim, classDim, habDim, "2024-06-01", cfg)
+    val mailer = new graft.sources.RecordingMailer
+    HabAlert.deliver(inSeason, mailer, cfg)
+    // exactly one HAB mail + one BAWS mail (June is inside the gate)
+    assert(mailer.sent.map(_._3) ==
+      Seq("IFCB HAB ALERT - 2024-06-01", "IFCB BAWS Summary - 2024-06-01"))
+    assert(mailer.sent.head._1 == cfg.mailFrom)
+    assert(mailer.sent.head._2 == Seq("hab@example.org"))
+    assert(mailer.sent.head._4.contains("background-color:#ffcccc"))
+    assert(mailer.sent(1)._2 == Seq("baws@example.org"))
+
+    // out of season: the BAWS mail is gated off, the HAB summary still goes
+    val winter = HabAlert.runDaily(roi, dim, classDim, habDim, "2024-01-15", cfg)
+    val m2 = new graft.sources.RecordingMailer
+    HabAlert.deliver(winter, m2, cfg)
+    assert(m2.sent.map(_._3) == Seq("IFCB HAB Summary - 2024-01-15"))
+  }
+
   test("cyano table filters by phylum regardless of HAB membership") {
     val cy = result.cyano.collect()
     assert(cy.length == 1)

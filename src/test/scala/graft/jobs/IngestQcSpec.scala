@@ -2,6 +2,7 @@ package graft.jobs
 
 import java.nio.file.{Files, Path}
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 import graft.SparkSpec
 import graft.queries.FeatureExtract
 
@@ -161,6 +162,34 @@ class IngestQcSpec extends SparkSpec {
     assert(counts() == first)       // sinks unchanged
     // metadata is overwritten, not appended: same contract rows
     assert(spark.read.option("header", "true").csv(s"$out/metadata").count() == 6L)
+  }
+
+  test("drifted state file fails loudly, not as a silent anti-join miss") {
+    val out = Files.createTempDirectory("ingestdrift").toString
+    IngestQc.runIncremental(spark, cfg, blacklist, cruises, ferrybox, baltic, out)
+    // hand-write a features state part-file whose roi_number column
+    // drifted to a non-integer type: the pinned-schema FAILFAST read
+    // must throw during the incremental run instead of nulling the
+    // column and silently re-processing (or skipping) bins
+    val header = Files.list(java.nio.file.Paths.get(s"$out/features"))
+      .iterator().asScala.find(_.toString.endsWith(".csv")).get
+    val lines = Files.readAllLines(header).asScala
+    val drifted = lines.head +: lines.tail.map(l => l.replaceFirst(",", ",not_a_number_"))
+    Files.write(header, drifted.asJava)
+    // drop the Hadoop checksum sidecar: the point is the SCHEMA gate
+    // failing, not the CRC noticing the edit
+    Files.deleteIfExists(header.resolveSibling("." + header.getFileName + ".crc"))
+    val e = intercept[Exception] {
+      IngestQc.runIncremental(
+        spark, cfg, blacklist, cruises, ferrybox, baltic, out).features.count()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      String.valueOf(c.getMessage).contains("MALFORMED_RECORD") ||
+        String.valueOf(c.getMessage).contains("FAILFAST") ||
+        String.valueOf(c.getMessage).contains("not_a_number_")),
+      s"expected a malformed-record failure, got: ${e.getMessage}")
   }
 
   test("streaming deployment processes outstanding bins exactly once") {

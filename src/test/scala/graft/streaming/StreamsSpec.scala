@@ -34,6 +34,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mailSink delivers one ALERT mail per closed alert day via the Mailer seam") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "taxon", "conc")
+    val warn = Seq(("algae", 50.0)).toDF("taxon", "warning_level")
+    val alerts = Streams.dailyAlerts(events, warn, "ts", "taxon", "conc")
+    val mailer = new graft.sources.RecordingMailer
+    val checkpoint = java.nio.file.Files.createTempDirectory("mailsink").toString
+    val q = Streams.mailSink(alerts, checkpoint, mailer,
+      "ifcb-pipeline@localhost", Seq("hab@example.org"), "IFCB HAB").start()
+    try {
+      in.addData((Timestamp.valueOf("2024-01-01 10:00:00"), "algae", 80.0))
+      q.processAllAvailable()
+      assert(mailer.sent.isEmpty) // window not closed yet -> nothing to send
+      in.addData((Timestamp.valueOf("2024-01-03 00:00:01"), "algae", 1.0))
+      q.processAllAvailable()
+      assert(mailer.sent.size == 1) // exactly one send for the closed day
+      val (from, to, subject, html) = mailer.sent.head
+      assert(from == "ifcb-pipeline@localhost" && to == Seq("hab@example.org"))
+      assert(subject == "IFCB HAB ALERT")
+      assert(html.contains("algae") && html.contains("80"))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and carries state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streams.SessionEvent]
