@@ -73,6 +73,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Aggregate"), "bounded top-k aggregate expected")
   }
 
+  test("q63: fingerprint decontamination is a hash equi-join, no nested loop") {
+    // q60's BNL containment join is quadratic in the phrase count; the
+    // fingerprint path must stay a hash probe per shingle
+    val p = plan("q63_decontaminate_fingerprint")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q11: global top-k plans as TakeOrderedAndProject, no global sort") {
     assert(plan("q11_global_topk").contains("TakeOrderedAndProject"))
   }
