@@ -54,6 +54,27 @@ object Corpus {
     (math.round(65536 * trainFrac), math.round(65536 * (trainFrac + valFrac)))
   }
 
+  /** All k-word n-grams WITH multiplicity, in position order — repetition
+    * metrics count how often a gram recurs, so [[Hashing.shingles]]'s
+    * distinct-set semantics (dedup features) would erase the signal.
+    * Pure array expressions, map-side.
+    *
+    * `sequence(1, n)` in Spark DESCENDS when n < 1 (it never returns an
+    * empty array), so short docs take the explicit empty branch.
+    */
+  def ngrams(ws: Column, k: Int): Column = {
+    require(k >= 1, s"ngram size must be positive, got $k")
+    when(size(ws) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ws) - lit(k - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(k)))))
+  }
+
+  /** SQL mirror of [[ngrams]] (DuckDB). `range(a, b)` is end-exclusive
+    * and empty when b <= a, so the short-doc case needs no branch.
+    */
+  def ngramsSql(ws: String, k: Int): String =
+    s"[array_to_string($ws[i:i+${k - 1}], ' ') FOR i IN range(1, len($ws) - ${k - 2})]"
+
   /** Redaction patterns, applied in order (an email's digits must not be
     * half-eaten by the number rule first).
     */

@@ -198,5 +198,133 @@ object CorpusBattery {
       WHERE s.doc_id <> b.bench_id AND contains(s.norm_text, b.phrase)
       ORDER BY 1, 2"""))
 
-  val all: Seq[GraftQuery] = Seq(q59, q60, q61, q62, q63)
+  /** Within-document repetition metrics (the Gopher-style repetition
+    * filter): a document is repetitious when its single most-common
+    * 2-gram carries > 8% of all 2-gram occurrences OR > 10% of its
+    * 3-gram occurrences are duplicates. One tagged explode puts both
+    * gram sizes through a single (doc_id, n, gram) count shuffle with
+    * map-side partial aggregation — per-document grain, so the shuffle
+    * scales linearly with the corpus and no executor ever holds more
+    * than one document's gram counts. Flags and rollups are pure integer
+    * arithmetic (top2*25 > tot2*2 ⇔ top2/tot2 > 0.08), so both engines
+    * agree exactly — no float ratios anywhere near the hash compare.
+    */
+  private val q65 = GraftQuery(
+    "q65_repetition_filter",
+    (s, d) => {
+      import s.implicits._
+      val grams = documents(s, d)
+        .select($"doc_id", $"lang", Hashing.words($"text").as("w"))
+        .select($"doc_id", $"lang", explode(concat(
+          transform(Corpus.ngrams($"w", 2), g => struct(lit(2).as("n"), g.as("g"))),
+          transform(Corpus.ngrams($"w", 3), g => struct(lit(3).as("n"), g.as("g"))))).as("t"))
+        .select($"doc_id", $"lang", $"t.n".as("n"), $"t.g".as("g"))
+      val perDoc = grams
+        .groupBy($"doc_id", $"lang", $"n", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id", $"lang")
+        .agg(
+          coalesce(max(when($"n" === 2, $"c")), lit(0L)).as("top2"),
+          coalesce(sum(when($"n" === 2, $"c")), lit(0L)).as("tot2"),
+          coalesce(sum(when($"n" === 3 && $"c" > 1, $"c")), lit(0L)).as("dup3"),
+          coalesce(sum(when($"n" === 3, $"c")), lit(0L)).as("tot3"))
+      perDoc
+        .withColumn("rep_flag",
+          $"top2" * 25 > $"tot2" * 2 || $"dup3" * 10 > $"tot3")
+        .groupBy($"lang", $"rep_flag")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"top2").as("sum_top2"), sum($"tot2").as("sum_tot2"),
+          sum($"dup3").as("sum_dup3"), sum($"tot3").as("sum_tot3"))
+        .orderBy($"lang", $"rep_flag")
+    },
+    Some(s"""
+      WITH grams AS (
+        SELECT doc_id, lang, 2 AS n, unnest(${Corpus.ngramsSql(W, 2)}) AS g
+        FROM (SELECT doc_id, lang, text FROM documents) t2
+        UNION ALL
+        SELECT doc_id, lang, 3 AS n, unnest(${Corpus.ngramsSql(W, 3)}) AS g
+        FROM (SELECT doc_id, lang, text FROM documents) t3),
+      counts AS (
+        SELECT doc_id, lang, n, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3, 4),
+      per_doc AS (
+        SELECT doc_id, lang,
+          COALESCE(MAX(CASE WHEN n = 2 THEN c END), 0) AS top2,
+          COALESCE(SUM(CASE WHEN n = 2 THEN c END), 0) AS tot2,
+          COALESCE(SUM(CASE WHEN n = 3 AND c > 1 THEN c END), 0) AS dup3,
+          COALESCE(SUM(CASE WHEN n = 3 THEN c END), 0) AS tot3
+        FROM counts GROUP BY 1, 2)
+      SELECT lang, (top2 * 25 > tot2 * 2 OR dup3 * 10 > tot3) AS rep_flag,
+        COUNT(*) AS n_docs,
+        CAST(SUM(top2) AS BIGINT) AS sum_top2, CAST(SUM(tot2) AS BIGINT) AS sum_tot2,
+        CAST(SUM(dup3) AS BIGINT) AS sum_dup3, CAST(SUM(tot3) AS BIGINT) AS sum_tot3
+      FROM per_doc
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
+  /** Deterministic domain-mixture sampling: per-source keep rates from a
+    * sqrt-temperature weighting (small sources sampled proportionally
+    * harder, the standard mixture-flattening move) against a half-the-
+    * corpus token budget; membership is the [[Corpus.hashSplit]] md5
+    * bucket compared to a per-source bound. Every intermediate is
+    * integer arithmetic (floor(sqrt), integer div), so the bound — and
+    * therefore every keep decision — is bit-identical across engines
+    * and across runs: re-sampling a grown corpus never flips old
+    * documents. Plan: two 20-row dims broadcast back onto the corpus
+    * scan; the corpus itself never shuffles before the final per-source
+    * rollup.
+    */
+  private val q66 = GraftQuery(
+    "q66_domain_mix_sample",
+    (s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+        .select($"doc_id", $"source",
+          size(Hashing.words($"text")).cast("long").as("tokens"))
+      val dim = docs.groupBy($"source").agg(sum($"tokens").as("tok_s"))
+        .withColumn("w", floor(sqrt($"tok_s")).cast("long"))
+      val tot = dim.agg(sum($"w").as("total_w"), sum($"tok_s").as("total_tok"))
+      val rates = dim.crossJoin(broadcast(tot))
+        .withColumn("bound", least(lit(65536L),
+          expr("w * (total_tok div 2) div total_w * 65536 div tok_s")))
+        .select($"source", $"bound")
+      docs.join(broadcast(rates), Seq("source"))
+        .withColumn("keep", $"bound" >= 65536L ||
+          substring(md5(concat($"doc_id".cast("string"), lit(":mix-r5"))), 1, 4)
+            < format_string("%04x", $"bound"))
+        .groupBy($"source")
+        .agg(max($"bound").as("bound"),
+          count(lit(1)).as("n_docs"),
+          sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"keep", $"tokens").otherwise(0L)).as("tokens_kept"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, source, CAST(len($W) AS BIGINT) AS tokens FROM documents),
+      dim AS (
+        -- DuckDB SUM returns HUGEINT, which its printf cannot %x-format
+        -- and which would ripple into bound's type: pin BIGINT here
+        SELECT source, CAST(SUM(tokens) AS BIGINT) AS tok_s,
+               CAST(FLOOR(SQRT(SUM(tokens))) AS BIGINT) AS w
+        FROM docs GROUP BY 1),
+      tot AS (
+        SELECT CAST(SUM(w) AS BIGINT) AS total_w,
+               CAST(SUM(tok_s) AS BIGINT) AS total_tok FROM dim),
+      rates AS (
+        SELECT source,
+               LEAST(65536, w * (total_tok // 2) // total_w * 65536 // tok_s) AS bound
+        FROM dim, tot),
+      kept AS (
+        SELECT d.source, d.tokens, r.bound,
+          (r.bound >= 65536 OR
+           substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix-r5'), 1, 4)
+             < printf('%04x', r.bound)) AS keep
+        FROM docs d JOIN rates r USING (source))
+      SELECT source, MAX(bound) AS bound, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN keep THEN tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+      FROM kept
+      GROUP BY 1
+      ORDER BY 1"""))
+
+  val all: Seq[GraftQuery] = Seq(q59, q60, q61, q62, q63, q65, q66)
 }

@@ -81,6 +81,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q65: gram counts partially aggregate map-side before the one shuffle") {
+    val p = plan("q65_repetition_filter")
+    assert(!p.contains("Join"), "repetition metrics must not join")
+    assert(p.contains("partial_count"), "map-side combine on (doc, n, gram)")
+  }
+
+  test("q66: mixture dims broadcast back, corpus never shuffle-joins") {
+    val p = plan("q66_domain_mix_sample")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "20-row rate dim must broadcast")
+  }
+
   test("q11: global top-k plans as TakeOrderedAndProject, no global sort") {
     assert(plan("q11_global_topk").contains("TakeOrderedAndProject"))
   }

@@ -22,6 +22,21 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1).isEmpty && out(2).isEmpty)
   }
 
+  test("ngrams keep multiplicity and position order; empty under k words") {
+    val df = Seq("a b a b a", "a b", "").toDF("t")
+    val out = df.select(Corpus.ngrams(Hashing.words($"t"), 2).as("g"))
+      .as[Seq[String]].collect()
+    // repetition metrics need the duplicate "a b"s shingles() would drop
+    assert(out(0) == Seq("a b", "b a", "a b", "b a"))
+    assert(out(1) == Seq("a b"))
+    assert(out(2).isEmpty)
+    // k = doc length: exactly one gram (the sequence(1,1) edge)
+    val one = Seq("x y z").toDF("t")
+      .select(Corpus.ngrams(Hashing.words($"t"), 3).as("g"))
+      .as[Seq[String]].collect()
+    assert(one(0) == Seq("x y z"))
+  }
+
   test("tokHash/fingerprint are deterministic and spread") {
     val toks = Seq("spark", "Spark", "spark ", "catalyst", "").toDF("t")
     val hs = toks.select(Hashing.tokHash($"t")).as[Long].collect()

@@ -1,0 +1,52 @@
+package graft.jobs
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** End-to-end corpus-prep job: attrition ledger shape, canonical
+  * selection through both dedup stages, and second-run stability.
+  */
+class CorpusPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("run composes gate + exact dedup + near-dup; ledger monotone; canonical = min id") {
+    val all = Tables.documents(spark, d).select($"doc_id", $"text")
+    // two gate-surviving ids to duplicate (so the injected copies can
+    // only be removed by a DEDUP stage, never the quality/lang gate)
+    val survivors = CorpusPrep
+      .gate(CorpusPrep.annotate(all, "text"), CorpusPrep.Config())
+      .orderBy($"doc_id").limit(2).select($"doc_id").as[Long].collect()
+    val Array(exactSrc, nearSrc) = survivors
+
+    val exactDup = all.filter($"doc_id" === exactSrc)
+      .select(lit(100000L).as("doc_id"), $"text")
+    val nearDup = all.filter($"doc_id" === nearSrc)
+      .select(lit(100001L).as("doc_id"),
+        concat($"text", lit(" trailing tail word")).as("text"))
+    val input = all.unionByName(exactDup).unionByName(nearDup)
+
+    val out = CorpusPrep.run(input, "doc_id", "text")
+    val stats = out.stats.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats("input") == all.count() + 2)
+    // each stage only removes rows
+    val order = Seq("input", "quality_lang_gate", "exact_dedup", "near_dup")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(stats(a) >= stats(b), s"$a=${stats(a)} < $b=${stats(b)}")
+    }
+    assert(out.annotated.columns.toSet
+      .intersect(Set("lang", "quality", "tokens")).size == 3)
+
+    val kept = out.kept.select($"doc_id").as[Long].collect().toSet
+    // identical text, higher id → removed by exact dedup; canonical stays
+    assert(!kept.contains(100000L) && kept.contains(exactSrc))
+    // one appended shingle → caught by LSH near-dup, cluster min wins
+    assert(!kept.contains(100001L) && kept.contains(nearSrc))
+
+    // a prepped corpus is a fixed point: re-running drops nothing
+    val again = CorpusPrep.run(out.kept, "doc_id", "text")
+    val s2 = again.stats.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s2("input") == s2("near_dup"), s"second run dropped rows: $s2")
+  }
+}
