@@ -57,16 +57,15 @@ object Corpus {
   /** All k-word n-grams WITH multiplicity, in position order — repetition
     * metrics count how often a gram recurs, so [[Hashing.shingles]]'s
     * distinct-set semantics (dedup features) would erase the signal.
-    * Pure array expressions, map-side.
-    *
-    * `sequence(1, n)` in Spark DESCENDS when n < 1 (it never returns an
-    * empty array), so short docs take the explicit empty branch.
+    * Native one-pass expression ([[graft.plans.WordNgramsExpr]]): the HOF
+    * composition (sequence → transform → slice → concat_ws) evaluates
+    * interpreted per gram and was q65's whole cost at sf0.1.
     */
   def ngrams(ws: Column, k: Int): Column = {
     require(k >= 1, s"ngram size must be positive, got $k")
-    when(size(ws) < k, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(ws) - lit(k - 1)),
-        i => concat_ws(" ", slice(ws, i, lit(k)))))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.WordNgramsExpr(
+        org.apache.spark.sql.GraftBridge.expression(ws), k))
   }
 
   /** SQL mirror of [[ngrams]] (DuckDB). `range(a, b)` is end-exclusive

@@ -52,6 +52,26 @@ object HashExpr {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  /** All k-word n-grams WITH multiplicity, position order — repetition
+    * metrics count recurrence, so [[wordShingles]]'s distinct set would
+    * erase the signal.
+    */
+  def wordNgrams(words: ArrayData, k: Int): ArrayData = {
+    val n = words.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](n - k + 1)
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** One-pass MinHash family over a long array. */
   def minHashes(th: ArrayData, as: Array[Long], bs: Array[Long], mod: Long): ArrayData = {
     val n = th.numElements()
@@ -236,4 +256,20 @@ case class WordShinglesExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
     copy(child = newChild)
   override def prettyName: String = "word_shingles"
+}
+
+/** k-word n-grams with multiplicity (q65 repetition metrics): same
+  * one-pass assembly as [[WordShinglesExpr]] minus the distinct set.
+  */
+case class WordNgramsExpr(child: Expression, k: Int)
+  extends UnaryExpression with Serializable {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpr.wordNgrams(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashExpr.wordNgrams($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "word_ngrams"
 }
