@@ -117,6 +117,28 @@ object Streams {
       .select(col("path"), col("features.*"))
   }
 
+  /** Streaming exact dedup, first-seen-wins — the continuously-ingesting
+    * counterpart of the batch content dedup (q41/`Dedup.exactGroups`): a
+    * document whose normalized-content fingerprint was already seen is
+    * dropped at arrival time. Built on Spark's own
+    * `dropDuplicatesWithinWatermark` state store (functions, not custom
+    * state: the built-in evicts fingerprints once the watermark passes,
+    * so state is bounded by the dedup horizon instead of growing with
+    * the corpus). A duplicate arriving AFTER the horizon is admitted —
+    * by design; the batch exact-dedup pass catches cross-horizon dups at
+    * compaction time. The fingerprint is the same engine-portable
+    * rolling hash the batch path uses ([[graft.functions.Hashing]]),
+    * over the lowercased text.
+    */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 day"): DataFrame =
+    docs
+      .withColumn("__fp",
+        graft.functions.Hashing.fingerprint(lower(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   final case class SessionEvent(key: Long, tsMicros: Long, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(key: Long, startMicros: Long, endMicros: Long,

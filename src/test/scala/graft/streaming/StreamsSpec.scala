@@ -58,6 +58,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops repeated fingerprints across micro-batches, first wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val docs = in.toDF().toDF("ts", "doc_id", "text")
+
+    val deduped = Streams.dedupStream(docs, "text", "ts")
+    val q = deduped.writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "alpha beta"),
+        (Timestamp.valueOf("2024-01-01 10:01:00"), 2L, "gamma delta"),
+        // same batch, same content (case-folded) → dropped
+        (Timestamp.valueOf("2024-01-01 10:02:00"), 3L, "Alpha Beta"))
+      q.processAllAvailable()
+      in.addData( // later batch, state remembers the fingerprint
+        (Timestamp.valueOf("2024-01-01 11:00:00"), 4L, "alpha beta"),
+        (Timestamp.valueOf("2024-01-01 11:01:00"), 5L, "epsilon"))
+      q.processAllAvailable()
+      val kept = spark.table("deduped").select("doc_id").as[Long].collect().toSet
+      // exactly one of the same-batch content twins survives; the
+      // cross-batch repeat (doc 4) must hit state and never appear
+      assert(kept.intersect(Set(1L, 3L)).size == 1, s"got $kept")
+      assert(kept.contains(2L) && kept.contains(5L) && !kept.contains(4L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and carries state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streams.SessionEvent]
