@@ -326,5 +326,47 @@ object CorpusBattery {
       GROUP BY 1
       ORDER BY 1"""))
 
-  val all: Seq[GraftQuery] = Seq(q59, q60, q61, q62, q63, q65, q66)
+  /** Keyword extraction: the top-3 most distinctive terms per document —
+    * TF-IDF semantics with an integer-exact ordering (tf DESC, then
+    * document-frequency ASC, then term) instead of a float tf·idf score,
+    * so both engines rank identically with no logarithm in sight. Plan:
+    * one (doc, term) count shuffle with map-side combine, a term→df
+    * aggregate joined back on the term key (AQE broadcasts it when the
+    * vocabulary is small; at 100 TB vocabulary scale it stays a shuffle
+    * join keyed by term — never a driver collect), then a per-document
+    * window top-k (always partitioned by doc_id, never a global sort).
+    */
+  private val q67 = GraftQuery(
+    "q67_keyword_extract",
+    (s, d) => {
+      import s.implicits._
+      val tf = documents(s, d)
+        .select($"doc_id", explode(Hashing.words($"text")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"tf".desc, $"df".asc, $"term".asc)
+      tf.join(df, Seq("term"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"rank", $"term", $"tf", $"df")
+        .orderBy($"doc_id", $"rank")
+    },
+    Some(s"""
+      WITH tf AS (
+        SELECT doc_id, unnest($W) AS term FROM documents),
+      tfc AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+      dfc AS (
+        SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+      ranked AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               row_number() OVER (PARTITION BY t.doc_id
+                 ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rk
+        FROM tfc t JOIN dfc d USING (term))
+      SELECT doc_id, CAST(rk AS INTEGER) AS "rank", term, tf, df
+      FROM ranked WHERE rk <= 3
+      ORDER BY doc_id, "rank""""))
+
+  val all: Seq[GraftQuery] = Seq(q59, q60, q61, q62, q63, q65, q66, q67)
 }

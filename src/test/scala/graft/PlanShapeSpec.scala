@@ -93,6 +93,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "20-row rate dim must broadcast")
   }
 
+  test("q67: keyword top-k windows per document, joins stay equi") {
+    val p = plan("q67_keyword_extract")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      p.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q11: global top-k plans as TakeOrderedAndProject, no global sort") {
     assert(plan("q11_global_topk").contains("TakeOrderedAndProject"))
   }
