@@ -113,10 +113,14 @@ object Bench {
       if (ts.isEmpty) (n, -1.0, -1.0) else (n, ts.min, ts.max - ts.min)
     }
     // The driver keeps only the LAST ~2000 chars of output, so the
-    // contract line must be compact (3-decimal times) and must be the
-    // final thing printed; the per-pass raw times and max-min spread
-    // diagnostics go on their own earlier lines (full logs only).
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    // contract line must be compact and must be the final thing printed;
+    // the per-pass raw times and max-min spread diagnostics go on their
+    // own earlier lines (full logs only, 3-decimal). At 67 queries the
+    // full-name 3-decimal line measured 1,842 chars — uncomfortably close
+    // to the window — so the contract line uses centisecond values and
+    // the sf basename (~1,760 chars, room for ~8 more queries).
+    def fmt2(v: Double) = String.format(Locale.ROOT, "%.2f", v: java.lang.Double)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + fmt(s) }
       .mkString("{", ",", "}")
@@ -124,9 +128,10 @@ object Bench {
       "\"" + n + "\":[" + passes.map(p => fmt(p(i))).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val sfName = new java.io.File(sfDir).getName
     println(s"""{"metric":"pass_times","queries":$raw}""")
     println(s"""{"metric":"spread_max_minus_min","queries":$spreads}""")
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
   }
 }
