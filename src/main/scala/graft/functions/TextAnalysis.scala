@@ -66,7 +66,11 @@ object TextAnalysis {
     val stop = scoreSql(ws, Lexicons.head._2)
     val meanLen = s"CAST(list_reduce(list_prepend(0::BIGINT, " +
       s"list_transform($ws, w -> length(w)::BIGINT)), (a, b) -> a + b) AS DOUBLE) / $n"
-    s"(0.4 * LEAST(1.0, $n / 50.0) + 0.3 * CAST($stop AS DOUBLE) / $n + " +
+    // parens mirror the Column tree exactly: Spark computes
+    // 0.3 * (stop / n); the unparenthesized SQL would left-associate to
+    // (0.3 * stop) / n — 1 ULP apart, which flips floor(q * 1e6) when q
+    // lands on an integer micro-unit (doc 45 at sf0.001: 439999 vs 440000)
+    s"(0.4 * LEAST(1.0, $n / 50.0) + 0.3 * (CAST($stop AS DOUBLE) / $n) + " +
       s"0.3 * LEAST(1.0, $meanLen / 8.0))"
   }
 
