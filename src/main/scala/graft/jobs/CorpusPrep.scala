@@ -81,6 +81,24 @@ object CorpusPrep {
       Seq(id), "left_anti")
   }
 
+  /** Streaming deployment of the front half of [[run]] (annotate → gate
+    * → exact dedup) for a continuously-arriving corpus: annotation and
+    * gating are map-side per micro-batch, the dedup is
+    * [[graft.streaming.Streams.dedupStream]]'s watermark-bounded state
+    * (first-seen-wins on the content fingerprint), and checkpointed
+    * offsets make each surviving document land exactly once. Near-dup
+    * clustering stays a periodic batch compaction over the accumulated
+    * output — candidate pairs need a global LSH index, which is [[run]].
+    *
+    * @param tsCol event-time column the dedup watermark advances on
+    *              (ingest time works; dedup state is evicted once the
+    *              watermark passes it)
+    */
+  def stream(docs: DataFrame, text: String, tsCol: String,
+      cfg: Config = Config()): DataFrame =
+    graft.streaming.Streams.dedupStream(
+      gate(annotate(docs, text), cfg), text, tsCol)
+
   def run(docs: DataFrame, id: String, text: String,
       cfg: Config = Config()): Frames = {
     val spark = docs.sparkSession

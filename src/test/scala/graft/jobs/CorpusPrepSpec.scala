@@ -49,4 +49,34 @@ class CorpusPrepSpec extends SparkSpec {
     val s2 = again.stats.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(s2("input") == s2("near_dup"), s"second run dropped rows: $s2")
   }
+
+  test("stream gates junk and dedups content across micro-batches") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    // gate-surviving texts straight from the corpus fixture
+    val good = Tables.documents(spark, d).select($"doc_id", $"text")
+    val goodTexts = CorpusPrep
+      .gate(CorpusPrep.annotate(good, "text"), CorpusPrep.Config())
+      .orderBy($"doc_id").limit(2).select($"text").as[String].collect()
+
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val docs = in.toDF().toDF("ts", "doc_id", "text")
+    val q = CorpusPrep.stream(docs, "text", "ts")
+      .writeStream.format("memory").queryName("corpus_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, goodTexts(0)),
+        (Timestamp.valueOf("2024-01-01 10:01:00"), 2L, "z")) // gated: quality
+      q.processAllAvailable()
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 11:00:00"), 3L, goodTexts(0)), // dup of 1
+        (Timestamp.valueOf("2024-01-01 11:01:00"), 4L, goodTexts(1)))
+      q.processAllAvailable()
+      val kept = spark.table("corpus_stream").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 4L), s"got $kept")
+    } finally q.stop()
+  }
 }
