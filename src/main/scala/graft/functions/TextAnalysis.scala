@@ -74,6 +74,17 @@ object TextAnalysis {
       s"0.3 * LEAST(1.0, $meanLen / 8.0))"
   }
 
+  /** Compression ratio (deflate/raw bytes) — the low-entropy corpus
+    * filter: repetitive/templated text deflates far below natural prose.
+    * Native codegen expression ([[graft.plans.DeflateRatioExpr]]); not
+    * SQL-mirrorable, so oracle queries emit acceptance booleans over it
+    * (the q53 pattern) and the exact bounds live in FunctionsSpec.
+    */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.DeflateRatioExpr(
+        org.apache.spark.sql.GraftBridge.expression(text), level))
+
   /** BPE-ish token count: letter runs, digit runs, single other glyphs
     * (the tokenizer-free token-count estimate).
     */

@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compression-ratio text signal (the corpus-quality heuristic behind
+  * low-entropy filters: highly repetitive or templated documents deflate
+  * far below natural prose). Runs the JDK's zlib Deflater per row inside
+  * whole-stage codegen — no UDF, no Python, no external library.
+  *
+  * The ratio is deflated-size / raw-size over the UTF-8 bytes with raw
+  * (nowrap) framing, so short documents aren't dominated by the zlib
+  * header. Values are deterministic for a fixed JDK; queries that must
+  * be engine-exact against the DuckDB oracle emit acceptance booleans
+  * (bounds, relative ordering) rather than raw ratios — the q53 pattern.
+  */
+object CompressionExpr {
+
+  def deflateRatio(s: UTF8String, level: Int): Double = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(level, /* nowrap = */ true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) {
+        val n = d.deflate(buf)
+        if (n == 0 && !d.finished() && d.needsInput()) return 1.0 // defensive
+        total += n
+      }
+      total.toDouble / bytes.length
+    } finally d.end()
+  }
+}
+
+/** deflate(text).length / text.length as double; empty/null-safe. */
+case class DeflateRatioExpr(child: Expression, level: Int)
+  extends UnaryExpression with Serializable {
+  require(level >= 1 && level <= 9, s"deflate level must be in [1,9], got $level")
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    CompressionExpr.deflateRatio(input.asInstanceOf[UTF8String], level)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.CompressionExpr.deflateRatio($c, $level)")
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatioExpr =
+    copy(child = newChild)
+  override def prettyName: String = "deflate_ratio"
+}

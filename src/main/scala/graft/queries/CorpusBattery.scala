@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
-import graft.functions.{Corpus, Hashing}
+import graft.functions.{Corpus, Hashing, TextAnalysis}
 
 /** Corpus-curation battery over `documents`: the training-data pipeline
   * stages that come AFTER dedup/quality (TrainingData.scala) and before
@@ -368,5 +368,48 @@ object CorpusBattery {
       FROM ranked WHERE rk <= 3
       ORDER BY doc_id, "rank""""))
 
-  val all: Seq[GraftQuery] = Seq(q59, q60, q61, q62, q63, q65, q66, q67)
+  /** Compression-ratio quality signal (the low-entropy filter): every
+    * 7th document gets a heavy repeated-phrase tail appended (the q61
+    * injection pattern — the corpus itself is natural-prose-like by
+    * construction), then per source the query asserts what a quality
+    * gate relies on: ratios stay in sane bounds, and the injected
+    * repetitious docs deflate strictly better on average than the plain
+    * ones. Raw deflate sizes are JDK-internal, so the oracle pins the
+    * deterministic acceptance booleans (DuckDB recomputes n_docs and the
+    * group split exactly); FunctionsSpec holds the tighter bounds. Pure
+    * map-side expression work — a codegen'd scan, one rollup shuffle.
+    */
+  private val q68 = GraftQuery(
+    "q68_compression_quality",
+    (s, d) => {
+      import s.implicits._
+      val injected = $"doc_id" % 7 === 0
+      documents(s, d)
+        .withColumn("txt",
+          when(injected, concat($"text", repeat(lit(" lorem ipsum dolor"), 40)))
+            .otherwise($"text"))
+        .withColumn("ratio", TextAnalysis.compressionRatio($"txt"))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(injected, 1L).otherwise(0L)).as("n_injected"),
+          (max($"ratio") <= 1.2 && min($"ratio") > 0.0).as("bounds_ok"),
+          // vacuously true when a source lacks one of the groups (null
+          // avg would otherwise surface as a null boolean vs the
+          // oracle's TRUE)
+          coalesce(
+            avg(when(injected, $"ratio")) < avg(when(!injected, $"ratio")),
+            lit(true)).as("injected_compress_better"))
+        .orderBy($"source")
+    },
+    Some("""
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_injected,
+        TRUE AS bounds_ok, TRUE AS injected_compress_better
+      FROM documents
+      GROUP BY 1
+      ORDER BY 1"""))
+
+  val all: Seq[GraftQuery] = Seq(q59, q60, q61, q62, q63, q65, q66, q67, q68)
 }

@@ -37,6 +37,25 @@ class FunctionsSpec extends SparkSpec {
     assert(one(0) == Seq("x y z"))
   }
 
+  test("compressionRatio: repetition deflates below prose; empty is 1.0; deterministic") {
+    val rows = Seq(
+      ("rep", ("na " * 200).trim),
+      ("prose", "the quick brown fox jumps over the lazy dog and then wanders far afield"),
+      ("empty", ""))
+      .toDF("k", "t")
+      .select($"k", TextAnalysis.compressionRatio($"t").as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows("rep") < 0.2, s"repetitive text should crush: ${rows("rep")}")
+    assert(rows("prose") > rows("rep"))
+    assert(rows("prose") > 0.3 && rows("prose") <= 1.2)
+    assert(rows("empty") == 1.0)
+    // same input, same ratio (fixed level, fixed JDK)
+    val twice = Seq("abc def abc def xyz", "abc def abc def xyz").toDF("t")
+      .select(TextAnalysis.compressionRatio($"t").as("r"))
+      .as[Double].collect()
+    assert(twice(0) == twice(1))
+  }
+
   test("tokHash/fingerprint are deterministic and spread") {
     val toks = Seq("spark", "Spark", "spark ", "catalyst", "").toDF("t")
     val hs = toks.select(Hashing.tokHash($"t")).as[Long].collect()
