@@ -30,26 +30,36 @@ object CorpusPrep {
       dropUnknownLang: Boolean = true,
       exactKeyWords: Int = 8,
       shingleK: Int = 5,
-      minJaccard: Double = 0.5)
+      minJaccard: Double = 0.5,
+      // low-entropy gate: docs whose deflate/raw ratio falls below this
+      // are repetitive/templated junk. 0.0 disables (default: the
+      // synthetic corpus is natural-prose-like, and the threshold is a
+      // per-deployment tuning decision)
+      minCompressionRatio: Double = 0.0)
 
   final case class Frames(
       annotated: DataFrame, // input + lang, quality, tokens
       kept: DataFrame,      // canonical surviving docs
       stats: DataFrame)     // (stage, docs) attrition ledger
 
-  /** Map-side annotation: language, quality score, token count. */
+  /** Map-side annotation: language, quality score, token count,
+    * compression ratio (the low-entropy signal).
+    */
   def annotate(docs: DataFrame, text: String): DataFrame = {
     val ws = Hashing.words(col(text))
     docs
       .withColumn("lang", TextAnalysis.langId(ws))
       .withColumn("quality", TextAnalysis.qualityScore(ws))
       .withColumn("tokens", TextAnalysis.bpeTokenCount(col(text)))
+      .withColumn("compression", TextAnalysis.compressionRatio(col(text)))
   }
 
-  /** Quality + language gate. */
+  /** Quality + language (+ optional low-entropy) gate. */
   def gate(annotated: DataFrame, cfg: Config): DataFrame = {
     val q = annotated.filter(col("quality") >= cfg.minQuality)
-    if (cfg.dropUnknownLang) q.filter(col("lang") =!= "und") else q
+    val c = if (cfg.minCompressionRatio > 0.0)
+      q.filter(col("compression") >= cfg.minCompressionRatio) else q
+    if (cfg.dropUnknownLang) c.filter(col("lang") =!= "und") else c
   }
 
   /** Exact dedup: canonical row = min id per leading-words content key

@@ -50,6 +50,18 @@ class CorpusPrepSpec extends SparkSpec {
     assert(s2("input") == s2("near_dup"), s"second run dropped rows: $s2")
   }
 
+  test("low-entropy gate drops repetitive docs only when enabled") {
+    // passes quality (stopword-rich) and language (en lexicon), but
+    // deflates to almost nothing
+    val rep = Seq((999999L, ("the a fast slow value " * 48).trim))
+      .toDF("doc_id", "text")
+    val ann = CorpusPrep.annotate(rep, "text")
+    assert(ann.columns.contains("compression"))
+    assert(CorpusPrep.gate(ann,
+      CorpusPrep.Config(minCompressionRatio = 0.1)).isEmpty)
+    assert(CorpusPrep.gate(ann, CorpusPrep.Config()).count() == 1)
+  }
+
   test("stream gates junk and dedups content across micro-batches") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
