@@ -411,5 +411,48 @@ object CorpusBattery {
       GROUP BY 1
       ORDER BY 1"""))
 
-  val all: Seq[GraftQuery] = Seq(q59, q60, q61, q62, q63, q65, q66, q67, q68)
+  /** Sliding-window chunking (the RAG / context-window prep step):
+    * documents split into 32-token windows with a 24-token stride
+    * (8-token overlap); the final window is the first one whose end
+    * reaches the document's last token. Chunk math is pure integer
+    * arithmetic — `n = (tokens - 9) div 24 + 1` for tokens > 32, else 1 —
+    * so both engines generate identical chunk sets; the explode is
+    * map-side (`sequence` per row, no shuffle until the output sort).
+    * A modulo sample keeps the chunk-level output bounded; the rollup
+    * shape at 100 TB is the same explode feeding the tokenizer instead
+    * of a sort.
+    */
+  private val q69 = GraftQuery(
+    "q69_chunk_windows",
+    (s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .filter($"doc_id" % 11 === 0)
+        .withColumn("tokens", size(Hashing.words($"text")).cast("long"))
+        // n = ceil((tokens - 32) / 24) + 1 = (tokens - 9) div 24 + 1 for
+        // tokens > 32; positive operands, so double-divide + truncate
+        // equals integer division
+        .withColumn("n_chunks",
+          when($"tokens" <= 32L, 1L)
+            .otherwise((($"tokens" - 9L) / 24L).cast("long") + 1L))
+        .withColumn("chunk_idx", explode(sequence(lit(0L), $"n_chunks" - 1L)))
+        .select($"doc_id", $"chunk_idx",
+          ($"chunk_idx" * 24L).as("start_tok"),
+          least($"chunk_idx" * 24L + 32L, $"tokens").as("end_tok"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, CAST(len($W) AS BIGINT) AS tokens
+        FROM documents WHERE doc_id % 11 = 0),
+      c AS (
+        SELECT doc_id, tokens, unnest(range(0,
+          CASE WHEN tokens <= 32 THEN 1 ELSE (tokens - 9) // 24 + 1 END)) AS chunk_idx
+        FROM t)
+      SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_tok,
+        LEAST(chunk_idx * 24 + 32, tokens) AS end_tok
+      FROM c
+      ORDER BY doc_id, chunk_idx"""))
+
+  val all: Seq[GraftQuery] = Seq(q59, q60, q61, q62, q63, q65, q66, q67, q68, q69)
 }
