@@ -74,6 +74,15 @@ object Corpus {
   def ngramsSql(ws: String, k: Int): String =
     s"[array_to_string($ws[i:i+${k - 1}], ' ') FOR i IN range(1, len($ws) - ${k - 2})]"
 
+  /** Per-document repetition stats `[top2, tot2, dup3, tot3]` in one
+    * map-side pass ([[graft.plans.RepetitionStatsExpr]]); docs under 2
+    * words yield all zeros.
+    */
+  def repetitionStats(ws: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.RepetitionStatsExpr(
+        org.apache.spark.sql.GraftBridge.expression(ws)))
+
   /** Redaction patterns, applied in order (an email's digits must not be
     * half-eaten by the number rule first).
     */

@@ -72,6 +72,37 @@ object HashExpr {
     new GenericArrayData(out)
   }
 
+  /** Per-document repetition statistics in one pass:
+    * [top-2-gram count, total 2-grams, duplicated-3-gram occurrences,
+    * total 3-grams]. The gram keyspace is per-document, so these never
+    * needed a shuffle — a grouped count over exploded grams computes the
+    * identical numbers with a full (doc, gram) exchange.
+    */
+  def repetitionStats(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    val sep = UTF8String.fromString(" ")
+    def counts(k: Int): java.util.HashMap[UTF8String, Long] = {
+      val m = new java.util.HashMap[UTF8String, Long]()
+      var i = 0
+      while (i <= n - k) {
+        val parts = new Array[UTF8String](k)
+        var j = 0
+        while (j < k) { parts(j) = words.getUTF8String(i + j); j += 1 }
+        val key = UTF8String.concatWs(sep, parts: _*)
+        m.put(key, m.getOrDefault(key, 0L) + 1L)
+        i += 1
+      }
+      m
+    }
+    var top2 = 0L
+    counts(2).values.forEach { v => if (v > top2) top2 = v }
+    var dup3 = 0L
+    counts(3).values.forEach { v => if (v > 1) dup3 += v }
+    val tot2 = if (n >= 2) (n - 1).toLong else 0L
+    val tot3 = if (n >= 3) (n - 2).toLong else 0L
+    new GenericArrayData(Array[Any](top2, tot2, dup3, tot3))
+  }
+
   /** One-pass MinHash family over a long array. */
   def minHashes(th: ArrayData, as: Array[Long], bs: Array[Long], mod: Long): ArrayData = {
     val n = th.numElements()
@@ -256,6 +287,22 @@ case class WordShinglesExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
     copy(child = newChild)
   override def prettyName: String = "word_shingles"
+}
+
+/** Per-document repetition stats [top2, tot2, dup3, tot3] over a word
+  * array — the metrics are per-row scalars, so the whole repetition
+  * filter stays map-side (see [[HashExpr.repetitionStats]]).
+  */
+case class RepetitionStatsExpr(child: Expression)
+  extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpr.repetitionStats(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashExpr.repetitionStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "repetition_stats"
 }
 
 /** k-word n-grams with multiplicity (q65 repetition metrics): same

@@ -201,33 +201,27 @@ object CorpusBattery {
   /** Within-document repetition metrics (the Gopher-style repetition
     * filter): a document is repetitious when its single most-common
     * 2-gram carries > 8% of all 2-gram occurrences OR > 10% of its
-    * 3-gram occurrences are duplicates. One tagged explode puts both
-    * gram sizes through a single (doc_id, n, gram) count shuffle with
-    * map-side partial aggregation — per-document grain, so the shuffle
-    * scales linearly with the corpus and no executor ever holds more
-    * than one document's gram counts. Flags and rollups are pure integer
-    * arithmetic (top2*25 > tot2*2 ⇔ top2/tot2 > 0.08), so both engines
-    * agree exactly — no float ratios anywhere near the hash compare.
+    * 3-gram occurrences are duplicates. The metrics are per-document
+    * scalars, so the whole filter is MAP-SIDE — one native one-pass
+    * expression per row ([[graft.plans.RepetitionStatsExpr]]), no gram
+    * explode, no shuffle before the tiny (lang, flag) rollup. (An
+    * exploded (doc, n, gram) grouped count computes the identical
+    * numbers — the DuckDB oracle does exactly that — but ships every
+    * gram through an exchange for values each row already owns.) Flags
+    * and rollups are pure integer arithmetic (top2*25 > tot2*2 ⇔
+    * top2/tot2 > 0.08), so both engines agree exactly.
     */
   private val q65 = GraftQuery(
     "q65_repetition_filter",
     (s, d) => {
       import s.implicits._
-      val grams = documents(s, d)
-        .select($"doc_id", $"lang", Hashing.words($"text").as("w"))
-        .select($"doc_id", $"lang", explode(concat(
-          transform(Corpus.ngrams($"w", 2), g => struct(lit(2).as("n"), g.as("g"))),
-          transform(Corpus.ngrams($"w", 3), g => struct(lit(3).as("n"), g.as("g"))))).as("t"))
-        .select($"doc_id", $"lang", $"t.n".as("n"), $"t.g".as("g"))
-      val perDoc = grams
-        .groupBy($"doc_id", $"lang", $"n", $"g").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id", $"lang")
-        .agg(
-          coalesce(max(when($"n" === 2, $"c")), lit(0L)).as("top2"),
-          coalesce(sum(when($"n" === 2, $"c")), lit(0L)).as("tot2"),
-          coalesce(sum(when($"n" === 3 && $"c" > 1, $"c")), lit(0L)).as("dup3"),
-          coalesce(sum(when($"n" === 3, $"c")), lit(0L)).as("tot3"))
-      perDoc
+      val stats = graft.functions.Corpus.repetitionStats(
+        Hashing.words($"text"))
+      documents(s, d)
+        .select($"doc_id", $"lang", stats.as("st"))
+        .select($"doc_id", $"lang",
+          $"st".getItem(0).as("top2"), $"st".getItem(1).as("tot2"),
+          $"st".getItem(2).as("dup3"), $"st".getItem(3).as("tot3"))
         .withColumn("rep_flag",
           $"top2" * 25 > $"tot2" * 2 || $"dup3" * 10 > $"tot3")
         .groupBy($"lang", $"rep_flag")
@@ -245,13 +239,21 @@ object CorpusBattery {
         FROM (SELECT doc_id, lang, text FROM documents) t3),
       counts AS (
         SELECT doc_id, lang, n, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3, 4),
-      per_doc AS (
+      per_gram AS (
         SELECT doc_id, lang,
           COALESCE(MAX(CASE WHEN n = 2 THEN c END), 0) AS top2,
           COALESCE(SUM(CASE WHEN n = 2 THEN c END), 0) AS tot2,
           COALESCE(SUM(CASE WHEN n = 3 AND c > 1 THEN c END), 0) AS dup3,
           COALESCE(SUM(CASE WHEN n = 3 THEN c END), 0) AS tot3
-        FROM counts GROUP BY 1, 2)
+        FROM counts GROUP BY 1, 2),
+      -- docs under 2 words produce no grams but still count (all-zero
+      -- stats, unflagged) — matching the map-side expression's semantics
+      per_doc AS (
+        SELECT d.doc_id, d.lang,
+          COALESCE(p.top2, 0) AS top2, COALESCE(p.tot2, 0) AS tot2,
+          COALESCE(p.dup3, 0) AS dup3, COALESCE(p.tot3, 0) AS tot3
+        FROM (SELECT doc_id, lang FROM documents) d
+        LEFT JOIN per_gram p USING (doc_id, lang))
       SELECT lang, (top2 * 25 > tot2 * 2 OR dup3 * 10 > tot3) AS rep_flag,
         COUNT(*) AS n_docs,
         CAST(SUM(top2) AS BIGINT) AS sum_top2, CAST(SUM(tot2) AS BIGINT) AS sum_tot2,

@@ -81,10 +81,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("q65: gram counts partially aggregate map-side before the one shuffle") {
+  test("q65: repetition metrics are map-side — no explode, no join, one rollup shuffle") {
     val p = plan("q65_repetition_filter")
     assert(!p.contains("Join"), "repetition metrics must not join")
-    assert(p.contains("partial_count"), "map-side combine on (doc, n, gram)")
+    assert(!p.contains("Generate"), "per-doc stats must not explode grams")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size <= 1, "rollup only")
+    assert(p.contains("partial_count"), "map-side combine into the rollup")
   }
 
   test("q66: mixture dims broadcast back, corpus never shuffle-joins") {

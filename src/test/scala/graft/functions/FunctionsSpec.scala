@@ -37,6 +37,19 @@ class FunctionsSpec extends SparkSpec {
     assert(one(0) == Seq("x y z"))
   }
 
+  test("repetitionStats match hand counts; short docs are all zeros") {
+    val out = Seq("a b a b a", "x y", "solo", "")
+      .toDF("t")
+      .select(Corpus.repetitionStats(Hashing.words($"t")).as("s"))
+      .as[Seq[Long]].collect()
+    // "a b a b a": 2-grams [a b, b a, a b, b a] → top2=2, tot2=4;
+    // 3-grams [a b a, b a b, a b a] → dup3=2 (the repeated a b a), tot3=3
+    assert(out(0) == Seq(2L, 4L, 2L, 3L))
+    assert(out(1) == Seq(1L, 1L, 0L, 0L)) // one 2-gram, no 3-grams
+    assert(out(2) == Seq(0L, 0L, 0L, 0L))
+    assert(out(3) == Seq(0L, 0L, 0L, 0L))
+  }
+
   test("compressionRatio: repetition deflates below prose; empty is 1.0; deterministic") {
     val rows = Seq(
       ("rep", ("na " * 200).trim),
