@@ -83,6 +83,24 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "float_array_dot(a, b)")
         FloatArrayDot(children(0), children(1))
+      }),
+    ("graft_ngrams",
+      new ExpressionInfo(classOf[WordNgramsExpr].getName, "graft_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_ngrams(words, k)")
+        WordNgramsExpr(children(0), litInt(children(1), "k"))
+      }),
+    ("graft_repetition_stats",
+      new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "graft_repetition_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_repetition_stats(words)")
+        RepetitionStatsExpr(children(0))
+      }),
+    ("deflate_ratio",
+      new ExpressionInfo(classOf[DeflateRatioExpr].getName, "deflate_ratio"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "deflate_ratio(text, level)")
+        DeflateRatioExpr(children(0), litInt(children(1), "level"))
       }))
 
   /** Registers the functions into an already-built session (the

@@ -65,4 +65,20 @@ class HaversineExpressionSpec extends SparkSpec {
     assert(sql.getLong(2) == viaCols.getLong(2))
     assert(math.abs(sql.getDouble(3) - 11.0) < 1e-12)
   }
+
+  test("corpus family (ngrams / repetition stats / deflate ratio) registered in SQL") {
+    import graft.functions.{Corpus, TextAnalysis}
+    val row = extSpark.sql(
+      """SELECT
+        |  graft_ngrams(array('a','b','a','b','a'), 2) AS g,
+        |  graft_repetition_stats(array('a','b','a','b','a')) AS st,
+        |  deflate_ratio('abc abc abc abc abc abc abc abc', 6) AS r
+        |""".stripMargin).collect().head
+    assert(row.getSeq[String](0) == Seq("a b", "b a", "a b", "b a"))
+    assert(row.getSeq[Long](1) == Seq(2L, 4L, 2L, 3L))
+    val viaCol = extSpark.sql("SELECT 'abc abc abc abc abc abc abc abc' AS t")
+      .select(TextAnalysis.compressionRatio($"t"))
+      .collect().head.getDouble(0)
+    assert(row.getDouble(2) == viaCol)
+  }
 }
