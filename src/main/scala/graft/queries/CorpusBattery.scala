@@ -456,5 +456,40 @@ object CorpusBattery {
       FROM c
       ORDER BY doc_id, chunk_idx"""))
 
-  val all: Seq[GraftQuery] = Seq(q59, q60, q61, q62, q63, q65, q66, q67, q68, q69)
+  /** Exact-k stratified sampling (eval-set construction): exactly 5
+    * documents per (source, lang) stratum, chosen as the k smallest
+    * md5 buckets — deterministic, id-stable, engine-stable, and
+    * independent of row order or partitioning (the [[Corpus.hashSplit]]
+    * principle applied to exact-size sampling; q66 is the rate-based
+    * sibling). One window top-k per stratum — partitioned, never a
+    * global sort; ties impossible because the hash input is the unique
+    * id. At 100 TB the stratum count grows but per-stratum state is
+    * O(k).
+    */
+  private val q70 = GraftQuery(
+    "q70_stratified_sample",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source", $"lang")
+        .orderBy($"bucket".asc, $"doc_id".asc)
+      documents(s, d)
+        .select($"doc_id", $"source", $"lang",
+          md5(concat($"doc_id".cast("string"), lit(":strat-r5"))).as("bucket"))
+        .withColumn("pick", row_number().over(w))
+        .filter($"pick" <= 5)
+        .select($"source", $"lang", $"pick", $"doc_id")
+        .orderBy($"source", $"lang", $"pick")
+    },
+    Some("""
+      SELECT source, lang, CAST(pick AS INTEGER) AS pick, doc_id
+      FROM (
+        SELECT source, lang, doc_id,
+          row_number() OVER (PARTITION BY source, lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat-r5'), doc_id) AS pick
+        FROM documents) t
+      WHERE pick <= 5
+      ORDER BY source, lang, pick"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(q59, q60, q61, q62, q63, q65, q66, q67, q68, q69, q70)
 }

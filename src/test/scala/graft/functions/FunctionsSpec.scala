@@ -37,6 +37,30 @@ class FunctionsSpec extends SparkSpec {
     assert(one(0) == Seq("x y z"))
   }
 
+  test("ngrams/repetitionStats agree with naive reference on random word arrays") {
+    val wordGen = Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
+    val docGen = Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, wordGen))
+    val docs = samples(docGen, 60).map(_.mkString(" "))
+    val out = docs.toDF("t").select(
+      Corpus.ngrams(Hashing.words($"t"), 2).as("g2"),
+      Corpus.repetitionStats(Hashing.words($"t")).as("st"))
+      .as[(Seq[String], Seq[Long])].collect()
+    docs.zip(out).foreach { case (doc, (g2, st)) =>
+      val ws = doc.split("\\s+").filter(_.nonEmpty).toSeq
+      val ref2 = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val ref3 = ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      assert(g2 == ref2, s"ngrams for '$doc'")
+      val c2 = ref2.groupBy(identity).map(_._2.length.toLong)
+      val c3 = ref3.groupBy(identity).map(_._2.length.toLong)
+      val expected = Seq(
+        if (c2.isEmpty) 0L else c2.max,
+        ref2.length.toLong,
+        c3.filter(_ > 1).sum,
+        ref3.length.toLong)
+      assert(st == expected, s"stats for '$doc'")
+    }
+  }
+
   test("repetitionStats match hand counts; short docs are all zeros") {
     val out = Seq("a b a b a", "x y", "solo", "")
       .toDF("t")
