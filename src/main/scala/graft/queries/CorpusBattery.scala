@@ -490,6 +490,39 @@ object CorpusBattery {
       WHERE pick <= 5
       ORDER BY source, lang, pick"""))
 
+  /** BPE merge-candidate counting (the first step of tokenizer
+    * training): corpus-wide frequencies of adjacent character pairs
+    * within words; the top pair is BPE's first merge. Two map-side
+    * explodes (words, then char 2-grams via the same native ngram
+    * expression) feed one count shuffle with map-side combine, and the
+    * top-20 is a TakeOrdered — no global sort. Ordering is
+    * (count DESC, pair ASC): integer-exact, engine-identical.
+    */
+  private val q71 = GraftQuery(
+    "q71_bpe_pair_counts",
+    (s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select(explode(Hashing.words($"text")).as("w"))
+        .select(explode(
+          Corpus.ngrams(filter(split($"w", ""), c => c =!= ""), 2)).as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"pair".asc)
+        .limit(20)
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT unnest($W) AS w FROM documents),
+      p AS (
+        SELECT unnest(${Corpus.ngramsSql(
+          "list_filter(string_split(w, ''), c -> c <> '')", 2)}) AS pair
+        FROM w)
+      SELECT pair, COUNT(*) AS n
+      FROM p
+      GROUP BY 1
+      ORDER BY n DESC, pair ASC
+      LIMIT 20"""))
+
   val all: Seq[GraftQuery] =
-    Seq(q59, q60, q61, q62, q63, q65, q66, q67, q68, q69, q70)
+    Seq(q59, q60, q61, q62, q63, q65, q66, q67, q68, q69, q70, q71)
 }
