@@ -171,8 +171,13 @@ class IngestQcSpec extends SparkSpec {
     // drifted to a non-integer type: the pinned-schema FAILFAST read
     // must throw during the incremental run instead of nulling the
     // column and silently re-processing (or skipping) bins
+    // pick a part file that actually carries data rows: listing order is
+    // filesystem-dependent (names embed per-run UUIDs) and a header-only
+    // part from an empty partition would make the edit a no-op — the
+    // source of an order-dependent flake
     val header = Files.list(java.nio.file.Paths.get(s"$out/features"))
-      .iterator().asScala.find(_.toString.endsWith(".csv")).get
+      .iterator().asScala.filter(_.toString.endsWith(".csv"))
+      .find(p => Files.readAllLines(p).size() > 1).get
     val lines = Files.readAllLines(header).asScala
     val drifted = lines.head +: lines.tail.map(l => l.replaceFirst(",", ",not_a_number_"))
     Files.write(header, drifted.asJava)
