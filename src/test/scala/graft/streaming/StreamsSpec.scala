@@ -85,6 +85,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream state survives a checkpoint restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("dedupckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("dedupout").toString
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val docs = in.toDF().toDF("ts", "doc_id", "text")
+    // file sink: the memory sink refuses checkpoint recovery
+    def start() = Streams.dedupStream(docs, "text", "ts")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+
+    val q1 = start()
+    try {
+      in.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "alpha beta"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start() // fresh query, same checkpoint → state store reloads
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:30:00"), 2L, "alpha beta"), // dup pre-restart
+        (Timestamp.valueOf("2024-01-01 10:31:00"), 3L, "gamma"))
+      q2.processAllAvailable()
+      val kept = spark.read.parquet(outDir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L), s"got $kept")
+    } finally q2.stop()
+  }
+
   test("sessionize closes sessions on gap and carries state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streams.SessionEvent]
