@@ -140,6 +140,23 @@ object Similarity {
     rankTopK(joined, qId, k, idType)
   }
 
+  /** Multi-probe IVF top-k: each query probes its `qCells` array of
+    * nearest cells instead of only its own — the standard recall lever
+    * (recall grows with nProbe at nProbe× the probe cost; nProbe = #cells
+    * degenerates to brute force). The exploded query side stays tiny
+    * (queries × nProbe rows, broadcast); each corpus row lives in exactly
+    * one cell, so no (query, candidate) pair can appear twice and the
+    * O(k) ranking aggregate needs no dedup.
+    */
+  def ivfTopKProbed(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, qCells: String,
+      cId: String, cVec: String, cCell: String,
+      k: Int): DataFrame =
+    ivfTopK(
+      queries.withColumn("__qcell", explode(col(qCells))), corpus,
+      qId, qVec, "__qcell", cId, cVec, cCell, k)
+
   /** Driver-trained k-means centroids for IVF cells: Lloyd iterations on
     * a bounded sample collected to the driver (deterministic — fixed seed,
     * fixed iteration count), centroids broadcast back as literals. At
@@ -150,7 +167,17 @@ object Similarity {
     */
   def kmeansCellAssign(
       corpus: DataFrame, vec: String, k: Int,
-      iters: Int = 10, sampleMax: Int = 10000): Column = {
+      iters: Int = 10, sampleMax: Int = 10000): Column =
+    cellAssign(col(vec),
+      trainKmeansCentroids(corpus, vec, k, iters, sampleMax))
+
+  /** The trained centroids themselves — callers that need BOTH the
+    * corpus assignment and query probe lists must train once and share
+    * (two trainings are deterministic-identical here, but double work).
+    */
+  def trainKmeansCentroids(
+      corpus: DataFrame, vec: String, k: Int,
+      iters: Int = 10, sampleMax: Int = 10000): Array[Array[Double]] = {
     // Seeded cross-partition sample, NOT limit(): limit pulls from the
     // first partitions, and on a partition-ordered corpus (by source, by
     // date) the centroids would train on a biased slice. The 1.2x
@@ -183,23 +210,47 @@ object Similarity {
         else sums(c).map(_ / counts(c))
       }
     }
-    val centroidLits = centroids.map(c => typedLit(c.toSeq))
-    // argmin over squared distance = argmax(dot - ||c||²/2) for unit-free vecs;
-    // use explicit squared distance for clarity
-    val dists = centroidLits.map { cl =>
-      // ||v - c||² expanded via native dots: v·v - 2 v·c + c·c; v·v constant
-      // per row across cells, so compare -2 v·c + c·c
-      val vc = GraftBridge.column(FloatArrayDot(
-        GraftBridge.expression(col(vec)), GraftBridge.expression(cl.cast("array<float>"))))
-      val cc = GraftBridge.column(FloatArrayDot(
-        GraftBridge.expression(cl.cast("array<float>")), GraftBridge.expression(cl.cast("array<float>"))))
-      cc - vc * 2.0
-    }
+    centroids
+  }
+
+  /** ||v - c||² up to the per-row constant v·v: -2 v·c + c·c via native
+    * dots — ordering-equivalent for argmin/sorting across cells.
+    */
+  private def centroidScore(vec: Column, c: Array[Double]): Column = {
+    val cl = typedLit(c.toSeq).cast("array<float>")
+    val vc = GraftBridge.column(FloatArrayDot(
+      GraftBridge.expression(vec), GraftBridge.expression(cl)))
+    val cc = GraftBridge.column(FloatArrayDot(
+      GraftBridge.expression(cl), GraftBridge.expression(cl)))
+    cc - vc * 2.0
+  }
+
+  /** Nearest-centroid cell id for a vector column (the IVF corpus-side
+    * assignment; executors evaluate k native dots per row).
+    */
+  def cellAssign(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = centroids.map(c => centroidScore(vec, c))
     dists.zipWithIndex.tail.foldLeft((lit(0), dists.head)) {
       case ((bestIdx, bestDist), (d, i)) =>
         (when(d < bestDist, lit(i)).otherwise(bestIdx),
           when(d < bestDist, d).otherwise(bestDist))
     }._1
+  }
+
+  /** The `nProbe` nearest cell ids for a vector column (query-side
+    * multi-probe list for [[ivfTopKProbed]]): score structs sorted
+    * lexicographically (distance, then cell id — a total order), then
+    * sliced. k is small, so the array sort is per-row constant work.
+    */
+  def probeCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
+    require(nProbe >= 1 && nProbe <= centroids.length,
+      s"nProbe must be in [1, ${centroids.length}], got $nProbe")
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(centroidScore(vec, c).as("d"), lit(i).as("cell"))
+    }
+    transform(
+      slice(array_sort(array(scored.toIndexedSeq: _*)), 1, nProbe),
+      s => s.getField("cell"))
   }
 
   private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {

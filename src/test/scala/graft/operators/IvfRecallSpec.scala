@@ -42,6 +42,28 @@ class IvfRecallSpec extends SparkSpec {
     assert(r > 0.25, s"recall@5 = $r")
   }
 
+  test("multi-probe IVF: recall grows with nProbe; all-cells probing equals brute force") {
+    val e = Tables.embeddings(spark, d)
+    val centroids = Similarity.trainKmeansCentroids(e, "embedding", k = 8)
+    val ec = e.withColumn("cell", Similarity.cellAssign($"embedding", centroids))
+    def probed(nProbe: Int) = {
+      val queries = ec.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+          Similarity.probeCells($"embedding", centroids, nProbe).as("q_cells"))
+      topk(Similarity.ivfTopKProbed(queries, ec,
+        "q_id", "q_vec", "q_cells", "vec_id", "embedding", "cell", 5))
+    }
+    val exact = topk(Similarity.bruteForceTopK(
+      ec.filter($"vec_id" < 20).select($"vec_id".as("q_id"), $"embedding".as("q_vec")),
+      e, "q_id", "q_vec", "vec_id", "embedding", 5))
+    val r1 = recallAt5(probed(1), exact)
+    val r3 = recallAt5(probed(3), exact)
+    assert(r3 >= r1, s"recall@5 nProbe=3 ($r3) < nProbe=1 ($r1)")
+    assert(r3 > r1 || r1 == 1.0, s"probing 3 cells should add recall: $r1 -> $r3")
+    // probing every cell restores exact brute-force results
+    assert(recallAt5(probed(8), exact) == 1.0)
+  }
+
   test("centroid training sees the whole corpus on a partition-ordered layout") {
     // two well-separated clusters, corpus ORDERED so the first partitions
     // hold only cluster A with far more rows than the training sample: a
