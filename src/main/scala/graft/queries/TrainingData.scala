@@ -453,6 +453,57 @@ object TrainingData {
       FROM ranked WHERE rk <= 5
       ORDER BY query_id, "rank""""))
 
+  /** Multi-probe LSH ANN — q54's recall lever: each query probes its own
+    * hyperplane bucket plus the four Hamming-1 neighbors (one sign-bit
+    * flip per plane), the standard multi-probe LSH expansion. Candidate
+    * sets grow ~5×, recall strictly dominates single-probe, and the
+    * whole path stays hash-matched end-to-end in DuckDB because the
+    * probe list is pure integer XOR on the engine-identical bucket ids.
+    * The exploded query side is still queries × 5 rows — broadcast; the
+    * corpus is scanned once to bucket, exactly as q54.
+    */
+  private val q72 = GraftQuery(
+    "q72_lsh_ann_multiprobe",
+    (s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+        .withColumn("bucket", Similarity.hyperplaneBucket($"embedding", 4, 64))
+      val queries = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"bucket".as("b"))
+        .withColumn("probe", explode(array(
+          $"b", $"b".bitwiseXOR(lit(1L)), $"b".bitwiseXOR(lit(2L)),
+          $"b".bitwiseXOR(lit(4L)), $"b".bitwiseXOR(lit(8L)))))
+        .drop("b")
+      Similarity.ivfTopK(queries, e,
+          "q_id", "q_vec", "probe", "vec_id", "embedding", "bucket", k = 5)
+        .select($"query_id", $"neighbor_id", $"rank", round($"cosine", 6).as("cosine"))
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT vec_id, embedding,
+               ${Similarity.hyperplaneBucketSql("embedding", 4, 64)} AS bucket
+        FROM embeddings),
+      q AS (
+        SELECT vec_id AS q_id, embedding AS q_vec, bucket
+        FROM b WHERE vec_id < 5),
+      probes AS (
+        SELECT q_id, q_vec, unnest([bucket,
+          xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS probe
+        FROM q),
+      scored AS (
+        SELECT p.q_id, c.vec_id AS nid,
+               ${Similarity.cosineSql("p.q_vec", "c.embedding")} AS cos
+        FROM b c JOIN probes p ON c.bucket = p.probe AND c.vec_id <> p.q_id),
+      ranked AS (
+        SELECT q_id, nid, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid) AS rk
+        FROM scored)
+      SELECT q_id AS query_id, nid AS neighbor_id,
+             CAST(rk AS INTEGER) AS "rank", round(cos, 6) AS cosine
+      FROM ranked WHERE rk <= 5
+      ORDER BY query_id, "rank""""))
+
   val all: Seq[GraftQuery] = Seq(
-    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
+    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q72)
 }

@@ -101,6 +101,17 @@ class FunctionsSpec extends SparkSpec {
     assert(toks.select(Hashing.tokHash($"t")).as[Long].collect().toSeq == hs.toSeq)
   }
 
+  test("hashSplit proportions track the requested fractions on 20k ids") {
+    val splits = spark.range(20000)
+      .select(Corpus.hashSplit($"id", "uniformity").as("sp"))
+      .groupBy($"sp").count()
+      .as[(String, Long)].collect().toMap
+    val n = splits.values.sum.toDouble
+    assert(math.abs(splits("train") / n - 0.8) < 0.02, splits)
+    assert(math.abs(splits("val") / n - 0.1) < 0.01, splits)
+    assert(math.abs(splits("test") / n - 0.1) < 0.01, splits)
+  }
+
   test("hashSplit boundary fractions: trainFrac+valFrac == 1.0 leaves no test rows") {
     val ids = (0L until 2000L).toDF("id")
     // trainFrac + valFrac == 1.0: the val bound is 65536, which %04x

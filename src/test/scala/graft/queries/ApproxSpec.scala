@@ -34,6 +34,22 @@ class ApproxSpec extends SparkSpec {
       }
   }
 
+  test("q72 multi-probe dominates q54 single-probe at every common rank") {
+    def byRank(name: String) =
+      SparkEntry.queries(name)(spark, d)
+        .select("query_id", "rank", "cosine")
+        .as[(Long, Int, Double)].collect()
+        .map { case (q, r, c) => (q, r) -> c }.toMap
+    val single = byRank("q54_lsh_ann")
+    val multi = byRank("q72_lsh_ann_multiprobe")
+    // multi-probe candidates are a superset → its rank-i cosine can only
+    // be equal or better, and it never returns fewer rows
+    assert(single.keySet.subsetOf(multi.keySet))
+    single.foreach { case (key, c) =>
+      assert(multi(key) >= c, s"$key: multi ${multi(key)} < single $c")
+    }
+  }
+
   test("q54: LSH-restricted ANN returns valid self-consistent rankings") {
     val rows = SparkEntry.queries("q54_lsh_ann")(spark, d).collect()
     assert(rows.nonEmpty)
