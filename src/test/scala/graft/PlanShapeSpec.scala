@@ -102,6 +102,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q69: chunk explode is map-side — no aggregate exchange, no join") {
+    val p = plan("q69_chunk_windows")
+    assert(!p.contains("Join"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "sequence-per-row explode must not shuffle")
+  }
+
+  test("q70: stratified sample windows per stratum, never globally") {
+    val p = plan("q70_stratified_sample")
+    assert(p.contains("windowspecdefinition(source"),
+      p.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n"))
+    assert(!p.contains("Join"))
+  }
+
+  test("q71: BPE pair top-k is TakeOrderedAndProject over one count shuffle") {
+    val p = plan("q71_bpe_pair_counts")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("partial_count"), "map-side combine before the pair shuffle")
+  }
+
+  test("q72: multi-probe LSH joins hash on the probe bucket, queries broadcast") {
+    val p = plan("q72_lsh_ann_multiprobe")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q11: global top-k plans as TakeOrderedAndProject, no global sort") {
     assert(plan("q11_global_topk").contains("TakeOrderedAndProject"))
   }
