@@ -19,20 +19,47 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
-  /** Deterministic, id-stable train/val/test assignment: the first 4 hex
-    * chars of `md5(id ++ ":" ++ salt)` give a uniform 16-bit bucket;
-    * fraction thresholds become fixed hex-string bounds. Stable across
-    * runs, partitionings, and engines — re-running the pipeline over
-    * 100 TB never migrates a document between splits, and changing the
-    * salt reshuffles every assignment at once.
+  /** Salted md5 of an id — the shared deterministic-randomness primitive
+    * (splits, sampling, shuffling): lowercase hex in both engines, a
+    * pure function of (id, salt), so every decision built on it is
+    * stable across runs, partitionings, and engines.
+    */
+  def saltedMd5(id: Column, salt: String): Column =
+    md5(concat(id.cast("string"), lit(":" + salt)))
+
+  def saltedMd5Sql(idExpr: String, salt: String): String =
+    s"md5(CAST($idExpr AS VARCHAR) || ':$salt')"
+
+  /** Uniform 16-bit bucket: the first 4 hex chars of [[saltedMd5]]. */
+  def bucket16(id: Column, salt: String): Column =
+    substring(saltedMd5(id, salt), 1, 4)
+
+  def bucket16Sql(idExpr: String, salt: String): String =
+    s"substr(${saltedMd5Sql(idExpr, salt)}, 1, 4)"
+
+  /** Bucket-below-bound membership for a PER-ROW bound column, with the
+    * 65536 boundary handled: the bound formats as the 5-char "10000",
+    * which compares LESS than any 4-char hex lexicographically — the
+    * trap [[hashSplit]]'s literal-bound variant special-cases the same
+    * way.
+    */
+  def bucketBelow(bucket: Column, bound: Column): Column =
+    bound >= 65536L || bucket < format_string("%04x", bound)
+
+  def bucketBelowSql(bucket: String, bound: String): String =
+    s"($bound >= 65536 OR $bucket < printf('%04x', $bound))"
+
+  /** Deterministic, id-stable train/val/test assignment: the [[bucket16]]
+    * of `(id, salt)` against fixed hex-string fraction bounds. Stable
+    * across runs, partitionings, and engines — re-running the pipeline
+    * over 100 TB never migrates a document between splits, and changing
+    * the salt reshuffles every assignment at once.
     */
   def hashSplit(id: Column, salt: String,
       trainFrac: Double = 0.8, valFrac: Double = 0.1): Column = {
     val (trainB, valB) = splitBounds(trainFrac, valFrac)
-    val h = substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 4)
-    // a bound of 65536 formats as the 5-char "10000", which compares
-    // LESS than 4-char hex strings lexicographically — special-case it
-    // as always-true so trainFrac (+valFrac) == 1.0 works
+    val h = bucket16(id, salt)
+    // literal-bound twin of [[bucketBelow]]'s 65536 special case
     def below(bound: Long): Column =
       if (bound >= 65536L) lit(true) else h < f"$bound%04x"
     when(below(trainB), "train").when(below(valB), "val").otherwise("test")

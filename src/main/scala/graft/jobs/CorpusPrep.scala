@@ -42,16 +42,22 @@ object CorpusPrep {
       kept: DataFrame,      // canonical surviving docs
       stats: DataFrame)     // (stage, docs) attrition ledger
 
-  /** Map-side annotation: language, quality score, token count,
-    * compression ratio (the low-entropy signal).
+  /** Map-side annotation: language, quality score, token count, and —
+    * only when the config's low-entropy gate is on — the compression
+    * ratio. The deflate pass is the most expensive per-row annotation,
+    * so the default (gate off) must not pay it for a column nothing
+    * reads.
     */
-  def annotate(docs: DataFrame, text: String): DataFrame = {
+  def annotate(docs: DataFrame, text: String,
+      cfg: Config = Config()): DataFrame = {
     val ws = Hashing.words(col(text))
-    docs
+    val base = docs
       .withColumn("lang", TextAnalysis.langId(ws))
       .withColumn("quality", TextAnalysis.qualityScore(ws))
       .withColumn("tokens", TextAnalysis.bpeTokenCount(col(text)))
-      .withColumn("compression", TextAnalysis.compressionRatio(col(text)))
+    if (cfg.minCompressionRatio > 0.0)
+      base.withColumn("compression", TextAnalysis.compressionRatio(col(text)))
+    else base
   }
 
   /** Quality + language (+ optional low-entropy) gate. */
@@ -107,13 +113,13 @@ object CorpusPrep {
   def stream(docs: DataFrame, text: String, tsCol: String,
       cfg: Config = Config()): DataFrame =
     graft.streaming.Streams.dedupStream(
-      gate(annotate(docs, text), cfg), text, tsCol)
+      gate(annotate(docs, text, cfg), cfg), text, tsCol)
 
   def run(docs: DataFrame, id: String, text: String,
       cfg: Config = Config()): Frames = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ann = annotate(docs, text)
+    val ann = annotate(docs, text, cfg)
     val gated = gate(ann, cfg)
     val exact = exactCanonical(gated, id, text, cfg)
     val kept = nearDupCanonical(exact, id, text, cfg)

@@ -284,14 +284,19 @@ object CorpusBattery {
       val dim = docs.groupBy($"source").agg(sum($"tokens").as("tok_s"))
         .withColumn("w", floor(sqrt($"tok_s")).cast("long"))
       val tot = dim.agg(sum($"w").as("total_w"), sum($"tok_s").as("total_tok"))
+      // w * budget overflows BIGINT once the corpus reaches ~10^13 tokens
+      // (w ≈ √tok ≈ 5e6, budget ≈ 1.2e13 → 6e19 > Long.MaxValue): route
+      // the product through DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) —
+      // `div` truncation on positive operands matches `//` exactly, and
+      // the quotient (≤ budget) is back inside BIGINT before the ×65536
       val rates = dim.crossJoin(broadcast(tot))
         .withColumn("bound", least(lit(65536L),
-          expr("w * (total_tok div 2) div total_w * 65536 div tok_s")))
+          expr("CAST(w AS DECIMAL(38,0)) * (total_tok div 2) div total_w" +
+            " * 65536 div tok_s")))
         .select($"source", $"bound")
       docs.join(broadcast(rates), Seq("source"))
-        .withColumn("keep", $"bound" >= 65536L ||
-          substring(md5(concat($"doc_id".cast("string"), lit(":mix-r5"))), 1, 4)
-            < format_string("%04x", $"bound"))
+        .withColumn("keep",
+          Corpus.bucketBelow(Corpus.bucket16($"doc_id", "mix-r5"), $"bound"))
         .groupBy($"source")
         .agg(max($"bound").as("bound"),
           count(lit(1)).as("n_docs"),
@@ -312,14 +317,15 @@ object CorpusBattery {
         SELECT CAST(SUM(w) AS BIGINT) AS total_w,
                CAST(SUM(tok_s) AS BIGINT) AS total_tok FROM dim),
       rates AS (
+        -- HUGEINT product: w * budget exceeds BIGINT at ~10^13 tokens
         SELECT source,
-               LEAST(65536, w * (total_tok // 2) // total_w * 65536 // tok_s) AS bound
+               CAST(LEAST(65536, CAST(w AS HUGEINT) * (total_tok // 2)
+                 // total_w * 65536 // tok_s) AS BIGINT) AS bound
         FROM dim, tot),
       kept AS (
         SELECT d.source, d.tokens, r.bound,
-          (r.bound >= 65536 OR
-           substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix-r5'), 1, 4)
-             < printf('%04x', r.bound)) AS keep
+          ${Corpus.bucketBelowSql(
+            Corpus.bucket16Sql("d.doc_id", "mix-r5"), "r.bound")} AS keep
         FROM docs d JOIN rates r USING (source))
       SELECT source, MAX(bound) AS bound, COUNT(*) AS n_docs,
         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -391,11 +397,17 @@ object CorpusBattery {
           when(injected, concat($"text", repeat(lit(" lorem ipsum dolor"), 40)))
             .otherwise($"text"))
         .withColumn("ratio", TextAnalysis.compressionRatio($"txt"))
+        // deflate's worst case is ADDITIVE (a ~5-byte stored-block header
+        // per 64 KiB), not multiplicative: a very short incompressible
+        // doc legitimately exceeds any fixed ratio cap, so the sanity
+        // bound is per-document in bytes — deflated ≤ raw + 12
+        .withColumn("doc_ok", $"ratio" > 0.0 &&
+          $"ratio" * octet_length($"txt") <= octet_length($"txt") + lit(12.0))
         .groupBy($"source")
         .agg(
           count(lit(1)).as("n_docs"),
           sum(when(injected, 1L).otherwise(0L)).as("n_injected"),
-          (max($"ratio") <= 1.2 && min($"ratio") > 0.0).as("bounds_ok"),
+          (sum(when($"doc_ok", 0L).otherwise(1L)) === 0L).as("bounds_ok"),
           // vacuously true when a source lacks one of the groups (null
           // avg would otherwise surface as a null boolean vs the
           // oracle's TRUE)
@@ -474,18 +486,18 @@ object CorpusBattery {
         .orderBy($"bucket".asc, $"doc_id".asc)
       documents(s, d)
         .select($"doc_id", $"source", $"lang",
-          md5(concat($"doc_id".cast("string"), lit(":strat-r5"))).as("bucket"))
+          Corpus.saltedMd5($"doc_id", "strat-r5").as("bucket"))
         .withColumn("pick", row_number().over(w))
         .filter($"pick" <= 5)
         .select($"source", $"lang", $"pick", $"doc_id")
         .orderBy($"source", $"lang", $"pick")
     },
-    Some("""
+    Some(s"""
       SELECT source, lang, CAST(pick AS INTEGER) AS pick, doc_id
       FROM (
         SELECT source, lang, doc_id,
           row_number() OVER (PARTITION BY source, lang
-            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat-r5'), doc_id) AS pick
+            ORDER BY ${Corpus.saltedMd5Sql("doc_id", "strat-r5")}, doc_id) AS pick
         FROM documents) t
       WHERE pick <= 5
       ORDER BY source, lang, pick"""))

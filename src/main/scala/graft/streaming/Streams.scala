@@ -65,22 +65,35 @@ object Streams {
       .foreachBatch { (batch: DataFrame, id: Long) => notify(batch, id) }
 
   /** [[notifySink]] wired to the [[graft.sources.Mailer]] transport seam
-    * (hab_alert.R:292-299): each non-empty micro-batch — one day's
-    * exceeding keys under [[dailyAlerts]]' watermark — renders to a
-    * single mail. `dailyAlerts` emits only threshold-exceeding rows, so
-    * a non-empty batch IS an alert: the subject carries the ALERT
-    * marker, matching [[graft.jobs.HabAlert]]'s daily-batch subjects.
-    * Empty batches send nothing (exactly-one-send-per-alert-day comes
-    * from the checkpointed offsets + append mode).
+    * (hab_alert.R:292-299): one mail PER CLOSED ALERT DAY, with the day
+    * in the subject — matching [[graft.jobs.HabAlert]]'s dated
+    * "ALERT - yyyy-MM-dd" subjects. A catch-up batch after downtime can
+    * close several day windows at once, so the batch is grouped by its
+    * `day` column rather than collapsed into one undated mail.
+    * `dailyAlerts` emits only threshold-exceeding rows, so every emitted
+    * day IS an alert day; empty batches send nothing.
+    *
+    * Delivery semantics: checkpointed offsets make this at-LEAST-once —
+    * `foreachBatch` replays a batch whose send succeeded but whose
+    * commit didn't. The dated subject is the idempotence key; a
+    * transport that must not double-send dedupes on it (the reference's
+    * daily cron has the same replay window).
     */
   def mailSink(alerts: DataFrame, checkpoint: String,
       mailer: graft.sources.Mailer, from: String, to: Seq[String],
       subjectPrefix: String): DataStreamWriter[org.apache.spark.sql.Row] =
     notifySink(alerts, checkpoint) { (batch, _) =>
       if (!batch.isEmpty) {
-        val html = graft.sources.Reports.htmlSummary(
-          batch, s"$subjectPrefix daily maxima above warning level")
-        mailer.send(from, to, s"$subjectPrefix ALERT", html)
+        val dated = batch.withColumn(
+          "__day", date_format(col("day"), "yyyy-MM-dd"))
+        val days = dated.select(col("__day")).distinct()
+          .collect().map(_.getString(0)).sorted
+        days.foreach { day =>
+          val html = graft.sources.Reports.htmlSummary(
+            dated.filter(col("__day") === day).drop("__day"),
+            s"$subjectPrefix daily maxima above warning level ($day)")
+          mailer.send(from, to, s"$subjectPrefix ALERT - $day", html)
+        }
       }
     }
 

@@ -55,10 +55,12 @@ class CorpusPrepSpec extends SparkSpec {
     // deflates to almost nothing
     val rep = Seq((999999L, ("the a fast slow value " * 48).trim))
       .toDF("doc_id", "text")
-    val ann = CorpusPrep.annotate(rep, "text")
+    val lowEntropy = CorpusPrep.Config(minCompressionRatio = 0.1)
+    val ann = CorpusPrep.annotate(rep, "text", lowEntropy)
+    // default config: no compression column (the deflate pass is paid only when gated)
+    assert(!CorpusPrep.annotate(rep, "text").columns.contains("compression"))
     assert(ann.columns.contains("compression"))
-    assert(CorpusPrep.gate(ann,
-      CorpusPrep.Config(minCompressionRatio = 0.1)).isEmpty)
+    assert(CorpusPrep.gate(ann, lowEntropy).isEmpty)
     assert(CorpusPrep.gate(ann, CorpusPrep.Config()).count() == 1)
   }
 

@@ -50,11 +50,22 @@ class StreamsSpec extends SparkSpec {
       assert(mailer.sent.isEmpty) // window not closed yet -> nothing to send
       in.addData((Timestamp.valueOf("2024-01-03 00:00:01"), "algae", 1.0))
       q.processAllAvailable()
-      assert(mailer.sent.size == 1) // exactly one send for the closed day
+      assert(mailer.sent.size == 1) // one send for the one closed day
       val (from, to, subject, html) = mailer.sent.head
       assert(from == "ifcb-pipeline@localhost" && to == Seq("hab@example.org"))
-      assert(subject == "IFCB HAB ALERT")
+      assert(subject == "IFCB HAB ALERT - 2024-01-01") // dated = idempotence key
       assert(html.contains("algae") && html.contains("80"))
+      // catch-up: two more alert days close in ONE micro-batch — the
+      // batch must split into one dated mail per day, not one undated mail
+      in.addData(
+        (Timestamp.valueOf("2024-01-03 10:00:00"), "algae", 70.0),
+        (Timestamp.valueOf("2024-01-04 10:00:00"), "algae", 90.0),
+        (Timestamp.valueOf("2024-01-06 00:00:01"), "algae", 1.0))
+      q.processAllAvailable()
+      assert(mailer.sent.map(_._3).sorted == Seq(
+        "IFCB HAB ALERT - 2024-01-01",
+        "IFCB HAB ALERT - 2024-01-03",
+        "IFCB HAB ALERT - 2024-01-04"), mailer.sent.map(_._3))
     } finally q.stop()
   }
 
