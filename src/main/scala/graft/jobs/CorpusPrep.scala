@@ -63,8 +63,15 @@ object CorpusPrep {
   /** Quality + language (+ optional low-entropy) gate. */
   def gate(annotated: DataFrame, cfg: Config): DataFrame = {
     val q = annotated.filter(col("quality") >= cfg.minQuality)
-    val c = if (cfg.minCompressionRatio > 0.0)
-      q.filter(col("compression") >= cfg.minCompressionRatio) else q
+    val c = if (cfg.minCompressionRatio > 0.0) {
+      // fail with intent, not UNRESOLVED_COLUMN: annotate only adds the
+      // column when ITS config enables the gate — a mismatched pair of
+      // configs is a caller bug worth naming
+      require(annotated.columns.contains("compression"),
+        "low-entropy gate enabled but input has no 'compression' column: " +
+          "pass the same Config to annotate(docs, text, cfg)")
+      q.filter(col("compression") >= cfg.minCompressionRatio)
+    } else q
     if (cfg.dropUnknownLang) c.filter(col("lang") =!= "und") else c
   }
 
@@ -115,20 +122,29 @@ object CorpusPrep {
     graft.streaming.Streams.dedupStream(
       gate(annotate(docs, text, cfg), cfg), text, tsCol)
 
+  /** The attrition counts would otherwise re-execute the whole
+    * annotate → gate → dedup → LSH lineage once per stage (4× the
+    * deflate/annotation work, 2× the shuffles): the intermediate frames
+    * persist across the counts (MEMORY_AND_DISK — spill beats
+    * recompute), upstream stages unpersist once counted, and `kept`
+    * STAYS cached for the caller's consumption — unpersist it when done.
+    */
   def run(docs: DataFrame, id: String, text: String,
       cfg: Config = Config()): Frames = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ann = annotate(docs, text, cfg)
-    val gated = gate(ann, cfg)
-    val exact = exactCanonical(gated, id, text, cfg)
-    val kept = nearDupCanonical(exact, id, text, cfg)
+    val gated = gate(ann, cfg).persist()
+    val exact = exactCanonical(gated, id, text, cfg).persist()
+    val kept = nearDupCanonical(exact, id, text, cfg).persist()
     val stats = Seq(
       ("input", docs.count()),
       ("quality_lang_gate", gated.count()),
       ("exact_dedup", exact.count()),
       ("near_dup", kept.count())
     ).toDF("stage", "docs")
+    gated.unpersist()
+    exact.unpersist()
     Frames(ann, kept, stats)
   }
 }

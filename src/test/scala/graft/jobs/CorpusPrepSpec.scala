@@ -62,6 +62,12 @@ class CorpusPrepSpec extends SparkSpec {
     assert(ann.columns.contains("compression"))
     assert(CorpusPrep.gate(ann, lowEntropy).isEmpty)
     assert(CorpusPrep.gate(ann, CorpusPrep.Config()).count() == 1)
+    // mismatched configs (annotate gate-off, gate gate-on) fail with
+    // intent, not an UNRESOLVED_COLUMN analysis error
+    val e = intercept[IllegalArgumentException] {
+      CorpusPrep.gate(CorpusPrep.annotate(rep, "text"), lowEntropy)
+    }
+    assert(e.getMessage.contains("compression"))
   }
 
   test("stream gates junk and dedups content across micro-batches") {
