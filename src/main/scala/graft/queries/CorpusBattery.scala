@@ -57,9 +57,14 @@ object CorpusBattery {
     (s, d) => {
       import s.implicits._
       val docs = documents(s, d)
+      // empty-text bench docs would yield phrase = "" and contains(x, "")
+      // is TRUE for every document — one degenerate phrase turns the BNL
+      // into a full cross product; drop them (a benchmark has no empty
+      // prompts)
       val bench = docs.filter($"doc_id" % 97 === 0)
         .select($"doc_id".as("bench_id"),
           array_join(slice(Hashing.words($"text"), 1, 5), " ").as("phrase"))
+        .filter(length($"phrase") > 0)
       docs
         .withColumn("norm_text", regexp_replace(lower($"text"), "\\s+", " "))
         .join(broadcast(bench),
@@ -70,7 +75,7 @@ object CorpusBattery {
     Some(s"""
       WITH bench AS (
         SELECT doc_id AS bench_id, array_to_string($W[1:5], ' ') AS phrase
-        FROM documents WHERE doc_id % 97 = 0)
+        FROM documents WHERE doc_id % 97 = 0 AND len($W) > 0)
       SELECT d.doc_id AS doc_id, b.bench_id AS bench_id
       FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm_text
             FROM documents) d JOIN bench b
@@ -169,6 +174,7 @@ object CorpusBattery {
       val bench = docs.filter($"doc_id" % 97 === 0)
         .select($"doc_id".as("bench_id"),
           array_join(slice(Hashing.words($"text"), 1, 3), " ").as("phrase"))
+        .filter(length($"phrase") > 0) // q60's empty-phrase guard
         .withColumn("fp", Hashing.fingerprint($"phrase"))
       docs
         .withColumn("norm_text", regexp_replace(lower($"text"), "\\s+", " "))
@@ -185,7 +191,8 @@ object CorpusBattery {
       WITH bench AS (
         SELECT doc_id AS bench_id, phrase, ${Hashing.fingerprintSql("phrase")} AS fp
         FROM (SELECT doc_id, array_to_string($W[1:3], ' ') AS phrase
-              FROM documents WHERE doc_id % 97 = 0) p),
+              FROM documents WHERE doc_id % 97 = 0) p
+        WHERE len(phrase) > 0),
       sh AS (
         SELECT doc_id, norm_text, unnest(${Hashing.shinglesSql(W, 3)}) AS shingle
         FROM (SELECT doc_id, text,

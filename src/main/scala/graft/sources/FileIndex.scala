@@ -71,13 +71,23 @@ object FileIndex {
       key: String = "sample",
       expectedItems: Long = 1L << 24,
       fpp: Double = 0.01): DataFrame = {
-    val keys = processed.select(col(key))
-    val bf = keys.stat.bloomFilter(key, expectedItems, fpp)
+    // build AND probe over the stringified key: bloomFilter() inserts a
+    // numeric column's native longs, while the probe below hashes UTF-8
+    // bytes — mixed representations would make membership effectively
+    // random and break the no-false-negatives invariant for non-string
+    // keys (LongType sample ids would mass re-ingest)
+    val keyStr = col(key).cast("string")
+    val bf = processed.select(keyStr.as(key)).stat
+      .bloomFilter(key, expectedItems, fpp)
     val bfB = index.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
-    val definitelyNew = index.filter(!mightContain(col(key)))
-    val maybeProcessed = index.filter(mightContain(col(key)))
-    definitelyNew.unionByName(newFiles(maybeProcessed, keys, key))
+    // the index is a directory LISTING (bounded, no column pruning to
+    // lose): evaluating the probe in two complementary filters trades a
+    // second listing-scan for not forcing a persist on the caller
+    val definitelyNew = index.filter(!mightContain(keyStr))
+    val maybeProcessed = index.filter(mightContain(keyStr))
+    definitelyNew.unionByName(
+      newFiles(maybeProcessed, processed.select(col(key)), key))
   }
 
   /** Oversize/empty guards with a dead-letter side (reference: skip >0.5 GB

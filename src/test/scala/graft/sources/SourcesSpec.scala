@@ -78,6 +78,18 @@ class SourcesSpec extends SparkSpec {
     assert(got.contains("UNSEEN") && got.size == 101)
   }
 
+  test("newFilesBloom keeps the no-false-negatives invariant for numeric keys") {
+    // the sketch must be built over the same representation it is probed
+    // with: a LongType key inserted natively but probed as a string makes
+    // membership random — processed ids would mass re-ingest
+    val processed = (1L to 3000L).toDF("file_id")
+    val index = (2900L to 3050L).toDF("file_id").withColumn("length", lit(1L))
+    val got = FileIndex.newFilesBloom(index, processed, key = "file_id",
+        expectedItems = 3000, fpp = 0.1)
+      .select("file_id").as[Long].collect().toSet
+    assert(got == (3001L to 3050L).toSet, s"got ${got.size} ids")
+  }
+
   test("partitionedTsv writes one folder per class with format-code first row") {
     val dir = tmpDir("k2").resolve("out").toString
     val df = Seq(
