@@ -124,18 +124,40 @@ object CorpusBattery {
 
   /** Sequence packing: per language, documents ordered by id concatenate
     * into 512-token context windows; a document joins the pack its first
-    * token lands in. One window cumsum per partition key — a single
-    * shuffle on `lang`, no sequential driver loop.
+    * token lands in. The global per-lang running sum is computed as a
+    * HIERARCHICAL two-pass prefix sum — `lang` has O(10-100) distinct
+    * values, so a `lang`-partitioned window would sort each language's
+    * entire token stream on a single task (the skewed-key funnel that
+    * dies long before 100×). Instead: (1) per-(lang, shard) token sums,
+    * where `shard = doc_id >> 16` is monotone in `doc_id` (so ordering
+    * by (shard, doc_id) IS ordering by doc_id and each shard holds at
+    * most 65536 documents); (2) an exclusive prefix sum over the tiny
+    * per-shard frame (one row per 65536 docs — a lang-partitioned window
+    * is fine at that grain); (3) the offsets broadcast back and
+    * `start = shard_offset + within-shard cumsum` with the doc-grain
+    * window partitioned by (lang, shard) — bounded partitions, same
+    * integer-exact answer. The oracle keeps the flat single-window SQL.
     */
   private val q62 = GraftQuery(
     "q62_seq_pack",
     (s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"lang").orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      documents(s, d)
+      val docs = documents(s, d)
         .withColumn("tokens", size(Hashing.words($"text")).cast("long"))
-        .withColumn("start", coalesce(sum($"tokens").over(w), lit(0L)))
+        .withColumn("shard", shiftright($"doc_id", 16))
+      val offsets = docs.groupBy($"lang", $"shard")
+        .agg(sum($"tokens").as("shard_tokens"))
+        .withColumn("shard_offset", coalesce(
+          sum($"shard_tokens").over(Window.partitionBy($"lang")
+            .orderBy($"shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select($"lang", $"shard", $"shard_offset")
+      val within = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs
+        .join(broadcast(offsets), Seq("lang", "shard"))
+        .withColumn("start",
+          $"shard_offset" + coalesce(sum($"tokens").over(within), lit(0L)))
         .withColumn("pack", Corpus.packId($"start", 512))
         .groupBy($"lang", $"pack")
         .agg(count(lit(1)).as("n_docs"), sum($"tokens").as("sum_tokens"))

@@ -73,6 +73,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Aggregate"), "bounded top-k aggregate expected")
   }
 
+  test("q62: packing cumsum windows on (lang, shard), never lang alone") {
+    val p = plan("q62_seq_pack")
+    // the doc-grain window must carry the shard in its partition spec — a
+    // lang-only partition funnels each language's whole token stream into
+    // one task at scale
+    assert("windowspecdefinition\\(lang#\\d+, shard#\\d+L?, doc_id#\\d+L? ASC".r
+      .findFirstIn(p).isDefined,
+      p.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n"))
+    assert("windowspecdefinition\\(lang#\\d+, doc_id#".r.findFirstIn(p).isEmpty,
+      "lang-only doc-grain window is the single-task-per-language funnel")
+    assert(!p.contains("SortMergeJoin"), "shard-offset frame must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q63: fingerprint decontamination is a hash equi-join, no nested loop") {
     // q60's BNL containment join is quadratic in the phrase count; the
     // fingerprint path must stay a hash probe per shingle
