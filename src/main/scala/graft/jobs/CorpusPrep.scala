@@ -39,8 +39,14 @@ object CorpusPrep {
 
   final case class Frames(
       annotated: DataFrame, // input + lang, quality, tokens
-      kept: DataFrame,      // canonical surviving docs
-      stats: DataFrame)     // (stage, docs) attrition ledger
+      kept: DataFrame,      // canonical surviving docs (persisted by run)
+      stats: DataFrame) {   // (stage, docs) attrition ledger
+    /** [[run]] returns `kept` persisted (the attrition counts already
+      * paid for it); call this when done consuming — a forgotten
+      * unpersist pins storage memory for the JVM lifetime.
+      */
+    def release(): Unit = kept.unpersist()
+  }
 
   /** Map-side annotation: language, quality score, token count, and —
     * only when the config's low-entropy gate is on — the compression
@@ -127,7 +133,8 @@ object CorpusPrep {
     * deflate/annotation work, 2× the shuffles): the intermediate frames
     * persist across the counts (MEMORY_AND_DISK — spill beats
     * recompute), upstream stages unpersist once counted, and `kept`
-    * STAYS cached for the caller's consumption — unpersist it when done.
+    * STAYS cached for the caller's consumption — call
+    * [[Frames.release]] when done.
     */
   def run(docs: DataFrame, id: String, text: String,
       cfg: Config = Config()): Frames = {

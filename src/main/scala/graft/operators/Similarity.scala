@@ -152,10 +152,13 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, qCells: String,
       cId: String, cVec: String, cCell: String,
-      k: Int): DataFrame =
+      k: Int): DataFrame = {
+    require(!queries.columns.contains("__qcell"),
+      "queries frame already carries the internal __qcell column")
     ivfTopK(
       queries.withColumn("__qcell", explode(col(qCells))), corpus,
       qId, qVec, "__qcell", cId, cVec, cCell, k)
+  }
 
   /** Driver-trained k-means centroids for IVF cells: Lloyd iterations on
     * a bounded sample collected to the driver (deterministic — fixed seed,

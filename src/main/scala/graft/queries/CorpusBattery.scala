@@ -298,8 +298,11 @@ object CorpusBattery {
     * bucket compared to a per-source bound. Every intermediate is
     * integer arithmetic (floor(sqrt), integer div), so the bound — and
     * therefore every keep decision — is bit-identical across engines
-    * and across runs: re-sampling a grown corpus never flips old
-    * documents. Plan: two 20-row dims broadcast back onto the corpus
+    * and across runs for a FIXED corpus. Under growth only the md5
+    * bucket membership is stable; the per-source bound is a function of
+    * corpus-wide totals (tok_s, total_w, total_tok), so adding documents
+    * moves bounds and can legitimately flip keep decisions near them.
+    * Plan: two 20-row dims broadcast back onto the corpus
     * scan; the corpus itself never shuffles before the final per-source
     * rollup.
     */

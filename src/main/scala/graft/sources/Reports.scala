@@ -42,9 +42,15 @@ object Reports {
   /** K5: renders an already-aggregated summary frame as a minimal HTML
     * table (header from column names). Collects only the summary rows.
     */
-  def htmlSummary(summary: DataFrame, caption: String, maxRows: Int = 1000): String = {
-    val cols = summary.columns
-    val rows = summary.limit(maxRows).collect()
+  def htmlSummary(summary: DataFrame, caption: String, maxRows: Int = 1000): String =
+    htmlTable(summary.columns, summary.limit(maxRows).collect(), caption)
+
+  /** Rows-based variant for callers that already collected the (small)
+    * summary — e.g. a foreachBatch sink rendering several per-day tables
+    * from one collect, instead of re-evaluating the batch per day.
+    */
+  def htmlTable(cols: Seq[String], rows: Seq[org.apache.spark.sql.Row],
+      caption: String): String = {
     val sb = new StringBuilder
     sb ++= "<table>\n"
     sb ++= s"  <caption>${escape(caption)}</caption>\n"

@@ -83,18 +83,26 @@ object Streams {
       mailer: graft.sources.Mailer, from: String, to: Seq[String],
       subjectPrefix: String): DataStreamWriter[org.apache.spark.sql.Row] =
     notifySink(alerts, checkpoint) { (batch, _) =>
-      if (!batch.isEmpty) {
-        val dated = batch.withColumn(
-          "__day", date_format(col("day"), "yyyy-MM-dd"))
-        val days = dated.select(col("__day")).distinct()
-          .collect().map(_.getString(0)).sorted
-        days.foreach { day =>
-          val html = graft.sources.Reports.htmlSummary(
-            dated.filter(col("__day") === day).drop("__day"),
+      // ONE collect: against a replayable source, per-day filters would
+      // re-evaluate the upstream lineage once per alert day of a
+      // multi-day catch-up batch. Alert batches are small (one row per
+      // exceeded threshold per day) — group the collected rows driver-side.
+      val dated = batch.withColumn(
+        "__day", date_format(col("day"), "yyyy-MM-dd"))
+      val cols = dated.columns.filterNot(_ == "__day")
+      val dayIdx = dated.columns.indexOf("__day")
+      dated.collect()
+        .groupBy(_.getString(dayIdx))
+        .toSeq.sortBy(_._1)
+        .foreach { case (day, rows) =>
+          val trimmed = rows.toSeq.map { r =>
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq.zipWithIndex.collect { case (v, i) if i != dayIdx => v })
+          }
+          val html = graft.sources.Reports.htmlTable(cols, trimmed,
             s"$subjectPrefix daily maxima above warning level ($day)")
           mailer.send(from, to, s"$subjectPrefix ALERT - $day", html)
         }
-      }
     }
 
   /** Streaming feature extraction: new image files (PNG or raw ROI
