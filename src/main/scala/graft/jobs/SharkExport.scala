@@ -38,21 +38,28 @@ object SharkExport {
       roi: DataFrame, sampleDim: DataFrame, flags: DataFrame,
       removeFlagged: Seq[String],
       adjacencyPartition: org.apache.spark.sql.Column): DataFrame = {
+    // decimal sums: per-row double arithmetic is bit-deterministic, but
+    // double ADDITION is order-dependent across partitionings — a
+    // delivery export must reproduce bit-identically across retries and
+    // cluster layouts, so carbon rounds to 4 decimals per row and both
+    // sums run exact in decimal (the q37 rollup discipline)
+    import graft.GraftQuery.{dsum, D4}
     val rolled = roi
       .withColumn("carbon_pg",
-        Biovolume.carbonPg(col("is_diatom"), col("vol_um3")))
+        round(Biovolume.carbonPg(col("is_diatom"), col("vol_um3")), 4))
       .groupBy(col("sample"), col("class_name"))
       .agg(
         count(lit(1)).as("counts"),
-        sum(col("vol_um3")).as("biovolume_um3"),
-        sum(col("carbon_pg")).as("carbon_pg"))
+        dsum(col("vol_um3"), D4).as("biovolume_um3"),
+        dsum(col("carbon_pg"), D4).as("carbon_pg"))
+
+    val flagAgg = flags.groupBy("sample")
+      .agg(concat_ws(", ", sort_array(collect_list("flag"))).as("flag"))
 
     // J1 star enrichment: sample dim + flags, both broadcast
     val flagged = rolled
       .join(broadcast(sampleDim), Seq("sample"), "left")
-      .join(broadcast(
-        flags.groupBy("sample").agg(concat_ws(", ", collect_list("flag")).as("flag"))),
-        Seq("sample"), "left")
+      .join(broadcast(flagAgg), Seq("sample"), "left")
 
     // P4: drop samples whose flag contains any removeFlagged term
     val lowered = lower(coalesce(col("flag"), lit("")))
@@ -64,15 +71,23 @@ object SharkExport {
     // flag. Adjacency is meaningful within one instrument's run sequence
     // (SURVEY.md §7.4 risk 2) — callers pass e.g. (instrument, year) as
     // adjacencyPartition so the sort is distributed, never global.
+    // The window runs at SAMPLE grain (one row per sample), not over the
+    // (sample, class) delivery rows: class rows tie on the sample sort
+    // key, and lag/lead across arbitrary tie order would make WHICH class
+    // rows survive nondeterministic; a whole sample is adjacent or it
+    // is not.
     val w = Window.partitionBy(adjacencyPartition).orderBy(col("sample"))
-    val bubbles = lowered.contains("bubbles")
-    val adj = flagged
-      .withColumn("__bub", bubbles)
+    val adjDim = rolled.select(col("sample")).distinct()
+      .join(broadcast(flagAgg), Seq("sample"), "left")
+      .withColumn("__bub",
+        lower(coalesce(col("flag"), lit(""))).contains("bubbles"))
       .withColumn("__drop_adj",
         coalesce(lag(col("__bub"), 1).over(w), lit(false)) ||
           coalesce(lead(col("__bub"), 1).over(w), lit(false)))
+      .select(col("sample"), col("__drop_adj"))
 
-    adj
+    flagged
+      .join(broadcast(adjDim), Seq("sample"))
       .filter(keep && !col("__drop_adj"))
       .select(
         year(try_to_timestamp(col("sample"))).as("MYEAR"),

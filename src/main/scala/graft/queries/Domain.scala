@@ -192,5 +192,83 @@ object Domain {
       FROM top t JOIN warn ON t.p_brand = warn.p_brand
       ORDER BY t.p_brand"""))
 
-  val all: Seq[GraftQuery] = Seq(q37, q38, q39, q40)
+  /** The flagship SHARK delivery DAG end-to-end (§3.1,
+    * ifcb-data-pipeline.Rmd:1094-1297): [[graft.jobs.SharkExport.delivery]]
+    * on the synthetic instantiation — A18 rollup × J1 broadcast star ×
+    * P4 flag filter × W1 sample-grain adjacency drop × the fixed
+    * delivery projection. Every piece is SQL-expressible, so the whole
+    * composed job gets a DuckDB mirror: the one surface where previously
+    * only ScalaTest stood between a refactor and silent semantic drift.
+    */
+  private val q73 = GraftQuery(
+    "q73_shark_delivery",
+    (s, d) => {
+      import s.implicits._
+      val li = lineitem(s, d)
+      val or = orders(s, d)
+      val roi = li.select(
+        concat(lit("S"), $"l_orderkey").as("sample"),
+        $"l_returnflag".as("class_name"),
+        ($"l_extendedprice" / 10.0).as("vol_um3"),
+        ($"l_returnflag" === "A").as("is_diatom"))
+      val dim = or.select(
+        concat(lit("S"), $"o_orderkey").as("sample"),
+        ($"o_totalprice" / 10000.0).as("ml_analyzed"),
+        lit(57.5).as("lat"), lit(11.8).as("lon"))
+      val flags = or.filter($"o_orderkey" % 97 === 0).select(
+        concat(lit("S"), $"o_orderkey").as("sample"),
+        when($"o_orderkey" % 2 === 0, "bubbles").otherwise("beads").as("flag"))
+      graft.jobs.SharkExport.delivery(roi, dim, flags,
+          removeFlagged = Seq("beads"),
+          adjacencyPartition = substring($"sample", 1, 3))
+        .drop("MYEAR") // synthetic sample ids carry no timestamp
+        .orderBy($"SMPNO", $"LATNM")
+    },
+    Some("""
+      WITH roi AS (
+        SELECT 'S' || CAST(l_orderkey AS VARCHAR) AS sample,
+               l_returnflag AS class_name,
+               l_extendedprice / 10.0 AS vol_um3,
+               (l_returnflag = 'A') AS is_diatom
+        FROM lineitem),
+      rolled AS (
+        SELECT sample, class_name, COUNT(*) AS counts,
+          CAST(SUM(CAST(vol_um3 AS DECIMAL(18,4))) AS DOUBLE) AS biovolume_um3,
+          CAST(SUM(CAST(ROUND(CASE
+              WHEN is_diatom THEN 0.288 * POW(vol_um3, 0.811)
+              WHEN vol_um3 > 3000.0 THEN 0.117 * POW(vol_um3, 0.881)
+              ELSE 0.216 * POW(vol_um3, 0.939) END, 4) AS DECIMAL(18,4))) AS DOUBLE)
+            AS carbon_pg
+        FROM roi GROUP BY 1, 2),
+      dim AS (
+        SELECT 'S' || CAST(o_orderkey AS VARCHAR) AS sample,
+               o_totalprice / 10000.0 AS ml_analyzed, 57.5 AS lat, 11.8 AS lon
+        FROM orders),
+      flags AS (
+        SELECT 'S' || CAST(o_orderkey AS VARCHAR) AS sample,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'bubbles' ELSE 'beads' END AS flag
+        FROM orders WHERE o_orderkey % 97 = 0),
+      adj AS (
+        SELECT sample,
+          COALESCE(LAG(bub) OVER (PARTITION BY substr(sample, 1, 3) ORDER BY sample),
+            FALSE)
+          OR COALESCE(LEAD(bub) OVER (PARTITION BY substr(sample, 1, 3) ORDER BY sample),
+            FALSE) AS drop_adj
+        FROM (
+          SELECT s.sample, contains(lower(COALESCE(f.flag, '')), 'bubbles') AS bub
+          FROM (SELECT DISTINCT sample FROM rolled) s
+          LEFT JOIN flags f USING (sample)) b)
+      SELECT r.sample AS "SMPNO", d.lat AS "LATIT", d.lon AS "LONGI",
+        r.class_name AS "LATNM", r.counts AS "COUNTNR",
+        r.counts / d.ml_analyzed * 1000.0 AS "ABUND",
+        r.biovolume_um3 / 1e9 AS "BIOVOL",
+        r.carbon_pg / 1e6 / d.ml_analyzed * 1000.0 AS "C_CONC"
+      FROM rolled r
+      LEFT JOIN dim d USING (sample)
+      LEFT JOIN flags f USING (sample)
+      JOIN adj USING (sample)
+      WHERE NOT contains(lower(COALESCE(f.flag, '')), 'beads') AND NOT drop_adj
+      ORDER BY "SMPNO", "LATNM""""))
+
+  val all: Seq[GraftQuery] = Seq(q37, q38, q39, q40, q73)
 }

@@ -78,9 +78,11 @@ class SharkExportSpec extends SparkSpec {
     // last annotation on S6 is bob's (2024-06-03)
     assert(s6.getAs[String]("ANA_RESP") == "bob")
     assert(s6.getAs[java.sql.Date]("ANADATE").toString == "2024-06-03")
-    // manual biovolume: px³ × (1/2.77)³, per-liter over 5 ml, µm³→mm³/L
+    // manual biovolume: px³ × (1/2.77)³, per-liter over 5 ml, µm³→mm³/L;
+    // the rollup sums in DECIMAL(18,4) (order-independent), so the µm³
+    // value is quantized at 1e-4 → ≤ 5e-14 here after the /1e9 scaling
     val mf3 = math.pow(1.0 / 2.77, 3)
-    assert(math.abs(s6.getAs[Double]("BIOVOL") - 1000.0 * mf3 / 1e9) < 1e-18)
+    assert(math.abs(s6.getAs[Double]("BIOVOL") - 1000.0 * mf3 / 1e9) < 1e-13)
     assert(byKey(("S7", "algae")).getAs[String]("ANA_RESP") == "alice")
   }
 
