@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{Corpus, Hashing}
+
+/** Iterative BPE merge training — the count→merge→re-pair loop that turns
+  * q71's single-round pair census into an actual tokenizer trainer
+  * (Sennrich et al. 2016's published algorithm: repeatedly merge the
+  * corpus-wide most frequent adjacent symbol pair).
+  *
+  * Scale shape: the corpus collapses ONCE to the (word, freq) vocabulary
+  * — merges only depend on distinct words and their frequencies, so every
+  * round iterates over |vocab| rows, not corpus rows. Per round: one
+  * map-side pair explode + one count shuffle with map-side combine + a
+  * top-1 TakeOrdered (a single row to the driver — O(1) driver state),
+  * then a map-side `replace` applies the merge. The vocab frame
+  * localCheckpoints each round (the [[Dedup.dupClusters]] loop
+  * discipline) so lineage never compounds across rounds.
+  *
+  * Words are encoded as delimiter-framed symbol strings
+  * (`|l||o||w|` for "low"): a merge of pair (a, b) is the literal
+  * replacement `|a||b|` → `|ab|`, whose left-to-right non-overlapping
+  * scan IS BPE's greedy one-pass merge — and the framing makes a
+  * cross-symbol false match impossible. Both engines' `replace` share
+  * those scan semantics, which is what makes the DuckDB oracle an exact
+  * mirror (see [[graft.queries.CorpusBattery]] q74).
+  */
+object Bpe {
+
+  /** Train the first `rounds` merges.
+    *
+    * @param docs    corpus frame
+    * @param textCol whitespace-tokenizable text column
+    * @param rounds  number of merges to learn; training stops early if
+    *                every word collapses to a single symbol first
+    * @param delim   symbol-frame delimiter; words containing it are
+    *                dropped from the vocabulary (default U+0001 —
+    *                absent from any text a tokenizer would train on)
+    * @return one row per learned merge: (round, left, right, n) with
+    *         `n` the corpus-wide occurrence count that won the round;
+    *         ties break lexicographically on the space-joined pair, so
+    *         training is deterministic across runs and partitionings
+    */
+  def trainMerges(docs: DataFrame, textCol: String, rounds: Int,
+      delim: String = "\u0001"): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    require(delim.nonEmpty, "delimiter must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d2 = delim + delim
+    val symbols = split(trim(col("s"), delim),
+      java.util.regex.Pattern.quote(d2))
+    var vocab = docs
+      .select(explode(Hashing.words(col(textCol))).as("w"))
+      .filter(!col("w").contains(delim))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(
+        concat(lit(delim),
+          array_join(filter(split(col("w"), ""), c => c =!= ""), d2),
+          lit(delim)).as("s"),
+        col("freq"))
+      .localCheckpoint() // one corpus scan; every round reuses the vocab
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = vocab
+        .select(col("freq"), explode(Corpus.ngrams(symbols, 2)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true // all words are single symbols
+      else {
+        val pair = best(0).getString(0)
+        val n = best(0).getLong(1)
+        val Array(l, rt) = pair.split(" ", 2) // symbols never contain spaces
+        merges += ((r, l, rt, n))
+        vocab = vocab
+          .withColumn("s", replace(col("s"),
+            lit(delim + l + d2 + rt + delim), lit(delim + l + rt + delim)))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.result().toDF("round", "left", "right", "n")
+  }
+}

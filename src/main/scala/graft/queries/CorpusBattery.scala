@@ -567,6 +567,63 @@ object CorpusBattery {
       ORDER BY n DESC, pair ASC
       LIMIT 20"""))
 
+  /** N-step unrolled DuckDB mirror of [[graft.operators.Bpe.trainMerges]]:
+    * v0 = the (symbol-string, freq) vocabulary, then per round a pair
+    * census (p_i), the winning merge (b_i), and the merge application
+    * (v_i) — the identical delimiter-framed `replace` the Spark operator
+    * runs, so the scan semantics (left-to-right, non-overlapping =
+    * BPE's greedy one-pass) match exactly.
+    */
+  private def bpeMergesSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH v0 AS (
+        SELECT '|' || array_to_string(
+                 list_filter(string_split(w, ''), c -> c <> ''), '||') || '|' AS s,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest($W) AS w FROM documents) t
+        GROUP BY 1)"""
+    for (i <- 1 to rounds) {
+      val syms = s"string_split(trim(s, '|'), '||')"
+      sb ++= s""",
+      p$i AS (
+        SELECT g AS pair, CAST(SUM(freq) AS BIGINT) AS n
+        FROM (SELECT freq, unnest(${Corpus.ngramsSql(syms, 2)}) AS g
+              FROM v${i - 1}) t
+        GROUP BY 1),
+      b$i AS (
+        SELECT $i AS round, split_part(pair, ' ', 1) AS lft,
+               split_part(pair, ' ', 2) AS rgt, n
+        FROM p$i ORDER BY n DESC, pair ASC LIMIT 1),
+      v$i AS (
+        SELECT replace(v.s, '|' || b.lft || '||' || b.rgt || '|',
+                 '|' || b.lft || b.rgt || '|') AS s, v.freq
+        FROM v${i - 1} v, b$i b)"""
+    }
+    sb ++= (1 to rounds)
+      .map(i => s"SELECT round, lft, rgt, n FROM b$i")
+      .mkString("\n      ", "\n      UNION ALL ", "")
+    sb ++= "\n      ORDER BY round"
+    sb.toString
+  }
+
+  /** Iterative BPE merge training (q71 closes round 1; this runs the
+    * loop): the first 10 merges via [[graft.operators.Bpe.trainMerges]]
+    * — vocab-grain rounds, O(1) driver state per round, localCheckpoint
+    * loop discipline. `left`/`right` are SQL keywords, so the output
+    * uses `lft`/`rgt`.
+    */
+  private val q74 = GraftQuery(
+    "q74_bpe_merges",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Bpe.trainMerges(documents(s, d), "text",
+          rounds = 10, delim = "|")
+        .select($"round", $"left".as("lft"), $"right".as("rgt"), $"n")
+        .orderBy($"round")
+    },
+    Some(bpeMergesSql(10)))
+
   val all: Seq[GraftQuery] =
-    Seq(q59, q60, q61, q62, q63, q65, q66, q67, q68, q69, q70, q71)
+    Seq(q59, q60, q61, q62, q63, q65, q66, q67, q68, q69, q70, q71, q74)
 }

@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Bpe.trainMerges]]: greedy merge order, frequency weighting across
+  * duplicate words, tie-breaking, early exhaustion, delimiter hygiene.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learns merges most-frequent-first, weighting by word frequency") {
+    // vocab: ab x2, abc x1, abd x1 → (a,b) count 4 wins round 1;
+    // round 2 ties (ab,c)=(ab,d)=1 → lexicographic "ab c" first;
+    // round 4 has no pairs left → stops early at 3 merges
+    val docs = Seq("ab ab abc", "abd").toDF("text")
+    val got = Bpe.trainMerges(docs, "text", rounds = 5)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "b", 4L), (2, "ab", "c", 1L), (3, "ab", "d", 1L)))
+  }
+
+  test("merged symbols pair in later rounds (the re-pair step)") {
+    // "aaaa" x3: the census counts OVERLAPPING pairs (zip semantics —
+    // 3 per word, ×3 = 9), but the merge applies non-overlapping
+    // left-to-right → [aa, aa] per word; round 2 pairs the new symbol:
+    // (aa, aa) once per word = 3
+    val docs = Seq("aaaa aaaa aaaa").toDF("text")
+    val got = Bpe.trainMerges(docs, "text", rounds = 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
+  }
+
+  test("words containing the delimiter are dropped, not corrupted") {
+    val docs = Seq("ab ab a|b").toDF("text")
+    val got = Bpe.trainMerges(docs, "text", rounds = 1, delim = "|")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "b", 2L))) // a|b excluded from the census
+  }
+}
