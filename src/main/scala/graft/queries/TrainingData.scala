@@ -322,22 +322,17 @@ object TrainingData {
     * per cluster the canonical keeper (min id) and member count. The
     * oracle walks the same edges with a recursive CTE.
     */
-  private val q52 = GraftQuery(
-    "q52_dedup_clusters",
-    (s, d) => {
-      import s.implicits._
-      val pairs = Dedup.minhashLshPairs(documents(s, d), "doc_id", "text")
-      Dedup.dupClusters(pairs)
-        .groupBy($"cluster")
-        .agg(count(lit(1)).as("n_members"))
-        .orderBy($"cluster")
-    },
-    Some {
-      val bands = (0 until 4).map { b =>
-        s"SELECT doc_id, $b AS band, ${Hashing.minhashSql("th", 2 * b)} * ${Hashing.MinP} + " +
-          s"${Hashing.minhashSql("th", 2 * b + 1)} AS key FROM base"
-      }.mkString("\n        UNION ALL ")
-      s"""
+  /** Shared oracle for both cluster queries: the branch choice inside
+    * [[Dedup.dupClusters]] must never change the labels, so q52 (driver
+    * union-find at this SF) and q75 (forced distributed pointer-jumping)
+    * hash against the IDENTICAL recursive-CTE component walk.
+    */
+  private def clusterSizesSql: String = {
+    val bands = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, ${Hashing.minhashSql("th", 2 * b)} * ${Hashing.MinP} + " +
+        s"${Hashing.minhashSql("th", 2 * b + 1)} AS key FROM base"
+    }.mkString("\n        UNION ALL ")
+    s"""
       WITH RECURSIVE ${shingleBaseSql},
       banded AS (
         $bands),
@@ -361,7 +356,38 @@ object TrainingData {
       FROM labels
       GROUP BY 1
       ORDER BY 1"""
-    })
+  }
+
+  private val q52 = GraftQuery(
+    "q52_dedup_clusters",
+    (s, d) => {
+      import s.implicits._
+      val pairs = Dedup.minhashLshPairs(documents(s, d), "doc_id", "text")
+      Dedup.dupClusters(pairs)
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy($"cluster")
+    },
+    Some(clusterSizesSql))
+
+  /** The distributed pointer-jumping branch of [[Dedup.dupClusters]],
+    * forced (`driverMaxEdges = 0`) so the 100 TB code path is
+    * oracle-checked and benched at every SF, not just exercised by
+    * DupClusterSpec's fixture: min-label propagation + pointer jumping,
+    * O(log d) rounds, loud non-convergence. Labels must be identical to
+    * q52's driver branch — same SQL mirror.
+    */
+  private val q75 = GraftQuery(
+    "q75_dedup_clusters_distributed",
+    (s, d) => {
+      import s.implicits._
+      val pairs = Dedup.minhashLshPairs(documents(s, d), "doc_id", "text")
+      Dedup.dupClusters(pairs, driverMaxEdges = 0L)
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy($"cluster")
+    },
+    Some(clusterSizesSql))
 
   /** Approximate sketch tier — the exact queries' 100 TB swap-ins
     * (q16's countDistinct → HLL, q51's percentile → GK sketch). Sketch
@@ -505,5 +531,6 @@ object TrainingData {
       ORDER BY query_id, "rank""""))
 
   val all: Seq[GraftQuery] = Seq(
-    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q72)
+    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q72,
+    q75)
 }
