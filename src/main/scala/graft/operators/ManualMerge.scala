@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Manual-dataset merge with class-list reconciliation — the
+  * `ifcb_merge_manual` curation flow (reference call sites:
+  * code/annotations/ifcb_merge_classifiers.R:34-56, merging two
+  * (class2use config, manual-annotation folder) datasets into one):
+  * union the class lists by NAME (base order preserved, new classes
+  * appended), remap the addition's label indices into the merged list,
+  * and surface samples annotated in both datasets as conflicts instead
+  * of silently double-counting them.
+  *
+  * Scale shape: class lists are O(100) rows — they broadcast, and the
+  * appended-index window's single partition is bounded by the class
+  * count, never by data volume. The annotation frames only ever flow
+  * through broadcast joins on (class idx | name) and an anti join on the
+  * conflict samples: no shuffle of the big side beyond what the caller
+  * already has.
+  */
+object ManualMerge {
+
+  /** What happens to samples annotated in BOTH datasets. */
+  sealed trait ConflictPolicy
+  /** Keep the base dataset's annotations for conflicted samples (default:
+    * the base is the curated set being extended). */
+  case object BaseWins extends ConflictPolicy
+  /** Keep the addition's annotations for conflicted samples. */
+  case object AddWins extends ConflictPolicy
+  /** Refuse to merge when any conflict exists (throws). */
+  case object Fail extends ConflictPolicy
+
+  /** @param class2use   merged class list (class_idx, class_name) —
+    *                    base indices unchanged, new classes appended
+    * @param annotations merged (sample, roi_number, manual_idx,
+    *                    class_name) with the addition remapped
+    * @param conflicts   (sample, n_base, n_add) for samples annotated in
+    *                    both inputs — empty unless the curators overlap
+    */
+  final case class Merged(
+      class2use: DataFrame, annotations: DataFrame, conflicts: DataFrame)
+
+  /** Merge `(c2uAdd, annAdd)` into `(c2uBase, annBase)`.
+    *
+    * Inputs follow the [[graft.sources.MatSource]] relational views:
+    * class2use frames are (class_idx, class_name) with 1-based indices;
+    * annotation frames carry (sample, roi_number, manual_idx), where
+    * `manual_idx` indexes the OWN dataset's class list (null =
+    * unannotated ROI — preserved, never remapped to a class).
+    */
+  def merge(
+      c2uBase: DataFrame, c2uAdd: DataFrame,
+      annBase: DataFrame, annAdd: DataFrame,
+      policy: ConflictPolicy = BaseWins): Merged = {
+
+    // class reconciliation BY NAME: base keeps its indices; add-only
+    // classes append in their own index order after the base maximum
+    val maxBase = c2uBase.agg(max(col("class_idx")).as("__max"))
+    val appended = c2uAdd
+      .join(c2uBase.select(col("class_name")), Seq("class_name"), "left_anti")
+      .withColumn("__rn", row_number().over(Window.orderBy(col("class_idx"))))
+      .crossJoin(broadcast(maxBase))
+      .select((col("__max") + col("__rn")).cast("int").as("class_idx"),
+        col("class_name"))
+    val merged = c2uBase
+      .select(col("class_idx").cast("int"), col("class_name"))
+      .unionByName(appended)
+
+    val conflicts = annBase.groupBy(col("sample"))
+      .agg(count(lit(1)).as("n_base"))
+      .join(annAdd.groupBy(col("sample")).agg(count(lit(1)).as("n_add")),
+        Seq("sample"))
+
+    policy match {
+      case Fail =>
+        val n = conflicts.count()
+        require(n == 0,
+          s"manual merge: $n samples are annotated in both datasets " +
+            "(pass BaseWins/AddWins to resolve)")
+      case _ => ()
+    }
+
+    // remap the addition: own idx → name → merged idx. Unknown indices
+    // (not in c2uAdd) and nulls keep a null class — they surface rather
+    // than silently joining away the ROI.
+    val mergedDim = merged
+      .select(col("class_idx").as("__midx"), col("class_name"))
+    val remapped = annAdd
+      .join(broadcast(c2uAdd.select(col("class_idx").as("manual_idx"),
+        col("class_name"))), Seq("manual_idx"), "left")
+      .join(broadcast(mergedDim), Seq("class_name"), "left")
+      .select(col("sample"), col("roi_number"),
+        col("__midx").as("manual_idx"), col("class_name"))
+
+    val baseNamed = annBase
+      .select(col("sample"), col("roi_number"), col("manual_idx"))
+      .join(broadcast(merged.select(col("class_idx").as("manual_idx"),
+        col("class_name"))), Seq("manual_idx"), "left")
+      .select(col("sample"), col("roi_number"), col("manual_idx"),
+        col("class_name"))
+
+    val conflictSamples = conflicts.select(col("sample"))
+    val annotations = policy match {
+      case AddWins =>
+        baseNamed.join(conflictSamples, Seq("sample"), "left_anti")
+          .unionByName(remapped)
+      case _ =>
+        baseNamed.unionByName(
+          remapped.join(conflictSamples, Seq("sample"), "left_anti"))
+    }
+    Merged(merged, annotations, conflicts)
+  }
+}

@@ -193,4 +193,59 @@ object MatSource {
     }
     rows.toDF("sample", "roi_number", "scores", "class_labels")
   }
+
+  /** class2use config file → (class_idx, class_name), 1-based MATLAB
+    * indices (the cell-of-strings layout `ifcb_get_mat_variable` reads —
+    * reference: code/annotations/compare_classlists.R:6-8, merge inputs
+    * at ifcb_merge_classifiers.R:15-21). Looks for `varName`, falling
+    * back to the file's first cell variable (configs differ between
+    * `class2use` and `class2use_manual` in the wild).
+    */
+  def class2use(spark: SparkSession, path: String,
+      varName: String = "class2use"): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.mat").load(path)
+      .select(col("content"))
+    files.as[Array[Byte]].flatMap { bytes =>
+      val vars = parse(bytes)
+      val cell = vars.get(varName) match {
+        case Some(c: MatCell) => Some(c)
+        case _ => vars.valuesIterator.collectFirst { case c: MatCell => c }
+      }
+      cell.toSeq.flatMap(_.items.collect { case MatStr(s) => s }
+        .zipWithIndex.map { case (n, i) => (i + 1, n) })
+    }.toDF("class_idx", "class_name")
+  }
+
+  /** Manual-annotation files → (sample, roi_number, manual_idx, auto_idx):
+    * the ifcb-analysis manual layout, a `classlist` nROI×3 numeric matrix
+    * of [roi number, manual class idx, auto class idx] with NaN where a
+    * ROI is unannotated (reference consumption: ifcb-data-pipeline.Rmd:859
+    * and the ifcb_merge_classifiers.R manual folders). Indices refer to
+    * the dataset's own class2use list — [[graft.operators.ManualMerge]]
+    * remaps them across datasets.
+    */
+  def manualClassList(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.mat").load(dir)
+      .select(col("path"), col("content"))
+    files.as[(String, Array[Byte])].flatMap { case (path, bytes) =>
+      val sample = HdrSource.SampleIdPattern.r.findFirstIn(path).getOrElse(
+        new java.io.File(path).getName.stripSuffix(".mat"))
+      parse(bytes).get("classlist") match {
+        case Some(MatNum(Seq(nRoi, nCol), data)) if nCol >= 2 =>
+          (0 until nRoi).map { r =>
+            def cell(c: Int): Option[Int] = {
+              val v = data(c * nRoi + r) // column-major
+              if (v.isNaN) None else Some(v.toInt)
+            }
+            (sample, cell(0).getOrElse(r + 1), cell(1),
+              if (nCol >= 3) cell(2) else None)
+          }
+        case _ => Seq.empty
+      }
+    }.toDF("sample", "roi_number", "manual_idx", "auto_idx")
+  }
 }

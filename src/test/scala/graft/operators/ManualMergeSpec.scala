@@ -1,0 +1,105 @@
+package graft.operators
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.sources.{MatFixture, MatSource}
+
+/** [[ManualMerge]] over real MAT-5 binary fixtures (written by
+  * [[MatFixture]], read back through [[MatSource]]): class-list
+  * reconciliation, index remapping, conflict surfacing and policies.
+  */
+class ManualMergeSpec extends SparkSpec {
+  import MatFixture._
+
+  // base: 3 classes; add: overlaps on unclassified/Mesodinium, brings
+  // Dinophysis. One sample (D20240102...) is annotated in BOTH sets.
+  private val baseClasses = Seq("unclassified", "Mesodinium", "Skeletonema")
+  private val addClasses = Seq("unclassified", "Dinophysis", "Mesodinium")
+
+  private def classlistFile(rows: Seq[(Double, Double, Double)]): Array[Byte] = {
+    val n = rows.length
+    val colMajor = rows.map(_._1) ++ rows.map(_._2) ++ rows.map(_._3)
+    matFile(numMatrix("classlist", n, 3, colMajor),
+      cellOfStrings("class2use_manual", baseClasses))
+  }
+
+  private def writeFixtures(): (String, String, String, String) = {
+    val c2uBase = Files.createTempDirectory("c2u_base")
+    Files.write(c2uBase.resolve("class2use_Base.mat"),
+      matFile(cellOfStrings("class2use", baseClasses)))
+    val c2uAdd = Files.createTempDirectory("c2u_add")
+    Files.write(c2uAdd.resolve("class2use_Add.mat"),
+      matFile(cellOfStrings("class2use", addClasses)))
+
+    val manBase = Files.createTempDirectory("man_base")
+    // rois 1..3: Mesodinium(2), Skeletonema(3), unannotated (NaN)
+    Files.write(manBase.resolve("D20240101T000000_IFCB134.mat"),
+      classlistFile(Seq((1, 2, Double.NaN), (2, 3, Double.NaN),
+        (3, Double.NaN, Double.NaN))))
+    // the conflicted sample, base's version: roi 1 → Skeletonema(3)
+    Files.write(manBase.resolve("D20240102T000000_IFCB134.mat"),
+      classlistFile(Seq((1, 3, Double.NaN))))
+
+    val manAdd = Files.createTempDirectory("man_add")
+    // add indices: Dinophysis=2, Mesodinium=3 in ITS OWN list
+    Files.write(manAdd.resolve("D20240103T000000_IFCB134.mat"),
+      classlistFile(Seq((1, 2, Double.NaN), (2, 3, Double.NaN))))
+    // the conflicted sample, add's version: roi 1 → Dinophysis(2)
+    Files.write(manAdd.resolve("D20240102T000000_IFCB134.mat"),
+      classlistFile(Seq((1, 2, Double.NaN))))
+    (c2uBase.toString, c2uAdd.toString, manBase.toString, manAdd.toString)
+  }
+
+  test("class lists reconcile by name; addition's indices remap; conflicts surface") {
+    val (c2uBaseDir, c2uAddDir, manBaseDir, manAddDir) = writeFixtures()
+    val merged = ManualMerge.merge(
+      MatSource.class2use(spark, c2uBaseDir),
+      MatSource.class2use(spark, c2uAddDir),
+      MatSource.manualClassList(spark, manBaseDir),
+      MatSource.manualClassList(spark, manAddDir))
+
+    // base indices intact, Dinophysis appended at 4
+    val classes = merged.class2use.collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(classes == Map(1 -> "unclassified", 2 -> "Mesodinium",
+      3 -> "Skeletonema", 4 -> "Dinophysis"))
+
+    // the conflicted sample is reported with both sides' row counts
+    val conflicts = merged.conflicts.collect()
+    assert(conflicts.length == 1)
+    assert(conflicts.head.getAs[String]("sample") == "D20240102T000000_IFCB134")
+
+    val ann = merged.annotations.collect()
+      .map(r => (r.getAs[String]("sample"), r.getAs[Int]("roi_number")) ->
+        (Option(r.get(2)), Option(r.getAs[String]("class_name")))).toMap
+    // base rows untouched (unannotated ROI keeps null class)
+    assert(ann(("D20240101T000000_IFCB134", 1)) == (Some(2), Some("Mesodinium")))
+    assert(ann(("D20240101T000000_IFCB134", 3)) == (None, None))
+    // addition remapped: its Mesodinium(3) → merged 2, Dinophysis(2) → merged 4
+    assert(ann(("D20240103T000000_IFCB134", 1)) == (Some(4), Some("Dinophysis")))
+    assert(ann(("D20240103T000000_IFCB134", 2)) == (Some(2), Some("Mesodinium")))
+    // BaseWins (default): the conflicted sample keeps base's Skeletonema
+    assert(ann(("D20240102T000000_IFCB134", 1)) == (Some(3), Some("Skeletonema")))
+  }
+
+  test("AddWins keeps the addition's conflicted rows; Fail throws") {
+    val (c2uBaseDir, c2uAddDir, manBaseDir, manAddDir) = writeFixtures()
+    val c2uBase = MatSource.class2use(spark, c2uBaseDir)
+    val c2uAdd = MatSource.class2use(spark, c2uAddDir)
+    val annBase = MatSource.manualClassList(spark, manBaseDir)
+    val annAdd = MatSource.manualClassList(spark, manAddDir)
+
+    val addWins = ManualMerge.merge(c2uBase, c2uAdd, annBase, annAdd,
+      ManualMerge.AddWins)
+    val conflicted = addWins.annotations
+      .filter(org.apache.spark.sql.functions.col("sample") ===
+        "D20240102T000000_IFCB134").collect()
+    assert(conflicted.length == 1)
+    assert(conflicted.head.getAs[String]("class_name") == "Dinophysis")
+
+    val e = intercept[IllegalArgumentException] {
+      ManualMerge.merge(c2uBase, c2uAdd, annBase, annAdd, ManualMerge.Fail)
+    }
+    assert(e.getMessage.contains("annotated in both"))
+  }
+}

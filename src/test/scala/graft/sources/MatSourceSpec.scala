@@ -13,56 +13,8 @@ import MatSource._
   */
 class MatSourceSpec extends SparkSpec {
 
-  // --- minimal MAT-5 writer (test fixture only) ---------------------------
-
-  private def pad8(n: Int): Int = (8 - (n % 8)) % 8
-
-  private def element(tpe: Int, data: Array[Byte]): Array[Byte] = {
-    val out = ByteBuffer.allocate(8 + data.length + pad8(data.length))
-      .order(ByteOrder.LITTLE_ENDIAN)
-    out.putInt(tpe).putInt(data.length).put(data)
-    out.array()
-  }
-
-  private def matrix(name: String, clazz: Int, dims: Seq[Int],
-      payload: Array[Byte], payloadType: Int,
-      cells: Seq[Array[Byte]] = Nil): Array[Byte] = {
-    val flags = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-      .putInt(clazz).putInt(0).array()
-    val dimBytes = {
-      val b = ByteBuffer.allocate(dims.length * 4).order(ByteOrder.LITTLE_ENDIAN)
-      dims.foreach(b.putInt)
-      b.array()
-    }
-    val body = new ByteArrayOutputStream()
-    body.write(element(6, flags)) // miUINT32 array flags
-    body.write(element(5, dimBytes)) // miINT32 dims
-    body.write(element(1, name.getBytes("US-ASCII"))) // miINT8 name
-    if (cells.nonEmpty) cells.foreach(c => body.write(element(14, c)))
-    else body.write(element(payloadType, payload))
-    element(14, body.toByteArray)
-  }
-
-  private def doubles(xs: Seq[Double]): Array[Byte] = {
-    val b = ByteBuffer.allocate(xs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-    xs.foreach(b.putDouble)
-    b.array()
-  }
-
-  private def matFile(vars: Array[Byte]*): Array[Byte] = {
-    val header = new Array[Byte](128)
-    val desc = "MATLAB 5.0 MAT-file, graft test fixture".getBytes("US-ASCII")
-    System.arraycopy(desc, 0, header, 0, desc.length)
-    header(124) = 0; header(125) = 1 // version 0x0100
-    header(126) = 'I'; header(127) = 'M'
-    val out = new ByteArrayOutputStream()
-    out.write(header)
-    vars.foreach(out.write)
-    out.toByteArray
-  }
-
-  private def charMatrix(name: String, s: String): Array[Byte] =
-    matrix(name, 4, Seq(1, s.length), s.getBytes("UTF-8"), 16)
+  // fixture writer shared with ManualMergeSpec
+  import MatFixture.{element, matrix, doubles, matFile, charMatrix, stripTag}
 
   // --- tests ---------------------------------------------------------------
 
@@ -81,14 +33,6 @@ class MatSourceSpec extends SparkSpec {
     assert(dims == Seq(3, 2) && data.length == 6 && data(3) == 0.9)
     val MatCell(_, items) = vars("class2useTB"): @unchecked
     assert(items == Seq(MatStr("Mesodinium"), MatStr("Skeletonema")))
-  }
-
-  private def stripTag(e: Array[Byte]): Array[Byte] = {
-    val b = ByteBuffer.wrap(e).order(ByteOrder.LITTLE_ENDIAN)
-    b.getInt(); val n = b.getInt()
-    val out = new Array[Byte](n)
-    b.get(out)
-    out
   }
 
   test("compressed elements are inflated") {
