@@ -1,0 +1,64 @@
+package graft.jobs
+
+import graft.SparkSpec
+
+/** [[WhoiCuration]] golden fixture: day-of-year id synthesis, canonical
+  * renames, folder-derived class list, bulk annotation with the
+  * unclassified fill.
+  */
+class WhoiCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val paths = Seq(
+    // day 188 of 2014 = 2014-07-07 (181 days through June + 7)
+    "/data/png/diatom/IFCB1_2014_188_222013_42.png",
+    "/data/png/diatom/IFCB1_2014_188_222013_43.png",
+    "/data/png/ciliate/IFCB5_2016_060_010203_7.png", // leap year: day 60 = Feb 29
+    "/data/png/ciliate/not_a_legacy_name.png"
+  ).toDF("path")
+
+  test("legacy names parse to samples, dates and canonical renames") {
+    val parsed = WhoiCuration.parseLegacyPngs(paths).collect()
+      .map(r => r.getAs[Int]("roi") -> r).toMap
+    assert(parsed.size == 3) // the malformed name is dropped
+    val r42 = parsed(42)
+    assert(r42.getAs[String]("sample") == "IFCB1_2014_188_222013")
+    assert(r42.getAs[java.sql.Date]("date").toString == "2014-07-07")
+    assert(r42.getAs[java.sql.Timestamp]("timestamp").toString ==
+      "2014-07-07 22:20:13.0")
+    assert(r42.getAs[String]("canonical_name") ==
+      "I20140707T222013_IFCB001_00042.png")
+    val r7 = parsed(7)
+    assert(r7.getAs[java.sql.Date]("date").toString == "2016-02-29")
+    assert(r7.getAs[String]("canonical_name") ==
+      "I20160229T010203_IFCB005_00007.png")
+  }
+
+  test("class list from folders: unclassified first, observed classes alphabetical") {
+    val c2u = WhoiCuration.class2useFromFolders(
+        WhoiCuration.parseLegacyPngs(paths))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(c2u == Map(1 -> "unclassified", 2 -> "ciliate", 3 -> "diatom"))
+  }
+
+  test("bulk annotation labels png rois, fills the rest with unclassified") {
+    val parsed = WhoiCuration.parseLegacyPngs(paths)
+    val c2u = WhoiCuration.class2useFromFolders(parsed)
+    // ADC inventory: the diatom sample has rois 42, 43 and an extra 44;
+    // an untouched sample never appears in the output
+    val adc = Seq(
+      ("IFCB1_2014_188_222013", 42), ("IFCB1_2014_188_222013", 43),
+      ("IFCB1_2014_188_222013", 44),
+      ("IFCB5_2016_060_010203", 7),
+      ("IFCB9_2014_001_000000", 1)
+    ).toDF("sample", "roi_number")
+    val ann = WhoiCuration.annotateBatch(parsed, c2u, adc).collect()
+      .map(r => (r.getAs[String]("sample"), r.getAs[Int]("roi_number")) ->
+        (r.getAs[Int]("manual_idx"), r.getAs[String]("class_name"))).toMap
+    assert(ann == Map(
+      ("IFCB1_2014_188_222013", 42) -> (3, "diatom"),
+      ("IFCB1_2014_188_222013", 43) -> (3, "diatom"),
+      ("IFCB1_2014_188_222013", 44) -> (1, "unclassified"),
+      ("IFCB5_2016_060_010203", 7) -> (2, "ciliate")))
+  }
+}
