@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.TrainingData.all,
     graft.queries.FeatureExtract.all,
     graft.queries.TaxonomyQueries.all,
-    graft.queries.CorpusBattery.all)
+    graft.queries.CorpusBattery.all,
+    graft.queries.SkewBench.all)
 
   /** Flagship query (SURVEY.md §7.5, the HAB-alert spine,
     * reference: code/ifcb_hab_alert.R:102-119,197-200): per brand ("taxon"),

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftQuery, Tables}
+import graft.operators.SkewJoin
+
+/** Salted-vs-unsalted skew evidence (SURVEY.md §4 "salting for skew"):
+  * the same join, aggregation and per-row kernel over a corpus with a
+  * manufactured hot key — 30% of all events collapse onto one user_id —
+  * run twice: q77 as a plain shuffle join (the hot key's rows land on a
+  * single reduce task, which then pays the per-row kernel serially) and
+  * q76 through [[SkewJoin.saltedJoin]] (the hot key spreads over 32
+  * (key, salt) reducers). Results are identical — both queries share one
+  * DuckDB oracle — so the BENCH wall-time pair isolates the salting
+  * effect. The dim side carries a `merge` hint in both: at this SF a
+  * 2k-row dim would otherwise broadcast and neither query would shuffle
+  * at all; the scenario under test is the real-world one where the dim
+  * is too big to broadcast.
+  *
+  * Per-row kernel: an 8-deep md5 chain over joined columns — forced into
+  * the post-join stage (it consumes `dim_val`), deterministic and
+  * engine-identical, heavy enough (~µs/row × 1.6M rows) that task-level
+  * imbalance dominates the fixed scan/agg cost in wall-time.
+  */
+object SkewBench {
+
+  import Tables._
+
+  private val Amplify = 16
+  private val Salts = 32
+  private val Rounds = 8
+
+  /** 30% of rows onto user 0, the rest untouched. */
+  private def skewed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d).select(
+      $"event_id", $"event_type", $"props",
+      when($"user_id" % 10 < 3, 0L).otherwise($"user_id").as("uid"))
+  }
+
+  private def heavyAgg(joined: DataFrame): DataFrame = {
+    import joined.sparkSession.implicits._
+    joined
+      .withColumn("h",
+        (1 until Rounds).foldLeft(
+          md5(concat($"props", $"dim_val", $"rep".cast("string"))))(
+          (c, _) => md5(c)))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), max($"h").as("max_h"))
+      .orderBy($"event_type")
+  }
+
+  private def build(s: SparkSession, d: String, salted: Boolean): DataFrame = {
+    import s.implicits._
+    val ev = skewed(s, d)
+      .withColumn("rep", explode(sequence(lit(0), lit(Amplify - 1))))
+    val dim = skewed(s, d).select($"uid").distinct()
+      .withColumn("dim_val", md5($"uid".cast("string")))
+      .hint("merge") // see scaladoc: the dim must NOT broadcast
+    heavyAgg(
+      if (salted) SkewJoin.saltedJoin(ev, dim, "uid", Salts, $"event_id")
+      else ev.join(dim, Seq("uid")))
+  }
+
+  private val oracle = s"""
+      WITH ev AS (
+        SELECT event_id, event_type, props,
+          CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id END AS uid
+        FROM events),
+      amp AS (
+        SELECT event_type, props, uid, unnest(range(0, $Amplify)) AS rep
+        FROM ev),
+      dimv AS (
+        SELECT uid, md5(CAST(uid AS VARCHAR)) AS dim_val
+        FROM (SELECT DISTINCT uid FROM ev) d),
+      j AS (
+        SELECT event_type,
+          ${Iterator.iterate("md5(props || dim_val || CAST(rep AS VARCHAR))")(
+            c => s"md5($c)").drop(Rounds - 1).next()} AS h
+        FROM amp JOIN dimv USING (uid))
+      SELECT event_type, COUNT(*) AS n, MAX(h) AS max_h
+      FROM j
+      GROUP BY 1
+      ORDER BY 1"""
+
+  private val q76 = GraftQuery(
+    "q76_skew_join_salted",
+    (s, d) => build(s, d, salted = true),
+    Some(oracle))
+
+  private val q77 = GraftQuery(
+    "q77_skew_join_unsalted",
+    (s, d) => build(s, d, salted = false),
+    Some(oracle))
+
+  val all: Seq[GraftQuery] = Seq(q76, q77)
+}

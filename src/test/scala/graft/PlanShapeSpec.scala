@@ -142,6 +142,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q76/q77: skew pair shuffle-joins (dim must not broadcast); salted keys carry the salt") {
+    val salted = plan("q76_skew_join_salted")
+    val unsalted = plan("q77_skew_join_unsalted")
+    // the scenario is a non-broadcastable dim: a BroadcastHashJoin would
+    // dodge the shuffle whose skew the pair exists to measure
+    assert(!salted.contains("BroadcastHashJoin") && salted.contains("SortMergeJoin"))
+    assert(!unsalted.contains("BroadcastHashJoin") && unsalted.contains("SortMergeJoin"))
+    assert(salted.contains("__salt"), "salted join must key on (uid, __salt)")
+    assert(!unsalted.contains("__salt"))
+  }
+
   test("q11: global top-k plans as TakeOrderedAndProject, no global sort") {
     assert(plan("q11_global_topk").contains("TakeOrderedAndProject"))
   }
