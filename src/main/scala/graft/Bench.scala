@@ -36,6 +36,10 @@ import org.apache.spark.sql.SparkSession
   *    GC (reproduces the round-4 attribution artifact for A/B runs)
   *  - SPARK_GRAFT_BENCH_DIAG=1                print per-query heap/
   *    storage diagnostics after each hygiene step
+  *  - SPARK_GRAFT_BENCH_BASELINE=<path|off>   frozen per-query baseline
+  *    to diff against (default BASELINE.md's `bench-baseline` table);
+  *    when the file parses AND its sf marker matches the run, an extra
+  *    `vs_baseline_sec` line carries measured−baseline per query
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -143,6 +147,47 @@ object Bench {
     }
     println(s"""{"metric":"pass_times","queries":$raw}""")
     println(s"""{"metric":"spread_max_minus_min","queries":$spreads}""")
+    // regression attribution: diff against the frozen per-query baseline
+    // (BASELINE.md table, round-6 verdict task 6). Only at the baseline's
+    // own SF — deltas against a different scale are noise, not signal.
+    val basePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BASELINE.md")
+    if (basePath != "off" && basePath != "0") {
+      val parsed: Option[(String, Map[String, Double])] =
+        try {
+          // explicit UTF-8 via bytes: the forked JVM's default decoder
+          // throws on the doc's non-ASCII characters
+          val lines = new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(basePath)),
+            java.nio.charset.StandardCharsets.UTF_8).linesIterator.toVector
+          // the HTML-comment marker only — prose may mention the token
+          lines.collectFirst {
+            case l if l.trim.startsWith("<!-- bench-baseline:") =>
+              l.split("bench-baseline:")(1)
+                .takeWhile(c => c.isLetterOrDigit || c == '.')
+          }.map { baseSf =>
+            baseSf -> lines.flatMap { line =>
+              val cells = line.split("\\|").map(_.trim)
+              if (cells.length >= 3 && cells(1).startsWith("q"))
+                scala.util.Try(cells(1) -> cells(2).toDouble).toOption
+              else None
+            }.toMap
+          }
+        } catch { case _: Throwable => None }
+      parsed match {
+        case Some((baseSf, base)) if baseSf == sfName && base.nonEmpty =>
+          val deltas = results.collect {
+            case (k, v, _) if v >= 0 && base.contains(k) =>
+              "\"" + k + "\":" + fmt(v - base(k))
+          }
+          val newcomers = results.collect {
+            case (k, v, _) if v >= 0 && !base.contains(k) => k
+          }
+          println(s"""{"metric":"vs_baseline_sec","baseline":"$basePath",""" +
+            s""""unbaselined":${newcomers.size},""" +
+            s""""queries":${deltas.mkString("{", ",", "}")}}""")
+        case _ => ()
+      }
+    }
     spark.stop()
     println(line)
   }
