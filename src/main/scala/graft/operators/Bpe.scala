@@ -86,4 +86,26 @@ object Bpe {
     }
     merges.result().toDF("round", "left", "right", "n")
   }
+
+  /** Per-word BPE token count after applying an ordered merge list —
+    * the ENCODE side of the trainer: merges ship as literals inside a
+    * map-side expression (at 100 TB the merge table is a few 10k rows of
+    * driver/broadcast state; encoding never shuffles). Each word frames
+    * as in [[trainMerges]], the merges replay in training order with the
+    * same greedy left-to-right `replace`, and the token count is the
+    * surviving symbol count.
+    *
+    * @param word   string column (one word, no whitespace)
+    * @param merges ordered (left, right) pairs from [[trainMerges]]
+    */
+  def encodeTokenCount(word: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)], delim: String = "\u0001"): org.apache.spark.sql.Column = {
+    val d2 = delim + delim
+    val framed = concat(lit(delim),
+      array_join(filter(split(word, ""), c => c =!= ""), d2), lit(delim))
+    val applied = merges.foldLeft(framed) { case (c, (l, r)) =>
+      replace(c, lit(delim + l + d2 + r + delim), lit(delim + l + r + delim))
+    }
+    size(split(trim(applied, delim), java.util.regex.Pattern.quote(d2)))
+  }
 }

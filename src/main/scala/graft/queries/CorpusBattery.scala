@@ -574,7 +574,13 @@ object CorpusBattery {
     * runs, so the scan semantics (left-to-right, non-overlapping =
     * BPE's greedy one-pass) match exactly.
     */
-  private def bpeMergesSql(rounds: Int): String = {
+  private def bpeMergesSql(rounds: Int): String =
+    bpeWithClause(rounds) + (1 to rounds)
+      .map(i => s"SELECT round, lft, rgt, n FROM b$i")
+      .mkString("\n      ", "\n      UNION ALL ", "") +
+      "\n      ORDER BY round"
+
+  private def bpeWithClause(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""
       WITH v0 AS (
@@ -600,10 +606,6 @@ object CorpusBattery {
                  '|' || b.lft || b.rgt || '|') AS s, v.freq
         FROM v${i - 1} v, b$i b)"""
     }
-    sb ++= (1 to rounds)
-      .map(i => s"SELECT round, lft, rgt, n FROM b$i")
-      .mkString("\n      ", "\n      UNION ALL ", "")
-    sb ++= "\n      ORDER BY round"
     sb.toString
   }
 
@@ -624,6 +626,73 @@ object CorpusBattery {
     },
     Some(bpeMergesSql(10)))
 
+  /** DuckDB mirror of the ENCODE pass: the b1..bN merge CTEs collapse
+    * into ONE row of ordered (lft, rgt) lists — referenced exactly once
+    * and cross-joined onto the word stream (scalar subqueries per
+    * replace level would re-evaluate the whole training chain per
+    * reference: measured minutes, not seconds). The nested `replace`
+    * chain then indexes the lists — the identical greedy application
+    * [[graft.operators.Bpe.encodeTokenCount]] runs with the merges
+    * inlined as literals.
+    */
+  private def bpeEncodeSql(rounds: Int): String = {
+    val framed =
+      "'|' || array_to_string(list_filter(string_split(w, ''), c -> c <> ''), '||') || '|'"
+    val chain = (1 to rounds).foldLeft(framed) { (acc, i) =>
+      s"replace($acc,\n          " +
+        s"'|' || ls[$i] || '||' || rs[$i] || '|',\n          " +
+        s"'|' || ls[$i] || rs[$i] || '|')"
+    }
+    val union = (1 to rounds)
+      .map(i => s"SELECT round, lft, rgt FROM b$i").mkString(" UNION ALL ")
+    bpeWithClause(rounds) + s""",
+      m AS (
+        SELECT list(lft ORDER BY round) AS ls, list(rgt ORDER BY round) AS rs
+        FROM ($union) mm),
+      wl AS (
+        SELECT lang, unnest($W) AS w FROM documents),
+      enc AS (
+        SELECT lang, len(w) AS chars,
+          len(string_split(trim($chain, '|'), '||')) AS bpe
+        FROM wl, m)
+      SELECT lang, COUNT(*) AS n_words,
+        CAST(SUM(chars) AS BIGINT) AS char_tokens,
+        CAST(SUM(bpe) AS BIGINT) AS bpe_tokens
+      FROM enc
+      GROUP BY 1
+      ORDER BY 1"""
+  }
+
+  /** BPE encoding over the corpus (the APPLY side of q74's trainer):
+    * the learned merge list replays as literals inside a map-side
+    * expression — one word explode, zero joins, zero shuffles before the
+    * per-language rollup; the merge table is O(vocab-merges) driver/
+    * broadcast state at any corpus size. Reported per language: word
+    * count, pre-merge character-token count, post-merge BPE token count
+    * (compression the 10 merges bought).
+    */
+  private val q78 = GraftQuery(
+    "q78_bpe_encode",
+    (s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val merges = graft.operators.Bpe
+        .trainMerges(docs, "text", rounds = 10, delim = "|")
+        .orderBy($"round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      docs
+        .select($"lang", explode(Hashing.words($"text")).as("w"))
+        .withColumn("chars", length($"w").cast("long"))
+        .withColumn("bpe",
+          graft.operators.Bpe.encodeTokenCount($"w", merges, "|").cast("long"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum($"chars").as("char_tokens"),
+          sum($"bpe").as("bpe_tokens"))
+        .orderBy($"lang")
+    },
+    Some(bpeEncodeSql(10)))
+
   val all: Seq[GraftQuery] =
-    Seq(q59, q60, q61, q62, q63, q65, q66, q67, q68, q69, q70, q71, q74)
+    Seq(q59, q60, q61, q62, q63, q65, q66, q67, q68, q69, q70, q71, q74, q78)
 }

@@ -29,6 +29,17 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
   }
 
+  test("encodeTokenCount replays merges greedily in training order") {
+    import org.apache.spark.sql.functions.col
+    // merges (a,b) then (ab,c): "abc"→[abc]=1, "abd"→[ab,d]=2,
+    // "cab"→[c,ab]=2 (no (ab,c) match — c precedes), "xyz"→3 untouched
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val got = Seq("abc", "abd", "cab", "xyz").toDF("w")
+      .select(col("w"), Bpe.encodeTokenCount(col("w"), merges).as("n"))
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("abc" -> 1, "abd" -> 2, "cab" -> 2, "xyz" -> 3))
+  }
+
   test("words containing the delimiter are dropped, not corrupted") {
     val docs = Seq("ab ab a|b").toDF("text")
     val got = Bpe.trainMerges(docs, "text", rounds = 1, delim = "|")
