@@ -38,6 +38,31 @@ object Similarity {
     s"${dotSql(a, b)} / SQRT(${dotSql(a, a)}) / SQRT(${dotSql(b, b)})"
   }
 
+  /** Symmetric per-vector int8 quantization — the 4× embedding
+    * compression an ANN index carries at 100 TB: `q_i = round(x_i /
+    * (maxabs / 127))`, zero vectors → all zeros. Rounding is
+    * `floor(x + 0.5)` rather than `round()`: floor is exact in IEEE
+    * double and identical across engines, while round()'s tie behavior
+    * is not (the oracle-exactness rule). |q_i| ≤ 127 by construction —
+    * |x/scale| ≤ 127(1+ε) stays below the 127.5 tie point. Pure map-side
+    * expression; the scale stays recoverable as `array_max(abs(vec))/127`.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val maxabs = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = maxabs / 127.0
+    when(maxabs === 0.0, transform(vec, _ => lit(0)))
+      .otherwise(transform(vec,
+        x => floor(x.cast("double") / scale + 0.5).cast("int")))
+  }
+
+  /** SQL twin of [[quantizeInt8]] (same association: `x / (maxabs/127)`). */
+  def quantizeInt8Sql(vec: String): String = {
+    val maxabs = s"list_max(list_transform($vec, x -> abs(CAST(x AS DOUBLE))))"
+    s"CASE WHEN $maxabs = 0.0 THEN list_transform($vec, x -> 0) " +
+      s"ELSE list_transform($vec, x -> CAST(floor(CAST(x AS DOUBLE) " +
+      s"/ ($maxabs / 127.0) + 0.5) AS INTEGER)) END"
+  }
+
   /** One scored neighbor candidate (aggregator input). */
   final case class Neighbor(id: Long, cosine: Double)
   /** One ranked result (aggregator output element). */

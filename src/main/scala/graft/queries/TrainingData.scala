@@ -377,6 +377,45 @@ object TrainingData {
     * O(log d) rounds, loud non-convergence. Labels must be identical to
     * q52's driver branch — same SQL mirror.
     */
+  /** Int8 embedding quantization ([[Similarity.quantizeInt8]] — the 4×
+    * compression an ANN index at 100 TB stores instead of float32):
+    * per label, integer-exact quantization stats — total L1 mass, signed
+    * sum, and saturated-element count (every nonzero vector saturates at
+    * least its max element to ±127, so n_sat ≥ n_vecs). Map-side HOF
+    * expressions, one rollup shuffle; everything summed is an integer,
+    * so both engines hash-match bit-exactly.
+    */
+  private val q79 = GraftQuery(
+    "q79_embedding_quantize",
+    (s, d) => {
+      import s.implicits._
+      val q = Similarity.quantizeInt8($"embedding")
+      embeddings(s, d)
+        .select($"label", q.as("q"))
+        .select($"label",
+          aggregate(transform($"q", x => abs(x).cast("long")),
+            lit(0L), (a, b) => a + b).as("ql1"),
+          aggregate($"q", lit(0L), (a, b) => a + b).as("qsum"),
+          size(filter($"q", x => abs(x) === 127)).cast("long").as("nsat"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum($"ql1").as("sum_l1"),
+          sum($"qsum").as("sum_q"),
+          sum($"nsat").as("n_sat"))
+        .orderBy($"label")
+    },
+    Some(s"""
+      SELECT label, COUNT(*) AS n_vecs,
+        CAST(SUM(list_sum(list_transform(q, x -> CAST(abs(x) AS BIGINT)))) AS BIGINT)
+          AS sum_l1,
+        CAST(SUM(list_sum(list_transform(q, x -> CAST(x AS BIGINT)))) AS BIGINT)
+          AS sum_q,
+        CAST(SUM(len(list_filter(q, x -> abs(x) = 127))) AS BIGINT) AS n_sat
+      FROM (SELECT label, ${Similarity.quantizeInt8Sql("embedding")} AS q
+            FROM embeddings) t
+      GROUP BY 1
+      ORDER BY 1"""))
+
   private val q75 = GraftQuery(
     "q75_dedup_clusters_distributed",
     (s, d) => {
@@ -532,5 +571,5 @@ object TrainingData {
 
   val all: Seq[GraftQuery] = Seq(
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q72,
-    q75)
+    q75, q79)
 }
