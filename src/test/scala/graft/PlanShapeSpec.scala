@@ -142,6 +142,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q73: delivery DAG — dims broadcast, adjacency windows at sample grain") {
+    val p = plan("q73_shark_delivery")
+    assert(!p.contains("SortMergeJoin"), "sample dim / flags / adjacency must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"), "rollup combines map-side")
+    // the adjacency window orders by sample only AFTER the distinct —
+    // at (sample, class) grain tie order would be nondeterministic
+    assert(p.contains("windowspecdefinition"), "adjacency window present")
+  }
+
+  test("q78: BPE encode is map-side — no join, merges inlined as literals") {
+    val p = plan("q78_bpe_encode")
+    assert(!p.contains("Join"), "merge list must inline, never join")
+    assert(p.contains("partial_count"), "per-lang rollup combines map-side")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size <= 2) // agg + sort
+  }
+
+  test("q79: quantization is map-side HOFs — no join, one rollup shuffle") {
+    val p = plan("q79_embedding_quantize")
+    assert(!p.contains("Join"))
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size <= 2) // agg + sort
+    assert(p.contains("partial_count"))
+  }
+
   test("q76/q77: skew pair shuffle-joins (dim must not broadcast); salted keys carry the salt") {
     val salted = plan("q76_skew_join_salted")
     val unsalted = plan("q77_skew_join_unsalted")
