@@ -63,6 +63,57 @@ object Similarity {
       s"/ ($maxabs / 127.0) + 0.5) AS INTEGER)) END"
   }
 
+  /** Exact integer dot product of two int arrays (long accumulator). */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** SQL twin of [[intDot]] (sum order irrelevant — integers are exact). */
+  def intDotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+      s"p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT)"
+
+  /** Brute-force top-k over [[quantizeInt8]]-quantized vectors: the
+    * per-vector scale cancels in cosine, so candidates rank by the
+    * cosine of the int8 arrays directly — every score input (dot,
+    * squared norms) is an exact integer and the resulting double is
+    * bit-identical across engines and partitionings, with no
+    * float-parity caveats at all. Same plan shape as [[bruteForceTopK]]
+    * (queries broadcast, corpus scanned once, O(k) ranking state) at a
+    * quarter of the vector memory traffic — the trade is quantization
+    * error in WHICH neighbors rank top-k, not in determinism.
+    * Zero vectors (quantized all-zero) are excluded from both sides —
+    * cosine is undefined for them.
+    */
+  def quantizedTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int): DataFrame = {
+    val idType = integralIdType(corpus, cId)
+    val c = corpus
+      .select(col(cId), quantizeInt8(col(cVec)).as("__cq"))
+      .withColumn("__cn2", intDot(col("__cq"), col("__cq")))
+      .filter(col("__cn2") > 0L)
+    val q = queries
+      .select(col(qId), quantizeInt8(col(qVec)).as("__qq"))
+      .withColumn("__qn2", intDot(col("__qq"), col("__qq")))
+      .filter(col("__qn2") > 0L)
+    val joined = c.join(broadcast(q), col(qId) =!= col(cId))
+      .withColumn("cosine",
+        intDot(col("__qq"), col("__cq")).cast("double")
+          / sqrt(col("__qn2").cast("double"))
+          / sqrt(col("__cn2").cast("double")))
+      .withColumn("__cid", col(cId).cast("long"))
+    rankTopK(joined, qId, k, idType)
+  }
+
+  /** SQL twin of the quantized cosine given pre-quantized lists and
+    * their integer squared norms.
+    */
+  def quantizedCosineSql(a: String, b: String, an2: String, bn2: String): String =
+    s"CAST(${intDotSql(a, b)} AS DOUBLE) " +
+      s"/ SQRT(CAST($an2 AS DOUBLE)) / SQRT(CAST($bn2 AS DOUBLE))"
+
   /** One scored neighbor candidate (aggregator input). */
   final case class Neighbor(id: Long, cosine: Double)
   /** One ranked result (aggregator output element). */

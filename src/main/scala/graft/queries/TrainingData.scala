@@ -416,6 +416,40 @@ object TrainingData {
       GROUP BY 1
       ORDER BY 1"""))
 
+  /** Quantized ANN ([[Similarity.quantizedTopK]]): q46's brute-force
+    * top-k re-ranked over int8 vectors — scales cancel in cosine, so
+    * every score input is an exact integer and the cosine doubles are
+    * bit-identical across engines (no ROUND needed, unlike q45/q46's
+    * float-fold cosines). The quantization changes WHICH neighbors
+    * surface (that's the compression trade); determinism it does not.
+    */
+  private val q80 = GraftQuery(
+    "q80_ann_quantized",
+    (s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+      val queries = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      Similarity.quantizedTopK(queries, e,
+          "q_id", "q_vec", "vec_id", "embedding", k = 5)
+        .select($"query_id", $"neighbor_id", $"rank", $"cosine")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""
+      WITH qe AS (
+        SELECT vec_id, q, ${Similarity.intDotSql("q", "q")} AS n2
+        FROM (SELECT vec_id, ${Similarity.quantizeInt8Sql("embedding")} AS q
+              FROM embeddings) t)
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          ORDER BY ${Similarity.quantizedCosineSql("q.q", "c.q", "q.n2", "c.n2")} DESC,
+            c.vec_id) AS rank,
+        ${Similarity.quantizedCosineSql("q.q", "c.q", "q.n2", "c.n2")} AS cosine
+      FROM (SELECT * FROM qe WHERE vec_id < 5 AND n2 > 0) q
+      JOIN (SELECT * FROM qe WHERE n2 > 0) c ON q.vec_id <> c.vec_id
+      QUALIFY rank <= 5
+      ORDER BY query_id, rank"""))
+
   private val q75 = GraftQuery(
     "q75_dedup_clusters_distributed",
     (s, d) => {
@@ -571,5 +605,5 @@ object TrainingData {
 
   val all: Seq[GraftQuery] = Seq(
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q72,
-    q75, q79)
+    q75, q79, q80)
 }
