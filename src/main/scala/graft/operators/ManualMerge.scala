@@ -57,7 +57,9 @@ object ManualMerge {
 
     // class reconciliation BY NAME: base keeps its indices; add-only
     // classes append in their own index order after the base maximum
-    val maxBase = c2uBase.agg(max(col("class_idx")).as("__max"))
+    // (coalesce: an empty base merges as a pure relabel from index 0)
+    val maxBase = c2uBase
+      .agg(coalesce(max(col("class_idx")), lit(0)).as("__max"))
     val appended = c2uAdd
       .join(c2uBase.select(col("class_name")), Seq("class_name"), "left_anti")
       .withColumn("__rn", row_number().over(Window.orderBy(col("class_idx"))))
