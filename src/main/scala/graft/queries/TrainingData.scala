@@ -416,6 +416,69 @@ object TrainingData {
       GROUP BY 1
       ORDER BY 1"""))
 
+  /** Bigram-LM corpus scoring (the CCNet-style perplexity-proxy filter):
+    * a bigram language model trained on the corpus itself — smoothed
+    * conditional log-probs `ln((c2+1) / (c1+V))` averaged per document;
+    * low scores mark incoherent/TEMPLATED text a quality gate drops.
+    * Plan: two count shuffles build the LM (unigram + bigram, map-side
+    * combined), then the doc-gram stream joins the LM keyed BY GRAM —
+    * a shuffle join that scales with vocabulary, never a driver-side
+    * model (AQE broadcasts it while it is small). Exactness: counts are
+    * integers, `ln` of an exact ratio follows the q38 precedent
+    * (cross-engine-identical in practice), per-gram values round to 12
+    * before the exact decimal sum, the average rounds to 6.
+    */
+  private val q81 = GraftQuery(
+    "q81_lm_score",
+    (s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val uni = docs.select(explode(Hashing.words($"text")).as("w1"))
+        .groupBy($"w1").agg(count(lit(1)).as("c1"))
+      val vocab = uni.agg(count(lit(1)).as("v"))
+      val bi = docs
+        .select(explode(graft.functions.Corpus.ngrams(Hashing.words($"text"), 2)).as("g"))
+        .groupBy($"g").agg(count(lit(1)).as("c2"))
+      val dg = docs.select($"doc_id",
+        explode(graft.functions.Corpus.ngrams(Hashing.words($"text"), 2)).as("g"))
+      dg.join(bi, Seq("g"))
+        .join(uni, substring_index($"g", " ", 1) === $"w1")
+        .crossJoin(broadcast(vocab))
+        .withColumn("lp", round(
+          log(($"c2" + 1L).cast("double") / ($"c1" + $"v").cast("double")), 12))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(dsum($"lp", D12) / count(lit(1)), 6).as("avg_lp"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH uni AS (
+        SELECT w1, COUNT(*) AS c1
+        FROM (SELECT unnest($W) AS w1 FROM documents) t
+        GROUP BY 1),
+      vocab AS (SELECT COUNT(*) AS v FROM uni),
+      bi AS (
+        SELECT g, COUNT(*) AS c2
+        FROM (SELECT unnest(${graft.functions.Corpus.ngramsSql(W, 2)}) AS g
+              FROM documents) t
+        GROUP BY 1),
+      dg AS (
+        SELECT doc_id, unnest(${graft.functions.Corpus.ngramsSql(W, 2)}) AS g
+        FROM documents),
+      scored AS (
+        SELECT doc_id,
+          ROUND(LN(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 12) AS lp
+        FROM dg
+        JOIN bi USING (g)
+        JOIN uni ON split_part(g, ' ', 1) = w1
+        CROSS JOIN vocab)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+          AS avg_lp
+      FROM scored
+      GROUP BY 1
+      ORDER BY 1"""))
+
   /** Quantized ANN ([[Similarity.quantizedTopK]]): q46's brute-force
     * top-k re-ranked over int8 vectors — scales cancel in cosine, so
     * every score input is an exact integer and the cosine doubles are
@@ -605,5 +668,5 @@ object TrainingData {
 
   val all: Seq[GraftQuery] = Seq(
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q72,
-    q75, q79, q80)
+    q75, q79, q80, q81)
 }
