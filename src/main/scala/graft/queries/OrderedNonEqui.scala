@@ -317,6 +317,61 @@ object OrderedNonEqui {
           SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'))
       ORDER BY op, o_orderpriority"""))
 
+  /** Batch sessionization (the relational twin of
+    * [[graft.streaming.Streams]]' mapGroupsWithState sessionizer, ST5):
+    * a session closes after a 30-minute silence — `new_sess` from a
+    * lag'd epoch-second gap, session ids from the running sum, then a
+    * per-(user, session) rollup. One shuffle on user_id carries the
+    * window AND the aggregation (same key — no second exchange at
+    * scale). Gap math floors to epoch SECONDS on both engines: Spark
+    * reads the nanos column truncated to micros, DuckDB reads raw
+    * nanos, and flooring to the second is the granularity at which
+    * both views provably agree (truncation never crosses a second).
+    */
+  private val q82 = GraftQuery(
+    "q82_sessionize",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+      events(s, d)
+        .withColumn("es", unix_timestamp($"ts"))
+        .withColumn("new_sess",
+          when($"es" - lag($"es", 1).over(w) >= 1800L, 1L)
+            .when(lag($"es", 1).over(w).isNull, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum($"new_sess").over(cum))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min($"es").as("start_s"), max($"es").as("end_s"),
+          dsum($"value", D4).as("sum_value"))
+        .orderBy($"user_id", $"session_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, ts, value,
+          CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+        FROM events),
+      s1 AS (
+        SELECT user_id, ts, event_id, es, value,
+          CASE WHEN es - LAG(es) OVER w >= 1800 THEN 1
+               WHEN LAG(es) OVER w IS NULL THEN 1
+               ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s2 AS (
+        SELECT user_id, es, value,
+          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM s1)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        COUNT(*) AS n_events,
+        MIN(es) AS start_s, MAX(es) AS end_s,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM s2
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q82)
 }
