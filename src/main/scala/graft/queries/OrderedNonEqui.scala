@@ -372,6 +372,32 @@ object OrderedNonEqui {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
+  /** Tumbling event-time windows via Spark's native `window()` — the
+    * batch twin of the streaming daily/hourly aggregations (ST4): one
+    * hash aggregation keyed on (window, event_type), map-side combined.
+    * The oracle mirrors the window start as the hour floor of the epoch
+    * (hour boundaries are micros/nanos-truncation-safe, the q82
+    * argument at coarser grain).
+    */
+  private val q83 = GraftQuery(
+    "q83_tumbling_window",
+    (s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value", D4).as("sum_value"))
+        .select(unix_timestamp($"window.start").as("hour_start"),
+          $"event_type", $"n", $"sum_value")
+        .orderBy($"hour_start", $"event_type")
+    },
+    Some("""
+      SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS hour_start,
+        event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q82)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q82, q83)
 }
