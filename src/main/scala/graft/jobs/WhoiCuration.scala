@@ -65,8 +65,11 @@ object WhoiCuration {
       .withColumn("canonical_name", concat(
         lit("I"), date_format(col("timestamp"), "yyyyMMdd'T'HHmmss"),
         lit("_IFCB"),
-        lpad(regexp_replace(col("__ifcb"), "^IFCB", ""), 3, "0"),
-        lit("_"), lpad(col("roi").cast("string"), 5, "0"), lit(".png")))
+        // %0Nd pads WITHOUT truncating (the reference's sprintf) —
+        // lpad would silently cut IFCB1234 down to instrument 123
+        format_string("%03d",
+          regexp_replace(col("__ifcb"), "^IFCB", "").cast("int")),
+        lit("_"), format_string("%05d", col("roi")), lit(".png")))
       .select(col("path"), col("class_folder"), col("sample"),
         col("__ifcb").as("ifcb_number"), col("date"), col("timestamp"),
         col("roi"), col("canonical_name"))

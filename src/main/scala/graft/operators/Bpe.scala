@@ -95,7 +95,10 @@ object Bpe {
     * same greedy left-to-right `replace`, and the token count is the
     * surviving symbol count.
     *
-    * @param word   string column (one word, no whitespace)
+    * @param word   string column (one word, no whitespace; a word
+    *               containing the delimiter frames ambiguously — its
+    *               count is deterministic but not meaningful, matching
+    *               [[trainMerges]] dropping such words from training)
     * @param merges ordered (left, right) pairs from [[trainMerges]]
     */
   def encodeTokenCount(word: org.apache.spark.sql.Column,

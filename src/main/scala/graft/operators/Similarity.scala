@@ -63,9 +63,14 @@ object Similarity {
       s"/ ($maxabs / 127.0) + 0.5) AS INTEGER)) END"
   }
 
-  /** Exact integer dot product of two int arrays (long accumulator). */
+  /** Exact integer dot product of two int arrays (long accumulator).
+    * The cast happens BEFORE the multiply — `x * y` in Int wraps
+    * silently at 2³¹ (fine for int8 inputs, wrong for the general
+    * counts-vector caller this API invites), and the SQL twin multiplies
+    * in BIGINT.
+    */
   def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y),
       lit(0L), (acc, v) => acc + v)
 
   /** SQL twin of [[intDot]] (sum order irrelevant — integers are exact). */

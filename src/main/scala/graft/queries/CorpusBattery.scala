@@ -142,9 +142,15 @@ object CorpusBattery {
     "q62_seq_pack",
     (s, d) => {
       import s.implicits._
+      // materialize the 4-column projection once: both passes consume
+      // it, and without this the corpus scan + tokenization (the
+      // dominant per-row cost) run twice. At any corpus size this frame
+      // is tiny relative to the text it summarizes.
       val docs = documents(s, d)
-        .withColumn("tokens", size(Hashing.words($"text")).cast("long"))
-        .withColumn("shard", shiftright($"doc_id", 16))
+        .select($"doc_id", $"lang",
+          size(Hashing.words($"text")).cast("long").as("tokens"),
+          shiftright($"doc_id", 16).as("shard"))
+        .localCheckpoint()
       val offsets = docs.groupBy($"lang", $"shard")
         .agg(sum($"tokens").as("shard_tokens"))
         .withColumn("shard_offset", coalesce(
@@ -588,6 +594,9 @@ object CorpusBattery {
                  list_filter(string_split(w, ''), c -> c <> ''), '||') || '|' AS s,
                CAST(COUNT(*) AS BIGINT) AS freq
         FROM (SELECT unnest($W) AS w FROM documents) t
+        -- mirror trainMerges' vocabulary hygiene: words containing the
+        -- frame delimiter are dropped on the Spark side too
+        WHERE NOT contains(w, '|')
         GROUP BY 1)"""
     for (i <- 1 to rounds) {
       val syms = s"string_split(trim(s, '|'), '||')"

@@ -248,6 +248,12 @@ object Domain {
         SELECT 'S' || CAST(o_orderkey AS VARCHAR) AS sample,
                CASE WHEN o_orderkey % 2 = 0 THEN 'bubbles' ELSE 'beads' END AS flag
         FROM orders WHERE o_orderkey % 97 = 0),
+      -- per-sample aggregated flag string, mirroring the Spark side's
+      -- sorted concat_ws: joining the raw multi-row flags table would
+      -- fan out rolled rows the moment a sample carries two flags
+      fagg AS (
+        SELECT sample, string_agg(flag, ', ' ORDER BY flag) AS flag
+        FROM flags GROUP BY 1),
       adj AS (
         SELECT sample,
           COALESCE(LAG(bub) OVER (PARTITION BY substr(sample, 1, 3) ORDER BY sample),
@@ -257,7 +263,7 @@ object Domain {
         FROM (
           SELECT s.sample, contains(lower(COALESCE(f.flag, '')), 'bubbles') AS bub
           FROM (SELECT DISTINCT sample FROM rolled) s
-          LEFT JOIN flags f USING (sample)) b)
+          LEFT JOIN fagg f USING (sample)) b)
       SELECT r.sample AS "SMPNO", d.lat AS "LATIT", d.lon AS "LONGI",
         r.class_name AS "LATNM", r.counts AS "COUNTNR",
         r.counts / d.ml_analyzed * 1000.0 AS "ABUND",
@@ -265,7 +271,7 @@ object Domain {
         r.carbon_pg / 1e6 / d.ml_analyzed * 1000.0 AS "C_CONC"
       FROM rolled r
       LEFT JOIN dim d USING (sample)
-      LEFT JOIN flags f USING (sample)
+      LEFT JOIN fagg f USING (sample)
       JOIN adj USING (sample)
       WHERE NOT contains(lower(COALESCE(f.flag, '')), 'beads') AND NOT drop_adj
       ORDER BY "SMPNO", "LATNM""""))

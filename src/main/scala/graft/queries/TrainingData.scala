@@ -370,13 +370,6 @@ object TrainingData {
     },
     Some(clusterSizesSql))
 
-  /** The distributed pointer-jumping branch of [[Dedup.dupClusters]],
-    * forced (`driverMaxEdges = 0`) so the 100 TB code path is
-    * oracle-checked and benched at every SF, not just exercised by
-    * DupClusterSpec's fixture: min-label propagation + pointer jumping,
-    * O(log d) rounds, loud non-convergence. Labels must be identical to
-    * q52's driver branch — same SQL mirror.
-    */
   /** Int8 embedding quantization ([[Similarity.quantizeInt8]] — the 4×
     * compression an ANN index at 100 TB stores instead of float32):
     * per label, integer-exact quantization stats — total L1 mass, signed
@@ -513,6 +506,13 @@ object TrainingData {
       QUALIFY rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** The distributed pointer-jumping branch of [[Dedup.dupClusters]],
+    * forced (`driverMaxEdges = 0`) so the 100 TB code path is
+    * oracle-checked and benched at every SF, not just exercised by
+    * DupClusterSpec's fixture: min-label propagation + pointer jumping,
+    * O(log d) rounds, loud non-convergence. Labels must be identical to
+    * q52's driver branch — same SQL mirror.
+    */
   private val q75 = GraftQuery(
     "q75_dedup_clusters_distributed",
     (s, d) => {

@@ -33,8 +33,12 @@ class BucketedJoinSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // decimal sum: the two plans partition differently, and a plain
+      // double sum's addition order differs in the last ULP (the dsum
+      // discipline — GraftQuery.scala)
+      import GraftQuery.{dsum, D2}
       val joined = spark.table("li_b").join(spark.table("or_b"), "l_orderkey")
-        .groupBy($"l_orderkey").agg(sum($"l_quantity").as("q"))
+        .groupBy($"l_orderkey").agg(dsum($"l_quantity", D2).as("q"))
       val p = joined.queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       // join AND the following same-key aggregation ride the bucket
@@ -55,7 +59,7 @@ class BucketedJoinSpec extends SparkSpec {
 
       // and the result matches the plain join
       val a = joined.orderBy($"l_orderkey").collect()
-      val b = flat.groupBy($"l_orderkey").agg(sum($"l_quantity").as("q"))
+      val b = flat.groupBy($"l_orderkey").agg(dsum($"l_quantity", D2).as("q"))
         .orderBy($"l_orderkey").collect()
       assert(a.sameElements(b))
     } finally {

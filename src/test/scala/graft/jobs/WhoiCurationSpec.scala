@@ -14,13 +14,15 @@ class WhoiCurationSpec extends SparkSpec {
     "/data/png/diatom/IFCB1_2014_188_222013_42.png",
     "/data/png/diatom/IFCB1_2014_188_222013_43.png",
     "/data/png/ciliate/IFCB5_2016_060_010203_7.png", // leap year: day 60 = Feb 29
+    // 4-digit instrument + 6-digit roi: must pad-without-truncate
+    "/data/png/ciliate/IFCB1234_2015_001_000000_123456.png",
     "/data/png/ciliate/not_a_legacy_name.png"
   ).toDF("path")
 
   test("legacy names parse to samples, dates and canonical renames") {
     val parsed = WhoiCuration.parseLegacyPngs(paths).collect()
       .map(r => r.getAs[Int]("roi") -> r).toMap
-    assert(parsed.size == 3) // the malformed name is dropped
+    assert(parsed.size == 4) // the malformed name is dropped
     val r42 = parsed(42)
     assert(r42.getAs[String]("sample") == "IFCB1_2014_188_222013")
     assert(r42.getAs[java.sql.Date]("date").toString == "2014-07-07")
@@ -32,6 +34,9 @@ class WhoiCurationSpec extends SparkSpec {
     assert(r7.getAs[java.sql.Date]("date").toString == "2016-02-29")
     assert(r7.getAs[String]("canonical_name") ==
       "I20160229T010203_IFCB005_00007.png")
+    // wider-than-pad fields keep all their digits (sprintf semantics)
+    assert(parsed(123456).getAs[String]("canonical_name") ==
+      "I20150101T000000_IFCB1234_123456.png")
   }
 
   test("class list from folders: unclassified first, observed classes alphabetical") {
