@@ -571,6 +571,44 @@ object TrainingData {
       GROUP BY 1
       ORDER BY 1"""))
 
+  /** Count-min-sketch heavy hitters (the streaming-friendly "top domains
+    * / top tokens" sketch a 100 TB census uses instead of an exact
+    * group-by when the key space explodes): one distributed CMS pass over
+    * the exploded word stream (`df.stat.countMinSketch`, seeded —
+    * deterministic), probed for the exact top-20 words. Acceptance
+    * booleans pin CMS guarantees the oracle can't compute but CAN trust:
+    * a CMS never underestimates, and with eps=1e-4 the overestimate is
+    * bounded by eps·N (both checked exactly Spark-side; DuckDB recomputes
+    * the exact counts and ranking — the q53 sketch-tier pattern).
+    */
+  private val q84 = GraftQuery(
+    "q84_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val words = documents(s, d)
+        .select(explode(Hashing.words($"text")).as("w"))
+      val cms = words.stat.countMinSketch(
+        "w", eps = 1e-4, confidence = 0.99, seed = 42)
+      val total = cms.totalCount()
+      val top = words.groupBy($"w").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"w".asc).limit(20).collect()
+      val rows = top.map { r =>
+        val (w, n) = (r.getString(0), r.getLong(1))
+        val est = cms.estimateCount(w)
+        (w, n, est >= n && est <= n + (1e-4 * total).toLong)
+      }.toSeq
+      rows.toDF("w", "n", "cms_ok").orderBy($"n".desc, $"w".asc)
+    },
+    Some(s"""
+      SELECT w, n, TRUE AS cms_ok
+      FROM (
+        SELECT w, COUNT(*) AS n
+        FROM (SELECT unnest($W) AS w FROM documents) t
+        GROUP BY 1
+        ORDER BY n DESC, w ASC
+        LIMIT 20) top
+      ORDER BY n DESC, w ASC"""))
+
   /** LSH-bucketed ANN (the scale path of q46): queries probe only their
     * hyperplane bucket — corpus scanned once to bucket, then per-bucket
     * candidate ranking. Fully oracle-checked: the plane coefficients are
@@ -668,5 +706,5 @@ object TrainingData {
 
   val all: Seq[GraftQuery] = Seq(
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q72,
-    q75, q79, q80, q81)
+    q75, q79, q80, q81, q84)
 }
