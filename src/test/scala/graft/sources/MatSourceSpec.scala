@@ -47,6 +47,20 @@ class MatSourceSpec extends SparkSpec {
     assert(data.toSeq == Seq(4.0, 5.0))
   }
 
+  test("class2use / manualClassList degrade to empty on missing or mis-shaped variables") {
+    val dir = Files.createTempDirectory("matviews")
+    // a numeric-only file: no cell variable anywhere → class2use empty
+    Files.write(dir.resolve("D20240101T000000_IFCB134.mat"),
+      matFile(matrix("notclasses", 6, Seq(1, 2), doubles(Seq(1.0, 2.0)), 9)))
+    assert(MatSource.class2use(spark, dir.toString).count() == 0)
+    // classlist with too few columns → no rows, no crash
+    assert(MatSource.manualClassList(spark, dir.toString).count() == 0)
+    val dir2 = Files.createTempDirectory("matviews2")
+    Files.write(dir2.resolve("D20240102T000000_IFCB134.mat"),
+      matFile(matrix("classlist", 6, Seq(2, 1), doubles(Seq(1.0, 2.0)), 9)))
+    assert(MatSource.manualClassList(spark, dir2.toString).count() == 0)
+  }
+
   test("classScores explodes per-ROI rows with labels from the class list") {
     val dir = Files.createTempDirectory("mat")
     val scores = matrix("TBscores", 6, Seq(2, 2), doubles(Seq(0.9, 0.2, 0.1, 0.8)), 9)
