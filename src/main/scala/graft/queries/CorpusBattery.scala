@@ -702,6 +702,75 @@ object CorpusBattery {
     },
     Some(bpeEncodeSql(10)))
 
+  /** Unified mixture RESAMPLING to an equalized per-source token budget
+    * (q66's keep/drop sampler only flattens downward; real data mixing
+    * also UPSAMPLES small domains with repetition epochs): each source
+    * targets `total_tok div n_sources` tokens, every document repeats
+    * `target div tok_s` whole epochs, and the fractional epoch keeps the
+    * documents whose md5 bucket clears the remainder bound — so a large
+    * source degenerates to q66-style subsetting (0 whole epochs) and a
+    * small one to N whole copies + a deterministic partial copy. All
+    * integer arithmetic → bit-identical across engines and runs; the
+    * remainder×65536 product stays inside BIGINT because the remainder
+    * is < tok_s. Plan: two tiny broadcast dims onto the corpus scan, one
+    * rollup — the corpus never shuffles before it.
+    */
+  private val q85 = GraftQuery(
+    "q85_mixture_resample",
+    (s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+        .select($"doc_id", $"source",
+          size(Hashing.words($"text")).cast("long").as("tokens"))
+      val dim = docs.groupBy($"source").agg(sum($"tokens").as("tok_s"))
+      val tot = dim.agg(sum($"tok_s").as("total_tok"),
+        count(lit(1)).as("n_sources"))
+      val rates = dim.crossJoin(broadcast(tot))
+        .withColumn("target", expr("total_tok div n_sources"))
+        .withColumn("epochs", expr("target div tok_s"))
+        .withColumn("bound",
+          expr("(target - (target div tok_s) * tok_s) * 65536 div tok_s"))
+        .select($"source", $"epochs", $"bound")
+      docs.join(broadcast(rates), Seq("source"))
+        .withColumn("copies", $"epochs" +
+          when(Corpus.bucketBelow(
+            Corpus.bucket16($"doc_id", "resample-r6"), $"bound"), 1L)
+            .otherwise(0L))
+        .groupBy($"source")
+        .agg(max($"epochs").as("epochs"),
+          count(lit(1)).as("n_docs"),
+          sum($"copies").as("n_copies"),
+          sum($"copies" * $"tokens").as("tokens_out"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, source, CAST(len($W) AS BIGINT) AS tokens FROM documents),
+      dim AS (
+        SELECT source, CAST(SUM(tokens) AS BIGINT) AS tok_s FROM docs GROUP BY 1),
+      tot AS (
+        SELECT CAST(SUM(tok_s) AS BIGINT) AS total_tok,
+               COUNT(*) AS n_sources FROM dim),
+      rates AS (
+        SELECT source, (total_tok // n_sources) // tok_s AS epochs,
+          ((total_tok // n_sources) - ((total_tok // n_sources) // tok_s) * tok_s)
+            * 65536 // tok_s AS bound
+        FROM dim, tot),
+      c AS (
+        SELECT d.source, d.tokens, r.epochs,
+          r.epochs + CASE WHEN ${Corpus.bucketBelowSql(
+            Corpus.bucket16Sql("d.doc_id", "resample-r6"), "r.bound")}
+            THEN 1 ELSE 0 END AS copies
+        FROM docs d JOIN rates r USING (source))
+      SELECT source, CAST(MAX(epochs) AS BIGINT) AS epochs,
+        COUNT(*) AS n_docs,
+        CAST(SUM(copies) AS BIGINT) AS n_copies,
+        CAST(SUM(copies * tokens) AS BIGINT) AS tokens_out
+      FROM c
+      GROUP BY 1
+      ORDER BY 1"""))
+
   val all: Seq[GraftQuery] =
-    Seq(q59, q60, q61, q62, q63, q65, q66, q67, q68, q69, q70, q71, q74, q78)
+    Seq(q59, q60, q61, q62, q63, q65, q66, q67, q68, q69, q70, q71, q74, q78,
+      q85)
 }
