@@ -398,6 +398,65 @@ object OrderedNonEqui {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
+  /** Ordered-funnel analysis (view → click → purchase): each stage's
+    * timestamp is the user's first qualifying event STRICTLY AFTER the
+    * previous stage — the standard conversion-funnel semantics, staged
+    * as per-user min-aggregations chained through user-keyed joins (no
+    * per-user event sort, no collect; every stage is one map-side-
+    * combined aggregation + an equi join that AQE broadcasts while
+    * small and shuffles by user at scale). Epoch-second floors make the
+    * strict-after comparison engine-identical (the q82 argument).
+    */
+  private val q86 = GraftQuery(
+    "q86_funnel",
+    (s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+        .select($"user_id", unix_timestamp($"ts").as("es"), $"event_type")
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"es").as("ts_v"))
+      val c = ev.filter($"event_type" === "click")
+        .join(v, Seq("user_id")).filter($"es" > $"ts_v")
+        .groupBy($"user_id").agg(min($"es").as("ts_c"), min($"ts_v").as("ts_v"))
+      val p = ev.filter($"event_type" === "purchase")
+        .join(c.select($"user_id", $"ts_c"), Seq("user_id"))
+        .filter($"es" > $"ts_c")
+        .groupBy($"user_id").agg(min($"es").as("ts_p"), min($"ts_c").as("ts_c2"))
+      v.join(c.select($"user_id", $"ts_c"), Seq("user_id"), "left")
+        .join(p.select($"user_id", $"ts_p", $"ts_c2"), Seq("user_id"), "left")
+        .agg(
+          count(lit(1)).as("n_view"),
+          count($"ts_c").as("n_click"),
+          count($"ts_p").as("n_purchase"),
+          sum($"ts_c" - $"ts_v").as("click_delay_s"),
+          sum($"ts_p" - $"ts_c2").as("purchase_delay_s"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, event_type
+        FROM events),
+      v AS (
+        SELECT user_id, MIN(es) AS ts_v FROM ev
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, MIN(e.es) AS ts_c, MIN(v.ts_v) AS ts_v
+        FROM ev e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.es > v.ts_v
+        GROUP BY 1),
+      p AS (
+        SELECT e.user_id, MIN(e.es) AS ts_p, MIN(c.ts_c) AS ts_c2
+        FROM ev e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.es > c.ts_c
+        GROUP BY 1)
+      SELECT COUNT(*) AS n_view,
+        COUNT(c.ts_c) AS n_click,
+        COUNT(p.ts_p) AS n_purchase,
+        CAST(SUM(c.ts_c - c.ts_v) AS BIGINT) AS click_delay_s,
+        CAST(SUM(p.ts_p - p.ts_c2) AS BIGINT) AS purchase_delay_s
+      FROM v
+      LEFT JOIN c USING (user_id)
+      LEFT JOIN p USING (user_id)"""))
+
   val all: Seq[GraftQuery] = Seq(
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q82, q83)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q82, q83, q86)
 }
