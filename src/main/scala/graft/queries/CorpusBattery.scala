@@ -770,7 +770,64 @@ object CorpusBattery {
       GROUP BY 1
       ORDER BY 1"""))
 
+  /** Train→val n-gram overlap (the train-test contamination report an
+    * eval pipeline publishes): every val document's distinct 4-word
+    * shingles probe the train split's fingerprint set; the per-doc
+    * (total, hit) pair is the overlap evidence. Composition of the
+    * existing primitives — q59's hash split (same salt), q63's
+    * shingle→fingerprint→hash-equi-join shape. Scale: the train
+    * fingerprint set is a distinct-aggregated frame joined BY KEY
+    * (shuffle join at vocabulary scale, AQE-broadcast while small);
+    * the val side is a map-side explode + two same-key aggregations.
+    * The metric is DEFINED on fingerprints, so collisions are part of
+    * the metric, not an error — both engines compute the identical set.
+    */
+  private val q87 = GraftQuery(
+    "q87_split_overlap",
+    (s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+        .withColumn("split", Corpus.hashSplit($"doc_id", "graft-r4"))
+      val train = docs.filter($"split" === "train")
+        .select(explode(Hashing.shingles(Hashing.words($"text"), 4)).as("sh"))
+        .select(Hashing.fingerprint($"sh").as("fp"))
+        .distinct()
+      val valG = docs.filter($"split" === "val")
+        .select($"doc_id",
+          explode(Hashing.shingles(Hashing.words($"text"), 4)).as("sh"))
+        .withColumn("fp", Hashing.fingerprint($"sh"))
+      val totals = valG.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+      val hits = valG.join(train, Seq("fp"), "left_semi")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
+      totals.join(hits, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_grams", coalesce($"n_hit", lit(0L)).as("n_hit"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH split AS (
+        SELECT doc_id, text, ${Corpus.hashSplitSql("doc_id", "graft-r4")} AS split
+        FROM documents),
+      train AS (
+        SELECT DISTINCT ${Hashing.fingerprintSql("sh")} AS fp
+        FROM (SELECT unnest(${Hashing.shinglesSql(W, 4)}) AS sh
+              FROM split WHERE split = 'train') t),
+      valg AS (
+        SELECT doc_id, ${Hashing.fingerprintSql("sh")} AS fp
+        FROM (SELECT doc_id, unnest(${Hashing.shinglesSql(W, 4)}) AS sh
+              FROM split WHERE split = 'val') t),
+      totals AS (
+        SELECT doc_id, COUNT(*) AS n_grams FROM valg GROUP BY 1),
+      hits AS (
+        SELECT doc_id, COUNT(*) AS n_hit
+        FROM valg WHERE fp IN (SELECT fp FROM train)
+        GROUP BY 1)
+      SELECT t.doc_id, t.n_grams,
+        CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit
+      FROM totals t
+      LEFT JOIN hits h USING (doc_id)
+      ORDER BY t.doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(q59, q60, q61, q62, q63, q65, q66, q67, q68, q69, q70, q71, q74, q78,
-      q85)
+      q85, q87)
 }
