@@ -100,13 +100,83 @@ object PsdFit {
     (slope, intercept, r2)
   }
 
-  /** PSD QC flag rules (reference flag set at ifcb_ingest_and_qc.R:500-518:
-    * bubbles/incomplete/missing_cells/biomass/bloom thresholds) — a `when`
-    * chain over fit params + sample totals.
+  /** Simplified engine-label flag chain — an intentionally reduced
+    * 3-rule subset (lowercase engine vocabulary) kept for q38's oracle
+    * mirror and for callers that have only fit outputs. The
+    * reference-parameterized 7-threshold rule set is [[flags7]]; that is
+    * what [[graft.jobs.IngestQc.psd]] emits into the delivery path.
     */
   def flag(slope: Column, r2: Column, totalCount: Column): Column =
     when(totalCount < 50L, "incomplete")
       .when(r2 < 0.55, "poor_fit")
       .when(slope > -0.1, "flat_psd")
       .otherwise("ok")
+
+  /** The reference's tunable PSD QC thresholds, defaults mirroring the
+    * production `ifcb_psd` call (ifcb_ingest_and_qc.R:505-516; the Rmd
+    * variant at ifcb-data-pipeline.Rmd:652-669 differs only in
+    * missing_cells/biomass/micron_factor). `beads = 1e20` reproduces the
+    * reference's "disabled by an unreachable threshold" idiom.
+    *
+    *  - `rSqr`:        minimum acceptable fit R² (`r_sqr`)
+    *  - `beads`:       max count in the peak size class (`beads`)
+    *  - `bubbles`:     max ESD µm of the most abundant size class (`bubbles`)
+    *  - `incompleteCount`/`incompleteVolumeMl`: minimum total particle
+    *                   count and analyzed volume (`incomplete = c(1500, 3)`)
+    *  - `missingCells`: minimum ratio of imaged ROIs to ADC triggers
+    *                   (`missing_cells`)
+    *  - `biomass`:     minimum particle concentration, counts/mL (`biomass`)
+    *  - `bloom`:       max µm the peak size class may sit above the fit
+    *                   start before the sample reads as a monospecific
+    *                   bloom (`bloom`)
+    *  - `humidity`:    max instrument humidity %, from the HDR (`humidity`)
+    */
+  final case class FlagParams(
+      rSqr: Double = 0.5,
+      beads: Double = 1e20,
+      bubbles: Double = 110.0,
+      incompleteCount: Long = 1500L,
+      incompleteVolumeMl: Double = 3.0,
+      missingCells: Double = 0.5,
+      biomass: Double = 3000.0,
+      bloom: Double = 10.0,
+      humidity: Double = 75.0)
+
+  /** Full reference-vocabulary QC flag (single flag per sample via a
+    * priority chain in the `ifcb_psd` signature's threshold order, then
+    * the R² gate). Vocabulary pinned by the reference's own consumers:
+    * `skip_flags = c("Bubbles", "Incomplete Run", "Beads")`
+    * (ifcb_ingest_and_qc.R:53) and the delivery's case-insensitive
+    * substring drop of `bubbles`/`incomplete`
+    * (ifcb_delivery_data_to_shark.R:44,412-434).
+    *
+    * A rule whose input metric is null (e.g. no HDR humidity recorded,
+    * no trigger inventory) is disabled, not fired — a missing instrument
+    * metric must not flag a sample bad.
+    *
+    * @param peakEsdUm    ESD µm of the most abundant size class
+    * @param peakN        count in that size class
+    * @param totalCount   total particles in the sample
+    * @param triggerCount ADC trigger count (imaged + unimaged)
+    * @param mlAnalyzed   analyzed volume, mL
+    * @param humidityPct  instrument humidity from the HDR
+    * @param startFitUm   fit start (`start_fit`), the bloom rule's origin
+    */
+  def flags7(p: FlagParams, startFitUm: Double)(
+      r2: Column, peakEsdUm: Column, peakN: Column,
+      totalCount: Column, triggerCount: Column,
+      mlAnalyzed: Column, humidityPct: Column): Column = {
+    def fires(c: Column): Column = coalesce(c, lit(false))
+    when(fires(peakN > p.beads), "Beads")
+      .when(fires(peakEsdUm > p.bubbles), "Bubbles")
+      .when(fires(totalCount < p.incompleteCount) ||
+        fires(mlAnalyzed < p.incompleteVolumeMl), "Incomplete Run")
+      .when(fires(totalCount.cast("double") / triggerCount < p.missingCells),
+        "Missing Cells")
+      .when(fires(totalCount / mlAnalyzed < p.biomass), "Low Biomass")
+      .when(fires(peakEsdUm - startFitUm > p.bloom), "Bloom")
+      .when(fires(humidityPct > p.humidity), "High Humidity")
+      .when(fires(r2 < p.rSqr), "Poor Fit")
+      .otherwise("ok")
+  }
 }

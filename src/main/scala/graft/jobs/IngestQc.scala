@@ -51,6 +51,8 @@ object IngestQc {
       ferryboxToleranceSec: Long = 300,       // R:308 max_time_diff_min = 5
       micronFactor: Double = 1.0 / 2.77,      // R:516
       psdStartFitUm: Double = 15.0,           // R:507 start_fit
+      psdFlagParams: graft.agg.PsdFit.FlagParams =
+        graft.agg.PsdFit.FlagParams(),        // R:508-515 threshold set
       depthM: Double = 4.0,                   // R:379
       sampleType: String = "underway",        // R:384
       cruisePrefix: String = "SVEA")          // R:255
@@ -242,9 +244,22 @@ object IngestQc {
 
   /** PSD over kernel output (R:495-518): ESD µm = `EquivDiameter` px ×
     * `micron_factor`, 1-µm histogram per sample, ln-ln power-law fit
-    * from `psdStartFitUm` upward, rule-based flags.
+    * from `psdStartFitUm` upward, then the reference's full 7-threshold
+    * flag rule set ([[graft.agg.PsdFit.flags7]], `ifcb_psd` thresholds at
+    * R:505-516) over fit + histogram shape + the per-sample instrument
+    * metrics. Everything is two hash aggregations at (sample, µm-bin)
+    * then sample grain — the peak size class rides the same per-sample
+    * aggregate as the totals via an exact integer (count, −bin) encoding,
+    * no window sort.
+    *
+    * @param sampleMetrics optional per-sample instrument metrics
+    *        `(sample, trigger_count, ml_analyzed, humidity)` — see
+    *        [[sampleMetrics]]. Absent frame or null metric disables the
+    *        corresponding rules (missing-cells / volume-incomplete /
+    *        low-biomass / humidity), it never fires them.
     */
-  def psd(features: DataFrame, cfg: Config): (DataFrame, DataFrame, DataFrame) = {
+  def psd(features: DataFrame, cfg: Config,
+      sampleMetrics: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
     import graft.agg.PsdFit
     val data = features
       .withColumn("esd_um",
@@ -260,15 +275,57 @@ object IngestQc {
     val (slope, intercept, r2) = PsdFit.solveCols(
       col("fit_n"), col("fit_sx"), col("fit_sy"),
       col("fit_sxx"), col("fit_sxy"), col("fit_syy"))
-    val totals = data.groupBy(col("sample")).agg(sum(col("n")).as("total_n"))
+    // totals + argmax size class in ONE aggregate: max of the exact
+    // integer encoding n·10⁶ + (10⁶−1−bin) is (max n, then smallest bin)
+    // — deterministic tie-break, and no second shuffle or window
+    val enc = col("n") * 1000000L + (lit(999999L) - col("esd_um"))
+    val totals = data.groupBy(col("sample")).agg(
+      sum(col("n")).as("total_n"), max(enc).as("__pk"))
+      .withColumn("peak_n", floor(col("__pk") / 1000000L))
+      .withColumn("peak_esd_um",
+        (lit(999999L) - pmod(col("__pk"), lit(1000000L))).cast("double") + 0.5)
+      .drop("__pk")
     val fits = totals
       .join(fitted, Seq("sample"), "left")
       .select(col("sample"),
         slope.as("slope"), intercept.as("intercept"), r2.as("r2"),
-        coalesce(col("fit_n"), lit(0L)).as("n_bins"), col("total_n"))
-    val flags = fits.select(col("sample"),
-      PsdFit.flag(col("slope"), col("r2"), col("total_n")).as("flag"))
-    (data, fits.drop("total_n"), flags)
+        coalesce(col("fit_n"), lit(0L)).as("n_bins"),
+        col("total_n"), col("peak_n"), col("peak_esd_um"))
+    val withMetrics = sampleMetrics match {
+      case Some(m) => fits.join(broadcast(m), Seq("sample"), "left")
+      case None => fits
+        .withColumn("trigger_count", lit(null).cast("long"))
+        .withColumn("ml_analyzed", lit(null).cast("double"))
+        .withColumn("humidity", lit(null).cast("double"))
+    }
+    val flags = withMetrics.select(col("sample"),
+      PsdFit.flags7(cfg.psdFlagParams, cfg.psdStartFitUm)(
+        col("r2"), col("peak_esd_um"), col("peak_n"),
+        col("total_n"), col("trigger_count"),
+        col("ml_analyzed"), col("humidity")).as("flag"))
+    (data, fits.select("sample", "slope", "intercept", "r2", "n_bins"), flags)
+  }
+
+  /** Per-sample instrument metrics feeding the volume / missing-cells /
+    * humidity PSD rules: ADC trigger inventory (one row per trigger) and
+    * the HDR's runtime/inhibittime/humidity keys. Analyzed volume uses
+    * the published IFCB formula — 0.25 mL/min sample flow over the
+    * non-inhibited runtime (the `ifcb_volume_analyzed` convention iRfcb
+    * inherits from the Sosik MATLAB tooling). HDRs that lack the keys
+    * yield nulls, which [[graft.agg.PsdFit.flags7]] treats as
+    * rule-disabled.
+    */
+  def sampleMetrics(spark: SparkSession, cfg: Config): DataFrame = {
+    val triggers = RoiSource.readAdc(spark, s"${cfg.rawDir}/*.adc")
+      .groupBy(col("sample")).agg(count(lit(1)).as("trigger_count"))
+    val hdr = HdrSource.read(spark, s"${cfg.rawDir}/*.hdr",
+      stringKeys = Nil,
+      numericKeys = Seq("runTime", "inhibitTime", "humidity"))
+      .select(col("sample"),
+        (lit(0.25) * (col("runTime") - coalesce(col("inhibitTime"), lit(0.0)))
+          / 60.0).as("ml_analyzed"),
+        col("humidity"))
+    triggers.join(hdr, Seq("sample"), "full_outer")
   }
 
   /** One incremental run, all frames lazy. Processed-state inputs are
@@ -316,7 +373,7 @@ object IngestQc {
       FileIndex.newFiles(candidates, e.select("sample")))
     val (psdData, psdFits, psdFlags) = psd(
       allFeats.join(broadcast(binsToPsd.select("sample")), Seq("sample"), "left_semi"),
-      cfg)
+      cfg, sampleMetrics = Some(sampleMetrics(spark, cfg)))
 
     Frames(metadata, feats, psdData, psdFits, psdFlags, dead)
   }

@@ -276,5 +276,121 @@ object Domain {
       WHERE NOT contains(lower(COALESCE(f.flag, '')), 'beads') AND NOT drop_adj
       ORDER BY "SMPNO", "LATNM""""))
 
-  val all: Seq[GraftQuery] = Seq(q37, q38, q39, q40, q73)
+  /** A17 full: the reference's 7-threshold PSD QC rule set
+    * ([[graft.agg.PsdFit.flags7]]; `ifcb_psd` thresholds at
+    * ifcb_ingest_and_qc.R:505-516) over q38's histograms plus synthetic
+    * per-sample instrument metrics derived from the supplier dim —
+    * analyzed volume, humidity, and an ADC trigger inventory. The peak
+    * size class comes from an exact integer (count, −bin) encoding inside
+    * the same aggregate as the totals (no window, no second shuffle), and
+    * the thresholds are tuned so the whole reference flag vocabulary —
+    * Beads, Bubbles, Incomplete Run, Missing Cells, Low Biomass, Bloom,
+    * High Humidity, Poor Fit — is reachable on this data. Every metric
+    * feeding a float compare is integer-derived or an identical
+    * expression tree on both engines.
+    */
+  private val q88 = GraftQuery(
+    "q88_psd_flags_full",
+    (s, d) => {
+      import s.implicits._
+      val p = graft.agg.PsdFit.FlagParams(
+        rSqr = 0.5, beads = 90.0, bubbles = 40.0,
+        incompleteCount = 500L, incompleteVolumeMl = 3.0,
+        missingCells = 0.5, biomass = 150.0, bloom = 10.0, humidity = 75.0)
+      val hist = lineitem(s, d)
+        .withColumn("bucket", floor($"l_quantity" / 5.0))
+        .filter($"bucket" >= 1)
+        .groupBy($"l_suppkey", $"bucket")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lnx", log(($"bucket" + 0.5) * 5.0))
+        .withColumn("lny", log($"n".cast("double")))
+      val enc = $"n" * 1000000L + (lit(999999L) - $"bucket")
+      val agged = hist.groupBy($"l_suppkey").agg(
+        sum($"n").as("total_count"),
+        max(enc).as("pk"),
+        count(lit(1)).as("fit_n"),
+        dsum($"lnx", D12).as("sx"), dsum($"lny", D12).as("sy"),
+        dsum($"lnx" * $"lnx", D12).as("sxx"),
+        dsum($"lnx" * $"lny", D12).as("sxy"),
+        dsum($"lny" * $"lny", D12).as("syy"))
+        .withColumn("peak_n", floor($"pk" / 1000000L))
+        .withColumn("peak_esd",
+          ((lit(999999L) - pmod($"pk", lit(1000000L))).cast("double") + 0.5) * 5.0)
+      val dim = supplier(s, d).select(
+        $"s_suppkey",
+        (lit(2.0) + ($"s_suppkey" % 4).cast("double")).as("ml_analyzed"),
+        (lit(50.0) + ($"s_suppkey" % 37).cast("double")).as("humidity"),
+        ($"s_suppkey" % 3).as("__tmul"))
+      val joined = agged
+        .join(broadcast(dim), $"l_suppkey" === $"s_suppkey")
+        .withColumn("trigger_count",
+          $"total_count" * (lit(1L) + $"__tmul"))
+      val (slope, intercept, r2) = PsdFit.solveCols(
+        $"fit_n".cast("double"), $"sx", $"sy", $"sxx", $"sxy", $"syy")
+      joined
+        .select(
+          $"l_suppkey".as("sample"), $"total_count", $"fit_n".as("n_bins"),
+          $"peak_n", $"peak_esd", $"ml_analyzed", $"humidity", $"trigger_count",
+          round(slope, 6).as("slope"),
+          round(intercept, 6).as("intercept"),
+          round(r2, 6).as("r2"),
+          PsdFit.flags7(p, startFitUm = 7.5)(
+            r2, $"peak_esd", $"peak_n", $"total_count",
+            $"trigger_count", $"ml_analyzed", $"humidity").as("flag"))
+        .orderBy($"sample")
+    },
+    Some("""
+      WITH hist AS (
+        SELECT l_suppkey, CAST(FLOOR(l_quantity / 5.0) AS BIGINT) AS bucket,
+          COUNT(*) AS n
+        FROM lineitem
+        GROUP BY 1, 2
+        HAVING CAST(FLOOR(l_quantity / 5.0) AS BIGINT) >= 1),
+      lg AS (
+        SELECT l_suppkey, bucket, n,
+          LN((bucket + 0.5) * 5.0) AS lnx, LN(CAST(n AS DOUBLE)) AS lny
+        FROM hist),
+      m AS (
+        SELECT l_suppkey AS sample, CAST(SUM(n) AS BIGINT) AS total_count,
+          MAX(n * 1000000 + (999999 - bucket)) AS pk,
+          CAST(COUNT(*) AS DOUBLE) AS k, COUNT(*) AS n_bins,
+          CAST(SUM(CAST(lnx AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(lny AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(lnx * lnx AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(lnx * lny AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(lny * lny AS DECIMAL(28,12))) AS DOUBLE) AS syy
+        FROM lg GROUP BY 1),
+      j AS (
+        SELECT m.*,
+          CAST(pk // 1000000 AS BIGINT) AS peak_n,
+          (CAST(999999 - (pk % 1000000) AS DOUBLE) + 0.5) * 5.0 AS peak_esd,
+          2.0 + CAST(s_suppkey % 4 AS DOUBLE) AS ml_analyzed,
+          50.0 + CAST(s_suppkey % 37 AS DOUBLE) AS humidity,
+          total_count * (1 + s_suppkey % 3) AS trigger_count
+        FROM m JOIN supplier ON sample = s_suppkey),
+      sv AS (
+        SELECT j.*,
+          (k * sxy - sx * sy) / (k * sxx - sx * sx) AS slope_raw,
+          CASE WHEN k * syy - sy * sy = 0.0 THEN 1.0
+            ELSE (k * sxy - sx * sy) * (k * sxy - sx * sy)
+                 / ((k * sxx - sx * sx) * (k * syy - sy * sy)) END AS r2_raw
+        FROM j)
+      SELECT sample, total_count, n_bins, peak_n, peak_esd,
+        ml_analyzed, humidity, trigger_count,
+        ROUND(slope_raw, 6) AS slope,
+        ROUND((sy - slope_raw * sx) / k, 6) AS intercept,
+        ROUND(r2_raw, 6) AS r2,
+        CASE WHEN peak_n > 90.0 THEN 'Beads'
+             WHEN peak_esd > 40.0 THEN 'Bubbles'
+             WHEN total_count < 500 OR ml_analyzed < 3.0 THEN 'Incomplete Run'
+             WHEN CAST(total_count AS DOUBLE) / trigger_count < 0.5 THEN 'Missing Cells'
+             WHEN total_count / ml_analyzed < 150.0 THEN 'Low Biomass'
+             WHEN peak_esd - 7.5 > 10.0 THEN 'Bloom'
+             WHEN humidity > 75.0 THEN 'High Humidity'
+             WHEN r2_raw < 0.5 THEN 'Poor Fit'
+             ELSE 'ok' END AS flag
+      FROM sv
+      ORDER BY sample"""))
+
+  val all: Seq[GraftQuery] = Seq(q37, q38, q39, q40, q73, q88)
 }

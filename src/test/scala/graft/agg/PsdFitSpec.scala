@@ -68,4 +68,46 @@ class PsdFitSpec extends SparkSpec {
     val flags = df.select(PsdFit.flag($"slope", $"r2", $"total")).as[String].collect()
     assert(flags.toSeq == Seq("incomplete", "poor_fit", "flat_psd", "ok"))
   }
+
+  test("flags7: every reference rule fires at its threshold, in signature order") {
+    // (r2, peakEsd, peakN, total, triggers, ml, humidity) per case; the
+    // reference production thresholds (ifcb_ingest_and_qc.R:505-516)
+    val p = PsdFit.FlagParams() // beads 1e20, bubbles 110, inc (1500, 3),
+                                // missing .5, biomass 3000, bloom 10, hum 75
+    val cases = Seq(
+      // beads disabled at 1e20 by construction — tested with a finite copy below
+      (0.9, 120.5, 800L, 20000L, 20000L, 5.0, 50.0, "Bubbles"),
+      (0.9, 16.5, 800L, 1400L, 1400L, 5.0, 50.0, "Incomplete Run"), // count
+      (0.9, 16.5, 800L, 20000L, 20000L, 2.5, 50.0, "Incomplete Run"), // volume
+      (0.9, 16.5, 800L, 20000L, 50000L, 5.0, 50.0, "Missing Cells"),
+      (0.9, 16.5, 800L, 2000L, 2000L, 5.0, 50.0, "Low Biomass"), // 400/mL
+      (0.9, 30.5, 800L, 20000L, 20000L, 5.0, 50.0, "Bloom"), // peak 15.5 µm past start 15
+      (0.9, 16.5, 800L, 20000L, 20000L, 5.0, 80.0, "High Humidity"),
+      (0.3, 16.5, 800L, 20000L, 20000L, 5.0, 50.0, "Poor Fit"),
+      (0.9, 16.5, 800L, 20000L, 20000L, 5.0, 50.0, "ok"))
+    val df = cases.toDF("r2", "esd", "pn", "tot", "trig", "ml", "hum", "want")
+    val got = df.select(
+      PsdFit.flags7(p, startFitUm = 15.0)(
+        $"r2", $"esd", $"pn", $"tot", $"trig", $"ml", $"hum").as("flag"),
+      $"want").as[(String, String)].collect()
+    got.foreach { case (flag, want) => assert(flag == want, s"want $want got $flag") }
+
+    // beads with a reachable threshold outranks everything
+    val pb = p.copy(beads = 500.0)
+    val beads = Seq((0.3, 120.5, 800L, 100L, 50000L, 2.5, 80.0)).toDF(
+      "r2", "esd", "pn", "tot", "trig", "ml", "hum")
+      .select(PsdFit.flags7(pb, 15.0)(
+        $"r2", $"esd", $"pn", $"tot", $"trig", $"ml", $"hum")).as[String].head()
+    assert(beads == "Beads")
+  }
+
+  test("flags7: a null metric disables its rule, never fires it") {
+    val p = PsdFit.FlagParams()
+    val df = Seq("x").toDF("k").select(
+      PsdFit.flags7(p, 15.0)(
+        lit(null).cast("double"), lit(16.5), lit(800L), lit(20000L),
+        lit(null).cast("long"), lit(null).cast("double"),
+        lit(null).cast("double"))).as[String].head()
+    assert(df == "ok") // no humidity/volume/trigger/r2 recorded → clean
+  }
 }

@@ -121,8 +121,10 @@ class IngestQcSpec extends SparkSpec {
 
     val flags = frames.psdFlags.as[(String, String)].collect().toMap
     assert(flags.keySet == Set(BinA, BinB, BinC))
-    // < 50 rois per bin => "incomplete" under the rule chain
-    assert(flags.values.toSet == Set("incomplete"))
+    // 1-2 rois per bin < incomplete[1] = 1500 => reference-vocabulary
+    // "Incomplete Run" under the flags7 chain; the fixture HDRs carry no
+    // runTime/humidity keys, so the volume/humidity rules stay disabled
+    assert(flags.values.toSet == Set("Incomplete Run"))
 
     val fits = frames.psdFits.collect().map(r =>
       r.getAs[String]("sample") -> r.getAs[Long]("n_bins")).toMap
@@ -211,6 +213,43 @@ class IngestQcSpec extends SparkSpec {
       spark, cfg, blacklist, cruises, ferrybox, baltic, out, ckpt)
     q2.awaitTermination(120000)
     assert(spark.read.option("header", "true").csv(s"$out/features").count() == 4L)
+  }
+
+  test("engine-generated Bubbles flag drives the delivery W1 adjacency drop end-to-end") {
+    import org.apache.spark.sql.functions.{substring, lit}
+    // Five samples in one run sequence. S3's particles peak at 320 px ESD
+    // = floor(320 / 2.77) = 115 µm — past the reference's bubbles = 110 µm
+    // production threshold (ifcb_ingest_and_qc.R:510) — so the PSD stage
+    // itself must emit "Bubbles"; the other samples peak at ~10 µm.
+    // incompleteCount is lowered so the small fixture isn't swallowed by
+    // the count gate; every other threshold is the reference default.
+    val feats = ((1 to 30).flatMap(i => Seq("S1", "S2", "S4", "S5").map(s => (s, 30.0))) ++
+      (1 to 30).map(_ => ("S3", 320.0)))
+      .toDF("sample", "EquivDiameter")
+    val psdCfg = cfg.copy(
+      psdStartFitUm = 15.0,
+      psdFlagParams = graft.agg.PsdFit.FlagParams(incompleteCount = 1L))
+    val (_, _, psdFlags) = IngestQc.psd(feats, psdCfg)
+    val flagMap = psdFlags.as[(String, String)].collect().toMap
+    assert(flagMap("S3") == "Bubbles")
+    assert(Seq("S1", "S2", "S4", "S5").forall(flagMap(_) == "ok"))
+
+    // feed the engine-produced flags straight into the delivery: the W1
+    // adjacency window must drop S3 AND its ±1 neighbors S2/S4
+    val roi = Seq(
+      ("S1", "ClassA", 100.0, false), ("S2", "ClassA", 100.0, false),
+      ("S3", "ClassA", 100.0, false), ("S4", "ClassA", 100.0, false),
+      ("S5", "ClassA", 100.0, false))
+      .toDF("sample", "class_name", "vol_um3", "is_diatom")
+    val dim = Seq(("S1", 5.0), ("S2", 5.0), ("S3", 5.0), ("S4", 5.0), ("S5", 5.0))
+      .toDF("sample", "ml_analyzed")
+      .withColumn("lat", lit(57.5)).withColumn("lon", lit(11.8))
+    val out = SharkExport.delivery(
+      roi, dim, psdFlags, removeFlagged = Seq("bubbles", "incomplete"),
+      adjacencyPartition = substring($"sample", 1, 1))
+    val kept = out.select("SMPNO").as[String].collect().toSet
+    assert(kept == Set("S1", "S5"),
+      s"bubbles sample + neighbors must vanish, kept: $kept")
   }
 
   test("dashboard snapshot suppresses already-commented pids (R:412-422)") {
