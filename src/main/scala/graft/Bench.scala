@@ -159,18 +159,25 @@ object Bench {
           val lines = new String(
             java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(basePath)),
             java.nio.charset.StandardCharsets.UTF_8).linesIterator.toVector
-          // the HTML-comment marker only — prose may mention the token
-          lines.collectFirst {
-            case l if l.trim.startsWith("<!-- bench-baseline:") =>
-              l.split("bench-baseline:")(1)
-                .takeWhile(c => c.isLetterOrDigit || c == '.')
-          }.map { baseSf =>
-            baseSf -> lines.flatMap { line =>
+          // the HTML-comment marker only — prose may mention the token.
+          // Rows are read ONLY from the table directly under the marker
+          // (up to the first non-table line): a second q-named table
+          // added to the doc later must not silently pollute the
+          // baseline map (round-6 ADVICE).
+          val markerIdx = lines.indexWhere(
+            _.trim.startsWith("<!-- bench-baseline:"))
+          if (markerIdx < 0) None
+          else {
+            val baseSf = lines(markerIdx).split("bench-baseline:")(1)
+              .takeWhile(c => c.isLetterOrDigit || c == '.')
+            val table = lines.drop(markerIdx + 1)
+              .takeWhile(_.trim.startsWith("|"))
+            Some(baseSf -> table.flatMap { line =>
               val cells = line.split("\\|").map(_.trim)
               if (cells.length >= 3 && cells(1).startsWith("q"))
                 scala.util.Try(cells(1) -> cells(2).toDouble).toOption
               else None
-            }.toMap
+            }.toMap)
           }
         } catch { case _: Throwable => None }
       parsed match {

