@@ -13,7 +13,13 @@ import org.apache.spark.sql.types.DecimalType
 final case class GraftQuery(
     name: String,
     build: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    /** Data-dependent oracle: rendered by Verify with (session, sfDir)
+      * when the SQL embeds literals trained from the data itself (e.g.
+      * IVF centroids). The renderer must be deterministic in the data so
+      * the literals match what `build` computes on the same directory.
+      */
+    oracleDyn: Option[(SparkSession, String) => String] = None)
 
 object GraftQuery {
   /** Float-parity helpers.

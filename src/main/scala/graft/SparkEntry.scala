@@ -61,4 +61,12 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(sql => q.name -> sql.stripMargin.trim)).toMap
+
+  /** [[oracleSql]] plus the per-directory rendered dynamic oracles
+    * (data-dependent literals such as trained IVF centroids) — the map
+    * Verify dumps for the driver's DuckDB gate.
+    */
+  def oracleSqlRendered(spark: SparkSession, dir: String): Map[String, String] =
+    oracleSql ++ registry.flatMap(q =>
+      q.oracleDyn.map(f => q.name -> f(spark, dir).stripMargin.trim)).toMap
 }

@@ -351,6 +351,51 @@ object Similarity {
     best
   }
 
+  /** Exact SQL literal of a trained centroid after the `array<float>`
+    * cast [[centroidScore]] applies: each element is the float value's
+    * exact double (shortest round-trip `toString`, parsed back
+    * bit-identically — the [[hyperplaneBucketSql]] rendering rule).
+    */
+  private def centroidLitSql(c: Array[Double]): String =
+    c.map(_.toFloat.toDouble.toString).mkString("[", ", ", "]")
+
+  /** SQL twin of [[centroidScore]] (`cc - 2·v·c`): the constant `c·c` is
+    * folded driver-side in FloatArrayDot's exact order (float-cast
+    * elements, left-fold double products) and rendered as one literal;
+    * `v·c` folds per row in dimension order like [[cosineSql]].
+    */
+  def centroidScoreSql(vec: String, c: Array[Double]): String = {
+    var cc = 0.0
+    c.foreach { x => val f = x.toFloat.toDouble; cc += f * f }
+    val vc = s"list_reduce(list_prepend(0.0, list_transform(" +
+      s"list_zip($vec, ${centroidLitSql(c)}), " +
+      s"p -> CAST(p[1] AS DOUBLE) * p[2])), (acc, v) -> acc + v)"
+    s"($cc - $vc * 2.0)"
+  }
+
+  /** `[[score, cellId], …]` literal-list for the argmin twins below:
+    * lexicographic (distance, cell) — the same total order
+    * [[cellAssign]]'s strict-`<` fold and [[probeCells]]'s struct sort
+    * realize on the Spark side.
+    */
+  private def scoredCellsSql(vec: String, centroids: Array[Array[Double]]): String =
+    centroids.zipWithIndex
+      .map { case (c, i) => s"[${centroidScoreSql(vec, c)}, $i.0]" }
+      .mkString("[", ", ", "]")
+
+  /** SQL twin of [[cellAssign]]: nearest-centroid id, ties to the lower
+    * cell id (first-wins in the Spark fold ≡ lexicographic minimum).
+    */
+  def cellAssignSql(vec: String, centroids: Array[Array[Double]]): String =
+    s"CAST(list_sort(${scoredCellsSql(vec, centroids)})[1][2] AS INTEGER)"
+
+  /** SQL twin of [[probeCells]]: the `nProbe` nearest cell ids in
+    * (distance, cell) order.
+    */
+  def probeCellsSql(vec: String, centroids: Array[Array[Double]], nProbe: Int): String =
+    s"list_transform(list_slice(list_sort(${scoredCellsSql(vec, centroids)}), " +
+      s"1, $nProbe), x -> CAST(x[2] AS INTEGER))"
+
   /** Random-hyperplane LSH bucket id (signed projections → sign bits).
     * Planes are a deterministic pseudo-random function of (plane, dim) so
     * executors need no shared state. Used to block cosine search/dedup

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.GraftQuery._
@@ -704,7 +705,70 @@ object TrainingData {
       FROM ranked WHERE rk <= 5
       ORDER BY query_id, "rank""""))
 
+  /** True multi-probe IVF, oracle-checked end-to-end (q72 covers the
+    * LSH-bucketed variant; this one runs the *trained* index path —
+    * [[Similarity.trainKmeansCentroids]] → corpus [[Similarity.cellAssign]]
+    * → query [[Similarity.probeCells]] with nProbe=2 →
+    * [[Similarity.ivfTopKProbed]]). Training is deterministic (seeded
+    * whole-population sample, fixed Lloyd iterations), so the oracle can
+    * hash-match the full approximate path: the centroids are re-trained at
+    * oracle-render time (identical by determinism — the price of the
+    * split build/oracle closures) and rendered into the SQL as exact
+    * float-cast literals; DuckDB then recomputes the same cell
+    * assignments, the same probe lists, and the same cosines. At 100 TB
+    * the corpus is scanned once for assignment and never shuffles; the
+    * probe-exploded query side stays queries × nProbe rows, broadcast.
+    */
+  private val q89 = {
+    val K = 8
+    val NPROBE = 2
+    def cents(s: SparkSession, d: String): Array[Array[Double]] =
+      Similarity.trainKmeansCentroids(embeddings(s, d), "embedding", K)
+    GraftQuery(
+      "q89_ivf_ann_trained",
+      (s, d) => {
+        import s.implicits._
+        val cs = cents(s, d)
+        val corpus = embeddings(s, d)
+          .withColumn("cell", Similarity.cellAssign($"embedding", cs))
+        val queries = embeddings(s, d).filter($"vec_id" < 5)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+            Similarity.probeCells($"embedding", cs, NPROBE).as("probes"))
+        Similarity.ivfTopKProbed(queries, corpus,
+            "q_id", "q_vec", "probes", "vec_id", "embedding", "cell", k = 5)
+          .select($"query_id", $"neighbor_id", $"rank",
+            round($"cosine", 6).as("cosine"))
+          .orderBy($"query_id", $"rank")
+      },
+      oracleDyn = Some { (s, d) =>
+        val cs = cents(s, d)
+        s"""
+      WITH c AS (
+        SELECT vec_id, embedding,
+               ${Similarity.cellAssignSql("embedding", cs)} AS cell
+        FROM embeddings),
+      q AS (
+        SELECT vec_id AS q_id, embedding AS q_vec,
+               ${Similarity.probeCellsSql("embedding", cs, NPROBE)} AS probes
+        FROM embeddings WHERE vec_id < 5),
+      p AS (
+        SELECT q_id, q_vec, unnest(probes) AS probe FROM q),
+      scored AS (
+        SELECT p.q_id, c.vec_id AS nid,
+               ${Similarity.cosineSql("p.q_vec", "c.embedding")} AS cos
+        FROM c JOIN p ON c.cell = p.probe AND c.vec_id <> p.q_id),
+      ranked AS (
+        SELECT q_id, nid, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid) AS rk
+        FROM scored)
+      SELECT q_id AS query_id, nid AS neighbor_id,
+             CAST(rk AS INTEGER) AS "rank", round(cos, 6) AS cosine
+      FROM ranked WHERE rk <= 5
+      ORDER BY query_id, "rank""""
+      })
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q72,
-    q75, q79, q80, q81, q84)
+    q75, q79, q80, q81, q84, q89)
 }

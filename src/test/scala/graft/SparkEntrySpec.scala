@@ -22,8 +22,13 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs),
       "oracle keys without a query")
     // every query is oracle-checked — the round-5 contract (no rows-only
-    // residue); a new query without an oracle regresses the gate
-    assert(qs == SparkEntry.oracleSql.keySet,
-      s"queries missing oracles: ${qs -- SparkEntry.oracleSql.keySet}")
+    // residue); a new query without an oracle regresses the gate. An
+    // oracle is either static SQL or a dynamic renderer (data-dependent
+    // literals, e.g. q89's trained centroids) — exactly one of the two.
+    val withOracle = SparkEntry.registry
+      .filter(q => q.oracle.isDefined != q.oracleDyn.isDefined)
+      .map(_.name).toSet
+    assert(qs == withOracle,
+      s"queries missing (or double-declaring) oracles: ${qs -- withOracle}")
   }
 }
