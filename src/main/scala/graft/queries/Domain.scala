@@ -392,5 +392,98 @@ object Domain {
       FROM sv
       ORDER BY sample"""))
 
-  val all: Seq[GraftQuery] = Seq(q37, q38, q39, q40, q73, q88)
+  /** The second flagship job end-to-end (§3.2,
+    * ifcb-image-export-pipeline.Rmd:474-830): the full ~260-column EcoTaxa
+    * contract projection ([[graft.jobs.EcoTaxaExport.project]]) on a
+    * synthetic instantiation — ROI grain from lineitem, class metadata
+    * broadcast from part, sample metadata joined from orders — then the
+    * per-category rollup a delivery reviewer would check. The aggregate
+    * pins the projection's semantic edges in one oracle row set:
+    * extension-strip (`object_id`), colon-strip (`object_time`), EcoTaxa
+    * folder truncation (first comma segment), feature pass-through
+    * (`object_area`), the derived ratio columns (`object_h90_over_hflip`),
+    * and the NA pre-fill (a mapped-from-nothing `ring01` must stay all
+    * null — if the mapping ever mis-wires it, the count goes nonzero and
+    * the hash breaks). The K2 per-class TSV layout itself stays pinned by
+    * EcoTaxaExportSpec (format codes, golden header).
+    */
+  private val q90 = GraftQuery(
+    "q90_ecotaxa_export",
+    (s, d) => {
+      import s.implicits._
+      val roi = lineitem(s, d).select(
+        $"l_partkey", $"l_orderkey",
+        concat(lit("D2024_IFCB134_"), $"l_orderkey", lit("_"),
+          $"l_linenumber", lit(".png")).as("image"),
+        $"l_linenumber".as("roi"),
+        ($"l_extendedprice" / 100.0).as("Area"),
+        ($"l_extendedprice" / 10.0).as("Biovolume"),
+        ($"l_quantity" * 3.0).as("Perimeter"),
+        ($"l_quantity" * 2.0).as("h90"),
+        ($"l_quantity" + 1.0).as("hflip"))
+      val cls = part(s, d).select($"p_partkey",
+        concat($"p_brand", lit(", living")).as("subfolder"),
+        $"p_type".as("class_clean"),
+        $"p_size".as("aphia_id"))
+      val smp = orders(s, d).select($"o_orderkey",
+        concat(lit("S"), $"o_orderkey").as("sample_name"),
+        concat(lit("R/V-"), $"o_custkey").as("ship"),
+        concat(lpad(($"o_orderkey" % 24).cast("string"), 2, "0"),
+          lit(":15:00")).as("time"))
+      val input = roi
+        .join(broadcast(cls), $"l_partkey" === $"p_partkey")
+        .join(smp, $"l_orderkey" === $"o_orderkey")
+      val projected = graft.jobs.EcoTaxaExport.project(input)
+        .withColumn("object_annotation_category",
+          graft.jobs.EcoTaxaExport.truncateCategory(
+            $"object_annotation_category"))
+      projected.groupBy($"object_annotation_category")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum($"object_area", D4).as("area_sum"),
+          dsum($"object_h90_over_hflip", D6).as("ratio_sum"),
+          count($"object_ring01").as("ring01_nonnull"),
+          min($"object_id").as("first_object_id"),
+          min($"object_time").as("first_time"),
+          countDistinct($"sample_id").as("samples"))
+        .select($"object_annotation_category".as("category"), $"n",
+          $"area_sum", $"ratio_sum", $"ring01_nonnull",
+          $"first_object_id", $"first_time", $"samples")
+        .orderBy($"category")
+    },
+    Some(s"""
+      WITH input AS (
+        SELECT
+          'D2024_IFCB134_' || CAST(l.l_orderkey AS VARCHAR) || '_' ||
+            CAST(l.l_linenumber AS VARCHAR) || '.png' AS image,
+          l.l_extendedprice / 100.0 AS area,
+          l.l_quantity * 2.0 AS h90, l.l_quantity + 1.0 AS hflip,
+          p.p_brand || ', living' AS subfolder,
+          'S' || CAST(o.o_orderkey AS VARCHAR) AS sample_name,
+          lpad(CAST(o.o_orderkey % 24 AS VARCHAR), 2, '0') || ':15:00' AS tm
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      proj AS (
+        SELECT
+          trim(split_part(subfolder, ',', 1)) AS category,
+          regexp_replace(image, '\\.[^.]*$$', '') AS object_id,
+          replace(tm, ':', '') AS object_time,
+          area AS object_area,
+          h90 / hflip AS ratio,
+          CAST(NULL AS VARCHAR) AS object_ring01,
+          sample_name AS sample_id
+        FROM input)
+      SELECT category, COUNT(*) AS n,
+        ${dsumSql("object_area", 4)} AS area_sum,
+        ${dsumSql("ratio", 6)} AS ratio_sum,
+        COUNT(object_ring01) AS ring01_nonnull,
+        MIN(object_id) AS first_object_id,
+        MIN(object_time) AS first_time,
+        COUNT(DISTINCT sample_id) AS samples
+      FROM proj
+      GROUP BY 1
+      ORDER BY 1"""))
+
+  val all: Seq[GraftQuery] = Seq(q37, q38, q39, q40, q73, q88, q90)
 }
