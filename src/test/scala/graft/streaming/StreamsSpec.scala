@@ -146,6 +146,73 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize over the q82 events fixture equals the batch result across a checkpoint restart") {
+    // ST5 differential: the streaming sessionizer and q82's relational
+    // twin must agree on the REAL fixture, not just toy rows — same
+    // sessions (boundaries, counts), same sums, with the stream split
+    // into two micro-batches separated by a full checkpoint restart.
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val ckpt = java.nio.file.Files.createTempDirectory("sessckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sessout").toString
+
+    // q82 floors to epoch seconds and closes on gap >= 1800 s; feeding
+    // second-floored micros with gapMicros just under 1800 s makes the
+    // two rules decide identically on every pair of fixture timestamps.
+    val evs = graft.Tables.events(spark, d)
+      .select($"user_id", unix_timestamp($"ts").as("es"), $"value")
+      .as[(Long, Long, Double)].collect()
+      .map { case (u, es, v) => Streams.SessionEvent(u, es * 1000000L, v) }
+      .sortBy(e => (e.tsMicros, e.key))
+    val cut = evs(evs.length / 2).tsMicros
+    val (batch1, batch2) = evs.partition(_.tsMicros < cut)
+    // sentinel per key, far past the last event: closes every key's
+    // final session (Append mode only emits CLOSED sessions); the
+    // sentinel's own one-event session stays open and never appears.
+    val sentinels = evs.map(_.key).distinct
+      .map(k => Streams.SessionEvent(k, evs.last.tsMicros + 10L * 1800000000L, 0.0))
+
+    val in = MemoryStream[Streams.SessionEvent]
+    def start() = Streams.sessionize(in.toDS(), gapMicros = 1800L * 1000000 - 1)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+
+    val q1 = start()
+    try {
+      in.addData(batch1.toIndexedSeq)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start() // fresh query, same checkpoint: session state reloads
+    try {
+      in.addData(batch2.toIndexedSeq)
+      q2.processAllAvailable()
+      in.addData(sentinels.toIndexedSeq)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .select($"key", ($"startMicros" / 1000000L).cast("long").as("start_s"),
+        ($"endMicros" / 1000000L).cast("long").as("end_s"), $"n", $"sum")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map { case (k, s0, e0, n, sm) => (k, s0, e0) -> ((n, sm)) }.toMap
+    val batch = graft.SparkEntry.queries("q82_sessionize")(spark, d)
+      .select($"user_id", $"start_s", $"end_s", $"n_events", $"sum_value")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map { case (k, s0, e0, n, sm) => (k, s0, e0) -> ((n, sm)) }.toMap
+
+    assert(streamed.keySet == batch.keySet,
+      s"session boundaries diverge: only-streamed=${streamed.keySet -- batch.keySet} " +
+        s"only-batch=${batch.keySet -- streamed.keySet}")
+    streamed.foreach { case (sess, (n, sm)) =>
+      val (bn, bsm) = batch(sess)
+      assert(n == bn, s"$sess: n $n != $bn")
+      // streaming accumulates a running double, batch sums exact decimals:
+      // equality up to double-association noise
+      assert(math.abs(sm - bsm) < 1e-6, s"$sess: sum $sm != $bsm")
+    }
+  }
+
   test("incremental file source processes each file exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("stream-in")
     val ckpt = java.nio.file.Files.createTempDirectory("stream-ckpt")
