@@ -38,6 +38,51 @@ class ReportsSpec extends SparkSpec {
     assert(Files.readString(dir.resolve("sub/delivery_note.txt")) == note)
   }
 
+  test("qcMapHtml renders one monthly SVG with color-coded flag markers and popups") {
+    val samples = Seq(
+      ("S1", 57.5, 11.8, "2023-01-10", null.asInstanceOf[String]),
+      ("S2", 57.6, 11.9, "2023-01-20", "Bubbles"),
+      ("S3", 58.0, 11.0, "2023-03-05", null.asInstanceOf[String]))
+      .toDF("sample", "lat", "lon", "date", "flag")
+    val html = Maps.qcMapHtml(samples, "sample", "lat", "lon", "date", "flag")
+    // months with samples render in order; February (no samples) is skipped
+    val jan = html.indexOf("<h3>January 2023</h3>")
+    val mar = html.indexOf("<h3>March 2023</h3>")
+    assert(jan >= 0 && mar > jan && !html.contains("February"))
+    // blue = unflagged with bare popup, red = flagged with QFlag popup
+    assert(html.contains("fill=\"#2a81cb\"><title>Sample: S1</title>"))
+    assert(html.contains("fill=\"#cb2b3e\"><title>Sample: S2 QFlag: Bubbles</title>"))
+    assert(html.split("<svg ").length == 3) // exactly two maps
+    // golden stability: same input → byte-identical output
+    assert(html == Maps.qcMapHtml(samples, "sample", "lat", "lon", "date", "flag"))
+  }
+
+  test("frequencyMapSvg bins distributed, ramps plasma, draws basins beneath") {
+    // 3 points in one 0.3x0.25 cell, 1 in another: two rects, max freq 3
+    val pts = Seq((57.51, 11.81), (57.52, 11.82), (57.53, 11.83), (60.0, 15.0))
+      .toDF("lat", "lon")
+    val basin = ShapefileSource.Ring(1, 0,
+      Seq((11.0, 57.0), (16.0, 57.0), (16.0, 61.0), (11.0, 61.0), (11.0, 57.0)))
+    val svg = Maps.frequencyMapSvg(pts, "lat", "lon", basins = Seq(basin))
+    val rects = "<rect ".r.findAllIn(svg).length
+    assert(rects == 2, s"expected 2 occupied cells, got $rects\n$svg")
+    assert(svg.contains("<title>3</title>") && svg.contains("<title>1</title>"))
+    // hottest cell carries the plasma top anchor, coolest the bottom
+    assert(svg.contains("fill=\"#f0f921\"") && svg.contains("fill=\"#0d0887\""))
+    // land polygon renders before (beneath) the cells, reference land color
+    val poly = svg.indexOf("polygon points=")
+    assert(poly >= 0 && poly < svg.indexOf("<rect ") &&
+      svg.contains("fill=\"#eeeac4\""))
+    assert(svg == Maps.frequencyMapSvg(pts, "lat", "lon", basins = Seq(basin)))
+  }
+
+  test("plasma ramp endpoints and midpoint are the anchor colors") {
+    assert(Maps.plasma(0.0) == "#0d0887")
+    assert(Maps.plasma(0.5) == "#cc4778")
+    assert(Maps.plasma(1.0) == "#f0f921")
+    assert(Maps.plasma(-1.0) == "#0d0887" && Maps.plasma(2.0) == "#f0f921")
+  }
+
   test("worms request urls batch deterministically and encode names") {
     val urls = WormsSnapshot.requestUrls(
       Seq("Mesodinium rubrum", "Dinophysis acuta", "Mesodinium rubrum"), batchSize = 1)
