@@ -712,8 +712,14 @@ object CorpusBattery {
     * small one to N whole copies + a deterministic partial copy. All
     * integer arithmetic → bit-identical across engines and runs; the
     * remainder×65536 product stays inside BIGINT because the remainder
-    * is < tok_s. Plan: two tiny broadcast dims onto the corpus scan, one
-    * rollup — the corpus never shuffles before it.
+    * is < tok_s. Plan: ONE corpus aggregation builds the source-grain
+    * dim; the global totals come from an empty-partition window over
+    * that dim (single task over n_sources rows — deliberate and flat in
+    * corpus size), so the dim subtree is not duplicated into a separate
+    * totals branch (a cross join against a dim-derived aggregate made
+    * Spark execute the corpus scan + dim agg twice per action); the
+    * rate dim broadcasts back onto the corpus scan and the corpus never
+    * shuffles before the final rollup.
     */
   private val q85 = GraftQuery(
     "q85_mixture_resample",
@@ -723,9 +729,10 @@ object CorpusBattery {
         .select($"doc_id", $"source",
           size(Hashing.words($"text")).cast("long").as("tokens"))
       val dim = docs.groupBy($"source").agg(sum($"tokens").as("tok_s"))
-      val tot = dim.agg(sum($"tok_s").as("total_tok"),
-        count(lit(1)).as("n_sources"))
-      val rates = dim.crossJoin(broadcast(tot))
+      val wAll = Window.partitionBy()
+      val rates = dim
+        .withColumn("total_tok", sum($"tok_s").over(wAll))
+        .withColumn("n_sources", count(lit(1)).over(wAll))
         .withColumn("target", expr("total_tok div n_sources"))
         .withColumn("epochs", expr("target div tok_s"))
         .withColumn("bound",

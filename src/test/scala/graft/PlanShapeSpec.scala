@@ -187,6 +187,64 @@ class PlanShapeSpec extends SparkSpec {
     assert(!unsalted.contains("__salt"))
   }
 
+  test("q82: one user-keyed exchange carries both the session window and the rollup") {
+    val p = plan("q82_sessionize")
+    // hashpartitioning(user_id) satisfies the (user_id, session_id)
+    // clustering of the rollup, so EnsureRequirements must not add a
+    // second exchange — at scale the event table shuffles exactly once
+    assert(shuffles(p) == 1,
+      p.linesIterator.filter(_.contains("partitioning")).mkString("\n"))
+    assert(p.contains("windowspecdefinition(user_id"),
+      "session window must partition by user")
+    assert(!p.contains("Join"))
+  }
+
+  test("q85: corpus never shuffles pre-rollup — rate dims broadcast back") {
+    val p = plan("q85_mixture_resample")
+    // both hash exchanges carry per-source partial aggregates, never doc
+    // rows: source-budget dim agg + final rollup, map-side combine on
+    // each; the global totals ride an empty-partition window over the
+    // tiny dim instead of a duplicated corpus-agg branch
+    assert(shuffles(p) <= 2,
+      p.linesIterator.filter(_.contains("partitioning")).mkString("\n"))
+    assert(p.contains("partial_sum"), "map-side combine into both aggs")
+    assert(p.contains("BroadcastHashJoin"), "rates dim must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q86: funnel is staged min-aggs — no event sort, no window") {
+    val p = plan("q86_funnel")
+    assert(!p.contains("windowspecdefinition"),
+      "funnel stages must aggregate, not sort events through a window")
+    assert(p.contains("partial_min"), "stage minima combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q88: PSD flags — metrics dim broadcast, histogram + sample aggs only") {
+    val p = plan("q88_psd_flags_full")
+    assert(p.contains("BroadcastHashJoin"), "instrument dim must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(shuffles(p) <= 2, // (sample, bucket) histogram + sample rollup
+      p.linesIterator.filter(_.contains("partitioning")).mkString("\n"))
+    assert(p.contains("partial_count"), "histogram combines map-side")
+  }
+
+  test("q89: trained IVF — queries broadcast, corpus maps cells in place, O(k) ranking") {
+    val p = plan("q89_ivf_ann_trained")
+    assert(p.contains("BroadcastHashJoin"), "probe-exploded queries must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    // ranking is the bounded aggregate, not a per-query window sort
+    assert(!p.contains("WindowGroupLimit") && !p.contains("windowspecdefinition"))
+  }
+
+  test("q90: EcoTaxa rollup — class dim broadcast, projection map-side") {
+    val p = plan("q90_ecotaxa_export")
+    assert(p.contains("BroadcastHashJoin"), "part-class dim must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count"), "category rollup combines map-side")
+  }
+
   test("q11: global top-k plans as TakeOrderedAndProject, no global sort") {
     assert(plan("q11_global_topk").contains("TakeOrderedAndProject"))
   }
