@@ -56,11 +56,6 @@ object SharkExport {
     val flagAgg = flags.groupBy("sample")
       .agg(concat_ws(", ", sort_array(collect_list("flag"))).as("flag"))
 
-    // J1 star enrichment: sample dim + flags, both broadcast
-    val flagged = rolled
-      .join(broadcast(sampleDim), Seq("sample"), "left")
-      .join(broadcast(flagAgg), Seq("sample"), "left")
-
     // P4: drop samples whose flag contains any removeFlagged term
     val lowered = lower(coalesce(col("flag"), lit("")))
     val keep = removeFlagged
@@ -76,18 +71,30 @@ object SharkExport {
     // key, and lag/lead across arbitrary tie order would make WHICH class
     // rows survive nondeterministic; a whole sample is adjacent or it
     // is not.
+    // One sample-grain QC frame carries BOTH the flag string and the
+    // adjacency verdict. Spark shares no subplans, so the earlier shape —
+    // flag join on `rolled`, adjacency dim re-derived from `rolled` and
+    // `flagAgg` — executed the ROI scan, the decimal rollup shuffle, and
+    // the flag aggregation twice per action. The sample universe comes
+    // from roi directly (value-identical: rolled groups roi by
+    // (sample, class)), which prunes this branch to a one-column scan +
+    // distinct; flagAgg and the rollup now appear exactly once in the DAG.
     val w = Window.partitionBy(adjacencyPartition).orderBy(col("sample"))
-    val adjDim = rolled.select(col("sample")).distinct()
+    val sampleQc = roi.select(col("sample")).distinct()
       .join(broadcast(flagAgg), Seq("sample"), "left")
       .withColumn("__bub",
         lower(coalesce(col("flag"), lit(""))).contains("bubbles"))
       .withColumn("__drop_adj",
         coalesce(lag(col("__bub"), 1).over(w), lit(false)) ||
           coalesce(lead(col("__bub"), 1).over(w), lit(false)))
-      .select(col("sample"), col("__drop_adj"))
+      .select(col("sample"), col("flag"), col("__drop_adj"))
 
-    flagged
-      .join(broadcast(adjDim), Seq("sample"))
+    // J1 star enrichment: sample dim + the QC frame, both broadcast
+    // (inner join on the QC frame is lossless: its universe is exactly
+    // rolled's sample set)
+    rolled
+      .join(broadcast(sampleDim), Seq("sample"), "left")
+      .join(broadcast(sampleQc), Seq("sample"))
       .filter(keep && !col("__drop_adj"))
       .select(
         year(try_to_timestamp(col("sample"))).as("MYEAR"),

@@ -102,6 +102,15 @@ object WhoiCuration {
     *
     * @param adcRois full ROI inventory (sample, roi_number) from the ADC
     *                files ([[graft.sources.RoiSource]] grain)
+    *
+    * The inventory side drives the join: a png annotation whose
+    * (sample, roi_number) is missing from the ADC inventory cannot be
+    * represented in a classlist (the reference sizes each sample's
+    * classlist by its ADC ROI count) and does NOT appear in the output.
+    * That drop must be visible, not silent — run [[annotationOrphans]]
+    * over the same inputs and alert/ledger its rows; an incomplete ADC
+    * inventory otherwise reads as "fewer labels", the failure mode
+    * ManualMerge's surface-don't-drop discipline exists to prevent.
     */
   def annotateBatch(parsed: DataFrame, class2use: DataFrame,
       adcRois: DataFrame): DataFrame = {
@@ -118,4 +127,19 @@ object WhoiCuration {
         coalesce(col("class_idx"), lit(1)).as("manual_idx"),
         coalesce(col("class_name"), lit("unclassified")).as("class_name"))
   }
+
+  /** The labeled pngs [[annotateBatch]] cannot place: annotations whose
+    * (sample, roi_number) is absent from the ADC inventory — evidence of
+    * an incomplete or stale inventory. Empty on healthy inputs; callers
+    * surface any rows (ledger/alert) instead of letting them vanish.
+    */
+  def annotationOrphans(parsed: DataFrame, class2use: DataFrame,
+      adcRois: DataFrame): DataFrame =
+    parsed
+      .join(broadcast(class2use),
+        parsed("class_folder") === class2use("class_name"))
+      .select(col("sample"), col("roi").as("roi_number"),
+        col("class_name"), col("path"))
+      .join(adcRois.select(col("sample"), col("roi_number")),
+        Seq("sample", "roi_number"), "left_anti")
 }

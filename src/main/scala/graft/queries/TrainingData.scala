@@ -578,9 +578,14 @@ object TrainingData {
     * the exploded word stream (`df.stat.countMinSketch`, seeded —
     * deterministic), probed for the exact top-20 words. Acceptance
     * booleans pin CMS guarantees the oracle can't compute but CAN trust:
-    * a CMS never underestimates, and with eps=1e-4 the overestimate is
-    * bounded by eps·N (both checked exactly Spark-side; DuckDB recomputes
-    * the exact counts and ranking — the q53 sketch-tier pattern).
+    * a CMS never underestimates (deterministic), and the overestimate
+    * stays under 5·eps·N — deliberately wider than the probabilistic
+    * 1-δ bound at eps·N, which a legal fixed-seed sketch can exceed on
+    * ~δ of probes (a false correctness failure on some other dataset).
+    * At 5× the per-row Markov bound powers to (1/5e)^depth ≈ 2e-6 per
+    * probe: an engine bug, not sketch luck, if it ever fires. (DuckDB
+    * recomputes the exact counts and ranking — the q53 sketch-tier
+    * pattern.)
     */
   private val q84 = GraftQuery(
     "q84_heavy_hitters",
@@ -596,7 +601,7 @@ object TrainingData {
       val rows = top.map { r =>
         val (w, n) = (r.getString(0), r.getLong(1))
         val est = cms.estimateCount(w)
-        (w, n, est >= n && est <= n + (1e-4 * total).toLong)
+        (w, n, est >= n && est <= n + (5 * 1e-4 * total).toLong)
       }.toSeq
       rows.toDF("w", "n", "cms_ok").orderBy($"n".desc, $"w".asc)
     },

@@ -65,5 +65,16 @@ class WhoiCurationSpec extends SparkSpec {
       ("IFCB1_2014_188_222013", 43) -> (3, "diatom"),
       ("IFCB1_2014_188_222013", 44) -> (1, "unclassified"),
       ("IFCB5_2016_060_010203", 7) -> (2, "ciliate")))
+    // the IFCB1234 annotation has NO inventory row: absent above by
+    // classlist-shape necessity, but it must surface as an orphan, not
+    // vanish — an incomplete ADC inventory otherwise reads as "fewer
+    // labels"
+    val orphans = WhoiCuration.annotationOrphans(parsed, c2u, adc)
+      .collect().map(r => (r.getAs[String]("sample"), r.getAs[Int]("roi_number")))
+    assert(orphans.toSeq == Seq(("IFCB1234_2015_001_000000", 123456)))
+    // healthy inventory: no orphans
+    val full = adc.unionByName(
+      Seq(("IFCB1234_2015_001_000000", 123456)).toDF("sample", "roi_number"))
+    assert(WhoiCuration.annotationOrphans(parsed, c2u, full).isEmpty)
   }
 }

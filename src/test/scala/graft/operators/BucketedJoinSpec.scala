@@ -28,6 +28,10 @@ class BucketedJoinSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS ta")
       spark.sql("DROP TABLE IF EXISTS tb")
+      // DROP TABLE keeps external-path files: remove the temp warehouse
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(wh)).iterator().asScala.toSeq
+        .reverse.foreach(Files.deleteIfExists(_))
     }
   }
 }
