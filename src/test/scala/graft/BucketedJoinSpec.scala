@@ -17,10 +17,11 @@ class BucketedJoinSpec extends SparkSpec {
   test("bucketed tables join with zero exchanges; unbucketed pay two") {
     // explicit per-table paths: warehouse.dir is a static conf, and the
     // data should land in a temp dir, not the repo
-    val wh = Files.createTempDirectory("bucket_wh").toString
-    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val wh = Files.createTempDirectory("bucket_wh")
+    val d = testDataDir("sf0.001")
+    val li = Tables.lineitem(spark, d)
       .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
-    val or = Tables.orders(spark, "/root/testdata/sf0.001")
+    val or = Tables.orders(spark, d)
       .select($"o_orderkey", $"o_totalprice")
 
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
@@ -66,6 +67,11 @@ class BucketedJoinSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS li_b")
       spark.sql("DROP TABLE IF EXISTS or_b")
+      // DROP TABLE on an external (path-backed) table keeps the files —
+      // remove the temp warehouse itself
+      import scala.jdk.CollectionConverters._
+      Files.walk(wh).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
     }
   }
 }

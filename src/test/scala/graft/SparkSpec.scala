@@ -8,6 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
+  /** Driver-generated parquet fixture dir (TESTDATA.md), overridable for
+    * machines with a different layout.
+    */
+  def testDataDir(sf: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata") + s"/$sf"
+
   override def afterAll(): Unit = () // session shared across suites
 }
 
