@@ -37,6 +37,31 @@ object Corpus {
   def bucket16Sql(idExpr: String, salt: String): String =
     s"substr(${saltedMd5Sql(idExpr, salt)}, 1, 4)"
 
+  /** Deterministic global-shuffle order key: the full [[saltedMd5]] hex
+    * string. Sorting by it (ties → id) is a reproducible random
+    * permutation of the corpus — the "shuffle the training data" step —
+    * that is a pure function of (id, salt): stable across runs,
+    * partitionings, and engines, and re-salting re-shuffles everything
+    * at once. Production path at 100 TB: `repartition(n, shardOf(key))
+    * .sortWithinPartitions(key)` — one shuffle, per-shard sorts, no
+    * global sort.
+    */
+  def shuffleKey(id: Column, salt: String): Column = saltedMd5(id, salt)
+
+  def shuffleKeySql(idExpr: String, salt: String): String =
+    saltedMd5Sql(idExpr, salt)
+
+  /** Shard id from a [[shuffleKey]]: the first `hexChars` hex chars, so
+    * 16^hexChars uniform shards (1 → 16 for tests, 3-4 → 4k-64k for a
+    * real corpus). A string on purpose: both engines order and group hex
+    * strings identically, with no hex→int conversion to disagree on.
+    */
+  def shardOf(key: Column, hexChars: Int): Column =
+    substring(key, 1, hexChars)
+
+  def shardOfSql(keyExpr: String, hexChars: Int): String =
+    s"substr($keyExpr, 1, $hexChars)"
+
   /** Bucket-below-bound membership for a PER-ROW bound column, with the
     * 65536 boundary handled: the bound formats as the 5-char "10000",
     * which compares LESS than any 4-char hex lexicographically — the

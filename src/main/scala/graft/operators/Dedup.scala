@@ -302,4 +302,33 @@ object Dedup {
           .as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * k-means clustering + intra-cluster cosine pruning. Every embedding
+    * is assigned to its nearest centroid ([[Similarity.cellAssign]] —
+    * map-side, centroids are plan literals), then a row is DROPPED iff
+    * some smaller-id member of the same cell is `tau`-cosine-close (the
+    * deterministic keep-lowest-id representative policy; the paper keeps
+    * the member farthest from the centroid — any fixed policy works, and
+    * id-min is partitioning- and engine-stable).
+    *
+    * Scale shape: the pair space is cell-bucketed, never all-pairs —
+    * k grows with the corpus so cell populations stay bounded (the
+    * paper's own recipe; SemDeDup's published runs cluster 100M+ docs
+    * into 50k clusters). The one non-distributed step is centroid
+    * training on a bounded seeded sample
+    * ([[Similarity.trainKmeansCentroids]], flat in corpus size).
+    * Returns one row per input: (id, cell, dropped).
+    */
+  def semDedup(
+      embs: DataFrame, id: String, vec: String,
+      centroids: Array[Array[Double]], tau: Double): DataFrame = {
+    val cells = embs.withColumn(
+      "__cell", Similarity.cellAssign(col(vec), centroids))
+    val dropped = embeddingNearDupPairs(cells, id, vec, tau, Some("__cell"))
+      .select(col("id_b").as("__did")).distinct()
+    cells.join(dropped, col(id) === col("__did"), "left")
+      .select(col(id), col("__cell").as("cell"),
+        col("__did").isNotNull.as("dropped"))
+  }
 }

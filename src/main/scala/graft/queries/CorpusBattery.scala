@@ -834,7 +834,54 @@ object CorpusBattery {
       LEFT JOIN hits h USING (doc_id)
       ORDER BY t.doc_id"""))
 
+  /** Deterministic global shuffle + sharding ([[Corpus.shuffleKey]] /
+    * [[Corpus.shardOf]]): the "randomize the training order" step as a
+    * pure function of (doc_id, salt) — re-running over a grown corpus
+    * reproduces every old document's shard and relative position, and
+    * changing the salt is a full re-shuffle. The production shape at
+    * 100 TB is `repartition(shard).sortWithinPartitions(key)` on write —
+    * ONE hash exchange plus per-shard sorts, never a global sort; this
+    * query runs the identical exchange+sort (a shard-partitioned window)
+    * and surfaces each shard's population and first three documents in
+    * shuffle order, which pins the permutation itself — a off-by-one in
+    * either engine's ordering breaks the hash.
+    */
+  private val q92 = {
+    val SALT = "graft-shuffle-r7"
+    val SHARD_CHARS = 1 // 16 shards at test SF; 3-4 hex chars at corpus scale
+    GraftQuery(
+      "q92_corpus_shuffle",
+      (s, d) => {
+        import s.implicits._
+        val key = Corpus.shuffleKey($"doc_id", SALT)
+        val w = Window.partitionBy($"shard").orderBy($"okey", $"doc_id")
+        documents(s, d)
+          .select($"doc_id", Corpus.shardOf(key, SHARD_CHARS).as("shard"),
+            key.as("okey"))
+          .withColumn("pos", row_number().over(w))
+          .withColumn("n_shard",
+            count(lit(1)).over(Window.partitionBy($"shard")))
+          .filter($"pos" <= 3)
+          .select($"shard", $"pos", $"doc_id", $"okey", $"n_shard")
+          .orderBy($"shard", $"pos")
+      },
+      Some(s"""
+      WITH keyed AS (
+        SELECT doc_id,
+               ${Corpus.shardOfSql(Corpus.shuffleKeySql("doc_id", SALT), SHARD_CHARS)} AS shard,
+               ${Corpus.shuffleKeySql("doc_id", SALT)} AS okey
+        FROM documents),
+      ranked AS (
+        SELECT shard, doc_id, okey,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS INTEGER) AS pos,
+               COUNT(*) OVER (PARTITION BY shard) AS n_shard
+        FROM keyed)
+      SELECT shard, pos, doc_id, okey, n_shard
+      FROM ranked WHERE pos <= 3
+      ORDER BY shard, pos"""))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q59, q60, q61, q62, q63, q65, q66, q67, q68, q69, q70, q71, q74, q78,
-      q85, q87)
+      q85, q87, q92)
 }

@@ -406,6 +406,17 @@ object Domain {
     * null — if the mapping ever mis-wires it, the count goes nonzero and
     * the hash breaks). The K2 per-class TSV layout itself stays pinned by
     * EcoTaxaExportSpec (format codes, golden header).
+    *
+    * Plan-audit note (round 7): this is the bench's most expensive query
+    * (~5 s at sf0.1) and that cost is semantic, not structural — measured
+    * breakdown: numeric-only agg 0.9 s; +string mins ≈ +1.5 s (string agg
+    * buffers are UnsafeRow-immutable, so Spark plans SortAggregate);
+    * +countDistinct over 600k ROI-grain string sample ids ≈ +1.5 s (the
+    * two-level distinct rewrite). Forcing ObjectHashAggregate (no sorts)
+    * was measured at only −0.6 s, so the sort is not the bottleneck and
+    * the plan keeps the structure that matters at scale: pruned 5-column
+    * scan, both dims broadcast, partial aggregation before the single
+    * category-keyed exchange.
     */
   private val q90 = GraftQuery(
     "q90_ecotaxa_export",

@@ -773,7 +773,61 @@ object TrainingData {
       })
   }
 
+  /** SemDeDup ([[Dedup.semDedup]], Abbas et al. 2023): the semantic
+    * counterpart of q45's block-keyed near-dup — k-means cells play the
+    * blocking role, so documents that are *semantically* close get
+    * compared even when no exact feature collides. Deterministic
+    * end-to-end: seeded centroid training (q89's discipline, re-trained
+    * at oracle-render time and rendered as float-cast literals), id-min
+    * keep policy, fold-ordered cosine — so DuckDB recomputes identical
+    * cells, identical pairs, and an identical keep/drop decision per
+    * row. Output is the per-cell attrition ledger a corpus-prep run
+    * would log: population, drops, first kept/dropped ids.
+    */
+  private val q91 = {
+    val K = 8
+    val TAU = 0.4 // fires at every test SF (27/11/281 intra-cell pairs)
+    def cents(s: SparkSession, d: String): Array[Array[Double]] =
+      Similarity.trainKmeansCentroids(embeddings(s, d), "embedding", K)
+    def rollup(sd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import sd.sparkSession.implicits._
+      sd.groupBy($"cell".cast("int").as("cell"))
+        .agg(count(lit(1)).as("n"),
+          // count-of-when, not sum: DuckDB SUM(int) widens to HUGEINT
+          count(when($"dropped", lit(1))).as("n_dropped"),
+          min(when(!$"dropped", $"vec_id")).as("first_kept"),
+          min(when($"dropped", $"vec_id")).as("first_dropped"))
+        .orderBy($"cell")
+    }
+    GraftQuery(
+      "q91_semdedup",
+      (s, d) => rollup(
+        Dedup.semDedup(embeddings(s, d), "vec_id", "embedding", cents(s, d), TAU)),
+      oracleDyn = Some { (s, d) =>
+        val cs = cents(s, d)
+        s"""
+      WITH c AS (
+        SELECT vec_id, embedding,
+               CAST(${Similarity.cellAssignSql("embedding", cs)} AS INTEGER) AS cell
+        FROM embeddings),
+      d AS (
+        SELECT DISTINCT y.vec_id AS did
+        FROM c x JOIN c y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        WHERE ${Similarity.cosineSql("x.embedding", "y.embedding")} >= $TAU),
+      f AS (
+        SELECT c.vec_id, c.cell, d.did IS NOT NULL AS dropped
+        FROM c LEFT JOIN d ON c.vec_id = d.did)
+      SELECT cell, COUNT(*) AS n,
+             COUNT(CASE WHEN dropped THEN 1 END) AS n_dropped,
+             MIN(CASE WHEN NOT dropped THEN vec_id END) AS first_kept,
+             MIN(CASE WHEN dropped THEN vec_id END) AS first_dropped
+      FROM f
+      GROUP BY 1
+      ORDER BY 1"""
+      })
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q72,
-    q75, q79, q80, q81, q84, q89)
+    q75, q79, q80, q81, q84, q89, q91)
 }

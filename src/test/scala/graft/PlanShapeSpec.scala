@@ -245,6 +245,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), "category rollup combines map-side")
   }
 
+  test("q91: SemDeDup pair space is cell-bucketed — equi join, no cross product") {
+    val p = plan("q91_semdedup")
+    // the intra-cell pair join and the dropped-id anti-lookup must both
+    // be equi joins; an all-pairs comparison would be a CartesianProduct
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Join"), "cell-keyed pair join present")
+    assert(p.contains("partial_count"), "cell ledger combines map-side")
+  }
+
+  test("q92: shuffle order is ONE shard exchange + per-shard sort, no global sort") {
+    val p = plan("q92_corpus_shuffle")
+    assert(shuffles(p) == 1, // hashpartitioning(shard) for the window;
+      // the display orderBy is rangepartitioning, excluded by design
+      p.linesIterator.filter(_.contains("partitioning")).mkString("\n"))
+    assert(p.contains("windowspecdefinition(shard"),
+      "position must be computed within shard only")
+    assert(!p.contains("Join"))
+  }
+
   test("q11: global top-k plans as TakeOrderedAndProject, no global sort") {
     assert(plan("q11_global_topk").contains("TakeOrderedAndProject"))
   }

@@ -112,6 +112,30 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(splits("test") / n - 0.1) < 0.01, splits)
   }
 
+  test("shuffleKey: permutation is partitioning-independent and salt-sensitive") {
+    val ids = spark.range(2000).toDF("id")
+    def order(df: org.apache.spark.sql.DataFrame, salt: String): Seq[Long] =
+      df.select($"id", Corpus.shuffleKey($"id", salt).as("k"))
+        .orderBy($"k", $"id").select($"id").as[Long].collect().toSeq
+    val a = order(ids, "s1")
+    val b = order(ids.repartition(13), "s1") // same permutation, any layout
+    assert(a == b)
+    val c = order(ids, "s2")
+    assert(a != c, "different salt must reshuffle")
+    assert(a.sorted == c.sorted) // same population
+    // a real shuffle, not near-identity: few ids keep their position
+    val fixed = a.zipWithIndex.count { case (id, i) => id == i.toLong }
+    assert(fixed < 10, s"$fixed fixed points in 2000")
+  }
+
+  test("shardOf: 16 one-hex-char shards, uniform within 3x of each other") {
+    val counts = spark.range(20000)
+      .select(Corpus.shardOf(Corpus.shuffleKey($"id", "sh"), 1).as("s"))
+      .groupBy($"s").count().as[(String, Long)].collect().toMap
+    assert(counts.size == 16, counts.keys.toSeq.sorted)
+    assert(counts.values.max < 3 * counts.values.min, counts)
+  }
+
   test("hashSplit boundary fractions: trainFrac+valFrac == 1.0 leaves no test rows") {
     val ids = (0L until 2000L).toDF("id")
     // trainFrac + valFrac == 1.0: the val bound is 65536, which %04x

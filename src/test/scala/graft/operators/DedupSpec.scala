@@ -69,6 +69,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("semDedup: cell-local keep-lowest-id policy; cross-cell twins both survive") {
+    // two hand-placed centroids; vectors 1,2 near-dup in cell 0, vector 5
+    // is an exact twin of 1 but lands in cell 1 — cells block the
+    // comparison, so both twins are kept (the recall trade the operator
+    // documents), while the in-cell near-dup drops its larger id.
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),   // cell 0, ~0.994 cosine with 1 → dropped
+      (3L, Array(0.6f, 0.4f)),   // cell 0, cos ~0.83 with 1 → kept at tau=0.9
+      (4L, Array(0.0f, 1.0f)),   // cell 1, alone
+      (5L, Array(0.1f, 0.9f))    // cell 1, near-dup of 4 → dropped
+    ).toDF("vec_id", "embedding")
+    val r = Dedup.semDedup(e, "vec_id", "embedding", cents, tau = 0.9)
+      .as[(Long, Int, Boolean)].collect()
+      .map { case (id, c, drop) => id -> ((c, drop)) }.toMap
+    assert(r(1L) == ((0, false)) && r(2L) == ((0, true)))
+    assert(r(3L) == ((0, false)))
+    assert(r(4L) == ((1, false)) && r(5L) == ((1, true)))
+  }
+
   test("pair operators leave no cache entries behind (explicit lifecycle)") {
     spark.catalog.clearCache()
     Dedup.minhashLshPairs(docs, "doc_id", "text").count()
