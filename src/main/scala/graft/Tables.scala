@@ -24,17 +24,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read it as raw
-    * nanoseconds (legacy conf) and truncate to microseconds with integer
-    * division — exactly what DuckDB does when it reads TIMESTAMP_NS into
-    * its µs TIMESTAMP, so both engines see identical values.
+  /** `events.ts` varies by fixture generation: TIMESTAMP(NANOS) (which
+    * Spark 4 refuses to read as a timestamp — [PARQUET_TYPE_ILLEGAL] —
+    * so the legacy conf reads it as raw nanos and integer division
+    * truncates to µs, exactly DuckDB's TIMESTAMP_NS→µs behavior) or
+    * plain TIMESTAMP(MICROS) with isAdjustedToUTC=false (which Spark 4
+    * infers as TIMESTAMP_NTZ). Both normalize to a session-UTC
+    * TimestampType so every downstream plan and oracle sees identical
+    * values regardless of which layout the directory holds.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
