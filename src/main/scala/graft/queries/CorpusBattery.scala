@@ -881,7 +881,76 @@ object CorpusBattery {
       ORDER BY shard, pos"""))
   }
 
+  /** Exact-substring span dedup (the fixed-window approximation of
+    * suffix-array substring dedup — Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): every SW-token
+    * sliding window is fingerprinted; a window whose fingerprint also
+    * occurs in ANOTHER document is a duplicated span. Per document:
+    * window count, duplicated-window count, earliest duplicated
+    * position, and the dup ratio a span-removal pass would cut.
+    *
+    * Scale shape: the window stream is O(total tokens) rows — the price
+    * of position-level dedup; everything downstream is hash-keyed. One
+    * fingerprint-keyed count shuffle builds the cross-doc span dim, one
+    * fingerprint-keyed 1:1 left join flags windows (the dim is distinct
+    * fps, so a boilerplate span hot in millions of docs multiplies rows
+    * by exactly 1 — no skew blow-up), one doc-keyed rollup. No driver
+    * state, no pair space; the fixed W trades "any span ≥ W merges" for
+    * a shuffle-only plan — the standard 100 TB shape.
+    *
+    * Docs shorter than SW words have no windows and drop out (their
+    * removal cut is zero by construction).
+    */
+  private val q93 = {
+    val SW = 8
+    GraftQuery(
+      "q93_substring_dedup",
+      (s, d) => {
+        import s.implicits._
+        val g = documents(s, d)
+          .select($"doc_id",
+            posexplode(Corpus.ngrams(Hashing.words($"text"), SW)).as(Seq("pos", "gram")))
+          .select($"doc_id", $"pos".cast("long").as("pos"),
+            Hashing.fingerprint($"gram").as("fp"))
+        val dupFp = g.groupBy($"fp")
+          .agg(countDistinct($"doc_id").as("n_docs"))
+          .filter($"n_docs" >= 2L)
+          .select($"fp", lit(1).as("is_dup"))
+        g.join(dupFp, Seq("fp"), "left")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            count($"is_dup").as("n_dup"),
+            min(when($"is_dup".isNotNull, $"pos")).as("first_dup_pos"))
+          .withColumn("first_dup_pos", coalesce($"first_dup_pos", lit(-1L)))
+          .withColumn("dup_ratio",
+            round($"n_dup".cast("double") / $"n_windows", 6))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+      WITH w AS (
+        SELECT doc_id, ${Corpus.ngramsSql(W, SW)} AS grams FROM documents),
+      ge AS (
+        SELECT doc_id, unnest(range(0, len(grams))) AS pos,
+               unnest(grams) AS gram
+        FROM w),
+      gf AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               ${Hashing.fingerprintSql("gram")} AS fp
+        FROM ge),
+      dup AS (
+        SELECT fp, 1 AS is_dup FROM gf
+        GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2)
+      SELECT gf.doc_id, COUNT(*) AS n_windows,
+        CAST(COUNT(d.is_dup) AS BIGINT) AS n_dup,
+        COALESCE(MIN(CASE WHEN d.is_dup IS NOT NULL THEN gf.pos END), -1)
+          AS first_dup_pos,
+        ROUND(CAST(COUNT(d.is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+      FROM gf LEFT JOIN dup d USING (fp)
+      GROUP BY 1
+      ORDER BY 1"""))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q59, q60, q61, q62, q63, q65, q66, q67, q68, q69, q70, q71, q74, q78,
-      q85, q87, q92)
+      q85, q87, q92, q93)
 }
