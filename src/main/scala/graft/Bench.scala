@@ -50,10 +50,13 @@ import org.apache.spark.sql.SparkSession
   * driver's run, not JVM state (the GC hygiene below already handles
   * that) and not the plans. Uniform scaling across unrelated pinned
   * plans is the contention signature; per-query artifacts can't show it,
-  * so the harness now times a fixed single-threaded CPU loop before and
-  * after the suite and prints it as a `calib_ms` line: if calib inflates
-  * versus the ~reference value recorded in BASELINE.md, the run was
-  * contended and `vs_baseline_sec` deltas are not plan regressions.
+  * so the harness times a fixed single-threaded CPU loop before and
+  * after the suite and embeds both readings as `calib_before_ms`/
+  * `calib_after_ms` fields INSIDE the final contract JSON line (a
+  * standalone line was truncated out of the driver's ~2000-char tail in
+  * round 7, exactly when it was needed): if calib inflates versus the
+  * ~220 ms reference recorded in BASELINE.md, the run was contended and
+  * `vs_baseline_sec` deltas are not plan regressions.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -169,8 +172,19 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName
+    // calib after the suite, BEFORE building the contract line: the
+    // contention sentinel must ride INSIDE the final JSON line — the
+    // driver keeps only the last ~2000 chars, and a standalone calib_ms
+    // line printed earlier is exactly what got truncated out of
+    // BENCH_r07 when it was needed most (round-7 verdict finding #1).
+    // Decision rule (BASELINE.md): calib ≫ ~1.5× the ~220 ms exclusive
+    // reference ⇒ the run was contended; deltas indict the host.
+    val calibAfter = calibMs()
     def contract(q: String) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$q,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""calib_before_ms":${fmt(calibBefore)},""" +
+        s""""calib_after_ms":${fmt(calibAfter)},""" +
+        s""""queries":$q,"sf":"$sfName"}"""
     // if the full-name line ever outgrows the window, fall back to the
     // unique qNN prefixes (still cross-referencable) instead of letting
     // the driver's tail cut the front of the JSON off
@@ -183,8 +197,10 @@ object Bench {
     }
     println(s"""{"metric":"pass_times","queries":$raw}""")
     println(s"""{"metric":"spread_max_minus_min","queries":$spreads}""")
+    // kept for grep-compat with earlier rounds' logs; the same values
+    // now also ride inside the final contract line (see above)
     println(s"""{"metric":"calib_ms","before":${fmt(calibBefore)},""" +
-      s""""after":${fmt(calibMs())}}""")
+      s""""after":${fmt(calibAfter)}}""")
     // regression attribution: diff against the frozen per-query baseline
     // (BASELINE.md table, round-6 verdict task 6). Only at the baseline's
     // own SF — deltas against a different scale are noise, not signal.

@@ -35,13 +35,37 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // Flip the legacy nanos conf ONLY when this directory actually holds
+    // the nanos layout (Spark refuses its footer at schema inference) —
+    // setting it unconditionally would permanently change how any other
+    // nanos-timestamp parquet in the shared session is read (r7 ADVICE).
+    // It stays set in the nanos case: the scan consults it again at
+    // execution, so a set-read-restore dance would break the very read
+    // it enabled.
+    val raw =
+      try table(s, d, "events")
+      catch {
+        case e: Throwable if e.getMessage != null &&
+            e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          table(s, d, "events")
+      }
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampType => raw
-      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // NTZ holds wall-clock micros; the cast re-reads them in the
+        // session zone. Only UTC makes that equal the nanos layout (whose
+        // timestamp_micros path is zone-independent) and the DuckDB
+        // oracle — so fail loudly instead of shifting silently.
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          s"events() NTZ→Timestamp cast requires spark.sql.session.timeZone=UTC " +
+            s"(got '${s.conf.get("spark.sql.session.timeZone")}')")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected parquet-derived type $other " +
+          "(expected nanos-as-long, TIMESTAMP, or TIMESTAMP_NTZ)")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")

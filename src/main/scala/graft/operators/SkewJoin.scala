@@ -12,6 +12,20 @@ import org.apache.spark.sql.functions._
   * stable row expression; the small side is replicated `salts` times.
   * Join key becomes (key, salt) — the hot key's rows spread over `salts`
   * reducers. Replication factor is `salts` on the small side only.
+  *
+  * ==When AQE's built-in skew split subsumes this, and when it can't==
+  *
+  * Spark's `OptimizeSkewedJoin` (`spark.sql.adaptive.skewJoin.*`) splits
+  * oversized shuffle partitions at runtime with zero code changes — both
+  * regimes are pinned by listener in SkewJoinSpec:
+  *
+  * | scenario | AQE skew split | saltedJoin |
+  * |---|---|---|
+  * | bare sort-merge equi join, skewed fact | YES — prefer it: runtime-sized splits, no replication cost | works but redundant |
+  * | join output feeding a same-key agg/window | NO — splitting would violate the downstream required hash distribution, so the rule skips the join (unless `forceOptimizeSkewedJoin` pays an extra shuffle) | YES — the join spreads over (key, salt); the later agg re-shuffles but map-side partials keep its reducers flat |
+  * | broadcast-able dimension | moot — broadcast joins have no reducer | moot |
+  * | skewed aggregation, no join | out of scope — the rule only rewrites joins | same trick at groupBy level (salt, partial agg, re-agg) |
+  * | reproducible partition layout needed (bucketed sink, differential test) | splits depend on runtime sizes | deterministic: salt is a hash of a stable row expression |
   */
 object SkewJoin {
 

@@ -900,6 +900,15 @@ object CorpusBattery {
     *
     * Docs shorter than SW words have no windows and drop out (their
     * removal cut is zero by construction).
+    *
+    * Known approximation (r7 ADVICE): a window counts as duplicated only
+    * when its fingerprint spans >= 2 DISTINCT documents — a span
+    * repeated many times within one document is never flagged, which is
+    * narrower than Lee et al.'s suffix-array dedup (within-doc repeats
+    * are also removable there). Consumers wanting within-doc span dedup
+    * should key the dim on total occurrences (>= 2) instead; the
+    * cross-doc form is kept here because it is the common corpus-level
+    * contamination question and makes the 1:1-dim-join guarantee exact.
     */
   private val q93 = {
     val SW = 8
@@ -950,7 +959,89 @@ object CorpusBattery {
       ORDER BY 1"""))
   }
 
+  /** Maximal duplicated-span extraction — the rest of Lee et al. 2022's
+    * substring dedup on top of [[q93]]'s window fingerprints: a removal
+    * pass needs (start, end) token spans, not ratios. Duplicated windows
+    * whose SW-token extents touch or overlap (position gap <= SW-1)
+    * belong to one island — classic gaps-and-islands: flag a break when
+    * `pos - lag(pos) > SW-1`, running-sum the flags into an island id —
+    * and each island collapses to one maximal span covering tokens
+    * [min(pos), max(pos)+SW-1]. Emitted per doc in position order.
+    *
+    * Scale shape: identical to q93 through the dup-dim semi join
+    * (O(tokens) rows, two hash shuffles), then ONE doc-keyed
+    * sort (lag and the running sum ride the same window) and a
+    * (doc, island) rollup. Strictly shuffle-bounded; no pair space, no
+    * driver state. Same cross-doc-only approximation as q93 (see its
+    * note).
+    */
+  private val q94 = {
+    val SW = 8
+    GraftQuery(
+      "q94_dup_spans",
+      (s, d) => {
+        import s.implicits._
+        val g = documents(s, d)
+          .select($"doc_id",
+            posexplode(Corpus.ngrams(Hashing.words($"text"), SW)).as(Seq("pos", "gram")))
+          .select($"doc_id", $"pos".cast("long").as("pos"),
+            Hashing.fingerprint($"gram").as("fp"))
+        val dupFp = g.groupBy($"fp")
+          .agg(countDistinct($"doc_id").as("n_docs"))
+          .filter($"n_docs" >= 2L)
+          .select($"fp")
+        val w = Window.partitionBy($"doc_id").orderBy($"pos")
+        g.join(dupFp, Seq("fp"), "left_semi")
+          .withColumn("brk",
+            when(lag($"pos", 1).over(w).isNull ||
+              $"pos" - lag($"pos", 1).over(w) > (SW - 1), 1L).otherwise(0L))
+          .withColumn("island", sum($"brk").over(w))
+          .groupBy($"doc_id", $"island")
+          .agg(min($"pos").as("span_start"),
+            (max($"pos") + lit(SW - 1)).as("span_end"),
+            count(lit(1)).as("n_windows"))
+          .withColumn("span_len", $"span_end" - $"span_start" + 1)
+          .select($"doc_id", $"span_start", $"span_end", $"span_len",
+            $"n_windows")
+          .orderBy($"doc_id", $"span_start")
+      },
+      Some(s"""
+      WITH w AS (
+        SELECT doc_id, ${Corpus.ngramsSql(W, SW)} AS grams FROM documents),
+      ge AS (
+        SELECT doc_id, unnest(range(0, len(grams))) AS pos,
+               unnest(grams) AS gram
+        FROM w),
+      gf AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               ${Hashing.fingerprintSql("gram")} AS fp
+        FROM ge),
+      dup AS (
+        SELECT fp FROM gf GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+      dw AS (
+        SELECT gf.doc_id, gf.pos FROM gf JOIN dup USING (fp)),
+      fl AS (
+        SELECT doc_id, pos,
+          CASE WHEN lag(pos) OVER dw_w IS NULL
+                 OR pos - lag(pos) OVER dw_w > ${SW - 1}
+               THEN 1 ELSE 0 END AS brk
+        FROM dw
+        WINDOW dw_w AS (PARTITION BY doc_id ORDER BY pos)),
+      isl AS (
+        SELECT doc_id, pos,
+          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM fl)
+      SELECT doc_id,
+        MIN(pos) AS span_start,
+        MAX(pos) + ${SW - 1} AS span_end,
+        MAX(pos) + ${SW - 1} - MIN(pos) + 1 AS span_len,
+        COUNT(*) AS n_windows
+      FROM isl
+      GROUP BY doc_id, island
+      ORDER BY doc_id, span_start"""))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q59, q60, q61, q62, q63, q65, q66, q67, q68, q69, q70, q71, q74, q78,
-      q85, q87, q92, q93)
+      q85, q87, q92, q93, q94)
 }

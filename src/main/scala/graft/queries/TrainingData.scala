@@ -41,9 +41,9 @@ object TrainingData {
       HAVING COUNT(*) > 1
       ORDER BY 1"""))
 
-  private def shingleBaseSql = {
+  private def shingleBaseSql(src: String = "documents") = {
     val sh = Hashing.shinglesSql("w", 5)
-    s"""w AS (SELECT doc_id, $W AS w FROM documents),
+    s"""w AS (SELECT doc_id, $W AS w FROM $src),
       base AS (
         SELECT doc_id, sh, ${Hashing.tokHashesSql("sh")} AS th
         FROM (SELECT doc_id, $sh AS sh FROM w) t
@@ -70,7 +70,7 @@ object TrainingData {
           s"${Hashing.minhashSql("th", 2 * b + 1)} AS key FROM base"
       }.mkString("\n        UNION ALL ")
       s"""
-      WITH ${shingleBaseSql},
+      WITH ${shingleBaseSql()},
       banded AS (
         $bands),
       cand AS (
@@ -101,7 +101,7 @@ object TrainingData {
         s"SELECT doc_id, sig, $b AS band, (sig >> ${16 * b}) & 65535 AS key FROM sigs"
       }.mkString("\n        UNION ALL ")
       s"""
-      WITH ${shingleBaseSql},
+      WITH ${shingleBaseSql()},
       sigs AS (SELECT doc_id, ${Hashing.simhash64Sql("th")} AS sig FROM base),
       banded AS (
         $bands),
@@ -129,7 +129,7 @@ object TrainingData {
         .orderBy($"id_a", $"id_b")
     },
     Some(s"""
-      WITH ${shingleBaseSql}
+      WITH ${shingleBaseSql()}
       SELECT xa.doc_id AS id_a, xb.doc_id AS id_b,
              ROUND(${jaccardSql("xa.sh", "xb.sh")}, 4) AS jaccard
       FROM base xa JOIN base xb ON xa.doc_id < xb.doc_id
@@ -328,13 +328,18 @@ object TrainingData {
     * union-find at this SF) and q75 (forced distributed pointer-jumping)
     * hash against the IDENTICAL recursive-CTE component walk.
     */
-  private def clusterSizesSql: String = {
+  /** CTE chain over `src` (doc_id, text): shingle fingerprints → LSH
+    * bands → candidate pairs → Jaccard-verified edges → recursive
+    * component walk → `labels (id, cluster)`. Embed after a
+    * `WITH RECURSIVE`; shared by q52/q75 (src = documents) and the q95
+    * CorpusPrep ledger (src = its exact-dedup CTE).
+    */
+  private def lshLabelChainSql(src: String): String = {
     val bands = (0 until 4).map { b =>
       s"SELECT doc_id, $b AS band, ${Hashing.minhashSql("th", 2 * b)} * ${Hashing.MinP} + " +
         s"${Hashing.minhashSql("th", 2 * b + 1)} AS key FROM base"
     }.mkString("\n        UNION ALL ")
-    s"""
-      WITH RECURSIVE ${shingleBaseSql},
+    s"""${shingleBaseSql(src)},
       banded AS (
         $bands),
       cand AS (
@@ -352,12 +357,16 @@ object TrainingData {
         UNION
         SELECT r.id, e.id_b FROM reach r JOIN edges e ON r.peer = e.id_a),
       labels AS (
-        SELECT id, LEAST(id, MIN(peer)) AS cluster FROM reach GROUP BY id)
+        SELECT id, LEAST(id, MIN(peer)) AS cluster FROM reach GROUP BY id)"""
+  }
+
+  private def clusterSizesSql: String =
+    s"""
+      WITH RECURSIVE ${lshLabelChainSql("documents")}
       SELECT cluster, COUNT(*) AS n_members
       FROM labels
       GROUP BY 1
       ORDER BY 1"""
-  }
 
   private val q52 = GraftQuery(
     "q52_dedup_clusters",
@@ -827,7 +836,55 @@ object TrainingData {
       })
   }
 
+  /** CorpusPrep end-to-end acceptance oracle (round-7 verdict task 6):
+    * the attrition ledger [[graft.jobs.CorpusPrep.run]] returns — one
+    * row per stage with its surviving doc count (input → quality/lang
+    * gate → exact dedup → near-dup canonical) — recomputed stage by
+    * stage in DuckDB over the same table: annotation mirrors
+    * langIdSql/qualityScoreSql (per-row rational arithmetic,
+    * bit-identical across engines), the exact stage keeps min(doc_id)
+    * per 8-leading-word key, and the near-dup stage re-walks the LSH
+    * components over the exact-deduped set with the shared recursive
+    * chain and subtracts non-canonical members. The job's cache/
+    * unpersist choreography stays covered by CorpusPrepSpec; this row
+    * pins the COUNTS end-to-end.
+    */
+  private val q95 = GraftQuery(
+    "q95_corpus_prep_ledger",
+    (s, d) => {
+      val frames = graft.jobs.CorpusPrep.run(documents(s, d), "doc_id", "text")
+      val out = frames.stats.orderBy(col("stage"))
+      frames.release() // stats is a driver-side frame; kept is not consumed
+      out
+    },
+    Some(s"""
+      WITH RECURSIVE
+      ann AS (
+        SELECT doc_id, text, ${TextAnalysis.langIdSql(W)} AS lang,
+               ${TextAnalysis.qualityScoreSql(W)} AS quality
+        FROM documents),
+      gated AS (
+        SELECT doc_id, text FROM ann
+        WHERE quality >= 0.3 AND lang <> 'und'),
+      exact AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+                 MIN(doc_id) OVER (PARTITION BY array_to_string($W[1:8], ' ')) AS keeper
+          FROM gated) t
+        WHERE doc_id = keeper),
+      ${lshLabelChainSql("exact")},
+      counts(stage, docs) AS (
+                  SELECT 'input', COUNT(*) FROM documents
+        UNION ALL SELECT 'quality_lang_gate', COUNT(*) FROM gated
+        UNION ALL SELECT 'exact_dedup', COUNT(*) FROM exact
+        UNION ALL SELECT 'near_dup',
+          (SELECT COUNT(*) FROM exact) -
+          (SELECT COUNT(*) FROM labels WHERE id <> cluster))
+      SELECT stage, CAST(docs AS BIGINT) AS docs
+      FROM counts
+      ORDER BY stage"""))
+
   val all: Seq[GraftQuery] = Seq(
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q72,
-    q75, q79, q80, q81, q84, q89, q91)
+    q75, q79, q80, q81, q84, q89, q91, q95)
 }

@@ -264,6 +264,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"))
   }
 
+  test("q94: span merge is shuffle-bounded — semi join dim, doc-keyed window") {
+    val p = plan("q94_dup_spans")
+    // the dup-fingerprint dim joins 1:1 (semi) — never a pair space
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LeftSemi"), "window flagging must be a semi join")
+    // island detection (lag + running sum) rides ONE doc-keyed sort
+    assert(p.contains("windowspecdefinition(doc_id"),
+      "islands must be computed per doc, not globally")
+    assert(p.contains("partial_count"), "cross-doc dim combines map-side")
+  }
+
   test("q11: global top-k plans as TakeOrderedAndProject, no global sort") {
     assert(plan("q11_global_topk").contains("TakeOrderedAndProject"))
   }

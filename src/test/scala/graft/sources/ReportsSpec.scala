@@ -76,6 +76,65 @@ class ReportsSpec extends SparkSpec {
     assert(svg == Maps.frequencyMapSvg(pts, "lat", "lon", basins = Seq(basin)))
   }
 
+  test("distributionMapsHtml facets per cruise/taxon, masks land, global zlim") {
+    val obs = Seq(
+      ("2023_011", "Aphanizomenon", 57.2, 14.2, 10.0, "2023-06-15"),
+      ("2023_011", "Aphanizomenon", 57.8, 15.8, 2.0, "2023-06-16"),
+      ("2023_011", "Nodularia spumigena", 57.5, 15.0, 5.0, "2023-06-15"),
+      ("2024_013", "Aphanizomenon", 57.4, 14.5, 8.0, "2024-07-02"))
+      .toDF("cruise", "taxon", "lat", "lon", "conc", "date")
+    val grid = Maps.GridSpec(14.0, 16.0, 5, 57.0, 58.0, 5, len = 0.5)
+    def render(basins: Seq[ShapefileSource.Ring]) =
+      Maps.distributionMapsHtml(obs, "cruise", "taxon", "lat", "lon",
+        "conc", "date", grid, basins)
+    val html = render(Nil)
+    // one header per cruise in order, reference title form with month names
+    val c1 = html.indexOf("<h3>Biomass, cruise: 2023_011, month(s): June</h3>")
+    val c2 = html.indexOf("<h3>Biomass, cruise: 2024_013, month(s): July</h3>")
+    assert(c1 >= 0 && c2 > c1, html.take(400))
+    // 2 taxa on the first cruise + 1 on the second = 3 facet SVGs,
+    // each captioned with its taxon
+    assert(html.split("<svg ").length == 4)
+    assert(html.contains(">Aphanizomenon</text>") &&
+      html.contains(">Nodularia spumigena</text>"))
+    // global color limits: the ramp's two end anchors both appear
+    assert(html.contains("fill=\"#042482\"") && html.contains("fill=\"#8a0d1c\""))
+    // stations render as translucent white markers
+    assert(html.contains("fill=\"white\" fill-opacity=\"0.5\""))
+    // full sea grid: every facet renders all 25 cells
+    assert("<rect ".r.findAllIn(html).length == 3 * 25)
+    // a land ring over the NE corner masks cells AND draws on top of them
+    val ring = ShapefileSource.Ring(1, 0,
+      Seq((15.4, 57.6), (16.1, 57.6), (16.1, 58.1), (15.4, 58.1), (15.4, 57.6)))
+    val masked = render(Seq(ring))
+    assert("<rect ".r.findAllIn(masked).length < 3 * 25)
+    val svg1 = masked.substring(masked.indexOf("<svg "), masked.indexOf("</svg>"))
+    assert(svg1.indexOf("<polygon ") > svg1.lastIndexOf("<rect "),
+      "land must draw after (on top of) the raster")
+    // byte determinism
+    assert(html == render(Nil) && masked == render(Seq(ring)))
+  }
+
+  test("summerCyanoMapsHtml filters taxa and June-August, cyano title") {
+    val obs = Seq(
+      ("2024_016", "Nodularia spumigena", 57.3, 14.3, 4.0, "2024-07-10"),
+      ("2024_016", "Dolichospermum", 57.6, 15.6, 1.0, "2024-07-11"),
+      ("2024_016", "Mesodinium rubrum", 57.5, 15.0, 9.0, "2024-07-10"), // not cyano
+      ("2024_016", "Nodularia spumigena", 57.5, 15.1, 7.0, "2024-05-01")) // May
+      .toDF("cruise", "taxon", "lat", "lon", "conc", "date")
+    val grid = Maps.GridSpec(14.0, 16.0, 3, 57.0, 58.0, 3, len = 0.75)
+    val html = Maps.summerCyanoMapsHtml(obs, "cruise", "taxon", "lat", "lon",
+      "conc", "date", grid = grid)
+    assert(html.contains(
+      "<h3>Cyanobacterial biomass, cruise: 2024_016, month(s): July</h3>"))
+    assert(html.split("<svg ").length == 3) // only the two cyano taxa
+    assert(!html.contains("Mesodinium"))
+    // the May observation is excluded: only the two July stations remain
+    assert("fill=\"white\"".r.findAllIn(html).length == 2 * 2) // 2 stations × 2 facets
+    assert(html == Maps.summerCyanoMapsHtml(obs, "cruise", "taxon", "lat",
+      "lon", "conc", "date", grid = grid))
+  }
+
   test("plasma ramp endpoints and midpoint are the anchor colors") {
     assert(Maps.plasma(0.0) == "#0d0887")
     assert(Maps.plasma(0.5) == "#cc4778")
