@@ -908,7 +908,8 @@ object CorpusBattery {
     * are also removable there). Consumers wanting within-doc span dedup
     * should key the dim on total occurrences (>= 2) instead; the
     * cross-doc form is kept here because it is the common corpus-level
-    * contamination question and makes the 1:1-dim-join guarantee exact.
+    * contamination question and makes the 1:1-dim-join guarantee exact;
+    * [[q98]] is that occurrence-keyed variant.
     */
   private val q93 = {
     val SW = 8
@@ -1041,7 +1042,72 @@ object CorpusBattery {
       ORDER BY doc_id, span_start"""))
   }
 
+  /** Within-doc substring dedup — the occurrence-keyed variant [[q93]]'s
+    * scaladoc promises (r7 ADVICE): Lee et al. 2022's suffix-array dedup
+    * also removes spans repeated WITHIN one document, so here the dup
+    * dim keeps any fingerprint with >= 2 total occurrences and carries
+    * whether it also crosses documents. Per doc: window count, windows
+    * duplicated anywhere, the cross-doc subset, and the within-doc-only
+    * remainder (boilerplate repeated inside the doc but nowhere else).
+    *
+    * Scale shape: identical to q93 — O(tokens) window rows, ONE
+    * fingerprint-keyed agg (count + countDistinct ride the same
+    * shuffle), one 1:1 dim join (dim is distinct fps), one doc rollup.
+    * The relaxed >= 2-occurrence key only grows the dim, never the
+    * join multiplicity.
+    */
+  private val q98 = {
+    val SW = 8
+    GraftQuery(
+      "q98_substring_dedup_within",
+      (s, d) => {
+        import s.implicits._
+        val g = documents(s, d)
+          .select($"doc_id",
+            posexplode(Corpus.ngrams(Hashing.words($"text"), SW)).as(Seq("pos", "gram")))
+          .select($"doc_id", $"pos".cast("long").as("pos"),
+            Hashing.fingerprint($"gram").as("fp"))
+        val dupFp = g.groupBy($"fp")
+          .agg(count(lit(1)).as("n_occ"),
+            countDistinct($"doc_id").as("n_docs"))
+          .filter($"n_occ" >= 2L)
+          .select($"fp", ($"n_docs" >= 2L).as("cross_doc"))
+        g.join(dupFp, Seq("fp"), "left")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            count($"cross_doc").as("n_dup"),
+            sum(when($"cross_doc", 1L).otherwise(0L)).as("n_dup_cross"))
+          .withColumn("n_dup_within_only", $"n_dup" - $"n_dup_cross")
+          .withColumn("dup_ratio",
+            round($"n_dup".cast("double") / $"n_windows", 6))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+      WITH w AS (
+        SELECT doc_id, ${Corpus.ngramsSql(W, SW)} AS grams FROM documents),
+      ge AS (
+        SELECT doc_id, unnest(range(0, len(grams))) AS pos,
+               unnest(grams) AS gram
+        FROM w),
+      gf AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               ${Hashing.fingerprintSql("gram")} AS fp
+        FROM ge),
+      dup AS (
+        SELECT fp, COUNT(DISTINCT doc_id) >= 2 AS cross_doc FROM gf
+        GROUP BY fp HAVING COUNT(*) >= 2)
+      SELECT gf.doc_id, COUNT(*) AS n_windows,
+        CAST(COUNT(d.cross_doc) AS BIGINT) AS n_dup,
+        CAST(SUM(CASE WHEN d.cross_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_cross,
+        CAST(COUNT(d.cross_doc) - SUM(CASE WHEN d.cross_doc THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_within_only,
+        ROUND(CAST(COUNT(d.cross_doc) AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+      FROM gf LEFT JOIN dup d USING (fp)
+      GROUP BY 1
+      ORDER BY 1"""))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q59, q60, q61, q62, q63, q65, q66, q67, q68, q69, q70, q71, q74, q78,
-      q85, q87, q92, q93, q94)
+      q85, q87, q92, q93, q94, q98)
 }

@@ -496,5 +496,124 @@ object Domain {
       GROUP BY 1
       ORDER BY 1"""))
 
-  val all: Seq[GraftQuery] = Seq(q37, q38, q39, q40, q73, q88, q90)
+  /** PACE plankton-group biomass prep (code/plot/plot_PACE.R:14-28):
+    * drop unclassified rows (`filter(!is.na(LATNM))`), assign each taxon
+    * to a plankton group (`assign_phytoplankton_group` — here a
+    * deterministic conditional over the class stand-ins), sum carbon per
+    * (year, cruise, datetime, sample, group), then roll samples up to
+    * the cruise-datetime grain the stacked-area render consumes
+    * ([[graft.sources.Charts.stackedAreaChartSvg]]).
+    *
+    * Stand-ins: lineitem = per-taxon observation rows (`l_returnflag` ×
+    * `l_linestatus` = taxon, `N*` = unclassified, carbon =
+    * `l_extendedprice / 1000`), orders = the sample dim (`o_orderkey` =
+    * SMPNO, `o_orderpriority` = CRUISE_NO, `o_orderdate` = datetime).
+    *
+    * Scale shape: the group assignment is a map-side expression; the
+    * sample-grain sum partial-aggregates before its single shuffle; the
+    * second rollup reuses the same keys minus sample (tiny). The dim
+    * join keys on orderkey — sample dims at 100 TB are the small side
+    * and would broadcast, but lineitem→orders is the engine's standard
+    * fact-dim shuffle join and AQE picks broadcast when the dim fits.
+    * Sums are decimal end-to-end (the [[graft.GraftQuery.dsum]]
+    * discipline) so the two-level sum is order-independent.
+    */
+  private val q96 = GraftQuery(
+    "q96_plankton_group_biomass",
+    (s, d) => {
+      import s.implicits._
+      val taxon = concat($"l_returnflag", $"l_linestatus")
+      val obs = lineitem(s, d)
+        .filter($"l_returnflag" =!= "N") // unclassified analog
+        .withColumn("plankton_group",
+          when(taxon === "AF", "Bacillariophyceae")
+            .when(taxon === "AO", "Dinophyceae")
+            .when(taxon === "RF", "Cyanophyceae")
+            .otherwise("Other"))
+      val sample = orders(s, d).select(
+        $"o_orderkey",
+        year($"o_orderdate").as("myear"),
+        $"o_orderpriority".as("cruise_no"),
+        $"o_orderdate".as("datetime"))
+      val perSample = obs.join(sample, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"myear", $"cruise_no", $"datetime", $"o_orderkey",
+          $"plankton_group")
+        // scale 6, not 4: /1000 yields 5-decimal values, and rounding
+        // them to 4 decimals hits exact .5 ties that Spark (half-up) and
+        // DuckDB (half-even) break differently; at scale 6 the cast is
+        // exact and engine-independent
+        .agg(sum(($"l_extendedprice" / 1000.0).cast(D6)).as("biomass"),
+          sum($"l_quantity".cast(D4)).as("biovol"))
+      perSample
+        .groupBy($"myear", $"cruise_no", $"datetime", $"plankton_group")
+        .agg(sum($"biomass").cast("double").as("biomass"),
+          sum($"biovol").cast("double").as("biovol"))
+        .orderBy($"myear", $"cruise_no", $"datetime", $"plankton_group")
+    },
+    Some("""
+      WITH obs AS (
+        SELECT o.myear, o.cruise_no, o.datetime, l.l_orderkey,
+          CASE l_returnflag || l_linestatus
+            WHEN 'AF' THEN 'Bacillariophyceae'
+            WHEN 'AO' THEN 'Dinophyceae'
+            WHEN 'RF' THEN 'Cyanophyceae'
+            ELSE 'Other' END AS plankton_group,
+          l_extendedprice / 1000.0 AS c_conc, l_quantity
+        FROM lineitem l
+        JOIN (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS myear,
+                o_orderpriority AS cruise_no, o_orderdate AS datetime
+              FROM orders) o ON l.l_orderkey = o.o_orderkey
+        WHERE l_returnflag <> 'N'),
+      per_sample AS (
+        SELECT myear, cruise_no, datetime, l_orderkey, plankton_group,
+          SUM(CAST(c_conc AS DECIMAL(18,6))) AS biomass,
+          SUM(CAST(l_quantity AS DECIMAL(18,4))) AS biovol
+        FROM obs GROUP BY 1, 2, 3, 4, 5)
+      SELECT myear, cruise_no, datetime, plankton_group,
+        CAST(SUM(biomass) AS DOUBLE) AS biomass,
+        CAST(SUM(biovol) AS DOUBLE) AS biovol
+      FROM per_sample
+      GROUP BY 1, 2, 3, 4
+      ORDER BY 1, 2, 3, 4"""))
+
+  /** Poster occurrence counts (code/plot/plots-poster.R:46-57): remap
+    * the merged multi-taxon class names onto single WoRMS classes (the
+    * six `mutate(class = ifelse(CLASS_NAME == …))` rules), drop rows
+    * with no class (`filter(!is.na(class))`), count per class, and sort
+    * ascending the way `reorder(class, count)` orders the bars for
+    * [[graft.sources.Charts.barChartSvg]]. Pure map-side remap + one
+    * grouped count — the 100 TB shape is a partial-aggregated single
+    * shuffle over a handful of classes.
+    */
+  private val q97 = GraftQuery(
+    "q97_class_occurrences",
+    (s, d) => {
+      import s.implicits._
+      val taxon = concat($"l_returnflag", $"l_linestatus")
+      lineitem(s, d)
+        .withColumn("class",
+          when(taxon === "NO", lit(null).cast("string")) // no WoRMS class
+            .when(taxon.isin("AF", "NF"), "Bacillariophyceae")
+            .when(taxon === "RF", "Dinophyceae")
+            .when(taxon === "RO", "Cyanophyceae")
+            .otherwise("Bacillariophyceae"))
+        .filter($"class".isNotNull)
+        .groupBy($"class")
+        .agg(count(lit(1)).as("count"))
+        .orderBy($"count", $"class")
+    },
+    Some("""
+      SELECT CASE l_returnflag || l_linestatus
+          WHEN 'AF' THEN 'Bacillariophyceae'
+          WHEN 'NF' THEN 'Bacillariophyceae'
+          WHEN 'RF' THEN 'Dinophyceae'
+          WHEN 'RO' THEN 'Cyanophyceae'
+          ELSE 'Bacillariophyceae' END AS class,
+        COUNT(*) AS count
+      FROM lineitem
+      WHERE l_returnflag || l_linestatus <> 'NO'
+      GROUP BY 1
+      ORDER BY 2, 1"""))
+
+  val all: Seq[GraftQuery] = Seq(q37, q38, q39, q40, q73, q88, q90, q96, q97)
 }

@@ -360,6 +360,99 @@ object Maps {
       grid, basins, w = w, h = h,
       titlePrefix = "Cyanobacterial biomass")
 
+  /** Sampling-points overview map (plots-poster.R:88-125): the distinct
+    * sample positions as red markers over the basemap, limits = data
+    * range padded 1° (`basemap(limits = c(min - 1, max + 1, …))`),
+    * land `#eeeac4` with black borders, light-blue sea panel. The
+    * distinct() runs DISTRIBUTED (the reference's
+    * `select(LATIT, LONGI) %>% distinct()`) so only one row per
+    * position reaches the driver.
+    */
+  def pointsMapSvg(points: DataFrame, latCol: String, lonCol: String,
+      basins: Seq[ShapefileSource.Ring] = Nil,
+      w: Int = 800, h: Int = 600): String = {
+    val pts = points.select(col(latCol).cast("double"),
+        col(lonCol).cast("double"))
+      .filter(col(latCol).isNotNull && col(lonCol).isNotNull)
+      .distinct()
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+      .sortBy(identity)
+    if (pts.isEmpty)
+      return s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" viewBox="0 0 $w $h"></svg>\n"""
+    val vp = viewport(pts.map(_._2).toIndexedSeq, pts.map(_._1).toIndexedSeq, w, h)
+    val sb = new StringBuilder
+    sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" viewBox="0 0 $w $h">\n"""
+    sb ++= s"""  <rect x="0" y="0" width="$w" height="$h" fill="lightblue"/>\n"""
+    sb ++= basinPaths(vp, basins)
+    pts.foreach { case (lat, lon) =>
+      sb ++= s"""  <circle cx="${fmt(vp.x(lon))}" cy="${fmt(vp.y(lat))}" r="3" fill="#d62728" fill-opacity="0.7"/>\n"""
+    }
+    sb ++= "</svg>\n"
+    sb.toString
+  }
+
+  /** Microscopy-vs-IFCB faceted bubble maps
+    * (compare_microscopy.R:196-268): a nested facet grid — taxon rows ×
+    * (month, sample type) columns — where each panel draws the paired
+    * stations as bubbles sized by carbon concentration
+    * (`scale_size_continuous(range = c(6, 20))`, scaled over the GLOBAL
+    * value range so panels compare), filled by sample type
+    * (IFCB `#1f77b4`, Microscopy `#ff7f0e`, :228-231) and stroked by
+    * sample depth (integrated `#2ca02c`, surface `#d62728`, :234-237),
+    * alpha 0.7, over one shared basemap extent (data range ± 1°).
+    *
+    * Input is the plot-grain frame the reference pivots to
+    * (`joined_data_long`): one row per
+    * (taxon, month, sample type, depth, lat, lon, value); rows with a
+    * null value are dropped like the reference's
+    * `filter(!is.na(carbon_concentration))`.
+    */
+  def comparisonMapsHtml(pairs: DataFrame, taxonCol: String,
+      monthCol: String, typeCol: String, depthCol: String,
+      latCol: String, lonCol: String, valueCol: String,
+      basins: Seq[ShapefileSource.Ring] = Nil,
+      w: Int = 260, h: Int = 240): String = {
+    val TypeFill = Map("IFCB" -> "#1f77b4", "Microscopy" -> "#ff7f0e")
+    val DepthStroke: String => String =
+      d => if (d == "Surface") "#d62728" else "#2ca02c"
+    val rows = pairs.select(col(taxonCol).cast("string"),
+        col(monthCol).cast("int"), col(typeCol).cast("string"),
+        col(depthCol).cast("string"), col(latCol).cast("double"),
+        col(lonCol).cast("double"), col(valueCol).cast("double"))
+      .filter(col(valueCol).isNotNull)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .sortBy(r => (r._1, r._2, r._3, r._5, r._6))
+    if (rows.isEmpty) return "<div class=\"comparison-maps\"></div>\n"
+    val vp = viewport(rows.map(_._6).toIndexedSeq, rows.map(_._5).toIndexedSeq, w, h)
+    val (vMin, vMax) = (rows.map(_._7).min, rows.map(_._7).max)
+    def radius(v: Double): Double = // size range c(6, 20), global scale
+      if (vMax == vMin) 13.0 else 6.0 + (v - vMin) / (vMax - vMin) * 14.0
+    val taxa = rows.map(_._1).distinct.sorted
+    val cols = rows.map(r => (r._2, r._3)).distinct.sorted
+    val sb = new StringBuilder
+    sb ++= "<div class=\"comparison-maps\">\n"
+    taxa.foreach { taxon =>
+      sb ++= s"<h3><i>${escape(taxon)}</i></h3>\n<div class=\"facets\">\n"
+      cols.foreach { case (mo, typ) =>
+        val panel = rows.filter(r => r._1 == taxon && r._2 == mo && r._3 == typ)
+        sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" viewBox="0 0 $w $h">\n"""
+        sb ++= s"""  <rect x="0" y="0" width="$w" height="$h" fill="lightblue"/>\n"""
+        sb ++= basinPaths(vp, basins)
+        panel.foreach { case (_, _, _, depth, lat, lon, v) =>
+          sb ++= s"""  <circle cx="${fmt(vp.x(lon))}" cy="${fmt(vp.y(lat))}" r="${fmt(radius(v))}" fill="${TypeFill.getOrElse(typ, "#888888")}" fill-opacity="0.7" stroke="${DepthStroke(depth)}" stroke-width="1.5"><title>${fmt(v)}</title></circle>\n"""
+        }
+        sb ++= s"""  <text x="${w / 2}" y="14" text-anchor="middle" font-weight="bold" font-size="11">${escape(s"${MonthNames(mo - 1)} · $typ")}</text>\n"""
+        sb ++= "</svg>\n"
+      }
+      sb ++= "</div>\n"
+    }
+    sb ++= "</div>\n"
+    sb.toString
+  }
+
   private def escape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 }

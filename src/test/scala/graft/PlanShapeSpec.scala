@@ -275,6 +275,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), "cross-doc dim combines map-side")
   }
 
+  test("q96: two-level biomass rollup partial-aggregates; no cross product") {
+    val p = plan("q96_plankton_group_biomass")
+    // sample-grain decimal sum combines map-side before its one shuffle
+    assert(p.contains("partial_sum(cast("), "first rollup must partial-agg")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // unclassified filter reaches the scan
+    assert(p.contains("PushedFilters") && p.contains("Not(EqualTo(l_returnflag"))
+  }
+
+  test("q98: within-doc dup dim joins 1:1 like q93 — no pair space") {
+    val p = plan("q98_substring_dedup_within")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the occurrence-keyed dim is distinct fps: plain count partial-aggs
+    assert(p.contains("partial_count"), "dim count must combine map-side")
+  }
+
   test("q11: global top-k plans as TakeOrderedAndProject, no global sort") {
     assert(plan("q11_global_topk").contains("TakeOrderedAndProject"))
   }

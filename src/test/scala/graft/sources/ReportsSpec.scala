@@ -178,4 +178,49 @@ class ReportsSpec extends SparkSpec {
     WormsSnapshot.writeSnapshot(spark, dir.toString, out)
     assert(spark.read.parquet(out).count() == 1)
   }
+
+  test("pointsMapSvg distincts positions, sea beneath land beneath red markers") {
+    val pts = Seq[(java.lang.Double, java.lang.Double)](
+      (57.5, 11.8), (57.5, 11.8), (58.0, 12.0), // dup collapses
+      (null, 11.0)) // null position drops
+      .toDF("lat", "lon")
+    val basin = ShapefileSource.Ring(1, 0,
+      Seq((11.0, 57.0), (13.0, 57.0), (13.0, 59.0), (11.0, 59.0), (11.0, 57.0)))
+    val svg = Maps.pointsMapSvg(pts, "lat", "lon", basins = Seq(basin))
+    val circles = "<circle ".r.findAllIn(svg).length
+    assert(circles == 2, s"distinct + null-drop should leave 2 markers, got $circles")
+    // layering: sea rect, then land polygon, then markers
+    val sea = svg.indexOf("fill=\"lightblue\"")
+    val land = svg.indexOf("fill=\"#eeeac4\"")
+    val marker = svg.indexOf("fill=\"#d62728\"")
+    assert(sea >= 0 && sea < land && land < marker)
+    assert(svg == Maps.pointsMapSvg(pts, "lat", "lon", basins = Seq(basin)))
+  }
+
+  test("comparisonMapsHtml facets taxon rows by (month, type), sizes globally") {
+    val pairs = Seq(
+      ("Aphanizomenon", 6, "IFCB", "Surface", 57.5, 11.8, 10.0),
+      ("Aphanizomenon", 6, "Microscopy", "Integrated 0-10 or 0-20 m", 57.5, 11.8, 40.0),
+      ("Aphanizomenon", 7, "IFCB", "Surface", 58.0, 12.0, 25.0),
+      ("Nodularia spumigena", 6, "IFCB", "Surface", 57.5, 11.8, 40.0))
+      .toDF("taxon", "month", "sample_type", "depth", "lat", "lon", "carbon")
+    val html = Maps.comparisonMapsHtml(pairs, "taxon", "month",
+      "sample_type", "depth", "lat", "lon", "carbon")
+    // italic taxon headers in sorted order
+    val aph = html.indexOf("<h3><i>Aphanizomenon</i></h3>")
+    val nod = html.indexOf("<h3><i>Nodularia spumigena</i></h3>")
+    assert(aph >= 0 && nod > aph)
+    // 2 taxa x 3 (month, type) columns = 6 panels
+    assert(html.split("<svg ").length == 7)
+    assert(html.contains("June · IFCB") && html.contains("June · Microscopy") &&
+      html.contains("July · IFCB"))
+    // global size scale: min value 10 -> r=6, max 40 -> r=20, 25 -> r=13
+    assert(html.contains("r=\"6.00\"") && html.contains("r=\"20.00\"") &&
+      html.contains("r=\"13.00\""))
+    // type fill + depth stroke colors
+    assert(html.contains("fill=\"#1f77b4\"") && html.contains("fill=\"#ff7f0e\""))
+    assert(html.contains("stroke=\"#d62728\"") && html.contains("stroke=\"#2ca02c\""))
+    assert(html == Maps.comparisonMapsHtml(pairs, "taxon", "month",
+      "sample_type", "depth", "lat", "lon", "carbon"))
+  }
 }
