@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fully DISTRIBUTED Lloyd k-means over an embedding column — the
+  * full-corpus complement of [[Similarity.trainKmeansCentroids]] (which
+  * trains on a bounded driver-side sample for IVF/SemDeDup cell
+  * assignment). Sample training keeps the driver flat but sees only
+  * `sampleMax` vectors; this operator runs every Lloyd iteration over
+  * the WHOLE corpus with the canonical 100 TB shape per iteration:
+  *
+  *   - assignment is map-side (centroids ride into the executors as an
+  *     array-of-arrays literal — k·dims longs, O(1) in corpus size);
+  *   - the centroid update is ONE partial-aggregated shuffle of
+  *     (cell, dim) keyed sums — k·dims groups regardless of corpus
+  *     size;
+  *   - only the k·dims sums ever reach the driver (the same O(1)
+  *     per-round driver state discipline as BPE training,
+  *     `Bpe.scala`).
+  *
+  * Everything is computed in INTEGER arithmetic so the result is
+  * bit-reproducible across engines, partitionings, and retries — the
+  * q79 quantized-scoring discipline applied to clustering:
+  *
+  *   - inputs quantize by `floor(x * 2^13)` (exact in binary floating
+  *     point — no rounding-mode divergence between engines; float32
+  *     inputs stay well inside the long range);
+  *   - distances are exact integer sums of squared differences; the
+  *     argmin tie-breaks to the smallest cell index;
+  *   - centroid updates use exact floored integer division
+  *     (`(s - pmod(s, n)) / n`), so every iteration's centroids are
+  *     integers again.
+  *
+  * Empty cells drop out and the survivors reindex densely (rank order),
+  * mirrored exactly by the SQL twin [[lloydSql]].
+  */
+object KMeans {
+
+  /** Quantization scale: 2^13. Power of two ⇒ `x * Scale` is exact for
+    * float32 inputs, so `floor` sees the true product and no
+    * engine-specific rounding can diverge.
+    */
+  val Scale = 8192L
+
+  /** `floor(x_d * 2^13)` per dimension, as `array<long>`. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * Scale.toDouble).cast("long"))
+
+  /** SQL twin of [[quantize]] at dim grain (the oracle works on
+    * (id, dim, v) rows).
+    */
+  def quantizeSql(x: String): String =
+    s"CAST(FLOOR(CAST($x AS DOUBLE) * $Scale) AS BIGINT)"
+
+  /** Exact integer squared L2 distance between a quantized vector column
+    * and one centroid literal. The fold is sequential, but every term is
+    * an exact long, so order cannot matter.
+    */
+  private def sqDist(xq: Column, c: Seq[Long]): Column =
+    aggregate(
+      zip_with(xq, typedLit(c), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Nearest-centroid cell id (0-based, ties → smallest index). */
+  def assign(xq: Column, centroids: Seq[Seq[Long]]): Column = {
+    val dists = array(centroids.map(c => sqDist(xq, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Runs `iters` distributed Lloyd rounds and returns the final
+    * (reindexed) centroids. `quantized` must carry `xq: array<long>`
+    * (from [[quantize]]); `init` is the caller's deterministic seed set.
+    */
+  def lloyd(quantized: DataFrame, xqCol: String, init: Seq[Seq[Long]],
+      iters: Int): Seq[Seq[Long]] = {
+    var cents = init
+    for (_ <- 0 until iters) {
+      val upd = quantized
+        .select(assign(col(xqCol), cents).as("cell"),
+          posexplode(col(xqCol)).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      // exact floored division on the driver (tiny: k*dims rows); empty
+      // cells are simply absent and the survivors re-pack densely in
+      // old-cell order — the SQL twin's dense_rank does the same
+      cents = upd.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rows) =>
+        rows.sortBy(_._2).map(r => Math.floorDiv(r._3, r._4)).toSeq
+      }
+    }
+    cents
+  }
+
+  /** The assignment + per-cell rollup DataFrame for trained centroids:
+    * one row per surviving cell — count, min member id, and the first
+    * two centroid coordinates (enough to pin the centroid values in an
+    * oracle without 64 columns of output).
+    */
+  def cellSummary(quantized: DataFrame, idCol: String, xqCol: String,
+      centroids: Seq[Seq[Long]]): DataFrame = {
+    val spark = quantized.sparkSession
+    import spark.implicits._
+    val centDim = centroids.zipWithIndex
+      .map { case (c, i) => (i, c(0), c(1)) }
+      .toDF("cell", "c0", "c1")
+    quantized
+      .select(col(idCol).as("member"), assign(col(xqCol), centroids).as("cell"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), min("member").as("first_member"))
+      .join(broadcast(centDim), Seq("cell"))
+      .orderBy("cell")
+  }
+
+  /** DuckDB mirror of the whole pipeline: quantize → `iters` unrolled
+    * Lloyd rounds → final assignment rollup. Static SQL — the
+    * determinism of the integer arithmetic means the oracle needs no
+    * trained literals (contrast q89's [[GraftQuery.oracleDyn]]): both
+    * engines re-derive identical centroids from the data alone.
+    *
+    * @param table  source table name
+    * @param id     integral id column
+    * @param vec    float-array embedding column
+    * @param k      seed count: the k smallest ids' vectors
+    */
+  def lloydSql(table: String, id: String, vec: String, k: Int,
+      iters: Int): String = {
+    val q =
+      s"""q AS (
+         |  SELECT $id AS vid, CAST(pos AS INTEGER) AS dim, ${quantizeSql("x")} AS v
+         |  FROM (SELECT $id, unnest(range(0, len($vec))) AS pos,
+         |               unnest($vec) AS x FROM $table)),
+         |cent0 AS (
+         |  SELECT CAST(dense_rank() OVER (ORDER BY vid) - 1 AS INTEGER) AS cell,
+         |         dim, v
+         |  FROM q WHERE vid IN (SELECT $id FROM $table ORDER BY $id LIMIT $k))""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (
+         |  SELECT vid, cell FROM (
+         |    SELECT q.vid, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY q.vid
+         |             ORDER BY SUM((q.v - c.v) * (q.v - c.v)), c.cell) AS rn
+         |    FROM q JOIN cent${i - 1} c USING (dim)
+         |    GROUP BY q.vid, c.cell) WHERE rn = 1),
+         |cent$i AS (
+         |  SELECT CAST(dense_rank() OVER (ORDER BY cell) - 1 AS INTEGER) AS cell,
+         |         dim, v
+         |  FROM (
+         |    SELECT a$i.cell, q.dim,
+         |      CAST((SUM(q.v) - ((SUM(q.v) % COUNT(DISTINCT a$i.vid) + COUNT(DISTINCT a$i.vid)) % COUNT(DISTINCT a$i.vid)))
+         |           / COUNT(DISTINCT a$i.vid) AS BIGINT) AS v
+         |    FROM q JOIN a$i USING (vid)
+         |    GROUP BY a$i.cell, q.dim))""".stripMargin
+    }.mkString(",\n")
+    val last = iters
+    s"""WITH $q,
+       |$rounds,
+       |afinal AS (
+       |  SELECT vid, cell FROM (
+       |    SELECT q.vid, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vid
+       |             ORDER BY SUM((q.v - c.v) * (q.v - c.v)), c.cell) AS rn
+       |    FROM q JOIN cent$last c USING (dim)
+       |    GROUP BY q.vid, c.cell) WHERE rn = 1)
+       |SELECT s.cell, s.n, s.first_member, cd.c0, cd.c1
+       |FROM (SELECT cell, COUNT(*) AS n, MIN(vid) AS first_member
+       |      FROM afinal GROUP BY cell) s
+       |JOIN (SELECT cell, MIN(CASE WHEN dim = 0 THEN v END) AS c0,
+       |             MIN(CASE WHEN dim = 1 THEN v END) AS c1
+       |      FROM cent$last GROUP BY cell) cd USING (cell)
+       |ORDER BY s.cell""".stripMargin
+  }
+}

@@ -884,7 +884,37 @@ object TrainingData {
       FROM counts
       ORDER BY stage"""))
 
+  /** Distributed Lloyd k-means over the full embedding corpus
+    * ([[graft.operators.KMeans]]) — the whole-data complement of q89's
+    * sample-trained IVF: every iteration is one map-side assignment
+    * against k·dims centroid literals plus ONE partial-aggregated
+    * (cell, dim) shuffle, with O(k·dims) driver state per round (the
+    * BPE training discipline). Integer-exact throughout (floor-quantized
+    * inputs, integer distances, floored-division updates), so the DuckDB
+    * oracle needs NO trained literals: both engines re-derive
+    * bit-identical centroids from the data alone — a stronger check
+    * than q89's rendered-literal oracle, covering the iterations
+    * themselves. Seeds: the k smallest vec_ids' vectors.
+    */
+  private val q99 = {
+    val K = 8
+    val ITERS = 3
+    GraftQuery(
+      "q99_kmeans_distributed",
+      (s, d) => {
+        import s.implicits._
+        val quant = embeddings(s, d)
+          .select($"vec_id", graft.operators.KMeans.quantize($"embedding").as("xq"))
+        val init = quant.orderBy($"vec_id").limit(K).collect()
+          .map(_.getSeq[Long](1).toSeq).toSeq
+        val cents = graft.operators.KMeans.lloyd(quant, "xq", init, ITERS)
+        graft.operators.KMeans.cellSummary(quant, "vec_id", "xq", cents)
+      },
+      Some(graft.operators.KMeans.lloydSql(
+        "embeddings", "vec_id", "embedding", K, ITERS)))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q72,
-    q75, q79, q80, q81, q84, q89, q91, q95)
+    q75, q79, q80, q81, q84, q89, q91, q95, q99)
 }

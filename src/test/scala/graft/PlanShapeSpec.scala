@@ -291,6 +291,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), "dim count must combine map-side")
   }
 
+  test("q99: kmeans summary — assignment map-side, centroid dim broadcast") {
+    val p = plan("q99_kmeans_distributed")
+    // centroids are literals in the projection; the only join is the
+    // tiny (cell, c0, c1) dim riding back over the rollup
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"), "cell rollup must combine map-side")
+  }
+
   test("q11: global top-k plans as TakeOrderedAndProject, no global sort") {
     assert(plan("q11_global_topk").contains("TakeOrderedAndProject"))
   }
