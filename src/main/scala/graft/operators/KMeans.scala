@@ -74,23 +74,32 @@ object KMeans {
     */
   def lloyd(quantized: DataFrame, xqCol: String, init: Seq[Seq[Long]],
       iters: Int): Seq[Seq[Long]] = {
-    var cents = init
-    for (_ <- 0 until iters) {
-      val upd = quantized
-        .select(assign(col(xqCol), cents).as("cell"),
-          posexplode(col(xqCol)).as(Seq("dim", "v")))
-        .groupBy("cell", "dim")
-        .agg(sum("v").as("s"), count(lit(1)).as("n"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-      // exact floored division on the driver (tiny: k*dims rows); empty
-      // cells are simply absent and the survivors re-pack densely in
-      // old-cell order — the SQL twin's dense_rank does the same
-      cents = upd.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rows) =>
-        rows.sortBy(_._2).map(r => Math.floorDiv(r._3, r._4)).toSeq
+    // the quantized projection is the loop invariant — persist it so
+    // each round costs one assignment + one shuffle, not a fresh source
+    // scan + quantize (at cluster scale, swap for a storage level with
+    // replication or a checkpoint if the input lineage is expensive)
+    val cached = quantized.persist()
+    try {
+      var cents = init
+      for (_ <- 0 until iters) {
+        val upd = cached
+          .select(assign(col(xqCol), cents).as("cell"),
+            posexplode(col(xqCol)).as(Seq("dim", "v")))
+          .groupBy("cell", "dim")
+          .agg(sum("v").as("s"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        // exact floored division on the driver (tiny: k*dims rows); empty
+        // cells are simply absent and the survivors re-pack densely in
+        // old-cell order — the SQL twin's dense_rank does the same
+        cents = upd.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rows) =>
+          rows.sortBy(_._2).map(r => Math.floorDiv(r._3, r._4)).toSeq
+        }
       }
+      cents
+    } finally {
+      quantized.unpersist()
     }
-    cents
   }
 
   /** The assignment + per-cell rollup DataFrame for trained centroids:
@@ -100,6 +109,8 @@ object KMeans {
     */
   def cellSummary(quantized: DataFrame, idCol: String, xqCol: String,
       centroids: Seq[Seq[Long]]): DataFrame = {
+    require(centroids.forall(_.length >= 2),
+      "cellSummary pins the first two centroid coordinates; vectors must have >= 2 dims")
     val spark = quantized.sparkSession
     import spark.implicits._
     val centDim = centroids.zipWithIndex

@@ -35,18 +35,18 @@ object Charts {
     "#66c2a5", "#fc8d62", "#8da0cb", "#e78ac3",
     "#a6d854", "#ffd92f", "#e5c494", "#b3b3b3")
 
-  private def fmt(d: Double): String = f"$d%.2f"
+  private def fmt(d: Double): String = Svg.fmt(d)
 
-  private def escape(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-      .replace("\"", "&quot;")
+  private def escape(s: String): String = Svg.escape(s)
 
   /** Stacked-area time series, one panel per facet value
     * (plot_PACE.R:31-47): series stack in sorted-name order (ggplot
     * stacks factor levels alphabetically), each facet gets its own
-    * x-range (`scales = "free_x"`), and the y-axis is CLIPPED at
-    * `yMax` without dropping data — `coord_cartesian(ylim = c(0, 70))`
-    * semantics, not a filter.
+    * x-range (`scales = "free_x"` — the y-scale stays SHARED across
+    * facets like ggplot's free_x, using the global stacked max when
+    * `yMax` is unset), and the y-axis is CLIPPED at `yMax` without
+    * dropping data — `coord_cartesian(ylim = c(0, 70))` semantics, not
+    * a filter. Rows with a null facet/time/group are dropped (na.rm).
     *
     * @param series plot-grain frame: one row per
     *               (facet, time, group, value); value rows are summed
@@ -58,7 +58,10 @@ object Charts {
       timeCol: String, groupCol: String, valueCol: String,
       yMax: Double = Double.PositiveInfinity,
       panelW: Int = 360, panelH: Int = 240, perRow: Int = 3): String = {
-    val rows = series.groupBy(col(facetCol).cast("string").as("f"),
+    val rows = series
+      .filter(col(facetCol).isNotNull && col(timeCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .groupBy(col(facetCol).cast("string").as("f"),
         col(timeCol).cast("timestamp").as("t"),
         col(groupCol).cast("string").as("g"))
       .agg(sum(col(valueCol).cast("double")).as("v"))
@@ -74,6 +77,13 @@ object Charts {
     val nRows = (facets.length + perRow - 1) / perRow
     val w = perRow * (panelW + pad) + pad
     val h = math.max(1, nRows) * (panelH + pad + 18) + pad
+    // shared y-scale (free_x frees only x): global stacked max over ALL
+    // facets when no explicit limit — a small facet must read small
+    val top = math.max(
+      if (yMax.isInfinity)
+        rows.groupBy(r => (r._1, r._2)).values
+          .map(_.map(_._4).sum).foldLeft(0.0)(math.max)
+      else yMax, 1e-9)
     val sb = new StringBuilder
     sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" viewBox="0 0 $w $h">\n"""
     facets.zipWithIndex.foreach { case (f, fi) =>
@@ -82,13 +92,6 @@ object Charts {
       val fr = rows.filter(_._1 == f)
       val times = fr.map(_._2).distinct.sorted // free_x: per-facet range
       val byTg = fr.map(r => (r._2, r._3) -> r._4).toMap
-      // stacked tops per group, in stacking order; clip at yMax
-      val top = math.max(yMax match {
-        case y if y.isInfinity =>
-          times.map(t => groups.map(g => byTg.getOrElse((t, g), 0.0)).sum)
-            .foldLeft(0.0)(math.max)
-        case y => y
-      }, 1e-9)
       def px(t: Long): Double =
         if (times.length < 2 || times.last == times.head) x0 + panelW / 2.0
         else x0 + (t - times.head).toDouble / (times.last - times.head) * panelW
@@ -140,7 +143,8 @@ object Charts {
     if (rows.isEmpty)
       return s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" viewBox="0 0 $w $h"></svg>\n"""
     val labelW = 180
-    val axisMax = rows.map(_._2).max * 1.05
+    // all-zero counts would give 0/0-width bars; 1 keeps the axis finite
+    val axisMax = math.max(rows.map(_._2).max, 1L) * 1.05
     val barH = (h - 20).toDouble / rows.length
     val sb = new StringBuilder
     sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" viewBox="0 0 $w $h">\n"""

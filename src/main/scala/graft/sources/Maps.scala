@@ -46,7 +46,7 @@ object Maps {
       w: Int, h: Int, pad: Double = 1.0): Viewport =
     Viewport(lons.min - pad, lons.max + pad, lats.min - pad, lats.max + pad, w, h)
 
-  private def fmt(d: Double): String = f"$d%.2f"
+  private def fmt(d: Double): String = Svg.fmt(d)
 
   private def basinPaths(vp: Viewport, basins: Seq[ShapefileSource.Ring]): String =
     basins.map { r =>
@@ -420,11 +420,16 @@ object Maps {
         col(monthCol).cast("int"), col(typeCol).cast("string"),
         col(depthCol).cast("string"), col(latCol).cast("double"),
         col(lonCol).cast("double"), col(valueCol).cast("double"))
-      .filter(col(valueCol).isNotNull)
+      // na.rm like the reference's !is.na(carbon_concentration), plus
+      // position/month — a panel cannot place a point without them
+      .filter(col(valueCol).isNotNull && col(latCol).isNotNull &&
+        col(lonCol).isNotNull && col(monthCol).between(1, 12))
       .collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3),
         r.getDouble(4), r.getDouble(5), r.getDouble(6)))
-      .sortBy(r => (r._1, r._2, r._3, r._5, r._6))
+      // FULL tuple: same-station rows differing only in depth/value must
+      // order deterministically or the golden byte contract breaks
+      .sortBy(r => (r._1, r._2, r._3, r._5, r._6, r._4, r._7))
     if (rows.isEmpty) return "<div class=\"comparison-maps\"></div>\n"
     val vp = viewport(rows.map(_._6).toIndexedSeq, rows.map(_._5).toIndexedSeq, w, h)
     val (vMin, vMax) = (rows.map(_._7).min, rows.map(_._7).max)
@@ -453,6 +458,5 @@ object Maps {
     sb.toString
   }
 
-  private def escape(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  private def escape(s: String): String = Svg.escape(s)
 }

@@ -96,6 +96,5 @@ object Reports {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
-  private def escape(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  private def escape(s: String): String = Svg.escape(s)
 }

@@ -41,6 +41,25 @@ class ChartsSpec extends SparkSpec {
       "plankton_group", "biomass", yMax = 70.0))
   }
 
+  test("stackedAreaChartSvg default yMax shares one y-scale across facets") {
+    // free_x frees only x: C2 (max 4) must render small against C1 (110)
+    val series = Seq(
+      ("C1", ts("2024-05-01 06:00:00"), "Dinophyceae", 110.0),
+      ("C1", ts("2024-05-02 06:00:00"), "Dinophyceae", 50.0),
+      ("C2", ts("2024-06-10 06:00:00"), "Dinophyceae", 3.0),
+      ("C2", ts("2024-06-11 06:00:00"), "Dinophyceae", 4.0))
+      .toDF("cruise", "datetime", "plankton_group", "biomass")
+    val svg = Charts.stackedAreaChartSvg(series, "cruise", "datetime",
+      "plankton_group", "biomass")
+    val polys = """points="([^"]+)"""".r.findAllMatchIn(svg)
+      .map(_.group(1)).toSeq
+    assert(polys.length == 2)
+    // C2's band top (min y of its polygon) sits in the bottom tenth of
+    // its panel: 4/110 of panelH=240 above the baseline y0+240, y0=28
+    val c2top = polys.last.split(" ").map(_.split(",")(1).toDouble).min
+    assert(c2top > 28 + 240 - 24, s"C2 band drew at shared scale? top=$c2top")
+  }
+
   test("barChartSvg orders largest bar on top with black outline and 5% headroom") {
     val counts = Seq(("Dinophyceae", 40L), ("Bacillariophyceae", 100L),
       ("Cyanophyceae", 40L)).toDF("class", "count")
