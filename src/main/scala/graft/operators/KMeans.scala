@@ -53,24 +53,18 @@ object KMeans {
   def quantizeSql(x: String): String =
     s"CAST(FLOOR(CAST($x AS DOUBLE) * $Scale) AS BIGINT)"
 
-  /** Exact integer squared L2 distance between a quantized vector column
-    * and one centroid. The fold is sequential, but every term is an
-    * exact long, so order cannot matter.
-    */
-  private def sqDist(xq: Column, c: Column): Column =
-    aggregate(
-      zip_with(xq, c, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
-
-  /** Nearest-centroid cell id (0-based, ties → smallest index). The
-    * centroid set rides as ONE 2-D array literal and the distance loop
-    * is a single `transform` — the expression tree stays O(1) in k and
-    * dims (k unrolled per-centroid subtrees made every iteration's
-    * analysis + codegen cost grow with k).
+  /** Nearest-centroid cell id (0-based, ties → smallest index) via the
+    * native codegen expression [[graft.plans.NearestCell]] — one
+    * primitive k×dims loop per row instead of ~k·dims boxed lambda
+    * invocations of the equivalent `transform`+`aggregate`+`zip_with`
+    * composition (the per-row assignment is the dominant cost of a
+    * full-corpus clustering pass; the only shuffle is k·dims sums).
     */
   def assign(xq: Column, centroids: Seq[Seq[Long]]): Column = {
-    val dists = transform(typedLit(centroids), c => sqDist(xq, c))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.NearestCell(
+      GraftBridge.expression(xq),
+      centroids.map(_.toArray).toArray))
   }
 
   /** Runs `iters` distributed Lloyd rounds and returns the final

@@ -78,3 +78,52 @@ case class HyperplaneBucket(child: Expression, planes: Int, dims: Int)
     copy(child = newChild)
   override def prettyName: String = "hyperplane_bucket"
 }
+
+/** Native nearest-centroid search over a QUANTIZED long-array column
+  * (the [[graft.operators.KMeans]] hot path): exact integer squared-L2
+  * against a constant centroid set, returning the 0-based index of the
+  * first minimum (ties → smallest cell, exactly `array_position` of
+  * `array_min` over the HOF composition it supersedes — and exactly the
+  * SQL twin's `ORDER BY dist, cell` row_number pick).
+  *
+  * The HOF form pays ~k·dims boxed lambda invocations per row in
+  * interpreted eval; this is one static call whose k×dims loop runs on
+  * primitive longs inside whole-stage codegen. At 100 TB the per-row
+  * assignment IS the dominant cost of a clustering pass (the only
+  * shuffle is k·dims partial sums), so this constant factor is the
+  * operator's scale budget.
+  */
+object NearestCellExpr {
+  def nearest(vec: ArrayData, cents: Array[Array[Long]]): Int = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var d = 0L
+      var i = 0
+      while (i < c.length) {
+        val t = vec.getLong(i) - c(i)
+        d += t * t
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = j } // strict: first min wins
+      j += 1
+    }
+    best
+  }
+}
+
+case class NearestCell(child: Expression, centroids: Array[Array[Long]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    NearestCellExpr.nearest(input.asInstanceOf[ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "long[][]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.NearestCellExpr.nearest($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_cell"
+}

@@ -298,6 +298,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
     assert(p.contains("partial_count"), "cell rollup must combine map-side")
+    // the hot path must be the native codegen kernel, not interpreted HOFs
+    assert(p.contains("nearest_cell"), "assignment must use NearestCell")
   }
 
   test("q11: global top-k plans as TakeOrderedAndProject, no global sort") {
