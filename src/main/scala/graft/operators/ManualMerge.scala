@@ -114,4 +114,40 @@ object ManualMerge {
     }
     Merged(merged, annotations, conflicts)
   }
+
+  /** Targeted bulk relabel — `ifcb_correct_annotation` as called by
+    * code/annotations/correct_annotation.R:8-11: a curator reviews a
+    * class (e.g. the Scrippsiella screening of
+    * code/annotations/scrippsiella_round.R, an eccentricity filter over
+    * the EcoTaxa export) and hands back a file of image names whose
+    * manual label must change to `newIdx`.
+    *
+    * `selectedImages` carries one image filename per row
+    * (`D..._IFCBnnn_00042.png` — sample id + zero-padded ROI, the
+    * SqliteSource.annotations `image_name` convention); the (sample,
+    * roi_number) pairs are parsed out, broadcast (a human-curated list
+    * is always small), and only matching rows of the manual classlist
+    * get `manual_idx = newIdx`. Unannotated ROIs (null `manual_idx`)
+    * matched by the list are annotated too, exactly like matched
+    * annotated ones; everything else passes through untouched.
+    */
+  def correctAnnotation(manual: DataFrame, selectedImages: DataFrame,
+      imageCol: String, newIdx: Int): DataFrame = {
+    val base = regexp_replace(trim(col(imageCol)), "\\.[^.]*$", "")
+    val roiStr = regexp_extract(base, "_([0-9]+)$", 1)
+    val sel = selectedImages
+      .select(
+        regexp_replace(base, "_[0-9]+$", "").as("sample"),
+        // regexp_extract yields "" on no match — an ANSI cast would
+        // throw on such rows, so gate before casting
+        when(roiStr =!= "", roiStr.cast("int")).as("roi_number"))
+      .filter(col("roi_number").isNotNull)
+      .distinct()
+      .withColumn("__selected", lit(true))
+    manual
+      .join(broadcast(sel), Seq("sample", "roi_number"), "left")
+      .withColumn("manual_idx",
+        when(col("__selected"), lit(newIdx)).otherwise(col("manual_idx")))
+      .drop("__selected")
+  }
 }

@@ -102,4 +102,34 @@ class ManualMergeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("annotated in both"))
   }
+
+  test("correctAnnotation relabels only the selected (sample, roi) pairs") {
+    import spark.implicits._
+    val manual = Seq(
+      ("D20160805T065357_IFCB10", 1, Some(7), Some(7)),
+      ("D20160805T065357_IFCB10", 2, Some(7), Some(9)),
+      ("D20160805T065357_IFCB10", 3, None, Some(9)), // unannotated, selected
+      ("D20160805T070000_IFCB10", 1, Some(7), None))
+      .map { case (s, r, m, a) =>
+        (s, r, m.map(Int.box).orNull, a.map(Int.box).orNull) }
+      .toDF("sample", "roi_number", "manual_idx", "auto_idx")
+    val selected = Seq(
+      "D20160805T065357_IFCB10_00001.png",
+      "D20160805T065357_IFCB10_00003.png",
+      " D20160805T065357_IFCB10_00001.png", // dup + whitespace collapse
+      "not_a_roi_name") // unparseable row drops, must not null-join
+      .toDF("image_filename")
+    val out = ManualMerge
+      .correctAnnotation(manual, selected, "image_filename", newIdx = 44)
+      .orderBy("sample", "roi_number")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3)))
+    assert(out.toSeq == Seq(
+      ("D20160805T065357_IFCB10", 1, 44, 7), // relabeled
+      ("D20160805T065357_IFCB10", 2, 7, 9), // untouched
+      ("D20160805T065357_IFCB10", 3, 44, 9), // unannotated -> annotated
+      ("D20160805T070000_IFCB10", 1, 7, -1))) // other sample untouched
+  }
 }
