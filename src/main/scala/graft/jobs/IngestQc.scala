@@ -114,10 +114,17 @@ object IngestQc {
       stringKeys = Seq("gpsTimeFromFix"),
       numericKeys = Seq("gpsLatitude", "gpsLongitude"))
     val fixTs = coalesce(
-      to_timestamp(col("gpsTimeFromFix"), "MMM/dd/yyyy HH:mm:ss.SSS"),
-      to_timestamp(col("gpsTimeFromFix"), "MMM/dd/yyyy HH:mm:ss"))
-    val stale = abs(unix_micros(fixTs) - unix_micros(col("timestamp"))) >
-      cfg.gpsMaxFixAgeMin * 60L * 1000000L
+      // try_: under ANSI a malformed fix string must read as "fix age
+      // unknown" (null -> stale -> coords nulled), not crash the job
+      try_to_timestamp(col("gpsTimeFromFix"), lit("MMM/dd/yyyy HH:mm:ss.SSS")),
+      try_to_timestamp(col("gpsTimeFromFix"), lit("MMM/dd/yyyy HH:mm:ss")))
+    // R's `ifelse(NA, NA, coord)` returns NA: an absent or unparseable
+    // fix time must NULL the coordinates (fix age unknown = unverified),
+    // not keep them — hence the coalesce to true on a null staleness
+    val stale = coalesce(
+      abs(unix_micros(fixTs) - unix_micros(col("timestamp"))) >
+        cfg.gpsMaxFixAgeMin * 60L * 1000000L,
+      lit(true))
     hdr
       .withColumn("gpsLatitude",
         when(stale, lit(null).cast("double")).otherwise(col("gpsLatitude")))
@@ -168,6 +175,12 @@ object IngestQc {
       .withColumnRenamed("sample", "pid")
       .join(positions.withColumnRenamed("sample", "pid").drop("timestamp"),
         Seq("pid"), "left")
+      // a bin with NO .hdr has no positions row: the -999 fill inside
+      // withFerryboxFallback never saw it, so fill here too or the tag
+      // logic below reads null as "not -999" and mis-tags the bin
+      // skagerrak_kattegat instead of missing_position (R:362-364)
+      .withColumn("latitude", coalesce(col("latitude"), lit(-999.0)))
+      .withColumn("longitude", coalesce(col("longitude"), lit(-999.0)))
       .join(broadcast(blacklisted.select(col("sample").as("pid"))
         .withColumn("__bl", lit(true))), Seq("pid"), "left")
       .withColumn("depth", lit(cfg.depthM))
@@ -183,8 +196,12 @@ object IngestQc {
 
     // R:390-401: blacklisted exact bin ids + size-gated bins appear as
     // skip rows (qc_bad = TRUE) unless already present
+    // R:392-393 keeps only entries that look like bin ids (its ^D<year>
+    // filter); a general regex pattern (e.g. an instrument-wide rule)
+    // must not be emitted verbatim as a junk pid row
     val skipIds = blacklist.select(col("sample").as("pid"))
       .filter(!col("pid").rlike("^D\\d{8}$"))
+      .filter(col("pid").rlike("^D\\d{8}T\\d{6}"))
       .unionByName(deadSamples.select(col("sample").as("pid")))
       .distinct()
       .join(base.select("pid"), Seq("pid"), "left_anti")
@@ -354,6 +371,9 @@ object IngestQc {
       .toTimestampFromSampleId(col("sample")).as("datetime")).distinct()
     val cruised = withCruise(binTimes, cruises, cfg, svepa)
     val positions = withFerryboxFallback(hdrPositions(spark, cfg), ferrybox, cfg)
+    // oversize-only, matching the reference contract: empty bins are
+    // silently removed from metadata (R:193-196) — their trace is the
+    // dead-letter frame (`Frames.dead`), which carries both reasons
     val metadata = dashboardMetadata(
       binTimes, cruised, positions, blacklisted, blacklist,
       dead.filter(col("reason") === "oversize"), balticBasin,
@@ -394,14 +414,25 @@ object IngestQc {
     frames.metadata.write.mode(SaveMode.Overwrite)
       .option("header", "true").option("nullValue", "").option("emptyValue", "")
       .csv(s"$outDir/metadata")
-    Sinks.appendNew(frames.features, existing(s"$outDir/features"),
-      Seq("sample"), s"$outDir/features")
-    Sinks.appendNew(frames.psdData, existing(s"$outDir/psd_data"),
-      Seq("sample"), s"$outDir/psd_data")
-    Sinks.appendNew(frames.psdFits, existing(s"$outDir/psd_fits"),
-      Seq("sample"), s"$outDir/psd_fits")
-    Sinks.appendNew(frames.psdFlags, existing(s"$outDir/psd_flags"),
-      Seq("sample"), s"$outDir/psd_flags")
+    // the kernel output feeds FOUR independent actions below (its own
+    // append + the three PSD frames via allFeats); without a persist the
+    // partition-local feature kernel — the job's one heavy stage —
+    // re-executes for each of them
+    frames.features.persist()
+    frames.psdData.persist()
+    try {
+      Sinks.appendNew(frames.features, existing(s"$outDir/features"),
+        Seq("sample"), s"$outDir/features")
+      Sinks.appendNew(frames.psdData, existing(s"$outDir/psd_data"),
+        Seq("sample"), s"$outDir/psd_data")
+      Sinks.appendNew(frames.psdFits, existing(s"$outDir/psd_fits"),
+        Seq("sample"), s"$outDir/psd_fits")
+      Sinks.appendNew(frames.psdFlags, existing(s"$outDir/psd_flags"),
+        Seq("sample"), s"$outDir/psd_flags")
+    } finally {
+      frames.features.unpersist()
+      frames.psdData.unpersist()
+    }
   }
 
   /** Streaming deployment (§2.9): the file-source stream watches

@@ -1,9 +1,8 @@
 package graft.sources
 
-import java.io.FileOutputStream
+import java.io.{File, FileOutputStream}
 import java.util.zip.{ZipEntry, ZipOutputStream}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** K4 archive sink (SURVEY.md §2.1): binary payloads + a manifest packed
@@ -11,11 +10,22 @@ import org.apache.spark.sql.functions._
   * `max_size = 500` MB + MANIFEST, ifcb-image-export-pipeline.Rmd:839-915,
   * 1010).
   *
-  * Spark shape: part numbers are planned on a *metadata-only* frame
-  * (name, size) — the single-partition cumulative-sum window never moves
-  * payload bytes; payloads join the plan by name and each part writes one
-  * zip from `foreachPartition`, executors in parallel, nothing collected
-  * to the driver. (The reference loops sequentially on one node.)
+  * Spark shape: part numbers are planned from a *metadata-only* pass
+  * (name, size) — entry-grain rows, collected once (an archive's entry
+  * list is driver-small, like the map renders' summary frames) so
+  * neither the assignment join nor the returned manifest ever re-scans
+  * payload bytes. Payloads join the tiny broadcast plan by name and
+  * each part writes one zip from `foreachPartition`, executors in
+  * parallel, nothing collected to the driver. (The reference loops
+  * sequentially on one node.)
+  *
+  * Writer discipline: rows arrive sorted by (part, name), so the writer
+  * STREAMS — at most one payload is in memory at a time, even when hash
+  * partitioning co-locates several ~maxPartBytes parts in one task —
+  * and each finished zip is renamed atomically from a temp file onto
+  * its final name, so a speculative or replayed task attempt can never
+  * leave a half-written archive at the published path (racing attempts
+  * each complete their own temp file; the last rename wins whole).
   */
 object ZipSink {
 
@@ -27,40 +37,60 @@ object ZipSink {
   def write(
       df: DataFrame, nameCol: String, bytesCol: String,
       dir: String, maxPartBytes: Long): DataFrame = {
-    new java.io.File(dir).mkdirs()
-    // plan parts over metadata only; the payload column stays put
-    val meta = df.select(col(nameCol), length(col(bytesCol)).cast("long").as("__len"))
-    val w = Window.orderBy(col(nameCol))
-    val partPlan = meta
-      .withColumn("__cum", sum(col("__len")).over(w))
-      .withColumn("__part", (col("__cum") / maxPartBytes).cast("int"))
-      .select(col(nameCol), col("__part"))
+    new File(dir).mkdirs()
+    val spark = df.sparkSession
+    import spark.implicits._
+    // one metadata pass: cumulative size in name order decides the part
+    // split (the reference's running max_size roll, Rmd:859-866)
+    val entries = df
+      .select(col(nameCol).cast("string"), length(col(bytesCol)).cast("long"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    var cum = 0L
+    val plan = entries.map { case (name, len) =>
+      cum += len
+      (name, (cum / maxPartBytes).toInt, len)
+    }
+    val partPlan = plan.map { case (n, p, _) => (n, p) }.toSeq
+      .toDF(nameCol, "__part")
     val assigned = df.join(broadcast(partPlan), nameCol)
       .select(col(nameCol), col(bytesCol), col("__part"))
       .repartition(col("__part"))
+      .sortWithinPartitions(col("__part"), col(nameCol))
     assigned.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-      // hash partitioning can co-locate several part ids → one zip each
-      it.toSeq.groupBy(_.getAs[Int]("__part")).foreach { case (part, rows) =>
-        val zos = new ZipOutputStream(
-          new FileOutputStream(s"$dir/part-$part.zip"))
-        try {
-          val manifest = new StringBuilder
-          rows.sortBy(_.getAs[String](nameCol)).foreach { r =>
-            val name = r.getAs[String](nameCol)
-            val bytes = r.getAs[Array[Byte]](bytesCol)
-            zos.putNextEntry(new ZipEntry(name))
-            zos.write(bytes)
-            zos.closeEntry()
-            manifest.append(s"$name\t${bytes.length}\n")
-          }
-          zos.putNextEntry(new ZipEntry("MANIFEST.txt"))
-          zos.write(manifest.toString.getBytes("UTF-8"))
-          zos.closeEntry()
-        } finally zos.close()
+      var zos: ZipOutputStream = null
+      var tmp: File = null
+      var cur = Int.MinValue
+      val manifest = new StringBuilder
+      def closeCurrent(): Unit = if (zos != null) {
+        zos.putNextEntry(new ZipEntry("MANIFEST.txt"))
+        zos.write(manifest.toString.getBytes("UTF-8"))
+        zos.closeEntry()
+        zos.close()
+        java.nio.file.Files.move(tmp.toPath,
+          new File(s"$dir/part-$cur.zip").toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        zos = null
+        tmp = null
+        manifest.setLength(0)
       }
+      it.foreach { r =>
+        val part = r.getAs[Int]("__part")
+        if (part != cur) {
+          closeCurrent()
+          cur = part
+          tmp = File.createTempFile(s"part-$part-", ".zip.tmp", new File(dir))
+          zos = new ZipOutputStream(new FileOutputStream(tmp))
+        }
+        val name = r.getAs[String](nameCol)
+        val bytes = r.getAs[Array[Byte]](bytesCol)
+        zos.putNextEntry(new ZipEntry(name))
+        zos.write(bytes)
+        zos.closeEntry()
+        manifest.append(s"$name\t${bytes.length}\n")
+      }
+      closeCurrent()
     }
-    partPlan.join(meta, nameCol)
-      .select(col("__part").as("part"), col(nameCol).as("entry"),
-        col("__len").as("n_bytes"))
+    plan.map { case (n, p, len) => (p, n, len) }.toSeq
+      .toDF("part", "entry", "n_bytes")
   }
 }

@@ -166,38 +166,66 @@ object Streams {
       n: Long, sum: Double)
 
   /** Gap-based sessionization via `flatMapGroupsWithState` — the custom
-    * per-key state surface (§2.9/§2.10): closes a session when `gapMicros`
-    * passes with no event (processing-time timeout variant for
-    * simplicity of the demo; event-time logic inside is explicit).
+    * per-key state surface (§2.9/§2.10). Event-time gap logic is
+    * explicit in the state function: an event more than `gapMicros`
+    * after the key's last one closes the open session and starts a new
+    * one. Sessions therefore close when a LATER EVENT for the key
+    * arrives — without `idleTimeoutMs`, a key that stops sending never
+    * emits its final session and its state lives forever (callers can
+    * flush with a sentinel event per key, like the differential spec
+    * does).
+    *
+    * `idleTimeoutMs = Some(ms)` adds a PROCESSING-time idle timeout: a
+    * key silent for `ms` of wall-clock time has its open session closed,
+    * emitted, and its state evicted at the next micro-batch — the
+    * unbounded-state fix for production keys that go away. Left off by
+    * default because wall-clock timing is nondeterministic, which would
+    * break the stream≡batch differential contract the default mode is
+    * pinned by (StreamsSpec).
     */
   def sessionize(
       events: org.apache.spark.sql.Dataset[SessionEvent],
-      gapMicros: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+      gapMicros: Long,
+      idleTimeoutMs: Option[Long] = None): org.apache.spark.sql.Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val timeoutConf = idleTimeoutMs match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout
+      case None => GroupStateTimeout.NoTimeout
+    }
     events
       .groupByKey(_.key)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (key: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(_.tsMicros)
-          var cur = state.getOption
-          val out = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            cur match {
-              case Some(st) if e.tsMicros - st.last <= gapMicros =>
-                cur = Some(st.copy(last = e.tsMicros, n = st.n + 1, sum = st.sum + e.value))
-              case Some(st) =>
-                out += SessionOut(key, st.start, st.last, st.n, st.sum)
-                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1L, e.value))
-              case None =>
-                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1L, e.value))
+          if (state.hasTimedOut) {
+            // idle key: close and emit the open session, evict the state
+            val out = state.getOption
+              .map(st => SessionOut(key, st.start, st.last, st.n, st.sum))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(_.tsMicros)
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(st) if e.tsMicros - st.last <= gapMicros =>
+                  cur = Some(st.copy(last = e.tsMicros, n = st.n + 1, sum = st.sum + e.value))
+                case Some(st) =>
+                  out += SessionOut(key, st.start, st.last, st.n, st.sum)
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1L, e.value))
+              }
             }
+            cur.foreach { st =>
+              state.update(st)
+              // a set timeout clears whenever the function runs for the
+              // key, so it must be re-armed after every update
+              idleTimeoutMs.foreach(state.setTimeoutDuration)
+            }
+            out.result().iterator
           }
-          cur match {
-            case Some(st) => state.update(st)
-            case None => ()
-          }
-          out.result().iterator
       }
   }
 }

@@ -25,13 +25,16 @@ class IngestQcSpec extends SparkSpec {
   private val BinC = "D20240601T120000_IFCB134" // stale fix + no ferrybox -> -999
   private val BinBL = "D20240601T130000_IFCB134" // blacklisted, has files
   private val BinBig = "D20240601T140000_IFCB134" // oversize -> dead letter
+  private val BinNoHdr = "D20240601T160000_IFCB134" // no .hdr at all -> -999
+  private val BinBadFix = "D20240601T170000_IFCB134" // unparseable fix -> -999
   private val PhantomBL = "D20231201T000000_IFCB777" // blacklisted, no files
 
   /** Writes one bin trio; returns nothing. `seeds` pick the rendered
     * ROI images; `gps`/`fix` control the hdr position block.
     */
   private def writeBin(dir: Path, bin: String, seeds: Seq[Long],
-      gps: Option[(Double, Double)], fix: Option[String]): Unit = {
+      gps: Option[(Double, Double)], fix: Option[String],
+      withHdr: Boolean = true): Unit = {
     val imgs = seeds.map(FeatureExtract.renderRoi)
     val roi = imgs.flatMap(_._1).toArray
     Files.write(dir.resolve(s"$bin.roi"), roi)
@@ -40,11 +43,13 @@ class IngestQcSpec extends SparkSpec {
         (s"${i + 1},$w,$h,$off", off + px.length)
     }.map(_._1)
     Files.writeString(dir.resolve(s"$bin.adc"), adcRows.mkString("", "\n", "\n"))
-    val gpsLines = gps.map { case (la, lo) =>
-      s"gpsLatitude: $la\ngpsLongitude: $lo\n" }.getOrElse("")
-    val fixLine = fix.map(f => s"gpsTimeFromFix: $f\n").getOrElse("")
-    Files.writeString(dir.resolve(s"$bin.hdr"),
-      s"softwareVersion: 4.1\n$gpsLines$fixLine")
+    if (withHdr) {
+      val gpsLines = gps.map { case (la, lo) =>
+        s"gpsLatitude: $la\ngpsLongitude: $lo\n" }.getOrElse("")
+      val fixLine = fix.map(f => s"gpsTimeFromFix: $f\n").getOrElse("")
+      Files.writeString(dir.resolve(s"$bin.hdr"),
+        s"softwareVersion: 4.1\n$gpsLines$fixLine")
+    }
   }
 
   private lazy val rawDir: Path = {
@@ -57,6 +62,9 @@ class IngestQcSpec extends SparkSpec {
     writeBin(dir, BinBL, Seq(40L), gps = None, fix = None)
     writeBin(dir, BinBig, Seq(50L, 51L, 52L, 53L, 54L, 55L, 56L, 57L),
       gps = None, fix = None)
+    writeBin(dir, BinNoHdr, Seq(60L), gps = None, fix = None, withHdr = false)
+    writeBin(dir, BinBadFix, Seq(70L),
+      gps = Some((57.2, 11.5)), fix = Some("not/a/timestamp"))
     // empty (0-byte) bin: excluded everywhere (R:190-197)
     Files.write(dir.resolve("D20240601T150000_IFCB134.roi"), Array.empty[Byte])
     Files.writeString(dir.resolve("D20240601T150000_IFCB134.adc"),
@@ -69,7 +77,9 @@ class IngestQcSpec extends SparkSpec {
     maxBinBytes = 5000L,    // BinBig (8 images) trips this
     psdStartFitUm = 2.0)    // fixture blobs are ~4-6 um ESD
 
-  private val blacklist = Seq(BinBL, PhantomBL, "D20240115").toDF("sample")
+  // "IFCB9" is a general instrument pattern: it must match file paths as
+  // a regex but NEVER surface as a literal pid row (R:392-393)
+  private val blacklist = Seq(BinBL, PhantomBL, "D20240115", "IFCB9").toDF("sample")
   private val cruises = Seq(("77", ts("2024-06-01 09:00:00"), ts("2024-06-01 10:30:00")))
     .toDF("cruise_no", "startdate", "stopdate")
   private val ferrybox = Seq(
@@ -85,7 +95,8 @@ class IngestQcSpec extends SparkSpec {
   test("dashboard metadata matches the R:373-428 contract") {
     val md = frames.metadata.collect()
       .map(r => r.getAs[String]("pid") -> r).toMap
-    assert(md.keySet == Set(BinA, BinB, BinC, BinBL, BinBig, PhantomBL))
+    assert(md.keySet ==
+      Set(BinA, BinB, BinC, BinBL, BinBig, BinNoHdr, BinBadFix, PhantomBL))
 
     val a = md(BinA)
     assert(a.getAs[Double]("latitude") == 57.0)
@@ -105,22 +116,33 @@ class IngestQcSpec extends SparkSpec {
     assert(c.getAs[Double]("latitude") == -999.0)
     assert(c.getAs[String]("tag") == "missing_position")
 
+    // a bin with NO .hdr and one whose fix time cannot be parsed both
+    // land on the -999/missing_position contract, not a silent mis-tag
+    val nh = md(BinNoHdr)
+    assert(nh.getAs[Double]("latitude") == -999.0)
+    assert(nh.getAs[String]("tag") == "missing_position")
+    val bf = md(BinBadFix)
+    assert(bf.getAs[Double]("latitude") == -999.0)
+    assert(bf.getAs[String]("tag") == "missing_position")
+
     assert(md(BinBL).getAs[Boolean]("skip"))
     val big = md(BinBig)
     assert(big.getAs[Boolean]("qc_bad") && big.getAs[Boolean]("skip"))
     val ph = md(PhantomBL)
     assert(ph.getAs[Boolean]("qc_bad") && ph.getAs[Boolean]("skip"))
-    // the day-level pattern D20240115 never becomes a row (R:404-406)
+    // the day-level pattern D20240115 never becomes a row (R:404-406),
+    // and neither does the general "IFCB9" pattern (md.keySet above)
   }
 
   test("features cover new non-blacklisted bins only; PSD flags per sample") {
     val bySample = frames.features.groupBy("sample").count()
       .as[(String, Long)].collect().toMap
-    assert(bySample == Map(BinA -> 2L, BinB -> 1L, BinC -> 1L))
+    assert(bySample == Map(BinA -> 2L, BinB -> 1L, BinC -> 1L,
+      BinNoHdr -> 1L, BinBadFix -> 1L))
     assert(frames.features.columns.contains("EquivDiameter"))
 
     val flags = frames.psdFlags.as[(String, String)].collect().toMap
-    assert(flags.keySet == Set(BinA, BinB, BinC))
+    assert(flags.keySet == Set(BinA, BinB, BinC, BinNoHdr, BinBadFix))
     // 1-2 rois per bin < incomplete[1] = 1500 => reference-vocabulary
     // "Incomplete Run" under the flags7 chain; the fixture HDRs carry no
     // runTime/humidity keys, so the volume/humidity rules stay disabled
@@ -128,7 +150,7 @@ class IngestQcSpec extends SparkSpec {
 
     val fits = frames.psdFits.collect().map(r =>
       r.getAs[String]("sample") -> r.getAs[Long]("n_bins")).toMap
-    assert(fits.keySet == Set(BinA, BinB, BinC))
+    assert(fits.keySet == Set(BinA, BinB, BinC, BinNoHdr, BinBadFix))
     assert(fits.values.forall(_ >= 1L)) // fixture ESD ~4-6 um >= startFit 2
 
     val dead = frames.deadLetter
@@ -156,14 +178,14 @@ class IngestQcSpec extends SparkSpec {
       t -> spark.read.option("header", "true").csv(s"$out/$t").count()
     }.toMap
     val first = counts()
-    assert(first("features") == 4L && first("psd_fits") == 3L)
+    assert(first("features") == 6L && first("psd_fits") == 5L)
 
     val second = IngestQc.runIncremental(
       spark, cfg, blacklist, cruises, ferrybox, baltic, out)
     assert(second.features.isEmpty) // nothing new to extract
     assert(counts() == first)       // sinks unchanged
     // metadata is overwritten, not appended: same contract rows
-    assert(spark.read.option("header", "true").csv(s"$out/metadata").count() == 6L)
+    assert(spark.read.option("header", "true").csv(s"$out/metadata").count() == 8L)
   }
 
   test("drifted state file fails loudly, not as a silent anti-join miss") {
@@ -206,13 +228,13 @@ class IngestQcSpec extends SparkSpec {
       spark, cfg, blacklist, cruises, ferrybox, baltic, out, ckpt)
     q.awaitTermination(120000)
     val features = spark.read.option("header", "true").csv(s"$out/features")
-    assert(features.count() == 4L)
+    assert(features.count() == 6L)
     // second trigger over the same checkpoint: no new files -> batch is
     // empty or the idempotent sinks append nothing
     val q2 = IngestQc.stream(
       spark, cfg, blacklist, cruises, ferrybox, baltic, out, ckpt)
     q2.awaitTermination(120000)
-    assert(spark.read.option("header", "true").csv(s"$out/features").count() == 4L)
+    assert(spark.read.option("header", "true").csv(s"$out/features").count() == 6L)
   }
 
   test("engine-generated Bubbles flag drives the delivery W1 adjacency drop end-to-end") {

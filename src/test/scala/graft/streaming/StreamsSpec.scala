@@ -146,6 +146,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize idle timeout closes a silent key's session without any flush event") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.SessionEvent]
+    val out = Streams.sessionize(in.toDS(), gapMicros = 60L * 1000000,
+      idleTimeoutMs = Some(200L))
+    // NOTE: no processAllAvailable anywhere in this test — with armed
+    // processing-time timeouts the engine keeps scheduling empty
+    // timeout batches and that call never settles; poll with a deadline
+    // instead
+    val q = out.writeStream.format("memory").queryName("idle_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Streams.SessionEvent(1L, 0L, 1.0),
+        Streams.SessionEvent(1L, 30L * 1000000, 2.0))
+      // the session must emit from the idle timeout ALONE — no sentinel,
+      // no further events
+      val deadline = System.currentTimeMillis + 30000
+      while (spark.table("idle_sessions").count() == 0 &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+      val rows = spark.table("idle_sessions")
+        .select("key", "n", "sum").as[(Long, Long, Double)].collect().toSet
+      assert(rows == Set((1L, 2L, 3.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("sessionize over the q82 events fixture equals the batch result across a checkpoint restart") {
     // ST5 differential: the streaming sessionizer and q82's relational
     // twin must agree on the REAL fixture, not just toy rows — same
