@@ -171,6 +171,11 @@ object H5Source {
         case 1 => // contiguous: address(8) + size(8)
           val dataAddr = buf.getLong(off + 2)
           val n = buf.getLong(off + 10)
+          // deferred allocation leaves the address undefined while the
+          // dataspace still claims the full shape; an empty array here
+          // would make consumers index past the data — reject loudly
+          require(dataAddr != Undef || dims.product == 0L,
+            s"dataset has undefined data address but claims dims $dims")
           if (dataAddr == Undef) new Array[Byte](0)
           else {
             val a = new Array[Byte](n.toInt)
@@ -178,6 +183,10 @@ object H5Source {
             a
           }
         case 2 => // chunked: dimensionality(1) btree(8) dims(4 each) elem(4)
+          // only deflate (1) is implemented; silently skipping shuffle
+          // (2) or fletcher32 (3) would decode transposed/shifted bytes
+          require(filters.forall(_ == 1),
+            s"unsupported filter pipeline $filters (only deflate is implemented)")
           val ndims = buf.get(off + 2) & 0xff // rank + 1
           val btree = buf.getLong(off + 3)
           val chunkDims = (0 until ndims - 1).map(i => buf.getInt(off + 11 + 4 * i).toLong)
@@ -240,19 +249,8 @@ object H5Source {
     } else throw new IllegalArgumentException(s"chunked rank $rank unsupported")
   }
 
-  private def inflate(data: Array[Byte]): Array[Byte] = {
-    val inf = new Inflater()
-    inf.setInput(data)
-    val out = new java.io.ByteArrayOutputStream(data.length * 4)
-    val tmp = new Array[Byte](8192)
-    while (!inf.finished() && !inf.needsInput()) {
-      val n = inf.inflate(tmp)
-      if (n > 0) out.write(tmp, 0, n)
-      else if (n == 0 && !inf.finished()) { inf.end(); throw new IllegalArgumentException("bad deflate chunk") }
-    }
-    inf.end()
-    out.toByteArray
-  }
+  private def inflate(data: Array[Byte]): Array[Byte] =
+    Zlib.inflate(data, "HDF5 deflate chunk")
 
   private def decode(buf: ByteBuffer, dt: Datatype, dims: Seq[Long], raw: Array[Byte]): H5Value = {
     val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
@@ -308,7 +306,9 @@ object H5Source {
         for (i <- 0 until len) bytes(i) = buf.get(p + 16 + i)
         return new String(bytes, "UTF-8")
       }
-      if (idx == 0) return "" // free-space object terminates the walk
+      if (idx == 0)
+        throw new IllegalArgumentException( // free space ends the walk:
+          s"global heap object $index not found before free space at $addr")
       p += 16 + ((size + 7) / 8 * 8).toInt
     }
     throw new IllegalArgumentException(s"global heap object $index not found at $addr")
@@ -363,10 +363,13 @@ object H5Source {
 
   /** Top-scoring class per ROI, gated by the per-class threshold — the
     * `class_labels_above_threshold` view downstream deliveries consume.
+    * The window keys on classifier too: a directory holding two
+    * classifiers' result files for the same bin must yield each
+    * classifier's own winner, not silently drop one.
     */
   def topClassPerRoi(scores: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("sample"), col("roi_number"))
+    val w = Window.partitionBy(col("classifier"), col("sample"), col("roi_number"))
       .orderBy(col("score").desc, col("class_name").asc)
     scores
       .withColumn("rn", row_number().over(w))

@@ -86,20 +86,8 @@ object MatSource {
     }
   }
 
-  private def inflate(data: Array[Byte]): Array[Byte] = {
-    val inf = new Inflater()
-    inf.setInput(data)
-    val out = new java.io.ByteArrayOutputStream(data.length * 4)
-    val chunk = new Array[Byte](8192)
-    while (!inf.finished() && !inf.needsInput()) {
-      val n = inf.inflate(chunk)
-      if (n > 0) out.write(chunk, 0, n) else if (n == 0 && !inf.finished()) {
-        inf.end(); throw new IllegalArgumentException("bad zlib stream")
-      }
-    }
-    inf.end()
-    out.toByteArray
-  }
+  private def inflate(data: Array[Byte]): Array[Byte] =
+    Zlib.inflate(data, "MAT-5 compressed element")
 
   // --- miMATRIX ------------------------------------------------------------
 
@@ -128,13 +116,30 @@ object MatSource {
         MatCell(dims, items.result())
       case 4 => // mxCHAR_CLASS
         val (tpe, d) = readElement(buf).getOrElse(return None)
-        MatStr(decodeChars(tpe, d))
+        MatStr(rowMajor(decodeChars(tpe, d), dims))
       case _ => // numeric classes: decode the real-part element
         val (tpe, d) = readElement(buf).getOrElse(return None)
         MatNum(dims, decodeNumeric(tpe, d))
     }
     Some(name -> value)
   }
+
+  /** MAT-5 stores char matrices column-major; a multi-row matrix
+    * (rows 'AB'/'CD' stored A,C,B,D) must read back row-wise
+    * ("ABCD"), not interleaved.
+    */
+  private def rowMajor(s: String, dims: Seq[Int]): String =
+    if (dims.length == 2 && dims(0) > 1 && dims(0).toLong * dims(1) == s.length) {
+      val (rows, cols) = (dims(0), dims(1))
+      val out = new Array[Char](s.length)
+      var i = 0
+      while (i < rows) {
+        var j = 0
+        while (j < cols) { out(i * cols + j) = s(j * rows + i); j += 1 }
+        i += 1
+      }
+      new String(out)
+    } else s
 
   private def decodeChars(tpe: Int, d: Array[Byte]): String = tpe match {
     case 16 => new String(d, "UTF-8") // miUTF8

@@ -32,13 +32,20 @@ object RoiSource {
       .withColumn("sample",
         regexp_extract(input_file_name(), HdrSource.SampleIdPattern, 1))
 
-  /** One row per image: (sample, roi_number, width, height, pixels). */
+  /** One row per image: (sample, roi_number, width, height, pixels).
+    * Files whose names don't carry an IFCB sample id are dropped on
+    * BOTH sides: a non-match extracts "" and two empty-sample sides
+    * would cross-join unrelated bins, slicing pixels from the wrong
+    * .roi payload.
+    */
   def images(adc: DataFrame, roiFiles: DataFrame): DataFrame = {
     val roi = roiFiles
       .withColumn("sample",
         regexp_extract(col("path"), HdrSource.SampleIdPattern, 1))
+      .filter(col("sample") =!= "")
       .select(col("sample"), col("content"))
     adc
+      .filter(col("sample") =!= "")
       .filter(col("width") > 0 && col("height") > 0)
       .join(roi, "sample")
       .select(

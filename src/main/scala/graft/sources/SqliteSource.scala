@@ -34,11 +34,52 @@ object SqliteSource {
     // sqlite_master b-tree lives on page 1 (header occupies first 100 bytes)
     val master = walkTable(buf, pageSize, 1)
     val (rootPage, createSql) = master.collectFirst {
-      case Seq(tpe: String, name: String, _, root: Long, sql: String)
+      case (_, Seq(tpe: String, name: String, _, root: Long, sql: String))
         if tpe == "table" && name == table => (root.toInt, sql)
     }.getOrElse(throw new IllegalArgumentException(s"table $table not found"))
     val columns = parseColumns(createSql)
-    Table(columns, walkTable(buf, pageSize, rootPage))
+    val rows = walkTable(buf, pageSize, rootPage)
+    // INTEGER PRIMARY KEY is a rowid alias: the record stores NULL and
+    // the real value rides in the cell's rowid (SQLite file format 2.1)
+    val subbed = rowidAliasIndex(createSql) match {
+      case Some(i) =>
+        rows.map { case (rid, vals) =>
+          if (i < vals.length && vals(i) == null) vals.updated(i, rid) else vals
+        }
+      case None => rows.map(_._2)
+    }
+    Table(columns, subbed)
+  }
+
+  /** Index of the column declared `INTEGER PRIMARY KEY` (the rowid
+    * alias), if any.
+    */
+  private[sources] def rowidAliasIndex(sql: String): Option[Int] = {
+    val body = sql.substring(sql.indexOf('(') + 1, sql.lastIndexOf(')'))
+    val defs = splitTopLevel(body)
+      .filterNot(c => Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
+        .contains(c.split("[\\s(]+").head.toUpperCase))
+    val i = defs.indexWhere(
+      _.toUpperCase.matches("""(?s).*\bINTEGER\s+PRIMARY\s+KEY\b.*"""))
+    if (i >= 0) Some(i) else None
+  }
+
+  /** Splits a CREATE TABLE body on commas at paren depth 0 only —
+    * `DECIMAL(10,2)` or `CHECK(x IN (1,2))` must not produce phantom
+    * column definitions that shift every later column's index.
+    */
+  private def splitTopLevel(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    body.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   /** Column names from a CREATE TABLE statement (good enough for the
@@ -46,9 +87,9 @@ object SqliteSource {
     */
   private[sources] def parseColumns(sql: String): Seq[String] = {
     val body = sql.substring(sql.indexOf('(') + 1, sql.lastIndexOf(')'))
-    body.split(",").map(_.trim).filter(_.nonEmpty)
+    splitTopLevel(body)
       .filterNot(c => Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
-        .contains(c.split("\\s+").head.toUpperCase))
+        .contains(c.split("[\\s(]+").head.toUpperCase))
       .map { c =>
         // quoted identifiers may contain spaces: "b c" / [b c] / `b c`
         val closer = Map('"' -> '"', '[' -> ']', '`' -> '`')
@@ -60,8 +101,11 @@ object SqliteSource {
       .toSeq
   }
 
-  /** In-order traversal of a table B-tree, decoding every leaf record. */
-  private def walkTable(buf: ByteBuffer, pageSize: Int, page: Int): Seq[Seq[Any]] = {
+  /** In-order traversal of a table B-tree: (rowid, decoded record) per
+    * leaf cell.
+    */
+  private def walkTable(buf: ByteBuffer, pageSize: Int,
+      page: Int): Seq[(Long, Seq[Any])] = {
     val base = (page - 1) * pageSize
     val hdr = base + (if (page == 1) 100 else 0)
     val pageType = buf.get(hdr) & 0xff
@@ -72,8 +116,15 @@ object SqliteSource {
           val cellPtr = base + (buf.getShort(hdr + 8 + 2 * i) & 0xffff)
           var p = cellPtr
           val (payloadLen, p1) = varint(buf, p); p = p1
-          val (_, p2) = varint(buf, p); p = p2 // rowid
-          Some(record(buf, p, payloadLen.toInt))
+          val (rowid, p2) = varint(buf, p); p = p2
+          // a payload past the leaf max-local threshold spills to
+          // overflow pages; reading through the 4-byte overflow pointer
+          // would silently misparse — reject loudly instead (the module
+          // contract for unsupported format corners)
+          require(payloadLen <= pageSize - 35,
+            s"cell payload $payloadLen exceeds leaf max-local ${pageSize - 35}: " +
+              "overflow pages are not supported")
+          Some(rowid -> record(buf, p, payloadLen.toInt))
         }
       case 0x05 => // interior table: cells carry left-child pointers
         val kids = (0 until nCells).map { i =>

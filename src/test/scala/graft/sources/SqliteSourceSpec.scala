@@ -76,4 +76,26 @@ class SqliteSourceSpec extends SparkSpec {
       "CREATE TABLE t (a TEXT, \"b c\" INTEGER, d REAL, PRIMARY KEY (a))")
       == Seq("a", "b c", "d"))
   }
+
+  test("parseColumns ignores commas inside type and constraint parens") {
+    assert(SqliteSource.parseColumns(
+      "CREATE TABLE t (a TEXT, conf DECIMAL(10,2), n INTEGER, CHECK(n IN (1,2)))")
+      == Seq("a", "conf", "n"))
+    assert(SqliteSource.rowidAliasIndex(
+      "CREATE TABLE t (a TEXT, n INTEGER PRIMARY KEY)").contains(1))
+    assert(SqliteSource.rowidAliasIndex(
+      "CREATE TABLE t (a TEXT, n INTEGER)").isEmpty)
+  }
+
+  test("INTEGER PRIMARY KEY rowid alias reads back from the cell rowid") {
+    // SQLite stores NULL in the record for a rowid-alias column; the
+    // value lives in the cell's rowid varint
+    val cols = Seq("roi_number" -> "INTEGER PRIMARY KEY", "class_name" -> "TEXT")
+    val rows = Seq(Seq(null, "Mesodinium"), Seq(null, "Dinophysis"))
+    val t = SqliteSource.readTable(
+      SqliteFixture.write("annotations", cols, rows), "annotations")
+    assert(t.columns == Seq("roi_number", "class_name"))
+    assert(t.rows.map(_.head) == Seq(1L, 2L))
+    assert(t.rows.map(_(1)) == Seq("Mesodinium", "Dinophysis"))
+  }
 }
