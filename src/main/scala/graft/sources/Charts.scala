@@ -137,6 +137,7 @@ object Charts {
       w: Int = 640, h: Int = 400): String = {
     val rows = counts.select(col(labelCol).cast("string"),
         col(valueCol).cast("long"))
+      .filter(col(valueCol).isNotNull) // na.rm, matching the other renders
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (l, v) => (-v, l) } // top row = largest

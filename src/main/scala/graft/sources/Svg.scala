@@ -6,10 +6,14 @@ package graft.sources
   */
 private[sources] object Svg {
 
-  /** 2-decimal fixed-point coordinates: enough for pixel geometry,
-    * locale-independent, and short enough to keep goldens readable.
+  /** 2-decimal fixed-point coordinates: enough for pixel geometry, and
+    * short enough to keep goldens readable. Locale.ROOT is load-bearing:
+    * the f-interpolator uses the default JVM locale, which under e.g.
+    * de_DE emits comma decimals and breaks SVG path syntax (and with it
+    * the byte-deterministic golden contract of every render).
     */
-  def fmt(d: Double): String = f"$d%.2f"
+  def fmt(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
 
   /** Escapes for BOTH element-text and attribute context (quotes
     * included — harmless in text nodes, required in attributes).

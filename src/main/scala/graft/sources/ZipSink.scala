@@ -45,6 +45,14 @@ object ZipSink {
     val entries = df
       .select(col(nameCol).cast("string"), length(col(bytesCol)).cast("long"))
       .as[(String, Long)].collect().sortBy(_._1)
+    // entry names must be unique: the payload→plan equi-join by name
+    // would otherwise fan out (each payload row matching every same-name
+    // plan row), duplicating entries across parts and inflating the
+    // manifest. Fail loudly rather than write a corrupt archive.
+    require(entries.iterator.map(_._1).toSet.size == entries.length, {
+      val dup = entries.groupBy(_._1).collect { case (n, g) if g.length > 1 => n }
+      s"ZipSink: duplicate entry names in '$nameCol': ${dup.take(5).mkString(", ")}"
+    })
     var cum = 0L
     val plan = entries.map { case (name, len) =>
       cum += len

@@ -13,13 +13,19 @@ private[sources] object Zlib {
     inf.setInput(data)
     val out = new java.io.ByteArrayOutputStream(data.length * 4)
     val chunk = new Array[Byte](8192)
-    while (!inf.finished() && !inf.needsInput()) {
-      val n = inf.inflate(chunk)
-      if (n > 0) out.write(chunk, 0, n) else if (n == 0 && !inf.finished()) {
-        inf.end(); throw new IllegalArgumentException(s"bad zlib stream in $what")
+    try {
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(chunk)
+        if (n > 0) out.write(chunk, 0, n)
+        else if (!inf.finished() && !inf.needsInput())
+          throw new IllegalArgumentException(s"bad zlib stream in $what")
       }
-    }
-    inf.end()
-    out.toByteArray
+      // A truncated stream exits the loop via needsInput() with the
+      // deflate stream unfinished — that is silent partial data, which
+      // the decode-right-or-fail-loudly contract forbids.
+      if (!inf.finished())
+        throw new IllegalArgumentException(s"truncated zlib stream in $what")
+      out.toByteArray
+    } finally inf.end()
   }
 }

@@ -67,4 +67,20 @@ class MalformedInputSpec extends AnyFunSuite {
     val (px, w, h) = graft.multimodal.Media.decodeImage(out.toByteArray, 0, 0)
     assert((w, h) == (3, 2) && px.toSeq == Seq(10, 11, 12, 13, 14, 15))
   }
+
+  test("Zlib.inflate rejects truncated streams rather than returning partial bytes") {
+    val deflater = new java.util.zip.Deflater()
+    val payload = Array.tabulate[Byte](4096)(i => (i % 251).toByte)
+    deflater.setInput(payload)
+    deflater.finish()
+    val buf = new Array[Byte](8192)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val full = buf.take(n)
+    // full stream round-trips
+    assert(Zlib.inflate(full, "test").sameElements(payload))
+    // truncated stream must throw, not silently return a prefix
+    val e = intercept[IllegalArgumentException](Zlib.inflate(full.take(n / 2), "test"))
+    assert(e.getMessage.contains("truncated"))
+  }
 }

@@ -31,4 +31,14 @@ class ZipSinkSpec extends SparkSpec {
     }
     assert(entries.sorted.toSeq == rows.map(_._1))
   }
+
+  test("duplicate entry names fail loudly instead of fanning out") {
+    val dir = Files.createTempDirectory("zipdup").toString + "/out"
+    val rows = Seq(("a.png", Array[Byte](1)), ("a.png", Array[Byte](2)))
+    val e = intercept[IllegalArgumentException] {
+      ZipSink.write(rows.toDF("name", "bytes"), "name", "bytes", dir, 100L)
+    }
+    assert(e.getMessage.contains("duplicate entry names"))
+    assert(e.getMessage.contains("a.png"))
+  }
 }
