@@ -85,7 +85,7 @@ object KMeans {
         // fused into one select, ExtractGenerator hoists every
         // non-generator expression ABOVE the Generate, so the k-centroid
         // distance scan would re-evaluate once per exploded DIMENSION
-        // (64x the work — measured 9.0 s vs 0.6 s per round at sf0.1)
+        // (64x the work — round-8 tuning: 9.0 s vs 0.6 s per round at sf0.1)
         val upd = cached
           .select(assign(col(xqCol), cents).as("cell"), col(xqCol))
           .select(col("cell"), posexplode(col(xqCol)).as(Seq("dim", "v")))

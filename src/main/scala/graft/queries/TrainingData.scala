@@ -553,7 +553,7 @@ object TrainingData {
       // buffers: the one-distinct rewrite keys the partial pass by
       // (l_returnflag, l_partkey) — ~|distinct keys| Percentile maps and
       // QuantileSummaries that all get buffer-merged in the final stage
-      // (tuning-time measurement: 7.5 s at sf0.1 vs ~1 s split). Separate 3-row
+      // (round-5 tuning measurement: 7.5 s at sf0.1 vs ~1 s split). Separate 3-row
       // aggregations broadcast-joined instead; at 100 TB the same holds
       // (two scans beat one scan whose partial state explodes per key).
       val li = lineitem(s, d)

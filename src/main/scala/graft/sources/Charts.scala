@@ -137,7 +137,7 @@ object Charts {
       w: Int = 640, h: Int = 400): String = {
     val rows = counts.select(col(labelCol).cast("string"),
         col(valueCol).cast("long"))
-      .filter(col(valueCol).isNotNull) // na.rm, matching the other renders
+      .filter(col(labelCol).isNotNull && col(valueCol).isNotNull) // na.rm, matching the other renders
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (l, v) => (-v, l) } // top row = largest
@@ -175,7 +175,8 @@ object Charts {
       : String = {
     val rows = pairs.select(col(facetCol).cast("string"),
         col(xCol).cast("double"), col(yCol).cast("double"))
-      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .filter(col(facetCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
       .collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(r => (r._1, r._2, r._3))

@@ -15,7 +15,16 @@ private[sources] object Zlib {
     val chunk = new Array[Byte](8192)
     try {
       while (!inf.finished() && !inf.needsInput()) {
-        val n = inf.inflate(chunk)
+        // corrupted (non-truncated) streams surface as the checked
+        // DataFormatException — rethrow as the one exception type the
+        // fail-loudly reader contract uses everywhere else
+        val n =
+          try inf.inflate(chunk)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"bad zlib stream in $what", e)
+          }
         if (n > 0) out.write(chunk, 0, n)
         else if (!inf.finished() && !inf.needsInput())
           throw new IllegalArgumentException(s"bad zlib stream in $what")

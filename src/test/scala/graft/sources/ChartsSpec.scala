@@ -96,4 +96,19 @@ class ChartsSpec extends SparkSpec {
       svg.contains(">Nodularia spumigena</text>"))
     assert(svg == Charts.scatterFacetSvg(pairs, "taxon", "microscopy", "ifcb"))
   }
+
+  test("null labels/facets drop like na.rm instead of throwing") {
+    // barChartSvg: null label with a non-null count must not reach
+    // escape(null)
+    val counts = Seq((Option("Dinophyceae"), 40L), (None, 10L))
+      .map { case (l, c) => (l.orNull, c) }.toDF("class", "count")
+    val svg = Charts.barChartSvg(counts, "class", "count")
+    assert("<rect ".r.findAllIn(svg).length == 1)
+    assert(svg.contains(">Dinophyceae</text>"))
+    // scatterFacetSvg: null facet with non-null coordinates likewise
+    val pairs = Seq((Option("Aphanizomenon"), 1.0, 2.0), (None, 3.0, 4.0))
+      .map { case (t, x, y) => (t.orNull, x, y) }.toDF("taxon", "x", "y")
+    val fsvg = Charts.scatterFacetSvg(pairs, "taxon", "x", "y")
+    assert("<circle ".r.findAllIn(fsvg).length == 1)
+  }
 }

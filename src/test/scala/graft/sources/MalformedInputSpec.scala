@@ -83,4 +83,22 @@ class MalformedInputSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Zlib.inflate(full.take(n / 2), "test"))
     assert(e.getMessage.contains("truncated"))
   }
+
+  test("Zlib.inflate rejects corrupted streams with the contract exception type") {
+    val deflater = new java.util.zip.Deflater()
+    val payload = Array.tabulate[Byte](4096)(i => (i % 251).toByte)
+    deflater.setInput(payload)
+    deflater.finish()
+    val buf = new Array[Byte](8192)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    // flip bytes in the middle of the deflate data: Inflater raises the
+    // checked DataFormatException, which must surface as the same
+    // IllegalArgumentException every other malformed-input path uses
+    val corrupt = buf.take(n)
+    for (i <- n / 3 until n / 3 + 8) corrupt(i) = (corrupt(i) ^ 0x5a).toByte
+    val e = intercept[IllegalArgumentException](Zlib.inflate(corrupt, "test"))
+    assert(e.getMessage.contains("bad zlib stream") ||
+      e.getMessage.contains("truncated"))
+  }
 }
