@@ -57,6 +57,23 @@ import org.apache.spark.sql.SparkSession
   * round 7, exactly when it was needed): if calib inflates versus the
   * ~220 ms reference recorded in BASELINE.md, the run was contended and
   * `vs_baseline_sec` deltas are not plan regressions.
+  *
+  * Round-10 addendum: the single-threaded sentinel is necessary but NOT
+  * sufficient — BENCH_r09 read calib 221/213 ms (clean) while q76
+  * measured 6.58 s against a 1.82 s exclusive re-run with the same calib
+  * readings. One free core keeps a 1-thread loop fast while competing
+  * load steals the other 31 (or the memory bus). The harness therefore
+  * also runs an ALL-CORES sentinel (`calib_par_*_ms` fields: one
+  * xorshift+strided-store worker per hardware thread, wall-clocked to
+  * the slowest) whose exclusive reference rides in BASELINE.md next to
+  * the single-thread one, plus a `steal_pct` field — hypervisor CPU
+  * steal from /proc/stat deltas across the whole suite window, the one
+  * signal that integrates over the run instead of sampling endpoints
+  * (this host is a VM; steal is invisible to ps/top inside the guest).
+  * BASELINE.md now carries a second decision rule: any per-query delta
+  * > 2x its frozen baseline is adjudicated from a
+  * SPARK_GRAFT_BENCH_ONLY exclusive re-run regardless of what any
+  * sentinel says.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -126,12 +143,86 @@ object Bench {
       once(); once()
     }
 
+    /** All-cores contention sentinel (round-10 verdict task 1): BENCH_r09
+      * read calib 221/213 ms — clean — while q76 measured 6.58 s against
+      * a 1.82 s exclusive re-run, i.e. a single-threaded loop CANNOT see
+      * multi-core or memory-bandwidth contention on a 32-core host (one
+      * free core keeps it fast while the other 31 are stolen). This
+      * variant runs one xorshift worker per hardware thread, each also
+      * issuing strided stores into a private 8 MiB buffer (larger than
+      * L2, so the stores reach L3/DRAM and the reading co-varies with
+      * bandwidth pressure), and times the WALL clock until every worker
+      * finishes. Exclusive: wall ≈ the single-thread time (perfect
+      * scaling, modest bandwidth). Contended: descheduled workers and
+      * bandwidth competition inflate it roughly in proportion to the
+      * stolen capacity — exactly the signal the r9 spikes needed. Run
+      * twice, keep the second (first pays JIT + page faults).
+      */
+    val calibParCpus = math.max(2, Runtime.getRuntime.availableProcessors())
+    val calibParMask = (1 << 20) - 1 // Array[Long](1<<20) = 8 MiB per worker
+    // worker buffers are allocated ONCE, before any timed region: the
+    // first prototype allocated them inside the sentinel, and the
+    // post-suite reading then paid an old-gen GC for 256 MiB of fresh
+    // allocation on a garbage-heavy heap — a JVM artifact masquerading
+    // as host contention (observed: par_after 383 ms vs par_before 231
+    // on the same otherwise-idle host)
+    val calibParBufs: Array[Array[Long]] =
+      Array.fill(calibParCpus)(new Array[Long](calibParMask + 1))
+
+    /** (steal_ticks, total_ticks) from the aggregate cpu line of
+      * /proc/stat — on a VM, steal is hypervisor CPU theft, the one
+      * contention source no in-guest process listing can show. Sampled
+      * before and after the suite; the delta ratio goes in the contract
+      * line as steal_pct. None on non-Linux / unreadable proc.
+      */
+    def cpuTicks(): Option[(Long, Long)] =
+      try {
+        val line = {
+          val src = scala.io.Source.fromFile("/proc/stat")
+          try src.getLines().next() finally src.close()
+        }
+        // cpu user nice system idle iowait irq softirq steal guest gnice
+        val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+        Some((f.lift(7).getOrElse(0L), f.sum))
+      } catch { case _: Throwable => None }
+
+    def calibParMs(): Double = {
+      def once(): Double = {
+        val sink = new java.util.concurrent.atomic.AtomicLong()
+        val t0 = System.nanoTime()
+        val threads = (0 until calibParCpus).map { tid =>
+          val t = new Thread(() => {
+            val buf = calibParBufs(tid)
+            var x = 0x9E3779B97F4A7C15L + tid
+            var i = 0
+            while (i < 100000000) {
+              x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+              // one strided store per 16 xorshifts: ~6.25M stores x 8 B
+              // per worker — enough DRAM traffic to see bandwidth theft
+              // without turning the sentinel itself bandwidth-bound
+              if ((i & 15) == 0) buf((x >>> 8).toInt & calibParMask) = x
+              i += 1
+            }
+            sink.addAndGet(x + buf((x >>> 8).toInt & calibParMask)) // keep live
+          })
+          t.setDaemon(true); t.start(); t
+        }
+        threads.foreach(_.join())
+        val t = (System.nanoTime() - t0) / 1e6
+        if (sink.get == 0) print("")
+        t
+      }
+      once(); once()
+    }
+
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY matched no queries")
     val calibBefore = calibMs()
+    val calibParBefore = calibParMs()
+    val ticksBefore = cpuTicks()
     run(names.head) // warmup, untimed
     hygiene()
 
@@ -180,10 +271,21 @@ object Bench {
     // Decision rule (BASELINE.md): calib ≫ ~1.5× the ~220 ms exclusive
     // reference ⇒ the run was contended; deltas indict the host.
     val calibAfter = calibMs()
+    val calibParAfter = calibParMs()
+    // hypervisor steal over the whole suite window (−1 = unreadable):
+    // the integral the endpoint calib probes can only sample
+    val stealPct = (for {
+      (s0, t0v) <- ticksBefore
+      (s1, t1v) <- cpuTicks()
+      if t1v > t0v
+    } yield 100.0 * (s1 - s0) / (t1v - t0v)).getOrElse(-1.0)
     def contract(q: String) =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""calib_before_ms":${fmt(calibBefore)},""" +
         s""""calib_after_ms":${fmt(calibAfter)},""" +
+        s""""calib_par_before_ms":${fmt(calibParBefore)},""" +
+        s""""calib_par_after_ms":${fmt(calibParAfter)},""" +
+        s""""steal_pct":${fmt(stealPct)},""" +
         s""""queries":$q,"sf":"$sfName"}"""
     // if the full-name line ever outgrows the window, fall back to the
     // unique qNN prefixes (still cross-referencable) instead of letting
@@ -200,7 +302,9 @@ object Bench {
     // kept for grep-compat with earlier rounds' logs; the same values
     // now also ride inside the final contract line (see above)
     println(s"""{"metric":"calib_ms","before":${fmt(calibBefore)},""" +
-      s""""after":${fmt(calibAfter)}}""")
+      s""""after":${fmt(calibAfter)},""" +
+      s""""par_before":${fmt(calibParBefore)},""" +
+      s""""par_after":${fmt(calibParAfter)}}""")
     // regression attribution: diff against the frozen per-query baseline
     // (BASELINE.md table, round-6 verdict task 6). Only at the baseline's
     // own SF — deltas against a different scale are noise, not signal.
