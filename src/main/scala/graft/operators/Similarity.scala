@@ -297,6 +297,62 @@ object Similarity {
     centroids
   }
 
+  /** Full-corpus alternative to [[trainKmeansCentroids]] (round-10
+    * verdict task 5): distributed Lloyd via [[KMeans.lloyd]] — every
+    * round is one full assignment pass (native codegen kernel) plus one
+    * k·dims-sized shuffle; driver state is O(k·dims) per round, never
+    * data-scale. Returns centroids in the same dequantized
+    * `Array[Array[Double]]` shape [[cellAssign]]/[[probeCells]]/
+    * [[graft.operators.Dedup.semDedup]] consume, so the two trainers
+    * are drop-in interchangeable.
+    *
+    * Sample-vs-full guidance (measured in DedupSpec's recall/balance
+    * case): RECALL of cell-bucketed near-dup detection is robust to
+    * sampled centroids — a tight pair almost always co-assigns whatever
+    * the cells look like — so the sampled trainer is the right default
+    * (one bounded collect vs `iters` full corpus passes). What full
+    * training buys is cell BALANCE: a sample that misses a cluster
+    * merges it into a neighbor cell, and at 100 TB an oversized cell is
+    * quadratic pair work (the SemDeDup paper's 50k-cluster runs exist
+    * precisely to bound cell population). Use full training when
+    * k approaches or exceeds an affordable sample size, or when cell
+    *-size skew shows up in the pair stage.
+    */
+  def trainKmeansCentroidsFull(
+      corpus: DataFrame, vec: String, k: Int,
+      iters: Int = 10): Array[Array[Double]] = {
+    val quantized = corpus.select(KMeans.quantize(col(vec)).as("xq"))
+    // deterministic greedy farthest-point seeding over a bounded
+    // hash-ordered pool (k-means++-style): k arbitrary draws would miss
+    // clusters with high probability and distributed Lloyd only partly
+    // recovers from an uncovered cluster; max-min seeding provably
+    // covers well-separated clusters present in the pool. Driver work
+    // is O(pool·k·dims) on a bounded pool — flat in corpus size.
+    val poolN = math.max(k * 8, 64)
+    val pool = quantized
+      .sort(xxhash64(col("xq")))
+      .limit(poolN)
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(pool.nonEmpty, "empty corpus")
+    def d2(a: Array[Long], b: Array[Long]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val x = (a(i) - b(i)).toDouble; s += x * x; i += 1
+      }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
+    while (chosen.size < k && chosen.size < pool.length) {
+      // maxBy keeps the first maximum → deterministic under ties
+      chosen += pool.maxBy(v => chosen.map(c => d2(v, c)).min)
+    }
+    val init = chosen.map(_.toSeq).toSeq
+    val cents = KMeans.lloyd(quantized, "xq", init, iters)
+    // dequantize: q = floor(x·Scale) ⇒ x ≈ (q + 0.5)/Scale (midpoint)
+    cents.map(_.map(q => (q.toDouble + 0.5) / KMeans.Scale).toArray).toArray
+  }
+
   /** ||v - c||² up to the per-row constant v·v: -2 v·c + c·c via native
     * dots — ordering-equivalent for argmin/sorting across cells.
     */

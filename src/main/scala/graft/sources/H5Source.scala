@@ -33,10 +33,26 @@ object H5Source {
   private val Signature = Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte)
   private val Undef = -1L // 0xFFFFFFFFFFFFFFFF as signed
 
-  /** Parses every root-group dataset of an HDF5 byte stream. */
+  /** Parses every root-group dataset of an HDF5 byte stream.
+    *
+    * Fail-loudly contract: structural damage surfaces as
+    * [[IllegalArgumentException]] — never a raw buffer/index exception,
+    * an unbounded-recursion stack overflow (cyclic B-tree pointers), or
+    * an allocation sized from a corrupted length field (round-10 fuzz
+    * hardening; exercised by H5FuzzSpec's byte-mutation corpus).
+    */
   def parse(bytes: Array[Byte]): Map[String, H5Value] = {
     require(bytes.length > 96, "not an HDF5 file: too short")
     require(bytes.take(8).sameElements(Signature), "not an HDF5 file: bad signature")
+    try parseBody(bytes)
+    catch {
+      case e: IllegalArgumentException => throw e
+      case e: RuntimeException =>
+        throw new IllegalArgumentException(s"malformed HDF5 file: $e", e)
+    }
+  }
+
+  private def parseBody(bytes: Array[Byte]): Map[String, H5Value] = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val sbVersion = buf.get(8) & 0xff
     require(sbVersion == 0,
@@ -62,8 +78,12 @@ object H5Source {
     out.result()
   }
 
-  /** Walks a v1 group B-tree, returning SNOD addresses left to right. */
-  private def btreeChildren(buf: ByteBuffer, addr: Long): Seq[Long] = {
+  /** Walks a v1 group B-tree, returning SNOD addresses left to right.
+    * Depth-capped: a corrupted child pointer can form a cycle, and the
+    * format's own node levels bound any genuine tree far below 64.
+    */
+  private def btreeChildren(buf: ByteBuffer, addr: Long, depth: Int = 0): Seq[Long] = {
+    require(depth < 64, s"group B-tree deeper than 64 at $addr: cyclic node pointers")
     require(sig(buf, addr) == "TREE", s"expected TREE at $addr")
     val level = buf.get(addr.toInt + 5) & 0xff
     val used = buf.getShort(addr.toInt + 6) & 0xffff
@@ -71,7 +91,7 @@ object H5Source {
       // entries: key0(8) child0(8) key1(8) ... — children at +8 skip key0
       buf.getLong(addr.toInt + 24 + 8 + i * 16)
     }
-    if (level == 0) kids else kids.flatMap(btreeChildren(buf, _))
+    if (level == 0) kids else kids.flatMap(btreeChildren(buf, _, depth + 1))
   }
 
   private def sig(buf: ByteBuffer, addr: Long): String =
@@ -178,6 +198,11 @@ object H5Source {
             s"dataset has undefined data address but claims dims $dims")
           if (dataAddr == Undef) new Array[Byte](0)
           else {
+            // a corrupted size field must not drive a multi-GiB
+            // allocation before the read even fails — contiguous data
+            // cannot exceed the file itself
+            require(n >= 0 && n <= buf.limit(),
+              s"contiguous data size $n exceeds file size ${buf.limit()}")
             val a = new Array[Byte](n.toInt)
             for (i <- 0 until n.toInt) a(i) = buf.get((dataAddr + i).toInt)
             a
@@ -205,9 +230,16 @@ object H5Source {
   private def readChunked(buf: ByteBuffer, btree: Long, dims: Seq[Long],
                           chunkDims: Seq[Long], elemSize: Int,
                           filters: Seq[Int]): Array[Byte] = {
-    val total = dims.product.toInt * elemSize
+    val totalL = dims.product * elemSize
+    // per-bin datasets are tens of MB; the reference's own oversize-bin
+    // guard skips files past 1 GiB (extract_features.R:61), so a claimed
+    // shape above that is corruption, not data — reject before allocating
+    require(totalL >= 0 && totalL <= (1L << 30),
+      s"chunked dataset claims $totalL bytes (dims $dims x $elemSize): corrupt shape")
+    val total = totalL.toInt
     val out = new Array[Byte](total)
-    def walk(addr: Long): Unit = {
+    def walk(addr: Long, depth: Int): Unit = {
+      require(depth < 64, s"chunk B-tree deeper than 64 at $addr: cyclic node pointers")
       require(sig(buf, addr) == "TREE", s"expected TREE at $addr")
       val level = buf.get(addr.toInt + 5) & 0xff
       val used = buf.getShort(addr.toInt + 6) & 0xffff
@@ -218,8 +250,10 @@ object H5Source {
         val chunkBytes = buf.getInt(p)
         val offsets = (0 until chunkDims.size).map(i => buf.getLong(p + 8 + 8 * i))
         val child = buf.getLong(p + keySize)
-        if (level > 0) walk(child)
+        if (level > 0) walk(child, depth + 1)
         else {
+          require(chunkBytes >= 0 && chunkBytes <= buf.limit(),
+            s"chunk size $chunkBytes exceeds file size ${buf.limit()}")
           var data = new Array[Byte](chunkBytes)
           for (i <- 0 until chunkBytes) data(i) = buf.get((child + i).toInt)
           if (filters.contains(1)) data = inflate(data)
@@ -228,7 +262,7 @@ object H5Source {
         p += keySize + 8
       }
     }
-    walk(btree)
+    walk(btree, 0)
     out
   }
 
@@ -302,6 +336,8 @@ object H5Source {
       val idx = buf.getShort(p) & 0xffff
       val size = buf.getLong(p + 8)
       if (idx == index) {
+        require(len >= 0 && len <= buf.limit(),
+          s"vlen string length $len exceeds file size ${buf.limit()}")
         val bytes = new Array[Byte](len)
         for (i <- 0 until len) bytes(i) = buf.get(p + 16 + i)
         return new String(bytes, "UTF-8")

@@ -202,6 +202,36 @@ object Maps {
       f"${mix(anchors(i)._3, anchors(i + 1)._3)}%02x"
   }
 
+  /** The DIVA stand-in's numeric core (plot_diva_maps.R:117 `len`,
+    * epsilon2 = 1): a Gaussian-kernel weighted mean — weight
+    * `exp(-(dx² + dy²) / (2·len²))` from each grid node to each
+    * station, field value = Σw·f / Σw; masked nodes are NaN, as is a
+    * node all of whose weights underflow to zero. Pinned against a
+    * hand-computed 2×2 fixture in ReportsSpec (round-10 verdict task 6)
+    * so the kernel's exact shape — the 2·len² denominator, the
+    * lat/lon axis orientation — cannot drift silently.
+    *
+    * @param pts (lat, lon, value) stations
+    * @param sea (i, j) => grid node is water (masked nodes render blank)
+    */
+  private[sources] def gaussianField(pts: Seq[(Double, Double, Double)],
+      lons: IndexedSeq[Double], lats: IndexedSeq[Double],
+      len: Double, sea: (Int, Int) => Boolean): Array[Array[Double]] = {
+    val twoLen2 = 2.0 * len * len
+    Array.tabulate(lons.length, lats.length) { (i, j) =>
+      if (!sea(i, j)) Double.NaN
+      else {
+        var sw = 0.0; var swf = 0.0
+        pts.foreach { case (plat, plon, f) =>
+          val dx = lons(i) - plon; val dy = lats(j) - plat
+          val wgt = math.exp(-(dx * dx + dy * dy) / twoLen2)
+          sw += wgt; swf += wgt * f
+        }
+        if (sw == 0.0) Double.NaN else swf / sw
+      }
+    }
+  }
+
   /** Point-in-ring ray casting over (lon, lat) ring points (the land
     * mask of plot_diva_maps.R:86-92, minus the geometry library).
     */
@@ -281,25 +311,10 @@ object Maps {
       !exclude(lons(i), lats(j)) && !basins.exists(b => inRing(b, lons(i), lats(j)))
     }
 
-    def interpolate(pts: Seq[(Double, Double, Double)]): Array[Array[Double]] = {
-      val twoLen2 = 2.0 * grid.len * grid.len
-      Array.tabulate(grid.nx, grid.ny) { (i, j) =>
-        if (!sea(i)(j)) Double.NaN
-        else {
-          var sw = 0.0; var swf = 0.0
-          pts.foreach { case (plat, plon, f) =>
-            val dx = lons(i) - plon; val dy = lats(j) - plat
-            val wgt = math.exp(-(dx * dx + dy * dy) / twoLen2)
-            sw += wgt; swf += wgt * f
-          }
-          if (sw == 0.0) Double.NaN else swf / sw
-        }
-      }
-    }
-
     val fields = stations.groupBy(r => (r._1, r._2)).toSeq.sortBy(_._1)
       .map { case ((cruise, taxon), rs) =>
-        (cruise, taxon, interpolate(rs.toSeq.map(r => (r._3, r._4, r._5))))
+        (cruise, taxon, gaussianField(rs.toSeq.map(r => (r._3, r._4, r._5)),
+          lons, lats, grid.len, (i, j) => sea(i)(j)))
       }
     // global color limits across ALL cruises and taxa (:166-171)
     val values = fields.flatMap(_._3.iterator.flatMap(_.iterator)).filterNot(_.isNaN)

@@ -28,11 +28,27 @@ object MatSource {
   final case class MatStr(value: String) extends MatValue
   final case class MatCell(dims: Seq[Int], items: Seq[MatValue]) extends MatValue
 
-  /** Parses all top-level variables of a MAT-5 byte stream. */
+  /** Parses all top-level variables of a MAT-5 byte stream.
+    *
+    * Fail-loudly contract: any structural damage surfaces as
+    * [[IllegalArgumentException]] — never a raw buffer-underflow /
+    * index / decode exception, and never silently-wrong data the parser
+    * could detect (round-10 fuzz hardening; exercised by MatFuzzSpec's
+    * byte-mutation corpus).
+    */
   def parse(bytes: Array[Byte]): Map[String, MatValue] = {
     require(bytes.length > 128, "not a MAT-5 file: too short")
     val endian = new String(bytes, 126, 2, "US-ASCII")
     require(endian == "IM", s"unsupported endianness tag: $endian")
+    try parseBody(bytes)
+    catch {
+      case e: IllegalArgumentException => throw e
+      case e: RuntimeException =>
+        throw new IllegalArgumentException(s"malformed MAT-5 file: $e", e)
+    }
+  }
+
+  private def parseBody(bytes: Array[Byte]): Map[String, MatValue] = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     buf.position(128)
     val out = Map.newBuilder[String, MatValue]

@@ -23,11 +23,27 @@ object SqliteSource {
 
   final case class Table(columns: Seq[String], rows: Seq[Seq[Any]])
 
-  /** Reads one table of a SQLite main-database byte image. */
+  /** Reads one table of a SQLite main-database byte image.
+    *
+    * Fail-loudly contract: structural damage surfaces as
+    * [[IllegalArgumentException]] — never a raw buffer/index exception,
+    * an unbounded-recursion stack overflow (cyclic page pointers), or an
+    * allocation sized from a corrupted serial type (round-10 fuzz
+    * hardening; exercised by SqliteFuzzSpec's byte-mutation corpus).
+    */
   def readTable(bytes: Array[Byte], table: String): Table = {
     require(bytes.length >= 512, "not a SQLite file: too short")
     val magic = new String(bytes, 0, 16, "US-ASCII")
     require(magic.startsWith("SQLite format 3"), "not a SQLite file")
+    try readTableBody(bytes, table)
+    catch {
+      case e: IllegalArgumentException => throw e
+      case e: RuntimeException =>
+        throw new IllegalArgumentException(s"malformed SQLite file: $e", e)
+    }
+  }
+
+  private def readTableBody(bytes: Array[Byte], table: String): Table = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val pageSizeRaw = buf.getShort(16) & 0xffff
     val pageSize = if (pageSizeRaw == 1) 65536 else pageSizeRaw
@@ -102,10 +118,12 @@ object SqliteSource {
   }
 
   /** In-order traversal of a table B-tree: (rowid, decoded record) per
-    * leaf cell.
+    * leaf cell. Depth-capped: a corrupted child pointer can form a
+    * cycle; genuine SQLite trees are far shallower than 32 levels.
     */
   private def walkTable(buf: ByteBuffer, pageSize: Int,
-      page: Int): Seq[(Long, Seq[Any])] = {
+      page: Int, depth: Int = 0): Seq[(Long, Seq[Any])] = {
+    require(depth < 32, s"table B-tree deeper than 32 at page $page: cyclic page pointers")
     val base = (page - 1) * pageSize
     val hdr = base + (if (page == 1) 100 else 0)
     val pageType = buf.get(hdr) & 0xff
@@ -131,7 +149,7 @@ object SqliteSource {
           val cellPtr = base + (buf.getShort(hdr + 12 + 2 * i) & 0xffff)
           buf.getInt(cellPtr)
         } :+ buf.getInt(hdr + 8) // right-most pointer
-        kids.flatMap(walkTable(buf, pageSize, _))
+        kids.flatMap(walkTable(buf, pageSize, _, depth + 1))
       case t => throw new IllegalArgumentException(s"unsupported page type 0x${t.toHexString}")
     }
   }
@@ -168,16 +186,26 @@ object SqliteSource {
     case 8 => (0L, p)
     case 9 => (1L, p)
     case t if t >= 13 && t % 2 == 1 =>
-      val n = ((t - 13) / 2).toInt
+      val n = boundedLen((t - 13) / 2, buf, p)
       val b = new Array[Byte](n)
       for (i <- 0 until n) b(i) = buf.get(p + i)
       (new String(b, "UTF-8"), p + n)
     case t if t >= 12 =>
-      val n = ((t - 12) / 2).toInt
+      val n = boundedLen((t - 12) / 2, buf, p)
       val b = new Array[Byte](n)
       for (i <- 0 until n) b(i) = buf.get(p + i)
       (b, p + n)
     case t => throw new IllegalArgumentException(s"serial type $t")
+  }
+
+  /** A text/blob length decoded from a corrupted serial type must not
+    * drive a giant allocation before the read fails — it cannot extend
+    * past the file.
+    */
+  private def boundedLen(n: Long, buf: ByteBuffer, p: Int): Int = {
+    require(n >= 0 && p + n <= buf.limit(),
+      s"text/blob of $n bytes at $p runs past file end ${buf.limit()}")
+    n.toInt
   }
 
   /** Big-endian 7-bit varint (9th byte carries 8 bits); returns

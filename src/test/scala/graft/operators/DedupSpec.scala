@@ -90,6 +90,62 @@ class DedupSpec extends SparkSpec {
     assert(r(4L) == ((1, false)) && r(5L) == ((1, true)))
   }
 
+  test("full-corpus Lloyd training is drop-in for semDedup; recall and balance vs sampled") {
+    // synthetic clustered corpus: 8 well-separated direction-clusters in
+    // 8 dims, 40 points each, plus one tau-close near-dup planted per
+    // cluster (seeded → deterministic)
+    val rnd = new scala.util.Random(7L)
+    val dims = 8
+    val base = (0 until 8).map { c =>
+      Array.tabulate(dims)(d => if (d == c) 10.0f else 0.0f)
+    }
+    val rows = Seq.newBuilder[(Long, Array[Float])]
+    var id = 0L
+    val planted = Seq.newBuilder[(Long, Long)]
+    for (c <- 0 until 8) {
+      for (_ <- 0 until 40) {
+        rows += ((id, base(c).map(v => v + rnd.nextFloat() * 0.5f)))
+        id += 1
+      }
+      // near-dup pair: two tiny perturbations of the same point
+      val p = base(c).map(v => v + rnd.nextFloat() * 0.5f)
+      rows += ((id, p.map(_ + 1e-3f)))
+      rows += ((id + 1, p.map(_ - 1e-3f)))
+      planted += ((id, id + 1))
+      id += 2
+    }
+    val embs = rows.result().toDF("vec_id", "embedding")
+    val truthPairs = planted.result().toSet
+
+    val sampled = Similarity.trainKmeansCentroids(embs, "embedding", k = 8,
+      iters = 10, sampleMax = 8) // degenerate sample: misses clusters
+    val full = Similarity.trainKmeansCentroidsFull(embs, "embedding", k = 8,
+      iters = 10)
+    def recallAndMaxCell(cents: Array[Array[Double]]): (Double, Long) = {
+      val r = Dedup.semDedup(embs, "vec_id", "embedding", cents, tau = 0.999)
+      val dropped = r.filter($"dropped").select("vec_id").as[Long].collect().toSet
+      // a planted pair is recalled iff its larger id was dropped
+      val recall = truthPairs.count { case (_, b) => dropped.contains(b) }
+        .toDouble / truthPairs.size
+      val maxCell = r.groupBy("cell").count()
+        .agg(org.apache.spark.sql.functions.max("count")).as[Long].head()
+      (recall, maxCell)
+    }
+    val (recallSampled, maxCellSampled) = recallAndMaxCell(sampled)
+    val (recallFull, maxCellFull) = recallAndMaxCell(full)
+    // recall: tight pairs co-assign under any deterministic cells, so
+    // both trainers find every planted pair — the sampled default is
+    // safe on recall grounds (the scaladoc's documented guidance)
+    assert(recallFull == 1.0, s"full-training recall $recallFull")
+    assert(recallFull >= recallSampled)
+    // balance: the 8-point sample cannot cover 8 clusters, so some cells
+    // merge (> 1 cluster ≈ > 60 members); full training separates all 8
+    assert(maxCellFull <= 42 + 2, s"full-training max cell $maxCellFull")
+    assert(maxCellFull < maxCellSampled,
+      s"full $maxCellFull vs sampled $maxCellSampled — fixture no longer " +
+        "forces sample-blind clusters; tighten sampleMax")
+  }
+
   test("pair operators leave no cache entries behind (explicit lifecycle)") {
     spark.catalog.clearCache()
     Dedup.minhashLshPairs(docs, "doc_id", "text").count()

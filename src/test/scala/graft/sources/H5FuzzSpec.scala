@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import H5Source.{H5Num, H5Str}
+
+/** Round-trip + byte-mutation fuzzing of the HDF5 reader (round-10
+  * verdict task 3), mirroring MatFuzzSpec: generated files cover
+  * contiguous int32/float64, chunked+deflate float32 matrices (single
+  * and multi chunk, edge-overhang chunks), variable-length strings via
+  * the global heap, and object-header continuation blocks; mutants must
+  * decode or throw IllegalArgumentException (the reference consumes
+  * these files at code/convert_h5_to_irfcb_format.R:38-66 — a silent
+  * misdecode there corrupts classifier scores downstream).
+  */
+class H5FuzzSpec extends AnyFunSuite {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    Iterator.from(0)
+      .flatMap(i => g.apply(Gen.Parameters.default, Seed(seed * 1000 + i)))
+      .next()
+
+  private val nameGen: Gen[String] = for {
+    h <- Gen.alphaChar
+    t <- Gen.listOfN(5, Gen.alphaNumChar)
+  } yield (h :: t).mkString
+
+  private val dsGen: Gen[H5Fixture.Ds] = for {
+    name <- nameGen
+    kind <- Gen.chooseNum(0, 3)
+    ds <- kind match {
+      case 0 => for {
+        n <- Gen.chooseNum(0, 16)
+        vs <- Gen.listOfN(n, Gen.chooseNum(Int.MinValue, Int.MaxValue))
+        split <- Gen.oneOf(true, false)
+      } yield H5Fixture.I32(name, vs.toArray, splitHeader = split)
+      case 1 => for {
+        n <- Gen.chooseNum(0, 12)
+        vs <- Gen.listOfN(n, Gen.chooseNum(-1e9, 1e9))
+      } yield H5Fixture.F64(name, vs.toArray)
+      case 2 => for {
+        rows <- Gen.chooseNum(1, 6)
+        cols <- Gen.chooseNum(1, 5)
+        vs <- Gen.listOfN(rows * cols, Gen.chooseNum(-1e6, 1e6).map(_.toFloat))
+        chunkRows <- Gen.oneOf(1, 2, 3, Int.MaxValue)
+      } yield H5Fixture.F32Matrix(name, rows, cols, vs.toArray, chunkRows)
+      case 3 => for {
+        n <- Gen.chooseNum(0, 5)
+        vs <- Gen.listOfN(n,
+          Gen.oneOf(Gen.const(""), Gen.const("åäö字"),
+            Gen.listOfN(7, Gen.alphaNumChar).map(_.mkString)))
+      } yield H5Fixture.VStr(name, vs.toArray)
+    }
+  } yield ds
+
+  private def genFile(seed: Long): (Array[Byte], Seq[H5Fixture.Ds]) = {
+    val nDs = 1 + (seed % 3).toInt
+    val dss = (0 until nDs).map(i => sample(dsGen, seed * 37 + i))
+      .groupBy(_.name).map(_._2.head).toSeq
+    (H5Fixture.write(dss), dss)
+  }
+
+  private def check(parsed: Map[String, H5Source.H5Value],
+      ds: H5Fixture.Ds, ctx: String): Unit = ds match {
+    case H5Fixture.I32(name, vs, _) =>
+      parsed(name) match {
+        case H5Num(dims, data) =>
+          assert(dims == Seq(vs.length.toLong), s"$ctx $name dims")
+          assert(data.toSeq == vs.map(_.toDouble).toSeq, s"$ctx $name values")
+        case other => fail(s"$ctx $name: $other")
+      }
+    case H5Fixture.F64(name, vs) =>
+      parsed(name) match {
+        case H5Num(dims, data) =>
+          assert(dims == Seq(vs.length.toLong), s"$ctx $name dims")
+          assert(data.toSeq == vs.toSeq, s"$ctx $name values")
+        case other => fail(s"$ctx $name: $other")
+      }
+    case H5Fixture.F32Matrix(name, rows, cols, vs, _) =>
+      parsed(name) match {
+        case H5Num(dims, data) =>
+          assert(dims == Seq(rows.toLong, cols.toLong), s"$ctx $name dims")
+          assert(data.toSeq == vs.map(_.toDouble).toSeq, s"$ctx $name values")
+        case other => fail(s"$ctx $name: $other")
+      }
+    case H5Fixture.VStr(name, vs) =>
+      parsed(name) match {
+        case H5Str(dims, data) =>
+          assert(dims == Seq(vs.length.toLong), s"$ctx $name dims")
+          assert(data.toSeq == vs.toSeq, s"$ctx $name values")
+        case other => fail(s"$ctx $name: $other")
+      }
+  }
+
+  test("round-trip: 120 generated files parse back to the generated datasets") {
+    for (seed <- 0 until 120) {
+      val (bytes, dss) = genFile(seed.toLong)
+      val parsed =
+        try H5Source.parse(bytes)
+        catch { case e: Throwable => fail(s"seed $seed: parse threw $e", e) }
+      assert(parsed.keySet == dss.map(_.name).toSet, s"seed $seed: names")
+      dss.foreach(check(parsed, _, s"seed $seed"))
+    }
+  }
+
+  test("mutation: byte flips and truncations decode or throw IllegalArgumentException") {
+    var parsed = 0
+    var rejected = 0
+    for (seed <- 0 until 40) {
+      val (bytes, _) = genFile(seed.toLong)
+      val rnd = new scala.util.Random(seed * 104729L)
+      val mutants =
+        (0 until 6).map { _ =>
+          val m = bytes.clone()
+          // past the 8-byte signature: the signature check is separately
+          // covered and a flipped magic is the least interesting mutant
+          val pos = 8 + rnd.nextInt(math.max(1, m.length - 8))
+          m(pos) = (m(pos) ^ (1 << rnd.nextInt(8))).toByte
+          m
+        } ++
+          Seq(bytes.take(97 + rnd.nextInt(math.max(1, bytes.length - 97))))
+      mutants.foreach { m =>
+        scala.util.Try(H5Source.parse(m)) match {
+          case scala.util.Success(_) => parsed += 1
+          case scala.util.Failure(_: IllegalArgumentException) => rejected += 1
+          case scala.util.Failure(e) =>
+            fail(s"seed $seed: non-contract exception $e", e)
+        }
+      }
+    }
+    assert(parsed > 0 && rejected > 0, s"parsed=$parsed rejected=$rejected")
+  }
+}

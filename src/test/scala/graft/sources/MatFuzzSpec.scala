@@ -1,0 +1,212 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.Deflater
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import MatSource.{MatCell, MatNum, MatStr, MatValue}
+
+/** Round-trip + byte-mutation fuzzing of the MAT-5 reader (round-10
+  * verdict task 3): the r8 hardening commits found silent-corruption
+  * bugs by inspection; this makes the search systematic.
+  *
+  *  - Round-trip: ≥100 generated files over the reader's whole surface
+  *    (all eight numeric mi-types, single- and multi-row char matrices,
+  *    UTF-8 strings, cells of strings, nested cells, zlib-compressed
+  *    top-level elements) must parse back to exactly the generated
+  *    values.
+  *  - Mutation: random byte flips and truncations of valid files must
+  *    either parse (flips in payload bytes ARE data) or throw the one
+  *    contract exception type, IllegalArgumentException — never a raw
+  *    buffer/index/decode exception, never a hang.
+  *
+  * Deterministic: scalacheck generators driven by fixed seeds (the
+  * FunctionsSpec pattern), so a failure reproduces by seed index.
+  */
+class MatFuzzSpec extends AnyFunSuite {
+
+  private def sample[A](g: Gen[A], seed: Long): A = {
+    // retryUntil-free: our generators never fail to produce
+    Iterator.from(0)
+      .flatMap(i => g.apply(Gen.Parameters.default, Seed(seed * 1000 + i)))
+      .next()
+  }
+
+  // --- generators -----------------------------------------------------------
+
+  private val nameGen: Gen[String] = for {
+    h <- Gen.alphaChar
+    t <- Gen.listOfN(5, Gen.alphaNumChar)
+  } yield (h :: t).mkString
+
+  /** (miType, payload bytes, expected doubles) for every numeric type
+    * the reader decodes.
+    */
+  private val numericGen: Gen[(Int, Array[Byte], Array[Double])] = for {
+    tpe <- Gen.oneOf(1, 2, 3, 4, 5, 6, 7, 9)
+    n <- Gen.chooseNum(0, 12)
+    longs <- Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+  } yield {
+    val b = ByteBuffer.allocate(n * 8).order(ByteOrder.LITTLE_ENDIAN)
+    val expected = longs.map { l =>
+      tpe match {
+        case 1 => val v = l.toByte; b.put(v); v.toDouble
+        case 2 => val v = l.toByte; b.put(v); (v & 0xff).toDouble
+        case 3 => val v = l.toShort; b.putShort(v); v.toDouble
+        case 4 => val v = l.toShort; b.putShort(v); (v & 0xffff).toDouble
+        case 5 => val v = l.toInt; b.putInt(v); v.toDouble
+        case 6 => val v = l.toInt; b.putInt(v); (v.toLong & 0xffffffffL).toDouble
+        case 7 => val v = (l % 10000).toFloat; b.putFloat(v); v.toDouble
+        case 9 => val v = l.toDouble / 7.0; b.putDouble(v); v
+      }
+    }.toArray
+    val width = tpe match {
+      case 1 | 2 => 1
+      case 3 | 4 => 2
+      case 5 | 6 | 7 => 4
+      case 9 => 8
+    }
+    (tpe, b.array().take(n * width), expected)
+  }
+
+  /** One variable: (bytes of the top-level element, name, expected). */
+  private val varGen: Gen[(String, Array[Byte], MatValue)] = for {
+    name <- nameGen
+    kind <- Gen.chooseNum(0, 4)
+    v <- kind match {
+      case 0 => // numeric matrix, any mi type, stored as a 1 x n row
+        numericGen.map { case (tpe, payload, expected) =>
+          val dims = Seq(1, expected.length)
+          (name, MatFixture.matrix(name, 6, dims, payload, tpe),
+            MatNum(dims, expected): MatValue)
+        }
+      case 1 => // single-row char, UTF-8 (incl. non-ASCII)
+        Gen.listOfN(6, Gen.oneOf('a', 'Z', '0', 'å', 'ö', '字', ' ')).map { cs =>
+          val s = cs.mkString
+          (name, MatFixture.charMatrix(name, s), MatStr(s): MatValue)
+        }
+      case 2 => // multi-row ASCII char matrix, stored column-major
+        for {
+          rows <- Gen.chooseNum(2, 4)
+          cols <- Gen.chooseNum(1, 5)
+          cs <- Gen.listOfN(rows * cols, Gen.alphaNumChar)
+        } yield {
+          // cs is the row-major expectation; write it column-major
+          val colMajor = Array.tabulate(rows * cols) { k =>
+            val r = k % rows; val c = k / rows
+            cs(r * cols + c).toByte
+          }
+          (name,
+            MatFixture.matrix(name, 4, Seq(rows, cols), colMajor, 16),
+            MatStr(cs.mkString): MatValue)
+        }
+      case 3 => // cell of strings
+        Gen.listOfN(4, Gen.listOfN(5, Gen.alphaNumChar).map(_.mkString)).map { ss =>
+          (name, MatFixture.cellOfStrings(name, ss),
+            MatCell(Seq(ss.length, 1),
+              ss.map(MatStr(_): MatValue)): MatValue)
+        }
+      case 4 => // nested cell: cell holding a numeric matrix and a cell
+        numericGen.map { case (tpe, payload, expected) =>
+          val innerNum = MatFixture.matrix("", 6, Seq(1, expected.length), payload, tpe)
+          val innerCell = MatFixture.cellOfStrings("", Seq("ab", "cd"))
+          val outer = MatFixture.matrix(name, 1, Seq(2, 1), Array.empty, 0,
+            cells = Seq(MatFixture.stripTag(innerNum), MatFixture.stripTag(innerCell)))
+          (name, outer,
+            MatCell(Seq(2, 1), Seq(
+              MatNum(Seq(1, expected.length), expected),
+              MatCell(Seq(2, 1), Seq(MatStr("ab"), MatStr("cd"))))): MatValue)
+        }
+    }
+  } yield v
+
+  /** A compressed top-level element is the inner element deflated, with
+    * NO 8-byte padding after the tag (matching what MATLAB writes and
+    * what the reader expects).
+    */
+  private def compress(inner: Array[Byte]): Array[Byte] = {
+    val deflater = new Deflater()
+    deflater.setInput(inner)
+    deflater.finish()
+    val buf = new Array[Byte](inner.length + 64)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val out = ByteBuffer.allocate(8 + n).order(ByteOrder.LITTLE_ENDIAN)
+    out.putInt(15).putInt(n).put(buf, 0, n)
+    out.array()
+  }
+
+  private def assertEq(actual: MatValue, expected: MatValue, ctx: String): Unit =
+    (actual, expected) match {
+      case (MatNum(ad, av), MatNum(ed, ev)) =>
+        assert(ad == ed, s"$ctx dims")
+        assert(av.length == ev.length, s"$ctx length")
+        av.zip(ev).zipWithIndex.foreach { case ((a, e), i) =>
+          assert(a == e || (a.isNaN && e.isNaN), s"$ctx[$i]: $a != $e")
+        }
+      case (MatStr(a), MatStr(e)) => assert(a == e, ctx)
+      case (MatCell(ad, ai), MatCell(ed, ei)) =>
+        assert(ad == ed && ai.length == ei.length, s"$ctx cell shape")
+        ai.zip(ei).zipWithIndex.foreach { case ((a, e), i) =>
+          assertEq(a, e, s"$ctx.item($i)")
+        }
+      case _ => fail(s"$ctx: kind mismatch $actual vs $expected")
+    }
+
+  private def genFile(seed: Long): (Array[Byte], Map[String, MatValue]) = {
+    val nVars = 1 + (seed % 4).toInt
+    val vars = (0 until nVars).map(i => sample(varGen, seed * 31 + i))
+      .groupBy(_._1).map(_._2.head).toSeq // unique names
+    val rnd = new scala.util.Random(seed)
+    val elements = vars.map { case (_, bytes, _) =>
+      if (rnd.nextBoolean()) compress(bytes) else bytes
+    }
+    (MatFixture.matFile(elements: _*), vars.map(v => v._1 -> v._3).toMap)
+  }
+
+  test("round-trip: 120 generated files parse back to the generated values") {
+    for (seed <- 0 until 120) {
+      val (bytes, expected) = genFile(seed.toLong)
+      val parsed =
+        try MatSource.parse(bytes)
+        catch { case e: Throwable => fail(s"seed $seed: parse threw $e", e) }
+      assert(parsed.keySet == expected.keySet, s"seed $seed: variable names")
+      expected.foreach { case (name, exp) =>
+        assertEq(parsed(name), exp, s"seed $seed var $name")
+      }
+    }
+  }
+
+  test("mutation: byte flips and truncations decode or throw IllegalArgumentException") {
+    var parsed = 0
+    var rejected = 0
+    for (seed <- 0 until 40) {
+      val (bytes, _) = genFile(seed.toLong)
+      val rnd = new scala.util.Random(seed * 7919L)
+      val mutants =
+        // 5 random single-byte flips past the 128-byte header
+        (0 until 5).map { _ =>
+          val m = bytes.clone()
+          val pos = 128 + rnd.nextInt(math.max(1, m.length - 128))
+          m(pos) = (m(pos) ^ (1 << rnd.nextInt(8))).toByte
+          m
+        } ++
+          // 2 truncations (mid-body and just past the header)
+          Seq(bytes.take(128 + rnd.nextInt(math.max(1, bytes.length - 128))),
+            bytes.take(130))
+      mutants.foreach { m =>
+        scala.util.Try(MatSource.parse(m)) match {
+          case scala.util.Success(_) => parsed += 1
+          case scala.util.Failure(_: IllegalArgumentException) => rejected += 1
+          case scala.util.Failure(e) =>
+            fail(s"seed $seed: non-contract exception $e", e)
+        }
+      }
+    }
+    // both outcomes must actually occur, or the corpus isn't probing
+    assert(parsed > 0 && rejected > 0, s"parsed=$parsed rejected=$rejected")
+  }
+}

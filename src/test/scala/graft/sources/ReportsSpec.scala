@@ -223,4 +223,45 @@ class ReportsSpec extends SparkSpec {
     assert(html == Maps.comparisonMapsHtml(pairs, "taxon", "month",
       "sample_type", "depth", "lat", "lon", "carbon"))
   }
+
+  test("gaussianField matches the hand-computed 2x2 golden (DIVA numeric core)") {
+    // 3 stations, 2x2 grid, len = 1 (so 2·len² = 2). Station layout is
+    // deliberately asymmetric — s2 sits one degree EAST (lon), s3 one
+    // degree NORTH (lat), with different values — so a lat/lon axis swap
+    // in the kernel shifts every expected number.
+    //   s1 = (lat 0, lon 0, f 10)
+    //   s2 = (lat 0, lon 1, f 20)
+    //   s3 = (lat 1, lon 0, f 30)
+    val pts = Seq((0.0, 0.0, 10.0), (0.0, 1.0, 20.0), (1.0, 0.0, 30.0))
+    val lons = IndexedSeq(0.0, 1.0)
+    val lats = IndexedSeq(0.0, 1.0)
+    val field = Maps.gaussianField(pts, lons, lats, len = 1.0, sea = (_, _) => true)
+    // hand derivation: w(d²) = exp(-d²/2); a = w(1) = e^-½, b = w(2) = e^-1
+    val a = math.exp(-0.5)
+    val b = math.exp(-1.0)
+    // node (lon 0, lat 0): d² = 0 to s1, 1 to s2, 1 to s3
+    val g00 = (10.0 + 20.0 * a + 30.0 * a) / (1.0 + 2.0 * a)
+    // node (lon 1, lat 0): d² = 1 to s1, 0 to s2, 2 to s3
+    val g10 = (10.0 * a + 20.0 + 30.0 * b) / (a + 1.0 + b)
+    // node (lon 0, lat 1): d² = 1 to s1, 2 to s2, 0 to s3
+    val g01 = (10.0 * a + 20.0 * b + 30.0) / (a + b + 1.0)
+    // node (lon 1, lat 1): d² = 2 to s1, 1 to s2, 1 to s3
+    val g11 = (10.0 * b + 20.0 * a + 30.0 * a) / (b + 2.0 * a)
+    // absolute literals too (recomputed independently), so the test
+    // cannot drift in lockstep with a kernel change
+    assert(math.abs(g00 - 18.2220585718) < 1e-9)
+    assert(math.abs(g10 - 18.7912783751) < 1e-9)
+    assert(math.abs(g01 - 21.9928450534) < 1e-9)
+    assert(math.abs(g11 - 21.5095519357) < 1e-9)
+    assert(math.abs(field(0)(0) - g00) < 1e-12, s"(0,0): ${field(0)(0)}")
+    assert(math.abs(field(1)(0) - g10) < 1e-12, s"(1,0): ${field(1)(0)}")
+    assert(math.abs(field(0)(1) - g01) < 1e-12, s"(0,1): ${field(0)(1)}")
+    assert(math.abs(field(1)(1) - g11) < 1e-12, s"(1,1): ${field(1)(1)}")
+    // asymmetry check made explicit: east-of-s2 node != north-of-s3 node
+    assert(field(1)(0) != field(0)(1))
+    // a masked node is NaN regardless of stations
+    val masked = Maps.gaussianField(pts, lons, lats, 1.0,
+      sea = (i, j) => !(i == 1 && j == 1))
+    assert(masked(1)(1).isNaN && !masked(0)(0).isNaN)
+  }
 }

@@ -1,0 +1,166 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip + byte-mutation fuzzing of the SQLite reader (round-10
+  * verdict task 3): generated databases cover all integer serial
+  * widths, floats, unicode text, NULLs, quoted identifiers with spaces,
+  * parenthesised types (`DECIMAL(10,2)`), inline CHECK constraints,
+  * table-level constraint rows, the INTEGER PRIMARY KEY rowid alias,
+  * and multi-page (interior + leaf) B-trees. A hand-built page with a
+  * payload past the leaf max-local threshold pins the overflow-page
+  * loud rejection (reference consumption:
+  * code/ifcb_delivery_data_to_shark.R:236-243).
+  */
+class SqliteFuzzSpec extends AnyFunSuite {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    Iterator.from(0)
+      .flatMap(i => g.apply(Gen.Parameters.default, Seed(seed * 1000 + i)))
+      .next()
+
+  private val nameGen: Gen[String] = for {
+    h <- Gen.alphaChar
+    t <- Gen.listOfN(4, Gen.alphaNumChar)
+  } yield (h :: t).mkString
+
+  /** One column: (ddl fragment, clean name, value generator). */
+  private val colGen: Gen[(String, String, Gen[Any])] = for {
+    base <- nameGen
+    style <- Gen.chooseNum(0, 5)
+  } yield style match {
+    case 0 => (s"$base TEXT", base,
+      Gen.oneOf(Gen.const(null), Gen.const("åäö 字"),
+        Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString)): Gen[Any])
+    case 1 => // all integer serial widths incl. the 3- and 6-byte ones
+      (s"$base INTEGER", base,
+        Gen.oneOf(0L, 1L, -1L, 127L, -128L, 32000L, 8000000L, -8000000L,
+          3000000000L, 140000000000000L, Long.MaxValue, Long.MinValue): Gen[Any])
+    case 2 => (s"$base REAL", base,
+      Gen.chooseNum(-1e9, 1e9).map(d => d: Any))
+    case 3 => // parenthesised type: the comma must not split the DDL
+      (s"$base DECIMAL(10,2)", base, Gen.chooseNum(-1e4, 1e4).map(d => d: Any))
+    case 4 => // quoted identifier with a space
+      (s""""$base x" TEXT""", s"$base x",
+        Gen.listOfN(4, Gen.alphaNumChar).map(_.mkString): Gen[Any])
+    case 5 => // inline CHECK with nested commas
+      (s"$base INTEGER CHECK($base IN (1,2,3))", base,
+        Gen.oneOf(1L, 2L, 3L): Gen[Any])
+  }
+
+  private def genDb(seed: Long): (Array[Byte], String, Seq[String], Seq[Seq[Any]]) = {
+    val table = sample(nameGen, seed * 17)
+    val nCols = 1 + (seed % 5).toInt
+    val cols = (0 until nCols).map(i => sample(colGen, seed * 53 + i))
+      .groupBy(_._2).map(_._2.head).toSeq
+    val nRows = (seed % 9).toInt // >= 4 exercises the interior-page path
+    val rows = (0 until nRows).map { r =>
+      cols.map { case (_, _, g) => sample(g, seed * 101 + r * 13) }
+    }
+    // one table-level constraint row in every third schema: parsed
+    // columns must skip it without shifting the data columns
+    val ddlCols = cols.map(_._1) ++
+      (if (seed % 3 == 0 && cols.size >= 2)
+        Seq(s"PRIMARY KEY (${cols.head._2.split(" ").head})")
+      else Nil)
+    val bytes = SqliteFixture.write(table,
+      ddlCols.map(c => (c, "")).map { case (c, _) =>
+        // SqliteFixture joins name+type with a space; hand it the full
+        // fragment as the "name" and an empty type
+        (c, "")
+      }, rows)
+    (bytes, table, cols.map(_._2), rows)
+  }
+
+  private def norm(v: Any): Any = v match {
+    case d: Double => math.round(d * 1e6)
+    case b: Array[Byte] => b.toSeq
+    case x => x
+  }
+
+  test("round-trip: 120 generated databases read back the generated rows") {
+    for (seed <- 0 until 120) {
+      val (bytes, table, colNames, rows) = genDb(seed.toLong)
+      val t =
+        try SqliteSource.readTable(bytes, table)
+        catch { case e: Throwable => fail(s"seed $seed: readTable threw $e", e) }
+      assert(t.columns == colNames, s"seed $seed: columns ${t.columns} vs $colNames")
+      assert(t.rows.size == rows.size, s"seed $seed: row count")
+      // fixture splits >= 4 rows over two leaves under an interior page;
+      // within-page order is preserved and pages are walked in order
+      t.rows.zip(rows).zipWithIndex.foreach { case ((a, e), i) =>
+        assert(a.map(norm) == e.map(norm), s"seed $seed row $i: $a vs $e")
+      }
+    }
+  }
+
+  test("INTEGER PRIMARY KEY rowid alias substitutes the cell rowid for stored NULL") {
+    // real SQLite stores NULL in the record for the alias column; keep
+    // the table single-page so fixture rowids are 1..n in file order
+    val bytes = SqliteFixture.write("obs",
+      Seq(("id", "INTEGER PRIMARY KEY"), ("val", "TEXT")),
+      Seq(Seq(null, "a"), Seq(null, "b"), Seq(null, "c")))
+    val t = SqliteSource.readTable(bytes, "obs")
+    assert(t.columns == Seq("id", "val"))
+    assert(t.rows == Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+  }
+
+  test("a cell payload past the leaf max-local threshold rejects loudly (overflow page)") {
+    // page 1 from a valid fixture db (master row points at page 2), then
+    // a hand-built page 2 whose single cell claims a 5000-byte payload —
+    // larger than pageSize-35, i.e. the cell would spill to an overflow
+    // page that a straight-through read would misparse
+    val valid = SqliteFixture.write("t", Seq(("a", "TEXT")), Seq(Seq("x")))
+    val page1 = valid.take(4096)
+    val page2 = {
+      val page = ByteBuffer.allocate(4096).order(ByteOrder.BIG_ENDIAN)
+      val cell = Array[Byte](
+        0xa7.toByte, 0x08, // varint 5000 payload length
+        0x01) ++ new Array[Byte](200) // rowid 1 + a payload prefix
+      val contentStart = 4096 - cell.length
+      page.position(contentStart)
+      page.put(cell)
+      page.position(0)
+      page.put(0x0d.toByte) // leaf table
+      page.putShort(0.toShort)
+      page.putShort(1.toShort) // one cell
+      page.putShort(contentStart.toShort)
+      page.put(0.toByte)
+      page.putShort(contentStart.toShort)
+      page.array()
+    }
+    val e = intercept[IllegalArgumentException](
+      SqliteSource.readTable(page1 ++ page2, "t"))
+    assert(e.getMessage.contains("overflow"))
+  }
+
+  test("mutation: byte flips and truncations decode or throw IllegalArgumentException") {
+    var parsed = 0
+    var rejected = 0
+    for (seed <- 0 until 40) {
+      val (bytes, table, _, _) = genDb(seed.toLong)
+      val rnd = new scala.util.Random(seed * 65537L)
+      val mutants =
+        (0 until 6).map { _ =>
+          val m = bytes.clone()
+          val pos = 16 + rnd.nextInt(math.max(1, m.length - 16))
+          m(pos) = (m(pos) ^ (1 << rnd.nextInt(8))).toByte
+          m
+        } ++
+          Seq(bytes.take(512 + rnd.nextInt(math.max(1, bytes.length - 512))))
+      mutants.foreach { m =>
+        scala.util.Try(SqliteSource.readTable(m, table)) match {
+          case scala.util.Success(_) => parsed += 1
+          case scala.util.Failure(_: IllegalArgumentException) => rejected += 1
+          case scala.util.Failure(e) =>
+            fail(s"seed $seed: non-contract exception $e", e)
+        }
+      }
+    }
+    assert(parsed > 0 && rejected > 0, s"parsed=$parsed rejected=$rejected")
+  }
+}

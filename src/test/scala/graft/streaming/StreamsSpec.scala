@@ -284,4 +284,77 @@ class StreamsSpec extends SparkSpec {
         Set(100L, 200L, 300L))
     } finally q.stop()
   }
+
+  /** Most recent batch's state-operator row count — the memory bound of
+    * the 100 TB streaming story: if watermark eviction works, this
+    * tracks the dedup/window horizon, not everything ever seen.
+    */
+  private def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+      .getOrElse(fail("no state operator progress reported"))
+
+  test("dedupStream state is bounded by the watermark horizon, not total documents") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val docs = in.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.dedupStream(docs, "text", "ts") // 1-day horizon
+      .writeStream.format("memory").queryName("dedup_scale")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // day 1: 2000 distinct documents → 2000 fingerprints in state
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      in.addData((0 until 2000).map(i =>
+        (new Timestamp(base + i * 1000L), i.toLong, s"document number $i")))
+      q.processAllAvailable()
+      val loaded = stateRows(q)
+      assert(loaded >= 2000, s"expected all fingerprints in state, got $loaded")
+      // day 4 arrives: watermark (max event − 1 day) passes every day-1
+      // fingerprint's expiry (event + 1 day), so the store must evict
+      // them — two batches so the post-eviction metric is reported
+      in.addData((Timestamp.valueOf("2024-01-04 00:00:00"), 10000L, "fresh one"))
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-04 00:00:10"), 10001L, "fresh two"))
+      q.processAllAvailable()
+      val after = stateRows(q)
+      assert(after <= 10,
+        s"state grew with the corpus instead of the horizon: $after rows " +
+          s"(was $loaded) — watermark eviction broken")
+      // and the evicted fingerprints really are forgotten: a day-1 dup
+      // arriving after the horizon is admitted (the documented semantics;
+      // the batch dedup pass owns cross-horizon dups)
+      in.addData((Timestamp.valueOf("2024-01-04 00:00:20"), 10002L, "document number 7"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_scale").filter($"doc_id" === 10002L).count() == 1)
+    } finally q.stop()
+  }
+
+  test("dailyAlerts window state evicts closed days, not accumulating per-key windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "taxon", "conc")
+    val warn = (0 until 1000).map(i => (s"taxon_$i", 50.0)).toDF("taxon", "warning_level")
+    val q = Streams.dailyAlerts(events, warn, "ts", "taxon", "conc")
+      .writeStream.format("memory").queryName("alerts_scale")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // day 1: 1000 live (taxon, day) windows
+      val base = Timestamp.valueOf("2024-01-01 06:00:00").getTime
+      in.addData((0 until 1000).map(i =>
+        (new Timestamp(base + i * 1000L), s"taxon_$i", 60.0 + i)))
+      q.processAllAvailable()
+      assert(stateRows(q) >= 1000)
+      // day 4 closes and evicts every day-1 window; all 1000 taxa were
+      // above their level so the closed windows all emit
+      in.addData((Timestamp.valueOf("2024-01-04 06:00:00"), "taxon_0", 1.0))
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-04 06:00:10"), "taxon_1", 1.0))
+      q.processAllAvailable()
+      val after = stateRows(q)
+      assert(after <= 10,
+        s"window state not evicted after close: $after rows")
+      assert(spark.table("alerts_scale").count() == 1000)
+    } finally q.stop()
+  }
 }

@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Cross-SF scaling report (round-10 verdict task 2).
+
+Reads two graft.Bench outputs (sf0.01 and sf0.1) captured in one
+exclusive session and emits a per-query scaling table: min-across-passes
+wall time at each SF, the ratio, and a super-linear flag. The data ratio
+is 10x; a wall-time ratio well under 10 means fixed per-query overhead
+(job setup, JIT) dominates at these sizes, which is expected. Flagged:
+ratio > 10 (super-linear in data).
+
+Usage: scaling_report.py bench_sf001.json bench_sf01.json
+"""
+import json
+import sys
+
+
+def load(path):
+    pass_times = None
+    calib = None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            obj = json.loads(line)
+            if obj.get("metric") == "pass_times":
+                pass_times = {q: min(t for t in ts if t >= 0)
+                              for q, ts in obj["queries"].items()
+                              if any(t >= 0 for t in ts)}
+            if obj.get("metric") == "calib_ms":
+                calib = obj
+    if pass_times is None:
+        raise SystemExit(f"{path}: no pass_times line")
+    return pass_times, calib
+
+
+def main(p001, p01):
+    small, calib_small = load(p001)
+    big, calib_big = load(p01)
+    rows = []
+    for q in sorted(small):
+        if q not in big:
+            continue
+        r = big[q] / small[q] if small[q] > 0 else float("inf")
+        rows.append((q, small[q], big[q], r))
+    print("| query | sf0.01 s | sf0.1 s | ratio (10x data) | flag |")
+    print("|---|---|---|---|---|")
+    for q, s, b, r in rows:
+        flag = "SUPER-LINEAR" if r > 10 else ""
+        print(f"| {q} | {s:.3f} | {b:.3f} | {r:.2f} | {flag} |")
+    sup = [(q, r) for q, s, b, r in rows if r > 10]
+    tot_s = sum(s for _, s, _, _ in rows)
+    tot_b = sum(b for _, _, b, _ in rows)
+    print()
+    print(f"totals: sf0.01 {tot_s:.1f} s, sf0.1 {tot_b:.1f} s, "
+          f"ratio {tot_b / tot_s:.2f}")
+    print(f"calib sf0.01: {calib_small}")
+    print(f"calib sf0.1: {calib_big}")
+    print(f"super-linear queries: {[q for q, _ in sup] or 'none'}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
