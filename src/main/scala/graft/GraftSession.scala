@@ -19,11 +19,24 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Fully-qualified class of Spark's RocksDB state store provider.
+    * The default (HDFSBackedStateStoreProvider) keeps every state row on
+    * the executor HEAP — fine for tests, a memory wall for production
+    * streams whose live state (sessions, dedup fingerprints inside the
+    * watermark horizon) exceeds executor memory. RocksDB spills state to
+    * local disk with an off-heap block cache, which is the 100 TB
+    * posture; StreamsSpec pins that graft's streaming operators behave
+    * identically (results AND watermark eviction) on both providers.
+    */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   def builder(
       master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
       shufflePartitions: Int = Runtime.getRuntime.availableProcessors(),
-      appName: String = "graft"): SparkSession.Builder =
-    SparkSession.builder()
+      appName: String = "graft",
+      rocksdbStateStore: Boolean = false): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -33,6 +46,10 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
       .config("spark.sql.session.timeZone", "UTC")
       .withExtensions(new graft.plans.GraftExtensions)
+    if (rocksdbStateStore)
+      b.config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    else b
+  }
 
   def getOrCreate(): SparkSession = {
     val s = builder().getOrCreate()

@@ -22,7 +22,10 @@ object HdrSource {
 
   /** Reads a directory of `.hdr` files into one row per sample. `keys`
     * selects which header keys become columns (double-typed when
-    * `numeric`).
+    * `numeric`). A garbled header that repeats a key keeps the FIRST
+    * occurrence (file order) instead of crashing map construction with
+    * DUPLICATED_MAP_KEY — found by RoiFuzzSpec's HDR fuzz (round 10);
+    * one corrupt header must not kill a whole ingest run.
     */
   def read(
       spark: SparkSession,
@@ -30,12 +33,18 @@ object HdrSource {
       stringKeys: Seq[String],
       numericKeys: Seq[String]): DataFrame = {
     val lines = spark.read.text(path)
+      // line order within a file: ids rise with partition index then row
+      // position, and a file's splits are offset-ordered
+      .withColumn("__ord", monotonically_increasing_id())
       .withColumn("file", input_file_name())
       .withColumn("sample", regexp_extract(col("file"), SampleIdPattern, 1))
       .withColumn("key", trim(regexp_extract(col("value"), "^([^:]+):", 1)))
       .withColumn("v", trim(regexp_extract(col("value"), "^[^:]+:(.*)$", 1)))
       .filter(col("key") =!= "")
-    val kv = lines.groupBy(col("sample"))
+    val kv = lines
+      .groupBy(col("sample"), col("key"))
+      .agg(min_by(col("v"), col("__ord")).as("v"))
+      .groupBy(col("sample"))
       .agg(map_from_entries(collect_list(struct(col("key"), col("v")))).as("kv"))
     val typed = stringKeys.map(k => element_at(col("kv"), k).as(k)) ++
       numericKeys.map(k => element_at(col("kv"), k).cast("double").as(k))

@@ -37,21 +37,46 @@ object RoiSource {
     * BOTH sides: a non-match extracts "" and two empty-sample sides
     * would cross-join unrelated bins, slicing pixels from the wrong
     * .roi payload.
+    *
+    * Fail-loudly contract (round-10 fuzz hardening, RoiFuzzSpec): an ADC
+    * row whose offset/geometry runs past the `.roi` payload makes
+    * `substring` silently return a SHORT byte array — pixels that decode
+    * to a garbage image. With `strict = true` (default) such rows raise
+    * instead; pass `strict = false` only from a flow that dead-letters
+    * corrupt bins itself (the IngestQc gate pattern).
     */
-  def images(adc: DataFrame, roiFiles: DataFrame): DataFrame = {
+  def images(adc: DataFrame, roiFiles: DataFrame,
+      strict: Boolean = true): DataFrame = {
     val roi = roiFiles
       .withColumn("sample",
         regexp_extract(col("path"), HdrSource.SampleIdPattern, 1))
       .filter(col("sample") =!= "")
       .select(col("sample"), col("content"))
-    adc
+    val sliced = adc
       .filter(col("sample") =!= "")
       .filter(col("width") > 0 && col("height") > 0)
       .join(roi, "sample")
       .select(
         col("sample"), col("roi_number"), col("width"), col("height"),
+        col("start_byte"),
         expr("substring(content, cast(start_byte + 1 as int), width * height)")
           .as("pixels"))
+    val guarded =
+      if (!strict) sliced
+      // a negative offset slices from the payload END (SQL substring
+      // semantics) and can return a right-length wrong-content array, so
+      // it must be rejected alongside the short-slice case
+      else sliced.withColumn("pixels",
+        when(col("start_byte") >= 0 &&
+            length(col("pixels")) === col("width") * col("height"),
+          col("pixels"))
+          .otherwise(raise_error(concat(
+            lit("truncated ROI slice: sample "), col("sample"),
+            lit(" roi "), col("roi_number"),
+            lit(" claims "), (col("width") * col("height")).cast("string"),
+            lit(" bytes at offset "), col("start_byte").cast("string"),
+            lit(" past the payload")))))
+    guarded.drop("start_byte")
   }
 
   /** Convenience: read a directory of bin trios. */

@@ -330,6 +330,45 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream behaves identically on the RocksDB state store (results + eviction)") {
+    // the provider swap is the production memory story
+    // (GraftSession.RocksDbProvider scaladoc): state spills to local
+    // disk instead of executor heap. Same micro-batch script as the
+    // horizon test; results and eviction must not change.
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      graft.GraftSession.RocksDbProvider)
+    try {
+      val in = MemoryStream[(Timestamp, Long, String)]
+      val docs = in.toDF().toDF("ts", "doc_id", "text")
+      val q = Streams.dedupStream(docs, "text", "ts")
+        .writeStream.format("memory").queryName("dedup_rocks")
+        .outputMode(OutputMode.Append).start()
+      try {
+        val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        in.addData((0 until 500).map(i =>
+          (new Timestamp(base + i * 1000L), i.toLong, s"document number ${i % 400}")))
+        q.processAllAvailable()
+        // 400 distinct fingerprints survive; the 100 same-batch repeats drop
+        assert(spark.table("dedup_rocks").count() == 400)
+        assert(stateRows(q) >= 400)
+        assert(q.lastProgress.stateOperators.head.customMetrics
+          .containsKey("rocksdbGetCount"),
+          "query did not actually run on the RocksDB provider")
+        in.addData((Timestamp.valueOf("2024-01-04 00:00:00"), 9000L, "fresh a"))
+        q.processAllAvailable()
+        in.addData((Timestamp.valueOf("2024-01-04 00:00:10"), 9001L, "fresh b"))
+        q.processAllAvailable()
+        assert(stateRows(q) <= 10,
+          s"RocksDB store did not evict on watermark: ${stateRows(q)}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("dailyAlerts window state evicts closed days, not accumulating per-key windows") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
