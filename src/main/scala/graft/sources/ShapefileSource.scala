@@ -22,11 +22,28 @@ object ShapefileSource {
   /** One polygon part (ring) with its record number and attributes. */
   final case class Ring(recordNo: Int, partNo: Int, points: Seq[(Double, Double)])
 
-  /** Parses all polygon rings of a `.shp` main file. */
+  /** Parses all polygon rings of a `.shp` main file.
+    *
+    * Fail-loudly contract (round-10 fuzz hardening, ShapefileFuzzSpec):
+    * structural damage surfaces as [[IllegalArgumentException]] — never
+    * a raw buffer exception, an unbounded allocation from a corrupted
+    * count, or the infinite loop a negative record content length used
+    * to cause (`p += 8 + contentLen` with contentLen = −8 advances zero
+    * bytes).
+    */
   def readShp(bytes: Array[Byte]): Seq[Ring] = {
     require(bytes.length >= 100, "not a shapefile: too short")
     val be = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     require(be.getInt(0) == 9994, "not a shapefile: bad file code")
+    try readShpBody(bytes, be)
+    catch {
+      case e: IllegalArgumentException => throw e
+      case e: RuntimeException =>
+        throw new IllegalArgumentException(s"malformed shapefile: $e", e)
+    }
+  }
+
+  private def readShpBody(bytes: Array[Byte], be: ByteBuffer): Seq[Ring] = {
     val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val fileLen = be.getInt(24) * 2 // 16-bit words → bytes
     val out = Seq.newBuilder[Ring]
@@ -34,18 +51,31 @@ object ShapefileSource {
     while (p + 8 <= math.min(fileLen, bytes.length)) {
       val recordNo = be.getInt(p)
       val contentLen = be.getInt(p + 4) * 2
+      // a record's content holds at least the shape type word; anything
+      // smaller (or negative) cannot advance the cursor — corrupt
+      require(contentLen >= 4,
+        s"record $recordNo claims content length $contentLen")
       val shapeType = le.getInt(p + 8)
       shapeType match {
         case 5 | 15 | 25 => // Polygon / PolygonZ / PolygonM — rings in XY
           val base = p + 8 + 4 + 32 // type + box
           val numParts = le.getInt(base)
           val numPoints = le.getInt(base + 4)
+          // counts sized beyond the file are corruption, not data — and
+          // must not drive the point-materializing loops below
+          require(numParts >= 0 && numPoints >= 0 &&
+            base + 8 + 4L * numParts + 16L * numPoints <= bytes.length,
+            s"record $recordNo claims $numParts parts / $numPoints points " +
+              s"past file end ${bytes.length}")
           val partsOff = base + 8
           val pointsOff = partsOff + 4 * numParts
           val parts = (0 until numParts).map(i => le.getInt(partsOff + 4 * i))
           for (part <- 0 until numParts) {
             val from = parts(part)
             val until = if (part + 1 < numParts) parts(part + 1) else numPoints
+            require(from >= 0 && from <= numPoints && until <= numPoints,
+              s"record $recordNo part $part range [$from, $until) outside " +
+                s"[0, $numPoints)")
             val pts = (from until until).map { i =>
               (le.getDouble(pointsOff + 16 * i), le.getDouble(pointsOff + 16 * i + 8))
             }
@@ -64,10 +94,20 @@ object ShapefileSource {
     * record (numeric fields kept as trimmed strings; callers cast).
     */
   def readDbf(bytes: Array[Byte]): Seq[Map[String, String]] = {
+    try {
+    require(bytes.length >= 33, "not a dBASE file: too short")
     val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val nRecords = le.getInt(4)
     val headerLen = le.getShort(8) & 0xffff
     val recordLen = le.getShort(10) & 0xffff
+    // fail-loudly (round-10 fuzz hardening): corrupted counts must not
+    // hang a 2-billion-iteration record loop or read past the file
+    require(nRecords >= 0 && (nRecords == 0 || recordLen >= 1),
+      s"dBASE claims $nRecords records of length $recordLen")
+    // +1: the end-of-file 0x1A marker may replace the last pad byte
+    require(headerLen + nRecords.toLong * recordLen <= bytes.length + 1,
+      s"dBASE claims $nRecords records of $recordLen bytes past file " +
+        s"end ${bytes.length}")
     // field descriptors: 32 bytes each from offset 32 until 0x0D terminator
     val fields = Seq.newBuilder[(String, Int)]
     var p = 32
@@ -86,6 +126,11 @@ object ShapefileSource {
         name -> v
       }.toMap
     }
+    } catch {
+      case e: IllegalArgumentException => throw e
+      case e: RuntimeException =>
+        throw new IllegalArgumentException(s"malformed dBASE file: $e", e)
+    }
   }
 
   /** Driver-side load of a `.shp`+`.dbf` pair → named polygons:
@@ -102,22 +147,36 @@ object ShapefileSource {
     }
   }
 
-  /** ISO WKB polygon → rings (XY only; both byte orders). */
+  /** ISO WKB polygon → rings (XY only; both byte orders). Fail-loudly:
+    * ring/point counts past the buffer raise [[IllegalArgumentException]]
+    * before any count-sized materialization.
+    */
   def readWkbPolygon(wkb: Array[Byte]): Seq[Seq[(Double, Double)]] = {
-    val order = if (wkb(0) == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
-    val b = ByteBuffer.wrap(wkb).order(order)
-    val geomType = b.getInt(1) & 0xff
-    require(geomType == 3, s"not a WKB polygon (type $geomType)")
-    val nRings = b.getInt(5)
-    var p = 9
-    (0 until nRings).map { _ =>
-      val n = b.getInt(p)
-      p += 4
-      val ring = (0 until n).map { i =>
-        (b.getDouble(p + 16 * i), b.getDouble(p + 16 * i + 8))
+    try {
+      require(wkb.length >= 9, "not a WKB polygon: too short")
+      val order = if (wkb(0) == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+      val b = ByteBuffer.wrap(wkb).order(order)
+      val geomType = b.getInt(1) & 0xff
+      require(geomType == 3, s"not a WKB polygon (type $geomType)")
+      val nRings = b.getInt(5)
+      require(nRings >= 0 && 9L + 4L * nRings <= wkb.length,
+        s"WKB claims $nRings rings past buffer end ${wkb.length}")
+      var p = 9
+      (0 until nRings).map { _ =>
+        val n = b.getInt(p)
+        p += 4
+        require(n >= 0 && p + 16L * n <= wkb.length,
+          s"WKB ring claims $n points past buffer end ${wkb.length}")
+        val ring = (0 until n).map { i =>
+          (b.getDouble(p + 16 * i), b.getDouble(p + 16 * i + 8))
+        }
+        p += 16 * n
+        ring
       }
-      p += 16 * n
-      ring
+    } catch {
+      case e: IllegalArgumentException => throw e
+      case e: RuntimeException =>
+        throw new IllegalArgumentException(s"malformed WKB polygon: $e", e)
     }
   }
 
