@@ -6,15 +6,25 @@ import java.util.zip.Inflater
   * [[H5Source]]) — the loop's termination handling (inflate returning 0
   * on a truncated stream) is subtle enough that two copies had already
   * diverged on it.
+  *
+  * `maxOut` caps the inflated size (default 1 GiB, the same bound the
+  * readers put on claimed dataset shapes, matching the reference's own
+  * oversize-bin guard at extract_features.R:61): deflate compresses up
+  * to ~1000:1, so a few-MB "compressed element" in a hostile file could
+  * otherwise commit GBs of heap before any shape check runs.
   */
 private[sources] object Zlib {
-  def inflate(data: Array[Byte], what: String): Array[Byte] = {
+  def inflate(data: Array[Byte], what: String,
+      maxOut: Long = 1L << 30): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(data)
     val out = new java.io.ByteArrayOutputStream(data.length * 4)
     val chunk = new Array[Byte](8192)
     try {
       while (!inf.finished() && !inf.needsInput()) {
+        if (out.size() > maxOut)
+          throw new IllegalArgumentException(
+            s"zlib stream in $what inflates past the $maxOut-byte cap")
         // corrupted (non-truncated) streams surface as the checked
         // DataFormatException — rethrow as the one exception type the
         // fail-loudly reader contract uses everywhere else

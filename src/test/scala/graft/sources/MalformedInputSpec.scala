@@ -84,6 +84,23 @@ class MalformedInputSpec extends AnyFunSuite {
     assert(e.getMessage.contains("truncated"))
   }
 
+  test("Zlib.inflate caps inflated output (zip-bomb guard)") {
+    // highly compressible payload: 1 MB of zeros deflates to ~1 KB
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(new Array[Byte](1 << 20))
+    deflater.finish()
+    val buf = new Array[Byte](1 << 16)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val bomb = buf.take(n)
+    // under the cap: inflates fine
+    assert(Zlib.inflate(bomb, "test").length == (1 << 20))
+    // over a tight cap: rejected loudly, with the reader-contract type
+    val e = intercept[IllegalArgumentException](
+      Zlib.inflate(bomb, "test", maxOut = 64 * 1024))
+    assert(e.getMessage.contains("cap"))
+  }
+
   test("Zlib.inflate rejects corrupted streams with the contract exception type") {
     val deflater = new java.util.zip.Deflater()
     val payload = Array.tabulate[Byte](4096)(i => (i % 251).toByte)

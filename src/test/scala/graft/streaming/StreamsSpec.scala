@@ -239,6 +239,77 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("sessionize equals a driver-side reference fold over random inputs and batch splits") {
+    // property differential (round 10): random keys, timestamps, gap
+    // parameters and micro-batch boundaries — the fixture differential
+    // above pins one trace; this pins the semantics across the input
+    // space (ties, single-event sessions, keys absent from batches).
+    implicit val sqlCtx = spark.sqlContext
+    for (seed <- 0 until 10) {
+      val rnd = new scala.util.Random(seed * 2654435761L)
+      val gap = (1 + rnd.nextInt(1000)).toLong
+      val events = {
+        var t = 0L
+        (0 until 60).map { i =>
+          t += rnd.nextInt(3 * gap.toInt).toLong // gaps straddle the cutoff
+          Streams.SessionEvent(rnd.nextInt(5).toLong, t, rnd.nextInt(100) / 10.0)
+        }
+      }.sortBy(_.tsMicros)
+      // reference: per key, time-ordered fold with the operator's rule
+      // (an event more than `gap` after the last closes the session)
+      val expected = events.groupBy(_.key).flatMap { case (k, es) =>
+        val closed = Seq.newBuilder[(Long, Long, Long, Long, Double)]
+        var cur: Option[(Long, Long, Long, Double)] = None
+        es.sortBy(_.tsMicros).foreach { e =>
+          cur match {
+            case Some((s0, last, n, sum)) if e.tsMicros - last <= gap =>
+              cur = Some((s0, e.tsMicros, n + 1, sum + e.value))
+            case Some((s0, last, n, sum)) =>
+              closed += ((k, s0, last, n, sum))
+              cur = Some((e.tsMicros, e.tsMicros, 1L, e.value))
+            case None =>
+              cur = Some((e.tsMicros, e.tsMicros, 1L, e.value))
+          }
+        }
+        cur.foreach { case (s0, last, n, sum) => closed += ((k, s0, last, n, sum)) }
+        closed.result()
+      }.toSet
+      // streaming: 1-4 time-ordered micro-batches + a closing sentinel
+      val nBatches = 1 + rnd.nextInt(4)
+      val cutIdxs = Seq.fill(nBatches - 1)(rnd.nextInt(events.length)).sorted
+      val batches = (Seq(0) ++ cutIdxs ++ Seq(events.length))
+        .sliding(2).map { case Seq(a, b) => events.slice(a, b) }.toSeq
+      val sentinels = events.map(_.key).distinct
+        .map(k => Streams.SessionEvent(k, events.last.tsMicros + 10L * gap + 10L, 0.0))
+      val in = MemoryStream[Streams.SessionEvent]
+      val name = s"sess_prop_$seed"
+      val q = Streams.sessionize(in.toDS(), gapMicros = gap)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        batches.foreach { b =>
+          if (b.nonEmpty) { in.addData(b); q.processAllAvailable() }
+        }
+        in.addData(sentinels)
+        q.processAllAvailable()
+        val got = spark.table(name)
+          .as[Streams.SessionOut].collect()
+          .map(s => (s.key, s.startMicros, s.endMicros, s.n, s.sum)).toSet
+        // compare with a tolerance-free set on (key, bounds, n) and a
+        // tolerant check on sums (double association order)
+        def shape(s: Set[(Long, Long, Long, Long, Double)]) = s.map(x => (x._1, x._2, x._3, x._4))
+        assert(shape(got) == shape(expected),
+          s"seed $seed gap $gap: only-stream=${shape(got) -- shape(expected)} " +
+            s"only-ref=${shape(expected) -- shape(got)}")
+        val refSums = expected.map(x => (x._1, x._2, x._3) -> x._5).toMap
+        got.foreach { case (k, s0, e0, _, sm) =>
+          assert(math.abs(sm - refSums((k, s0, e0))) < 1e-9,
+            s"seed $seed: sum mismatch for ($k, $s0, $e0)")
+        }
+      } finally q.stop()
+    }
+  }
+
   test("incremental file source processes each file exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("stream-in")
     val ckpt = java.nio.file.Files.createTempDirectory("stream-ckpt")
