@@ -239,8 +239,15 @@ object IngestQc {
     */
   def extractFeatures(spark: SparkSession, cfg: Config, bins: DataFrame): DataFrame = {
     import spark.implicits._
-    val images = RoiSource.read(spark, cfg.rawDir)
+    // semi-join the ADC to the bins under processing BEFORE the slice:
+    // RoiSource's strict truncation guard must only ever see rows of
+    // bins this job actually processes — a corrupt ADC inside a
+    // dead-lettered or blacklisted bin must not abort the run
+    val adc = RoiSource.readAdc(spark, s"${cfg.rawDir}/*.adc")
       .join(broadcast(bins.select("sample")), Seq("sample"), "left_semi")
+    val roiFiles = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.roi").load(cfg.rawDir)
+    val images = RoiSource.images(adc, roiFiles)
       .select($"sample", $"roi_number", $"width", $"height", $"pixels")
       .as[(String, Int, Int, Int, Array[Byte])]
       // few CPU-heavy rows per file split: spread across all cores

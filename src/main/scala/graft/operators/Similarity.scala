@@ -342,10 +342,24 @@ object Similarity {
       }
       s
     }
+    // running min-distance-to-chosen per pool vector, updated once per
+    // newly chosen seed — O(pool·k·dims) total, not O(pool·k²·dims)
+    val minD = Array.fill(pool.length)(Double.PositiveInfinity)
     val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
+    var lastChosen = pool.head
     while (chosen.size < k && chosen.size < pool.length) {
-      // maxBy keeps the first maximum → deterministic under ties
-      chosen += pool.maxBy(v => chosen.map(c => d2(v, c)).min)
+      var best = 0
+      var bestD = Double.NegativeInfinity
+      var i = 0
+      while (i < pool.length) {
+        val d = d2(pool(i), lastChosen)
+        if (d < minD(i)) minD(i) = d
+        // strict > keeps the first maximum → deterministic under ties
+        if (minD(i) > bestD) { bestD = minD(i); best = i }
+        i += 1
+      }
+      lastChosen = pool(best)
+      chosen += lastChosen
     }
     val init = chosen.map(_.toSeq).toSeq
     val cents = KMeans.lloyd(quantized, "xq", init, iters)

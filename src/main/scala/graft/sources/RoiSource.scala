@@ -52,6 +52,16 @@ object RoiSource {
         regexp_extract(col("path"), HdrSource.SampleIdPattern, 1))
       .filter(col("sample") =!= "")
       .select(col("sample"), col("content"))
+    // slice arguments are computed in 64-bit and CLAMPED into int range
+    // so that a corrupted offset/geometry can neither wrap around 32 bits
+    // (non-ANSI: cast(4294967280 as int) = -16 would slice from the
+    // payload END with a plausible length) nor throw an engine-config-
+    // dependent ANSI overflow error before the guard below runs
+    val sliceExpr = expr(
+      "substring(content, " +
+        "cast(least(greatest(start_byte + 1, 1), 2147483647) as int), " +
+        "cast(least(cast(width as bigint) * cast(height as bigint), " +
+        "2147483647) as int))")
     val sliced = adc
       .filter(col("sample") =!= "")
       .filter(col("width") > 0 && col("height") > 0)
@@ -59,31 +69,38 @@ object RoiSource {
       .select(
         col("sample"), col("roi_number"), col("width"), col("height"),
         col("start_byte"),
-        expr("substring(content, cast(start_byte + 1 as int), width * height)")
-          .as("pixels"))
+        length(col("content")).cast("long").as("__payload_len"),
+        sliceExpr.as("pixels"))
+    val need = col("width").cast("long") * col("height").cast("long")
     val guarded =
       if (!strict) sliced
-      // a negative offset slices from the payload END (SQL substring
-      // semantics) and can return a right-length wrong-content array, so
-      // it must be rejected alongside the short-slice case
+      // long-arithmetic validity: a negative offset slices from the
+      // payload END (SQL substring semantics) and can return a
+      // right-length wrong-content array; an extent past the payload
+      // returns a short array — both rejected on the UNCLAMPED numbers
       else sliced.withColumn("pixels",
         when(col("start_byte") >= 0 &&
-            length(col("pixels")) === col("width") * col("height"),
+            col("start_byte") + need <= col("__payload_len"),
           col("pixels"))
           .otherwise(raise_error(concat(
             lit("truncated ROI slice: sample "), col("sample"),
             lit(" roi "), col("roi_number"),
-            lit(" claims "), (col("width") * col("height")).cast("string"),
+            lit(" claims "), need.cast("string"),
             lit(" bytes at offset "), col("start_byte").cast("string"),
             lit(" past the payload")))))
-    guarded.drop("start_byte")
+    guarded.drop("start_byte", "__payload_len")
   }
 
-  /** Convenience: read a directory of bin trios. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  /** Convenience: read a directory of bin trios. A flow that excludes
+    * some bins (dead-letter gates, blacklists) must filter BEFORE the
+    * strict guard sees their rows — either pass `strict = false` here
+    * and validate after its own join, or semi-join the ADC frame first
+    * and call [[images]] directly (the [[graft.jobs.IngestQc]] pattern).
+    */
+  def read(spark: SparkSession, dir: String, strict: Boolean = true): DataFrame = {
     val adc = readAdc(spark, s"$dir/*.adc")
     val roi = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.roi").load(dir)
-    images(adc, roi)
+    images(adc, roi, strict)
   }
 }

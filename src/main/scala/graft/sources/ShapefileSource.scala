@@ -118,6 +118,13 @@ object ShapefileSource {
       p += 32
     }
     val fs = fields.result()
+    // a recordLen smaller than the declared fields (one corrupt byte)
+    // would read every row after the first SHIFTED — silently wrong
+    // attribute values; recordLen may exceed the sum (trailing pad) but
+    // never undercut it
+    require(recordLen >= 1 + fs.map(_._2).sum,
+      s"dBASE record length $recordLen undercuts 1 + field lengths " +
+        s"${fs.map(_._2).sum}")
     (0 until nRecords).map { r =>
       var q = headerLen + r * recordLen + 1 // +1 deletion flag
       fs.map { case (name, len) =>

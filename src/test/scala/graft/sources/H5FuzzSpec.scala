@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import H5Source.{H5Num, H5Str}
@@ -17,18 +16,8 @@ import H5Source.{H5Num, H5Str}
   */
 class H5FuzzSpec extends AnyFunSuite {
 
-  private def sample[A](g: Gen[A], seed: Long): A =
-    Iterator.from(0)
-      .flatMap(i => g.apply(Gen.Parameters.default, Seed(seed * 1000 + i)))
-      .next()
-
-  private val nameGen: Gen[String] = for {
-    h <- Gen.alphaChar
-    t <- Gen.listOfN(5, Gen.alphaNumChar)
-  } yield (h :: t).mkString
-
   private val dsGen: Gen[H5Fixture.Ds] = for {
-    name <- nameGen
+    name <- FuzzGen.nameGen(5)
     kind <- Gen.chooseNum(0, 3)
     ds <- kind match {
       case 0 => for {
@@ -57,7 +46,7 @@ class H5FuzzSpec extends AnyFunSuite {
 
   private def genFile(seed: Long): (Array[Byte], Seq[H5Fixture.Ds]) = {
     val nDs = 1 + (seed % 3).toInt
-    val dss = (0 until nDs).map(i => sample(dsGen, seed * 37 + i))
+    val dss = (0 until nDs).map(i => FuzzGen.sample(dsGen, seed * 37 + i))
       .groupBy(_.name).map(_._2.head).toSeq
     (H5Fixture.write(dss), dss)
   }

@@ -4,7 +4,6 @@ import java.nio.{ByteBuffer, ByteOrder}
 import java.util.zip.Deflater
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import MatSource.{MatCell, MatNum, MatStr, MatValue}
@@ -28,19 +27,7 @@ import MatSource.{MatCell, MatNum, MatStr, MatValue}
   */
 class MatFuzzSpec extends AnyFunSuite {
 
-  private def sample[A](g: Gen[A], seed: Long): A = {
-    // retryUntil-free: our generators never fail to produce
-    Iterator.from(0)
-      .flatMap(i => g.apply(Gen.Parameters.default, Seed(seed * 1000 + i)))
-      .next()
-  }
-
   // --- generators -----------------------------------------------------------
-
-  private val nameGen: Gen[String] = for {
-    h <- Gen.alphaChar
-    t <- Gen.listOfN(5, Gen.alphaNumChar)
-  } yield (h :: t).mkString
 
   /** (miType, payload bytes, expected doubles) for every numeric type
     * the reader decodes.
@@ -74,7 +61,7 @@ class MatFuzzSpec extends AnyFunSuite {
 
   /** One variable: (bytes of the top-level element, name, expected). */
   private val varGen: Gen[(String, Array[Byte], MatValue)] = for {
-    name <- nameGen
+    name <- FuzzGen.nameGen(5)
     kind <- Gen.chooseNum(0, 4)
     v <- kind match {
       case 0 => // numeric matrix, any mi type, stored as a 1 x n row
@@ -158,7 +145,7 @@ class MatFuzzSpec extends AnyFunSuite {
 
   private def genFile(seed: Long): (Array[Byte], Map[String, MatValue]) = {
     val nVars = 1 + (seed % 4).toInt
-    val vars = (0 until nVars).map(i => sample(varGen, seed * 31 + i))
+    val vars = (0 until nVars).map(i => FuzzGen.sample(varGen, seed * 31 + i))
       .groupBy(_._1).map(_._2.head).toSeq // unique names
     val rnd = new scala.util.Random(seed)
     val elements = vars.map { case (_, bytes, _) =>

@@ -90,6 +90,12 @@ class RoiFuzzSpec extends SparkSpec {
     // negative offset: would slice from the payload END with the right
     // length — wrong pixels, silently — without the guard
     assert(messageOf(corruptBin("1,2,2,-4")).contains("truncated ROI slice"))
+    // 32-bit wrap-arounds (review finding): start_byte+1 wrapping to a
+    // small negative int would slice the END with a plausible length;
+    // width*height wrapping to 0 would return an "empty image" that
+    // passes a naive length check — both must reject via 64-bit math
+    assert(messageOf(corruptBin("1,4,4,4294967279")).contains("truncated ROI slice"))
+    assert(messageOf(corruptBin("1,65536,65536,0")).contains("truncated ROI slice"))
     // and strict=false hands the row through for dead-letter flows
     val dir = Files.createTempDirectory("roilenient")
     val sid = sampleId(0)

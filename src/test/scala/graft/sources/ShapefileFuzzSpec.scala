@@ -3,7 +3,6 @@ package graft.sources
 import java.nio.{ByteBuffer, ByteOrder}
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-trip + byte-mutation fuzzing of the Shapefile/dBASE/WKB readers
@@ -15,11 +14,6 @@ import org.scalatest.funsuite.AnyFunSuite
   * `readDbf` (both now hard requires).
   */
 class ShapefileFuzzSpec extends AnyFunSuite {
-
-  private def sample[A](g: Gen[A], seed: Long): A =
-    Iterator.from(0)
-      .flatMap(i => g.apply(Gen.Parameters.default, Seed(seed * 1000 + i)))
-      .next()
 
   private val ringGen: Gen[Seq[(Double, Double)]] = for {
     n <- Gen.chooseNum(3, 8)
@@ -35,7 +29,7 @@ class ShapefileFuzzSpec extends AnyFunSuite {
   test("round-trip: 100 generated shapefiles parse back ring-exactly") {
     for (seed <- 0 until 100) {
       val records = (0 until 1 + (seed % 4))
-        .map(i => sample(recordGen, seed * 19 + i))
+        .map(i => FuzzGen.sample(recordGen, seed * 19 + i))
       val rings = ShapefileSource.readShp(ShapefileFixture.writeShp(records))
       val expected = records.zipWithIndex.flatMap { case (rs, rec) =>
         rs.zipWithIndex.map { case (r, part) => (rec + 1, part, r) }
@@ -62,7 +56,7 @@ class ShapefileFuzzSpec extends AnyFunSuite {
           assert(m(name) == v, s"seed $seed field $name")
         }
       }
-      val rings = (0 until 1 + rnd.nextInt(3)).map(_ => sample(ringGen, seed))
+      val rings = (0 until 1 + rnd.nextInt(3)).map(_ => FuzzGen.sample(ringGen, seed))
       val order = if (rnd.nextBoolean()) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
       val wkbRings = ShapefileSource.readWkbPolygon(
         ShapefileFixture.writeWkb(rings, order))
@@ -74,7 +68,7 @@ class ShapefileFuzzSpec extends AnyFunSuite {
     var parsed = 0
     var rejected = 0
     for (seed <- 0 until 40) {
-      val records = (0 until 1 + (seed % 3)).map(i => sample(recordGen, seed * 7 + i))
+      val records = (0 until 1 + (seed % 3)).map(i => FuzzGen.sample(recordGen, seed * 7 + i))
       val shp = ShapefileFixture.writeShp(records)
       val dbf = ShapefileFixture.writeDbf(Seq(("BASIN", 12)),
         records.indices.map(i => Seq(s"basin$i")))
@@ -103,7 +97,7 @@ class ShapefileFuzzSpec extends AnyFunSuite {
 
   test("the two historical hangs are now loud rejections") {
     // negative .shp record content length: cursor would advance 0 bytes
-    val shp = ShapefileFixture.writeShp(Seq(sample(recordGen, 1L)))
+    val shp = ShapefileFixture.writeShp(Seq(FuzzGen.sample(recordGen, 1L)))
     val b = ByteBuffer.wrap(shp).order(ByteOrder.BIG_ENDIAN)
     b.putInt(104, -4) // record 1 content length (16-bit words)
     val e1 = intercept[IllegalArgumentException](ShapefileSource.readShp(shp))

@@ -32,16 +32,9 @@ class ShapefileSourceSpec extends SparkSpec {
   }
 
   test("readWkbPolygon handles both byte orders") {
-    def wkb(order: ByteOrder): Array[Byte] = {
-      val ring = square.head
-      val b = ByteBuffer.allocate(9 + 4 + 16 * ring.size).order(order)
-      b.put(if (order == ByteOrder.LITTLE_ENDIAN) 1.toByte else 0.toByte)
-      b.putInt(3).putInt(1).putInt(ring.size)
-      ring.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
-      b.array()
-    }
     for (o <- Seq(ByteOrder.LITTLE_ENDIAN, ByteOrder.BIG_ENDIAN)) {
-      val rings = ShapefileSource.readWkbPolygon(wkb(o))
+      val rings = ShapefileSource.readWkbPolygon(
+        ShapefileFixture.writeWkb(square, o))
       assert(rings.size == 1 && rings.head.size == 5 && rings.head(1) == ((10.0, 0.0)))
     }
   }

@@ -3,7 +3,6 @@ package graft.sources
 import java.nio.{ByteBuffer, ByteOrder}
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-trip + byte-mutation fuzzing of the SQLite reader (round-10
@@ -18,19 +17,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SqliteFuzzSpec extends AnyFunSuite {
 
-  private def sample[A](g: Gen[A], seed: Long): A =
-    Iterator.from(0)
-      .flatMap(i => g.apply(Gen.Parameters.default, Seed(seed * 1000 + i)))
-      .next()
-
-  private val nameGen: Gen[String] = for {
-    h <- Gen.alphaChar
-    t <- Gen.listOfN(4, Gen.alphaNumChar)
-  } yield (h :: t).mkString
-
   /** One column: (ddl fragment, clean name, value generator). */
   private val colGen: Gen[(String, String, Gen[Any])] = for {
-    base <- nameGen
+    base <- FuzzGen.nameGen(4)
     style <- Gen.chooseNum(0, 5)
   } yield style match {
     case 0 => (s"$base TEXT", base,
@@ -53,13 +42,13 @@ class SqliteFuzzSpec extends AnyFunSuite {
   }
 
   private def genDb(seed: Long): (Array[Byte], String, Seq[String], Seq[Seq[Any]]) = {
-    val table = sample(nameGen, seed * 17)
+    val table = FuzzGen.sample(FuzzGen.nameGen(4), seed * 17)
     val nCols = 1 + (seed % 5).toInt
-    val cols = (0 until nCols).map(i => sample(colGen, seed * 53 + i))
+    val cols = (0 until nCols).map(i => FuzzGen.sample(colGen, seed * 53 + i))
       .groupBy(_._2).map(_._2.head).toSeq
     val nRows = (seed % 9).toInt // >= 4 exercises the interior-page path
     val rows = (0 until nRows).map { r =>
-      cols.map { case (_, _, g) => sample(g, seed * 101 + r * 13) }
+      cols.map { case (_, _, g) => FuzzGen.sample(g, seed * 101 + r * 13) }
     }
     // one table-level constraint row in every third schema: parsed
     // columns must skip it without shifting the data columns

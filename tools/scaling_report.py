@@ -22,7 +22,10 @@ def load(path):
             line = line.strip()
             if not line:
                 continue
-            obj = json.loads(line)
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue  # JVM warnings, sbt noise, diag lines
             if obj.get("metric") == "pass_times":
                 pass_times = {q: min(t for t in ts if t >= 0)
                               for q, ts in obj["queries"].items()
@@ -48,6 +51,8 @@ def main(p001, p01):
     for q, s, b, r in rows:
         flag = "SUPER-LINEAR" if r > 10 else ""
         print(f"| {q} | {s:.3f} | {b:.3f} | {r:.2f} | {flag} |")
+    if not rows:
+        raise SystemExit("no query names shared between the two runs")
     sup = [(q, r) for q, s, b, r in rows if r > 10]
     tot_s = sum(s for _, s, _, _ in rows)
     tot_b = sum(b for _, _, b, _ in rows)
@@ -60,4 +65,6 @@ def main(p001, p01):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) != 3:
+        raise SystemExit(__doc__.strip().splitlines()[-1])
     main(sys.argv[1], sys.argv[2])
