@@ -46,4 +46,46 @@ class BpeSpec extends SparkSpec {
       .as[(Int, String, String, Long)].collect().toSeq
     assert(got == Seq((1, "a", "b", 2L))) // a|b excluded from the census
   }
+
+  test("encodeTokenCount equals a list-based BPE fold over random words and merge lists") {
+    // property differential (round 10): the Column encode side is a
+    // chain of delimiter-framed string `replace`s — equivalence with the
+    // textbook symbol-list fold (greedy one-pass left-to-right per
+    // merge, in training order) is the claim q78's single-corpus oracle
+    // cannot pin across the input space.
+    def refCount(word: String, merges: Seq[(String, String)]): Int = {
+      var syms = word.map(_.toString).toList
+      for ((l, r) <- merges) {
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toList
+      }
+      syms.length
+    }
+    for (seed <- 0 until 15) {
+      val rnd = new scala.util.Random(seed * 48271L)
+      val alphabet = "abc"
+      // merge lists that can chain (merged symbols feeding later merges),
+      // including degenerate repeats like (a, a)
+      val symbols = Seq("a", "b", "c", "ab", "bc", "ca", "aa", "abc")
+      val merges = (0 until 1 + rnd.nextInt(6)).map { _ =>
+        (symbols(rnd.nextInt(symbols.length)), symbols(rnd.nextInt(symbols.length)))
+      }
+      val words = (0 until 40).map { _ =>
+        (1 to 1 + rnd.nextInt(8)).map(_ => alphabet(rnd.nextInt(3))).mkString
+      }.distinct
+      val df = words.toDF("w")
+        .select($"w", Bpe.encodeTokenCount($"w", merges).as("n"))
+      val got = df.as[(String, Int)].collect().toMap
+      words.foreach { w =>
+        assert(got(w) == refCount(w, merges),
+          s"seed $seed word $w merges $merges: ${got(w)} != ${refCount(w, merges)}")
+      }
+    }
+  }
 }
