@@ -146,6 +146,46 @@ class DedupSpec extends SparkSpec {
         "forces sample-blind clusters; tighten sampleMax")
   }
 
+  test("LSH pairs are a subset of exact pairs with identical jaccard; planted dups recalled") {
+    // property differential (round 10): LSH verifies candidates with the
+    // SAME exact jaccard the inverted-index path computes, so
+    // minhashLshPairs ⊆ ngramJaccardPairs must hold EXACTLY (precision
+    // is exact; only recall is probabilistic). With 4 bands of 2 rows a
+    // planted ~0.95-jaccard twin misses with probability < 1e-5, and the
+    // minhash seeds are fixed, so the recall assertion is deterministic.
+    for (seed <- 0 until 6) {
+      val rnd = new scala.util.Random(seed * 69621L)
+      val vocab = (0 until 80).map(i => s"w${i}x${rnd.nextInt(100)}")
+      var id = 0L
+      val rows = Seq.newBuilder[(Long, String)]
+      val planted = Seq.newBuilder[(Long, Long)]
+      for (_ <- 0 until 12) {
+        val words = (0 until 15 + rnd.nextInt(10)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        rows += ((id, words.mkString(" ")))
+        if (rnd.nextInt(2) == 0) {
+          // near-dup twin: same doc with the last word changed
+          rows += ((id + 1, (words.init :+ "changed").mkString(" ")))
+          planted += ((id, id + 1))
+          id += 1
+        }
+        id += 1
+      }
+      val df = rows.result().toDF("doc_id", "text")
+      def pairSet(p: org.apache.spark.sql.DataFrame) =
+        p.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+          .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+      val lsh = pairSet(Dedup.minhashLshPairs(df, "doc_id", "text", minJaccard = 0.5))
+      val exact = pairSet(Dedup.ngramJaccardPairs(df, "doc_id", "text", minJaccard = 0.5))
+      lsh.foreach { case (pair, j) =>
+        assert(exact.contains(pair), s"seed $seed: LSH pair $pair not in exact set")
+        assert(exact(pair) == j, s"seed $seed: jaccard differs on $pair")
+      }
+      planted.result().foreach { pair =>
+        assert(lsh.contains(pair), s"seed $seed: planted near-dup $pair missed by LSH")
+      }
+    }
+  }
+
   test("pair operators leave no cache entries behind (explicit lifecycle)") {
     spark.catalog.clearCache()
     Dedup.minhashLshPairs(docs, "doc_id", "text").count()
