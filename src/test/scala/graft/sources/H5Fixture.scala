@@ -27,6 +27,12 @@ object H5Fixture {
   final case class F32Matrix(name: String, rows: Int, cols: Int, values: Array[Float],
                              chunkRows: Int = Int.MaxValue) extends Ds
   final case class VStr(name: String, values: Array[String]) extends Ds
+  /** int32 stored with the COMPACT data layout (class 0: data inline in
+    * the object header) — exercises the reader's third layout path.
+    */
+  final case class I32Compact(name: String, values: Array[Int]) extends Ds
+  /** Fixed-length (class 3) strings, NUL-padded to `size` bytes. */
+  final case class FStr(name: String, size: Int, values: Array[String]) extends Ds
 
   private val Undef = -1L
 
@@ -248,6 +254,43 @@ object H5Fixture {
           message(0x0001, dataspace(Seq(rows.toLong, cols.toLong))),
           message(0x0003, dt.array()),
           message(0x000b, filterBody),
+          message(0x0008, layout.array())))
+      case I32Compact(name, values) =>
+        // layout message body: version(3) class(0) size(2 LE) + data
+        val dataBytes = {
+          val b = ByteBuffer.allocate(4 * values.length).order(ByteOrder.LITTLE_ENDIAN)
+          values.foreach(b.putInt)
+          b.array()
+        }
+        val dt = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+        dt.put(0x10.toByte).put(0x08.toByte).put(0.toByte).put(0.toByte)
+        dt.putInt(4).putShort(0.toShort).putShort(32.toShort)
+        val layout = ByteBuffer.allocate(4 + dataBytes.length)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        layout.put(3.toByte).put(0.toByte)
+        layout.putShort(dataBytes.length.toShort)
+        layout.put(dataBytes)
+        headerAddrs(name) = objectHeader(Seq(
+          message(0x0001, dataspace(Seq(values.length.toLong))),
+          message(0x0003, dt.array()),
+          message(0x0008, layout.array())))
+      case FStr(name, size, values) =>
+        pad8()
+        val dataAddr = buf.position()
+        for (v <- values) {
+          val b = v.getBytes("UTF-8")
+          require(b.length <= size, s"fixed string '$v' exceeds $size bytes")
+          buf.put(b).put(new Array[Byte](size - b.length)) // NUL pad
+        }
+        val dt = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        dt.put(0x13.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        dt.putInt(size)
+        val layout = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+        layout.put(3.toByte).put(1.toByte).putLong(dataAddr.toLong)
+          .putLong(size.toLong * values.length)
+        headerAddrs(name) = objectHeader(Seq(
+          message(0x0001, dataspace(Seq(values.length.toLong))),
+          message(0x0003, dt.array()),
           message(0x0008, layout.array())))
       case VStr(name, values) =>
         pad8()

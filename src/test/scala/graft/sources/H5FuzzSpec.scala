@@ -18,7 +18,7 @@ class H5FuzzSpec extends AnyFunSuite {
 
   private val dsGen: Gen[H5Fixture.Ds] = for {
     name <- FuzzGen.nameGen(5)
-    kind <- Gen.chooseNum(0, 3)
+    kind <- Gen.chooseNum(0, 5)
     ds <- kind match {
       case 0 => for {
         n <- Gen.chooseNum(0, 16)
@@ -41,6 +41,15 @@ class H5FuzzSpec extends AnyFunSuite {
           Gen.oneOf(Gen.const(""), Gen.const("åäö字"),
             Gen.listOfN(7, Gen.alphaNumChar).map(_.mkString)))
       } yield H5Fixture.VStr(name, vs.toArray)
+      case 4 => for { // compact layout: data inline in the object header
+        n <- Gen.chooseNum(0, 12)
+        vs <- Gen.listOfN(n, Gen.chooseNum(Int.MinValue, Int.MaxValue))
+      } yield H5Fixture.I32Compact(name, vs.toArray)
+      case 5 => for { // fixed-length NUL-padded strings
+        n <- Gen.chooseNum(0, 6)
+        vs <- Gen.listOfN(n, Gen.oneOf(Gen.const(""),
+          Gen.listOfN(5, Gen.alphaNumChar).map(_.mkString)))
+      } yield H5Fixture.FStr(name, 12, vs.toArray)
     }
   } yield ds
 
@@ -79,6 +88,20 @@ class H5FuzzSpec extends AnyFunSuite {
         case H5Str(dims, data) =>
           assert(dims == Seq(vs.length.toLong), s"$ctx $name dims")
           assert(data.toSeq == vs.toSeq, s"$ctx $name values")
+        case other => fail(s"$ctx $name: $other")
+      }
+    case H5Fixture.I32Compact(name, vs) =>
+      parsed(name) match {
+        case H5Num(dims, data) =>
+          assert(dims == Seq(vs.length.toLong), s"$ctx $name dims")
+          assert(data.toSeq == vs.map(_.toDouble).toSeq, s"$ctx $name values")
+        case other => fail(s"$ctx $name: $other")
+      }
+    case H5Fixture.FStr(name, _, vs) =>
+      parsed(name) match {
+        case H5Str(dims, data) =>
+          assert(dims == Seq(vs.length.toLong), s"$ctx $name dims")
+          assert(data.toSeq == vs.toSeq, s"$ctx $name NUL-truncated values")
         case other => fail(s"$ctx $name: $other")
       }
   }
