@@ -304,7 +304,17 @@ object Similarity {
     * data-scale. Returns centroids in the same dequantized
     * `Array[Array[Double]]` shape [[cellAssign]]/[[probeCells]]/
     * [[graft.operators.Dedup.semDedup]] consume, so the two trainers
-    * are drop-in interchangeable.
+    * are drop-in interchangeable for those consumers.
+    *
+    * Centroid-count contract (it differs from the sampled trainer):
+    * [[KMeans.lloyd]] drops cells that go empty during an iteration and
+    * re-packs the survivors densely (the behavior its SQL oracle twin
+    * `dense_rank`s to), and the seed pool is capped at the corpus size —
+    * so this trainer can return FEWER than `k` centroids (always ≥ 1).
+    * The sampled [[trainKmeansCentroids]] always returns exactly `k`
+    * (retaining empty-cell seeds). Callers sizing probe lists or cell
+    * ids must use `centroids.length`, not the requested `k`; every
+    * in-repo consumer does.
     *
     * Sample-vs-full guidance (measured in DedupSpec's recall/balance
     * case): RECALL of cell-bucketed near-dup detection is robust to

@@ -200,9 +200,15 @@ object H5Source {
           else {
             // a corrupted size field must not drive a multi-GiB
             // allocation before the read even fails — contiguous data
-            // cannot exceed the file itself
-            require(n >= 0 && n <= buf.limit(),
-              s"contiguous data size $n exceeds file size ${buf.limit()}")
+            // cannot exceed the file itself, and the full extent
+            // [dataAddr, dataAddr+n) must lie inside it (address checked
+            // too, or the element loop would only die later with a raw
+            // IndexOutOfBounds whose message reports a buffer index
+            // instead of this diagnostic)
+            require(n >= 0 && n <= buf.limit() &&
+                dataAddr >= 0 && dataAddr <= buf.limit() - n,
+              s"contiguous data extent [$dataAddr, ${dataAddr + n}) " +
+                s"exceeds file size ${buf.limit()}")
             val a = new Array[Byte](n.toInt)
             for (i <- 0 until n.toInt) a(i) = buf.get((dataAddr + i).toInt)
             a
@@ -336,8 +342,12 @@ object H5Source {
       val idx = buf.getShort(p) & 0xffff
       val size = buf.getLong(p + 8)
       if (idx == index) {
-        require(len >= 0 && len <= buf.limit(),
-          s"vlen string length $len exceeds file size ${buf.limit()}")
+        // the full extent [p+16, p+16+len) must be in-file, not just the
+        // length — otherwise the byte loop dies with a raw
+        // IndexOutOfBounds instead of this diagnostic
+        require(len >= 0 && len <= buf.limit() && p + 16 <= buf.limit() - len,
+          s"vlen string extent [${p + 16}, ${p + 16 + len}) " +
+            s"exceeds file size ${buf.limit()}")
         val bytes = new Array[Byte](len)
         for (i <- 0 until len) bytes(i) = buf.get(p + 16 + i)
         return new String(bytes, "UTF-8")

@@ -107,7 +107,17 @@ object MatSource {
 
   // --- miMATRIX ------------------------------------------------------------
 
-  private def parseMatrix(data: Array[Byte]): Option[(String, MatValue)] = {
+  /** Max nesting of mxCELL matrices: a hostile file of deeply nested
+    * cells would otherwise recurse to StackOverflowError, an Error that
+    * escapes the RuntimeException→IllegalArgumentException wrapper and
+    * breaks the fail-loudly contract (same cap pattern as
+    * H5Source.btreeChildren / SqliteSource.walkTable).
+    */
+  private val MaxCellDepth = 64
+
+  private def parseMatrix(data: Array[Byte], depth: Int = 0): Option[(String, MatValue)] = {
+    require(depth < MaxCellDepth,
+      s"mxCELL nesting deeper than $MaxCellDepth: refusing to recurse")
     val buf = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
     val flags = readElement(buf).getOrElse(return None)._2
     val clazz = flags(0) & 0xff
@@ -124,7 +134,7 @@ object MatSource {
         while (n > 0 && buf.remaining() >= 8) {
           readElement(buf) match {
             case Some((MiMatrix, d)) =>
-              items += parseMatrix(d).map(_._2).getOrElse(MatStr(""))
+              items += parseMatrix(d, depth + 1).map(_._2).getOrElse(MatStr(""))
             case _ => ()
           }
           n -= 1

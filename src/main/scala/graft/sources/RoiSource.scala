@@ -77,10 +77,17 @@ object RoiSource {
       // long-arithmetic validity: a negative offset slices from the
       // payload END (SQL substring semantics) and can return a
       // right-length wrong-content array; an extent past the payload
-      // returns a short array — both rejected on the UNCLAMPED numbers
+      // returns a short array — both rejected on the UNCLAMPED numbers.
+      // The bound is phrased subtraction-side (need <= payload - start)
+      // because start_byte + need can wrap negative in non-ANSI long
+      // arithmetic when start_byte is near Long.MaxValue, which would
+      // sneak a clamped garbage slice past an addition-side check;
+      // payload_len <= 2^31 and both operands bounded, so neither
+      // subtraction can itself overflow
       else sliced.withColumn("pixels",
         when(col("start_byte") >= 0 &&
-            col("start_byte") + need <= col("__payload_len"),
+            col("start_byte") <= col("__payload_len") &&
+            need <= col("__payload_len") - col("start_byte"),
           col("pixels"))
           .otherwise(raise_error(concat(
             lit("truncated ROI slice: sample "), col("sample"),

@@ -54,6 +54,27 @@ class H5SourceSpec extends SparkSpec {
     assert(data.map(_.toFloat).sameElements(vals))
   }
 
+  test("contiguous data address past EOF fires the extent diagnostic") {
+    // round-11 advice: the guard checked only n <= file size, so an
+    // in-range SIZE with an out-of-range ADDRESS read past the buffer
+    // and died with a raw IndexOutOfBounds message instead of the
+    // intended diagnostic. Patch the layout message's dataAddr to
+    // EOF - 2 (extent then overhangs by n - 2 bytes).
+    val values = Array(5, 6, 7, 8, 9, 10, 11)
+    val bytes = H5Fixture.write(Seq(H5Fixture.I32("rois", values)))
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = 4L * values.length
+    // locate the contiguous layout body: version 3, class 1, addr, size=n
+    val at = (96 until bytes.length - 18).find { p =>
+      bytes(p) == 3 && bytes(p + 1) == 1 && bb.getLong(p + 10) == n
+    }.getOrElse(fail("layout message not found in fixture bytes"))
+    bb.putLong(at + 2, bytes.length - 2L)
+    val e = intercept[IllegalArgumentException] { H5Source.parse(bytes) }
+    assert(e.getMessage.contains("contiguous data extent"),
+      s"wrong diagnostic: ${e.getMessage}")
+  }
+
   test("classScores view: long form with labels, thresholds, classifier") {
     val dir = Files.createTempDirectory("h5src").toFile
     Files.write(Paths.get(dir.toString, "D20230801T120000_IFCB134_class.h5"), fixture)

@@ -196,4 +196,24 @@ class MatFuzzSpec extends AnyFunSuite {
     // both outcomes must actually occur, or the corpus isn't probing
     assert(parsed > 0 && rejected > 0, s"parsed=$parsed rejected=$rejected")
   }
+
+  test("deeply nested mxCELL rejects via the contract exception, not StackOverflowError") {
+    // a hostile ~KB file of 200-deep nested cells: unbounded recursion
+    // would throw StackOverflowError — an Error that escapes the
+    // RuntimeException→IllegalArgumentException wrapper (round-11 advice)
+    var cell = MatFixture.cellOfStrings("", Seq("x"))
+    for (_ <- 0 until 200)
+      cell = MatFixture.matrix("", 1, Seq(1, 1), Array.empty, 0,
+        cells = Seq(MatFixture.stripTag(cell)))
+    val named = MatFixture.matrix("deep", 1, Seq(1, 1), Array.empty, 0,
+      cells = Seq(MatFixture.stripTag(cell)))
+    val e = intercept[IllegalArgumentException] {
+      MatSource.parse(MatFixture.matFile(named))
+    }
+    assert(e.getMessage.contains("nesting deeper"))
+    // and the legitimate nesting the corpus uses (2 levels) still parses
+    val ok = MatFixture.matrix("ok", 1, Seq(1, 1), Array.empty, 0,
+      cells = Seq(MatFixture.stripTag(MatFixture.cellOfStrings("", Seq("ab")))))
+    assert(MatSource.parse(MatFixture.matFile(ok)).contains("ok"))
+  }
 }

@@ -96,6 +96,13 @@ class RoiFuzzSpec extends SparkSpec {
     // passes a naive length check — both must reject via 64-bit math
     assert(messageOf(corruptBin("1,4,4,4294967279")).contains("truncated ROI slice"))
     assert(messageOf(corruptBin("1,65536,65536,0")).contains("truncated ROI slice"))
+    // 64-bit wrap-around (round-11 advice): start_byte near Long.MaxValue
+    // makes start_byte + need wrap NEGATIVE in non-ANSI long arithmetic,
+    // which passed an addition-side `start + need <= payload` guard and
+    // silently returned a clamped garbage slice — the subtraction-side
+    // bound must reject it
+    assert(messageOf(corruptBin("1,2,2,9223372036854775805"))
+      .contains("truncated ROI slice"))
     // and strict=false hands the row through for dead-letter flows
     val dir = Files.createTempDirectory("roilenient")
     val sid = sampleId(0)
