@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * No JDBC driver is available offline, so this is a minimal reader for
   * the public "SQLite Database File Format" covering what annotation
   * databases need: table B-trees (interior + leaf pages), record serial
-  * types (null, ints, float, text), column names parsed from the
-  * sqlite_master schema row. Not covered (rejected loudly): overflow
-  * pages (cells larger than a page), WAL mode side files, indexes.
+  * types (null, ints, float, text), chained overflow pages (a long
+  * `comment`/`class_name` string spilling past the leaf max-local
+  * threshold — round-11), column names parsed from the sqlite_master
+  * schema row. Not covered (rejected loudly): WAL mode side files,
+  * indexes.
   *
   * Spark shape: like [[MatSource]] — small per-deployment files via
   * `binaryFile`, parsed in executors, exploded to relational rows.
@@ -47,14 +49,17 @@ object SqliteSource {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val pageSizeRaw = buf.getShort(16) & 0xffff
     val pageSize = if (pageSizeRaw == 1) 65536 else pageSizeRaw
+    // bytes reserved at the end of every page (header offset 20) shrink
+    // the usable size every spill threshold derives from
+    val usable = pageSize - (buf.get(20) & 0xff)
     // sqlite_master b-tree lives on page 1 (header occupies first 100 bytes)
-    val master = walkTable(buf, pageSize, 1)
+    val master = walkTable(buf, pageSize, usable, 1)
     val (rootPage, createSql) = master.collectFirst {
       case (_, Seq(tpe: String, name: String, _, root: Long, sql: String))
         if tpe == "table" && name == table => (root.toInt, sql)
     }.getOrElse(throw new IllegalArgumentException(s"table $table not found"))
     val columns = parseColumns(createSql)
-    val rows = walkTable(buf, pageSize, rootPage)
+    val rows = walkTable(buf, pageSize, usable, rootPage)
     // INTEGER PRIMARY KEY is a rowid alias: the record stores NULL and
     // the real value rides in the cell's rowid (SQLite file format 2.1)
     val subbed = rowidAliasIndex(createSql) match {
@@ -121,7 +126,7 @@ object SqliteSource {
     * leaf cell. Depth-capped: a corrupted child pointer can form a
     * cycle; genuine SQLite trees are far shallower than 32 levels.
     */
-  private def walkTable(buf: ByteBuffer, pageSize: Int,
+  private def walkTable(buf: ByteBuffer, pageSize: Int, usable: Int,
       page: Int, depth: Int = 0): Seq[(Long, Seq[Any])] = {
     require(depth < 32, s"table B-tree deeper than 32 at page $page: cyclic page pointers")
     val base = (page - 1) * pageSize
@@ -130,28 +135,81 @@ object SqliteSource {
     val nCells = buf.getShort(hdr + 3) & 0xffff
     pageType match {
       case 0x0d => // leaf table
-        (0 until nCells).flatMap { i =>
+        (0 until nCells).map { i =>
           val cellPtr = base + (buf.getShort(hdr + 8 + 2 * i) & 0xffff)
           var p = cellPtr
           val (payloadLen, p1) = varint(buf, p); p = p1
           val (rowid, p2) = varint(buf, p); p = p2
-          // a payload past the leaf max-local threshold spills to
-          // overflow pages; reading through the 4-byte overflow pointer
-          // would silently misparse — reject loudly instead (the module
-          // contract for unsupported format corners)
-          require(payloadLen <= pageSize - 35,
-            s"cell payload $payloadLen exceeds leaf max-local ${pageSize - 35}: " +
-              "overflow pages are not supported")
-          Some(rowid -> record(buf, p, payloadLen.toInt))
+          // a payload past the leaf max-local threshold X = U - 35
+          // spills to chained overflow pages: only a local prefix sits
+          // in the cell, followed by the 4-byte first-overflow-page
+          // number — reading straight through the pointer would
+          // silently misparse, so spilled payloads are reassembled
+          if (payloadLen <= usable - 35)
+            rowid -> record(buf, p, payloadLen.toInt)
+          else {
+            val payload = assembleSpilled(buf, pageSize, usable, p, payloadLen)
+            val pb = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
+            rowid -> record(pb, 0, payload.length)
+          }
         }
       case 0x05 => // interior table: cells carry left-child pointers
         val kids = (0 until nCells).map { i =>
           val cellPtr = base + (buf.getShort(hdr + 12 + 2 * i) & 0xffff)
           buf.getInt(cellPtr)
         } :+ buf.getInt(hdr + 8) // right-most pointer
-        kids.flatMap(walkTable(buf, pageSize, _, depth + 1))
+        kids.flatMap(walkTable(buf, pageSize, usable, _, depth + 1))
       case t => throw new IllegalArgumentException(s"unsupported page type 0x${t.toHexString}")
     }
+  }
+
+  /** Reassembles a spilled table-leaf payload: the local prefix from the
+    * cell, the rest from the chain of overflow pages (each: 4-byte next
+    * page number, 0-terminated, then U-4 content bytes). Spill
+    * arithmetic per the file-format spec's B-tree section: with
+    * U = usable page size, X = U - 35 (leaf max local), M = the 32/255
+    * minimum, the local prefix is K = M + (P - M) % (U - 4) when K ≤ X,
+    * else M. Corruption (chain ending early, out-of-file pages, cyclic
+    * pointers) rejects via the module's IllegalArgumentException
+    * contract before any data-sized allocation.
+    */
+  private def assembleSpilled(buf: ByteBuffer, pageSize: Int, usable: Int,
+      localStart: Int, payloadLen: Long): Array[Byte] = {
+    val u = usable.toLong
+    val x = u - 35
+    val m = (u - 12) * 32 / 255 - 23
+    val k = m + (payloadLen - m) % (u - 4)
+    val local = (if (k <= x) k else m).toInt
+    // a corrupted length must not drive a data-sized allocation: the
+    // payload cannot exceed the file it came from
+    require(payloadLen >= 0 && payloadLen <= buf.limit(),
+      s"spilled payload $payloadLen exceeds file size ${buf.limit()}")
+    require(localStart >= 0 && localStart + local + 4 <= buf.limit(),
+      s"overflow-spilled cell local prefix [$localStart, ${localStart + local + 4}) " +
+        s"runs past file end ${buf.limit()}")
+    val out = new Array[Byte](payloadLen.toInt)
+    var i = 0
+    while (i < local) { out(i) = buf.get(localStart + i); i += 1 }
+    var next = buf.getInt(localStart + local)
+    var off = local
+    var hops = 0
+    val maxHops = (payloadLen / math.max(1L, u - 4)).toInt + 2
+    while (off < payloadLen) {
+      require(next > 0,
+        s"overflow chain ends at byte $off of $payloadLen (next page $next)")
+      hops += 1
+      require(hops <= maxHops,
+        s"overflow chain longer than the payload requires: cyclic page pointers")
+      val base = (next - 1).toLong * pageSize
+      require(base >= 0 && base + pageSize <= buf.limit(),
+        s"overflow page $next outside the file")
+      val take = math.min(u - 4, payloadLen - off).toInt
+      var j = 0
+      while (j < take) { out(off + j) = buf.get((base + 4 + j).toInt); j += 1 }
+      off += take
+      next = buf.getInt(base.toInt)
+    }
+    out
   }
 
   /** One record: header of serial types, then values. */

@@ -3,12 +3,18 @@ package graft.sources
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** Minimal SQLite main-database writer for SqliteSourceSpec fixtures:
-  * page 1 = header + sqlite_master leaf, page 2+ = table leaf pages.
-  * Field layouts follow the public "SQLite Database File Format".
+  * page 1 = header + sqlite_master leaf, page 2+ = table leaf pages,
+  * then overflow pages for any record payload past the leaf max-local
+  * threshold (round-11). Field layouts follow the public "SQLite
+  * Database File Format".
   */
 object SqliteFixture {
 
   private val PageSize = 4096
+  // spill thresholds for a table leaf at zero reserved bytes: X = max
+  // local payload, M = min local (the 32/255 rule)
+  private val X = PageSize - 35
+  private val M = (PageSize - 12) * 32 / 255 - 23
 
   /** One table of string/long columns. */
   def write(table: String, columns: Seq[(String, String)],
@@ -56,16 +62,52 @@ object SqliteFixture {
       headerLen ++ typeBytes ++ body
     }
 
+    // overflow pages appended after all content pages, allocated as
+    // cells spill; content page count is known up front (see below)
+    val overflow = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val contentPages = if (rows.size >= 4) 4 else 2
+    val firstOverflowPage = contentPages + 1
+
+    def be4(v: Int): Array[Byte] =
+      ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(v).array()
+
+    /** Complete leaf cell for one record payload, spilling past-X
+      * payloads to chained overflow pages like real SQLite: local
+      * prefix K = M + (P - M) % (U - 4) when K <= X else M, then the
+      * 4-byte first-overflow-page number.
+      */
+    def cell(payload: Array[Byte], rowid: Long): Array[Byte] = {
+      val p = payload.length
+      if (p <= X) varint(p.toLong) ++ varint(rowid) ++ payload
+      else {
+        val k = M + (p - M) % (PageSize - 4)
+        val local = if (k <= X) k else M
+        val rest = payload.drop(local)
+        val chunk = PageSize - 4
+        val nChunks = (rest.length + chunk - 1) / chunk
+        val myFirst = firstOverflowPage + overflow.size
+        for (c <- 0 until nChunks) {
+          val pg = ByteBuffer.allocate(PageSize).order(ByteOrder.BIG_ENDIAN)
+          pg.putInt(if (c == nChunks - 1) 0 else myFirst + c + 1)
+          pg.put(rest.slice(c * chunk, math.min(rest.length, (c + 1) * chunk)))
+          overflow += pg.array()
+        }
+        varint(p.toLong) ++ varint(rowid) ++ payload.take(local) ++ be4(myFirst)
+      }
+    }
+
     def leafPage(cells: Seq[Array[Byte]], headerOffset: Int): Array[Byte] = {
       val page = ByteBuffer.allocate(PageSize).order(ByteOrder.BIG_ENDIAN)
       var contentEnd = PageSize
-      val ptrs = cells.zipWithIndex.map { case (payload, i) =>
-        val cell = varint(payload.length.toLong) ++ varint((i + 1).toLong) ++ payload
+      val ptrs = cells.map { cell =>
         contentEnd -= cell.length
         page.position(contentEnd)
         page.put(cell)
         contentEnd
       }
+      val headerEnd = headerOffset + 8 + 2 * cells.size
+      require(contentEnd >= headerEnd,
+        s"fixture leaf overflows its page: content $contentEnd < header end $headerEnd")
       page.position(headerOffset)
       page.put(0x0d.toByte)
       page.putShort(0.toShort)
@@ -101,15 +143,17 @@ object SqliteFixture {
 
     // >= 4 rows: exercise the interior-page path (root page 2 = interior
     // pointing at leaf pages 3 and 4); fewer rows: single leaf on page 2
+    def cells(rs: Seq[Seq[Any]]): Seq[Array[Byte]] =
+      rs.zipWithIndex.map { case (r, i) => cell(record(r), i + 1L) }
     val multiPage = rows.size >= 4
     val (rootPage2, extraPages) =
       if (multiPage) {
         val (a, b) = rows.splitAt(rows.size / 2)
         (interiorPage(Seq((3, a.size.toLong)), 4),
-          Seq(leafPage(a.map(record), 0), leafPage(b.map(record), 0)))
-      } else (leafPage(rows.map(record), 0), Seq.empty[Array[Byte]])
+          Seq(leafPage(cells(a), 0), leafPage(cells(b), 0)))
+      } else (leafPage(cells(rows), 0), Seq.empty[Array[Byte]])
     // page 1: sqlite_master with one row pointing at rootpage 2
-    val masterRow = record(Seq("table", table, table, 2L, createSql))
+    val masterRow = cell(record(Seq("table", table, table, 2L, createSql)), 1L)
     val page1 = leafPage(Seq(masterRow), 100)
     // database header over page 1's first 100 bytes
     val h = ByteBuffer.wrap(page1).order(ByteOrder.BIG_ENDIAN)
@@ -120,7 +164,7 @@ object SqliteFixture {
     h.put(0.toByte)               // reserved space
     h.put(64.toByte).put(32.toByte).put(32.toByte)
     h.putInt(0)  // change counter
-    h.putInt(2 + extraPages.size) // database size in pages
-    extraPages.foldLeft(page1 ++ rootPage2)(_ ++ _)
+    h.putInt(2 + extraPages.size + overflow.size) // database size in pages
+    (extraPages ++ overflow).foldLeft(page1 ++ rootPage2)(_ ++ _)
   }
 }

@@ -10,10 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * widths, floats, unicode text, NULLs, quoted identifiers with spaces,
   * parenthesised types (`DECIMAL(10,2)`), inline CHECK constraints,
   * table-level constraint rows, the INTEGER PRIMARY KEY rowid alias,
-  * and multi-page (interior + leaf) B-trees. A hand-built page with a
-  * payload past the leaf max-local threshold pins the overflow-page
-  * loud rejection (reference consumption:
-  * code/ifcb_delivery_data_to_shark.R:236-243).
+  * multi-page (interior + leaf) B-trees, and (round-11) chained
+  * overflow pages — round-tripped across lengths and chain depths,
+  * with truncated/corrupt chains pinned to the loud-reject contract
+  * (reference consumption: code/ifcb_delivery_data_to_shark.R:236-243).
   */
 class SqliteFuzzSpec extends AnyFunSuite {
 
@@ -98,11 +98,33 @@ class SqliteFuzzSpec extends AnyFunSuite {
     assert(t.rows == Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
   }
 
-  test("a cell payload past the leaf max-local threshold rejects loudly (overflow page)") {
-    // page 1 from a valid fixture db (master row points at page 2), then
-    // a hand-built page 2 whose single cell claims a 5000-byte payload —
-    // larger than pageSize-35, i.e. the cell would spill to an overflow
-    // page that a straight-through read would misparse
+  test("overflow chains round-trip across lengths and chain depths") {
+    // round-11: spilled payloads decode instead of rejecting. Lengths
+    // sweep both local-prefix branches (K <= X keeps K bytes local,
+    // K > X keeps only M) and chains of 1..5 overflow pages; one row
+    // per db so the leaf page never overflows its own capacity
+    val rnd = new scala.util.Random(29L)
+    for (seed <- 0 until 40) {
+      val len = 4200 + rnd.nextInt(16000)
+      val s = {
+        val sb = new StringBuilder(len)
+        while (sb.length < len) sb.append(('a' + rnd.nextInt(26)).toChar)
+        sb.toString
+      }
+      val bytes = SqliteFixture.write("docs",
+        Seq(("id", "INTEGER"), ("body", "TEXT")), Seq(Seq(seed.toLong, s)))
+      val t =
+        try SqliteSource.readTable(bytes, "docs")
+        catch { case e: Throwable => fail(s"seed $seed len $len: threw $e", e) }
+      assert(t.rows == Seq(Seq(seed.toLong, s)), s"seed $seed len $len")
+    }
+  }
+
+  test("a truncated or corrupt overflow chain rejects loudly") {
+    // a cell claiming a 5000-byte payload with NO overflow pages behind
+    // it: the local prefix + 4-byte pointer run past the file, or the
+    // chain ends before the payload is complete — either way the
+    // contract exception must fire, never a silent short read
     val valid = SqliteFixture.write("t", Seq(("a", "TEXT")), Seq(Seq("x")))
     val page1 = valid.take(4096)
     val page2 = {
@@ -124,14 +146,31 @@ class SqliteFuzzSpec extends AnyFunSuite {
     }
     val e = intercept[IllegalArgumentException](
       SqliteSource.readTable(page1 ++ page2, "t"))
-    assert(e.getMessage.contains("overflow"))
+    assert(e.getMessage.contains("overflow"), e.getMessage)
+    // a genuine spilled db whose overflow pages are truncated away must
+    // also reject (chain points past the shortened file)
+    val spilled = SqliteFixture.write("docs",
+      Seq(("body", "TEXT")), Seq(Seq("y" * 9000)))
+    val cut = spilled.take(4096 * 2) // drop the overflow pages
+    val e2 = intercept[IllegalArgumentException](
+      SqliteSource.readTable(cut, "docs"))
+    // rejects at the payload-vs-file-size guard before touching the chain
+    assert(e2.getMessage.contains("spilled payload"), e2.getMessage)
   }
 
   test("mutation: byte flips and truncations decode or throw IllegalArgumentException") {
     var parsed = 0
     var rejected = 0
-    for (seed <- 0 until 40) {
-      val (bytes, table, _, _) = genDb(seed.toLong)
+    for (seed <- 0 until 52) {
+      // last 12 seeds: spilled dbs, so flips/truncations also land on
+      // overflow page pointers and chain content
+      val (bytes, table, _, _) =
+        if (seed < 40) genDb(seed.toLong)
+        else {
+          val s = "z" * (4200 + seed * 311 % 12000)
+          (SqliteFixture.write("docs", Seq(("body", "TEXT")), Seq(Seq(s))),
+            "docs", Seq("body"), Seq(Seq(s)))
+        }
       val rnd = new scala.util.Random(seed * 65537L)
       val mutants =
         (0 until 6).map { _ =>

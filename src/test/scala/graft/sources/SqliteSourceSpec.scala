@@ -71,6 +71,32 @@ class SqliteSourceSpec extends SparkSpec {
     }
   }
 
+  test("overflow chain round-trips a class_name longer than a page (round-11)") {
+    // a real annotations DB with a long comment/class_name string spills
+    // past the leaf max-local threshold onto chained overflow pages
+    // (reference consumption: code/ifcb_delivery_data_to_shark.R:236-243)
+    val long1 = ("Dinophysis_acuminata_" * 300).take(5800)  // ~1.4 pages
+    val long2 = ("x" * 9500)                                // 3-page chain
+    val spillRows: Seq[Seq[Any]] = Seq(
+      Seq("D20230801T120000_IFCB134", 3L, long1, "alice", "2023-08-02 10:00:00"),
+      Seq("D20230801T120000_IFCB134", 4L, long2, "bob", "2023-08-02 10:05:00"),
+      Seq("D20230915T080000_IFCB134", 1L, "short", "alice", "2023-09-16 09:00:00"))
+    val t = SqliteSource.readTable(
+      SqliteFixture.write("annotations", cols, spillRows), "annotations")
+    assert(t.rows.size == 3)
+    assert(t.rows(0)(2) == long1)
+    assert(t.rows(1)(2) == long2)
+    assert(t.rows(2)(2) == "short")
+    // and through the Spark annotations view
+    val dir = Files.createTempDirectory("sqliteovf").toFile
+    Files.write(Paths.get(dir.toString, "manual_annotations.db"),
+      SqliteFixture.write("annotations", cols, spillRows))
+    val df = SqliteSource.annotations(spark, dir.toString)
+    val got = df.filter($"roi_number" === 4)
+      .select("class_name").as[String].collect().head
+    assert(got == long2)
+  }
+
   test("parseColumns handles quoting and constraint clauses") {
     assert(SqliteSource.parseColumns(
       "CREATE TABLE t (a TEXT, \"b c\" INTEGER, d REAL, PRIMARY KEY (a))")
