@@ -914,7 +914,72 @@ object TrainingData {
         "embeddings", "vec_id", "embedding", K, ITERS)))
   }
 
+  /** q89's multi-probe IVF search path driven by the FULL-corpus
+    * distributed trainer ([[Similarity.trainKmeansCentroidsFull]] →
+    * [[graft.operators.KMeans.lloyd]]) instead of the driver-side
+    * sample: every Lloyd round is one map-side assignment pass plus one
+    * (cell, dim) partial-aggregated shuffle, O(k·dims) driver state —
+    * the trainer you switch to when k approaches the affordable sample
+    * size or sampled cells skew (scaladoc guidance at
+    * `Similarity.trainKmeansCentroidsFull`). Deterministic end-to-end
+    * (hash-ordered bounded seed pool, greedy max-min seeding,
+    * integer-exact Lloyd), so the oracle re-trains at render time and
+    * embeds the centroids as float-cast literals exactly like q89 —
+    * DuckDB then recomputes identical cells, probes, and cosines. The
+    * search-side scale shape is q89's: corpus scanned once for
+    * assignment, probe-exploded queries broadcast.
+    */
+  private val q100 = {
+    val K = 8
+    val NPROBE = 2
+    val ITERS = 4
+    def cents(s: SparkSession, d: String): Array[Array[Double]] =
+      Similarity.trainKmeansCentroidsFull(embeddings(s, d), "embedding", K, ITERS)
+    GraftQuery(
+      "q100_ivf_ann_full_trained",
+      (s, d) => {
+        import s.implicits._
+        val cs = cents(s, d)
+        val corpus = embeddings(s, d)
+          .withColumn("cell", Similarity.cellAssign($"embedding", cs))
+        val queries = embeddings(s, d).filter($"vec_id" < 5)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+            Similarity.probeCells($"embedding", cs, NPROBE).as("probes"))
+        Similarity.ivfTopKProbed(queries, corpus,
+            "q_id", "q_vec", "probes", "vec_id", "embedding", "cell", k = 5)
+          .select($"query_id", $"neighbor_id", $"rank",
+            round($"cosine", 6).as("cosine"))
+          .orderBy($"query_id", $"rank")
+      },
+      oracleDyn = Some { (s, d) =>
+        val cs = cents(s, d)
+        s"""
+      WITH c AS (
+        SELECT vec_id, embedding,
+               ${Similarity.cellAssignSql("embedding", cs)} AS cell
+        FROM embeddings),
+      q AS (
+        SELECT vec_id AS q_id, embedding AS q_vec,
+               ${Similarity.probeCellsSql("embedding", cs, NPROBE)} AS probes
+        FROM embeddings WHERE vec_id < 5),
+      p AS (
+        SELECT q_id, q_vec, unnest(probes) AS probe FROM q),
+      scored AS (
+        SELECT p.q_id, c.vec_id AS nid,
+               ${Similarity.cosineSql("p.q_vec", "c.embedding")} AS cos
+        FROM c JOIN p ON c.cell = p.probe AND c.vec_id <> p.q_id),
+      ranked AS (
+        SELECT q_id, nid, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid) AS rk
+        FROM scored)
+      SELECT q_id AS query_id, nid AS neighbor_id,
+             CAST(rk AS INTEGER) AS "rank", round(cos, 6) AS cosine
+      FROM ranked WHERE rk <= 5
+      ORDER BY query_id, "rank""""
+      })
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q72,
-    q75, q79, q80, q81, q84, q89, q91, q95, q99)
+    q75, q79, q80, q81, q84, q89, q91, q95, q99, q100)
 }

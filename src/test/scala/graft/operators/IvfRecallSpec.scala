@@ -64,6 +64,27 @@ class IvfRecallSpec extends SparkSpec {
     assert(recallAt5(probed(8), exact) == 1.0)
   }
 
+  test("full-corpus trainer at sf0.1: cells cover the corpus and stay balanced") {
+    // the q100 training path (trainKmeansCentroidsFull -> KMeans.lloyd)
+    // on the real sf0.1 table: what full training buys over the sampled
+    // default is cell BALANCE — at 100 TB an oversized cell is quadratic
+    // pair work — so pin population coverage and a max-cell bound
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val n = e.count()
+    val cents = Similarity.trainKmeansCentroidsFull(e, "embedding", k = 8, iters = 4)
+    assert(cents.length >= 2 && cents.length <= 8, s"${cents.length} centroids")
+    val ec = e.withColumn("cell", Similarity.cellAssign($"embedding", cents))
+    val sizes = ec.groupBy("cell").count().as[(Int, Long)].collect().toMap
+    assert(sizes.values.sum == n)
+    // most trained cells hold members (lloyd already drops empty cells,
+    // but the FINAL assignment can still leave a trained cell unused)
+    assert(sizes.size >= cents.length - 2,
+      s"only ${sizes.size} of ${cents.length} cells populated")
+    val mean = n.toDouble / cents.length
+    assert(sizes.values.max <= 4 * mean,
+      s"max cell ${sizes.values.max} vs mean $mean: skewed cells")
+  }
+
   test("centroid training sees the whole corpus on a partition-ordered layout") {
     // two well-separated clusters, corpus ORDERED so the first partitions
     // hold only cluster A with far more rows than the training sample: a
