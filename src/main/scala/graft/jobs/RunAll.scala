@@ -1,0 +1,134 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.sources.Sinks
+
+/** Multi-config orchestration — the reference's actual entry point
+  * (`code/run_all.R:5-30`): a params_list of
+  * (classifier × years × remove_flagged × multiyear_delivery) folded
+  * over the delivery pipeline, one rendered output per config (and per
+  * year when `multiyearDelivery = false`, mirroring the Rmd's year
+  * loop vs combined delivery toggle).
+  *
+  * Spark-first composition: each classifier's base frames are resolved
+  * ONCE and persisted across every config that names that classifier —
+  * the reference re-renders the whole Rmd per config, re-reading all
+  * inputs; here the scans are shared where legal (the base frames are
+  * config-independent; year filters, flag filters, and the delivery
+  * projection stay per-config because they change the result). The fold
+  * itself is a driver loop over a handful of configs — the DATA never
+  * loops; each config is one lazy DAG over the shared persisted base.
+  */
+object RunAll {
+
+  /** One params_list entry (`run_all.R:6-19`; threshold/f1 held at the
+    * reference's constants unless overridden).
+    */
+  final case class RunParams(
+      classifier: String,
+      years: Seq[Int],
+      removeFlagged: Seq[String],
+      multiyearDelivery: Boolean,
+      f1Threshold: Double = 0.9)
+
+  /** One classifier's input frames (the [[SharkExport.delivery]]
+    * contract: per-ROI rows, sample dim, QC flags).
+    */
+  final case class ClassifierData(
+      roi: DataFrame, sampleDim: DataFrame, flags: DataFrame)
+
+  /** One delivery actually produced: the config, the scope (the years
+    * it covers — all of `params.years` for a multiyear delivery, a
+    * single year otherwise), and the frame.
+    */
+  final case class Delivery(
+      params: RunParams, years: Seq[Int], frame: DataFrame)
+
+  /** Folds `configs` over the delivery pipeline.
+    *
+    * @param data resolves a classifier name to its input frames; called
+    *             once per DISTINCT classifier, results persisted across
+    *             that classifier's configs and unpersisted before return
+    * @param adjacencyPartition the W1 run-sequence grain passed through
+    *             to [[SharkExport.delivery]] (e.g. instrument + year)
+    * @param sink invoked once per produced delivery (side effects:
+    *             TSV write, report render); [[writeTsv]] gives the
+    *             reference's output-per-config file layout
+    * @return per-delivery summary rows:
+    *         (classifier, years, n_rows, n_samples) — the driver-sized
+    *         accounting the reference logs per render
+    */
+  def run(
+      spark: SparkSession,
+      data: String => ClassifierData,
+      configs: Seq[RunParams],
+      adjacencyPartition: Column,
+      sink: Delivery => Unit = _ => ()): DataFrame = {
+    import spark.implicits._
+    val byClassifier = configs.groupBy(_.classifier)
+    val summaries = Seq.newBuilder[(String, String, Long, Long)]
+    for ((classifier, cfgs) <- byClassifier.toSeq.sortBy(_._1)) {
+      val base = data(classifier)
+      // share the scans across this classifier's configs: every config
+      // re-filters the same persisted frames instead of re-scanning
+      val roi = base.roi.persist(StorageLevel.MEMORY_AND_DISK)
+      val dim = base.sampleDim.persist(StorageLevel.MEMORY_AND_DISK)
+      val flags = base.flags.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        for (cfg <- cfgs; yearSet <- scopes(cfg)) {
+          val d = deliveryFor(roi, dim, flags, cfg, yearSet, adjacencyPartition)
+          sink(Delivery(cfg, yearSet, d))
+          // two driver-sized aggregates per config — the accounting the
+          // reference's render loop logs; rows/samples in one pass
+          val (nRows, nSamples) = d
+            .agg(count(lit(1)), countDistinct(col("SMPNO")))
+            .as[(Long, Long)].head()
+          summaries += ((classifier, yearSet.mkString("_"), nRows, nSamples))
+        }
+      } finally {
+        roi.unpersist(); dim.unpersist(); flags.unpersist()
+      }
+    }
+    summaries.result()
+      .toDF("classifier", "years", "n_rows", "n_samples")
+      .orderBy("classifier", "years")
+  }
+
+  /** `multiyear_delivery = TRUE` → one combined delivery over all the
+    * config's years; FALSE → the Rmd's year loop, one delivery each.
+    */
+  private def scopes(cfg: RunParams): Seq[Seq[Int]] =
+    if (cfg.multiyearDelivery) Seq(cfg.years.sorted)
+    else cfg.years.sorted.map(Seq(_))
+
+  /** One config × year-scope delivery: year-filter the ROI grain (the
+    * sample id carries the timestamp, as in [[SharkExport.delivery]]'s
+    * MYEAR), then the shared delivery pipeline with the config's flag
+    * terms. The year filter lands BEFORE the rollup shuffle — at scale
+    * it prunes the fact table at the scan, not after aggregation.
+    */
+  private[jobs] def deliveryFor(
+      roi: DataFrame, sampleDim: DataFrame, flags: DataFrame,
+      cfg: RunParams, yearSet: Seq[Int],
+      adjacencyPartition: Column): DataFrame = {
+    val yr = year(try_to_timestamp(col("sample")))
+    val filtered = roi.filter(yr.isin(yearSet.map(Integer.valueOf): _*))
+    SharkExport.delivery(
+      filtered, sampleDim, flags, cfg.removeFlagged, adjacencyPartition)
+  }
+
+  /** The reference's file naming, one TSV directory per delivery:
+    * `<out>/ifcb_data_export_<classifier>_<years joined by _>`
+    * (`run_all.R:26-27` without the render timestamp — outputs are
+    * overwrite-idempotent here, not append-versioned).
+    */
+  def writeTsv(outDir: String)(d: Delivery): Unit =
+    Sinks.deliveryTsv(d.frame,
+      s"$outDir/ifcb_data_export_${sanitize(d.params.classifier)}_" +
+        d.years.mkString("_"))
+
+  private def sanitize(s: String): String =
+    s.replaceAll("[^A-Za-z0-9_.-]", "_")
+}

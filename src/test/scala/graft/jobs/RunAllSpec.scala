@@ -1,0 +1,107 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import RunAll.{ClassifierData, RunParams}
+
+/** RunAll against two fixture classifiers: the folded orchestration must
+  * equal running each config through [[SharkExport.delivery]]
+  * individually (`code/run_all.R:5-30` params_list semantics — multiyear
+  * toggle, per-config flag terms), resolve each classifier's inputs
+  * exactly once, and write the reference's per-config output layout.
+  */
+class RunAllSpec extends SparkSpec {
+  import spark.implicits._
+
+  // sample ids are parseable timestamps (the delivery's MYEAR/year-filter
+  // key); three years for classifier A, one for B
+  private def sampleId(year: Int, i: Int): String =
+    f"$year%04d-${1 + i % 8}%02d-10 12:00:${i % 50}%02d"
+
+  private def classifier(tag: String, years: Seq[Int]): ClassifierData = {
+    val rows = for {
+      y <- years
+      i <- 0 until 30
+      cls <- Seq("Mesodinium_rubrum", s"class_$tag")
+    } yield (sampleId(y, i), cls, 100.0 + i, cls.startsWith("class"))
+    val roi = rows.toDF("sample", "class_name", "vol_um3", "is_diatom")
+    val samples = rows.map(_._1).distinct
+    val dim = samples.map(s => (s, 3.0, 57.5, 11.8))
+      .toDF("sample", "ml_analyzed", "lat", "lon")
+    val flags = samples.zipWithIndex.collect {
+      case (s, i) if i % 7 == 0 => (s, if (i % 14 == 0) "bubbles" else "near land")
+    }.toDF("sample", "flag")
+    ClassifierData(roi, dim, flags)
+  }
+
+  private val adjacency = substring($"sample", 1, 4) // year grain
+
+  private def collectSet(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("folded configs equal individual delivery runs; scans resolve once per classifier") {
+    val dataA = classifier("A", Seq(2022, 2023, 2024))
+    val dataB = classifier("B", Seq(2016))
+    var resolutions = Map.empty[String, Int].withDefaultValue(0)
+    val data: String => ClassifierData = { name =>
+      resolutions += name -> (resolutions(name) + 1)
+      name match { case "Baltic" => dataA; case "Tangesund" => dataB }
+    }
+    val configs = Seq(
+      RunParams("Baltic", Seq(2022, 2023, 2024),
+        Seq("bubbles", "near land"), multiyearDelivery = true),
+      RunParams("Baltic", Seq(2022, 2023),
+        Seq("bubbles"), multiyearDelivery = false),
+      RunParams("Tangesund", Seq(2016),
+        Seq("bubbles"), multiyearDelivery = false))
+    val produced = scala.collection.mutable.ArrayBuffer.empty[RunAll.Delivery]
+    val summary = RunAll.run(spark, data, configs, adjacency, produced += _)
+
+    // one resolution per distinct classifier, shared across its configs
+    assert(resolutions == Map("Baltic" -> 1, "Tangesund" -> 1))
+    // config 1 → one multiyear delivery; config 2 → one per year; config 3 → one
+    assert(produced.map(d => (d.params.classifier, d.years)).toSet == Set(
+      ("Baltic", Seq(2022, 2023, 2024)), ("Baltic", Seq(2022)),
+      ("Baltic", Seq(2023)), ("Tangesund", Seq(2016))))
+
+    // each produced frame equals the individual pipeline run
+    for (d <- produced) {
+      val base = if (d.params.classifier == "Baltic") dataA else dataB
+      val individual = SharkExport.delivery(
+        base.roi.filter(year(try_to_timestamp($"sample"))
+          .isin(d.years.map(Integer.valueOf): _*)),
+        base.sampleDim, base.flags, d.params.removeFlagged, adjacency)
+      assert(collectSet(d.frame) == collectSet(individual),
+        s"${d.params.classifier} ${d.years}")
+      assert(d.frame.count() > 0, s"empty delivery ${d.params.classifier} ${d.years}")
+    }
+
+    // summary accounting matches the frames
+    val sm = summary.as[(String, String, Long, Long)].collect()
+    assert(sm.length == 4)
+    for ((cls, yrs, nRows, nSamples) <- sm) {
+      val d = produced.find(p =>
+        p.params.classifier == cls && p.years.mkString("_") == yrs).get
+      assert(nRows == d.frame.count())
+      assert(nSamples == d.frame.select("SMPNO").distinct().count())
+    }
+  }
+
+  test("writeTsv lays out one delivery directory per config, reference-named") {
+    val out = Files.createTempDirectory("runall").toString
+    val data: String => ClassifierData =
+      _ => classifier("A", Seq(2023))
+    RunAll.run(spark, data,
+      Seq(RunParams("Skagerrak-Kattegat", Seq(2023), Seq("bubbles"),
+        multiyearDelivery = true)),
+      adjacency, RunAll.writeTsv(out))
+    val dir = new java.io.File(s"$out/ifcb_data_export_Skagerrak-Kattegat_2023")
+    assert(dir.isDirectory, s"missing ${dir}")
+    val read = spark.read.option("sep", "\t").option("header", "true").csv(dir.toString)
+    assert(read.count() > 0)
+    assert(read.columns.contains("SMPNO") && read.columns.contains("C_CONC"))
+  }
+}
