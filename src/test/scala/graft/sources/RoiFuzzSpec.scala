@@ -116,6 +116,35 @@ class RoiFuzzSpec extends SparkSpec {
     assert(lenient.length == 1) // short slice visible to the caller's gate
   }
 
+  test("HDR first-occurrence-wins holds across file SPLITS (round-11 ordering pin)") {
+    // the duplicate-key fix keys "file order" off monotonically_increasing_id,
+    // whose cross-split monotonicity-by-offset was asserted in a comment but
+    // never pinned over a file actually cut into >= 2 splits. Force tiny
+    // splits and duplicate a key across the boundary: the FIRST value must
+    // win even when the second occurrence sits in a different partition.
+    val dir = Files.createTempDirectory("hdrsplit")
+    val sid = sampleId(0)
+    val sb = new StringBuilder("temperature: 7.5\n")
+    for (i <- 0 until 400) sb.append(f"filler$i%03d: $i\n")
+    sb.append("temperature: 9.9\n") // duplicate, several splits later
+    Files.writeString(dir.resolve(s"$sid.hdr"), sb.toString)
+    val oldMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val oldCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val nParts = spark.read.text(s"$dir/*.hdr").rdd.getNumPartitions
+      assert(nParts >= 2, s"fixture did not split: $nParts partition(s)")
+      val df = HdrSource.read(spark, s"$dir/*.hdr",
+        stringKeys = Seq.empty, numericKeys = Seq("temperature"))
+      val t = df.select("temperature").as[Double].collect()
+      assert(t.toSeq == Seq(7.5), s"split ordering broke first-wins: $t")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", oldCost)
+    }
+  }
+
   test("HDR reader never throws on arbitrary text and types requested keys") {
     val dir = Files.createTempDirectory("hdrfuzz")
     val rnd = new scala.util.Random(13L)
