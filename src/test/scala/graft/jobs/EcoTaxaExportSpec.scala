@@ -1,6 +1,7 @@
 package graft.jobs
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions.{col, lit}
 import graft.SparkSpec
 
 /** EcoTaxa export: contract shape, metadata/feature mapping, per-class
@@ -98,6 +99,91 @@ class EcoTaxaExportSpec extends SparkSpec {
     // write() drops the category column into the directory layout
     val expected = golden.filterNot(_ == "object_annotation_category")
     assert(header == expected.mkString("\t"))
+  }
+
+  test("end-to-end EcoTaxa row matches the reference golden column-by-column (round-11)") {
+    // tools/golden_features.py runs the REFERENCE kernel over the fixture
+    // and pushes slim + extended values through an independent Python
+    // transcription of the Rmd:483-783 assignment map; here the Scala
+    // kernel + EcoTaxaExport.write produce the actual TSV and every
+    // contract column is compared against that golden row.
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val in = getClass.getResourceAsStream("/features_golden.json")
+    require(in != null, "features_golden.json missing — run tools/golden_features.py")
+    val golden = JsonMethods.parse(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+    val er = golden \ "ecotaxa_row"
+    val fixture = (er \ "fixture").asInstanceOf[JString].s
+    val expected: Map[String, JValue] =
+      (er \ "expected").asInstanceOf[JObject].obj.toMap
+    assert(expected.keySet == EcoTaxaExport.contract.toSet,
+      "golden row does not cover the contract exactly")
+
+    // reference fixture mask/roi -> our kernel (slim + extended tail)
+    val base = golden \ "features" \ fixture
+    val mask = graft.features.Mask.from(
+      (base \ "mask").asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s))
+    val roiRows = (base \ "roi").asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JArray].arr.map {
+        case JInt(n) => n.toInt; case JDouble(d) => d.toInt
+        case other   => fail(s"unexpected $other")
+      })
+    val gray = graft.features.Segmentation.Gray(
+      roiRows.size, roiRows.head.size, roiRows.flatten.toArray)
+    val slim = graft.features.Features.compute(42L, mask)
+    val ext = graft.features.ExtendedFeatures.compute(mask, gray)
+
+    // metadata mirrored verbatim from tools/golden_features.py ECOTAXA_META
+    val metaDf = Seq((
+      "D20230801T120000_IFCB134_00042.png", 42L, 57.5, 11.8,
+      "20230801", "12:00:00", "Mesodinium rubrum", "Mesodinium rubrum",
+      232069L, "20230910", "09:30:00", "Alice Allen", "alice@example.org",
+      "R/V Svea", "D20230801T120000_IFCB134", "BY31", "77"))
+      .toDF("image", "roi", "lat", "lon", "date", "time", "class_clean",
+        "subfolder", "aphia_id", "analysis_date", "analysis_time",
+        "annotated_by", "annotated_by_email", "ship", "sample_name",
+        "station_name", "cruise_number")
+    val featCols =
+      slim.productElementNames.zip(slim.productIterator).collect {
+        case (n, v: Double) => lit(v).as(n)
+      }.toSeq ++
+        graft.features.ExtendedFeatures.keys.map(k => lit(ext(k)).as(k))
+    val inputRow = metaDf.select(col("*") +: featCols: _*)
+
+    val dir = Files.createTempDirectory("ecogolden").toString
+    EcoTaxaExport.write(inputRow, dir)
+    val read = spark.read.option("sep", "\t").option("header", "true").csv(dir)
+    val data = read.filter($"object_link" =!= "[t]").collect()
+    assert(data.length == 1, s"expected 1 data row, got ${data.length}")
+    val row = data.head
+    val got: String => String = c => row.getAs[String](c)
+
+    val float32Cols = Set("object_biovolume", "object_summed_biovolume")
+    var checked = 0
+    for (c <- EcoTaxaExport.contract) {
+      val g = got(c)
+      expected(c) match {
+        case JNull =>
+          assert(g == null || g == "NaN", s"$c: expected empty/NaN, got '$g'")
+        case JString(s) =>
+          // the sink writes null for empty strings (nullValue "")
+          if (s.isEmpty) assert(g == null, s"$c: expected empty, got '$g'")
+          else assert(g == s, s"$c: expected '$s', got '$g'")
+        case jv =>
+          val want = jv match {
+            case JDouble(d) => d
+            case JInt(n)    => n.toDouble
+            case other      => fail(s"$c: unexpected golden $other")
+          }
+          assert(g != null, s"$c: expected $want, got null")
+          val have = g.toDouble
+          val tol = if (float32Cols(c)) 1e-5 else 1e-9
+          val rel = math.abs(have - want) / math.max(math.abs(want), 1e-12)
+          assert(rel <= tol, s"$c: got $have, want $want (rel $rel)")
+      }
+      checked += 1
+    }
+    assert(checked == EcoTaxaExport.contract.length)
   }
 
   test("write lays out one folder per truncated category with code row first") {

@@ -641,6 +641,149 @@ def extended_features(RoiFeatures, roi, mask):
             for k, v in out.items()}
 
 
+# Fixed per-ROI metadata for the end-to-end EcoTaxa row golden. The Scala
+# side (EcoTaxaExportSpec) mirrors this record verbatim; any drift fails
+# the column-by-column comparison.
+ECOTAXA_META = {
+    "image": "D20230801T120000_IFCB134_00042.png",
+    "roi": 42,
+    "lat": 57.5,
+    "lon": 11.8,
+    "date": "20230801",
+    "time": "12:00:00",
+    "class_clean": "Mesodinium rubrum",
+    "subfolder": "Mesodinium rubrum",
+    "aphia_id": 232069,
+    "analysis_date": "20230910",
+    "analysis_time": "09:30:00",
+    "annotated_by": "Alice Allen",
+    "annotated_by_email": "alice@example.org",
+    "ship": "R/V Svea",
+    "sample_name": "D20230801T120000_IFCB134",
+    "station_name": "BY31",
+    "cruise_number": "77",
+}
+
+
+def ecotaxa_row(feats, ext):
+    """Complete expected EcoTaxa row for one ROI: the Rmd:483-783
+    assignment sequence transcribed INDEPENDENTLY of the Scala mapping
+    (the cross-check is the point), populated from the reference kernel's
+    slim features `feats` (dict) + extended tail `ext` (dict) + the fixed
+    metadata above + the Scala-side default EcoTaxaExport.Params. Columns
+    the Rmd fills from MATLAB-kernel-only fields (summedFeretDiameter,
+    shapehist_mode_normEqD, PMT channels) are None, matching the export's
+    null-for-unprovided contract.
+    """
+    m = ECOTAXA_META
+    row = {
+        "img_file_name": m["image"],
+        # static Params defaults (jobs/EcoTaxaExport.Params)
+        "object_link": "https://example.org/dataset-doi",
+        "object_annotation_status": "validated",
+        "acq_resolution_pixels_per_micron": 3.4,
+        "acq_instrument": "IFCB",
+        "sample_source": "",
+        "process_soft": "Spark, Scala",
+        "process_soft_version": "",
+        "process_library": "graft",
+        "process_library_version": "2",
+        "process_script": "EcoTaxaExport",
+        "process_script_version": "1",
+        "process_date": "",
+        "process_time": "",
+        "object_id": m["image"].rsplit(".", 1)[0],
+        "object_roi_number": m["roi"],
+        "object_lat": m["lat"],
+        "object_lon": m["lon"],
+        "object_date": m["date"],
+        "object_time": m["time"].replace(":", ""),
+        "object_annotation_hierarchy": m["class_clean"],
+        "object_annotation_category": m["subfolder"],
+        "object_aphiaid": m["aphia_id"],
+        "object_annotation_date": m["analysis_date"],
+        "object_annotation_time": m["analysis_time"].replace(":", ""),
+        "object_annotation_person_name": m["annotated_by"],
+        "object_annotation_person_email": m["annotated_by_email"],
+        "object_depth_min": 0.0,
+        "object_depth_max": 0.0,
+        "sample_vessel": m["ship"],
+        "sample_id": m["sample_name"],
+        "sample_station": m["station_name"],
+        "sample_cruise": m["cruise_number"],
+        # MATLAB-kernel-only / unknown fields
+        "object_pmt_scattering": None,
+        "object_pmt_fluorescence": None,
+        "object_summed_feret_diameter": None,
+        "object_shapehist_mode_norm_eq_d": None,
+        # morphology from the slim kernel (Rmd names -> kernel names;
+        # FeretDiameter == the kernel's maxFeretDiameter)
+        "object_area": feats["Area"],
+        "object_biovolume": feats["Biovolume"],
+        "object_perimeter": feats["Perimeter"],
+        "object_bounding_box_xwidth": feats["BoundingBox_xwidth"],
+        "object_bounding_box_ywidth": feats["BoundingBox_ywidth"],
+        "object_convex_area": feats["ConvexArea"],
+        "object_convex_perimeter": feats["ConvexPerimeter"],
+        "object_feret_diameter": feats["maxFeretDiameter"],
+        "object_major_axis_length": feats["MajorAxisLength"],
+        "object_minor_axis_length": feats["MinorAxisLength"],
+        "object_orientation": feats["Orientation"],
+        "object_eccentricity": feats["Eccentricity"],
+        "object_equiv_diameter": feats["EquivDiameter"],
+        "object_extent": feats["Extent"],
+        "object_solidity": feats["Solidity"],
+        "object_num_blobs": feats["numBlobs"],
+        "object_summed_area": feats["summedArea"],
+        "object_summed_biovolume": feats["summedBiovolume"],
+        "object_summed_convex_area": feats["summedConvexArea"],
+        "object_summed_convex_perimeter": feats["summedConvexPerimeter"],
+        "object_summed_major_axis_length": feats["summedMajorAxisLength"],
+        "object_summed_minor_axis_length": feats["summedMinorAxisLength"],
+        "object_summed_perimeter": feats["summedPerimeter"],
+        "object_area_over_perimeter_squared": feats["Area_over_PerimeterSquared"],
+        "object_area_over_perimeter": feats["Area_over_Perimeter"],
+        "object_summed_convex_perimeter_over_perimeter":
+            feats["summedConvexPerimeter_over_Perimeter"],
+        # extended tail (RWcenter2total/RWhalfpower == ring-wedge ratio/
+        # integral; H* == Hausdorff symmetry; rotated_* and texture_*
+        # direct; the *_over_* ratios are the MATLAB kernel's ratio
+        # columns recomputed from their parts)
+        "object_r_wcenter2total_powerratio": ext["rw_power_ratio"],
+        "object_r_whalfpowerintegral": ext["rw_power_integral"],
+        "object_h180": ext["h180"],
+        "object_h90": ext["h90"],
+        "object_hflip": ext["hflip"],
+        "object_h90_over_hflip": ext["h90"] / ext["hflip"],
+        "object_h90_over_h180": ext["h90"] / ext["h180"],
+        "object_hflip_over_h180": ext["hflip"] / ext["h180"],
+        "object_shapehist_kurtosis_norm_eq_d": ext["perimeter_kurtosis"],
+        "object_shapehist_mean_norm_eq_d": ext["perimeter_mean"],
+        "object_shapehist_median_norm_eq_d": ext["perimeter_median"],
+        "object_shapehist_skewness_norm_eq_d": ext["perimeter_skewness"],
+        "object_rotated_bounding_box_solidity": ext["rotated_bbox_solidity"],
+        "object_rotated_area": ext["rotated_area"],
+        "object_rotated_bounding_box_xwidth": ext["rotated_bbox_xwidth"],
+        "object_rotated_bounding_box_ywidth": ext["rotated_bbox_ywidth"],
+        "object_texture_average_contrast": ext["texture_average_contrast"],
+        "object_texture_average_gray_level": ext["texture_average_gray_level"],
+        "object_texture_entropy": ext["texture_entropy"],
+        "object_texture_smoothness": ext["texture_smoothness"],
+        "object_texture_third_moment": ext["texture_third_moment"],
+        "object_texture_uniformity": ext["texture_uniformity"],
+    }
+    for i in range(1, 8):
+        row[f"object_moment_invariant{i}"] = ext[f"moment_invariant{i}"]
+    for i in range(1, 51):
+        row[f"object_ring{i:02d}"] = ext[f"ring{i:02d}"]
+    for i in range(1, 82):
+        row[f"object_hog{i:02d}"] = ext[f"hog{i:02d}"]
+    for i in range(1, 49):
+        row[f"object_wedge{i:02d}"] = ext[f"wedge{i:02d}"]
+    return {k: (None if isinstance(v, float) and math.isnan(v) else v)
+            for k, v in row.items()}
+
+
 def main():
     install_shims()
     sys.path.insert(0, REF)
@@ -687,6 +830,16 @@ def main():
         golden["phasecong"][name] = {
             "mm": [[float(v) for v in row] for row in mm],
         }
+
+    # end-to-end EcoTaxa row golden for one fixture: slim + extended
+    # reference-kernel values pushed through the Rmd's assignment map
+    golden["ecotaxa_row"] = {
+        "fixture": "ellipse",
+        "metadata": ECOTAXA_META,
+        "expected": ecotaxa_row(
+            golden["features"]["ellipse"]["expected"],
+            golden["features_ext"]["ellipse"]["expected"]),
+    }
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
