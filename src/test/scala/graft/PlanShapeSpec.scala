@@ -238,6 +238,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("WindowGroupLimit") && !p.contains("windowspecdefinition"))
   }
 
+  test("q100: full-trained IVF search plan matches q89's shape") {
+    // the trainer differs (distributed Lloyd vs driver sample); the
+    // SEARCH plan must not — same broadcast/probe/ranking discipline
+    val p = plan("q100_ivf_ann_full_trained")
+    assert(p.contains("BroadcastHashJoin"), "probe-exploded queries must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    assert(!p.contains("WindowGroupLimit") && !p.contains("windowspecdefinition"))
+  }
+
   test("q90: EcoTaxa rollup — class dim broadcast, projection map-side") {
     val p = plan("q90_ecotaxa_export")
     assert(p.contains("BroadcastHashJoin"), "part-class dim must broadcast")

@@ -17,7 +17,7 @@ class SparkEntrySpec extends SparkSpec {
   test("registry names are unique, q-numbered, and every oracle key resolves") {
     val names = SparkEntry.registry.map(_.name)
     assert(names.distinct.size == names.size, "duplicate query names")
-    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")), "name convention")
+    assert(names.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")), "name convention")
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs),
       "oracle keys without a query")
