@@ -215,10 +215,12 @@ object Bench {
       once(); once()
     }
 
+    // accepts full names or bare qNN prefixes ("q55,q76" ==
+    // "q55_feature_extract,q76_skew_join_salted")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+      .filter(n => only.forall(_.exists(o => n == o || n.startsWith(o + "_"))))
     require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY matched no queries")
     val calibBefore = calibMs()
     val calibParBefore = calibParMs()
