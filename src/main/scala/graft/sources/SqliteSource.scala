@@ -37,6 +37,15 @@ object SqliteSource {
     require(bytes.length >= 512, "not a SQLite file: too short")
     val magic = new String(bytes, 0, 16, "US-ASCII")
     require(magic.startsWith("SQLite format 3"), "not a SQLite file")
+    // header byte 19 = file-format read version; 2 means WAL journal
+    // mode, where un-checkpointed transactions live in the -wal side
+    // file this reader never sees — reading just the main file would
+    // silently return stale rows, the worst failure class
+    val readVersion = bytes(19) & 0xff
+    require(readVersion <= 1,
+      s"WAL-mode database (read version $readVersion): un-checkpointed " +
+        "state in the -wal side file would be silently missed; " +
+        "checkpoint the database (PRAGMA wal_checkpoint) before export")
     try readTableBody(bytes, table)
     catch {
       case e: IllegalArgumentException => throw e

@@ -32,6 +32,17 @@ class SqliteSourceSpec extends SparkSpec {
     }
   }
 
+  test("WAL-mode database rejects loudly instead of silently reading stale rows") {
+    // header bytes 18/19 (write/read file-format versions) are 2 in WAL
+    // mode; the un-checkpointed -wal side file is invisible to this
+    // reader, so proceeding would return stale data silently
+    val wal = fixture.clone()
+    wal(18) = 2; wal(19) = 2
+    val e = intercept[IllegalArgumentException](
+      SqliteSource.readTable(wal, "annotations"))
+    assert(e.getMessage.contains("WAL"), e.getMessage)
+  }
+
   test("annotations view derives the reference's padded image_name") {
     val dir = Files.createTempDirectory("sqlite").toFile
     Files.write(Paths.get(dir.toString, "manual_annotations.db"), fixture)
