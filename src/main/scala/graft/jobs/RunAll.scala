@@ -57,8 +57,10 @@ object RunAll {
     *             TSV write, report render); [[writeTsv]] gives the
     *             reference's output-per-config file layout
     * @return per-delivery summary rows:
-    *         (classifier, years, n_rows, n_samples) — the driver-sized
-    *         accounting the reference logs per render
+    *         (classifier, years, removed_flags, n_rows, n_samples) — the
+    *         driver-sized accounting the reference logs per render;
+    *         removed_flags carries the config identity so two configs
+    *         differing only in flag terms stay distinguishable
     */
   def run(
       spark: SparkSession,
@@ -68,7 +70,7 @@ object RunAll {
       sink: Delivery => Unit = _ => ()): DataFrame = {
     import spark.implicits._
     val byClassifier = configs.groupBy(_.classifier)
-    val summaries = Seq.newBuilder[(String, String, Long, Long)]
+    val summaries = Seq.newBuilder[(String, String, String, Long, Long)]
     for ((classifier, cfgs) <- byClassifier.toSeq.sortBy(_._1)) {
       val base = data(classifier)
       // share the scans across this classifier's configs: every config
@@ -78,22 +80,29 @@ object RunAll {
       val flags = base.flags.persist(StorageLevel.MEMORY_AND_DISK)
       try {
         for (cfg <- cfgs; yearSet <- scopes(cfg)) {
+          // persist the (post-rollup, delivery-sized) frame so the sink
+          // materialization and the summary aggregate below share ONE
+          // execution of the delivery DAG instead of running it twice
           val d = deliveryFor(roi, dim, flags, cfg, yearSet, adjacencyPartition)
-          sink(Delivery(cfg, yearSet, d))
-          // two driver-sized aggregates per config — the accounting the
-          // reference's render loop logs; rows/samples in one pass
-          val (nRows, nSamples) = d
-            .agg(count(lit(1)), countDistinct(col("SMPNO")))
-            .as[(Long, Long)].head()
-          summaries += ((classifier, yearSet.mkString("_"), nRows, nSamples))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            sink(Delivery(cfg, yearSet, d))
+            // two driver-sized aggregates per config — the accounting the
+            // reference's render loop logs; rows/samples in one pass
+            val (nRows, nSamples) = d
+              .agg(count(lit(1)), countDistinct(col("SMPNO")))
+              .as[(Long, Long)].head()
+            summaries += ((classifier, yearSet.mkString("_"),
+              cfg.removeFlagged.mkString(","), nRows, nSamples))
+          } finally d.unpersist()
         }
       } finally {
         roi.unpersist(); dim.unpersist(); flags.unpersist()
       }
     }
     summaries.result()
-      .toDF("classifier", "years", "n_rows", "n_samples")
-      .orderBy("classifier", "years")
+      .toDF("classifier", "years", "removed_flags", "n_rows", "n_samples")
+      .orderBy("classifier", "years", "removed_flags")
   }
 
   /** `multiyear_delivery = TRUE` → one combined delivery over all the
@@ -108,15 +117,24 @@ object RunAll {
     * MYEAR), then the shared delivery pipeline with the config's flag
     * terms. The year filter lands BEFORE the rollup shuffle — at scale
     * it prunes the fact table at the scan, not after aggregation.
+    *
+    * Fail-loudly: a sample id that does not parse as a timestamp cannot
+    * be assigned to any year scope — silently dropping it from EVERY
+    * config's delivery would be the silent-data-loss class this repo's
+    * sources reject loudly, so the filter raises instead.
     */
   private[jobs] def deliveryFor(
       roi: DataFrame, sampleDim: DataFrame, flags: DataFrame,
       cfg: RunParams, yearSet: Seq[Int],
       adjacencyPartition: Column): DataFrame = {
     val yr = year(try_to_timestamp(col("sample")))
-    val filtered = roi.filter(yr.isin(yearSet.map(Integer.valueOf): _*))
+    val inScope = when(yr.isNull,
+        raise_error(concat(
+          lit("sample id not timestamp-parseable, cannot year-scope: "),
+          col("sample"))).cast("boolean"))
+      .otherwise(yr.isin(yearSet.map(Integer.valueOf): _*))
     SharkExport.delivery(
-      filtered, sampleDim, flags, cfg.removeFlagged, adjacencyPartition)
+      roi.filter(inScope), sampleDim, flags, cfg.removeFlagged, adjacencyPartition)
   }
 
   /** The reference's file naming, one TSV directory per delivery:

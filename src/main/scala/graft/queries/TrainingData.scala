@@ -935,6 +935,11 @@ object TrainingData {
     val ITERS = 4
     def cents(s: SparkSession, d: String): Array[Array[Double]] =
       Similarity.trainKmeansCentroidsFull(embeddings(s, d), "embedding", K, ITERS)
+    // the full trainer can return FEWER than K centroids (its documented
+    // contract: Lloyd drops empty cells); probeCells requires
+    // nProbe <= centroids.length, so clamp — both the plan and the
+    // oracle, which re-derive identical centroids, clamp identically
+    def nProbe(cs: Array[Array[Double]]): Int = math.min(NPROBE, cs.length)
     GraftQuery(
       "q100_ivf_ann_full_trained",
       (s, d) => {
@@ -944,7 +949,7 @@ object TrainingData {
           .withColumn("cell", Similarity.cellAssign($"embedding", cs))
         val queries = embeddings(s, d).filter($"vec_id" < 5)
           .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
-            Similarity.probeCells($"embedding", cs, NPROBE).as("probes"))
+            Similarity.probeCells($"embedding", cs, nProbe(cs)).as("probes"))
         Similarity.ivfTopKProbed(queries, corpus,
             "q_id", "q_vec", "probes", "vec_id", "embedding", "cell", k = 5)
           .select($"query_id", $"neighbor_id", $"rank",
@@ -960,7 +965,7 @@ object TrainingData {
         FROM embeddings),
       q AS (
         SELECT vec_id AS q_id, embedding AS q_vec,
-               ${Similarity.probeCellsSql("embedding", cs, NPROBE)} AS probes
+               ${Similarity.probeCellsSql("embedding", cs, nProbe(cs))} AS probes
         FROM embeddings WHERE vec_id < 5),
       p AS (
         SELECT q_id, q_vec, unnest(probes) AS probe FROM q),

@@ -193,8 +193,13 @@ object SqliteSource {
     // payload cannot exceed the file it came from
     require(payloadLen >= 0 && payloadLen <= buf.limit(),
       s"spilled payload $payloadLen exceeds file size ${buf.limit()}")
-    require(localStart >= 0 && localStart + local + 4 <= buf.limit(),
-      s"overflow-spilled cell local prefix [$localStart, ${localStart + local + 4}) " +
+    // subtraction-side bound: localStart + local + 4 can wrap negative
+    // in Int arithmetic near the 2 GiB byte-array limit, which would
+    // pass an addition-side check and die later with a raw
+    // IndexOutOfBounds (the H5Source guard-class fix, applied here too)
+    require(localStart >= 0 && localStart <= buf.limit() - 4 &&
+        local <= buf.limit() - 4 - localStart,
+      s"overflow-spilled cell local prefix at $localStart (+$local+4) " +
         s"runs past file end ${buf.limit()}")
     val out = new Array[Byte](payloadLen.toInt)
     var i = 0

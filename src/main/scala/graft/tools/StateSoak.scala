@@ -14,15 +14,19 @@ import graft.streaming.Streams
   * reason RocksDB exists: SURVIVING state that exceeds executor heap.
   * This main runs dedupStream over a rate source of all-distinct keys
   * until the state store holds `targetKeys` rows, inside a JVM whose
-  * heap (set via SPARK_DRIVER_MEM, e.g. 256m) is far below a
-  * conservative lower bound of what the heap-backed provider would need
-  * for the same state (~100 B/row: UnsafeRow key+value pairs plus
-  * HashMap entry overhead), then prints one PASS/FAIL JSON line and
-  * per-batch progress. Run:
+  * heap (set via SPARK_DRIVER_MEM; Spark refuses drivers under ~450 MB,
+  * so 512m is the practical floor) is below a conservative lower bound
+  * of what the heap-backed provider would need for the same state
+  * (~100 B/row: UnsafeRow key+value pairs plus HashMap entry overhead —
+  * the control run measures the real cost at ~227 B/row), then prints
+  * one PASS/FAIL JSON line and per-batch progress. The run FAILS unless
+  * the target is reached AND that lower bound exceeds the JVM heap —
+  * so at the 512 MB floor the target must be > 5.37 M keys (the 8 M
+  * default clears it). Run:
   *
   * {{{
-  * SPARK_DRIVER_MEM=256m sbt "runMain graft.tools.StateSoak 5000000"
-  * SPARK_DRIVER_MEM=256m sbt "runMain graft.tools.StateSoak 5000000 hdfs"  // expect OOM
+  * SPARK_DRIVER_MEM=512m sbt "runMain graft.tools.StateSoak"            // 8M keys
+  * SPARK_DRIVER_MEM=512m sbt "runMain graft.tools.StateSoak 8000000 hdfs"  // expect OOM
   * }}}
   *
   * Recorded evidence from this host lives in STATE_SOAK.md.
@@ -32,7 +36,7 @@ object StateSoak {
   private val HeapBytesPerStateRowLowerBound = 100L
 
   def main(args: Array[String]): Unit = {
-    val targetKeys = args.headOption.map(_.toLong).getOrElse(5000000L)
+    val targetKeys = args.headOption.map(_.toLong).getOrElse(8000000L)
     val useRocks = !(args.length > 1 && args(1) == "hdfs")
     val spark = GraftSession.builder(
         master = "local[2]", shufflePartitions = 4,

@@ -79,15 +79,34 @@ class RunAllSpec extends SparkSpec {
       assert(d.frame.count() > 0, s"empty delivery ${d.params.classifier} ${d.years}")
     }
 
-    // summary accounting matches the frames
-    val sm = summary.as[(String, String, Long, Long)].collect()
+    // summary accounting matches the frames; removed_flags carries the
+    // config identity, so configs differing only in flag terms resolve
+    // to THEIR delivery, not each other's
+    val sm = summary.as[(String, String, String, Long, Long)].collect()
     assert(sm.length == 4)
-    for ((cls, yrs, nRows, nSamples) <- sm) {
+    for ((cls, yrs, rf, nRows, nSamples) <- sm) {
       val d = produced.find(p =>
-        p.params.classifier == cls && p.years.mkString("_") == yrs).get
+        p.params.classifier == cls && p.years.mkString("_") == yrs &&
+          p.params.removeFlagged.mkString(",") == rf).get
       assert(nRows == d.frame.count())
       assert(nSamples == d.frame.select("SMPNO").distinct().count())
     }
+  }
+
+  test("a sample id that cannot be year-scoped raises instead of silently vanishing") {
+    val base = classifier("A", Seq(2023))
+    val poisoned = base.copy(roi = base.roi.unionByName(
+      Seq(("D20230801T120000_IFCB134", "x", 1.0, false))
+        .toDF("sample", "class_name", "vol_um3", "is_diatom")))
+    val e = intercept[Exception] {
+      RunAll.run(spark, _ => poisoned,
+        Seq(RunParams("Baltic", Seq(2023), Seq.empty, multiyearDelivery = true)),
+        adjacency)
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages(e).contains("not timestamp-parseable"), messages(e))
   }
 
   test("writeTsv lays out one delivery directory per config, reference-named") {

@@ -10,7 +10,7 @@ import graft.{SparkSpec, Tables}
 class IvfRecallSpec extends SparkSpec {
   import spark.implicits._
 
-  private val d = "/root/testdata/sf0.01"
+  private val d = testDataDir("sf0.01")
 
   private def recallAt5(restricted: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double = {
     val hits = exact.map { case (q, t) =>
@@ -69,7 +69,7 @@ class IvfRecallSpec extends SparkSpec {
     // on the real sf0.1 table: what full training buys over the sampled
     // default is cell BALANCE — at 100 TB an oversized cell is quadratic
     // pair work — so pin population coverage and a max-cell bound
-    val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val e = Tables.embeddings(spark, testDataDir("sf0.1"))
     val n = e.count()
     val cents = Similarity.trainKmeansCentroidsFull(e, "embedding", k = 8, iters = 4)
     assert(cents.length >= 2 && cents.length <= 8, s"${cents.length} centroids")
