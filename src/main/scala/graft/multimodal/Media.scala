@@ -41,7 +41,16 @@ object Media {
     */
   def decodeImage(bytes: Array[Byte], rawW: Int, rawH: Int): (Array[Int], Int, Int) = {
     if (isContainerImage(bytes)) {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      // fail-loudly contract (round-11, the MatSource/H5Source pattern):
+      // ImageIO throws IOExceptions AND assorted RuntimeExceptions on
+      // hostile bytes — normalize everything to the one contract type
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case e @ (_: java.io.IOException | _: RuntimeException) =>
+            throw new IllegalArgumentException(
+              s"undecodable container-image payload: $e", e)
+        }
       require(img != null, "undecodable container-image payload")
       val w = img.getWidth; val h = img.getHeight
       val px = new Array[Int](w * h)
@@ -69,7 +78,7 @@ object Media {
     * public RIFF spec, no codec library. Non-WAV payloads (no RIFF
     * magic) raise; PCM is the only supported encoding (format tag 1).
     */
-  def decodeWav(bytes: Array[Byte]): (Array[Double], Int) = {
+  def decodeWav(bytes: Array[Byte]): (Array[Double], Int) = try {
     val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     require(bytes.length > 44 &&
       new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
@@ -85,15 +94,24 @@ object Media {
       require(size >= 0, s"malformed WAVE chunk '$id': negative size $size")
       id match {
         case "fmt " =>
+          // the PCM fmt chunk is >= 16 bytes; a shorter (or truncated)
+          // one must reject with this diagnostic, not a raw
+          // IndexOutOfBounds from reading fields past the file
+          require(size >= 16 && p + 24 <= bytes.length,
+            s"malformed WAVE fmt chunk: size $size at offset $p")
           val tag = buf.getShort(p + 8) & 0xffff
           require(tag == 1, s"unsupported WAVE encoding $tag (PCM only)")
           channels = buf.getShort(p + 10) & 0xffff
+          require(channels >= 1, "malformed WAVE fmt chunk: zero channels")
           sampleRate = buf.getInt(p + 12)
           bits = buf.getShort(p + 22) & 0xffff
         case "data" => data = Some((p + 8, size))
         case _ => ()
       }
-      p += 8 + size + (size & 1) // chunks are word-aligned
+      // word-aligned advance in Long: a near-Int.MaxValue chunk size
+      // would wrap p negative and re-enter the loop reading at a
+      // negative offset; clamping to file end terminates instead
+      p = math.min(p.toLong + 8 + size + (size & 1), bytes.length.toLong).toInt
     }
     val (off, size) = data.getOrElse(throw new IllegalArgumentException("no data chunk"))
     require(bits == 8 || bits == 16, s"unsupported bit depth $bits")
@@ -114,6 +132,10 @@ object Media {
       f += 1
     }
     (out, sampleRate)
+  } catch {
+    case e: IllegalArgumentException => throw e
+    case e: RuntimeException =>
+      throw new IllegalArgumentException(s"malformed WAVE payload: $e", e)
   }
 
   final case class AudioFeatures(
