@@ -52,6 +52,11 @@ object AsOfJoin {
     require(joinType == "inner" || joinType == "left", s"joinType=$joinType")
     require(Seq("nearest", "backward", "forward").contains(direction),
       s"direction=$direction")
+    // toleranceSec = 0 (exact-match intent) would divide into null
+    // buckets: the equi join never matches and the result is silently
+    // empty / all-null instead of exact matches — reject loudly (an
+    // exact-timestamp join is a plain equi join on (keys, ts))
+    require(toleranceSec > 0, s"toleranceSec must be positive, got $toleranceSec")
     val tolUs = toleranceSec * 1000000L
 
     val r0 = right.columns.foldLeft(right) { (df, c) =>

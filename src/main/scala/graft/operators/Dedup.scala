@@ -63,9 +63,14 @@ object Dedup {
     * Boilerplate-heavy corpora concentrate mass in a few (band, key)
     * buckets; a bucket of size m contributes m² candidate pairs, so one
     * hot bucket is a disguised cross product. Capping trades bounded
-    * recall loss (pairs in a dropped bucket are still found via their
-    * other bands) for a hard fan-out bound — the standard large-scale
-    * LSH mitigation.
+    * recall loss for a hard fan-out bound — the standard large-scale
+    * LSH mitigation. The recall argument differs by caller: the
+    * MinHash/SimHash paths usually recover a dropped pair via its OTHER
+    * bands, but the inverted-shingle-index caller
+    * ([[ngramJaccardPairs]]) has no second band — a pair whose shared
+    * shingles are ALL hot is lost there outright (round-11 review),
+    * which is why its `maxBucket` defaults to None and setting it
+    * forfeits that method's exact-recall contract.
     */
   private def capBuckets(
       banded: DataFrame, keys: Seq[String], cap: Option[Int]): DataFrame =
@@ -77,8 +82,14 @@ object Dedup {
 
   /** Exact Jaccard between two string-array columns. */
   def jaccard(a: Column, b: Column): Column = {
+    // |a∪b| via |a|+|b|−|a∩b| is exact only for DISTINCT arrays — every
+    // in-repo caller passes Hashing.shingles' distinct output; arrays
+    // with duplicates would inflate the score. The intersection is
+    // evaluated ONCE per pair: it is the expensive half of the verify
+    // stage, and writing it twice doubled the work unless codegen CSE
+    // happened to collapse it (round-11 review)
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+    inter / (size(a) + size(b) - inter)
   }
 
   /** MinHash + banded LSH near-duplicate pairs (the Broder construction):
@@ -164,7 +175,14 @@ object Dedup {
 
   /** n-gram Jaccard pairs without sketching: candidates share ≥ 1 shingle
     * (inverted-index join), then exact Jaccard. Exact-recall counterpart
-    * of [[minhashLshPairs]]; costlier candidates, no probabilistic miss.
+    * of [[minhashLshPairs]]; costlier candidates, no probabilistic miss —
+    * with `maxBucket = None` (the default). Setting `maxBucket` bounds
+    * the hot-shingle fan-out but BREAKS exact recall: unlike the banded
+    * sketches there are no other bands to recover a pair whose shared
+    * shingles are all hot, so such a pair is silently lost (see
+    * [[capBuckets]]). Use the capped mode only when the corpus is
+    * boilerplate-heavy AND approximate recall is acceptable — otherwise
+    * prefer [[minhashLshPairs]] at that scale.
     */
   def ngramJaccardPairs(
       docs: DataFrame, id: String, text: String,

@@ -45,8 +45,6 @@ object IntervalJoin {
       bucketSec: Long = 3600L,
       joinType: String = "inner",
       maxReplication: Option[Long] = Some(1000L)): DataFrame = {
-    require(maxReplication.isEmpty || joinType == "inner",
-      "maxReplication clamp requires an inner join; pass maxReplication=None")
     // The bucketed rewrite is only sound for point-preserving join types:
     // each qualifying pair matches on exactly one bucket, so inner/left/
     // semi/anti semantics are exact. Interval-preserving types (right,
@@ -58,6 +56,9 @@ object IntervalJoin {
     val pointPreserving =
       Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
     if (!pointPreserving.contains(norm)) {
+      // never touches bucketing or the clamp, so the maxReplication
+      // require below must not fire here (round-11 review: a right/full
+      // join with the DEFAULT clamp threw spuriously)
       return points.join(
         intervals,
         on.map(c => points(c) === intervals(c)).foldLeft(
@@ -65,6 +66,11 @@ object IntervalJoin {
             points(pointTs) <= intervals(endCol))(_ && _),
         joinType)
     }
+    require(maxReplication.isEmpty || norm == "inner",
+      "maxReplication clamp requires an inner join; pass maxReplication=None")
+    // bucketSec = 0 would divide into null buckets and null sequence
+    // bounds: the join silently returns empty instead of failing
+    require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
     val bUs = bucketSec * 1000000L
     val span = floor(unix_micros(col(endCol)) / bUs) -
       floor(unix_micros(col(startCol)) / bUs) + 1

@@ -132,12 +132,19 @@ object Similarity {
     */
   final class TopKNeighbors(k: Int)
       extends Aggregator[Neighbor, List[Neighbor], Seq[Ranked]] {
-    private def insert(b: List[Neighbor], a: Neighbor): List[Neighbor] = {
-      // k is small (top-5/top-100): sorted-list insertion keeps exact
-      // (cosine desc, id asc) order with O(k) work per candidate
-      val nb = (a :: b).sortBy(n => (-n.cosine, n.id))
-      if (nb.length > k) nb.take(k) else nb
-    }
+    // the buffer stays sorted by this total order at all times — same
+    // key sortBy used previously, so results are bit-identical
+    private val ord: Ordering[Neighbor] = Ordering.by(n => (-n.cosine, n.id))
+    private def insert(b: List[Neighbor], a: Neighbor): List[Neighbor] =
+      // hot-path early reject (round-11 review): a candidate no better
+      // than the current k-th costs one comparison, not a full O(k log k)
+      // re-sort + allocation — the common case once the buffer fills
+      if (b.lengthCompare(k) >= 0 && ord.gteq(a, b.last)) b
+      else {
+        val (pre, post) = b.span(n => ord.lt(n, a))
+        val nb = pre ::: a :: post
+        if (nb.lengthCompare(k) > 0) nb.init else nb
+      }
     override def zero: List[Neighbor] = Nil
     override def reduce(b: List[Neighbor], a: Neighbor): List[Neighbor] = insert(b, a)
     override def merge(b1: List[Neighbor], b2: List[Neighbor]): List[Neighbor] =
@@ -186,6 +193,18 @@ object Similarity {
     * corpus. Queries are broadcast (they are few); the corpus never
     * shuffles; ranking is the bounded [[TopKNeighbors]] aggregate (no
     * window sort over |corpus| candidate rows).
+    *
+    * Contract notes (shared by [[ivfTopK]]/[[ivfTopKProbed]]):
+    * zero-norm vectors are excluded from BOTH sides — their cosine is
+    * 0/0 = NaN, which would otherwise surface as ranked NaN "neighbors"
+    * whenever a query has fewer than k finite candidates (the
+    * [[quantizedTopK]] rule, now applied to the exact paths too —
+    * round-11 review). The `qId =!= cId` self-pair exclusion assumes
+    * queries and corpus share ONE id space (the queries frame is a
+    * subset of the corpus, as every in-repo caller does); with
+    * unrelated id sequences a corpus row numerically colliding with a
+    * query id is silently excluded — assign disjoint ids if the two
+    * sides are genuinely different datasets.
     */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
@@ -193,7 +212,9 @@ object Similarity {
       k: Int): DataFrame = {
     val idType = integralIdType(corpus, cId)
     val q = queries.withColumn("__qn", sqrt(dot(col(qVec), col(qVec))))
+      .filter(col("__qn") > 0.0)
     val c = corpus.withColumn("__cn", sqrt(dot(col(cVec), col(cVec))))
+      .filter(col("__cn") > 0.0)
     val joined = c.join(broadcast(q), col(qId) =!= col(cId))
       .withColumn("cosine", dot(col(qVec), col(cVec)) / col("__qn") / col("__cn"))
       .withColumn("__cid", col(cId).cast("long"))
@@ -212,8 +233,11 @@ object Similarity {
       cId: String, cVec: String, cCell: String,
       k: Int): DataFrame = {
     val idType = integralIdType(corpus, cId)
+    // zero-norm exclusion + shared-id-space contract: see bruteForceTopK
     val q = queries.withColumn("__qn", sqrt(dot(col(qVec), col(qVec))))
+      .filter(col("__qn") > 0.0)
     val c = corpus.withColumn("__cn", sqrt(dot(col(cVec), col(cVec))))
+      .filter(col("__cn") > 0.0)
     val joined = c.join(broadcast(q),
         col(qCell) === col(cCell) && col(qId) =!= col(cId))
       .withColumn("cosine", dot(col(qVec), col(cVec)) / col("__qn") / col("__cn"))
@@ -390,15 +414,19 @@ object Similarity {
   }
 
   /** Nearest-centroid cell id for a vector column (the IVF corpus-side
-    * assignment; executors evaluate k native dots per row).
+    * assignment; executors evaluate k native dots per row). Argmin via
+    * `array_min` over (distance, cell) structs — lexicographic, so ties
+    * keep the smallest cell id, the same total order the SQL twin
+    * renders. NOT a when/otherwise fold: a fold referencing the running
+    * best twice per step doubles the Catalyst tree per centroid
+    * (~2^k nodes), which stalls analysis/codegen at the k this
+    * function exists for (round-11 review).
     */
   def cellAssign(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val dists = centroids.map(c => centroidScore(vec, c))
-    dists.zipWithIndex.tail.foldLeft((lit(0), dists.head)) {
-      case ((bestIdx, bestDist), (d, i)) =>
-        (when(d < bestDist, lit(i)).otherwise(bestIdx),
-          when(d < bestDist, d).otherwise(bestDist))
-    }._1
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(centroidScore(vec, c).as("d"), lit(i).as("cell"))
+    }
+    array_min(array(scored.toIndexedSeq: _*)).getField("cell")
   }
 
   /** The `nProbe` nearest cell ids for a vector column (query-side

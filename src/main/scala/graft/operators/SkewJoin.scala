@@ -40,6 +40,10 @@ object SkewJoin {
   def saltedJoin(
       large: DataFrame, small: DataFrame, on: String, salts: Int,
       saltExpr: org.apache.spark.sql.Column): DataFrame = {
+    // salts = 0 makes pmod null on the large side while sequence(0, -1)
+    // still emits salts on the small side: the join silently returns
+    // empty instead of failing (salts = 1 is a valid no-op salting)
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val l = large.withColumn("__salt", pmod(xxhash64(saltExpr), lit(salts)))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))

@@ -35,6 +35,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!out.contains(2L)) // inner: unmatched left dropped
   }
 
+  test("toleranceSec = 0 is rejected loudly (would silently never match)") {
+    // round-11 review: zero tolerance divided into null buckets and the
+    // equi join silently returned empty even for exactly-equal timestamps
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.nearest(left, right, on = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", toleranceSec = 0L,
+        leftId = Seq("event_id"))
+    }
+    assert(e.getMessage.contains("toleranceSec"))
+  }
+
   test("left join keeps unmatched rows with null right side") {
     val out = AsOfJoin.nearest(left, right, on = Seq("user_id"),
       leftTs = "ts", rightTs = "ts", toleranceSec = 300L,

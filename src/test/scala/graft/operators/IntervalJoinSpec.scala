@@ -114,4 +114,27 @@ class IntervalJoinSpec extends SparkSpec {
         joinType = "left", maxReplication = Some(10L))
     }
   }
+
+  test("right/full joins ignore the default clamp (they bypass bucketing)") {
+    // round-11 review: the clamp require fired before the plain-path
+    // early return, so a right join with DEFAULT arguments threw even
+    // though that path never uses maxReplication
+    val points = Seq((1L, ts("2024-01-01 10:30:00"))).toDF("pid", "pt")
+    val ivs = Seq(("A", ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")))
+      .toDF("iv", "start", "stop")
+    val got = IntervalJoin.contains(points, ivs, "pt", "start", "stop",
+        joinType = "right") // default maxReplication stays Some(1000)
+      .select("pid", "iv").as[(Option[Long], String)].collect().toSet
+    assert(got == Set((Some(1L), "A")))
+  }
+
+  test("bucketSec = 0 is rejected loudly instead of silently matching nothing") {
+    val points = Seq((1L, ts("2024-01-01 10:30:00"))).toDF("pid", "pt")
+    val ivs = Seq(("A", ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")))
+      .toDF("iv", "start", "stop")
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.contains(points, ivs, "pt", "start", "stop", bucketSec = 0L)
+    }
+    assert(e.getMessage.contains("bucketSec"))
+  }
 }

@@ -31,6 +31,55 @@ class SimilaritySpec extends SparkSpec {
     assert(r == Set(1L, 4L)) // cell 0 only
   }
 
+  test("zero-norm vectors are excluded from both sides, never ranked as NaN neighbors") {
+    // round-11 review: a zero corpus vector scored cosine 0/0 = NaN and
+    // surfaced as a ranked "neighbor" whenever a query had fewer than k
+    // finite candidates
+    val withZero = corpus.unionByName(
+      Seq((9L, Array(0.0f, 0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "cell"))
+    val q = withZero.filter($"vec_id" === 0L || $"vec_id" === 9L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val r = Similarity.bruteForceTopK(q, withZero, "q_id", "q_vec",
+      "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(r.forall(!_._3.isNaN), s"NaN cosine ranked: ${r.mkString(",")}")
+    assert(!r.exists(_._2 == 9L), "zero vector ranked as a neighbor")
+    assert(!r.exists(_._1 == 9L), "zero-vector query produced rows")
+  }
+
+  test("cellAssign stays linear-sized in k and agrees with the driver kernel") {
+    // round-11 review: the old when/otherwise fold doubled the Catalyst
+    // tree per centroid (~2^k nodes) — k = 64 would never finish
+    // analysis; the array_min form must both run fast and agree with
+    // the sequential argmin (ties -> lowest cell id)
+    val rnd = new scala.util.Random(5L)
+    val cents = Array.fill(64)(Array.fill(3)(rnd.nextDouble() * 2 - 1))
+    val rows = (0L until 40L).map(i =>
+      (i, Array.fill(3)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = df.select($"vec_id",
+        Similarity.cellAssign($"embedding", cents).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    def seqArgmin(v: Array[Float]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      for (c <- cents.indices) {
+        // mirror centroidScore's float-cast arithmetic: cc - 2*v.c
+        var cc = 0.0; var vc = 0.0
+        for (d <- cents(c).indices) {
+          val cf = cents(c)(d).toFloat.toDouble
+          cc += cf * cf; vc += v(d).toDouble * cf
+        }
+        val dist = cc - vc * 2.0
+        if (dist < bestD) { bestD = dist; best = c }
+      }
+      best
+    }
+    rows.foreach { case (i, v) =>
+      assert(got(i) == seqArgmin(v), s"vec $i")
+    }
+  }
+
   test("hyperplane bucket groups identical vectors and is deterministic") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f, -1.0f, 0.5f)),

@@ -68,6 +68,17 @@ class SkewJoinSpec extends SparkSpec {
     * them pins the mechanism without the flake of wall-clock thresholds
     * on a 1000-row fixture.
     */
+  test("salts = 0 is rejected loudly (would silently return empty)") {
+    // round-11 review: pmod(x, 0) nulls the large side while
+    // sequence(0, -1) still emits salts on the small side
+    val large = Seq((1L, 2L)).toDF("k", "v")
+    val small = Seq((1L, "d")).toDF("k", "name")
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(large, small, "k", salts = 0, $"v")
+    }
+    assert(e.getMessage.contains("salts"))
+  }
+
   test("listener evidence: salting caps the max reducer's shuffle-read rows") {
     // AQE's parallelism-first coalesce folds this fixture's ~20 KB
     // shuffle partitions (all below the 1 MB minPartitionSize floor)
