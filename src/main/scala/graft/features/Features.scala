@@ -188,10 +188,8 @@ object Features {
     import spark.implicits._
     images.mapPartitions { it =>
       it.map { case (id, bytes, h, w) =>
-        val px = new Array[Int](h * w)
-        var k = 0
-        while (k < px.length) { px(k) = bytes(k) & 0xff; k += 1 }
-        computeFromRoi(id, Segmentation.Gray(h, w, px))
+        computeFromRoi(id,
+          Segmentation.Gray(h, w, graft.multimodal.Media.grayPixels(bytes, w, h)))
       }
     }.toDF()
   }
@@ -206,10 +204,8 @@ object Features {
     import spark.implicits._
     val rows = images.mapPartitions { it =>
       it.map { case (id, bytes, h, w) =>
-        val px = new Array[Int](h * w)
-        var k = 0
-        while (k < px.length) { px(k) = bytes(k) & 0xff; k += 1 }
-        val roi = Segmentation.Gray(h, w, px)
+        val roi = Segmentation.Gray(h, w,
+          graft.multimodal.Media.grayPixels(bytes, w, h))
         val mask = Segmentation.segmentRoi(roi)
         val slim = compute(id, mask)
         val ext =

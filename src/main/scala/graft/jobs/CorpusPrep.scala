@@ -135,6 +135,10 @@ object CorpusPrep {
     * recompute), upstream stages unpersist once counted, and `kept`
     * STAYS cached for the caller's consumption — call
     * [[Frames.release]] when done.
+    *
+    * The id column must be integral (the near-dup clustering labels in
+    * long — [[graft.operators.Dedup.dupClusters]] rejects other types
+    * loudly); pre-assign a dense long id for URL/UUID-keyed corpora.
     */
   def run(docs: DataFrame, id: String, text: String,
       cfg: Config = Config()): Frames = {

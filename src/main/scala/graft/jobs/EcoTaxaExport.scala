@@ -235,15 +235,35 @@ object EcoTaxaExport {
       .as[(String, String, Array[Byte], Int, Int)]
       .mapPartitions { it =>
         it.map { case (cls, name, bytes, w, h) =>
-          val px = new Array[Int](w * h)
-          var k = 0
-          while (k < px.length) { px(k) = bytes(k) & 0xff; k += 1 }
-          (s"$cls/$name.png", graft.multimodal.Media.encodePng(px, w, h))
+          (s"$cls/$name.png", graft.multimodal.Media.encodePng(
+            graft.multimodal.Media.grayPixels(bytes, w, h), w, h))
         }
       }
       .toDF("entry", "png")
     graft.sources.ZipSink.write(pngs, "entry", "png", dir, maxPartBytes)
   }
+
+  /** The contract's text-typed columns — the metadata/identity block.
+    * Everything else (morphology, rings/hogs/wedges, moments, textures,
+    * PMT channels, lat/lon, depth, resolution, roi number, aphia id) is
+    * numeric `[f]`. STATIC by contract, not derived from runtime input
+    * types: an input frame missing the feature tail projects those
+    * columns as null strings, and deriving codes from the schema then
+    * marked numeric contract columns `[t]` — flipping per run with
+    * whatever inputs were present, so EcoTaxa imports typed them as
+    * text (round-11 review).
+    */
+  val textColumns: Set[String] = Set(
+    "img_file_name", "object_link", "object_annotation_status",
+    "acq_instrument", "sample_source",
+    "process_soft", "process_soft_version", "process_library",
+    "process_library_version", "process_script", "process_script_version",
+    "process_date", "process_time",
+    "object_id", "object_date", "object_time",
+    "object_annotation_hierarchy", "object_annotation_category",
+    "object_annotation_date", "object_annotation_time",
+    "object_annotation_person_name", "object_annotation_person_email",
+    "sample_vessel", "sample_id", "sample_station", "sample_cruise")
 
   /** Full export: contract projection → truncated category → one TSV
     * folder per class with the format-code first row (K2 layout, all
@@ -253,10 +273,9 @@ object EcoTaxaExport {
     val projected = project(df, params)
       .withColumn("object_annotation_category",
         truncateCategory(col("object_annotation_category")))
-    val numeric = projected.schema.fields
-      .filter(f => f.dataType.typeName != "string")
-      .map(_.name -> "[f]").toMap
+    val codes = contract
+      .map(c => c -> (if (textColumns(c)) "[t]" else "[f]")).toMap
     Sinks.partitionedTsv(projected, "object_annotation_category", outDir,
-      formatCodes = Some(numeric.withDefaultValue("[t]")))
+      formatCodes = Some(codes))
   }
 }

@@ -66,12 +66,14 @@ object HabAlert {
       biovol: DataFrame, classDim: DataFrame, habDim: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("aphia_id"))
       .orderBy(col("counts_per_liter").desc, col("sample").asc)
+    // one inner join does both halves of the old semi-then-left pair:
+    // habDim is keyed by aphia_id, so the inner join restricts to HAB
+    // taxa AND carries warning_level through the window in one branch
     biovol
       .join(broadcast(classDim), Seq("class_name"))
-      .join(broadcast(habDim), Seq("aphia_id"), "left_semi")
+      .join(broadcast(habDim), Seq("aphia_id"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .join(broadcast(habDim), Seq("aphia_id"), "left")
       .select(
         col("aphia_id"), col("class_clean"), col("sample"), col("counts"),
         round(col("counts_per_liter")).cast("long").as("counts_per_liter"),
@@ -230,26 +232,47 @@ object HabAlert {
       maxCounts: DataFrame, biomass: DataFrame, cyano: DataFrame,
       warningDetected: Boolean, subject: String, html: String,
       bawsWarningDetected: Boolean, bawsSubject: String, bawsHtml: String,
-      bawsSendToday: Boolean)
+      bawsSendToday: Boolean) {
+    /** Unpersists the run's cached frames (the CorpusPrep.Frames
+      * pattern) — call once the result's frames are consumed.
+      */
+    def release(): Unit = Seq(maxCounts, biomass, cyano).foreach(_.unpersist())
+  }
 
   def runDaily(
       roi: DataFrame, sampleDim: DataFrame, classDim: DataFrame,
       habDim: DataFrame, dateString: String, cfg: Config = Config()): Result = {
+    // the run drives several independent actions over these frames (two
+    // alert-predicate probes, the render collects, whatever the caller
+    // does with Result) — without persistence each action re-runs the
+    // ROI rollup shuffle and the top-1 windows from the raw scan
+    // (round-11 review). biovol is the shared upstream; the three
+    // result frames are day-sized. Caller releases via Result.release.
     val biovol = biovolumes(roi, sampleDim)
-    val mc = maxCounts(biovol, classDim, habDim)
-    val bands = biomassBands(biovol, cfg)
-    val cy = cyanoCounts(biovol, classDim, habDim)
-    val warning = !mc.filter(alertCol).isEmpty
-    val subject =
-      if (warning) s"IFCB HAB ALERT - $dateString"
-      else s"IFCB HAB Summary - $dateString"
-    val cyWarning = !cy.filter(alertCol).isEmpty
-    val bawsSubject =
-      if (cyWarning) s"IFCB BAWS ALERT - $dateString"
-      else s"IFCB BAWS Summary - $dateString"
-    Result(mc, bands, cy, warning, subject, emailHtml(mc, bands, dateString, cfg),
-      cyWarning, bawsSubject, bawsHtml(cy, dateString, cfg),
-      bawsInSeason(dateString))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val mc = maxCounts(biovol, classDim, habDim)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = biomassBands(biovol, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cy = cyanoCounts(biovol, classDim, habDim)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val warning = !mc.filter(alertCol).isEmpty
+      val subject =
+        if (warning) s"IFCB HAB ALERT - $dateString"
+        else s"IFCB HAB Summary - $dateString"
+      val cyWarning = !cy.filter(alertCol).isEmpty
+      val bawsSubject =
+        if (cyWarning) s"IFCB BAWS ALERT - $dateString"
+        else s"IFCB BAWS Summary - $dateString"
+      Result(mc, bands, cy, warning, subject, emailHtml(mc, bands, dateString, cfg),
+        cyWarning, bawsSubject, bawsHtml(cy, dateString, cfg),
+        bawsInSeason(dateString))
+    } finally {
+      // the result frames are materialized by the probes/renders above;
+      // the upstream rollup is no longer needed
+      biovol.unpersist()
+    }
   }
 
   /** Delivery step (R:292-299 and :404-415): the HAB mail goes out every

@@ -159,9 +159,11 @@ object IngestQc {
       .select("sample", "timestamp", "latitude", "longitude", "comment")
   }
 
-  /** The dashboard-metadata contract frame (R:373-428). */
+  /** The dashboard-metadata contract frame (R:373-428). The spine is
+    * `cruised` (already the bin-times frame joined through the cruise
+    * lookup — see the [[run]] wiring), so no separate bin-times input.
+    */
   def dashboardMetadata(
-      binTimes: DataFrame,
       cruised: DataFrame,
       positions: DataFrame,
       blacklisted: DataFrame,
@@ -197,10 +199,10 @@ object IngestQc {
     // R:390-401: blacklisted exact bin ids + size-gated bins appear as
     // skip rows (qc_bad = TRUE) unless already present
     // R:392-393 keeps only entries that look like bin ids (its ^D<year>
-    // filter); a general regex pattern (e.g. an instrument-wide rule)
-    // must not be emitted verbatim as a junk pid row
+    // filter); a general regex pattern (e.g. an instrument-wide rule or
+    // a day-level ^D\d{8}$ pattern, which this positive match already
+    // excludes) must not be emitted verbatim as a junk pid row
     val skipIds = blacklist.select(col("sample").as("pid"))
-      .filter(!col("pid").rlike("^D\\d{8}$"))
       .filter(col("pid").rlike("^D\\d{8}T\\d{6}"))
       .unionByName(deadSamples.select(col("sample").as("pid")))
       .distinct()
@@ -254,11 +256,9 @@ object IngestQc {
       .repartition(spark.sparkContext.defaultParallelism)
     val rows = images.mapPartitions { it =>
       it.map { case (sample, roiNo, w, h, bytes) =>
-        val px = new Array[Int](h * w)
-        var k = 0
-        while (k < px.length) { px(k) = bytes(k) & 0xff; k += 1 }
         (sample, roiNo,
-          Features.computeFromRoi(roiNo.toLong, Segmentation.Gray(h, w, px)))
+          Features.computeFromRoi(roiNo.toLong, Segmentation.Gray(h, w,
+            graft.multimodal.Media.grayPixels(bytes, w, h))))
       }
     }.toDF("sample", "roi_number", "f")
     rows.select(col("sample") +: col("roi_number") +:
@@ -382,7 +382,7 @@ object IngestQc {
     // silently removed from metadata (R:193-196) — their trace is the
     // dead-letter frame (`Frames.dead`), which carries both reasons
     val metadata = dashboardMetadata(
-      binTimes, cruised, positions, blacklisted, blacklist,
+      cruised, positions, blacklisted, blacklist,
       dead.filter(col("reason") === "oversize"), balticBasin,
       currentMetadata, cfg)
 

@@ -127,7 +127,9 @@ object RunAll {
       roi: DataFrame, sampleDim: DataFrame, flags: DataFrame,
       cfg: RunParams, yearSet: Seq[Int],
       adjacencyPartition: Column): DataFrame = {
-    val yr = year(try_to_timestamp(col("sample")))
+    // SharkExport.sampleTimestamp: canonical IFCB ids AND plain
+    // timestamps both parse; only ids matching neither raise below
+    val yr = year(SharkExport.sampleTimestamp(col("sample")))
     val inScope = when(yr.isNull,
         raise_error(concat(
           lit("sample id not timestamp-parseable, cannot year-scope: "),

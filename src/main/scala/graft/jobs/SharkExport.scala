@@ -21,6 +21,20 @@ import graft.sources.Sinks
   */
 object SharkExport {
 
+  /** Sample-id → timestamp for the MYEAR contract column: the canonical
+    * IFCB id (`D20230801T120000_IFCB134`) decodes through the
+    * [[graft.sources.HdrSource]] filename codec — a bare
+    * `try_to_timestamp` can NEVER parse that format, which silently
+    * nulled MYEAR for every real delivery row (round-11 review);
+    * plain-timestamp ids (fixtures) still parse via the first branch.
+    * Ids matching neither yield null, same as before.
+    */
+  def sampleTimestamp(sample: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(
+      try_to_timestamp(sample),
+      try_to_timestamp(
+        regexp_extract(sample, "D(\\d{8}T\\d{6})", 1), lit("yyyyMMdd'T'HHmmss")))
+
   /** @param roi       per-ROI rows: sample, class_name, vol_um3, is_diatom
     * @param sampleDim sample-grain dim: sample, ml_analyzed, lat, lon
     * @param flags     QC flags per sample: sample, flag
@@ -97,7 +111,7 @@ object SharkExport {
       .join(broadcast(sampleQc), Seq("sample"))
       .filter(keep && !col("__drop_adj"))
       .select(
-        year(try_to_timestamp(col("sample"))).as("MYEAR"),
+        year(sampleTimestamp(col("sample"))).as("MYEAR"),
         col("sample").as("SMPNO"),
         col("lat").as("LATIT"),
         col("lon").as("LONGI"),

@@ -33,6 +33,24 @@ object Media {
       (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8') ||
       (bytes(0) == 'B' && bytes(1) == 'M'))
 
+  /** Widens a raw 8-bit grayscale payload to int pixels, loudly: the
+    * shared helper for every kernel entry point (round-11 review — the
+    * loop existed as three verbatim copies, each assuming
+    * `bytes.length >= w*h` and dying mid-loop with a raw
+    * ArrayIndexOutOfBounds on a short payload).
+    */
+  def grayPixels(bytes: Array[Byte], w: Int, h: Int): Array[Int] = {
+    require(w >= 0 && h >= 0 && w.toLong * h <= Int.MaxValue,
+      s"bad raster dims ${w}x$h")
+    val n = w * h
+    require(bytes.length >= n,
+      s"raw pixel payload of ${bytes.length} bytes short of ${w}x$h = $n")
+    val px = new Array[Int](n)
+    var k = 0
+    while (k < n) { px(k) = bytes(k) & 0xff; k += 1 }
+    px
+  }
+
   /** Decodes an image payload to 8-bit grayscale pixels + dimensions:
     * container formats (PNG/JPEG/GIF/BMP, sniffed by magic) through
     * ImageIO with ITU-R BT.601 luma conversion; anything else is raw

@@ -239,6 +239,21 @@ object Dedup {
       freeRounds: Int = 6, maxRounds: Int = 24): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // the label machinery works in long: a string id (URL, UUID) would
+    // cast to null under non-ANSI and every edge silently collapses to
+    // (null, null) — the consumer's anti-join then drops NOTHING and
+    // near-dups survive with no warning (round-11 review). Require
+    // integral ids up front, like Similarity.integralIdType.
+    locally {
+      import org.apache.spark.sql.types._
+      for (c <- Seq("id_a", "id_b")) {
+        val dt = pairs.schema(c).dataType
+        require(dt.isInstanceOf[ByteType] || dt.isInstanceOf[ShortType] ||
+          dt.isInstanceOf[IntegerType] || dt.isInstanceOf[LongType],
+          s"pair id column '$c' must be integral (got $dt); " +
+            "pre-assign a dense long id for other key types")
+      }
+    }
     val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -147,18 +147,24 @@ object Streams {
     * so state is bounded by the dedup horizon instead of growing with
     * the corpus). A duplicate arriving AFTER the horizon is admitted —
     * by design; the batch exact-dedup pass catches cross-horizon dups at
-    * compaction time. The fingerprint is the same engine-portable
-    * rolling hash the batch path uses ([[graft.functions.Hashing]]),
-    * over the lowercased text.
+    * compaction time. The state key is the engine-portable rolling-hash
+    * fingerprint the batch path uses ([[graft.functions.Hashing]], over
+    * the lowercased text) COMBINED with an independent 64-bit xxhash —
+    * the fingerprint alone lives mod 1e9+7 (~2^30), where the birthday
+    * bound makes collisions among ~50k in-horizon documents likely, and
+    * a collision silently discards a unique document (round-11 review);
+    * the pair pushes the collision space past 2^90 while keeping state
+    * at two longs per doc, never the text.
     */
   def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
       watermark: String = "1 day"): DataFrame =
     docs
       .withColumn("__fp",
         graft.functions.Hashing.fingerprint(lower(col(textCol))))
+      .withColumn("__fp2", xxhash64(lower(col(textCol))))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("__fp")
-      .drop("__fp")
+      .dropDuplicatesWithinWatermark("__fp", "__fp2")
+      .drop("__fp", "__fp2")
 
   final case class SessionEvent(key: Long, tsMicros: Long, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
@@ -182,6 +188,14 @@ object Streams {
     * default because wall-clock timing is nondeterministic, which would
     * break the stream≡batch differential contract the default mode is
     * pinned by (StreamsSpec).
+    *
+    * Late-event policy (events arriving in a LATER micro-batch than
+    * in-order peers; within-batch disorder is sorted away): an event
+    * within one gap of the open session's tail folds into it (batch
+    * order agrees it belongs there), extending `start` backwards if
+    * needed; older stragglers emit immediately as singleton sessions
+    * rather than re-ordering already-processed history. `last` never
+    * moves backwards, so `end >= start` always holds.
     */
   def sessionize(
       events: org.apache.spark.sql.Dataset[SessionEvent],
@@ -209,6 +223,25 @@ object Streams {
             val out = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
               cur match {
+                // late event from an EARLIER micro-batch (in-batch order
+                // is handled by the sort): `last` must never move
+                // backwards — the old unguarded merge rewound it, so a
+                // following event could merge against re-ordered history
+                // and a session could emit end < start (round-11
+                // review). Within one gap of the session tail the event
+                // genuinely belongs to the open session (batch-order
+                // semantics agree): fold it in, extending `start`
+                // backwards if needed. Older than that, batch order
+                // would have placed it in an earlier session that may
+                // already be emitted — emit it as its own singleton
+                // late session (stragglers are not retro-merged with
+                // each other; the accepted streaming-lateness trade).
+                case Some(st) if e.tsMicros < st.last =>
+                  if (st.last - e.tsMicros <= gapMicros)
+                    cur = Some(st.copy(start = math.min(st.start, e.tsMicros),
+                      n = st.n + 1, sum = st.sum + e.value))
+                  else
+                    out += SessionOut(key, e.tsMicros, e.tsMicros, 1L, e.value)
                 case Some(st) if e.tsMicros - st.last <= gapMicros =>
                   cur = Some(st.copy(last = e.tsMicros, n = st.n + 1, sum = st.sum + e.value))
                 case Some(st) =>

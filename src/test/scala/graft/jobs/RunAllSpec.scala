@@ -94,9 +94,11 @@ class RunAllSpec extends SparkSpec {
   }
 
   test("a sample id that cannot be year-scoped raises instead of silently vanishing") {
+    // canonical IFCB ids parse via the HdrSource codec branch of
+    // SharkExport.sampleTimestamp — only ids matching NEITHER format raise
     val base = classifier("A", Seq(2023))
     val poisoned = base.copy(roi = base.roi.unionByName(
-      Seq(("D20230801T120000_IFCB134", "x", 1.0, false))
+      Seq(("corrupt-sample-id", "x", 1.0, false))
         .toDF("sample", "class_name", "vol_um3", "is_diatom")))
     val e = intercept[Exception] {
       RunAll.run(spark, _ => poisoned,

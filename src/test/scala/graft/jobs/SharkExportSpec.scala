@@ -86,6 +86,18 @@ class SharkExportSpec extends SparkSpec {
     assert(byKey(("S7", "algae")).getAs[String]("ANA_RESP") == "alice")
   }
 
+  test("MYEAR decodes canonical IFCB sample ids, not only plain timestamps (round-11)") {
+    import org.apache.spark.sql.functions.col
+    // a bare try_to_timestamp can never parse D20230801T120000_IFCB134,
+    // which silently nulled MYEAR for every real delivery row
+    val got = Seq("D20230801T120000_IFCB134", "2024-02-03 04:05:06", "junk")
+      .toDF("sample")
+      .select(org.apache.spark.sql.functions.year(
+        SharkExport.sampleTimestamp(col("sample"))).as("y"))
+      .as[Option[Int]].collect().toSeq
+    assert(got == Seq(Some(2023), Some(2024), None), got.toString)
+  }
+
   test("runOnSynthetic writes a TSV delivery and returns rows") {
     val out = Files.createTempDirectory("shark").resolve("delivery").toString
     val df = SharkExport.runOnSynthetic(spark, "/root/testdata/sf0.001", out)

@@ -146,6 +146,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize late cross-batch events never rewind the session tail (round-11)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.SessionEvent]
+    val out = Streams.sessionize(in.toDS(), gapMicros = 60L * 1000000)
+    val q = out.writeStream.format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Streams.SessionEvent(1L, 100L * 1000000, 1.0))
+      q.processAllAvailable()
+      // batch 2: one in-gap late event (folds in, start extends back)
+      // and one far-late straggler (emits as its own singleton session
+      // instead of re-ordering history); the old code set last = 10 s
+      // here and a later 35 s event would then have merged wrongly
+      in.addData(
+        Streams.SessionEvent(1L, 70L * 1000000, 2.0), // 30 s before tail: folds
+        Streams.SessionEvent(1L, 10L * 1000000, 3.0)) // 90 s before tail: straggler
+      q.processAllAvailable()
+      // batch 3: event 65 s after the REAL tail (100 s) must CLOSE the
+      // session, not merge against a rewound tail
+      in.addData(Streams.SessionEvent(1L, 165L * 1000000, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("late_sessions")
+        .select("startMicros", "endMicros", "n", "sum")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(rows.forall { case (s, e, _, _) => e >= s }, s"end < start in $rows")
+      assert(rows == Set(
+        (10L * 1000000, 10L * 1000000, 1L, 3.0),   // straggler singleton
+        (70L * 1000000, 100L * 1000000, 2L, 3.0)), // folded session closed by 165 s
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("sessionize idle timeout closes a silent key's session without any flush event") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streams.SessionEvent]
