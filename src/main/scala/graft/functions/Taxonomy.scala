@@ -77,6 +77,12 @@ object Taxonomy {
     "-like" -> "",
     " like" -> "",
     " bundle" -> "",
+    // NOTE: " larger than 30" firing first makes the
+    // " larger than 30unidentified" rule unreachable (it strips the
+    // prefix, leaving "…unidentified"); same for the smaller-than pair
+    // below. The REFERENCE applies its gsubs in exactly this order
+    // (count_pngs_images.R:45-46) so the shadowing is transcribed
+    // deliberately — bug-compatible output is the contract here.
     " larger than 30" -> "",
     " larger than 30unidentified" -> "",
     " than 30" -> "",

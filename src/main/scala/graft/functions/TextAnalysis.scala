@@ -56,9 +56,15 @@ object TextAnalysis {
     val nWords = size(ws).cast("double")
     val stopRatio = score(ws, Lexicons.head._2).cast("double") / nWords
     val meanLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / nWords
-    lit(0.4) * least(lit(1.0), nWords / 50.0) +
-      lit(0.3) * stopRatio +
-      lit(0.3) * least(lit(1.0), meanLen / 8.0)
+    // empty/whitespace-only doc: every ratio divides by zero — Spark's
+    // non-ANSI division returns null (doc lands in NO quality band,
+    // silently) while DuckDB's IEEE division makes the mirror NaN, so
+    // the engines would also disagree (round-11 review). Scored 0.0 on
+    // BOTH sides: the lowest band is the honest place for empty text.
+    when(size(ws) === 0, lit(0.0)).otherwise(
+      lit(0.4) * least(lit(1.0), nWords / 50.0) +
+        lit(0.3) * stopRatio +
+        lit(0.3) * least(lit(1.0), meanLen / 8.0))
   }
 
   def qualityScoreSql(ws: String): String = {
@@ -70,8 +76,9 @@ object TextAnalysis {
     // 0.3 * (stop / n); the unparenthesized SQL would left-associate to
     // (0.3 * stop) / n — 1 ULP apart, which flips floor(q * 1e6) when q
     // lands on an integer micro-unit (doc 45 at sf0.001: 439999 vs 440000)
-    s"(0.4 * LEAST(1.0, $n / 50.0) + 0.3 * (CAST($stop AS DOUBLE) / $n) + " +
-      s"0.3 * LEAST(1.0, $meanLen / 8.0))"
+    s"(CASE WHEN len($ws) = 0 THEN 0.0 ELSE " +
+      s"0.4 * LEAST(1.0, $n / 50.0) + 0.3 * (CAST($stop AS DOUBLE) / $n) + " +
+      s"0.3 * LEAST(1.0, $meanLen / 8.0) END)"
   }
 
   /** Compression ratio (deflate/raw bytes) — the low-entropy corpus

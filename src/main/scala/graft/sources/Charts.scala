@@ -58,13 +58,19 @@ object Charts {
       timeCol: String, groupCol: String, valueCol: String,
       yMax: Double = Double.PositiveInfinity,
       panelW: Int = 360, panelH: Int = 240, perRow: Int = 3): String = {
+    // null filters run on the CASTED values (the barChartSvg /
+    // scatterFacetSvg discipline): an uncastable time string or an
+    // all-null value group otherwise NPEs the primitive getters below
+    // and kills the whole report render (round-11 review)
     val rows = series
-      .filter(col(facetCol).isNotNull && col(timeCol).isNotNull &&
-        col(groupCol).isNotNull)
-      .groupBy(col(facetCol).cast("string").as("f"),
+      .select(col(facetCol).cast("string").as("f"),
         col(timeCol).cast("timestamp").as("t"),
-        col(groupCol).cast("string").as("g"))
-      .agg(sum(col(valueCol).cast("double")).as("v"))
+        col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v0"))
+      .filter(col("f").isNotNull && col("t").isNotNull &&
+        col("g").isNotNull && col("v0").isNotNull)
+      .groupBy(col("f"), col("t"), col("g"))
+      .agg(sum(col("v0")).as("v"))
       .collect()
       .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getString(2),
         r.getDouble(3)))

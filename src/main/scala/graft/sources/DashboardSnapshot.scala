@@ -23,8 +23,12 @@ object DashboardSnapshot {
     */
   def metadataUrl(baseUrl: String, dataset: Option[String] = None): String = {
     val base = baseUrl.replaceAll("/+$", "")
+    // the slug is a PATH segment: URLEncoder alone is
+    // application/x-www-form-urlencoded and emits '+' for spaces, which
+    // a server decodes literally in a path (WormsSnapshot's query-string
+    // use is where '+' is correct) — percent-encode instead
     val suffix = dataset.filter(_.nonEmpty)
-      .map(d => java.net.URLEncoder.encode(d, "UTF-8"))
+      .map(d => java.net.URLEncoder.encode(d, "UTF-8").replace("+", "%20"))
       .getOrElse("")
     s"$base/api/export_metadata/$suffix"
   }

@@ -42,9 +42,26 @@ object FileIndex {
 
   /** J10/§2.9 new-data detection: files not yet in `processed`
     * (reference anti-join at code/ifcb_ingest_and_qc.R:173-181).
+    *
+    * Files without an identity (empty/null key — e.g. a file whose name
+    * carries no IFCB sample id, which [[index]] extracts as "") always
+    * pass through as new: a plain anti-join would collapse ALL id-less
+    * files onto one key, so a single processed id-less file would
+    * permanently suppress every other one (round-11 review).
+    * Re-processing an id-less straggler each run is the safe failure
+    * mode; permanent silent suppression is not.
     */
-  def newFiles(index: DataFrame, processed: DataFrame, key: String = "sample"): DataFrame =
-    index.join(processed.select(col(key)).distinct(), Seq(key), "left_anti")
+  def newFiles(index: DataFrame, processed: DataFrame, key: String = "sample"): DataFrame = {
+    // emptiness test on the stringified key: comparing a numeric key
+    // column against "" would ANSI-fail the cast
+    val k = col(key).cast("string")
+    val idless = index.filter(k.isNull || k === "")
+    index.filter(k.isNotNull && k =!= "")
+      .join(processed.select(col(key)).distinct()
+        .filter(col(key).cast("string").isNotNull &&
+          col(key).cast("string") =!= ""), Seq(key), "left_anti")
+      .unionByName(idless)
+  }
 
   /** [[newFiles]] with a broadcast Bloom-filter pre-gate, for the scale
     * where the processed log holds billions of keys. Spark's runtime

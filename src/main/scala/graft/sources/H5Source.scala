@@ -293,6 +293,19 @@ object H5Source {
     Zlib.inflate(data, "HDF5 deflate chunk")
 
   private def decode(buf: ByteBuffer, dt: Datatype, dims: Seq[Long], raw: Array[Byte]): H5Value = {
+    // cross-check the dataspace's claimed shape against the
+    // independently-sized raw data HERE, inside the parse wrapper:
+    // consumers (classScores) index by dims, and a dataset whose layout
+    // stores fewer bytes than dims x element-size would otherwise die
+    // with a raw AIOOBE in the executor (round-11 review). Division
+    // form avoids overflow on corrupt sizes.
+    require(dims.forall(_ >= 0), s"dataset claims negative dims $dims")
+    require(dt.size > 0, s"datatype element size ${dt.size}")
+    val claimed = dims.foldLeft(1L)((a, x) => if (a > Int.MaxValue) a else a * x)
+    val elemBytes = if (dt.clazz == 9) 16L else dt.size.toLong
+    require(claimed <= raw.length / elemBytes,
+      s"dataset claims dims $dims ($claimed elements x $elemBytes B) " +
+        s"but the data layout holds ${raw.length} bytes")
     val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     dt.clazz match {
       case 0 => // fixed-point

@@ -38,6 +38,11 @@ object HdrSource {
       .withColumn("__ord", monotonically_increasing_id())
       .withColumn("file", input_file_name())
       .withColumn("sample", regexp_extract(col("file"), SampleIdPattern, 1))
+      // files whose names carry no IFCB sample id all extract "" and
+      // the per-sample groupBy would MERGE them into one chimera row of
+      // first-wins values from unrelated files — drop them, the
+      // RoiSource.images discipline (round-11 review)
+      .filter(col("sample") =!= "")
       .withColumn("key", trim(regexp_extract(col("value"), "^([^:]+):", 1)))
       .withColumn("v", trim(regexp_extract(col("value"), "^[^:]+:(.*)$", 1)))
       .filter(col("key") =!= "")

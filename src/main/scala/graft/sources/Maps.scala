@@ -72,10 +72,16 @@ object Maps {
       lonCol: String, dateCol: String, flagCol: String,
       basins: Seq[ShapefileSource.Ring] = Nil,
       w: Int = 800, h: Int = 600): String = {
+    // a sample without a position or date cannot be placed on a month
+    // panel — filter AFTER the casts or one GPS-less row NPEs the
+    // primitive getters and kills the whole render (round-11 review;
+    // the reference's na.rm guards / comparisonMapsHtml's own filter)
     val rows = samples.select(
-        col(sampleCol).cast("string"), col(latCol).cast("double"),
-        col(lonCol).cast("double"), year(col(dateCol)), month(col(dateCol)),
-        col(flagCol).cast("string"))
+        col(sampleCol).cast("string").as("s"), col(latCol).cast("double").as("la"),
+        col(lonCol).cast("double").as("lo"), year(col(dateCol)).as("y"),
+        month(col(dateCol)).as("m"), col(flagCol).cast("string").as("fl"))
+      .filter(col("s").isNotNull && col("la").isNotNull &&
+        col("lo").isNotNull && col("y").isNotNull && col("m").isNotNull)
       .collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
         r.getInt(3), r.getInt(4), if (r.isNullAt(5)) None else Some(r.getString(5))))
@@ -140,6 +146,8 @@ object Maps {
     val cells = points.select(
         floor(col(lonCol) / cellLon).cast("long").as("cx"),
         floor(col(latCol) / cellLat).cast("long").as("cy"))
+      // null positions have no cell — see qcMapHtml
+      .filter(col("cx").isNotNull && col("cy").isNotNull)
       .groupBy("cx", "cy").agg(count(lit(1)).as("frequency"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -293,12 +301,17 @@ object Maps {
         col(latCol).cast("double").as("lat"),
         col(lonCol).cast("double").as("lon"))
       .agg(avg(col(valueCol).cast("double")).as("f"))
+      // a station without keys/position/value cannot be drawn — see qcMapHtml
+      .filter(col("cruise").isNotNull && col("taxon").isNotNull &&
+        col("lat").isNotNull && col("lon").isNotNull && col("f").isNotNull)
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4)))
       .sortBy(r => (r._1, r._2, r._3, r._4))
     val months = obs.select(col(cruiseCol).cast("string").as("cruise"),
-        month(col(dateCol)).as("mo")).distinct().collect()
+        month(col(dateCol)).as("mo")).distinct()
+      .filter(col("cruise").isNotNull && col("mo").isNotNull)
+      .collect()
       .map(r => (r.getString(0), r.getInt(1)))
       .groupBy(_._1).map { case (c, ms) => c -> ms.map(_._2).distinct.sorted.toSeq }
     if (stations.isEmpty) return "<div class=\"distribution-maps\"></div>\n"

@@ -145,7 +145,17 @@ object MatSource {
         MatStr(rowMajor(decodeChars(tpe, d), dims))
       case _ => // numeric classes: decode the real-part element
         val (tpe, d) = readElement(buf).getOrElse(return None)
-        MatNum(dims, decodeNumeric(tpe, d))
+        val data = decodeNumeric(tpe, d)
+        // cross-check dims against the decoded length HERE, inside the
+        // parse wrapper: consumers (classScores/manualClassList) index
+        // column-major by dims and a truncated data element would
+        // otherwise die with a raw AIOOBE in the executor, outside the
+        // fail-loudly contract (round-11 review)
+        require(dims.forall(_ >= 0), s"matrix '$name' claims negative dims $dims")
+        val expect = dims.foldLeft(1L)((a, x) => if (a > Int.MaxValue) a else a * x)
+        require(data.length >= expect,
+          s"matrix '$name' claims dims $dims ($expect values) but holds ${data.length}")
+        MatNum(dims, data)
     }
     Some(name -> value)
   }

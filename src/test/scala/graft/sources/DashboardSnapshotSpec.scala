@@ -11,9 +11,13 @@ class DashboardSnapshotSpec extends SparkSpec {
   test("metadata and bin-list URLs match the reference API shape") {
     assert(DashboardSnapshot.metadataUrl("https://ifcb-data.example.org/") ==
       "https://ifcb-data.example.org/api/export_metadata/")
+    // %20, not '+': the slug is a path segment and the reference uses
+    // utils::URLencode(reserved = TRUE) (helpers.R:29), which
+    // percent-encodes — the old '+' expectation pinned a form-encoding
+    // bug (round-11 review)
     assert(DashboardSnapshot.metadataUrl(
       "https://ifcb-data.example.org", Some("RV Svea")) ==
-      "https://ifcb-data.example.org/api/export_metadata/RV+Svea")
+      "https://ifcb-data.example.org/api/export_metadata/RV%20Svea")
     assert(DashboardSnapshot.binListUrl("https://x.org//") ==
       "https://x.org/api/list_bins")
   }
