@@ -18,6 +18,14 @@ object Hashing {
 
   /** Polynomial rolling-hash modulus for token→int. */
   val TokP = 1000003L
+  /** Content-fingerprint polynomial constants (multiplier, modulus,
+    * seed) — named here so the SQL-function registry
+    * ([[graft.plans.GraftExtensions]]) binds the SAME values instead of
+    * re-hardcoding them (round-11 review).
+    */
+  val FpMult = 131L
+  val FpMod = 1000000007L
+  val FpSeed = 7L
   /** MinHash universe modulus. */
   val MinP = 100003L
   /** (a, b) pairs for the MinHash family h_i(x) = (a_i·x + b_i) mod MinP. */
@@ -118,7 +126,7 @@ object Hashing {
     * normalized-content identity at 64-bit-collision safety).
     */
   def fingerprint(text: Column): Column =
-    GraftBridge.column(StringPolyHash(GraftBridge.expression(text), 131L, 1000000007L, 7L))
+    GraftBridge.column(StringPolyHash(GraftBridge.expression(text), FpMult, FpMod, FpSeed))
 
   def fingerprintSql(text: String): String =
     s"list_reduce(list_prepend(7::BIGINT, list_transform(string_split($text, ''), " +

@@ -38,6 +38,16 @@ object Similarity {
     s"${dotSql(a, b)} / SQRT(${dotSql(a, a)}) / SQRT(${dotSql(b, b)})"
   }
 
+  /** SQL twin of the exact top-k paths' zero-norm exclusion
+    * ([[bruteForceTopK]]/[[ivfTopK]] filter `sqrt(v·v) > 0`): oracles
+    * must apply this on both query and candidate sides or a zero
+    * vector's 0/0 = NaN cosine — which DuckDB sorts GREATEST — would
+    * rank it the #1 neighbor of everything while Spark excludes it.
+    */
+  def nonZeroNormSql(vec: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform($vec, " +
+      s"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v) > 0.0"
+
   /** Symmetric per-vector int8 quantization — the 4× embedding
     * compression an ANN index carries at 100 TB: `q_i = round(x_i /
     * (maxabs / 127))`, zero vectors → all zeros. Rounding is

@@ -45,62 +45,63 @@ object GraftExtensions {
       new ExpressionInfo(classOf[StringPolyHash].getName, "graft_fingerprint"),
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_fingerprint(text)")
-        StringPolyHash(children(0), 131L, 1000000007L, 7L)
+        StringPolyHash(toString_(children(0)),
+          Hashing.FpMult, Hashing.FpMod, Hashing.FpSeed)
       }),
     ("graft_tok_hash",
       new ExpressionInfo(classOf[StringPolyHash].getName, "graft_tok_hash"),
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_tok_hash(token)")
-        StringPolyHash(children(0), 31L, Hashing.TokP, 7L)
+        StringPolyHash(toString_(children(0)), 31L, Hashing.TokP, 7L)
       }),
     ("graft_tok_hashes",
       new ExpressionInfo(classOf[StringPolyHashArray].getName, "graft_tok_hashes"),
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_tok_hashes(tokens)")
-        StringPolyHashArray(children(0), 31L, Hashing.TokP, 7L)
+        StringPolyHashArray(toStringArray(children(0)), 31L, Hashing.TokP, 7L)
       }),
     ("graft_shingles",
       new ExpressionInfo(classOf[WordShinglesExpr].getName, "graft_shingles"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_shingles(words, k)")
-        WordShinglesExpr(children(0), litInt(children(1), "k"))
+        WordShinglesExpr(toStringArray(children(0)), litInt(children(1), "k"))
       }),
     ("graft_minhashes",
       new ExpressionInfo(classOf[MinHashesExpr].getName, "graft_minhashes"),
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_minhashes(token_hashes)")
-        MinHashesExpr(children(0),
+        MinHashesExpr(toLongArray(children(0)),
           Hashing.MinHashSeeds.map(_._1), Hashing.MinHashSeeds.map(_._2), Hashing.MinP)
       }),
     ("graft_simhash64",
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_simhash64(token_hashes)")
-        SimHash64Expr(children(0), Hashing.Mix, Hashing.Mix2)
+        SimHash64Expr(toLongArray(children(0)), Hashing.Mix, Hashing.Mix2)
       }),
     ("float_array_dot",
       new ExpressionInfo(classOf[FloatArrayDot].getName, "float_array_dot"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "float_array_dot(a, b)")
-        FloatArrayDot(children(0), children(1))
+        FloatArrayDot(toFloatArray(children(0)), toFloatArray(children(1)))
       }),
     ("graft_ngrams",
       new ExpressionInfo(classOf[WordNgramsExpr].getName, "graft_ngrams"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_ngrams(words, k)")
-        WordNgramsExpr(children(0), litInt(children(1), "k"))
+        WordNgramsExpr(toStringArray(children(0)), litInt(children(1), "k"))
       }),
     ("graft_repetition_stats",
       new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "graft_repetition_stats"),
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_repetition_stats(words)")
-        RepetitionStatsExpr(children(0))
+        RepetitionStatsExpr(toStringArray(children(0)))
       }),
     ("deflate_ratio",
       new ExpressionInfo(classOf[DeflateRatioExpr].getName, "deflate_ratio"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "deflate_ratio(text, level)")
-        DeflateRatioExpr(children(0), litInt(children(1), "level"))
+        DeflateRatioExpr(toString_(children(0)), litInt(children(1), "level"))
       }))
 
   /** Registers the functions into an already-built session (the
@@ -115,6 +116,21 @@ object GraftExtensions {
   private[plans] def toDouble(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(
       e, org.apache.spark.sql.types.DoubleType)
+
+  // input-type coercion for the SQL surface (round-11 review): the
+  // native expressions declare no ExpectsInputTypes, so without these
+  // casts a wrong-typed SQL argument passed analysis and crashed
+  // executors mid-stage with ClassCastException; an explicit Cast
+  // either coerces (bigint -> string) or fails at PLAN time
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.types._
+  private def toString_(e: Expression): Expression = Cast(e, StringType)
+  private def toStringArray(e: Expression): Expression =
+    Cast(e, ArrayType(StringType))
+  private def toLongArray(e: Expression): Expression =
+    Cast(e, ArrayType(LongType))
+  private def toFloatArray(e: Expression): Expression =
+    Cast(e, ArrayType(FloatType))
 
   /** Column-API handle to the native expression. */
   def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =

@@ -204,7 +204,6 @@ case class StringPolyHashArray(child: Expression, mult: Long, mod: Long, seed: L
     new GenericArrayData(out)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val arrCls = classOf[ArrayData].getName
     val genCls = classOf[GenericArrayData].getName
     nullSafeCodeGen(ctx, ev, c => {
       val out = ctx.freshName("out")

@@ -97,12 +97,19 @@ object NearestCellExpr {
   def nearest(vec: ArrayData, cents: Array[Array[Long]]): Int = {
     var best = 0
     var bestD = Long.MaxValue
+    val nv = vec.numElements()
     var j = 0
     while (j < cents.length) {
       val c = cents(j)
       var d = 0L
       var i = 0
-      while (i < c.length) {
+      // clamp to the INPUT's length like every sibling kernel (dotFloat,
+      // HyperplaneExpr.bucket): UnsafeArrayData.getLong has no bounds
+      // check, so a row shorter than the centroid dims read adjacent
+      // heap memory into the distance (round-11 review). Missing dims
+      // contribute nothing — exactly the SQL twin's dim-join semantics.
+      val n = math.min(c.length, nv)
+      while (i < n) {
         val t = vec.getLong(i) - c(i)
         d += t * t
         i += 1

@@ -647,10 +647,17 @@ object CorpusBattery {
   private def bpeEncodeSql(rounds: Int): String = {
     val framed =
       "'|' || array_to_string(list_filter(string_split(w, ''), c -> c <> ''), '||') || '|'"
+    // COALESCE each list index: when training exhausts before `rounds`
+    // (tiny corpus), ls/rs are shorter and ls[i] is NULL — an unguarded
+    // replace(acc, NULL, NULL) would NULL every word's token count
+    // while the Spark side just applies the shorter list (round-11
+    // review). The empty-string fallback renders the pattern '|||||',
+    // which can never occur in the framed word (symbols are non-empty),
+    // so the level becomes a no-op exactly like the missing merge.
     val chain = (1 to rounds).foldLeft(framed) { (acc, i) =>
       s"replace($acc,\n          " +
-        s"'|' || ls[$i] || '||' || rs[$i] || '|',\n          " +
-        s"'|' || ls[$i] || rs[$i] || '|')"
+        s"'|' || COALESCE(ls[$i], '') || '||' || COALESCE(rs[$i], '') || '|',\n          " +
+        s"'|' || COALESCE(ls[$i], '') || COALESCE(rs[$i], '') || '|')"
     }
     val union = (1 to rounds)
       .map(i => s"SELECT round, lft, rgt FROM b$i").mkString(" UNION ALL ")

@@ -120,16 +120,21 @@ object Domain {
           CAST(SUM(CAST(lny * lny AS DECIMAL(28,12))) AS DOUBLE) AS syy
         FROM lg GROUP BY 1)
       SELECT sample, total_count, n_bins,
-        ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
-        ROUND((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6) AS intercept,
-        ROUND(CASE WHEN k * syy - sy * sy = 0.0 THEN 1.0
-          ELSE (k * sxy - sx * sy) * (k * sxy - sx * sy)
+        ROUND(CASE WHEN k >= 2 AND k * sxx - sx * sx <> 0.0
+          THEN (k * sxy - sx * sy) / (k * sxx - sx * sx) END, 6) AS slope,
+        ROUND(CASE WHEN k >= 2 AND k * sxx - sx * sx <> 0.0
+          THEN (sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k END, 6) AS intercept,
+        ROUND(CASE WHEN k >= 2 AND k * sxx - sx * sx <> 0.0 AND k * syy - sy * sy = 0.0 THEN 1.0
+          WHEN k >= 2 AND k * sxx - sx * sx <> 0.0
+          THEN (k * sxy - sx * sy) * (k * sxy - sx * sy)
                / ((k * sxx - sx * sx) * (k * syy - sy * sy)) END, 6) AS r2,
         CASE WHEN total_count < 50 THEN 'incomplete'
-             WHEN ROUND(CASE WHEN k * syy - sy * sy = 0.0 THEN 1.0
-               ELSE (k * sxy - sx * sy) * (k * sxy - sx * sy)
+             WHEN ROUND(CASE WHEN k >= 2 AND k * sxx - sx * sx <> 0.0 AND k * syy - sy * sy = 0.0 THEN 1.0
+               WHEN k >= 2 AND k * sxx - sx * sx <> 0.0
+               THEN (k * sxy - sx * sy) * (k * sxy - sx * sy)
                     / ((k * sxx - sx * sx) * (k * syy - sy * sy)) END, 6) < 0.55 THEN 'poor_fit'
-             WHEN ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) > -0.1 THEN 'flat_psd'
+             WHEN ROUND(CASE WHEN k >= 2 AND k * sxx - sx * sx <> 0.0
+               THEN (k * sxy - sx * sy) / (k * sxx - sx * sx) END, 6) > -0.1 THEN 'flat_psd'
              ELSE 'ok' END AS flag
       FROM m
       ORDER BY sample"""))
@@ -370,9 +375,11 @@ object Domain {
         FROM m JOIN supplier ON sample = s_suppkey),
       sv AS (
         SELECT j.*,
-          (k * sxy - sx * sy) / (k * sxx - sx * sx) AS slope_raw,
-          CASE WHEN k * syy - sy * sy = 0.0 THEN 1.0
-            ELSE (k * sxy - sx * sy) * (k * sxy - sx * sy)
+          CASE WHEN k >= 2 AND k * sxx - sx * sx <> 0.0
+            THEN (k * sxy - sx * sy) / (k * sxx - sx * sx) END AS slope_raw,
+          CASE WHEN k >= 2 AND k * sxx - sx * sx <> 0.0 AND k * syy - sy * sy = 0.0 THEN 1.0
+            WHEN k >= 2 AND k * sxx - sx * sx <> 0.0
+            THEN (k * sxy - sx * sy) * (k * sxy - sx * sy)
                  / ((k * sxx - sx * sx) * (k * syy - sy * sy)) END AS r2_raw
         FROM j)
       SELECT sample, total_count, n_bins, peak_n, peak_esd,

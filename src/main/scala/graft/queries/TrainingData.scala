@@ -178,8 +178,11 @@ object TrainingData {
         ROW_NUMBER() OVER (PARTITION BY q.vec_id
           ORDER BY ${Similarity.cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank,
         ROUND(${Similarity.cosineSql("q.embedding", "c.embedding")}, 6) AS cosine
-      FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
-      JOIN embeddings c ON q.vec_id <> c.vec_id
+      FROM (SELECT * FROM embeddings
+            WHERE vec_id < 5 AND ${Similarity.nonZeroNormSql("embedding")}) q
+      JOIN (SELECT * FROM embeddings
+            WHERE ${Similarity.nonZeroNormSql("embedding")}) c
+        ON q.vec_id <> c.vec_id
       QUALIFY rank <= 5
       ORDER BY query_id, rank"""))
 
@@ -651,7 +654,8 @@ object TrainingData {
       WITH b AS (
         SELECT vec_id, embedding,
                ${Similarity.hyperplaneBucketSql("embedding", 4, 64)} AS bucket
-        FROM embeddings),
+        FROM embeddings
+        WHERE ${Similarity.nonZeroNormSql("embedding")}),
       q AS (
         SELECT vec_id AS q_id, embedding AS q_vec, bucket AS q_bucket
         FROM b WHERE vec_id < 5),
@@ -698,7 +702,8 @@ object TrainingData {
       WITH b AS (
         SELECT vec_id, embedding,
                ${Similarity.hyperplaneBucketSql("embedding", 4, 64)} AS bucket
-        FROM embeddings),
+        FROM embeddings
+        WHERE ${Similarity.nonZeroNormSql("embedding")}),
       q AS (
         SELECT vec_id AS q_id, embedding AS q_vec, bucket
         FROM b WHERE vec_id < 5),
@@ -760,11 +765,13 @@ object TrainingData {
       WITH c AS (
         SELECT vec_id, embedding,
                ${Similarity.cellAssignSql("embedding", cs)} AS cell
-        FROM embeddings),
+        FROM embeddings
+        WHERE ${Similarity.nonZeroNormSql("embedding")}),
       q AS (
         SELECT vec_id AS q_id, embedding AS q_vec,
                ${Similarity.probeCellsSql("embedding", cs, NPROBE)} AS probes
-        FROM embeddings WHERE vec_id < 5),
+        FROM embeddings
+        WHERE vec_id < 5 AND ${Similarity.nonZeroNormSql("embedding")}),
       p AS (
         SELECT q_id, q_vec, unnest(probes) AS probe FROM q),
       scored AS (
@@ -962,11 +969,13 @@ object TrainingData {
       WITH c AS (
         SELECT vec_id, embedding,
                ${Similarity.cellAssignSql("embedding", cs)} AS cell
-        FROM embeddings),
+        FROM embeddings
+        WHERE ${Similarity.nonZeroNormSql("embedding")}),
       q AS (
         SELECT vec_id AS q_id, embedding AS q_vec,
                ${Similarity.probeCellsSql("embedding", cs, nProbe(cs))} AS probes
-        FROM embeddings WHERE vec_id < 5),
+        FROM embeddings
+        WHERE vec_id < 5 AND ${Similarity.nonZeroNormSql("embedding")}),
       p AS (
         SELECT q_id, q_vec, unnest(probes) AS probe FROM q),
       scored AS (
