@@ -225,7 +225,10 @@ object Bench {
     val calibBefore = calibMs()
     val calibParBefore = calibParMs()
     val ticksBefore = cpuTicks()
-    run(names.head) // warmup, untimed
+    // warmup, untimed — tolerated on failure like timed() tolerates it
+    // (-1.0): an unguarded throw here would abort the whole bench with
+    // no contract JSON line for the driver's tail window to keep
+    try run(names.head) catch { case _: Throwable => () }
     hygiene()
 
     def timed(name: String): Double = {

@@ -13,8 +13,16 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   /** All registered queries, in module order. */
-  def registry: Seq[GraftQuery] =
-    queries_.flatten
+  def registry: Seq[GraftQuery] = {
+    val all = queries_.flatten
+    // a name collision across module registries would last-wins out of
+    // the `queries`/`oracleSql` maps: the shadowed query silently drops
+    // from BOTH the bench and the correctness gate while everything
+    // reports green (round-11 review) — fail at first touch instead
+    val dup = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate query names across registries: ${dup.mkString(", ")}")
+    all
+  }
 
   private def queries_ : Seq[Seq[GraftQuery]] = Seq(
     graft.queries.CoreRelational.all,

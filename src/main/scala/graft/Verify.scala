@@ -10,6 +10,10 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)    => (s, o, "")
       case Array(s, o, f) => (s, o, f)
+      case other =>
+        System.err.println(
+          s"usage: graft.Verify <sfDir> <outDir> [nameFilter] — got ${other.length} args")
+        sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -26,8 +30,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // per-query persists (dedup sketches) must not accumulate across 54 runs
+      // per-query persists (dedup sketches) must not accumulate across
+      // 100 runs; clearCache() does NOT release localCheckpoint blocks
+      // (Bpe.trainMerges leaves one per merge round — the Bench.hygiene
+      // gap, round-11 review), so drop persistent RDDs explicitly too
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -87,7 +87,11 @@ object Media {
       }
       (px, w, h)
     } else {
-      (bytes.map(b => b & 0xff), rawW, rawH)
+      // raw 8-bit payload: through the bounds-checked helper so a
+      // payload short of the declared raster raises loudly instead of
+      // returning px.length != w*h (round-11 review; resize would have
+      // silently black-padded it)
+      (grayPixels(bytes, rawW, rawH), rawW, rawH)
     }
   }
 
@@ -133,6 +137,10 @@ object Media {
     }
     val (off, size) = data.getOrElse(throw new IllegalArgumentException("no data chunk"))
     require(bits == 8 || bits == 16, s"unsupported bit depth $bits")
+    // a rate field >= 2^31 reads negative through getInt: reject like
+    // every other malformed header field instead of emitting negative
+    // durations downstream (round-11 review)
+    require(sampleRate > 0, s"malformed WAVE sample rate $sampleRate")
     val bytesPerFrame = channels * bits / 8
     val nFrames = math.min(size, bytes.length - off) / bytesPerFrame
     val out = new Array[Double](nFrames)
@@ -211,12 +219,15 @@ object Media {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val (px, _, _) = decodeImage(m.bytes, m.width, m.height)
+        // aspect comes from the DECODED dims, like the pixel stats: a
+        // container row with unset metadata (0, 0) previously reported
+        // aspect 0.0 for a perfectly decodable image (round-11 review)
+        val (px, w, h) = decodeImage(m.bytes, m.width, m.height)
         val mean = if (px.isEmpty) 0.0 else px.map(_.toLong).sum.toDouble / px.length
         ImageFeatures(
           m.media_id, m.bytes.length.toLong, mean,
           if (px.isEmpty) 0 else px.max,
-          if (m.height == 0) 0.0 else m.width.toDouble / m.height)
+          if (h == 0) 0.0 else w.toDouble / h)
       }
     }
   }

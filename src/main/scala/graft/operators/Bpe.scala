@@ -88,12 +88,20 @@ object Bpe {
   }
 
   /** Per-word BPE token count after applying an ordered merge list —
-    * the ENCODE side of the trainer: merges ship as literals inside a
-    * map-side expression (at 100 TB the merge table is a few 10k rows of
-    * driver/broadcast state; encoding never shuffles). Each word frames
-    * as in [[trainMerges]], the merges replay in training order with the
-    * same greedy left-to-right `replace`, and the token count is the
-    * surviving symbol count.
+    * the ENCODE side of the trainer: merges ship as reference-object
+    * state inside ONE map-side expression (at 100 TB the merge table is
+    * a few 10k rows of driver/broadcast state; encoding never
+    * shuffles). Each word frames as in [[trainMerges]], the merges
+    * replay in training order with the same greedy left-to-right
+    * all-occurrence literal replace ([[graft.plans.ChainReplace]]), and
+    * the token count is the surviving symbol count.
+    *
+    * Not a folded `replace` Column chain: that nests one node per
+    * merge, so a production-sized merge list (~10k rounds) built a
+    * ~10k-deep Catalyst tree that overflows the analyzer stack (the
+    * cellAssign blowup class — round-11 review). BpeSpec pins the
+    * native kernel against the textbook symbol-list fold and adds a
+    * 10k-merge depth case.
     *
     * @param word   string column (one word, no whitespace; a word
     *               containing the delimiter frames ambiguously — its
@@ -106,9 +114,11 @@ object Bpe {
     val d2 = delim + delim
     val framed = concat(lit(delim),
       array_join(filter(split(word, ""), c => c =!= ""), d2), lit(delim))
-    val applied = merges.foldLeft(framed) { case (c, (l, r)) =>
-      replace(c, lit(delim + l + d2 + r + delim), lit(delim + l + r + delim))
-    }
+    val applied = org.apache.spark.sql.GraftBridge.column(
+      graft.plans.ChainReplace(
+        org.apache.spark.sql.GraftBridge.expression(framed),
+        merges.map { case (l, r) => delim + l + d2 + r + delim }.toArray,
+        merges.map { case (l, r) => delim + l + r + delim }.toArray))
     size(split(trim(applied, delim), java.util.regex.Pattern.quote(d2)))
   }
 }

@@ -70,10 +70,29 @@ object ManualMerge {
       .select(col("class_idx").cast("int"), col("class_name"))
       .unionByName(appended)
 
-    val conflicts = annBase.groupBy(col("sample"))
+    // "annotated in both" counts REAL annotations only: every manual
+    // dataset lists all its ROIs with manual_idx null for unannotated
+    // ones, so counting placeholder rows manufactured phantom conflicts
+    // (and AddWins then replaced a sample's curated base annotations
+    // with the addition's all-null listing — round-11 review)
+    val conflicts = annBase.filter(col("manual_idx").isNotNull)
+      .groupBy(col("sample"))
       .agg(count(lit(1)).as("n_base"))
-      .join(annAdd.groupBy(col("sample")).agg(count(lit(1)).as("n_add")),
+      .join(annAdd.filter(col("manual_idx").isNotNull)
+        .groupBy(col("sample")).agg(count(lit(1)).as("n_add")),
         Seq("sample"))
+    // every OVERLAPPING sample still needs exactly one side's ROI
+    // listing in the output (both sides' rows would double-list the
+    // ROIs); non-conflict overlaps resolve to the side that actually
+    // carries annotations — the policy only arbitrates real conflicts
+    val overlap = annBase.select(col("sample")).distinct()
+      .join(annAdd.select(col("sample")).distinct(), Seq("sample"))
+    val bReal = annBase.filter(col("manual_idx").isNotNull)
+      .select(col("sample")).distinct()
+    val aReal = annAdd.filter(col("manual_idx").isNotNull)
+      .select(col("sample")).distinct()
+    val addOnlyReal = overlap.join(aReal, Seq("sample"))
+      .join(bReal, Seq("sample"), "left_anti")
 
     policy match {
       case Fail =>
@@ -103,15 +122,18 @@ object ManualMerge {
       .select(col("sample"), col("roi_number"), col("manual_idx"),
         col("class_name"))
 
-    val conflictSamples = conflicts.select(col("sample"))
-    val annotations = policy match {
-      case AddWins =>
-        baseNamed.join(conflictSamples, Seq("sample"), "left_anti")
-          .unionByName(remapped)
-      case _ =>
-        baseNamed.unionByName(
-          remapped.join(conflictSamples, Seq("sample"), "left_anti"))
-    }
+    // samples whose listing comes from the ADDITION: real conflicts when
+    // the policy says so, plus overlaps only the addition annotated;
+    // every other overlapping sample keeps the base listing
+    val addWinsSamples = (policy match {
+      case AddWins => conflicts.select(col("sample")).unionByName(addOnlyReal)
+      case _ => addOnlyReal
+    }).distinct()
+    val baseWinsSamples = overlap.join(addWinsSamples, Seq("sample"), "left_anti")
+    val annotations = baseNamed
+      .join(addWinsSamples, Seq("sample"), "left_anti")
+      .unionByName(
+        remapped.join(baseWinsSamples, Seq("sample"), "left_anti"))
     Merged(merged, annotations, conflicts)
   }
 

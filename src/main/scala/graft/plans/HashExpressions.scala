@@ -319,3 +319,43 @@ case class WordNgramsExpr(child: Expression, k: Int)
     copy(child = newChild)
   override def prettyName: String = "word_ngrams"
 }
+
+/** Sequential literal replace chain — the BPE merge-application kernel
+  * ([[graft.operators.Bpe.encodeTokenCount]]): applies each
+  * (search(i) → repl(i)) pair in order with all-occurrence literal
+  * replacement, exactly like a fold of Spark's `replace` Column — but
+  * as ONE expression node. The folded Column form nests one `replace`
+  * per merge, so a production-sized merge list (~10k rounds) built a
+  * ~10k-deep Catalyst tree that StackOverflowErrors during analysis
+  * (the cellAssign blowup class — round-11 review); here the merge
+  * lists ride as reference objects and tree depth stays 1 at any merge
+  * count.
+  */
+object ChainReplaceExpr {
+  def apply(s: UTF8String, search: Array[String], repl: Array[String]): UTF8String = {
+    var cur = s.toString
+    var i = 0
+    while (i < search.length) {
+      cur = cur.replace(search(i), repl(i))
+      i += 1
+    }
+    UTF8String.fromString(cur)
+  }
+}
+
+case class ChainReplace(child: Expression, search: Array[String], repl: Array[String])
+  extends UnaryExpression with Serializable {
+  require(search.length == repl.length,
+    s"search/replace lists differ: ${search.length} vs ${repl.length}")
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    ChainReplaceExpr(input.asInstanceOf[UTF8String], search, repl)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("search", search, "java.lang.String[]")
+    val r = ctx.addReferenceObj("repl", repl, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.ChainReplaceExpr.apply($c, $s, $r)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ChainReplace =
+    copy(child = newChild)
+  override def prettyName: String = "chain_replace"
+}

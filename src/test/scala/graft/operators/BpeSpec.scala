@@ -47,6 +47,20 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq((1, "a", "b", 2L))) // a|b excluded from the census
   }
 
+  test("encodeTokenCount survives a 10k-entry merge list (round-11 depth fix)") {
+    import org.apache.spark.sql.functions.col
+    // the folded replace-Column form nested one node per merge and
+    // overflowed the analyzer stack at production merge counts; the
+    // ChainReplace kernel must stay depth-1 and still apply the list
+    val merges = Seq(("a", "b"), ("ab", "c")) ++
+      (0 until 10000).map(i => (s"x${i % 100}", s"y${i % 97}"))
+    val got = Seq("abcabc", "zzzz").toDF("w")
+      .select(Bpe.encodeTokenCount(col("w"), merges).as("n"))
+      .as[Int].collect().toSeq
+    // "abcabc": a+b -> ab, ab+c -> abc => 2 tokens; "zzzz" untouched => 4
+    assert(got == Seq(2, 4), got.toString)
+  }
+
   test("encodeTokenCount equals a list-based BPE fold over random words and merge lists") {
     // property differential (round 10): the Column encode side is a
     // chain of delimiter-framed string `replace`s — equivalence with the
