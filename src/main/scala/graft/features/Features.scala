@@ -49,26 +49,34 @@ object Features {
   def findBlobs(mask: Mask): Seq[Mask] = {
     val (lab, n) = Raster.label(mask, conn8 = true)
     val h = mask.h; val w = mask.w
-    (1 to n).map { k =>
-      var area = 0; var y0 = h; var y1 = -1; var x0 = w; var x1 = -1
-      var p = 0
-      while (p < lab.length) {
-        if (lab(p) == k) {
-          area += 1
-          val y = p / w; val x = p % w
-          if (y < y0) y0 = y
-          if (y > y1) y1 = y
-          if (x < x0) x0 = x
-          if (x > x1) x1 = x
-        }
-        p += 1
+    // ONE pass accumulates every label's area + bbox extrema — the
+    // per-label full-image rescans were O(numBlobs·h·w) on the per-row
+    // extraction hot path (round-11 review); crops then touch only
+    // their own bbox regions
+    val area = new Array[Int](n + 1)
+    val ry0 = Array.fill(n + 1)(h); val ry1 = Array.fill(n + 1)(-1)
+    val rx0 = Array.fill(n + 1)(w); val rx1 = Array.fill(n + 1)(-1)
+    var p = 0
+    while (p < lab.length) {
+      val k = lab(p)
+      if (k > 0) {
+        area(k) += 1
+        val y = p / w; val x = p % w
+        if (y < ry0(k)) ry0(k) = y
+        if (y > ry1(k)) ry1(k) = y
+        if (x < rx0(k)) rx0(k) = x
+        if (x > rx1(k)) rx1(k) = x
       }
-      val bh = y1 - y0 + 1; val bw = x1 - x0 + 1
+      p += 1
+    }
+    (1 to n).map { k =>
+      val y0 = ry0(k); val x0 = rx0(k)
+      val bh = ry1(k) - y0 + 1; val bw = rx1(k) - x0 + 1
       val cropped = Mask.empty(bh, bw)
       for (i <- 0 until bh; j <- 0 until bw)
         cropped.set(i, j, lab((y0 + i) * w + (x0 + j)) == k)
-      (area, x0, y0, cropped)
-    }.sortBy { case (area, x0, y0, _) => (-area, x0, y0) }
+      (area(k), x0, y0, cropped)
+    }.sortBy { case (a, x0, y0, _) => (-a, x0, y0) }
       .map(_._4)
   }
 
@@ -208,8 +216,11 @@ object Features {
           graft.multimodal.Media.grayPixels(bytes, w, h))
         val mask = Segmentation.segmentRoi(roi)
         val slim = compute(id, mask)
+        // numBlobs already encodes emptiness — re-running the full
+        // connected-component labeling just for the guard was a third
+        // labeling pass per row on the hot path (round-11 review)
         val ext =
-          if (findBlobs(mask).isEmpty) Map.empty[String, Double]
+          if (slim.numBlobs == 0) Map.empty[String, Double]
           else ExtendedFeatures.compute(mask, roi)
         (slim, ext)
       }

@@ -22,6 +22,23 @@ object Mask {
   }
 }
 
+/** Primitive int stack for the flood fills: java.util.ArrayDeque boxes
+  * every pushed pixel index into an Integer, one short-lived heap
+  * object per pixel visit on the per-row kernel hot path (round-11
+  * review). Each pixel is marked before push, so the mask size bounds
+  * the depth; the array grows geometrically from a small start.
+  */
+private[features] final class IntStack(initialCap: Int = 256) {
+  private var a = new Array[Int](math.max(initialCap, 16))
+  private var n = 0
+  def push(v: Int): Unit = {
+    if (n == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+    a(n) = v; n += 1
+  }
+  def pop(): Int = { n -= 1; a(n) }
+  def isEmpty: Boolean = n == 0
+}
+
 /** Raster primitives mirroring the reference's scipy/skimage usage
   * (`ifcb-features/ifcb_features/morphology.py:12-20`, `blobs.py:7-30`,
   * `biovolume.py:62-64`): 4/8-connected labeling, exact euclidean
@@ -136,7 +153,7 @@ object Raster {
     val nbrs = if (conn8) Array((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
                else Array((-1, 0), (1, 0), (0, -1), (0, 1))
     var next = 0
-    val stack = new java.util.ArrayDeque[Int]()
+    val stack = new IntStack()
     var i = 0
     while (i < m.h) {
       var j = 0
@@ -173,7 +190,7 @@ object Raster {
     */
   def fillHoles(m: Mask): Mask = {
     val reach = Mask.empty(m.h, m.w)
-    val stack = new java.util.ArrayDeque[Int]()
+    val stack = new IntStack()
     def push(i: Int, j: Int): Unit =
       if (!m(i, j) && !reach(i, j)) { reach.set(i, j, true); stack.push(i * m.w + j) }
     for (i <- 0 until m.h) { push(i, 0); push(i, m.w - 1) }

@@ -71,7 +71,7 @@ object Segmentation {
   def hysthresh(img: Array[Double], h: Int, w: Int, t1: Double, t2: Double): Mask = {
     val hi = math.max(t1, t2); val lo = math.min(t1, t2)
     val edges = Mask.empty(h, w)
-    val stack = new java.util.ArrayDeque[Int]()
+    val stack = new IntStack()
     var k = 0
     while (k < img.length) {
       if (img(k) > hi) { edges.data(k) = true; stack.push(k) }
@@ -172,6 +172,10 @@ object Segmentation {
     val n = values.length
     val centers = Array(0.0f, 1.0f)
     if (n == 0) return (centers, new Array[Byte](0))
+    // a single point cannot populate two clusters: the empty-cluster
+    // donation scan below would search for a member of the other
+    // cluster and run off the end of idx (round-11 review)
+    if (n == 1) return (Array(values(0), values(0)), Array[Byte](0))
     val dist = Array.ofDim[Float](2, n)
     def distTo(c: Int): Unit = {
       val cv = centers(c)
@@ -341,6 +345,13 @@ object Segmentation {
     */
   def segmentRoi(roi: Gray, edges: Gray => Array[Double] = PhaseCongruency.edges): Mask = {
     val h = roi.h; val w = roi.w
+    // degenerate rasters (a corrupt ADC row can claim width/height 1;
+    // RoiSource only filters <= 0): the border trim below indexes
+    // col w-2 / row h-2, which for w or h < 2 reads out of bounds —
+    // and a 1-pixel-anything ROI has no segmentable content anyway, so
+    // return the empty mask instead of crashing the executor task
+    // (round-11 review; Features.compute handles zero blobs)
+    if (h < 2 || w < 2) return Mask.empty(h, w)
     var b = hysthresh(edges(roi), h, w, HtT1, HtT2)
     // trim pixels off the border (segmentation.py:167-170), in order:
     // left col, right col, top row, bottom row — each sees prior updates
