@@ -336,6 +336,12 @@ object Dedup {
       col(id).as("__id"), col(vec).as("__v"),
       blockCol.map(col).getOrElse(lit(0)).as("__blk"),
       sqrt(Similarity.dot(col(vec), col(vec))).as("__n"))
+      // zero-norm exclusion (round-11): a zero vector's cosine is
+      // 0/0 = NaN, and Spark's total-order comparison makes
+      // NaN >= minCosine TRUE — every zero vector would be flagged a
+      // near-dup of its whole block. Cosine similarity is undefined
+      // for it; it can neither drop nor be dropped (the topK rule).
+      .filter(col("__n") > 0.0)
     e.as("x").join(e.as("y"),
         col("x.__blk") === col("y.__blk") && col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),

@@ -153,7 +153,10 @@ object TrainingData {
     Some(s"""
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              ROUND(${Similarity.cosineSql("a.embedding", "b.embedding")}, 6) AS cosine
-      FROM embeddings a JOIN embeddings b
+      FROM (SELECT * FROM embeddings
+            WHERE ${Similarity.nonZeroNormSql("embedding")}) a
+      JOIN (SELECT * FROM embeddings
+            WHERE ${Similarity.nonZeroNormSql("embedding")}) b
         ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.4
       ORDER BY id_a, id_b"""))
@@ -829,7 +832,9 @@ object TrainingData {
       d AS (
         SELECT DISTINCT y.vec_id AS did
         FROM c x JOIN c y ON x.cell = y.cell AND x.vec_id < y.vec_id
-        WHERE ${Similarity.cosineSql("x.embedding", "y.embedding")} >= $TAU),
+        WHERE ${Similarity.nonZeroNormSql("x.embedding")}
+          AND ${Similarity.nonZeroNormSql("y.embedding")}
+          AND ${Similarity.cosineSql("x.embedding", "y.embedding")} >= $TAU),
       f AS (
         SELECT c.vec_id, c.cell, d.did IS NOT NULL AS dropped
         FROM c LEFT JOIN d ON c.vec_id = d.did)
