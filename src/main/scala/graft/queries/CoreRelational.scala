@@ -25,7 +25,13 @@ object CoreRelational {
     (s, d) => {
       import s.implicits._
       lineitem(s, d)
-        .filter($"l_shipdate" < lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+        // string-literal cast parses in the SESSION timezone (pinned
+        // UTC), matching the oracle's naive TIMESTAMP literal;
+        // java.sql.Timestamp.valueOf parsed in the JVM DEFAULT timezone
+        // and shifted the cutoff on any non-UTC host — empirically
+        // reproduced: all 6 q01 rows mismatched under
+        // -Duser.timezone=America/New_York (round-11 review)
+        .filter($"l_shipdate" < lit("2000-01-01 00:00:00").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           dsum($"l_quantity").as("sum_qty"),

@@ -245,6 +245,16 @@ object CorpusBattery {
     * gram through an exchange for values each row already owns.) Flags
     * and rollups are pure integer arithmetic (top2*25 > tot2*2 ⇔
     * top2/tot2 > 0.08), so both engines agree exactly.
+    *
+    * Short-doc caveat (round-11 review): with ≤ 12 two-gram
+    * occurrences (≤ ~13 words), top2 ≥ 1 makes the 8% rule vacuously
+    * true — every short document flags "repetitious" regardless of
+    * content, mirroring Gopher's behavior of pairing this rule with
+    * LENGTH prefilters. A consumer using rep_flag as a standalone
+    * quality gate must gate on word count first (as
+    * [[graft.jobs.CorpusPrep]]'s quality stage effectively does); the
+    * metric here is kept rule-faithful rather than floor-patched so
+    * both engines stay bit-identical to the published arithmetic.
     */
   private val q65 = GraftQuery(
     "q65_repetition_filter",
@@ -316,18 +326,29 @@ object CorpusBattery {
     "q66_domain_mix_sample",
     (s, d) => {
       import s.implicits._
+      // materialize the 3-column projection once (the q62 discipline):
+      // the scan + tokenization otherwise ran under the dim aggregate
+      // AND the probe join — and the dim subtree itself ran twice via
+      // the crossJoin against its own aggregate (the exact shape q85's
+      // window idiom exists to avoid) — 3x the dominant per-row cost
+      // (round-11 review)
       val docs = documents(s, d)
         .select($"doc_id", $"source",
           size(Hashing.words($"text")).cast("long").as("tokens"))
+        .localCheckpoint()
       val dim = docs.groupBy($"source").agg(sum($"tokens").as("tok_s"))
         .withColumn("w", floor(sqrt($"tok_s")).cast("long"))
-      val tot = dim.agg(sum($"w").as("total_w"), sum($"tok_s").as("total_tok"))
       // w * budget overflows BIGINT once the corpus reaches ~10^13 tokens
       // (w ≈ √tok ≈ 5e6, budget ≈ 1.2e13 → 6e19 > Long.MaxValue): route
       // the product through DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) —
       // `div` truncation on positive operands matches `//` exactly, and
-      // the quotient (≤ budget) is back inside BIGINT before the ×65536
-      val rates = dim.crossJoin(broadcast(tot))
+      // the quotient (≤ budget) is back inside BIGINT before the ×65536.
+      // Corpus-wide totals via the q85 empty-partition window over the
+      // source-count-sized dim, not a crossJoin against dim's own agg
+      val wAll = Window.partitionBy()
+      val rates = dim
+        .withColumn("total_w", sum($"w").over(wAll))
+        .withColumn("total_tok", sum($"tok_s").over(wAll))
         .withColumn("bound", least(lit(65536L),
           expr("CAST(w AS DECIMAL(38,0)) * (total_tok div 2) div total_w" +
             " * 65536 div tok_s")))
@@ -810,11 +831,15 @@ object CorpusBattery {
         .select($"doc_id",
           explode(Hashing.shingles(Hashing.words($"text"), 4)).as("sh"))
         .withColumn("fp", Hashing.fingerprint($"sh"))
-      val totals = valG.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
-      val hits = valG.join(train, Seq("fp"), "left_semi")
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
-      totals.join(hits, Seq("doc_id"), "left")
-        .select($"doc_id", $"n_grams", coalesce($"n_hit", lit(0L)).as("n_hit"))
+      // ONE pass over the exploded val grams: a left join against the
+      // DISTINCT train set (no row duplication possible) marks hits,
+      // and a single aggregation counts totals + hits together — the
+      // old totals/hits branch pair evaluated the val-side tokenize +
+      // shingle + fingerprint twice per run (round-11 review)
+      valG.join(train.withColumn("__hit", lit(true)), Seq("fp"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(when($"__hit", lit(1))).as("n_hit"))
         .orderBy($"doc_id")
     },
     Some(s"""
@@ -918,17 +943,40 @@ object CorpusBattery {
     * contamination question and makes the 1:1-dim-join guarantee exact;
     * [[q98]] is that occurrence-keyed variant.
     */
+  /** Shared window-fingerprint frame of the substring-dedup family
+    * (q93/q94/q98): one row per (doc_id, pos, fp) over
+    * [[SubstrWindow]]-token sliding windows, with the matching DuckDB
+    * `w/ge/gf` CTE block. Previously three verbatim copies that could
+    * drift independently (round-11 review).
+    */
+  private val SubstrWindow = 8
+
+  private def windowFp(s: org.apache.spark.sql.SparkSession, d: String) = {
+    documents(s, d)
+      .select(col("doc_id"),
+        posexplode(Corpus.ngrams(Hashing.words(col("text")), SubstrWindow)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        Hashing.fingerprint(col("gram")).as("fp"))
+  }
+
+  private def windowFpSql: String =
+    s"""w AS (
+      |        SELECT doc_id, ${Corpus.ngramsSql(W, SubstrWindow)} AS grams FROM documents),
+      |      ge AS (
+      |        SELECT doc_id, unnest(range(0, len(grams))) AS pos,
+      |               unnest(grams) AS gram
+      |        FROM w),
+      |      gf AS (
+      |        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |               ${Hashing.fingerprintSql("gram")} AS fp
+      |        FROM ge)""".stripMargin
+
   private val q93 = {
-    val SW = 8
     GraftQuery(
       "q93_substring_dedup",
       (s, d) => {
         import s.implicits._
-        val g = documents(s, d)
-          .select($"doc_id",
-            posexplode(Corpus.ngrams(Hashing.words($"text"), SW)).as(Seq("pos", "gram")))
-          .select($"doc_id", $"pos".cast("long").as("pos"),
-            Hashing.fingerprint($"gram").as("fp"))
+        val g = windowFp(s, d)
         val dupFp = g.groupBy($"fp")
           .agg(countDistinct($"doc_id").as("n_docs"))
           .filter($"n_docs" >= 2L)
@@ -944,16 +992,7 @@ object CorpusBattery {
           .orderBy($"doc_id")
       },
       Some(s"""
-      WITH w AS (
-        SELECT doc_id, ${Corpus.ngramsSql(W, SW)} AS grams FROM documents),
-      ge AS (
-        SELECT doc_id, unnest(range(0, len(grams))) AS pos,
-               unnest(grams) AS gram
-        FROM w),
-      gf AS (
-        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-               ${Hashing.fingerprintSql("gram")} AS fp
-        FROM ge),
+      WITH $windowFpSql,
       dup AS (
         SELECT fp, 1 AS is_dup FROM gf
         GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2)
@@ -984,16 +1023,12 @@ object CorpusBattery {
     * note).
     */
   private val q94 = {
-    val SW = 8
+    val SW = SubstrWindow
     GraftQuery(
       "q94_dup_spans",
       (s, d) => {
         import s.implicits._
-        val g = documents(s, d)
-          .select($"doc_id",
-            posexplode(Corpus.ngrams(Hashing.words($"text"), SW)).as(Seq("pos", "gram")))
-          .select($"doc_id", $"pos".cast("long").as("pos"),
-            Hashing.fingerprint($"gram").as("fp"))
+        val g = windowFp(s, d)
         val dupFp = g.groupBy($"fp")
           .agg(countDistinct($"doc_id").as("n_docs"))
           .filter($"n_docs" >= 2L)
@@ -1014,16 +1049,7 @@ object CorpusBattery {
           .orderBy($"doc_id", $"span_start")
       },
       Some(s"""
-      WITH w AS (
-        SELECT doc_id, ${Corpus.ngramsSql(W, SW)} AS grams FROM documents),
-      ge AS (
-        SELECT doc_id, unnest(range(0, len(grams))) AS pos,
-               unnest(grams) AS gram
-        FROM w),
-      gf AS (
-        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-               ${Hashing.fingerprintSql("gram")} AS fp
-        FROM ge),
+      WITH $windowFpSql,
       dup AS (
         SELECT fp FROM gf GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
       dw AS (
@@ -1064,16 +1090,11 @@ object CorpusBattery {
     * join multiplicity.
     */
   private val q98 = {
-    val SW = 8
     GraftQuery(
       "q98_substring_dedup_within",
       (s, d) => {
         import s.implicits._
-        val g = documents(s, d)
-          .select($"doc_id",
-            posexplode(Corpus.ngrams(Hashing.words($"text"), SW)).as(Seq("pos", "gram")))
-          .select($"doc_id", $"pos".cast("long").as("pos"),
-            Hashing.fingerprint($"gram").as("fp"))
+        val g = windowFp(s, d)
         val dupFp = g.groupBy($"fp")
           .agg(count(lit(1)).as("n_occ"),
             countDistinct($"doc_id").as("n_docs"))
@@ -1090,16 +1111,7 @@ object CorpusBattery {
           .orderBy($"doc_id")
       },
       Some(s"""
-      WITH w AS (
-        SELECT doc_id, ${Corpus.ngramsSql(W, SW)} AS grams FROM documents),
-      ge AS (
-        SELECT doc_id, unnest(range(0, len(grams))) AS pos,
-               unnest(grams) AS gram
-        FROM w),
-      gf AS (
-        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-               ${Hashing.fingerprintSql("gram")} AS fp
-        FROM ge),
+      WITH $windowFpSql,
       dup AS (
         SELECT fp, COUNT(DISTINCT doc_id) >= 2 AS cross_doc FROM gf
         GROUP BY fp HAVING COUNT(*) >= 2)

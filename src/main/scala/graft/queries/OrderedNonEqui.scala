@@ -253,11 +253,15 @@ object OrderedNonEqui {
         .orderBy($"p_type")
     },
     Some("""
-      SELECT p_type, MAX(CAST(regexp_extract(p_brand, '#(\d+)', 1) AS INT)) AS max_ver,
+      SELECT p_type, MAX(TRY_CAST(regexp_extract(p_brand, '#(\d+)', 1) AS INT)) AS max_ver,
              COUNT(*) AS n
       FROM part
       GROUP BY p_type
       ORDER BY p_type"""))
+      // TRY_CAST mirrors Spark's non-ANSI cast: a p_brand without the
+      // Brand#N shape extracts '' and strict CAST('' AS INT) would
+      // hard-error the whole oracle query instead of comparing the
+      // null Spark produces (round-11 review)
 
   /** A13 grouped collect + pair resolution (03_delete_duplicates.R:27-60):
     * orders whose lineitems span exactly two distinct return flags; the

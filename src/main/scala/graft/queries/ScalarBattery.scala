@@ -121,9 +121,16 @@ object ScalarBattery {
     Some("""
       SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
              MIN(k) AS min_k, MAX(k) AS max_k
-      FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events) t
+      FROM (SELECT event_type,
+              CASE WHEN json_valid(props)
+                THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS k
+            FROM events) t
       GROUP BY event_type
       ORDER BY event_type"""))
+      // json_valid + TRY_CAST mirror from_json's lenient nulls: DuckDB's
+      // strict ->> / CAST hard-error on a malformed props row or a
+      // non-integer k, aborting the oracle instead of comparing values
+      // (round-11 review)
 
   /** P6 stale-fix nulling (Rmd:255-258), P7 QC-flag gating (Rmd:1145-1157),
     * P8 sentinel→null (Rmd:1333-1339) — the three conditional-invalidation
