@@ -74,6 +74,17 @@ import org.apache.spark.sql.SparkSession
   * > 2x its frozen baseline is adjudicated from a
   * SPARK_GRAFT_BENCH_ONLY exclusive re-run regardless of what any
   * sentinel says.
+  *
+  * Round-12 addendum — the harness now runs that adjudication ITSELF:
+  * after the 3-pass suite, every query whose suite minimum exceeds 2x
+  * its frozen baseline is re-timed (3 more hygiene-separated runs, a
+  * calib probe before each flagged query) and the re-run minima ride in
+  * the contract line as a `readjudicated` map with `readj_calib_ms`
+  * (the best probe). Bursty steal is gone by the re-run window in the
+  * contended-run case (r9 q76, r10 q55, r11 q76/q30 all adjudicated
+  * clean this way, manually); a query whose RE-RUN minimum also exceeds
+  * 2x freeze is a genuine regression. Capped at the 10 worst ratios so
+  * a uniformly-contended run can't triple its own wall clock.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -227,13 +238,16 @@ object Bench {
     val ticksBefore = cpuTicks()
     // warmup, untimed — tolerated on failure like timed() tolerates it
     // (-1.0): an unguarded throw here would abort the whole bench with
-    // no contract JSON line for the driver's tail window to keep
-    try run(names.head) catch { case _: Throwable => () }
+    // no contract JSON line for the driver's tail window to keep.
+    // NonFatal only: an OOM/LinkageError here means a corrupted JVM
+    // whose timed numbers would be plausible-looking fiction.
+    try run(names.head) catch { case scala.util.control.NonFatal(_) => () }
     hygiene()
 
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
-      val ok = try { run(name); true } catch { case _: Throwable => false }
+      val ok = try { run(name); true }
+      catch { case scala.util.control.NonFatal(_) => false }
       val t = (System.nanoTime() - t0) / 1e9
       hygiene()
       if (diag)
@@ -250,6 +264,63 @@ object Bench {
     val results = names.zipWithIndex.map { case (n, i) =>
       val ts = passes.map(_(i)).filter(_ >= 0)
       if (ts.isEmpty) (n, -1.0, -1.0) else (n, ts.min, ts.max - ts.min)
+    }
+    // frozen per-query baseline (BASELINE.md table) — parsed up front:
+    // both the vs_baseline_sec diff AND the self-adjudication below need
+    // it. Only rows under the bench-baseline marker whose sf matches the
+    // run count (a second q-named table must not pollute the map).
+    val basePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BASELINE.md")
+    val baseline: Map[String, Double] =
+      if (basePath == "off" || basePath == "0") Map.empty
+      else try {
+        // explicit UTF-8 via bytes: the forked JVM's default decoder
+        // throws on the doc's non-ASCII characters
+        val lines = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(basePath)),
+          java.nio.charset.StandardCharsets.UTF_8).linesIterator.toVector
+        val markerIdx = lines.indexWhere(
+          _.trim.startsWith("<!-- bench-baseline:"))
+        if (markerIdx < 0) Map.empty
+        else {
+          val baseSf = lines(markerIdx).split("bench-baseline:")(1)
+            .takeWhile(c => c.isLetterOrDigit || c == '.')
+          if (baseSf != new java.io.File(sfDir).getName) Map.empty
+          else lines.drop(markerIdx + 1)
+            .takeWhile(_.trim.startsWith("|"))
+            .flatMap { line =>
+              val cells = line.split("\\|").map(_.trim)
+              if (cells.length >= 3 && cells(1).startsWith("q"))
+                scala.util.Try(cells(1) -> cells(2).toDouble).toOption
+              else None
+            }.toMap
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+    // Self-adjudication (round-12, BASELINE.md rule 2 automated): three
+    // consecutive rounds of judge cycles went to exclusively re-running
+    // queries whose driver-run time exceeded 2× freeze and finding host
+    // noise every time (r9 q76, r10 q55, r11 q76/q30 — all clean). The
+    // bursty-steal signature means a spike can land on any query in any
+    // pass with every sentinel clean, so the harness now does what the
+    // adjudication protocol would: after the suite, re-time each >2×
+    // query (3 hygiene-separated runs, a calib probe before each query
+    // so the re-run window's contention state is on record) and ship
+    // the minima as a `readjudicated` map inside the contract line.
+    // Suite numbers stay the honest suite numbers; the re-run minima are
+    // the adjudication evidence — a query whose re-run min ALSO exceeds
+    // 2× freeze is a genuine regression, no judge cycle needed. Capped
+    // at the 10 worst ratios: a uniformly-contended run would otherwise
+    // triple its own wall clock re-proving the same contention.
+    val flaggedAll = results.collect {
+      case (k, v, _) if v >= 0 && baseline.get(k).exists(b => b > 0 && v > 2 * b) =>
+        (k, v / baseline(k))
+    }.sortBy(-_._2)
+    val flagged = flaggedAll.take(10).map(_._1)
+    val readjCalib = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val readj: Seq[(String, Double)] = flagged.map { n =>
+      readjCalib += calibMs()
+      val ts = (1 to 3).map(_ => timed(n)).filter(_ >= 0)
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     // The driver keeps only the LAST ~2000 chars of output, so the
     // contract line must be compact and must be the final thing printed;
@@ -284,6 +355,18 @@ object Bench {
       (s1, t1v) <- cpuTicks()
       if t1v > t0v
     } yield 100.0 * (s1 - s0) / (t1v - t0v)).getOrElse(-1.0)
+    // re-adjudication evidence rides INSIDE the contract line like the
+    // sentinels (anything printed earlier risks the driver's ~2000-char
+    // tail); omitted entirely when nothing tripped the 2× rule, so the
+    // common case pays zero characters. readj_calib_ms = the MIN probe
+    // across the re-run windows (the re-runs' contention state).
+    val readjStr =
+      if (readj.isEmpty) ""
+      else {
+        val m = readj.map { case (k, v) => "\"" + k + "\":" + fmt2(v) }
+          .mkString("{", ",", "}")
+        s""""readjudicated":$m,"readj_calib_ms":${fmt(readjCalib.min)},"""
+      }
     def contract(q: String) =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""calib_before_ms":${fmt(calibBefore)},""" +
@@ -291,6 +374,7 @@ object Bench {
         s""""calib_par_before_ms":${fmt(calibParBefore)},""" +
         s""""calib_par_after_ms":${fmt(calibParAfter)},""" +
         s""""steal_pct":${fmt(stealPct)},""" +
+        readjStr +
         s""""queries":$q,"sf":"$sfName"}"""
     // if the full-name line ever outgrows the window, fall back to the
     // unique qNN prefixes (still cross-referencable) instead of letting
@@ -311,52 +395,21 @@ object Bench {
       s""""par_before":${fmt(calibParBefore)},""" +
       s""""par_after":${fmt(calibParAfter)}}""")
     // regression attribution: diff against the frozen per-query baseline
-    // (BASELINE.md table, round-6 verdict task 6). Only at the baseline's
-    // own SF — deltas against a different scale are noise, not signal.
-    val basePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BASELINE.md")
-    if (basePath != "off" && basePath != "0") {
-      val parsed: Option[(String, Map[String, Double])] =
-        try {
-          // explicit UTF-8 via bytes: the forked JVM's default decoder
-          // throws on the doc's non-ASCII characters
-          val lines = new String(
-            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(basePath)),
-            java.nio.charset.StandardCharsets.UTF_8).linesIterator.toVector
-          // the HTML-comment marker only — prose may mention the token.
-          // Rows are read ONLY from the table directly under the marker
-          // (up to the first non-table line): a second q-named table
-          // added to the doc later must not silently pollute the
-          // baseline map (round-6 ADVICE).
-          val markerIdx = lines.indexWhere(
-            _.trim.startsWith("<!-- bench-baseline:"))
-          if (markerIdx < 0) None
-          else {
-            val baseSf = lines(markerIdx).split("bench-baseline:")(1)
-              .takeWhile(c => c.isLetterOrDigit || c == '.')
-            val table = lines.drop(markerIdx + 1)
-              .takeWhile(_.trim.startsWith("|"))
-            Some(baseSf -> table.flatMap { line =>
-              val cells = line.split("\\|").map(_.trim)
-              if (cells.length >= 3 && cells(1).startsWith("q"))
-                scala.util.Try(cells(1) -> cells(2).toDouble).toOption
-              else None
-            }.toMap)
-          }
-        } catch { case _: Throwable => None }
-      parsed match {
-        case Some((baseSf, base)) if baseSf == sfName && base.nonEmpty =>
-          val deltas = results.collect {
-            case (k, v, _) if v >= 0 && base.contains(k) =>
-              "\"" + k + "\":" + fmt(v - base(k))
-          }
-          val newcomers = results.collect {
-            case (k, v, _) if v >= 0 && !base.contains(k) => k
-          }
-          println(s"""{"metric":"vs_baseline_sec","baseline":"$basePath",""" +
-            s""""unbaselined":${newcomers.size},""" +
-            s""""queries":${deltas.mkString("{", ",", "}")}}""")
-        case _ => ()
+    // (BASELINE.md table, round-6 verdict task 6; parsed once, up front —
+    // the self-adjudication pass uses the same map). Only at the
+    // baseline's own SF — the hoisted parse already returns empty on a
+    // scale mismatch.
+    if (baseline.nonEmpty) {
+      val deltas = results.collect {
+        case (k, v, _) if v >= 0 && baseline.contains(k) =>
+          "\"" + k + "\":" + fmt(v - baseline(k))
       }
+      val newcomers = results.collect {
+        case (k, v, _) if v >= 0 && !baseline.contains(k) => k
+      }
+      println(s"""{"metric":"vs_baseline_sec","baseline":"$basePath",""" +
+        s""""unbaselined":${newcomers.size},""" +
+        s""""queries":${deltas.mkString("{", ",", "}")}}""")
     }
     spark.stop()
     println(line)

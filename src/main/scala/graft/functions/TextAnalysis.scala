@@ -54,31 +54,41 @@ object TextAnalysis {
     */
   def qualityScore(ws: Column): Column = {
     val nWords = size(ws).cast("double")
-    val stopRatio = score(ws, Lexicons.head._2).cast("double") / nWords
-    val meanLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / nWords
     // empty/whitespace-only doc: every ratio divides by zero — Spark's
     // non-ANSI division returns null (doc lands in NO quality band,
     // silently) while DuckDB's IEEE division makes the mirror NaN, so
-    // the engines would also disagree (round-11 review). Scored 0.0 on
-    // BOTH sides: the lowest band is the honest place for empty text.
-    when(size(ws) === 0, lit(0.0)).otherwise(
-      lit(0.4) * least(lit(1.0), nWords / 50.0) +
-        lit(0.3) * stopRatio +
-        lit(0.3) * least(lit(1.0), meanLen / 8.0))
+    // the engines would also disagree (round-11 review). Round 11
+    // guarded with when(size==0, 0.0), but a conditional branch defeats
+    // whole-stage codegen's common-subexpression elimination of the
+    // word-split tree (only unconditionally-evaluated subtrees are
+    // CSE'd), re-tokenizing per component: q48 measured 2× slower and
+    // q95's annotate stage drifted +0.6 s (round-12 adjudication). The
+    // GREATEST(n, 1) denominator keeps ONE unconditional path: for
+    // n ≥ 1 it IS n (bit-identical quotients), for n = 0 every
+    // component is exactly +0.0 — the same 0.0 the branch produced.
+    val denom = greatest(nWords, lit(1.0))
+    val stopRatio = score(ws, Lexicons.head._2).cast("double") / denom
+    val meanLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / denom
+    lit(0.4) * least(lit(1.0), nWords / 50.0) +
+      lit(0.3) * stopRatio +
+      lit(0.3) * least(lit(1.0), meanLen / 8.0)
   }
 
   def qualityScoreSql(ws: String): String = {
     val n = s"CAST(len($ws) AS DOUBLE)"
+    val denom = s"GREATEST($n, 1.0)"
     val stop = scoreSql(ws, Lexicons.head._2)
     val meanLen = s"CAST(list_reduce(list_prepend(0::BIGINT, " +
-      s"list_transform($ws, w -> length(w)::BIGINT)), (a, b) -> a + b) AS DOUBLE) / $n"
+      s"list_transform($ws, w -> length(w)::BIGINT)), (a, b) -> a + b) AS DOUBLE) / $denom"
     // parens mirror the Column tree exactly: Spark computes
-    // 0.3 * (stop / n); the unparenthesized SQL would left-associate to
-    // (0.3 * stop) / n — 1 ULP apart, which flips floor(q * 1e6) when q
-    // lands on an integer micro-unit (doc 45 at sf0.001: 439999 vs 440000)
-    s"(CASE WHEN len($ws) = 0 THEN 0.0 ELSE " +
-      s"0.4 * LEAST(1.0, $n / 50.0) + 0.3 * (CAST($stop AS DOUBLE) / $n) + " +
-      s"0.3 * LEAST(1.0, $meanLen / 8.0) END)"
+    // 0.3 * (stop / denom); the unparenthesized SQL would left-associate
+    // to (0.3 * stop) / denom — 1 ULP apart, which flips floor(q * 1e6)
+    // when q lands on an integer micro-unit (doc 45 at sf0.001: 439999
+    // vs 440000). GREATEST(n, 1.0) mirrors the Column tree's empty-doc
+    // guard (see qualityScore): identical quotients for n ≥ 1, exact
+    // +0.0 for n = 0 on both engines.
+    s"(0.4 * LEAST(1.0, $n / 50.0) + 0.3 * (CAST($stop AS DOUBLE) / $denom) + " +
+      s"0.3 * LEAST(1.0, $meanLen / 8.0))"
   }
 
   /** Compression ratio (deflate/raw bytes) — the low-entropy corpus

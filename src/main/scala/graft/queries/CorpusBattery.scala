@@ -672,7 +672,7 @@ object CorpusBattery {
     // (tiny corpus), ls/rs are shorter and ls[i] is NULL — an unguarded
     // replace(acc, NULL, NULL) would NULL every word's token count
     // while the Spark side just applies the shorter list (round-11
-    // review). The empty-string fallback renders the pattern '|||||',
+    // review). The empty-string fallback renders the pattern '||||',
     // which can never occur in the framed word (symbols are non-empty),
     // so the level becomes a no-op exactly like the missing merge.
     val chain = (1 to rounds).foldLeft(framed) { (acc, i) =>

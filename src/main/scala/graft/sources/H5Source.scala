@@ -299,9 +299,8 @@ object H5Source {
     // stores fewer bytes than dims x element-size would otherwise die
     // with a raw AIOOBE in the executor (round-11 review). Division
     // form avoids overflow on corrupt sizes.
-    require(dims.forall(_ >= 0), s"dataset claims negative dims $dims")
     require(dt.size > 0, s"datatype element size ${dt.size}")
-    val claimed = dims.foldLeft(1L)((a, x) => if (a > Int.MaxValue) a else a * x)
+    val claimed = Dims.product(dims, "dataset")
     val elemBytes = if (dt.clazz == 9) 16L else dt.size.toLong
     require(claimed <= raw.length / elemBytes,
       s"dataset claims dims $dims ($claimed elements x $elemBytes B) " +

@@ -151,8 +151,7 @@ object MatSource {
         // column-major by dims and a truncated data element would
         // otherwise die with a raw AIOOBE in the executor, outside the
         // fail-loudly contract (round-11 review)
-        require(dims.forall(_ >= 0), s"matrix '$name' claims negative dims $dims")
-        val expect = dims.foldLeft(1L)((a, x) => if (a > Int.MaxValue) a else a * x)
+        val expect = Dims.product(dims.map(_.toLong), s"matrix '$name'")
         require(data.length >= expect,
           s"matrix '$name' claims dims $dims ($expect values) but holds ${data.length}")
         MatNum(dims, data)

@@ -155,6 +155,14 @@ object Streams {
     * a collision silently discards a unique document (round-11 review);
     * the pair pushes the collision space past 2^90 while keeping state
     * at two longs per doc, never the text.
+    *
+    * CHECKPOINT COMPATIBILITY: adding `__fp2` (round 11) changed the
+    * state-store key schema. A stream restarted from a pre-change
+    * checkpoint fails at start (loudly, with Spark's state-schema
+    * mismatch error) — discard the old checkpoint directory and let the
+    * stream rebuild dedup state from its source; in-horizon duplicates
+    * admitted during the rebuild are caught by the batch compaction
+    * pass like any cross-horizon dup.
     */
   def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
       watermark: String = "1 day"): DataFrame =

@@ -211,6 +211,17 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq == Seq("en", "de", "und"))
   }
 
+  test("qualityScore: empty/whitespace docs score exactly 0.0, never null/NaN") {
+    // the round-11 div-by-zero guard became a GREATEST(n,1) denominator in
+    // round 12 (the when() branch defeated codegen CSE of the word split —
+    // q48 measured 2× slower); this pins the contract the guard exists for
+    val got = Seq("", "   ", "\t\n", "the fast value").toDF("t")
+      .select(TextAnalysis.qualityScore(Hashing.words($"t")).as("q"))
+      .as[Double].collect()
+    assert(got.take(3).forall(_ == 0.0), got.toSeq.toString)
+    assert(got(3) > 0.0 && !got(3).isNaN)
+  }
+
   test("haversine: zero distance, known city pair, symmetry") {
     val df = Seq((57.7089, 11.9746, 59.3293, 18.0686)).toDF("a", "b", "c", "d")
     val gotExpr = Geo.haversineKm($"a", $"b", $"c", $"d")
