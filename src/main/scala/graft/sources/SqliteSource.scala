@@ -15,8 +15,16 @@ import org.apache.spark.sql.functions._
   * types (null, ints, float, text), chained overflow pages (a long
   * `comment`/`class_name` string spilling past the leaf max-local
   * threshold — round-11), column names parsed from the sqlite_master
-  * schema row. Not covered (rejected loudly): WAL mode side files,
-  * indexes.
+  * schema row, and (round-12) WAL-mode databases via the `-wal` sidecar:
+  * committed frames are recovered exactly like SQLite's own WAL recovery
+  * (salt match + cumulative checksum, up to the last commit frame) and
+  * overlaid over the main-file pages, so a production annotations DB
+  * whose client defaults to `journal_mode=WAL` reads its un-checkpointed
+  * commits instead of silently-stale main-file rows. A WAL-mode main
+  * file WITHOUT its sidecar still rejects loudly — "checkpointed and
+  * deleted" is indistinguishable from "forgot to copy the -wal", and
+  * the second silently loses commits. Not covered (rejected loudly):
+  * hot rollback journals, indexes.
   *
   * Spark shape: like [[MatSource]] — small per-deployment files via
   * `binaryFile`, parsed in executors, exploded to relational rows.
@@ -33,20 +41,40 @@ object SqliteSource {
     * allocation sized from a corrupted serial type (round-10 fuzz
     * hardening; exercised by SqliteFuzzSpec's byte-mutation corpus).
     */
-  def readTable(bytes: Array[Byte], table: String): Table = {
+  def readTable(bytes: Array[Byte], table: String): Table =
+    readTable(bytes, table, None)
+
+  /** As [[readTable]], with the `-wal` sidecar's bytes when the caller
+    * has them. Header byte 19 = file-format read version; 2 means WAL
+    * journal mode, where un-checkpointed transactions live in the -wal
+    * side file — reading just the main file would silently return stale
+    * rows, the worst failure class, so a WAL-mode main file without a
+    * sidecar rejects loudly. With the sidecar, committed frames are
+    * overlaid ([[applyWal]]) before parsing. A rollback-journal main
+    * file ignores any `wal` argument the way SQLite ignores a stale
+    * -wal left behind by a journal-mode switch.
+    */
+  def readTable(bytes: Array[Byte], table: String,
+      wal: Option[Array[Byte]]): Table = {
     require(bytes.length >= 512, "not a SQLite file: too short")
     val magic = new String(bytes, 0, 16, "US-ASCII")
     require(magic.startsWith("SQLite format 3"), "not a SQLite file")
-    // header byte 19 = file-format read version; 2 means WAL journal
-    // mode, where un-checkpointed transactions live in the -wal side
-    // file this reader never sees — reading just the main file would
-    // silently return stale rows, the worst failure class
     val readVersion = bytes(19) & 0xff
-    require(readVersion <= 1,
-      s"WAL-mode database (read version $readVersion): un-checkpointed " +
-        "state in the -wal side file would be silently missed; " +
-        "checkpoint the database (PRAGMA wal_checkpoint) before export")
-    try readTableBody(bytes, table)
+    require(readVersion <= 2, s"unknown file-format read version $readVersion")
+    require(readVersion <= 1 || wal.isDefined,
+      s"WAL-mode database (read version $readVersion) with no -wal " +
+        "sidecar: un-checkpointed state would be silently missed; pass " +
+        "the -wal file alongside, or checkpoint the database " +
+        "(PRAGMA wal_checkpoint(TRUNCATE)) before export")
+    val effective =
+      if (readVersion <= 1) bytes
+      else try applyWal(bytes, wal.get)
+      catch {
+        case e: IllegalArgumentException => throw e
+        case e: RuntimeException =>
+          throw new IllegalArgumentException(s"malformed WAL sidecar: $e", e)
+      }
+    try readTableBody(effective, table)
     catch {
       case e: IllegalArgumentException => throw e
       case e: RuntimeException =>
@@ -79,6 +107,121 @@ object SqliteSource {
       case None => rows.map(_._2)
     }
     Table(columns, subbed)
+  }
+
+  /** Overlays the committed frames of a `-wal` sidecar over a main-file
+    * byte image — SQLite's own shm-free WAL recovery procedure (the
+    * wal-format section of the public file-format spec): start after
+    * the 32-byte WAL header, accept frames while their salts match the
+    * header and the cumulative checksum chain holds, and make visible
+    * everything up to the LAST commit frame (nonzero db-size field).
+    * Latest frame per page wins; the result is sized to that commit's
+    * db size (WAL commits can both grow and truncate the database).
+    *
+    * A salt or checksum mismatch mid-file is a NORMAL stop, not
+    * corruption: a reset WAL legitimately carries stale tail frames
+    * from the previous generation, and a crash tears the tail mid-frame
+    * — the committed prefix is exactly what SQLite would recover. An
+    * invalid 32-byte header, by contrast, rejects loudly (the
+    * fail-loudly contract: it is indistinguishable from transit
+    * corruption, and "no frames" would silently drop commits); a
+    * checkpointed-and-truncated sidecar (length < 32) genuinely carries
+    * no frames and reads as main-only.
+    */
+  private[sources] def applyWal(main: Array[Byte], wal: Array[Byte]): Array[Byte] = {
+    if (wal.length < 32) return main
+    val wb = ByteBuffer.wrap(wal).order(ByteOrder.BIG_ENDIAN)
+    val magic = wb.getInt(0)
+    require(magic == 0x377f0682 || magic == 0x377f0683,
+      f"bad WAL magic 0x$magic%08x")
+    // the magic's low bit selects the checksum's 32-bit word order
+    val bigWords = magic == 0x377f0683
+    val version = wb.getInt(4)
+    require(version == 3007000, s"unsupported WAL format version $version")
+    val pageSize = wb.getInt(8)
+    require(pageSize >= 512 && pageSize <= 65536 &&
+      (pageSize & (pageSize - 1)) == 0, s"WAL page size $pageSize")
+    val mainPsRaw = ByteBuffer.wrap(main).order(ByteOrder.BIG_ENDIAN)
+      .getShort(16) & 0xffff
+    val mainPs = if (mainPsRaw == 1) 65536 else mainPsRaw
+    require(pageSize == mainPs,
+      s"WAL page size $pageSize != main-file page size $mainPs")
+    val salt1 = wb.getInt(16)
+    val salt2 = wb.getInt(20)
+    var (s0, s1) = walCksum(wal, 0, 24, bigWords, 0, 0)
+    require(s0 == wb.getInt(24) && s1 == wb.getInt(28),
+      "WAL header checksum mismatch")
+    val frameSize = 24L + pageSize
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var lastCommit = 0 // frames included through the last commit frame
+    var commitDbSize = 0
+    var off = 32L
+    var stop = false
+    while (!stop && off + frameSize <= wal.length) {
+      val o = off.toInt
+      val pno = wb.getInt(o)
+      val dbSize = wb.getInt(o + 4)
+      if (wb.getInt(o + 8) != salt1 || wb.getInt(o + 12) != salt2) stop = true
+      else {
+        val (a0, a1) = walCksum(wal, o, 8, bigWords, s0, s1)
+        val (b0, b1) = walCksum(wal, o + 24, pageSize, bigWords, a0, a1)
+        if (b0 != wb.getInt(o + 16) || b1 != wb.getInt(o + 20)) stop = true
+        else {
+          s0 = b0; s1 = b1
+          // checksum-valid but structurally impossible — corruption, not
+          // a torn tail
+          require(pno >= 1, s"WAL frame targets page $pno")
+          frames += ((pno, o + 24))
+          if (dbSize != 0) { lastCommit = frames.length; commitDbSize = dbSize }
+          off += frameSize
+        }
+      }
+    }
+    if (lastCommit == 0) return main // no committed frames
+    // allocation bound before sizing anything from file-claimed values:
+    // every page past the main file's end must have been written via
+    // THIS wal, so the commit size cannot exceed main pages + committed
+    // frames — a crafted db-size field cannot drive a giant allocation
+    val mainPages = (main.length.toLong + pageSize - 1) / pageSize
+    require(commitDbSize >= 1 && commitDbSize <= mainPages + lastCommit,
+      s"WAL commit claims $commitDbSize pages but main holds $mainPages " +
+        s"and the wal commits $lastCommit frames")
+    val outLen = commitDbSize.toLong * pageSize
+    require(outLen <= Int.MaxValue, s"database of $outLen bytes")
+    val out = new Array[Byte](outLen.toInt)
+    System.arraycopy(main, 0, out, 0, math.min(main.length.toLong, outLen).toInt)
+    frames.take(lastCommit).foreach { case (pno, doff) =>
+      // frames for pages past the final size were truncated by the commit
+      if (pno <= commitDbSize)
+        System.arraycopy(wal, doff, out, ((pno - 1).toLong * pageSize).toInt, pageSize)
+    }
+    out
+  }
+
+  /** The WAL checksum: a Fibonacci-weighted sum over 32-bit words in
+    * the byte order the header magic selects; `len` is always a
+    * multiple of 8 here (24-byte header, 8-byte frame-header prefix,
+    * power-of-two page sizes).
+    */
+  private def walCksum(bytes: Array[Byte], start: Int, len: Int,
+      bigWords: Boolean, in0: Int, in1: Int): (Int, Int) = {
+    def word(i: Int): Int =
+      if (bigWords)
+        ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+          ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+      else
+        ((bytes(i + 3) & 0xff) << 24) | ((bytes(i + 2) & 0xff) << 16) |
+          ((bytes(i + 1) & 0xff) << 8) | (bytes(i) & 0xff)
+    var s0 = in0
+    var s1 = in1
+    var i = start
+    val end = start + len
+    while (i + 8 <= end) {
+      s0 += word(i) + s1
+      s1 += word(i + 4) + s0
+      i += 8
+    }
+    (s0, s1)
   }
 
   /** Index of the column declared `INTEGER PRIMARY KEY` (the rowid
@@ -302,26 +445,53 @@ object SqliteSource {
 
   /** Manual-annotation databases → rows, with the reference's derived
     * `image_name` (sample_name + zero-padded ROI,
-    * ifcb_delivery_data_to_shark.R:241-243).
+    * ifcb_delivery_data_to_shark.R:241-243). Sidecar files group with
+    * their main database by path (round-12): a `-wal` overlays its
+    * committed frames, a `-shm` is ignored (runtime shared-memory
+    * index; recovery never needs it), and a HOT `-journal` (valid
+    * rollback-journal magic) rejects loudly — the main file may hold
+    * pages of a transaction that crashed mid-write, and no committed
+    * snapshot is reconstructable without applying the rollback.
     */
   def annotations(spark: SparkSession, dir: String,
                   table: String = "annotations"): DataFrame = {
     import spark.implicits._
     val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.db").load(dir)
+      .option("pathGlobFilter", "*.db*").load(dir)
       .select(col("path"), col("content"))
-    val rows = files.as[(String, Array[Byte])].flatMap { case (_, bytes) =>
-      val t = readTable(bytes, table)
-      val ci = t.columns.zipWithIndex.toMap
-      def str(r: Seq[Any], c: String): String =
-        ci.get(c).map(r(_)).map { case null => null; case v => v.toString }.orNull
-      def num(r: Seq[Any], c: String): Long =
-        ci.get(c).map(r(_)).collect { case l: Long => l; case d: Double => d.toLong }.getOrElse(0L)
-      t.rows.map { r =>
-        (str(r, "sample_name"), num(r, "roi_number").toInt, str(r, "class_name"),
-          str(r, "annotator"), str(r, "timestamp"))
+    val rows = files.as[(String, Array[Byte])]
+      .groupByKey { case (p, _) => p.replaceAll("-(wal|shm|journal)$", "") }
+      .flatMapGroups { (dbPath: String, it: Iterator[(String, Array[Byte])]) =>
+        var main: Array[Byte] = null
+        var wal: Option[Array[Byte]] = None
+        var journal: Option[Array[Byte]] = None
+        it.foreach { case (p, c) =>
+          if (p.endsWith("-wal")) wal = Some(c)
+          else if (p.endsWith("-journal")) journal = Some(c)
+          else if (p.endsWith("-shm")) ()
+          else main = c
+        }
+        require(main != null,
+          s"orphan SQLite sidecar(s) for $dbPath: main database file missing")
+        journal.foreach { j =>
+          val hotMagic = Array(0xd9, 0xd5, 0x05, 0xf9, 0x20, 0xa1, 0x63, 0xd7)
+            .map(_.toByte)
+          require(j.length < 8 || !j.take(8).sameElements(hotMagic),
+            s"hot rollback journal beside $dbPath: the main file may " +
+              "contain uncommitted pages; recover the database with any " +
+              "SQLite client before export")
+        }
+        val t = readTable(main, table, wal)
+        val ci = t.columns.zipWithIndex.toMap
+        def str(r: Seq[Any], c: String): String =
+          ci.get(c).map(r(_)).map { case null => null; case v => v.toString }.orNull
+        def num(r: Seq[Any], c: String): Long =
+          ci.get(c).map(r(_)).collect { case l: Long => l; case d: Double => d.toLong }.getOrElse(0L)
+        t.rows.map { r =>
+          (str(r, "sample_name"), num(r, "roi_number").toInt, str(r, "class_name"),
+            str(r, "annotator"), str(r, "timestamp"))
+        }
       }
-    }
     rows.toDF("sample_name", "roi_number", "class_name", "annotator", "timestamp")
       .withColumn("image_name",
         concat(col("sample_name"), lit("_"), format_string("%05d", col("roi_number"))))

@@ -167,4 +167,71 @@ object SqliteFixture {
     h.putInt(2 + extraPages.size + overflow.size) // database size in pages
     (extraPages ++ overflow).foldLeft(page1 ++ rootPage2)(_ ++ _)
   }
+
+  /** Flips a main-file image's file-format read/write versions to 2
+    * (WAL journal mode), as `PRAGMA journal_mode=WAL` does.
+    */
+  def toWalMode(main: Array[Byte]): Array[Byte] = {
+    val out = main.clone()
+    out(18) = 2; out(19) = 2
+    out
+  }
+
+  /** Writes a `-wal` sidecar carrying the given transactions — each a
+    * list of (pageNo, pageImage) with the last frame of each
+    * transaction marked as a commit at `dbSizePages` — following the
+    * public WAL format: 32-byte header (magic 0x377f0682 = little-
+    * endian checksum words, salts, header checksum) then 24-byte frame
+    * headers with the cumulative Fibonacci checksum chain. `stale`
+    * appends checksum-valid frames under DIFFERENT salts after the real
+    * ones: a reset WAL's leftover previous generation, which a
+    * recovery-style reader must ignore.
+    */
+  def writeWal(txns: Seq[(Seq[(Int, Array[Byte])], Int)],
+      salt1: Int = 0x11223344, salt2: Int = 0x55667788,
+      stale: Seq[(Int, Array[Byte])] = Nil): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    def cksum(bytes: Array[Byte], s: (Int, Int)): (Int, Int) = {
+      var (s0, s1) = s
+      var i = 0
+      while (i + 8 <= bytes.length) {
+        def w(j: Int): Int = ((bytes(j + 3) & 0xff) << 24) |
+          ((bytes(j + 2) & 0xff) << 16) | ((bytes(j + 1) & 0xff) << 8) |
+          (bytes(j) & 0xff) // little-endian words (magic 0x377f0682)
+        s0 += w(i) + s1
+        s1 += w(i + 4) + s0
+        i += 8
+      }
+      (s0, s1)
+    }
+    def be(vs: Int*): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 * vs.length).order(ByteOrder.BIG_ENDIAN)
+      vs.foreach(b.putInt)
+      b.array()
+    }
+    val hdr24 = be(0x377f0682, 3007000, PageSize, 7, salt1, salt2)
+    val hck = cksum(hdr24, (0, 0))
+    buf.write(hdr24); buf.write(be(hck._1, hck._2))
+    var chain = hck
+    def frame(pno: Int, page: Array[Byte], dbSize: Int,
+        s1v: Int, s2v: Int): Unit = {
+      require(page.length == PageSize, s"frame page ${page.length}B")
+      val pre = be(pno, dbSize)
+      val next = cksum(page, cksum(pre, chain))
+      buf.write(pre); buf.write(be(s1v, s2v, next._1, next._2)); buf.write(page)
+      chain = next
+    }
+    for ((pages, dbSize) <- txns; ((pno, img), i) <- pages.zipWithIndex)
+      frame(pno, img, if (i == pages.size - 1) dbSize else 0, salt1, salt2)
+    // stale tail: previous-generation salts; chain continuity is
+    // irrelevant once the salt check stops the scan
+    for ((pno, img) <- stale)
+      frame(pno, img, 1, salt1 ^ 0x5a5a5a5a, salt2)
+    buf.toByteArray
+  }
+
+  /** The page images of a main-file byte array, 1-based page numbers. */
+  def pages(main: Array[Byte]): Map[Int, Array[Byte]] =
+    (0 until main.length / PageSize)
+      .map(i => (i + 1) -> main.slice(i * PageSize, (i + 1) * PageSize)).toMap
 }

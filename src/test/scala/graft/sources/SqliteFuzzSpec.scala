@@ -158,6 +158,47 @@ class SqliteFuzzSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("spilled payload"), e2.getMessage)
   }
 
+  test("mutation: WAL byte flips and truncations decode or throw the contract exception") {
+    // round-12: the -wal overlay path under the same contract — every
+    // mutant either reads (recovery semantics: torn/stale frames drop
+    // to the committed prefix) or throws IllegalArgumentException
+    // (header damage), never a raw buffer/index/negative-size error
+    val cols = Seq(("id", "INTEGER"), ("v", "TEXT"))
+    var parsed = 0
+    var rejected = 0
+    for (seed <- 0 until 40) {
+      val rnd = new scala.util.Random(seed * 7919L)
+      val n = 1 + rnd.nextInt(6)
+      val base = (1 to n).map(i => Seq(i.toLong, "r" + i + "x" * rnd.nextInt(20)))
+      val changedRows = base.updated(rnd.nextInt(n), Seq((n + 1).toLong, "mutated" + seed))
+      val v1 = SqliteFixture.toWalMode(SqliteFixture.write("t", cols, base))
+      val v2 = SqliteFixture.toWalMode(SqliteFixture.write("t", cols, changedRows))
+      val p1 = SqliteFixture.pages(v1)
+      val p2 = SqliteFixture.pages(v2)
+      val changed = p2.toSeq.sortBy(_._1).filter { case (k, img) =>
+        !p1.get(k).exists(_.sameElements(img))
+      }
+      val wal = SqliteFixture.writeWal(Seq((changed, p2.size)))
+      val mutants = (0 until 8).map { _ =>
+        val m = wal.clone()
+        val pos = rnd.nextInt(m.length)
+        m(pos) = (m(pos) ^ (1 << rnd.nextInt(8))).toByte
+        m
+      } ++ Seq(wal.take(rnd.nextInt(wal.length + 1)))
+      mutants.foreach { m =>
+        scala.util.Try(SqliteSource.readTable(v1, "t", Some(m))) match {
+          case scala.util.Success(t) =>
+            parsed += 1
+            assert(t.rows.size == n, s"seed $seed: ${t.rows.size} rows")
+          case scala.util.Failure(_: IllegalArgumentException) => rejected += 1
+          case scala.util.Failure(e) =>
+            fail(s"seed $seed: non-contract exception $e", e)
+        }
+      }
+    }
+    assert(parsed > 0 && rejected > 0, s"parsed=$parsed rejected=$rejected")
+  }
+
   test("mutation: byte flips and truncations decode or throw IllegalArgumentException") {
     var parsed = 0
     var rejected = 0

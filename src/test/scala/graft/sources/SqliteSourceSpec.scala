@@ -32,15 +32,136 @@ class SqliteSourceSpec extends SparkSpec {
     }
   }
 
-  test("WAL-mode database rejects loudly instead of silently reading stale rows") {
+  test("WAL-mode database with NO sidecar rejects loudly instead of reading stale rows") {
     // header bytes 18/19 (write/read file-format versions) are 2 in WAL
-    // mode; the un-checkpointed -wal side file is invisible to this
-    // reader, so proceeding would return stale data silently
-    val wal = fixture.clone()
-    wal(18) = 2; wal(19) = 2
+    // mode; without the -wal side file, un-checkpointed state is
+    // invisible, so proceeding would return stale data silently
     val e = intercept[IllegalArgumentException](
-      SqliteSource.readTable(wal, "annotations"))
+      SqliteSource.readTable(SqliteFixture.toWalMode(fixture), "annotations"))
     assert(e.getMessage.contains("WAL"), e.getMessage)
+  }
+
+  // the round-12 WAL read path: v2 is the same deterministic fixture
+  // layout with changed rows, so the "transaction" is exactly the pages
+  // that differ (what real SQLite would have written to the wal)
+  private def walTxn(from: Array[Byte], to: Array[Byte]): (Seq[(Int, Array[Byte])], Int) = {
+    val p1 = SqliteFixture.pages(from)
+    val p2 = SqliteFixture.pages(to)
+    val changed = p2.toSeq.sortBy(_._1).filter { case (n, img) =>
+      !p1.get(n).exists(_.sameElements(img))
+    }
+    (changed, p2.size)
+  }
+
+  test("WAL sidecar: un-checkpointed commits overlay the main file (db grows)") {
+    val v1 = SqliteFixture.toWalMode(fixture) // 3 rows, 2 pages
+    val rows2 = rows.updated(2,
+      Seq("D20230915T080000_IFCB134", 1L, "Alexandrium_pseudogonyaulax",
+        "carol", "2023-09-17 09:00:00")) :+
+      Seq("D20231001T000000_IFCB134", 5L, "Tripos_muelleri", "dave", "2023-10-02 08:00:00")
+    // 4 rows: the fixture grows to the interior-page layout (4 pages)
+    val v2 = SqliteFixture.toWalMode(SqliteFixture.write("annotations", cols, rows2))
+    val wal = SqliteFixture.writeWal(Seq(walTxn(v1, v2)))
+    val t = SqliteSource.readTable(v1, "annotations", Some(wal))
+    assert(t.rows.size == 4)
+    assert(t.rows.map(_(2)).toSet ==
+      Set("Mesodinium_rubrum", "Dinophysis_acuminata",
+        "Alexandrium_pseudogonyaulax", "Tripos_muelleri"))
+    assert(t.rows.map(_(3)).toSet == Set("alice", "bob", "carol", "dave"))
+  }
+
+  test("WAL recovery: committed prefix wins; torn and stale-salt tails are ignored") {
+    val v1 = SqliteFixture.toWalMode(fixture)
+    val rows2 = rows.updated(0,
+      Seq("D20230801T120000_IFCB134", 3L, "Mesodinium_major", "alice", "2023-08-03 10:00:00"))
+    val rows3 = rows2.updated(1,
+      Seq("D20230801T120000_IFCB134", 12L, "Dinophysis_acuta", "bob", "2023-08-03 11:00:00"))
+    val v2 = SqliteFixture.toWalMode(SqliteFixture.write("annotations", cols, rows2))
+    val v3 = SqliteFixture.toWalMode(SqliteFixture.write("annotations", cols, rows3))
+    val txn1 = walTxn(v1, v2)
+    val txn2 = walTxn(v2, v3)
+    // stale frames under a different salt after the real ones: the
+    // previous generation of a reset wal, ignored by the salt check
+    val stalePage = SqliteFixture.pages(v1)(2)
+    val wal = SqliteFixture.writeWal(Seq(txn1, txn2), stale = Seq((2, stalePage)))
+    val both = SqliteSource.readTable(v1, "annotations", Some(wal))
+    assert(both.rows.map(_(2)).toSet ==
+      Set("Mesodinium_major", "Dinophysis_acuta", "other"))
+    // torn tail: corrupt one byte of txn2's first frame PAGE DATA — the
+    // checksum chain breaks there, so txn2 (and everything after) is
+    // dropped and the state is txn1's commit
+    val clean = SqliteFixture.writeWal(Seq(txn1, txn2))
+    val frameBytes = 24 + 4096
+    val txn2FirstData = 32 + txn1._1.size * frameBytes + 24
+    val torn = clean.clone()
+    torn(txn2FirstData + 100) = (torn(txn2FirstData + 100) ^ 0x40).toByte
+    val t1 = SqliteSource.readTable(v1, "annotations", Some(torn))
+    assert(t1.rows.map(_(2)).toSet ==
+      Set("Mesodinium_major", "Dinophysis_acuminata", "other"))
+    // truncation mid-frame (a crash during the frame write): same story
+    val cut = clean.take(txn2FirstData + 1000)
+    val t2 = SqliteSource.readTable(v1, "annotations", Some(cut))
+    assert(t2.rows.map(_(2)).toSet == t1.rows.map(_(2)).toSet)
+  }
+
+  test("WAL edge states: empty sidecar, uncommitted-only frames, bad header") {
+    val v1 = SqliteFixture.toWalMode(fixture)
+    // checkpoint(TRUNCATE) leaves a zero-length wal: main is complete
+    assert(SqliteSource.readTable(v1, "annotations", Some(Array.empty[Byte]))
+      .rows.size == 3)
+    // frames present but NO commit frame (dbSize 0 throughout): a
+    // transaction in flight — committed state is still the main file
+    val rows2 = rows.updated(0,
+      Seq("D20230801T120000_IFCB134", 3L, "changed", "alice", "2023-08-03"))
+    val v2 = SqliteFixture.toWalMode(SqliteFixture.write("annotations", cols, rows2))
+    val (changed, _) = walTxn(v1, v2)
+    val uncommitted = SqliteFixture.writeWal(Seq((changed, 0)))
+    val t = SqliteSource.readTable(v1, "annotations", Some(uncommitted))
+    assert(t.rows.map(_(2)).toSet ==
+      Set("Mesodinium_rubrum", "Dinophysis_acuminata", "other"))
+    // a corrupted 32-byte header is indistinguishable from transit
+    // damage: loud reject, never a silent no-frames read
+    val wal = SqliteFixture.writeWal(Seq(walTxn(v1, v2)))
+    val badMagic = wal.clone(); badMagic(0) = 0x00
+    assertThrows[IllegalArgumentException](
+      SqliteSource.readTable(v1, "annotations", Some(badMagic)))
+    val badCk = wal.clone(); badCk(25) = (badCk(25) ^ 0x01).toByte
+    assertThrows[IllegalArgumentException](
+      SqliteSource.readTable(v1, "annotations", Some(badCk)))
+  }
+
+  test("annotations view pairs -wal sidecars and rejects hot journals") {
+    val dir = Files.createTempDirectory("sqlite_wal").toFile
+    val v1 = SqliteFixture.toWalMode(fixture)
+    val rows2 = rows :+ Seq("D20231001T000000_IFCB134", 5L, "Tripos_muelleri",
+      "dave", "2023-10-02 08:00:00")
+    val v2 = SqliteFixture.toWalMode(SqliteFixture.write("annotations", cols, rows2))
+    Files.write(Paths.get(dir.toString, "manual.db"), v1)
+    Files.write(Paths.get(dir.toString, "manual.db-wal"),
+      SqliteFixture.writeWal(Seq(walTxn(v1, v2))))
+    // -shm beside it is ignored (recovery never reads it)
+    Files.write(Paths.get(dir.toString, "manual.db-shm"), new Array[Byte](32768))
+    val df = SqliteSource.annotations(spark, dir.toString)
+    assert(df.count() == 4)
+    assert(df.select("annotator").as[String].collect().toSet ==
+      Set("alice", "bob", "dave"))
+    // hot rollback journal: the main file may hold uncommitted pages
+    val dir2 = Files.createTempDirectory("sqlite_hot").toFile
+    Files.write(Paths.get(dir2.toString, "manual.db"), fixture)
+    val hot = Array(0xd9, 0xd5, 0x05, 0xf9, 0x20, 0xa1, 0x63, 0xd7)
+      .map(_.toByte) ++ new Array[Byte](504)
+    Files.write(Paths.get(dir2.toString, "manual.db-journal"), hot)
+    val e = intercept[Exception](
+      SqliteSource.annotations(spark, dir2.toString).count())
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("journal")), chain.mkString(" | "))
+    // a COLD journal (zeroed header, journal_mode=PERSIST after commit)
+    // is fine — reads the main file
+    val dir3 = Files.createTempDirectory("sqlite_cold").toFile
+    Files.write(Paths.get(dir3.toString, "manual.db"), fixture)
+    Files.write(Paths.get(dir3.toString, "manual.db-journal"), new Array[Byte](512))
+    assert(SqliteSource.annotations(spark, dir3.toString).count() == 3)
   }
 
   test("annotations view derives the reference's padded image_name") {
