@@ -77,4 +77,43 @@ class WhoiCurationSpec extends SparkSpec {
       Seq(("IFCB1234_2015_001_000000", 123456)).toDF("sample", "roi_number"))
     assert(WhoiCuration.annotationOrphans(parsed, c2u, full).isEmpty)
   }
+
+  test("curation round-trip: annotateBatch writes manual .mat files the reader parses") {
+    // the write side the reference's ifcb_annotate_batch performs
+    // (annotate_whoi_data.R:64-73): one manual file per touched sample,
+    // read back bit-compatibly by MatSource.manualClassList
+    val parsed = WhoiCuration.parseLegacyPngs(paths)
+    val c2u = WhoiCuration.class2useFromFolders(parsed)
+    val adc = Seq(
+      ("IFCB1_2014_188_222013", 42), ("IFCB1_2014_188_222013", 43),
+      ("IFCB1_2014_188_222013", 44),
+      ("IFCB5_2016_060_010203", 7)
+    ).toDF("sample", "roi_number")
+    val ann = WhoiCuration.annotateBatch(parsed, c2u, adc)
+    val classes = c2u.orderBy("class_idx")
+      .collect().map(_.getString(1)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("manual_out")
+    graft.sources.MatSink.writeManualFiles(ann, classes, dir.toString)
+    val files = new java.io.File(dir.toString).list().sorted
+    assert(files.toSeq ==
+      Seq("IFCB1_2014_188_222013.mat", "IFCB5_2016_060_010203.mat"))
+    val back = graft.sources.MatSource.manualClassList(spark, dir.toString)
+      .collect()
+      .map(r => (r.getAs[String]("sample"), r.getAs[Int]("roi_number")) ->
+        r.getAs[Integer]("manual_idx")).toMap
+    assert(back == Map(
+      ("IFCB1_2014_188_222013", 42) -> (3: Integer),
+      ("IFCB1_2014_188_222013", 43) -> (3: Integer),
+      ("IFCB1_2014_188_222013", 44) -> (1: Integer),
+      ("IFCB5_2016_060_010203", 7) -> (2: Integer)))
+    // the class list travels WITH each manual file (class2use_manual),
+    // so indices stay resolvable without the config file
+    val one = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir.toString, "IFCB5_2016_060_010203.mat"))
+    val vars = graft.sources.MatSource.parse(one)
+    val graft.sources.MatSource.MatCell(_, items) =
+      vars("class2use_manual"): @unchecked
+    assert(items.map { case graft.sources.MatSource.MatStr(s) => s; case _ => "?" } ==
+      Seq("unclassified", "ciliate", "diatom"))
+  }
 }

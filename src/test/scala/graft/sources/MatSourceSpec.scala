@@ -61,6 +61,61 @@ class MatSourceSpec extends SparkSpec {
     assert(MatSource.manualClassList(spark, dir2.toString).count() == 0)
   }
 
+  test("MatSink round-trips numeric/char/cell variables, byte-deterministically") {
+    val data = Array(1.0, 2.0, 3.0, 5.0, Double.NaN, 1.0, Double.NaN, 4.0, Double.NaN)
+    val vars = Seq(
+      "classlist" -> MatNum(Seq(3, 3), data),
+      "note" -> MatStr("Tångesund µ-grid"),
+      "empty" -> MatStr(""),
+      "class2use_manual" -> MatCell(Seq(1, 3),
+        Seq(MatStr("unclassified"), MatStr("Mesodinium_rubrum"), MatStr(""))))
+    val bytes = MatSink.write(vars)
+    assert(bytes.sameElements(MatSink.write(vars)), "writer must be deterministic")
+    val back = parse(bytes)
+    assert(back.keySet ==
+      Set("classlist", "note", "empty", "class2use_manual"))
+    val MatNum(dims, got) = back("classlist"): @unchecked
+    assert(dims == Seq(3, 3))
+    assert(got.length == data.length)
+    got.zip(data).foreach { case (g, w) =>
+      assert(g == w || (g.isNaN && w.isNaN), s"$g vs $w")
+    }
+    assert(back("note") == MatStr("Tångesund µ-grid"))
+    assert(back("empty") == MatStr(""))
+    val MatCell(cd, items) = back("class2use_manual"): @unchecked
+    assert(cd == Seq(1, 3))
+    assert(items == Seq(MatStr("unclassified"), MatStr("Mesodinium_rubrum"), MatStr("")))
+  }
+
+  test("MatSink.class2useBytes reads back via MatSource.class2use (1-based)") {
+    val dir = Files.createTempDirectory("matsink")
+    val f = dir.resolve("class2use_test.mat")
+    Files.write(f, MatSink.class2useBytes(Seq("unclassified", "Alexandrium", "Tripos")))
+    val got = MatSource.class2use(spark, f.toString)
+      .orderBy("class_idx").collect()
+      .map(r => r.getInt(0) -> r.getString(1))
+    assert(got.toSeq == Seq(1 -> "unclassified", 2 -> "Alexandrium", 3 -> "Tripos"))
+  }
+
+  test("MatSink.manualBytes reads back via manualClassList with NaN slots null") {
+    val dir = Files.createTempDirectory("matsink2")
+    val rows = Seq(
+      (1, Some(5): Option[Int], None: Option[Int]),
+      (2, None: Option[Int], Some(3): Option[Int]),
+      (7, Some(1): Option[Int], Some(1): Option[Int]))
+    Files.write(dir.resolve("D20240101T000000_IFCB134.mat"),
+      MatSink.manualBytes(rows, Seq("unclassified", "A")))
+    val got = MatSource.manualClassList(spark, dir.toString)
+      .orderBy("roi_number").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[String]("sample") == "D20240101T000000_IFCB134")
+    assert(got(0).getInt(1) == 1 && got(0).getAs[Integer]("manual_idx") == 5
+      && got(0).isNullAt(3))
+    assert(got(1).getInt(1) == 2 && got(1).isNullAt(2)
+      && got(1).getAs[Integer]("auto_idx") == 3)
+    assert(got(2).getInt(1) == 7 && got(2).getAs[Integer]("manual_idx") == 1)
+  }
+
   test("classScores explodes per-ROI rows with labels from the class list") {
     val dir = Files.createTempDirectory("mat")
     val scores = matrix("TBscores", 6, Seq(2, 2), doubles(Seq(0.9, 0.2, 0.1, 0.8)), 9)
