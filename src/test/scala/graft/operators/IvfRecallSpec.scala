@@ -64,6 +64,26 @@ class IvfRecallSpec extends SparkSpec {
     assert(recallAt5(probed(8), exact) == 1.0)
   }
 
+  test("int8-quantized top-k holds a recall floor vs the exact float baseline (q80)") {
+    // round-12 (r11 verdict task 6): quantization error is a measured
+    // contract, not a vibe — the same discipline this spec applies to
+    // the IVF cell restriction. sf0.1 = the bench scale q80 runs at.
+    val e = Tables.embeddings(spark, testDataDir("sf0.1"))
+    val queries = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val quant = topk(Similarity.quantizedTopK(
+      queries, e, "q_id", "q_vec", "vec_id", "embedding", 5))
+    val exact = topk(Similarity.bruteForceTopK(
+      queries, e, "q_id", "q_vec", "vec_id", "embedding", 5))
+    val r = recallAt5(quant, exact)
+    info(f"int8 recall@5 vs exact float at sf0.1: $r%.3f")
+    // floor: int8 keeps ~2 decimal digits of each coordinate, so on
+    // these embeddings the top-5 set survives almost intact; 0.8 leaves
+    // room for tie-boundary churn while still failing on any real
+    // quantization bug (sign flip, scale error, wrap)
+    assert(r >= 0.8, s"int8 recall@5 = $r")
+  }
+
   test("full-corpus trainer at sf0.1: cells cover the corpus and stay balanced") {
     // the q100 training path (trainKmeansCentroidsFull -> KMeans.lloyd)
     // on the real sf0.1 table: what full training buys over the sampled
