@@ -76,15 +76,17 @@ import org.apache.spark.sql.SparkSession
   * sentinel says.
   *
   * Round-12 addendum — the harness now runs that adjudication ITSELF:
-  * after the 3-pass suite, every query whose suite minimum exceeds 2x
-  * its frozen baseline is re-timed (3 more hygiene-separated runs, a
-  * calib probe before each flagged query) and the re-run minima ride in
-  * the contract line as a `readjudicated` map with `readj_calib_ms`
-  * (the best probe). Bursty steal is gone by the re-run window in the
-  * contended-run case (r9 q76, r10 q55, r11 q76/q30 all adjudicated
-  * clean this way, manually); a query whose RE-RUN minimum also exceeds
-  * 2x freeze is a genuine regression. Capped at the 10 worst ratios so
-  * a uniformly-contended run can't triple its own wall clock.
+  * after the 3-pass suite (and after the suite's own sentinels are
+  * sampled, so they keep describing the suite window), every query
+  * whose suite minimum exceeds 2x its frozen baseline is re-timed — 3
+  * more hygiene-separated runs with a calib probe per flagged query —
+  * and the evidence rides in the contract line as a `readjudicated`
+  * map of [re-run min sec, that query's probe ms]. Bursty steal is
+  * gone by the re-run window in the contended-run case (r9 q76, r10
+  * q55, r11 q76/q30 all adjudicated clean this way, manually); a query
+  * whose RE-RUN minimum also exceeds 2x freeze — with a clean probe —
+  * is a genuine regression. Capped at the 10 worst ratios so a
+  * uniformly-contended run can't triple its own wall clock.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -265,6 +267,21 @@ object Bench {
       val ts = passes.map(_(i)).filter(_ >= 0)
       if (ts.isEmpty) (n, -1.0, -1.0) else (n, ts.min, ts.max - ts.min)
     }
+    // post-suite sentinels BEFORE the re-adjudication window (round-12
+    // review): the contract's calib_after/steal_pct must describe the
+    // SUITE — sampling them after the extra re-runs would dilute the
+    // steal integral and displace the endpoint probe exactly when
+    // queries were flagged (the one case the evidence matters). The
+    // re-adjudication window carries its own per-query probes.
+    val calibAfter = calibMs()
+    val calibParAfter = calibParMs()
+    // hypervisor steal over the suite window (−1 = unreadable): the
+    // integral the endpoint calib probes can only sample
+    val stealPct = (for {
+      (s0, t0v) <- ticksBefore
+      (s1, t1v) <- cpuTicks()
+      if t1v > t0v
+    } yield 100.0 * (s1 - s0) / (t1v - t0v)).getOrElse(-1.0)
     // frozen per-query baseline (BASELINE.md table) — parsed up front:
     // both the vs_baseline_sec diff AND the self-adjudication below need
     // it. Only rows under the bench-baseline marker whose sf matches the
@@ -316,11 +333,14 @@ object Bench {
         (k, v / baseline(k))
     }.sortBy(-_._2)
     val flagged = flaggedAll.take(10).map(_._1)
-    val readjCalib = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val readj: Seq[(String, Double)] = flagged.map { n =>
-      readjCalib += calibMs()
+    // per-query probe, not one pooled minimum (round-12 review): a
+    // burst that lands on ONE flagged query's re-run window must be
+    // visible next to that query's minimum, or a contaminated re-run
+    // reads as a genuine regression under rule 5
+    val readj: Seq[(String, Double, Double)] = flagged.map { n =>
+      val probe = calibMs()
       val ts = (1 to 3).map(_ => timed(n)).filter(_ >= 0)
-      n -> (if (ts.isEmpty) -1.0 else ts.min)
+      (n, if (ts.isEmpty) -1.0 else ts.min, probe)
     }
     // The driver keeps only the LAST ~2000 chars of output, so the
     // contract line must be compact and must be the final thing printed;
@@ -339,33 +359,27 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName
-    // calib after the suite, BEFORE building the contract line: the
-    // contention sentinel must ride INSIDE the final JSON line — the
-    // driver keeps only the last ~2000 chars, and a standalone calib_ms
-    // line printed earlier is exactly what got truncated out of
-    // BENCH_r07 when it was needed most (round-7 verdict finding #1).
-    // Decision rule (BASELINE.md): calib ≫ ~1.5× the ~220 ms exclusive
-    // reference ⇒ the run was contended; deltas indict the host.
-    val calibAfter = calibMs()
-    val calibParAfter = calibParMs()
-    // hypervisor steal over the whole suite window (−1 = unreadable):
-    // the integral the endpoint calib probes can only sample
-    val stealPct = (for {
-      (s0, t0v) <- ticksBefore
-      (s1, t1v) <- cpuTicks()
-      if t1v > t0v
-    } yield 100.0 * (s1 - s0) / (t1v - t0v)).getOrElse(-1.0)
+    // the sentinels ride INSIDE the final JSON line — the driver keeps
+    // only the last ~2000 chars, and a standalone calib_ms line printed
+    // earlier is exactly what got truncated out of BENCH_r07 when it
+    // was needed most (round-7 verdict finding #1). Decision rule
+    // (BASELINE.md): calib ≫ ~1.5× the ~220 ms exclusive reference ⇒
+    // the run was contended; deltas indict the host. Sampled up by the
+    // suite's end, before the re-adjudication window (round-12).
     // re-adjudication evidence rides INSIDE the contract line like the
     // sentinels (anything printed earlier risks the driver's ~2000-char
     // tail); omitted entirely when nothing tripped the 2× rule, so the
-    // common case pays zero characters. readj_calib_ms = the MIN probe
-    // across the re-run windows (the re-runs' contention state).
+    // common case pays zero characters. Each entry = [re-run minimum
+    // sec, that query's own calib probe ms] so a contaminated re-run
+    // window is visible per query.
     val readjStr =
       if (readj.isEmpty) ""
       else {
-        val m = readj.map { case (k, v) => "\"" + k + "\":" + fmt2(v) }
-          .mkString("{", ",", "}")
-        s""""readjudicated":$m,"readj_calib_ms":${fmt(readjCalib.min)},"""
+        val m = readj.map { case (k, v, p) =>
+          "\"" + k + "\":[" + fmt2(v) + "," +
+            String.format(Locale.ROOT, "%.0f", p: java.lang.Double) + "]"
+        }.mkString("{", ",", "}")
+        s""""readjudicated":$m,"""
       }
     def contract(q: String) =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +

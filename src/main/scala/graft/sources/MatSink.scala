@@ -83,7 +83,10 @@ object MatSink {
       s"variable name '$name' is not plain ASCII")
     val (clazz, dims, dataBytes) = v match {
       case MatNum(ds, data) =>
-        val expect = ds.foldLeft(1L)(_ * _)
+        // Dims.product, not a bare fold: negative or wrapping dims must
+        // fail HERE, not emit a corrupt file (round-12 review — the same
+        // overflow class the reader-side helper exists for)
+        val expect = Dims.product(ds.map(_.toLong), s"matrix '$name'")
         require(expect == data.length,
           s"matrix '$name' dims $ds (=$expect) vs ${data.length} values")
         val b = ByteBuffer.allocate(8 * data.length)
@@ -97,11 +100,18 @@ object MatSink {
         s.foreach(b.putChar)
         (MxChar, dims, element(MiUint16, b.array()))
       case MatCell(ds, items) =>
-        val expect = ds.foldLeft(1L)(_ * _)
+        val expect = Dims.product(ds.map(_.toLong), s"cell '$name'")
         require(expect == items.size,
           s"cell '$name' dims $ds (=$expect) vs ${items.size} items")
-        val nested = items.map(it => element(MiMatrix, matrixPayload("", it)))
-        (MxCell, ds, nested.foldLeft(Array.empty[Byte])(_ ++ _))
+        // one output stream, not foldLeft(_ ++ _): the fold re-copies
+        // the accumulated payload per item, O(n²) bytes for a large
+        // class list (round-12 review)
+        val nested = new java.io.ByteArrayOutputStream()
+        items.foreach { it =>
+          val e = element(MiMatrix, matrixPayload("", it))
+          nested.write(e, 0, e.length)
+        }
+        (MxCell, ds, nested.toByteArray)
     }
     val flags = new Array[Byte](8)
     flags(0) = clazz.toByte
@@ -168,7 +178,9 @@ object MatSink {
           require(!sample.contains('/') && !sample.contains('\\'),
             s"sample id '$sample' is not a plain filename")
           val d = new java.io.File(dir)
-          val tmp = java.io.File.createTempFile(s".$sample", ".mat.tmp", d)
+          // fixed prefix padding: createTempFile requires >= 3 chars, and
+          // a 1-char sample id must fail OUR checks, not its (r12 review)
+          val tmp = java.io.File.createTempFile(s".graft-$sample", ".mat.tmp", d)
           java.nio.file.Files.write(tmp.toPath, bytes)
           java.nio.file.Files.move(tmp.toPath,
             new java.io.File(d, s"$sample.mat").toPath,

@@ -456,8 +456,11 @@ object SqliteSource {
   def annotations(spark: SparkSession, dir: String,
                   table: String = "annotations"): DataFrame = {
     import spark.implicits._
+    // exact sidecar set, not "*.db*": a wildcard tail would sweep in
+    // manual.db.bak (silently unioning stale rows) or x.dbf (aborting
+    // the read on a non-SQLite image) — round-12 review
     val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.db*").load(dir)
+      .option("pathGlobFilter", "*.{db,db-wal,db-shm,db-journal}").load(dir)
       .select(col("path"), col("content"))
     val rows = files.as[(String, Array[Byte])]
       .groupByKey { case (p, _) => p.replaceAll("-(wal|shm|journal)$", "") }

@@ -141,6 +141,12 @@ class SqliteSourceSpec extends SparkSpec {
       SqliteFixture.writeWal(Seq(walTxn(v1, v2))))
     // -shm beside it is ignored (recovery never reads it)
     Files.write(Paths.get(dir.toString, "manual.db-shm"), new Array[Byte](32768))
+    // a backup copy and a non-SQLite stray must BOTH be outside the
+    // glob: "*.db*" would union the backup's stale rows silently and
+    // abort on the stray (round-12 review)
+    Files.write(Paths.get(dir.toString, "manual.db.bak"), fixture)
+    Files.write(Paths.get(dir.toString, "notes.db.txt"),
+      "not a database".getBytes("UTF-8"))
     val df = SqliteSource.annotations(spark, dir.toString)
     assert(df.count() == 4)
     assert(df.select("annotator").as[String].collect().toSet ==
