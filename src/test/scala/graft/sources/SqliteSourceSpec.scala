@@ -130,6 +130,38 @@ class SqliteSourceSpec extends SparkSpec {
       SqliteSource.readTable(v1, "annotations", Some(badCk)))
   }
 
+  test("golden: a REAL SQLite-written WAL pair decodes every committed row") {
+    // fixtures written by SQLite 3.40 itself (python sqlite3, two
+    // commits under wal_autocheckpoint=0, files copied while the
+    // connection was open — the exact state a backup/export job sees).
+    // The main file is ONE page: even the sqlite_master schema row
+    // lives in the wal, so this exercises real salts, real cumulative
+    // checksums, schema-page overlay and db growth end-to-end against
+    // bytes this repo's own fixture writer never produced.
+    def res(p: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(p)
+      require(in != null, s"missing test resource $p")
+      try in.readAllBytes() finally in.close()
+    }
+    val main = res("/sqlite_wal/manual.db")
+    val wal = res("/sqlite_wal/manual.db-wal")
+    assert(main.length == 4096 && (main(19) & 0xff) == 2)
+    val t = SqliteSource.readTable(main, "annotations", Some(wal))
+    assert(t.columns == Seq(
+      "sample_name", "roi_number", "class_name", "annotator", "timestamp"))
+    assert(t.rows.size == 5)
+    assert(t.rows.map(r => (r(0), r(1), r(2))).toSet == Set(
+      ("D20230801T120000_IFCB134", 3L, "Mesodinium_rubrum"),
+      ("D20230801T120000_IFCB134", 12L, "Dinophysis_acuminata"),
+      ("D20230915T080000_IFCB134", 1L, "other"),
+      ("D20231001T000000_IFCB134", 5L, "Tripos_muelleri"),
+      ("D20231001T000000_IFCB134", 9L, "Alexandrium_pseudogonyaulax")))
+    // without the sidecar the same main file must reject loudly — the
+    // whole table would otherwise silently vanish
+    assertThrows[IllegalArgumentException](
+      SqliteSource.readTable(main, "annotations"))
+  }
+
   test("annotations view pairs -wal sidecars and rejects hot journals") {
     val dir = Files.createTempDirectory("sqlite_wal").toFile
     val v1 = SqliteFixture.toWalMode(fixture)
