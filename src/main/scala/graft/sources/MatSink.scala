@@ -13,11 +13,13 @@ import MatSource.{MatCell, MatNum, MatStr, MatValue}
   * code/annotations/annotate_whoi_data.R:48,64-73 — so a curation
   * round-trip was not expressible while [[MatSource]] stayed read-only.
   * This emits the same subset of the public "MAT-File Format" the
-  * reader parses: little-endian, uncompressed elements, numeric
-  * (double) matrices column-major, UTF-16 char arrays, cell arrays of
-  * strings. Output is deterministic byte-for-byte (fixed header text,
-  * no timestamps), so written files are diffable and the write→read
-  * round-trip is pinned by spec.
+  * reader parses: little-endian, numeric (double) matrices
+  * column-major, UTF-16 char arrays, cell arrays of strings, optional
+  * zlib miCOMPRESSED framing per variable (the reference's
+  * `do_compression = TRUE`; unpadded per the spec's one alignment
+  * exception). Output is deterministic byte-for-byte (fixed header
+  * text, no timestamps, fixed deflate level), so written files are
+  * diffable and the write→read round-trip is pinned by spec.
   *
   * Spark shape: one `.mat` per sample — the reference's own unit of
   * work — serialized inside executors from a `groupByKey(sample)` and
@@ -32,13 +34,22 @@ object MatSink {
   private val MiUint32 = 6
   private val MiDouble = 9
   private val MiMatrix = 14
+  private val MiCompressed = 15
 
   private val MxCell = 1
   private val MxChar = 4
   private val MxDouble = 6
 
-  /** Serializes top-level variables to one MAT-5 byte stream. */
-  def write(vars: Seq[(String, MatValue)]): Array[Byte] = {
+  /** Serializes top-level variables to one MAT-5 byte stream.
+    *
+    * @param compress wrap each variable in a zlib miCOMPRESSED element
+    *                 (the reference's `do_compression = TRUE`,
+    *                 annotate_whoi_data.R:72 — what MATLAB's own `save`
+    *                 does by default since v7). Deterministic: one
+    *                 fixed-level deflate pass, no timestamps.
+    */
+  def write(vars: Seq[(String, MatValue)],
+      compress: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val hdr = new Array[Byte](128)
     java.util.Arrays.fill(hdr, 0, 116, ' '.toByte)
@@ -56,8 +67,34 @@ object MatSink {
     out.write(hdr)
     vars.foreach { case (name, v) =>
       val e = element(MiMatrix, matrixPayload(name, v))
-      out.write(e, 0, e.length)
+      // miCOMPRESSED elements are NOT padded to the 8-byte boundary
+      // (the spec's one exception; MatSource.readElement relies on it,
+      // and pad zeros after one would misalign the next element's tag)
+      val framed =
+        if (compress) {
+          val z = deflate(e)
+          val b = ByteBuffer.allocate(8 + z.length).order(ByteOrder.LITTLE_ENDIAN)
+          b.putInt(MiCompressed)
+          b.putInt(z.length)
+          b.put(z)
+          b.array()
+        } else e
+      out.write(framed, 0, framed.length)
     }
+    out.toByteArray
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(data)
+    d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val chunk = new Array[Byte](8192)
+    while (!d.finished()) {
+      val n = d.deflate(chunk)
+      out.write(chunk, 0, n)
+    }
+    d.end()
     out.toByteArray
   }
 
@@ -126,8 +163,10 @@ object MatSink {
     * [[MatSource.class2use]] with 1-based MATLAB indices.
     */
   def class2useBytes(classes: Seq[String],
-      varName: String = "class2use"): Array[Byte] =
-    write(Seq(varName -> MatCell(Seq(1, classes.size), classes.map(MatStr))))
+      varName: String = "class2use",
+      compress: Boolean = true): Array[Byte] =
+    write(Seq(varName -> MatCell(Seq(1, classes.size), classes.map(MatStr))),
+      compress)
 
   /** A manual-annotation file (`ifcb_annotate_batch` shape): `classlist`
     * = nROI×3 column-major [roi, manual idx, auto idx] with NaN for
@@ -135,7 +174,7 @@ object MatSink {
     * the exact layout [[MatSource.manualClassList]] reads back.
     */
   def manualBytes(classlist: Seq[(Int, Option[Int], Option[Int])],
-      classes: Seq[String]): Array[Byte] = {
+      classes: Seq[String], compress: Boolean = true): Array[Byte] = {
     val n = classlist.size
     val data = new Array[Double](n * 3)
     classlist.zipWithIndex.foreach { case ((roi, manual, auto), i) =>
@@ -145,7 +184,8 @@ object MatSink {
     }
     write(Seq(
       "classlist" -> MatNum(Seq(n, 3), data),
-      "class2use_manual" -> MatCell(Seq(1, classes.size), classes.map(MatStr))))
+      "class2use_manual" -> MatCell(Seq(1, classes.size), classes.map(MatStr))),
+      compress)
   }
 
   /** Writes one manual `.mat` per sample from the

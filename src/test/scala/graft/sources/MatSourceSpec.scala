@@ -85,6 +85,18 @@ class MatSourceSpec extends SparkSpec {
     val MatCell(cd, items) = back("class2use_manual"): @unchecked
     assert(cd == Seq(1, 3))
     assert(items == Seq(MatStr("unclassified"), MatStr("Mesodinium_rubrum"), MatStr("")))
+    // compressed framing (the reference's do_compression = TRUE):
+    // smaller file, identical values back through the reader's
+    // miCOMPRESSED path, still deterministic
+    val zbytes = MatSink.write(vars, compress = true)
+    assert(zbytes.sameElements(MatSink.write(vars, compress = true)))
+    assert(zbytes.length < bytes.length, s"${zbytes.length} vs ${bytes.length}")
+    val zback = parse(zbytes)
+    assert(zback.keySet == back.keySet)
+    val MatNum(zd, zg) = zback("classlist"): @unchecked
+    assert(zd == Seq(3, 3))
+    zg.zip(got).foreach { case (a, b) => assert(a == b || (a.isNaN && b.isNaN)) }
+    assert(zback("note") == MatStr("Tångesund µ-grid"))
   }
 
   test("MatSink.class2useBytes reads back via MatSource.class2use (1-based)") {

@@ -189,15 +189,22 @@ object SqliteFixture {
     */
   def writeWal(txns: Seq[(Seq[(Int, Array[Byte])], Int)],
       salt1: Int = 0x11223344, salt2: Int = 0x55667788,
-      stale: Seq[(Int, Array[Byte])] = Nil): Array[Byte] = {
+      stale: Seq[(Int, Array[Byte])] = Nil,
+      bigWords: Boolean = false): Array[Byte] = {
     val buf = new java.io.ByteArrayOutputStream()
     def cksum(bytes: Array[Byte], s: (Int, Int)): (Int, Int) = {
       var (s0, s1) = s
       var i = 0
       while (i + 8 <= bytes.length) {
-        def w(j: Int): Int = ((bytes(j + 3) & 0xff) << 24) |
-          ((bytes(j + 2) & 0xff) << 16) | ((bytes(j + 1) & 0xff) << 8) |
-          (bytes(j) & 0xff) // little-endian words (magic 0x377f0682)
+        // checksum word order rides in the magic's low bit:
+        // 0x377f0682 = little-endian words, 0x377f0683 = big-endian
+        def w(j: Int): Int =
+          if (bigWords)
+            ((bytes(j) & 0xff) << 24) | ((bytes(j + 1) & 0xff) << 16) |
+              ((bytes(j + 2) & 0xff) << 8) | (bytes(j + 3) & 0xff)
+          else
+            ((bytes(j + 3) & 0xff) << 24) | ((bytes(j + 2) & 0xff) << 16) |
+              ((bytes(j + 1) & 0xff) << 8) | (bytes(j) & 0xff)
         s0 += w(i) + s1
         s1 += w(i + 4) + s0
         i += 8
@@ -209,7 +216,8 @@ object SqliteFixture {
       vs.foreach(b.putInt)
       b.array()
     }
-    val hdr24 = be(0x377f0682, 3007000, PageSize, 7, salt1, salt2)
+    val hdr24 = be(if (bigWords) 0x377f0683 else 0x377f0682,
+      3007000, PageSize, 7, salt1, salt2)
     val hck = cksum(hdr24, (0, 0))
     buf.write(hdr24); buf.write(be(hck._1, hck._2))
     var chain = hck

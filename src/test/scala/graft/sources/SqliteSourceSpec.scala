@@ -104,6 +104,20 @@ class SqliteSourceSpec extends SparkSpec {
     assert(t2.rows.map(_(2)).toSet == t1.rows.map(_(2)).toSet)
   }
 
+  test("WAL big-endian checksum words (magic 0x377f0683) decode identically") {
+    // wal files from big-endian hosts carry the same frames with the
+    // checksum computed over BE words; the reader selects word order
+    // from the magic's low bit
+    val v1 = SqliteFixture.toWalMode(fixture)
+    val rows2 = rows :+ Seq("D20231001T000000_IFCB134", 5L, "Tripos_muelleri",
+      "dave", "2023-10-02 08:00:00")
+    val v2 = SqliteFixture.toWalMode(SqliteFixture.write("annotations", cols, rows2))
+    val walBe = SqliteFixture.writeWal(Seq(walTxn(v1, v2)), bigWords = true)
+    val t = SqliteSource.readTable(v1, "annotations", Some(walBe))
+    assert(t.rows.size == 4)
+    assert(t.rows.map(_(3)).toSet == Set("alice", "bob", "dave"))
+  }
+
   test("WAL edge states: empty sidecar, uncommitted-only frames, bad header") {
     val v1 = SqliteFixture.toWalMode(fixture)
     // checkpoint(TRUNCATE) leaves a zero-length wal: main is complete
