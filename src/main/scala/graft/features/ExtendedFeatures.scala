@@ -31,8 +31,18 @@ object ExtendedFeatures {
 
   /** `subsample_dist` (perimeter.py:40-54): points sorted by y·max(x)+x,
     * m = min(n², 10000) sampled pairs via [[simplePrng]], euclidean
-    * distances. (The reference sorts with a non-stable argsort; parity
-    * requires unique sort keys — the golden generator asserts this.)
+    * distances.
+    *
+    * Tie semantics (round-12 review): the key COLLIDES whenever the
+    * perimeter contains both (y, maxX) and (y+1, 0) — common for
+    * rectangle-ish blobs — and the reference resolves ties with a
+    * NON-STABLE numpy argsort, i.e. its own output is
+    * platform/version-dependent there. Scala's stable sortBy picks the
+    * row-major order, which is one fixed representative of the
+    * reference's ambiguous set — deterministic on our side, and exact
+    * parity wherever the reference's keys are unique (the golden
+    * generator asserts uniqueness for its fixtures, so goldens pin the
+    * unambiguous regime).
     */
   def subsampleDist(pts: Array[(Int, Int)], maxN: Int = 10000): Array[Double] = {
     val n = pts.length
@@ -292,6 +302,10 @@ object ExtendedFeatures {
            j <- m * stepX until math.min((m + 2) * stepX, w)) {
         val a = math.atan2(gy(i * w + j), gx(i * w + j))
         val mag = math.sqrt(gy(i * w + j) * gy(i * w + j) + gx(i * w + j) * gx(i * w + j))
+        // strict upper bound: a gradient of exactly atan2(0, -x) = π
+        // falls in NO bin — deliberate, hog.py:50 uses the same
+        // `>= low && < high` with the last high = π (round-12 review:
+        // checked against the reference, parity not a bug)
         var b = 0
         while (b < bins) {
           if (a >= angLow(b) && a < angHigh(b)) { h2(b) += mag; b = bins }
@@ -329,7 +343,15 @@ object ExtendedFeatures {
   def compute(mask: Mask, roi: Segmentation.Gray): Map[String, Double] = {
     val blobs = Features.findBlobs(mask)
     require(blobs.nonEmpty, "no blobs")
-    val blob = blobs.head
+    compute(mask, roi, blobs.head)
+  }
+
+  /** As [[compute]] with the largest blob already labeled — the
+    * extractFull path shares one `findBlobs` between the slim and
+    * extended kernels instead of labeling the same mask twice per row
+    * (round-12 review).
+    */
+  def compute(mask: Mask, roi: Segmentation.Gray, blob: Mask): Map[String, Double] = {
     val perimImage = Raster.perimeter(blob)
     val perimPts = (for (i <- 0 until blob.h; j <- 0 until blob.w if perimImage(i, j))
       yield (i, j)).toArray

@@ -145,8 +145,17 @@ object Features {
   /** `compute_features` (all.py:494-539): headline features from the
     * largest blob, counts/sums over all blobs, zero→NaN ratios.
     */
-  def compute(roiId: Long, mask: Mask): FeatureRow = {
-    val blobs = findBlobs(mask).map(blobFeatures)
+  def compute(roiId: Long, mask: Mask): FeatureRow =
+    computeFromBlobs(roiId, findBlobs(mask))
+
+  /** [[compute]] over an already-labeled blob list — the extractFull
+    * path labels ONCE and shares the blobs with the extended kernel
+    * (round-12 review: the previous shape re-ran the full
+    * connected-component labeling + crops inside ExtendedFeatures for
+    * the same mask, on the per-row hot path).
+    */
+  def computeFromBlobs(roiId: Long, rawBlobs: Seq[Mask]): FeatureRow = {
+    val blobs = rawBlobs.map(blobFeatures)
     def nan0(v: Double): Double = if (v == 0.0) Double.NaN else v
     if (blobs.isEmpty) {
       FeatureRow(roiId, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
@@ -215,13 +224,15 @@ object Features {
         val roi = Segmentation.Gray(h, w,
           graft.multimodal.Media.grayPixels(bytes, w, h))
         val mask = Segmentation.segmentRoi(roi)
-        val slim = compute(id, mask)
-        // numBlobs already encodes emptiness — re-running the full
-        // connected-component labeling just for the guard was a third
-        // labeling pass per row on the hot path (round-11 review)
+        // label ONCE and share: slim + extended both need the blob
+        // list, and the largest blob rides into the extended kernel
+        // directly (round-11 removed a labeling pass for the guard;
+        // round-12 removed ExtendedFeatures' own re-labeling too)
+        val rawBlobs = findBlobs(mask)
+        val slim = computeFromBlobs(id, rawBlobs)
         val ext =
-          if (slim.numBlobs == 0) Map.empty[String, Double]
-          else ExtendedFeatures.compute(mask, roi)
+          if (rawBlobs.isEmpty) Map.empty[String, Double]
+          else ExtendedFeatures.compute(mask, roi, rawBlobs.head)
         (slim, ext)
       }
     }

@@ -44,6 +44,44 @@ object Fft {
     }
   }
 
+  /** Memoized Bluestein chirp state per (n, sign): the chirp weights
+    * w and the ALREADY-TRANSFORMED filter B = fft(b) depend only on the
+    * length and direction, but were recomputed on every call — and
+    * PhaseCongruency alone performs ~25·(h+w) DFTs per ROI, each paying
+    * n trig pairs plus a size-m fftPow2 for a pure function of (n, sign)
+    * (round-12 review: roughly a third of the dominant per-row
+    * segmentation cost for non-power-of-two dims). Arrays in the cache
+    * are read-only by construction; ConcurrentHashMap because feature
+    * extraction runs on all executor threads. Bounded: past the cap new
+    * lengths compute uncached (never evict — extraction re-visits the
+    * same ROI dims constantly).
+    */
+  private final case class Chirp(wr: Array[Double], wi: Array[Double],
+      m: Int, tbr: Array[Double], tbi: Array[Double])
+  private val chirpCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Double), Chirp]()
+  private val ChirpCacheMax = 256
+
+  private def chirp(n: Int, sign: Double): Chirp = {
+    val key = (n, sign)
+    val cached = chirpCache.get(key)
+    if (cached != null) return cached
+    var m = 1
+    while (m < 2 * n - 1) m <<= 1
+    val wr = new Array[Double](n); val wi = new Array[Double](n)
+    val br = new Array[Double](m); val bi = new Array[Double](m)
+    for (k <- 0 until n) {
+      val a = math.Pi * ((k.toLong * k) % (2L * n)).toDouble / n
+      wr(k) = math.cos(a); wi(k) = -sign * math.sin(a)
+      br(k) = wr(k); bi(k) = -wi(k)
+      if (k > 0) { br(m - k) = wr(k); bi(m - k) = -wi(k) }
+    }
+    fftPow2(br, bi, inverse = false)
+    val c = Chirp(wr, wi, m, br, bi)
+    if (chirpCache.size < ChirpCacheMax) chirpCache.putIfAbsent(key, c)
+    c
+  }
+
   /** Arbitrary-length complex DFT (Bluestein); `inverse` applies the
     * numpy 1/n scaling.
     */
@@ -57,32 +95,25 @@ object Fft {
         (r, i)
       } else {
         val sign = if (inverse) -1.0 else 1.0
-        var m = 1
-        while (m < 2 * n - 1) m <<= 1
+        val ch = chirp(n, sign)
+        val m = ch.m
         val ar = new Array[Double](m); val ai = new Array[Double](m)
-        val br = new Array[Double](m); val bi = new Array[Double](m)
-        val wr = new Array[Double](n); val wi = new Array[Double](n)
         for (k <- 0 until n) {
-          val a = math.Pi * ((k.toLong * k) % (2L * n)).toDouble / n
-          wr(k) = math.cos(a); wi(k) = -sign * math.sin(a)
-          ar(k) = re(k) * wr(k) - im(k) * wi(k)
-          ai(k) = re(k) * wi(k) + im(k) * wr(k)
-          br(k) = wr(k); bi(k) = -wi(k)
-          if (k > 0) { br(m - k) = wr(k); bi(m - k) = -wi(k) }
+          ar(k) = re(k) * ch.wr(k) - im(k) * ch.wi(k)
+          ai(k) = re(k) * ch.wi(k) + im(k) * ch.wr(k)
         }
         fftPow2(ar, ai, inverse = false)
-        fftPow2(br, bi, inverse = false)
         for (k <- 0 until m) {
-          val r = ar(k) * br(k) - ai(k) * bi(k)
-          ai(k) = ar(k) * bi(k) + ai(k) * br(k)
+          val r = ar(k) * ch.tbr(k) - ai(k) * ch.tbi(k)
+          ai(k) = ar(k) * ch.tbi(k) + ai(k) * ch.tbr(k)
           ar(k) = r
         }
         fftPow2(ar, ai, inverse = true)
         val oR = new Array[Double](n); val oI = new Array[Double](n)
         for (k <- 0 until n) {
           val cr = ar(k) / m; val ci = ai(k) / m
-          oR(k) = cr * wr(k) - ci * wi(k)
-          oI(k) = cr * wi(k) + ci * wr(k)
+          oR(k) = cr * ch.wr(k) - ci * ch.wi(k)
+          oI(k) = cr * ch.wi(k) + ci * ch.wr(k)
         }
         (oR, oI)
       }

@@ -370,7 +370,10 @@ object Segmentation {
     }
     b = Raster.fillHoles(merged)
     val eroded = Raster.erode(b, Raster.diamond(1))
-    if (applyBlobMin(eroded).count > 0) b = eroded
-    applyBlobMin(b)
+    // bind the filtered eroded mask once: the previous guard recomputed
+    // the identical applyBlobMin (a full labeling pass) on the taken
+    // branch — per ROI, on the extraction hot path (round-12 review)
+    val kept = applyBlobMin(eroded)
+    if (kept.count > 0) kept else applyBlobMin(b)
   }
 }

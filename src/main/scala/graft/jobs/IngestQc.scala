@@ -261,9 +261,14 @@ object IngestQc {
             graft.multimodal.Media.grayPixels(bytes, w, h))))
       }
     }.toDF("sample", "roi_number", "f")
+    // "roi_id", the case-class field's actual name — the filter was a
+    // dead "roiId" for eleven rounds, silently keeping a column that
+    // duplicates roi_number in both this output and the state schema
+    // below (round-12 review; old persisted state still reads — the
+    // extra parquet column just prunes away)
     rows.select(col("sample") +: col("roi_number") +:
       rows.schema("f").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
-        .fieldNames.filter(_ != "roiId").map(n => col(s"f.$n").as(n)).toSeq: _*)
+        .fieldNames.filter(_ != "roi_id").map(n => col(s"f.$n").as(n)).toSeq: _*)
   }
 
   /** PSD over kernel output (R:495-518): ESD µm = `EquivDiameter` px ×
@@ -500,7 +505,7 @@ object IngestQc {
     StructType(
       StructField("sample", StringType) +: StructField("roi_number", IntegerType) +:
         org.apache.spark.sql.Encoders.product[Features.FeatureRow].schema.fields
-          .filterNot(_.name == "roiId").toSeq)
+          .filterNot(_.name == "roi_id").toSeq) // keep in sync with extractFeatures
   }
 
   private[jobs] val psdFitsStateSchema: org.apache.spark.sql.types.StructType =
