@@ -101,7 +101,15 @@ object H5Source {
   private def heapString(buf: ByteBuffer, heapAddr: Long, off: Long): String = {
     require(sig(buf, heapAddr) == "HEAP", s"expected HEAP at $heapAddr")
     val dataAddr = buf.getLong(heapAddr.toInt + 24)
-    var p = (dataAddr + off).toInt
+    // Long-range bound BEFORE the Int truncation: a corrupt heap data
+    // address or name offset above 2³² would otherwise wrap mod 2³²,
+    // scan NUL-terminated bytes at some unrelated in-file position and
+    // return a silently wrong name (round-12 review — the contiguous
+    // layout's guard class, applied here)
+    val start = dataAddr + off
+    require(dataAddr >= 0 && off >= 0 && start >= 0 && start < buf.limit(),
+      s"heap string at $dataAddr+$off outside file of ${buf.limit()} bytes")
+    var p = start.toInt
     val sb = new StringBuilder
     while (buf.get(p) != 0) { sb.append(buf.get(p).toChar); p += 1 }
     sb.toString
@@ -210,7 +218,9 @@ object H5Source {
               s"contiguous data extent [$dataAddr, ${dataAddr + n}) " +
                 s"exceeds file size ${buf.limit()}")
             val a = new Array[Byte](n.toInt)
-            for (i <- 0 until n.toInt) a(i) = buf.get((dataAddr + i).toInt)
+            // one memcpy, not tens of millions of per-index get()
+            // calls on the per-file hot path (round-12 review)
+            System.arraycopy(buf.array(), dataAddr.toInt, a, 0, n.toInt)
             a
           }
         case 2 => // chunked: dimensionality(1) btree(8) dims(4 each) elem(4)
@@ -260,8 +270,16 @@ object H5Source {
         else {
           require(chunkBytes >= 0 && chunkBytes <= buf.limit(),
             s"chunk size $chunkBytes exceeds file size ${buf.limit()}")
+          // Long-range check on the chunk address BEFORE the Int
+          // truncation: a corrupt child pointer with its low 32 bits
+          // in-file would otherwise copy unrelated bytes as the chunk
+          // and decode plausible-looking garbage (round-12 review —
+          // the contiguous layout applies exactly this guard)
+          require(child >= 0 && child <= buf.limit().toLong - chunkBytes,
+            s"chunk data extent [$child, ${child + chunkBytes}) " +
+              s"exceeds file size ${buf.limit()}")
           var data = new Array[Byte](chunkBytes)
-          for (i <- 0 until chunkBytes) data(i) = buf.get((child + i).toInt)
+          System.arraycopy(buf.array(), child.toInt, data, 0, chunkBytes)
           if (filters.contains(1)) data = inflate(data)
           copyChunk(out, data, dims, chunkDims, offsets, elemSize)
         }

@@ -449,9 +449,15 @@ object Maps {
         col(depthCol).cast("string"), col(latCol).cast("double"),
         col(lonCol).cast("double"), col(valueCol).cast("double"))
       // na.rm like the reference's !is.na(carbon_concentration), plus
-      // position/month — a panel cannot place a point without them
+      // position/month — a panel cannot place a point without them —
+      // plus the PANEL KEYS: a null taxon/type/depth string NPEs the
+      // driver-side sortBy/escape and kills the whole report render
+      // (round-12 review; the round-11 null-discipline class, applied
+      // to this renderer too)
       .filter(col(valueCol).isNotNull && col(latCol).isNotNull &&
-        col(lonCol).isNotNull && col(monthCol).between(1, 12))
+        col(lonCol).isNotNull && col(monthCol).between(1, 12) &&
+        col(taxonCol).isNotNull && col(typeCol).isNotNull &&
+        col(depthCol).isNotNull)
       .collect()
       .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3),
         r.getDouble(4), r.getDouble(5), r.getDouble(6)))

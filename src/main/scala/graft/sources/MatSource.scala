@@ -64,7 +64,16 @@ object MatSource {
             case _ => ()
           }
         case Some(_) => () // skip other top-level element kinds
-        case None => buf.position(buf.limit())
+        case None =>
+          // readElement returns None mid-stream only when an element's
+          // claimed length is negative or runs past the file (the
+          // remaining>=8 loop guard covers normal end): silently
+          // stopping here dropped every LATER variable — a truncated
+          // file read as "TBscores missing" with zero rows and no
+          // error (round-12 review; the documented contract forbids it)
+          throw new IllegalArgumentException(
+            s"corrupt MAT-5 element at byte ${buf.position() - 8}: " +
+              "claimed length runs past the file")
       }
     }
     out.result()

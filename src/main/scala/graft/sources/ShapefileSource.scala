@@ -45,7 +45,18 @@ object ShapefileSource {
 
   private def readShpBody(bytes: Array[Byte], be: ByteBuffer): Seq[Ring] = {
     val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    val fileLen = be.getInt(24) * 2 // 16-bit words → bytes
+    val fileLen = be.getInt(24).toLong * 2 // 16-bit words → bytes
+    // a corrupt header word count (negative after doubling, or short of
+    // the 100-byte header) would make the record loop exit immediately
+    // and return an EMPTY ring set silently — every downstream
+    // near-land/basin flag then computes false with no error
+    // (round-12 review; fail-loudly contract)
+    require(fileLen >= 100,
+      s"shapefile header claims $fileLen bytes (header alone is 100)")
+    // claimed > actual = a truncated copy: reading "to whichever is
+    // shorter" would silently drop the tail records
+    require(fileLen <= bytes.length,
+      s"shapefile truncated: header claims $fileLen bytes, file holds ${bytes.length}")
     val out = Seq.newBuilder[Ring]
     var p = 100
     while (p + 8 <= math.min(fileLen, bytes.length)) {

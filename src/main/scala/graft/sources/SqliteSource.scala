@@ -488,8 +488,25 @@ object SqliteSource {
         val ci = t.columns.zipWithIndex.toMap
         def str(r: Seq[Any], c: String): String =
           ci.get(c).map(r(_)).map { case null => null; case v => v.toString }.orNull
-        def num(r: Seq[Any], c: String): Long =
-          ci.get(c).map(r(_)).collect { case l: Long => l; case d: Double => d.toLong }.getOrElse(0L)
+        // loud, not getOrElse(0L): SQLite columns are dynamically
+        // typed, so a NULL or text-stored roi_number would otherwise
+        // emit roi 0 / image_name "<sample>_00000" — silently corrupt
+        // join keys into the delivery (round-12 review). Text that IS
+        // a number decodes (tools that bind everything as strings).
+        def num(r: Seq[Any], c: String): Long = {
+          val v = ci.get(c).map(r(_)).getOrElse(
+            throw new IllegalArgumentException(
+              s"$dbPath: table '$table' has no column '$c'"))
+          v match {
+            case l: Long => l
+            case d: Double => d.toLong
+            case s: String if s.matches("-?\\d+") => s.toLong
+            case other =>
+              throw new IllegalArgumentException(
+                s"$dbPath: column '$c' holds non-numeric value " +
+                  s"'$other' — cannot derive a ROI number")
+          }
+        }
         t.rows.map { r =>
           (str(r, "sample_name"), num(r, "roi_number").toInt, str(r, "class_name"),
             str(r, "annotator"), str(r, "timestamp"))

@@ -53,6 +53,12 @@ object ZipSink {
       val dup = entries.groupBy(_._1).collect { case (n, g) if g.length > 1 => n }
       s"ZipSink: duplicate entry names in '$nameCol': ${dup.take(5).mkString(", ")}"
     })
+    // the manifest entry name is reserved: a payload row named like it
+    // would collide only at part-CLOSE time (ZipException after the
+    // whole part is written, orphaned .tmp left behind) — fail fast
+    // with the sink's own diagnostic instead (round-12 review)
+    require(!entries.exists(_._1 == "MANIFEST.txt"),
+      s"ZipSink: entry name 'MANIFEST.txt' is reserved for the part manifest")
     var cum = 0L
     val plan = entries.map { case (name, len) =>
       cum += len
@@ -74,8 +80,14 @@ object ZipSink {
         zos.write(manifest.toString.getBytes("UTF-8"))
         zos.closeEntry()
         zos.close()
+        // REPLACE_EXISTING alongside ATOMIC_MOVE: without it, replacing
+        // an existing part (re-run over the same dir, or a replayed
+        // attempt racing a completed one) is filesystem-specific — only
+        // POSIX rename semantics made the documented last-rename-wins
+        // behavior true (round-12 review; MatSink's discipline)
         java.nio.file.Files.move(tmp.toPath,
           new File(s"$dir/part-$cur.zip").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         zos = null
         tmp = null

@@ -18,7 +18,11 @@ private[sources] object Zlib {
       maxOut: Long = 1L << 30): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(data)
-    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    // Long math then clamp: data.length * 4 wraps negative past 512 MiB
+    // and ByteArrayOutputStream(negative) rejects a VALID stream with a
+    // misleading "Negative initial size" (round-12 review)
+    val initial = math.min(data.length.toLong * 4, math.min(maxOut, 1L << 26)).toInt
+    val out = new java.io.ByteArrayOutputStream(initial)
     val chunk = new Array[Byte](8192)
     try {
       while (!inf.finished() && !inf.needsInput()) {

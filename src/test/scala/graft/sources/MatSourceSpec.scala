@@ -61,6 +61,23 @@ class MatSourceSpec extends SparkSpec {
     assert(MatSource.manualClassList(spark, dir2.toString).count() == 0)
   }
 
+  test("a mid-stream truncation rejects loudly instead of dropping later variables") {
+    // round-12 review: parseBody used to silently STOP on an element
+    // whose claimed length ran past the file — a truncated file read as
+    // "the later variables are missing" with zero rows and no error
+    val two = matFile(
+      matrix("first", 6, Seq(1, 2), doubles(Seq(1.0, 2.0)), 9),
+      matrix("TBscores", 6, Seq(1, 2), doubles(Seq(3.0, 4.0)), 9))
+    // cut inside the SECOND element's payload (its >=56-byte miMATRIX
+    // body loses the last 8 bytes, so the tag's claimed length now
+    // runs past the file)
+    val cut = two.take(two.length - 8)
+    val e = intercept[IllegalArgumentException](parse(cut))
+    assert(e.getMessage.contains("claimed length"), e.getMessage)
+    // intact file still parses both
+    assert(parse(two).keySet == Set("first", "TBscores"))
+  }
+
   test("MatSink round-trips numeric/char/cell variables, byte-deterministically") {
     val data = Array(1.0, 2.0, 3.0, 5.0, Double.NaN, 1.0, Double.NaN, 4.0, Double.NaN)
     val vars = Seq(

@@ -228,6 +228,28 @@ class SqliteSourceSpec extends SparkSpec {
     assert(classes == Set("Mesodinium_rubrum", "Dinophysis_acuminata", "other"))
   }
 
+  test("annotations: text-stored roi numbers decode; null roi rejects loudly") {
+    // SQLite columns are dynamically typed — a tool binding roi_number
+    // as text must not silently emit roi 0 / image_name _00000
+    // (round-12 review)
+    val textRoi = SqliteFixture.write("annotations", cols, Seq(
+      Seq("D20230801T120000_IFCB134", "42", "Mesodinium_rubrum", "alice", "t")))
+    val d1 = Files.createTempDirectory("sqlite_textroi").toFile
+    Files.write(Paths.get(d1.toString, "a.db"), textRoi)
+    val ok = SqliteSource.annotations(spark, d1.toString).collect()
+    assert(ok.length == 1 && ok.head.getAs[String]("image_name")
+      == "D20230801T120000_IFCB134_00042")
+    val nullRoi = SqliteFixture.write("annotations", cols, Seq(
+      Seq("D20230801T120000_IFCB134", null, "Mesodinium_rubrum", "alice", "t")))
+    val d2 = Files.createTempDirectory("sqlite_nullroi").toFile
+    Files.write(Paths.get(d2.toString, "a.db"), nullRoi)
+    val e = intercept[Exception](
+      SqliteSource.annotations(spark, d2.toString).collect())
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("ROI number")), chain.mkString(" | "))
+  }
+
   test("interior B-tree pages traverse in order (multi-page table)") {
     val manyRows: Seq[Seq[Any]] = (1 to 6).map(i =>
       Seq(s"D2023080${i}T000000_IFCB134", i.toLong, s"class_$i", "alice", "2023-08-10"))

@@ -32,6 +32,27 @@ class ZipSinkSpec extends SparkSpec {
     assert(entries.sorted.toSeq == rows.map(_._1))
   }
 
+  test("the reserved MANIFEST.txt entry name fails fast, not at part close") {
+    val dir = Files.createTempDirectory("zipres").toString + "/out"
+    val rows = Seq(("MANIFEST.txt", Array[Byte](1)), ("ok.png", Array[Byte](2)))
+    val e = intercept[IllegalArgumentException](
+      ZipSink.write(rows.toDF("name", "bytes"), "name", "bytes", dir, 1000L))
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+  }
+
+  test("re-running over an existing output directory replaces parts atomically") {
+    // REPLACE_EXISTING + ATOMIC_MOVE (round-12 review): the second run
+    // must overwrite part-0.zip wholesale, not throw FileAlreadyExists
+    val dir = Files.createTempDirectory("ziprerun").toString + "/out"
+    val rows = Seq(("a.png", Array[Byte](1, 2, 3)))
+    ZipSink.write(rows.toDF("name", "bytes"), "name", "bytes", dir, 1000L)
+    ZipSink.write(rows.toDF("name", "bytes"), "name", "bytes", dir, 1000L)
+    val zf = new ZipFile(s"$dir/part-0.zip")
+    try assert(zf.entries().asScala.map(_.getName).toSet ==
+      Set("a.png", "MANIFEST.txt"))
+    finally zf.close()
+  }
+
   test("duplicate entry names fail loudly instead of fanning out") {
     val dir = Files.createTempDirectory("zipdup").toString + "/out"
     val rows = Seq(("a.png", Array[Byte](1)), ("a.png", Array[Byte](2)))
