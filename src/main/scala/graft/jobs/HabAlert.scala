@@ -95,6 +95,12 @@ object HabAlert {
   /** Cyanobacteria counterpart of [[maxCounts]] (R:138-153). */
   def cyanoCounts(
       biovol: DataFrame, classDim: DataFrame, habDim: DataFrame): DataFrame = {
+    // partition by aphia_id INCLUDING the null group: classes lacking an
+    // aphia mapping collapse into one group and only the max-count one
+    // survives — deliberate parity, the reference's
+    // `group_by(aphia_id) %>% slice_max(n = 1)` (ifcb_hab_alert.R:141-142)
+    // groups NA keys identically in dplyr (round-12 review: checked, not
+    // a bug; map classes in the dim if per-class rows are wanted)
     val w = Window.partitionBy(col("aphia_id"))
       .orderBy(col("counts_per_liter").desc, col("sample").asc)
     biovol

@@ -247,8 +247,26 @@ object IngestQc {
     // dead-lettered or blacklisted bin must not abort the run
     val adc = RoiSource.readAdc(spark, s"${cfg.rawDir}/*.adc")
       .join(broadcast(bins.select("sample")), Seq("sample"), "left_semi")
-    val roiFiles = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.roi").load(cfg.rawDir)
+    // incremental scan discipline (round-12 review): a glob load of
+    // rawDir reads EVERY historical .roi payload before any join can
+    // prune — a decade-deep archive pays full-corpus I/O for one new
+    // bin. When the bins frame carries the file paths (run()'s
+    // incremental branch), the binary scan is restricted to exactly
+    // those files; the path list is O(new bins) driver-side by
+    // construction. The ADC residual glob above is text at ~1/1000 the
+    // payload volume and its rows are pruned by the semi-join.
+    val roiFiles =
+      if (bins.columns.contains("path")) {
+        val paths = bins.select("path").distinct()
+          .as[String].collect().sorted
+        if (paths.isEmpty)
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            featuresStateSchema)
+        spark.read.format("binaryFile").load(paths: _*)
+      } else
+        spark.read.format("binaryFile")
+          .option("pathGlobFilter", "*.roi").load(cfg.rawDir)
     val images = RoiSource.images(adc, roiFiles)
       .select($"sample", $"roi_number", $"width", $"height", $"pixels")
       .as[(String, Int, Int, Int, Array[Byte])]
@@ -296,7 +314,9 @@ object IngestQc {
       .groupBy(col("sample"), col("esd_um"))
       .agg(count(lit(1)).as("n"))
     val mid = col("esd_um") + lit(0.5)
-    val fitRows = data.filter(mid >= cfg.psdStartFitUm && col("n") > 0)
+    // n is a groupBy count, always >= 1 — the old `n > 0` conjunct was
+    // dead and implied an impossible zero-count row (round-12 review)
+    val fitRows = data.filter(mid >= cfg.psdStartFitUm)
     val moments = PsdFit.moments(log(mid), log(col("n")))
     val fitted = fitRows.groupBy(col("sample"))
       .agg(moments.head._2.as(moments.head._1),
@@ -372,7 +392,17 @@ object IngestQc {
       existingPsdSamples: Option[DataFrame] = None,
       currentMetadata: Option[DataFrame] = None,
       svepa: Option[DataFrame] = None): Frames = {
-    val (clean, dead) = binIndex(spark, cfg)
+    val (clean0, dead0) = binIndex(spark, cfg)
+    // id-less files (no IFCB sample id in the name) can never join
+    // HDR/ADC/ROI content and have no pid: without this gate they all
+    // collapsed into ONE chimera pid="" metadata row with null cruise,
+    // re-written every run (round-12 review). HdrSource/RoiSource
+    // already drop them at their own scans; here they dead-letter with
+    // their own reason so the drop is visible, not silent.
+    val clean = clean0.filter(col("sample").isNotNull && col("sample") =!= "")
+    val dead = dead0.unionByName(
+      clean0.filter(col("sample").isNull || col("sample") === "")
+        .withColumn("reason", lit("no_sample_id")))
     val blacklisted = blacklistedSamples(clean, blacklist)
     val candidates = clean.select("sample").distinct()
       .join(blacklisted, Seq("sample"), "left_anti")
@@ -391,9 +421,14 @@ object IngestQc {
       dead.filter(col("reason") === "oversize"), balticBasin,
       currentMetadata, cfg)
 
-    // feature extraction: new, non-blacklisted bins only (R:181,436)
+    // feature extraction: new, non-blacklisted bins only (R:181,436).
+    // The incremental branch attaches each bin's .roi path so the
+    // binary scan loads ONLY new files (round-12 review — the glob
+    // scan read the whole archive's payloads every scheduled run); the
+    // first run processes everything anyway, where the glob is exact.
     val binsToProcess = existingFeatures.fold(candidates)(e =>
-      FileIndex.newFiles(candidates, e.select("sample")))
+      FileIndex.newFiles(candidates, e.select("sample"))
+        .join(clean.select(col("sample"), col("path")), Seq("sample")))
     val feats = extractFeatures(spark, cfg, binsToProcess)
 
     // PSD: bins not yet PSD-processed (R:490-493); consumes this run's
@@ -414,9 +449,21 @@ object IngestQc {
     * (R:425-427), features/PSD appended idempotently keyed by sample
     * (R:521-528 + the K3 anti-join semantics).
     */
-  def write(frames: Frames, outDir: String): Unit = {
+  /** @param preRead state frames ALREADY read (and schema-validated) by
+    *                 the caller this run, keyed by state name
+    *                 ("features", "psd_fits", …) — [[runIncremental]]
+    *                 passes its pinned-schema reads through so the
+    *                 append keys come from the validated frames instead
+    *                 of a second lenient re-read of the same CSVs
+    *                 (round-12 review: duplicate full-state I/O per
+    *                 scheduled run, and the write-side keys bypassed
+    *                 the drifted-state fail-loudly contract)
+    */
+  def write(frames: Frames, outDir: String,
+      preRead: Map[String, DataFrame] = Map.empty): Unit = {
     val spark = frames.metadata.sparkSession
-    def existing(path: String): Option[DataFrame] = {
+    def existing(name: String): Option[DataFrame] = preRead.get(name).orElse {
+      val path = s"$outDir/$name"
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p) && fs.listStatus(p).nonEmpty)
@@ -433,13 +480,13 @@ object IngestQc {
     frames.features.persist()
     frames.psdData.persist()
     try {
-      Sinks.appendNew(frames.features, existing(s"$outDir/features"),
+      Sinks.appendNew(frames.features, existing("features"),
         Seq("sample"), s"$outDir/features")
-      Sinks.appendNew(frames.psdData, existing(s"$outDir/psd_data"),
+      Sinks.appendNew(frames.psdData, existing("psd_data"),
         Seq("sample"), s"$outDir/psd_data")
-      Sinks.appendNew(frames.psdFits, existing(s"$outDir/psd_fits"),
+      Sinks.appendNew(frames.psdFits, existing("psd_fits"),
         Seq("sample"), s"$outDir/psd_fits")
-      Sinks.appendNew(frames.psdFlags, existing(s"$outDir/psd_flags"),
+      Sinks.appendNew(frames.psdFlags, existing("psd_flags"),
         Seq("sample"), s"$outDir/psd_flags")
     } finally {
       frames.features.unpersist()
@@ -543,11 +590,17 @@ object IngestQc {
         Some(df)
       } else None
     }
+    val exFeatures = existing(s"$outDir/features", featuresStateSchema)
+    val exPsdFits = existing(s"$outDir/psd_fits", psdFitsStateSchema)
     val frames = run(spark, cfg, blacklist, cruises, ferrybox, balticBasin,
-      existingFeatures = existing(s"$outDir/features", featuresStateSchema),
-      existingPsdSamples = existing(s"$outDir/psd_fits", psdFitsStateSchema),
+      existingFeatures = exFeatures,
+      existingPsdSamples = exPsdFits,
       currentMetadata = currentMetadata)
-    write(frames, outDir)
+    // pass the validated reads through — write() must not re-read the
+    // same state leniently for its append keys (round-12 review)
+    write(frames, outDir,
+      preRead = (exFeatures.map("features" -> _) ++
+        exPsdFits.map("psd_fits" -> _)).toMap)
     frames
   }
 }

@@ -51,7 +51,8 @@ object SharkExport {
   def delivery(
       roi: DataFrame, sampleDim: DataFrame, flags: DataFrame,
       removeFlagged: Seq[String],
-      adjacencyPartition: org.apache.spark.sql.Column): DataFrame = {
+      adjacencyPartition: org.apache.spark.sql.Column,
+      adjacencyUniverse: Option[DataFrame] = None): DataFrame = {
     // decimal sums: per-row double arithmetic is bit-deterministic, but
     // double ADDITION is order-dependent across partitionings — a
     // delivery export must reproduce bit-identically across retries and
@@ -93,8 +94,17 @@ object SharkExport {
     // from roi directly (value-identical: rolled groups roi by
     // (sample, class)), which prunes this branch to a one-column scan +
     // distinct; flagAgg and the rollup now appear exactly once in the DAG.
+    // the adjacency SORT must run over the run-sequence sample universe,
+    // which is not necessarily this call's roi subset: the manual branch
+    // of deliveryWithManual passes only annotated samples, and lag/lead
+    // over that subset would treat non-neighboring samples as adjacent
+    // (round-12 review — a clean sample two slots after a bubbles sample
+    // lost its ValidatedByHuman rows). `adjacencyUniverse` carries the
+    // full universe; the inner join below prunes back to rolled's
+    // samples, so extra universe rows only inform the sort.
     val w = Window.partitionBy(adjacencyPartition).orderBy(col("sample"))
-    val sampleQc = roi.select(col("sample")).distinct()
+    val sampleQc = adjacencyUniverse.getOrElse(roi)
+      .select(col("sample")).distinct()
       .join(broadcast(flagAgg), Seq("sample"), "left")
       .withColumn("__bub",
         lower(coalesce(col("flag"), lit(""))).contains("bubbles"))
@@ -174,13 +184,22 @@ object SharkExport {
       removeFlagged: Seq[String],
       adjacencyPartition: org.apache.spark.sql.Column,
       micronFactor: Double = 1.0 / 2.77): DataFrame = {
-    val auto = delivery(autoRoi, sampleDim, flags, removeFlagged, adjacencyPartition)
+    // one adjacency universe for BOTH branches: the physical run
+    // sequence is the union of machine-processed and annotated samples,
+    // and each branch's lag/lead must see the same neighbors (round-12
+    // review — the manual branch used to sort only annotated samples)
+    val universe = autoRoi.select(col("sample"))
+      .unionByName(annotations.select(col("sample_name").as("sample")))
+      .distinct()
+    val auto = delivery(autoRoi, sampleDim, flags, removeFlagged,
+        adjacencyPartition, adjacencyUniverse = Some(universe))
       .withColumn("VERIF", lit("PredictedByMachine"))
       .withColumn("ANA_RESP", lit(null).cast("string"))
       .withColumn("ANADATE", lit(null).cast("date"))
     val manual = delivery(
         manualRoi(annotations, features, diatomDim, micronFactor),
-        sampleDim, flags, removeFlagged, adjacencyPartition)
+        sampleDim, flags, removeFlagged, adjacencyPartition,
+        adjacencyUniverse = Some(universe))
       .join(broadcast(manualAnalysisDates(annotations))
           .withColumnRenamed("sample", "SMPNO"),
         Seq("SMPNO"), "left")

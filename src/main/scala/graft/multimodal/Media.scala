@@ -25,8 +25,12 @@ object Media {
 
   /** True when the payload starts with a magic ImageIO can decode:
     * PNG (89 50 4E 47), JPEG (FF D8 FF), GIF ("GIF8"), BMP ("BM").
+    * Public-ish for callers whose source is DEFINITIONALLY a container
+    * (a `*.png` stream glob): they must reject non-container bytes
+    * instead of letting [[decodeImage]]'s raw-payload fallback render a
+    * corrupt file as a degenerate 0×0 raster (round-12 review).
     */
-  private def isContainerImage(bytes: Array[Byte]): Boolean =
+  private[graft] def isContainerImage(bytes: Array[Byte]): Boolean =
     bytes.length >= 4 && (
       bytes.take(4).sameElements(PngMagic) ||
       ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) ||

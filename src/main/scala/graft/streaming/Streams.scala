@@ -129,6 +129,12 @@ object Streams {
       .load(path)
       .select(col("path"), col("content"))
     files.as[(String, Array[Byte])].map { case (p, bytes) =>
+      // the *.png glob makes non-container bytes definitionally corrupt:
+      // without this gate, decodeImage's raw-payload fallback (caller
+      // dims 0×0) emitted a plausible-looking all-degenerate feature row
+      // for a truncated file, silently (round-12 review)
+      require(graft.multimodal.Media.isContainerImage(bytes),
+        s"corrupt image payload at $p: no decodable container magic")
       val (px, w, h) = graft.multimodal.Media.decodeImage(bytes, 0, 0)
       val roiId = "(\\d+)\\.png$".r.findFirstMatchIn(p).map(_.group(1).toLong).getOrElse(0L)
       val row = graft.features.Features.computeFromRoi(roiId,
@@ -236,16 +242,21 @@ object Streams {
                 // backwards — the old unguarded merge rewound it, so a
                 // following event could merge against re-ordered history
                 // and a session could emit end < start (round-11
-                // review). Within one gap of the session tail the event
-                // genuinely belongs to the open session (batch-order
-                // semantics agree): fold it in, extending `start`
-                // backwards if needed. Older than that, batch order
-                // would have placed it in an earlier session that may
-                // already be emitted — emit it as its own singleton
-                // late session (stragglers are not retro-merged with
-                // each other; the accepted streaming-lateness trade).
+                // review). FOLDABLE RANGE (round-12 review): any late
+                // event at ts >= start − gap provably chains into the
+                // OPEN session under batch order — inside [start, last]
+                // it lands between two already-chained events ≤ gap
+                // apart, and within one gap of either endpoint it chains
+                // via that endpoint (the round-11 guard only accepted
+                // the tail side, so an in-span event of a longer-than-
+                // one-gap session emitted a spurious overlapping
+                // singleton). Older than start − gap, batch order would
+                // have placed it in an earlier session that may already
+                // be emitted — emit it as its own singleton late
+                // session (stragglers are not retro-merged with each
+                // other; the accepted streaming-lateness trade).
                 case Some(st) if e.tsMicros < st.last =>
-                  if (st.last - e.tsMicros <= gapMicros)
+                  if (e.tsMicros >= st.start - gapMicros)
                     cur = Some(st.copy(start = math.min(st.start, e.tsMicros),
                       n = st.n + 1, sum = st.sum + e.value))
                   else

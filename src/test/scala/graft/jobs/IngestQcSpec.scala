@@ -69,6 +69,10 @@ class IngestQcSpec extends SparkSpec {
     Files.write(dir.resolve("D20240601T150000_IFCB134.roi"), Array.empty[Byte])
     Files.writeString(dir.resolve("D20240601T150000_IFCB134.adc"),
       "roi_number,width,height,start_byte\n1,2,2,0\n")
+    // id-less stray .roi file: no IFCB sample id in the name — must
+    // dead-letter (reason no_sample_id), never become a pid="" chimera
+    // metadata row (round-12 review)
+    Files.write(dir.resolve("notes.roi"), Array[Byte](1, 2, 3))
     dir
   }
 
@@ -156,7 +160,11 @@ class IngestQcSpec extends SparkSpec {
     val dead = frames.deadLetter
       .select("sample", "reason").as[(String, String)].collect().toSet
     assert(dead == Set(
-      (BinBig, "oversize"), ("D20240601T150000_IFCB134", "empty")))
+      (BinBig, "oversize"), ("D20240601T150000_IFCB134", "empty"),
+      ("", "no_sample_id")))
+    // ...and the chimera pid="" row must NOT exist in metadata
+    assert(frames.metadata.filter(col("pid") === "" || col("pid").isNull)
+      .count() == 0)
   }
 
   test("psd data is the micron_factor histogram of EquivDiameter") {

@@ -86,6 +86,44 @@ class SharkExportSpec extends SparkSpec {
     assert(byKey(("S7", "algae")).getAs[String]("ANA_RESP") == "alice")
   }
 
+  test("adjacency sorts the full run-sequence universe in BOTH branches (round-12)") {
+    // run sequence S1(bubbles) S2 S3; only S1/S3 annotated. The manual
+    // branch used to compute lag/lead over the annotated subset alone,
+    // see S1,S3 as neighbors, and drop S3's ValidatedByHuman rows — a
+    // clean sample two slots from the bubbles sample lost its manual
+    // delivery while its machine rows survived
+    val db = graft.sources.SqliteFixture.write("annotations",
+      Seq("sample_name" -> "TEXT", "roi_number" -> "INTEGER",
+        "class_name" -> "TEXT", "annotator" -> "TEXT", "timestamp" -> "TEXT"),
+      Seq(
+        Seq("S1", 1L, "algae", "alice", "2024-06-01 10:00:00"),
+        Seq("S3", 1L, "algae", "alice", "2024-06-01 11:00:00")))
+    val dir = Files.createTempDirectory("anndb2")
+    Files.write(dir.resolve("ann.db"), db)
+    val annotations = graft.sources.SqliteSource.annotations(spark, dir.toString)
+    val features = Seq(("S1", 1, 100.0), ("S3", 1, 100.0))
+      .toDF("sample", "roi_number", "Biovolume")
+    val diatomDim = Seq(("algae", false)).toDF("class_name", "is_diatom")
+    val autoRoi = Seq(
+      ("S1", "algae", 10.0, false), ("S2", "algae", 10.0, false),
+      ("S3", "algae", 10.0, false))
+      .toDF("sample", "class_name", "vol_um3", "is_diatom")
+    val dim = Seq(("S1", 5.0, 57.0, 11.0), ("S2", 5.0, 57.0, 11.0),
+      ("S3", 5.0, 57.0, 11.0)).toDF("sample", "ml_analyzed", "lat", "lon")
+    val flags = Seq(("S1", "bubbles")).toDF("sample", "flag")
+    val out = SharkExport.deliveryWithManual(
+      autoRoi, annotations, features, diatomDim, dim, flags,
+      removeFlagged = Seq("bubbles"),
+      adjacencyPartition = org.apache.spark.sql.functions.lit("run1"))
+      .collect()
+    val keys = out.map(r =>
+      (r.getAs[String]("SMPNO"), r.getAs[String]("VERIF"))).toSet
+    // S1 dropped (bubbles) and S2 dropped (adjacent) in both branches;
+    // S3 survives in BOTH — S2 separates it from the bubbles sample
+    assert(keys == Set(
+      ("S3", "PredictedByMachine"), ("S3", "ValidatedByHuman")), keys.toString)
+  }
+
   test("MYEAR decodes canonical IFCB sample ids, not only plain timestamps (round-11)") {
     import org.apache.spark.sql.functions.col
     // a bare try_to_timestamp can never parse D20230801T120000_IFCB134,

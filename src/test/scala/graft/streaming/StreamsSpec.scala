@@ -178,6 +178,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize folds a late event inside the open span (round-12, batch parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.SessionEvent]
+    val out = Streams.sessionize(in.toDS(), gapMicros = 60L * 1000000)
+    val q = out.writeStream.format("memory").queryName("inspan_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Seq(0L, 50L, 100L, 150L)
+        .map(s => Streams.SessionEvent(1L, s * 1000000, 1.0)): _*)
+      q.processAllAvailable()
+      // late event INSIDE [0, 150]: farther than one gap from the TAIL,
+      // but batch order folds it between the 0 s and 50 s events — the
+      // round-11 tail-only guard emitted a spurious overlapping
+      // singleton [10, 10] here
+      in.addData(Streams.SessionEvent(1L, 10L * 1000000, 1.0))
+      q.processAllAvailable()
+      in.addData(Streams.SessionEvent(1L, 300L * 1000000, 1.0)) // closes
+      q.processAllAvailable()
+      val rows = spark.table("inspan_sessions")
+        .select("startMicros", "endMicros", "n")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set((0L, 150L * 1000000, 5L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("sessionize idle timeout closes a silent key's session without any flush event") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streams.SessionEvent]
