@@ -84,10 +84,14 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column = {
     // |a∪b| via |a|+|b|−|a∩b| is exact only for DISTINCT arrays — every
     // in-repo caller passes Hashing.shingles' distinct output; arrays
-    // with duplicates would inflate the score. The intersection is
-    // evaluated ONCE per pair: it is the expensive half of the verify
-    // stage, and writing it twice doubled the work unless codegen CSE
-    // happened to collapse it (round-11 review)
+    // with duplicates would inflate the score. Binding the intersection
+    // to one Column value makes the two plan occurrences STRUCTURALLY
+    // IDENTICAL, which is what lets whole-stage codegen's subexpression
+    // elimination (on by default) evaluate the expensive half of the
+    // verify stage once per pair — the round-11 form wrote the subtree
+    // twice with no guarantee of matching shapes. (Precision for the
+    // round-12 reader: this relies on CSE; a truly single-eval plan
+    // would need its own projection step, not worth the extra exchange.)
     val inter = size(array_intersect(a, b)).cast("double")
     inter / (size(a) + size(b) - inter)
   }
@@ -237,23 +241,21 @@ object Dedup {
   def dupClusters(
       pairs: DataFrame, driverMaxEdges: Long = 1L << 20,
       freeRounds: Int = 6, maxRounds: Int = 24): DataFrame = {
+    // a freeRounds past maxRounds would skip EVERY convergence check
+    // and throw "not converged" on a graph that reached fixpoint in
+    // round 1 (round-12 review)
+    require(freeRounds <= maxRounds,
+      s"freeRounds ($freeRounds) must be <= maxRounds ($maxRounds): " +
+        "no convergence check would ever run")
     val spark = pairs.sparkSession
     import spark.implicits._
     // the label machinery works in long: a string id (URL, UUID) would
     // cast to null under non-ANSI and every edge silently collapses to
     // (null, null) — the consumer's anti-join then drops NOTHING and
     // near-dups survive with no warning (round-11 review). Require
-    // integral ids up front, like Similarity.integralIdType.
-    locally {
-      import org.apache.spark.sql.types._
-      for (c <- Seq("id_a", "id_b")) {
-        val dt = pairs.schema(c).dataType
-        require(dt.isInstanceOf[ByteType] || dt.isInstanceOf[ShortType] ||
-          dt.isInstanceOf[IntegerType] || dt.isInstanceOf[LongType],
-          s"pair id column '$c' must be integral (got $dt); " +
-            "pre-assign a dense long id for other key types")
-      }
-    }
+    // integral ids up front via the one shared whitelist (round-12:
+    // a second hand-rolled copy here could drift from Similarity's).
+    Seq("id_a", "id_b").foreach(Similarity.integralIdType(pairs, _))
     val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -43,15 +43,31 @@ object KMeans {
     */
   val Scale = 8192L
 
-  /** `floor(x_d * 2^13)` per dimension, as `array<long>`. */
+  /** Clamp bound 2^52 (exactly representable in double): without it, an
+    * out-of-range or NaN input diverged SILENTLY across engines — Spark's
+    * non-ANSI double→long cast clamps to Long.MaxValue (NaN → 0) while
+    * DuckDB's CAST(… AS BIGINT) throws (round-12 review). Both engines
+    * agree on the clamped form: NaN sorts greatest in both, so
+    * LEAST(GREATEST(NaN, −B), B) = B on both sides. Integer-EXACT
+    * distance arithmetic additionally assumes |q| ≲ 2^30 (squared sums in
+    * long) — true for any real embedding at |x| ≤ ~1.3e5.
+    */
+  val QBound = 1L << 52
+
+  /** `floor(x_d * 2^13)` per dimension, clamped to ±2^52, as
+    * `array<long>`.
+    */
   def quantize(vec: Column): Column =
-    transform(vec, x => floor(x.cast("double") * Scale.toDouble).cast("long"))
+    transform(vec, x =>
+      least(greatest(floor(x.cast("double") * Scale.toDouble),
+        lit(-QBound.toDouble)), lit(QBound.toDouble)).cast("long"))
 
   /** SQL twin of [[quantize]] at dim grain (the oracle works on
-    * (id, dim, v) rows).
+    * (id, dim, v) rows); clamp order mirrors the Column tree exactly.
     */
   def quantizeSql(x: String): String =
-    s"CAST(FLOOR(CAST($x AS DOUBLE) * $Scale) AS BIGINT)"
+    s"CAST(LEAST(GREATEST(FLOOR(CAST($x AS DOUBLE) * $Scale), " +
+      s"-$QBound.0), $QBound.0) AS BIGINT)"
 
   /** Nearest-centroid cell id (0-based, ties → smallest index) via the
     * native codegen expression [[graft.plans.NearestCell]] — one

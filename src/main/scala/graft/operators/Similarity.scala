@@ -167,17 +167,20 @@ object Similarity {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Ranked]]()
   }
 
-  /** The aggregator keys neighbors by long; require an integral id up
-    * front so a string/decimal corpus id fails loudly instead of
-    * silently nulling through `cast("long")`.
+  /** The id-keyed operators work in long; require an integral id up
+    * front so a string/decimal id fails loudly instead of silently
+    * nulling through `cast("long")`. Shared with [[Dedup.dupClusters]]
+    * (round-12: the whitelist was duplicated there and the two copies
+    * could drift).
     */
-  private def integralIdType(df: DataFrame, idCol: String): org.apache.spark.sql.types.DataType = {
+  private[operators] def integralIdType(
+      df: DataFrame, idCol: String): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
     val dt = df.schema(idCol).dataType
     require(dt.isInstanceOf[ByteType] || dt.isInstanceOf[ShortType] ||
       dt.isInstanceOf[IntegerType] || dt.isInstanceOf[LongType],
-      s"corpus id column '$idCol' must be integral (got $dt); " +
-        "TopKNeighbors keys by long — pre-assign a dense long id for other key types")
+      s"id column '$idCol' must be integral (got $dt); the operator keys " +
+        "ids by long — pre-assign a dense long id for other key types")
     dt
   }
 
@@ -188,8 +191,6 @@ object Similarity {
   private def rankTopK(
       scored: DataFrame, qId: String, k: Int,
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
-    val spark = scored.sparkSession
-    import spark.implicits._
     val agg = udaf(new TopKNeighbors(k))
     scored
       .groupBy(col(qId).as("query_id"))
@@ -285,9 +286,10 @@ object Similarity {
     */
   def kmeansCellAssign(
       corpus: DataFrame, vec: String, k: Int,
-      iters: Int = 10, sampleMax: Int = 10000): Column =
+      iters: Int = 10, sampleMax: Int = 10000,
+      idCol: Option[String] = None): Column =
     cellAssign(col(vec),
-      trainKmeansCentroids(corpus, vec, k, iters, sampleMax))
+      trainKmeansCentroids(corpus, vec, k, iters, sampleMax, idCol))
 
   /** The trained centroids themselves — callers that need BOTH the
     * corpus assignment and query probe lists must train once and share
@@ -295,18 +297,28 @@ object Similarity {
     */
   def trainKmeansCentroids(
       corpus: DataFrame, vec: String, k: Int,
-      iters: Int = 10, sampleMax: Int = 10000): Array[Array[Double]] = {
-    // Seeded cross-partition sample, NOT limit(): limit pulls from the
-    // first partitions, and on a partition-ordered corpus (by source, by
-    // date) the centroids would train on a biased slice. The 1.2x
-    // overshoot fraction + hash-ordered limit keeps the final cut
-    // unbiased; only ~sampleMax rows ever shuffle.
-    val n = corpus.count()
-    require(n > 0, "empty corpus")
-    val fraction = math.min(1.0, sampleMax.toDouble * 1.2 / n.toDouble)
-    val sample = corpus.select(col(vec))
-      .sample(withReplacement = false, fraction, seed = 42L)
-      .sort(xxhash64(col(vec)))
+      iters: Int = 10, sampleMax: Int = 10000,
+      idCol: Option[String] = None): Array[Array[Double]] = {
+    // Hash-ordered top-k, NOT a bare limit() and NOT a seeded sample():
+    // limit pulls from the first partitions (a partition-ordered corpus
+    // would train on a biased slice), and Dataset.sample seeds its
+    // Bernoulli sampler PER PARTITION — the same corpus under a
+    // different file split yielded a different sample, different
+    // centroids, different neighbors, contradicting the determinism
+    // contract (round-12 review). sort(hash).limit compiles to
+    // TakeOrderedAndProject: one scan with an O(sampleMax) heap per
+    // partition, no shuffle, and the selected set depends only on the
+    // data — hash order is uncorrelated with layout, so the cut is
+    // unbiased and partitioning-independent. Pass `idCol` (a row-unique
+    // key) where available: hashing the VECTOR alone selects by value
+    // identity, so a duplicate-heavy corpus would sample many copies of
+    // its few smallest-hash values instead of a spread.
+    val sortKey = idCol match {
+      case Some(id) => xxhash64(col(id))
+      case None     => xxhash64(col(vec))
+    }
+    val sample = corpus.select(col(vec), sortKey.as("__h"))
+      .sort(col("__h"))
       .limit(sampleMax)
       .collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
@@ -493,8 +505,9 @@ object Similarity {
 
   /** `[[score, cellId], …]` literal-list for the argmin twins below:
     * lexicographic (distance, cell) — the same total order
-    * [[cellAssign]]'s strict-`<` fold and [[probeCells]]'s struct sort
-    * realize on the Spark side.
+    * [[cellAssign]]'s `array_min` over (distance, cell) structs (the
+    * round-11 rewrite of the old strict-`<` fold) and [[probeCells]]'s
+    * struct sort realize on the Spark side.
     */
   private def scoredCellsSql(vec: String, centroids: Array[Array[Double]]): String =
     centroids.zipWithIndex
@@ -502,7 +515,8 @@ object Similarity {
       .mkString("[", ", ", "]")
 
   /** SQL twin of [[cellAssign]]: nearest-centroid id, ties to the lower
-    * cell id (first-wins in the Spark fold ≡ lexicographic minimum).
+    * cell id (`array_min`'s lexicographic struct minimum on the Spark
+    * side ≡ `list_sort(…)[1]` here).
     */
   def cellAssignSql(vec: String, centroids: Array[Array[Double]]): String =
     s"CAST(list_sort(${scoredCellsSql(vec, centroids)})[1][2] AS INTEGER)"

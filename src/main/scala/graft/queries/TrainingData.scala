@@ -745,7 +745,8 @@ object TrainingData {
     val K = 8
     val NPROBE = 2
     def cents(s: SparkSession, d: String): Array[Array[Double]] =
-      Similarity.trainKmeansCentroids(embeddings(s, d), "embedding", K)
+      Similarity.trainKmeansCentroids(embeddings(s, d), "embedding", K,
+        idCol = Some("vec_id"))
     GraftQuery(
       "q89_ivf_ann_trained",
       (s, d) => {
@@ -807,7 +808,8 @@ object TrainingData {
     val K = 8
     val TAU = 0.4 // fires at every test SF (27/11/281 intra-cell pairs)
     def cents(s: SparkSession, d: String): Array[Array[Double]] =
-      Similarity.trainKmeansCentroids(embeddings(s, d), "embedding", K)
+      Similarity.trainKmeansCentroids(embeddings(s, d), "embedding", K,
+        idCol = Some("vec_id"))
     def rollup(sd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       import sd.sparkSession.implicits._
       sd.groupBy($"cell".cast("int").as("cell"))

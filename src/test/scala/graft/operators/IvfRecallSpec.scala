@@ -25,7 +25,7 @@ class IvfRecallSpec extends SparkSpec {
 
   test("kmeans-IVF top-k reaches usable recall; cells partition the corpus") {
     val e = Tables.embeddings(spark, d)
-    val cell = Similarity.kmeansCellAssign(e, "embedding", k = 8)
+    val cell = Similarity.kmeansCellAssign(e, "embedding", k = 8, idCol = Some("vec_id"))
     val ec = e.withColumn("cell", cell)
     val sizes = ec.groupBy("cell").count().as[(Int, Long)].collect().toMap
     assert(sizes.size > 1 && sizes.values.sum == 500)
@@ -44,7 +44,7 @@ class IvfRecallSpec extends SparkSpec {
 
   test("multi-probe IVF: recall grows with nProbe; all-cells probing equals brute force") {
     val e = Tables.embeddings(spark, d)
-    val centroids = Similarity.trainKmeansCentroids(e, "embedding", k = 8)
+    val centroids = Similarity.trainKmeansCentroids(e, "embedding", k = 8, idCol = Some("vec_id"))
     val ec = e.withColumn("cell", Similarity.cellAssign($"embedding", centroids))
     def probed(nProbe: Int) = {
       val queries = ec.filter($"vec_id" < 20)
@@ -105,6 +105,23 @@ class IvfRecallSpec extends SparkSpec {
       s"max cell ${sizes.values.max} vs mean $mean: skewed cells")
   }
 
+  test("trainKmeansCentroids is layout-independent (round-12 determinism contract)") {
+    // same data under two different partitionings must train identical
+    // centroids: Dataset.sample's per-partition Bernoulli seeding broke
+    // this (a re-split corpus silently produced different neighbors);
+    // the hash-ordered top-k selection depends only on the data
+    val rows = (0 until 600).map(i =>
+      (i.toLong, Array((i % 37).toFloat, (i % 11).toFloat)))
+    val c1 = rows.toDF("vec_id", "embedding").repartition(2)
+    val c2 = rows.toDF("vec_id", "embedding")
+      .repartitionByRange(7, $"vec_id".desc)
+    val t1 = Similarity.trainKmeansCentroids(c1, "embedding", k = 4,
+      sampleMax = 100, idCol = Some("vec_id"))
+    val t2 = Similarity.trainKmeansCentroids(c2, "embedding", k = 4,
+      sampleMax = 100, idCol = Some("vec_id"))
+    assert(t1.map(_.toSeq).toSeq == t2.map(_.toSeq).toSeq)
+  }
+
   test("centroid training sees the whole corpus on a partition-ordered layout") {
     // two well-separated clusters, corpus ORDERED so the first partitions
     // hold only cluster A with far more rows than the training sample: a
@@ -115,7 +132,7 @@ class IvfRecallSpec extends SparkSpec {
     val corpus = (a ++ b).toDF("vec_id", "embedding")
       .repartitionByRange(8, $"vec_id") // physically ordered: A first
     val cell = Similarity.kmeansCellAssign(corpus, "embedding", k = 2,
-      iters = 5, sampleMax = 100)
+      iters = 5, sampleMax = 100, idCol = Some("vec_id"))
     val cells = corpus.withColumn("cell", cell)
       .select($"vec_id", $"cell").as[(Long, Int)].collect()
     val aCells = cells.filter(_._1 < 400).map(_._2).toSet
