@@ -68,11 +68,20 @@ object Corpus {
     * trap [[hashSplit]]'s literal-bound variant special-cases the same
     * way.
     */
-  def bucketBelow(bucket: Column, bound: Column): Column =
-    bound >= 65536L || bucket < format_string("%04x", bound)
+  def bucketBelow(bucket: Column, bound: Column): Column = {
+    // clamp negatives to 0 ("admit nothing") on BOTH sides: %04x of a
+    // negative long renders 16 'f'-led hex chars that compare GREATER
+    // than every 4-char bucket, silently admitting 100% of the domain —
+    // identically on both engines, hence undetectable by the oracle
+    // (round-12 review; an underflowed mixture rate is the realistic way
+    // a per-row bound goes negative)
+    val b = greatest(bound, lit(0L))
+    b >= 65536L || bucket < format_string("%04x", b)
+  }
 
   def bucketBelowSql(bucket: String, bound: String): String =
-    s"($bound >= 65536 OR $bucket < printf('%04x', $bound))"
+    s"(GREATEST($bound, 0) >= 65536 OR " +
+      s"$bucket < printf('%04x', GREATEST($bound, 0)))"
 
   /** Deterministic, id-stable train/val/test assignment: the [[bucket16]]
     * of `(id, salt)` against fixed hex-string fraction bounds. Stable

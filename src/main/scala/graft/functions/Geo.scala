@@ -95,20 +95,10 @@ object Geo {
     */
   def pointInPolygon(polygon: Seq[(Double, Double)]): (Column, Column) => Column = {
     val poly = polygon.toArray
-    val f = udf { (lat: Double, lon: Double) =>
-      var inside = false
-      var j = poly.length - 1
-      var i = 0
-      while (i < poly.length) {
-        val (yi, xi) = poly(i)
-        val (yj, xj) = poly(j)
-        if ((yi > lat) != (yj > lat) &&
-          lon < (xj - xi) * (lat - yi) / (yj - yi) + xi) inside = !inside
-        j = i
-        i += 1
-      }
-      inside
-    }
+    // ONE copy of the crossing-test math (round-12): a boundary-semantics
+    // fix applied to pointInPolygonEval must not leave this UDF behind,
+    // or nearPolygon and pointInPolygon would disagree on edge points
+    val f = udf(pointInPolygonEval(poly) _)
     (lat: Column, lon: Column) => f(lat, lon)
   }
 }

@@ -42,12 +42,19 @@ object Hashing {
   val Mix2 = 2246822519L
   val SimBits64 = 64
 
-  /** Whitespace word split, lowercased, empties dropped. */
+  /** Whitespace word split, lowercased, empties dropped. The split class
+    * is EXPLICIT on both sides (round-12 review): Java's `\s` is
+    * `[ \t\n\x0B\f\r]` while RE2's (DuckDB's) lacks `\x0B`, so a doc
+    * containing a vertical tab would tokenize differently and every
+    * downstream sketch/score would hash-diverge.
+    */
+  val WsClass = "[ \\t\\n\\x0B\\f\\r]+"
+
   def words(text: Column): Column =
-    filter(split(lower(text), "\\s+"), w => w =!= "")
+    filter(split(lower(text), WsClass), w => w =!= "")
 
   def wordsSql(text: String): String =
-    s"list_filter(regexp_split_to_array(lower($text), '\\s+'), x -> x <> '')"
+    s"list_filter(regexp_split_to_array(lower($text), '$WsClass'), x -> x <> '')"
 
   /** k-word shingles (n-gram documents → dedup features), distinct in
     * first-occurrence order — native one-pass expression.
@@ -55,20 +62,35 @@ object Hashing {
   def shingles(ws: Column, k: Int): Column =
     GraftBridge.column(WordShinglesExpr(GraftBridge.expression(ws), k))
 
-  def shinglesSql(ws: String, k: Int): String =
-    s"list_distinct([array_to_string($ws[i:i+${k - 1}], ' ') FOR i IN range(1, len($ws) - ${k - 2})])"
+  /** SQL mirror: the gram construction is [[Corpus.ngramsSql]] (one copy
+    * of the subtle slice arithmetic, round-12), and the distinct is an
+    * ORDER-PRESERVING first-occurrence filter — `list_distinct` makes no
+    * order guarantee, so an order-sensitive consumer of this "exact
+    * mirror" could silently diverge from WordShinglesExpr.
+    */
+  def shinglesSql(ws: String, k: Int): String = {
+    val g = Corpus.ngramsSql(ws, k)
+    s"list_filter($g, (x, i) -> list_position($g, x) = i)"
+  }
+
+  /** Token-hash polynomial constants (multiplier, seed) — named so the
+    * Column builders and every SQL mirror bind ONE copy (the round-11
+    * registry-drift class, closed for the remaining literals in r12).
+    */
+  val TokMult = 31L
+  val TokSeed = 7L
 
   /** Rolling hash of one token: fold (acc·31 + codepoint) mod TokP, acc₀=7. */
   def tokHash(tok: Column): Column =
-    GraftBridge.column(StringPolyHash(GraftBridge.expression(tok), 31L, TokP, 7L))
+    GraftBridge.column(StringPolyHash(GraftBridge.expression(tok), TokMult, TokP, TokSeed))
 
   def tokHashSql(tok: String): String =
-    s"list_reduce(list_prepend(7::BIGINT, list_transform(string_split($tok, ''), " +
-      s"c -> ord(c)::BIGINT)), (a, c) -> (a * 31 + c) % $TokP)"
+    s"list_reduce(list_prepend($TokSeed::BIGINT, list_transform(string_split($tok, ''), " +
+      s"c -> ord(c)::BIGINT)), (a, c) -> (a * $TokMult + c) % $TokP)"
 
   /** Hashes of an array of tokens. */
   def tokHashes(toks: Column): Column =
-    GraftBridge.column(StringPolyHashArray(GraftBridge.expression(toks), 31L, TokP, 7L))
+    GraftBridge.column(StringPolyHashArray(GraftBridge.expression(toks), TokMult, TokP, TokSeed))
 
   def tokHashesSql(toks: String): String =
     s"list_transform($toks, t -> ${tokHashSql("t")})"
@@ -85,7 +107,13 @@ object Hashing {
 
   def minhashSql(th: String, i: Int): String = {
     val (a, b) = MinHashSeeds(i)
-    s"list_min(list_transform($th, h -> (h * $a + $b) % $MinP))"
+    // COALESCE mirrors the native kernel's empty-array sentinel
+    // (Long.MaxValue per seed): list_min of an empty list is NULL in
+    // DuckDB, and a NULL band key silently drops out of equality joins
+    // while the sentinel groups — a latent pair-set divergence for any
+    // caller that forgets the both-sides size>0 filter (round-12 review)
+    s"COALESCE(list_min(list_transform($th, h -> (h * $a + $b) % $MinP)), " +
+      s"${Long.MaxValue})"
   }
 
   /** SimHash-32 of a token-hash array: bit j is the sign of Σ ±1 over
@@ -129,6 +157,6 @@ object Hashing {
     GraftBridge.column(StringPolyHash(GraftBridge.expression(text), FpMult, FpMod, FpSeed))
 
   def fingerprintSql(text: String): String =
-    s"list_reduce(list_prepend(7::BIGINT, list_transform(string_split($text, ''), " +
-      s"c -> ord(c)::BIGINT)), (a, c) -> (a * 131 + c) % 1000000007)"
+    s"list_reduce(list_prepend($FpSeed::BIGINT, list_transform(string_split($text, ''), " +
+      s"c -> ord(c)::BIGINT)), (a, c) -> (a * $FpMult + c) % $FpMod)"
 }

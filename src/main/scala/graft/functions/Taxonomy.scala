@@ -39,7 +39,9 @@ object Taxonomy {
   def f1(precision: Column, recall: Column): Column = {
     val p = when(!isnan(precision), precision)
     val r = when(!isnan(recall), recall)
-    when(p + r =!= 0.0, lit(2.0) * p * r / (p + r))
+    // Nums.harmonic builds the IDENTICAL Column tree (2ab/(a+b) with the
+    // zero-denominator null guard) — one copy of the policy (round-12)
+    Nums.harmonic(p, r)
   }
 
   /** The 40-rule training-folder class-name cleaner

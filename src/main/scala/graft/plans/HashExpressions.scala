@@ -20,6 +20,37 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HashExpr {
 
+  /** Null array elements have no hash/gram semantics: they reach these
+    * kernels only via the SQL-registry surface (the Column builders feed
+    * containsNull=false arrays), where `getLong` silently reads 0 and
+    * `getUTF8String` NPEs mid-stage — silently-wrong sketches or a raw
+    * crash from user SQL (round-12 review). One cheap bitset pre-pass,
+    * loud reject.
+    */
+  private def noNulls(a: ArrayData, what: String): Unit = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$what: null array element at position $i — " +
+            "filter nulls before hashing")
+      i += 1
+    }
+  }
+
+  /** [[stringPoly]] over each element of an array<string>. */
+  def stringPolyArray(arr: ArrayData, mult: Long, mod: Long, seed: Long): ArrayData = {
+    noNulls(arr, "string_poly_hash_array")
+    val out = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = stringPoly(arr.getUTF8String(i), mult, mod, seed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Rolling polynomial hash over code points:
     * fold (acc·mult + codepoint) mod m, from seed.
     */
@@ -37,6 +68,7 @@ object HashExpr {
 
   /** Distinct k-word shingles, first-occurrence order. */
   def wordShingles(words: ArrayData, k: Int): ArrayData = {
+    noNulls(words, "word_shingles")
     val n = words.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]()
@@ -57,6 +89,7 @@ object HashExpr {
     * erase the signal.
     */
   def wordNgrams(words: ArrayData, k: Int): ArrayData = {
+    noNulls(words, "word_ngrams")
     val n = words.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val out = new Array[AnyRef](n - k + 1)
@@ -79,6 +112,7 @@ object HashExpr {
     * identical numbers with a full (doc, gram) exchange.
     */
   def repetitionStats(words: ArrayData): ArrayData = {
+    noNulls(words, "repetition_stats")
     val n = words.numElements()
     val sep = UTF8String.fromString(" ")
     def counts(k: Int): java.util.HashMap[UTF8String, Long] = {
@@ -105,6 +139,7 @@ object HashExpr {
 
   /** One-pass MinHash family over a long array. */
   def minHashes(th: ArrayData, as: Array[Long], bs: Array[Long], mod: Long): ArrayData = {
+    noNulls(th, "min_hashes")
     val n = th.numElements()
     val out = Array.fill[Long](as.length)(Long.MaxValue)
     var i = 0
@@ -127,6 +162,7 @@ object HashExpr {
     * not be mirrored there).
     */
   def simHash64(th: ArrayData, mixLo: Long, mixHi: Long): Long = {
+    noNulls(th, "sim_hash64")
     val counts = new Array[Int](64)
     val n = th.numElements()
     var i = 0
@@ -153,6 +189,7 @@ object HashExpr {
 
   /** One-pass SimHash-32 with the Knuth mixer. */
   def simHash32(th: ArrayData, mix: Long): Long = {
+    noNulls(th, "sim_hash32")
     val counts = new Array[Int](32)
     val n = th.numElements()
     var i = 0
@@ -193,31 +230,11 @@ case class StringPolyHash(child: Expression, mult: Long, mod: Long, seed: Long)
 case class StringPolyHashArray(child: Expression, mult: Long, mod: Long, seed: Long)
   extends UnaryExpression with Serializable {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val out = new Array[Long](arr.numElements())
-    var i = 0
-    while (i < out.length) {
-      out(i) = HashExpr.stringPoly(arr.getUTF8String(i), mult, mod, seed)
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val genCls = classOf[GenericArrayData].getName
-    nullSafeCodeGen(ctx, ev, c => {
-      val out = ctx.freshName("out")
-      val i = ctx.freshName("i")
-      s"""
-         |long[] $out = new long[$c.numElements()];
-         |for (int $i = 0; $i < $out.length; $i++) {
-         |  $out[$i] = graft.plans.HashExpr.stringPoly(
-         |    $c.getUTF8String($i), ${mult}L, ${mod}L, ${seed}L);
-         |}
-         |${ev.value} = new $genCls($out);
-       """.stripMargin
-    })
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashExpr.stringPolyArray(input.asInstanceOf[ArrayData], mult, mod, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.HashExpr.stringPolyArray($c, ${mult}L, ${mod}L, ${seed}L)")
   override protected def withNewChildInternal(newChild: Expression): StringPolyHashArray =
     copy(child = newChild)
   override def prettyName: String = "string_poly_hash_array"

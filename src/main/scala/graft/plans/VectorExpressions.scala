@@ -46,8 +46,16 @@ case class FloatArrayDot(left: Expression, right: Expression)
   * composition it supersedes, so bucket assignments are unchanged.
   */
 object HyperplaneExpr {
+  /** Coefficient stride: each plane owns a disjoint 64-wide slice of the
+    * (plane, dim) keyspace. Dims past the stride would OVERLAP the next
+    * plane's slice (coef(p, d) == coef(p+1, d−64)), correlating the
+    * hyperplanes and silently degrading LSH bucket independence —
+    * [[HyperplaneBucket]] rejects dims > stride loudly (round-12 review).
+    */
+  val CoefStride = 64
+
   @inline def coef(p: Int, d: Int): Double =
-    (((p.toLong * 64 + d) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
+    (((p.toLong * CoefStride + d) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
 
   def bucket(vec: ArrayData, planes: Int, dims: Int): Long = {
     var out = 0L
@@ -69,6 +77,10 @@ object HyperplaneExpr {
 
 case class HyperplaneBucket(child: Expression, planes: Int, dims: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+  require(dims >= 1 && dims <= HyperplaneExpr.CoefStride,
+    s"dims $dims exceeds the coefficient stride ${HyperplaneExpr.CoefStride}: " +
+      "adjacent planes' coefficient slices would overlap and correlate")
+  require(planes >= 1 && planes <= 63, s"planes $planes must fit a long's sign bits")
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override protected def nullSafeEval(input: Any): Any =
     HyperplaneExpr.bucket(input.asInstanceOf[ArrayData], planes, dims)
