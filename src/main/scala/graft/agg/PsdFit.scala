@@ -106,8 +106,16 @@ object PsdFit {
     * reference-parameterized 7-threshold rule set is [[flags7]]; that is
     * what [[graft.jobs.IngestQc.psd]] emits into the delivery path.
     */
+  /** Degenerate fits (NULL slope/r2 from the k>=2 / nonzero-det guards:
+    * a single-bin histogram or all bins at one size) flag `flat_psd`
+    * explicitly. Without the branch a NULL falls through every WHEN to
+    * `ok` — an unfittable PSD reported as passing QC (round-12 review).
+    * `flat_psd` matches the pre-guard behavior, when slope was NaN and
+    * both engines' NaN-is-greatest `slope > -0.1` fired this branch.
+    */
   def flag(slope: Column, r2: Column, totalCount: Column): Column =
     when(totalCount < 50L, "incomplete")
+      .when(slope.isNull || r2.isNull, "flat_psd")
       .when(r2 < 0.55, "poor_fit")
       .when(slope > -0.1, "flat_psd")
       .otherwise("ok")

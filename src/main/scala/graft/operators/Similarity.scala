@@ -376,17 +376,30 @@ object Similarity {
     */
   def trainKmeansCentroidsFull(
       corpus: DataFrame, vec: String, k: Int,
-      iters: Int = 10): Array[Array[Double]] = {
-    val quantized = corpus.select(KMeans.quantize(col(vec)).as("xq"))
+      iters: Int = 10,
+      idCol: Option[String] = None): Array[Array[Double]] = {
     // deterministic greedy farthest-point seeding over a bounded
     // hash-ordered pool (k-means++-style): k arbitrary draws would miss
     // clusters with high probability and distributed Lloyd only partly
     // recovers from an uncovered cluster; max-min seeding provably
     // covers well-separated clusters present in the pool. Driver work
     // is O(pool·k·dims) on a bounded pool — flat in corpus size.
+    // Pass `idCol` (a row-unique key) where available, for the same
+    // reason as [[trainKmeansCentroids]] (round-12 review): hashing the
+    // VECTOR value alone means every copy in a duplicate-heavy corpus
+    // shares one hash, so the poolN-row pool can hold fewer than k
+    // DISTINCT vectors and max-min seeding then emits duplicate seeds —
+    // merged cells, degraded IVF recall. A row-unique sort key keeps
+    // the pool's distinct-value diversity proportional to the corpus.
     val poolN = math.max(k * 8, 64)
-    val pool = quantized
-      .sort(xxhash64(col("xq")))
+    val quantized = corpus.select(KMeans.quantize(col(vec)).as("xq"))
+    val poolKey = idCol match {
+      case Some(id) => xxhash64(col(id))
+      case None     => xxhash64(KMeans.quantize(col(vec)))
+    }
+    val pool = corpus
+      .select(KMeans.quantize(col(vec)).as("xq"), poolKey.as("__h"))
+      .sort(col("__h"))
       .limit(poolN)
       .collect()
       .map(_.getSeq[Long](0).toArray)

@@ -957,6 +957,14 @@ object CorpusBattery {
         posexplode(Corpus.ngrams(Hashing.words(col("text")), SubstrWindow)).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         Hashing.fingerprint(col("gram")).as("fp"))
+      // every consumer (q93/q94/q98) feeds this frame into BOTH a
+      // fingerprint aggregate and the probe side of the subsequent join;
+      // Spark does not share scans across self-join branches, so without
+      // materialization the dominant cost — scan + tokenize + shingle +
+      // fingerprint over O(total tokens) rows — runs twice per query.
+      // localCheckpoint pins the compact (doc_id, pos, fp) rows instead
+      // (the q62/q66 discipline; round-12 review).
+      .localCheckpoint()
   }
 
   private def windowFpSql: String =

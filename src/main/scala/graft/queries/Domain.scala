@@ -129,6 +129,9 @@ object Domain {
           THEN (k * sxy - sx * sy) * (k * sxy - sx * sy)
                / ((k * sxx - sx * sx) * (k * syy - sy * sy)) END, 6) AS r2,
         CASE WHEN total_count < 50 THEN 'incomplete'
+             -- degenerate fit (slope/r2 NULL): explicit flat_psd, the
+             -- twin of PsdFit.flag's isNull branch (round-12 review)
+             WHEN k < 2 OR k * sxx - sx * sx = 0.0 THEN 'flat_psd'
              WHEN ROUND(CASE WHEN k >= 2 AND k * sxx - sx * sx <> 0.0 AND k * syy - sy * sy = 0.0 THEN 1.0
                WHEN k >= 2 AND k * sxx - sx * sx <> 0.0
                THEN (k * sxy - sx * sy) * (k * sxy - sx * sy)

@@ -247,7 +247,8 @@ object OrderedNonEqui {
     (s, d) => {
       import s.implicits._
       part(s, d)
-        .withColumn("ver", regexp_extract($"p_brand", "#(\\d+)", 1).cast("int"))
+        .withColumn("ver",
+          expr("try_cast(regexp_extract(p_brand, '#(\\\\d+)', 1) AS INT)"))
         .groupBy($"p_type")
         .agg(max($"ver").as("max_ver"), count(lit(1)).as("n"))
         .orderBy($"p_type")
@@ -258,10 +259,14 @@ object OrderedNonEqui {
       FROM part
       GROUP BY p_type
       ORDER BY p_type"""))
-      // TRY_CAST mirrors Spark's non-ANSI cast: a p_brand without the
-      // Brand#N shape extracts '' and strict CAST('' AS INT) would
-      // hard-error the whole oracle query instead of comparing the
-      // null Spark produces (round-11 review)
+      // try_cast on BOTH sides (round-12 review): this session runs
+      // Spark 4 with ANSI mode ON (the default — no override in
+      // GraftSession/build.sbt), so a p_brand without the Brand#N shape
+      // extracts '' and a plain .cast("int") would THROW
+      // CAST_INVALID_INPUT on the Spark side while the oracle's TRY_CAST
+      // silently nulls — an inverted mirror, not failure parity. Both
+      // engines now null the unparsable version (including digit runs
+      // past Int range) and MAX skips it.
 
   /** A13 grouped collect + pair resolution (03_delete_duplicates.R:27-60):
     * orders whose lineitems span exactly two distinct return flags; the

@@ -123,14 +123,19 @@ object ScalarBattery {
              MIN(k) AS min_k, MAX(k) AS max_k
       FROM (SELECT event_type,
               CASE WHEN json_valid(props)
+                     AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
                 THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS k
             FROM events) t
       GROUP BY event_type
       ORDER BY event_type"""))
-      // json_valid + TRY_CAST mirror from_json's lenient nulls: DuckDB's
-      // strict ->> / CAST hard-error on a malformed props row or a
-      // non-integer k, aborting the oracle instead of comparing values
-      // (round-11 review)
+      // Mirror of from_json's lenient nulls, pinned empirically on BOTH
+      // engines (round-12 review): Spark's PERMISSIVE JacksonParser nulls
+      // the struct for a non-integer k ({"k": 1.5}) AND a quoted number
+      // ({"k": "123"}), while DuckDB's ->> stringifies those and
+      // TRY_CAST would "helpfully" produce 2 / 123 — so the oracle gates
+      // on json_type IN (BIGINT, UBIGINT) before casting. TRY_CAST stays
+      // for the one residual case the type gate passes: a UBIGINT above
+      // Long.MaxValue, which both engines null.
 
   /** P6 stale-fix nulling (Rmd:255-258), P7 QC-flag gating (Rmd:1145-1157),
     * P8 sentinel→null (Rmd:1333-1339) — the three conditional-invalidation

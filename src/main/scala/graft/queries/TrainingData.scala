@@ -947,8 +947,21 @@ object TrainingData {
     val K = 8
     val NPROBE = 2
     val ITERS = 4
+    // One training per (session, dir), shared by the plan lambda and
+    // oracleDyn — without the cache every Verify pass trains the full
+    // corpus TWICE (2 × (ITERS+1) scans + shuffles just for identical
+    // centroids; round-12 review, the chirp-memoization precedent).
+    // Training is deterministic so memoization is observationally pure;
+    // keyed on the session so a new session (new data visibility) never
+    // reuses stale centroids. idCol=vec_id keeps the seed pool's
+    // distinct-vector diversity under value-duplicated corpora (the
+    // replicated sf1 fixtures) — the same fix q89/q91 got this round.
+    val centsCache = scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), Array[Array[Double]]]
     def cents(s: SparkSession, d: String): Array[Array[Double]] =
-      Similarity.trainKmeansCentroidsFull(embeddings(s, d), "embedding", K, ITERS)
+      centsCache.getOrElseUpdate((s, d),
+        Similarity.trainKmeansCentroidsFull(
+          embeddings(s, d), "embedding", K, ITERS, idCol = Some("vec_id")))
     // the full trainer can return FEWER than K centroids (its documented
     // contract: Lloyd drops empty cells); probeCells requires
     // nProbe <= centroids.length, so clamp — both the plan and the

@@ -60,13 +60,18 @@ class PsdFitSpec extends SparkSpec {
 
   test("flag rules fire in priority order") {
     val df = Seq(
-      (-2.0, 0.99, 40L),   // incomplete wins over ok
-      (-2.0, 0.20, 100L),  // poor fit
-      (-0.05, 0.99, 100L), // flat
-      (-2.0, 0.99, 100L)   // ok
+      (Some(-2.0), Some(0.99), 40L),   // incomplete wins over ok
+      (Some(-2.0), Some(0.20), 100L),  // poor fit
+      (Some(-0.05), Some(0.99), 100L), // flat
+      (Some(-2.0), Some(0.99), 100L),  // ok
+      // degenerate fit (k<2 / zero det → NULL slope+r2): must flag, not
+      // fall through to ok (round-12 review)
+      (None, None, 100L),
+      (None, None, 40L)                // incomplete still wins
     ).toDF("slope", "r2", "total")
     val flags = df.select(PsdFit.flag($"slope", $"r2", $"total")).as[String].collect()
-    assert(flags.toSeq == Seq("incomplete", "poor_fit", "flat_psd", "ok"))
+    assert(flags.toSeq == Seq(
+      "incomplete", "poor_fit", "flat_psd", "ok", "flat_psd", "incomplete"))
   }
 
   test("flags7: every reference rule fires at its threshold, in signature order") {

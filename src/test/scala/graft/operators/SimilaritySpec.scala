@@ -111,4 +111,30 @@ class SimilaritySpec extends SparkSpec {
       hofBucket($"embedding", 4, 64).as("hof"))
     assert(cmp.filter($"native" =!= $"hof").count() == 0)
   }
+
+  test("full trainer's seed pool keeps distinct-vector diversity on a duplicated corpus") {
+    // round-12 review: the pool used to sort by xxhash64 of the vector
+    // VALUE, so on a value-replicated corpus (the sf1 fixtures copy each
+    // embedding with fresh vec_ids) copies of the few smallest-hash
+    // values filled the 64-row pool; with replication >= poolN/k the
+    // pool held fewer than k distinct vectors, max-min seeding emitted
+    // duplicate seeds, and Lloyd merged cells. 16 well-separated
+    // distinct vectors x 16 copies, k = 8: the id-keyed pool must still
+    // seed 8 distinct cells.
+    val distinct = (0 until 16).map(i => Array.tabulate(4)(d => (i * 100 + d).toFloat))
+    val rows = for (i <- 0 until 16; r <- 0 until 16)
+      yield ((i * 16 + r).toLong, distinct(i))
+    val df = rows.toDF("vec_id", "embedding")
+    val byId = Similarity.trainKmeansCentroidsFull(
+      df, "embedding", k = 8, iters = 2, idCol = Some("vec_id"))
+    assert(byId.length == 8,
+      s"id-keyed pool trained ${byId.length} cells, expected 8")
+    assert(byId.map(_.toSeq).toSet.size == 8, "duplicate centroids")
+    // the value-hash default demonstrably collapses here (documents the
+    // bias the idCol path exists to avoid — 64-row pool / 16 copies
+    // leaves at most 5 distinct values in the pool)
+    val byValue = Similarity.trainKmeansCentroidsFull(df, "embedding", k = 8, iters = 2)
+    assert(byValue.length < 8,
+      s"expected the value-hash pool to collapse on this corpus, got ${byValue.length}")
+  }
 }
