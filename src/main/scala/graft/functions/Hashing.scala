@@ -48,7 +48,11 @@ object Hashing {
     * containing a vertical tab would tokenize differently and every
     * downstream sketch/score would hash-diverge.
     */
-  val WsClass = "[ \\t\\n\\x0B\\f\\r]+"
+  /** The characters of Java's `\s`, for embedding in other character
+    * classes (e.g. TextAnalysis.BpePattern's negated class).
+    */
+  val WsChars = " \\t\\n\\x0B\\f\\r"
+  val WsClass = s"[$WsChars]+"
 
   def words(text: Column): Column =
     filter(split(lower(text), WsClass), w => w =!= "")

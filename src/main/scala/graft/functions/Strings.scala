@@ -20,8 +20,13 @@ object Strings {
   def sentenceCase(c: Column): Column =
     concat(upper(substring(c, 1, 1)), lower(c.substr(lit(2), length(c))))
 
-  /** `str_squish`: trim + collapse internal whitespace runs. */
-  def squish(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+  /** `str_squish`: trim + collapse internal whitespace runs. The class
+    * is explicit (Hashing.WsClass), not `\s`, so SQL mirrors of squish
+    * behave identically under RE2 (round-12 review; RE2's `\s` lacks
+    * `\x0B`).
+    */
+  def squish(c: Column): Column =
+    trim(regexp_replace(c, graft.functions.Hashing.WsClass, " "))
 
   // --- encoding normalization (SURVEY.md §2.8 "Encoding") ------------------
 

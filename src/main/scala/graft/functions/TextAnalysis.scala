@@ -105,11 +105,16 @@ object TextAnalysis {
   /** BPE-ish token count: letter runs, digit runs, single other glyphs
     * (the tokenizer-free token-count estimate).
     */
-  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  // explicit whitespace chars, not `\s` (round-12 review): this literal
+  // runs under Java regex on the Spark side and RE2 on the DuckDB side,
+  // and RE2's `\s` lacks `\x0B` — a vertical tab would count as an
+  // "other glyph" token in the oracle only. Single-sourced into the SQL
+  // mirror below (the hardcoded-twin-constant rule).
+  val BpePattern = s"[a-z]+|[0-9]+|[^a-z0-9${graft.functions.Hashing.WsChars}]"
 
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(BpePattern), lit(0)))
 
   def bpeTokenCountSql(text: String): String =
-    s"len(regexp_extract_all(lower($text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))"
+    s"len(regexp_extract_all(lower($text), '$BpePattern'))"
 }

@@ -66,7 +66,7 @@ object CorpusBattery {
           array_join(slice(Hashing.words($"text"), 1, 5), " ").as("phrase"))
         .filter(length($"phrase") > 0)
       docs
-        .withColumn("norm_text", regexp_replace(lower($"text"), "\\s+", " "))
+        .withColumn("norm_text", regexp_replace(lower($"text"), Hashing.WsClass, " "))
         .join(broadcast(bench),
           $"norm_text".contains($"phrase") && $"doc_id" =!= $"bench_id")
         .select($"doc_id", $"bench_id")
@@ -77,7 +77,7 @@ object CorpusBattery {
         SELECT doc_id AS bench_id, array_to_string($W[1:5], ' ') AS phrase
         FROM documents WHERE doc_id % 97 = 0 AND len($W) > 0)
       SELECT d.doc_id AS doc_id, b.bench_id AS bench_id
-      FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm_text
+      FROM (SELECT doc_id, regexp_replace(lower(text), '${Hashing.WsClass}', ' ', 'g') AS norm_text
             FROM documents) d JOIN bench b
         ON contains(d.norm_text, b.phrase) AND d.doc_id <> b.bench_id
       ORDER BY 1, 2"""))
@@ -205,7 +205,7 @@ object CorpusBattery {
         .filter(length($"phrase") > 0) // q60's empty-phrase guard
         .withColumn("fp", Hashing.fingerprint($"phrase"))
       docs
-        .withColumn("norm_text", regexp_replace(lower($"text"), "\\s+", " "))
+        .withColumn("norm_text", regexp_replace(lower($"text"), Hashing.WsClass, " "))
         .select($"doc_id", $"norm_text",
           explode(Hashing.shingles(Hashing.words($"text"), 3)).as("shingle"))
         .withColumn("fp", Hashing.fingerprint($"shingle"))
@@ -224,7 +224,7 @@ object CorpusBattery {
       sh AS (
         SELECT doc_id, norm_text, unnest(${Hashing.shinglesSql(W, 3)}) AS shingle
         FROM (SELECT doc_id, text,
-                regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm_text
+                regexp_replace(lower(text), '${Hashing.WsClass}', ' ', 'g') AS norm_text
               FROM documents) t)
       SELECT DISTINCT s.doc_id AS doc_id, b.bench_id AS bench_id
       FROM (SELECT doc_id, norm_text, shingle,
@@ -349,9 +349,15 @@ object CorpusBattery {
       val rates = dim
         .withColumn("total_w", sum($"w").over(wAll))
         .withColumn("total_tok", sum($"tok_s").over(wAll))
+        // GREATEST guards (round-12 review): an all-empty-text source
+        // has tok_s = 0 (and, if every source is empty, total_w = 0);
+        // Spark ANSI `div` THROWS on a zero divisor while DuckDB `//`
+        // yields NULL — crash vs answer. With the guard both engines
+        // compute bound = 0 for an empty source (w = 0 zeroes the
+        // numerator), which keeps none of its (zero) tokens.
         .withColumn("bound", least(lit(65536L),
-          expr("CAST(w AS DECIMAL(38,0)) * (total_tok div 2) div total_w" +
-            " * 65536 div tok_s")))
+          expr("CAST(w AS DECIMAL(38,0)) * (total_tok div 2)" +
+            " div GREATEST(total_w, 1) * 65536 div GREATEST(tok_s, 1)")))
         .select($"source", $"bound")
       docs.join(broadcast(rates), Seq("source"))
         .withColumn("keep",
@@ -379,7 +385,8 @@ object CorpusBattery {
         -- HUGEINT product: w * budget exceeds BIGINT at ~10^13 tokens
         SELECT source,
                CAST(LEAST(65536, CAST(w AS HUGEINT) * (total_tok // 2)
-                 // total_w * 65536 // tok_s) AS BIGINT) AS bound
+                 // GREATEST(total_w, 1) * 65536 // GREATEST(tok_s, 1))
+                 AS BIGINT) AS bound
         FROM dim, tot),
       kept AS (
         SELECT d.source, d.tokens, r.bound,
@@ -687,7 +694,9 @@ object CorpusBattery {
         SELECT list(lft ORDER BY round) AS ls, list(rgt ORDER BY round) AS rs
         FROM ($union) mm),
       wl AS (
-        SELECT lang, unnest($W) AS w FROM documents),
+        -- encode-stream twin of v0's delimiter hygiene (round-12 review)
+        SELECT lang, w FROM (SELECT lang, unnest($W) AS w FROM documents) t
+        WHERE NOT contains(w, '|')),
       enc AS (
         SELECT lang, len(w) AS chars,
           len(string_split(trim($chain, '|'), '||')) AS bpe
@@ -719,6 +728,14 @@ object CorpusBattery {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       docs
         .select($"lang", explode(Hashing.words($"text")).as("w"))
+        // mirror trainMerges' vocabulary hygiene on the ENCODE stream
+        // too (round-12 review): a word containing the frame delimiter
+        // produces a pipe run the oracle's COALESCE no-op level
+        // ('||||' -> '||', rendered when training exhausts early) would
+        // mangle while the Spark side leaves it intact — and its
+        // delimiter-framed count is documented meaningless anyway
+        // (Bpe.encodeTokenCount scaladoc)
+        .filter(!$"w".contains("|"))
         .withColumn("chars", length($"w").cast("long"))
         .withColumn("bpe",
           graft.operators.Bpe.encodeTokenCount($"w", merges, "|").cast("long"))
@@ -753,18 +770,30 @@ object CorpusBattery {
     "q85_mixture_resample",
     (s, d) => {
       import s.implicits._
+      // materialized once (round-12 review, the q62/q66 discipline): the
+      // dim aggregate and the probe join both consume this frame, and
+      // without the checkpoint the corpus scan + tokenization (the
+      // dominant per-row cost) execute twice per action
       val docs = documents(s, d)
         .select($"doc_id", $"source",
           size(Hashing.words($"text")).cast("long").as("tokens"))
+        .localCheckpoint()
       val dim = docs.groupBy($"source").agg(sum($"tokens").as("tok_s"))
       val wAll = Window.partitionBy()
+      // GREATEST(tok_s, 1) in every divisor (round-12 review): an
+      // all-empty-text source has tok_s = 0, and Spark ANSI `div`
+      // THROWS where DuckDB `//` nulls. Both sides share the guarded
+      // formula, so an empty source gets epochs = target, bound = 0 —
+      // degenerate but mirrored, and its zero-token docs contribute
+      // nothing to tokens_out either way.
       val rates = dim
         .withColumn("total_tok", sum($"tok_s").over(wAll))
         .withColumn("n_sources", count(lit(1)).over(wAll))
         .withColumn("target", expr("total_tok div n_sources"))
-        .withColumn("epochs", expr("target div tok_s"))
+        .withColumn("epochs", expr("target div GREATEST(tok_s, 1)"))
         .withColumn("bound",
-          expr("(target - (target div tok_s) * tok_s) * 65536 div tok_s"))
+          expr("(target - (target div GREATEST(tok_s, 1)) * tok_s)" +
+            " * 65536 div GREATEST(tok_s, 1)"))
         .select($"source", $"epochs", $"bound")
       docs.join(broadcast(rates), Seq("source"))
         .withColumn("copies", $"epochs" +
@@ -787,9 +816,11 @@ object CorpusBattery {
         SELECT CAST(SUM(tok_s) AS BIGINT) AS total_tok,
                COUNT(*) AS n_sources FROM dim),
       rates AS (
-        SELECT source, (total_tok // n_sources) // tok_s AS epochs,
-          ((total_tok // n_sources) - ((total_tok // n_sources) // tok_s) * tok_s)
-            * 65536 // tok_s AS bound
+        SELECT source,
+          (total_tok // n_sources) // GREATEST(tok_s, 1) AS epochs,
+          ((total_tok // n_sources)
+            - ((total_tok // n_sources) // GREATEST(tok_s, 1)) * tok_s)
+            * 65536 // GREATEST(tok_s, 1) AS bound
         FROM dim, tot),
       c AS (
         SELECT d.source, d.tokens, r.epochs,

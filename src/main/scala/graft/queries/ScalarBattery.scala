@@ -30,18 +30,20 @@ object ScalarBattery {
         .agg(count(lit(1)).as("n"))
         .orderBy($"clean_name")
     },
-    Some("""
+    Some(s"""
       SELECT UPPER(SUBSTRING(sq, 1, 1)) || LOWER(SUBSTRING(sq, 2)) AS clean_name,
              COUNT(*) AS n
       FROM (
         SELECT TRIM(REGEXP_REPLACE(
                  REGEXP_REPLACE(
-                   REGEXP_REPLACE(p_name, '\b(red|blue|green|yellow|small)\b', '', 'g'),
+                   REGEXP_REPLACE(p_name, '\\b(red|blue|green|yellow|small)\\b', '', 'g'),
                    '_+', ' ', 'g'),
-                 '\s+', ' ', 'g')) AS sq
+                 '${graft.functions.Hashing.WsClass}', ' ', 'g')) AS sq
         FROM part) t
       GROUP BY 1
       ORDER BY 1"""))
+      // the squish mirror uses the explicit WsClass, not '\\s+' — RE2's
+      // \\s lacks \\x0B, Java's (the Spark side) has it (round-12 review)
 
   /** §2.8 split/substr/pad/concat family (Rmd:716,1083 pid prefix;
     * shark.R:243 sprintf %05d; Rmd:761 unite).

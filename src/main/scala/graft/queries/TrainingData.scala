@@ -442,14 +442,20 @@ object TrainingData {
     (s, d) => {
       import s.implicits._
       val docs = documents(s, d)
+      // scan accounting (round-12 review): uni fed BOTH the vocab agg
+      // and the LM join, and bi re-scanned the corpus for counts dg
+      // already carries — 4 corpus scans per action. Checkpointing the
+      // two distinct streams (word-grain uni, bigram-grain dg) and
+      // deriving bi/vocab from them cuts that to 2; uni is vocab-sized
+      // and dg is the windowFp-precedent O(total tokens) frame.
       val uni = docs.select(explode(Hashing.words($"text")).as("w1"))
         .groupBy($"w1").agg(count(lit(1)).as("c1"))
+        .localCheckpoint()
       val vocab = uni.agg(count(lit(1)).as("v"))
-      val bi = docs
-        .select(explode(graft.functions.Corpus.ngrams(Hashing.words($"text"), 2)).as("g"))
-        .groupBy($"g").agg(count(lit(1)).as("c2"))
       val dg = docs.select($"doc_id",
-        explode(graft.functions.Corpus.ngrams(Hashing.words($"text"), 2)).as("g"))
+          explode(graft.functions.Corpus.ngrams(Hashing.words($"text"), 2)).as("g"))
+        .localCheckpoint()
+      val bi = dg.groupBy($"g").agg(count(lit(1)).as("c2"))
       dg.join(bi, Seq("g"))
         .join(uni, substring_index($"g", " ", 1) === $"w1")
         .crossJoin(broadcast(vocab))
@@ -953,15 +959,25 @@ object TrainingData {
     // centroids; round-12 review, the chirp-memoization precedent).
     // Training is deterministic so memoization is observationally pure;
     // keyed on the session so a new session (new data visibility) never
-    // reuses stale centroids. idCol=vec_id keeps the seed pool's
+    // reuses stale centroids. A size-1 last-result slot, not a map: an
+    // unbounded (SparkSession, dir)-keyed map would pin every stopped
+    // session's object graph for the JVM's life in a bench/test loop
+    // (round-12 review). idCol=vec_id keeps the seed pool's
     // distinct-vector diversity under value-duplicated corpora (the
     // replicated sf1 fixtures) — the same fix q89/q91 got this round.
-    val centsCache = scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), Array[Array[Double]]]
-    def cents(s: SparkSession, d: String): Array[Array[Double]] =
-      centsCache.getOrElseUpdate((s, d),
-        Similarity.trainKmeansCentroidsFull(
-          embeddings(s, d), "embedding", K, ITERS, idCol = Some("vec_id")))
+    val centsCache = new java.util.concurrent.atomic.AtomicReference[
+      ((SparkSession, String), Array[Array[Double]])]()
+    def cents(s: SparkSession, d: String): Array[Array[Double]] = {
+      val key = (s, d)
+      val cur = centsCache.get()
+      if (cur != null && cur._1 == key) cur._2
+      else {
+        val trained = Similarity.trainKmeansCentroidsFull(
+          embeddings(s, d), "embedding", K, ITERS, idCol = Some("vec_id"))
+        centsCache.set((key, trained))
+        trained
+      }
+    }
     // the full trainer can return FEWER than K centroids (its documented
     // contract: Lloyd drops empty cells); probeCells requires
     // nProbe <= centroids.length, so clamp — both the plan and the
