@@ -73,13 +73,29 @@ object PsdFit {
 
   /** DataFrame form: aggregate expressions producing (slope, intercept,
     * r2, n_bins) from lnX/lnY columns inside an existing `groupBy.agg`.
+    *
+    * Two invariants (round-12 review):
+    *  - every moment — INCLUDING `fit_n` — aggregates the same
+    *    complete-pair population. `count(lit(1))` with null-skipping
+    *    sums would silently skew n against the sums whenever a log()
+    *    input is non-positive, producing numerically wrong (not null)
+    *    fit parameters;
+    *  - sums go through the decimal cast ([[graft.GraftQuery.dsum]],
+    *    q38 discipline), so the fit is bit-identical under any
+    *    partitioning — the header's order-independence claim, which
+    *    previously held only for q38's inlined copy while this form
+    *    (IngestQc.psd) drifted in the last ulps and could flip a
+    *    threshold-straddling flag between runs.
     */
   def moments(lnX: Column, lnY: Column): Seq[(String, Column)] = {
+    val pair = lnX.isNotNull && lnY.isNotNull
+    def d(c: Column) =
+      graft.GraftQuery.dsum(when(pair, c), graft.GraftQuery.D12)
     Seq(
-      "fit_n" -> count(lit(1)),
-      "fit_sx" -> sum(lnX), "fit_sy" -> sum(lnY),
-      "fit_sxx" -> sum(lnX * lnX), "fit_sxy" -> sum(lnX * lnY),
-      "fit_syy" -> sum(lnY * lnY))
+      "fit_n" -> count(when(pair, 1)),
+      "fit_sx" -> d(lnX), "fit_sy" -> d(lnY),
+      "fit_sxx" -> d(lnX * lnX), "fit_sxy" -> d(lnX * lnY),
+      "fit_syy" -> d(lnY * lnY))
   }
 
   /** Post-agg solve from the [[moments]] columns. Degenerate fits
@@ -170,6 +186,16 @@ object PsdFit {
     * @param humidityPct  instrument humidity from the HDR
     * @param startFitUm   fit start (`start_fit`), the bloom rule's origin
     */
+  /** Null policy: a null INSTRUMENT metric (humidity, volume, trigger
+    * count — an HDR that lacks the key) disables its rule, never fires
+    * it. A null `r2` is different (round-12 review): every in-repo r2
+    * source is the fit itself, so null means the PSD was UNFITTABLE
+    * (fewer than 2 bins, or all bins at one size — [[solveCols]]'s
+    * degenerate-fit guard), and it fires `Poor Fit` — the twin of
+    * [[flag]]'s explicit degenerate branch. This deliberately deviates
+    * from the reference's NA-dropping `which(psd$R.2 < r_sqr)`, which
+    * would ship an unfittable sample to delivery flagged ok.
+    */
   def flags7(p: FlagParams, startFitUm: Double)(
       r2: Column, peakEsdUm: Column, peakN: Column,
       totalCount: Column, triggerCount: Column,
@@ -184,7 +210,7 @@ object PsdFit {
       .when(fires(totalCount / mlAnalyzed < p.biomass), "Low Biomass")
       .when(fires(peakEsdUm - startFitUm > p.bloom), "Bloom")
       .when(fires(humidityPct > p.humidity), "High Humidity")
-      .when(fires(r2 < p.rSqr), "Poor Fit")
+      .when(r2.isNull || r2 < p.rSqr, "Poor Fit")
       .otherwise("ok")
   }
 }

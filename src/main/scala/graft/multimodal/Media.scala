@@ -76,7 +76,18 @@ object Media {
       require(img != null, "undecodable container-image payload")
       val w = img.getWidth; val h = img.getHeight
       val px = new Array[Int](w * h)
-      if (img.getRaster.getNumBands == 1) {
+      // the raw-raster fast path is ONLY valid for true 8-bit grayscale
+      // (round-12 review): numBands == 1 also holds for palette-indexed
+      // images (every GIF — samples are palette INDICES, not levels),
+      // 16-bit grayscale PNG (samples up to 65535, breaking the 8-bit
+      // pixel contract downstream), and 1-bit bilevel (samples 0/1).
+      // Those route through getRGB + luma, which resolves the palette /
+      // scales the depth to 8 bits.
+      val cm = img.getColorModel
+      val gray8 = img.getRaster.getNumBands == 1 &&
+        !cm.isInstanceOf[java.awt.image.IndexColorModel] &&
+        cm.getComponentSize(0) == 8
+      if (gray8) {
         // grayscale: read raster samples directly (getRGB would route
         // through sRGB color management and distort the levels)
         val raster = img.getRaster
@@ -106,7 +117,9 @@ object Media {
     */
   def decodeWav(bytes: Array[Byte]): (Array[Double], Int) = try {
     val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    require(bytes.length > 44 &&
+    // >= 44, not > 44: a complete header plus a ZERO-length data chunk
+    // is exactly 44 bytes and is a valid (empty) clip (round-12 review)
+    require(bytes.length >= 44 &&
       new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
       new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE payload")
     var p = 12
@@ -194,13 +207,23 @@ object Media {
     }
   }
 
-  /** Encodes 8-bit grayscale pixels as PNG (the EcoTaxa image format). */
+  /** Encodes 8-bit grayscale pixels as PNG (the EcoTaxa image format).
+    * Fail-loud contract (round-12 review, the grayPixels precedent): a
+    * short pixel array or an out-of-range value would otherwise ship a
+    * structurally-valid-but-garbage PNG to EcoTaxa (TYPE_BYTE_GRAY
+    * setSample silently stores the low byte — 256 becomes 0).
+    */
   def encodePng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(px.length >= w * h,
+      s"encodePng: ${px.length} pixels for a ${w}x$h raster")
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
-    for (y <- 0 until h; x <- 0 until w)
-      raster.setSample(x, y, 0, px(y * w + x))
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = px(y * w + x)
+      require(v >= 0 && v <= 255, s"encodePng: pixel $v outside 0-255 at ($x,$y)")
+      raster.setSample(x, y, 0, v)
+    }
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
@@ -252,8 +275,12 @@ object Media {
           while (y < h) {
             var x = 0
             while (x < w) {
-              val sx = x * sw / w
-              val sy = y * sh / h
+              // Long intermediates: x * sw overflows Int for a source
+              // dimension near 2^31 (grayPixels only bounds the PRODUCT
+              // w*h), yielding a negative or wrong sample index
+              // (round-12 review)
+              val sx = (x.toLong * sw / w).toInt
+              val sy = (y.toLong * sh / h).toInt
               val idx = sy * sw + sx
               out(y * w + x) = if (idx < px.length) px(idx).toByte else 0
               x += 1

@@ -397,7 +397,9 @@ object Domain {
              WHEN total_count / ml_analyzed < 150.0 THEN 'Low Biomass'
              WHEN peak_esd - 7.5 > 10.0 THEN 'Bloom'
              WHEN humidity > 75.0 THEN 'High Humidity'
-             WHEN r2_raw < 0.5 THEN 'Poor Fit'
+             -- null r2 = unfittable PSD fires Poor Fit, the twin of
+             -- flags7's degenerate-fit branch (round-12 review)
+             WHEN r2_raw IS NULL OR r2_raw < 0.5 THEN 'Poor Fit'
              ELSE 'ok' END AS flag
       FROM sv
       ORDER BY sample"""))

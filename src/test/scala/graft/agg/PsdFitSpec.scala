@@ -106,13 +106,45 @@ class PsdFitSpec extends SparkSpec {
     assert(beads == "Beads")
   }
 
-  test("flags7: a null metric disables its rule, never fires it") {
+  test("moments aggregates complete pairs only and matches the Aggregator") {
+    // round-12 review: fit_n counted every row while the sums skipped
+    // nulls — a non-positive log() input silently skewed n against the
+    // moments and produced wrong (not null) fit parameters
+    val clean = bins.map { case (x, y) => (Some(x), Some(y)) }
+    val dirty = clean :+ ((None: Option[Double], Some(1.0))) :+
+      ((Some(1.0), None: Option[Double]))
+    val df = dirty.toDF("lnx", "lny")
+    val ms = PsdFit.moments($"lnx", $"lny")
+    val m = df.agg(ms.head._2.as(ms.head._1),
+      ms.tail.map { case (n, c) => c.as(n) }: _*)
+    val (slope, intercept, r2) = PsdFit.solveCols(
+      $"fit_n".cast("double"), $"fit_sx", $"fit_sy",
+      $"fit_sxx", $"fit_sxy", $"fit_syy")
+    val row = m.select($"fit_n", slope.as("s"), intercept.as("i"), r2.as("r")).head()
+    assert(row.getLong(0) == bins.length, "incomplete pairs must not count")
+    assert(math.abs(row.getDouble(1) - -2.0) < 1e-9)
+    assert(math.abs(row.getDouble(2) - math.log(1000.0)) < 1e-9)
+    assert(math.abs(row.getDouble(3) - 1.0) < 1e-9)
+  }
+
+  test("flags7: a null instrument metric disables its rule, never fires it") {
+    val p = PsdFit.FlagParams()
+    val df = Seq("x").toDF("k").select(
+      PsdFit.flags7(p, 15.0)(
+        lit(0.9), lit(16.5), lit(800L), lit(20000L),
+        lit(null).cast("long"), lit(null).cast("double"),
+        lit(null).cast("double"))).as[String].head()
+    assert(df == "ok") // no humidity/volume/trigger recorded → clean
+  }
+
+  test("flags7: a null r2 (unfittable PSD) fires Poor Fit, not ok") {
+    // round-12 review: r2 is fit-derived, so null means the fit was
+    // degenerate — an unfittable sample must not ship flagged clean
     val p = PsdFit.FlagParams()
     val df = Seq("x").toDF("k").select(
       PsdFit.flags7(p, 15.0)(
         lit(null).cast("double"), lit(16.5), lit(800L), lit(20000L),
-        lit(null).cast("long"), lit(null).cast("double"),
-        lit(null).cast("double"))).as[String].head()
-    assert(df == "ok") // no humidity/volume/trigger/r2 recorded → clean
+        lit(40000L), lit(5.0), lit(50.0))).as[String].head()
+    assert(df == "Poor Fit")
   }
 }

@@ -250,11 +250,19 @@ class IngestQcSpec extends SparkSpec {
     // Five samples in one run sequence. S3's particles peak at 320 px ESD
     // = floor(320 / 2.77) = 115 µm — past the reference's bubbles = 110 µm
     // production threshold (ifcb_ingest_and_qc.R:510) — so the PSD stage
-    // itself must emit "Bubbles"; the other samples peak at ~10 µm.
-    // incompleteCount is lowered so the small fixture isn't swallowed by
-    // the count gate; every other threshold is the reference default.
-    val feats = ((1 to 30).flatMap(i => Seq("S1", "S2", "S4", "S5").map(s => (s, 30.0))) ++
-      (1 to 30).map(_ => ("S3", 320.0)))
+    // itself must emit "Bubbles". The clean samples carry a descending
+    // 3-bin histogram ABOVE psdStartFitUm (16/20/24 µm at counts
+    // 16/8/4) so their power-law fit is real and flags "ok" — since
+    // round 12 an UNFITTABLE sample (no bins above the fit start, null
+    // r2) fires "Poor Fit" instead of silently passing, so the old
+    // all-at-30px fixture (10 µm, zero fit bins) would no longer read
+    // clean. incompleteCount is lowered so the small fixture isn't
+    // swallowed by the count gate; every other threshold is the
+    // reference default.
+    val cleanDiams = Seq.fill(16)(45.0) ++ Seq.fill(8)(56.0) ++ Seq.fill(4)(67.0)
+    val feats = ((for {
+      s <- Seq("S1", "S2", "S4", "S5"); d <- cleanDiams
+    } yield (s, d)) ++ (1 to 30).map(_ => ("S3", 320.0)))
       .toDF("sample", "EquivDiameter")
     val psdCfg = cfg.copy(
       psdStartFitUm = 15.0,

@@ -79,6 +79,60 @@ class MediaSpec extends SparkSpec {
     assert(math.abs(f.peak - 0.5) < 1e-3)
   }
 
+  test("palette-indexed images decode to palette LEVELS, not indices") {
+    // round-12 review: the numBands==1 raster fast path returned raw
+    // palette indices for indexed images (every GIF). Descending
+    // palette: index 0 -> white (255), index 1 -> black (0) — the old
+    // path read back 0/1.
+    val palette = Array.tabulate(256)(i => 255 - i) // descending gray
+    val icm = new java.awt.image.IndexColorModel(8, 256,
+      palette.map(_.toByte), palette.map(_.toByte), palette.map(_.toByte))
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    img.getRaster.setSample(0, 0, 0, 0) // index 0 = 255 white
+    img.getRaster.setSample(1, 0, 0, 1) // index 1 = 254
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", out)
+    val (px, w, h) = Media.decodeImage(out.toByteArray, 0, 0)
+    assert(w == 2 && h == 1)
+    assert(px(0) == 255 && px(1) == 254, px.toSeq)
+  }
+
+  test("16-bit grayscale PNG decodes inside the 8-bit pixel contract") {
+    // round-12 review: TYPE_USHORT_GRAY samples reach 65535 through the
+    // raster fast path, breaking every 0-255 consumer (resize .toByte,
+    // encodePng, max_px)
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    img.getRaster.setSample(0, 0, 0, 65535) // full-scale white
+    img.getRaster.setSample(1, 0, 0, 0)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val (px, _, _) = Media.decodeImage(out.toByteArray, 0, 0)
+    assert(px.forall(v => v >= 0 && v <= 255), px.toSeq)
+    assert(px(0) > px(1), "white must stay above black after depth scaling")
+  }
+
+  test("encodePng fails loudly on short arrays and out-of-range pixels") {
+    intercept[IllegalArgumentException](Media.encodePng(Array(1, 2, 3), 2, 2))
+    intercept[IllegalArgumentException](Media.encodePng(Array(0, 256, 0, 0), 2, 2))
+    intercept[IllegalArgumentException](Media.encodePng(Array(0, -1, 0, 0), 2, 2))
+  }
+
+  test("a 44-byte WAV (empty data chunk) decodes to zero samples") {
+    // round-12 review: the old > 44 guard rejected a complete header
+    // with a zero-length data chunk as "not RIFF/WAVE"
+    val b = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000)
+      .putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(0)
+    val (samples, rate) = Media.decodeWav(b.array())
+    assert(samples.isEmpty && rate == 8000)
+  }
+
   test("sampleFrames explodes strided fixed-size frames") {
     val media = Seq((1L, Array.tabulate[Byte](40)(_.toByte))).toDF("media_id", "bytes")
     val frames = sampleFrames(media, frameBytes = 10, stride = 2)
