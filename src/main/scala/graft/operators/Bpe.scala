@@ -117,8 +117,8 @@ object Bpe {
     val applied = org.apache.spark.sql.GraftBridge.column(
       graft.plans.ChainReplace(
         org.apache.spark.sql.GraftBridge.expression(framed),
-        merges.map { case (l, r) => delim + l + d2 + r + delim }.toArray,
-        merges.map { case (l, r) => delim + l + r + delim }.toArray))
+        merges.map { case (l, r) => delim + l + d2 + r + delim },
+        merges.map { case (l, r) => delim + l + r + delim }))
     size(split(trim(applied, delim), java.util.regex.Pattern.quote(d2)))
   }
 }

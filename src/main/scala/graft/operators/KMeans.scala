@@ -43,31 +43,45 @@ object KMeans {
     */
   val Scale = 8192L
 
-  /** Clamp bound 2^52 (exactly representable in double): without it, an
-    * out-of-range or NaN input diverged SILENTLY across engines — Spark's
-    * non-ANSI double→long cast clamps to Long.MaxValue (NaN → 0) while
-    * DuckDB's CAST(… AS BIGINT) throws (round-12 review). Both engines
-    * agree on the clamped form: NaN sorts greatest in both, so
-    * LEAST(GREATEST(NaN, −B), B) = B on both sides. Integer-EXACT
-    * distance arithmetic additionally assumes |q| ≲ 2^30 (squared sums in
-    * long) — true for any real embedding at |x| ≤ ~1.3e5.
+  /** Clamp bound 2^24 (exactly representable in double): without a
+    * clamp, an out-of-range or NaN input diverged SILENTLY across
+    * engines — Spark's non-ANSI double→long cast clamps to
+    * Long.MaxValue (NaN → 0) while DuckDB's CAST(… AS BIGINT) throws
+    * (round-12 review). Both engines agree on the clamped form: NaN
+    * sorts greatest in both, so LEAST(GREATEST(NaN, −B), B) = B on both
+    * sides — PROVIDED the clamp runs BEFORE floor (round-12, second
+    * pass): Spark's `floor` returns LONG and converts NaN to 0
+    * internally, while DuckDB's FLOOR keeps NaN, so the old
+    * floor-then-clamp order silently quantized NaN to 0 on Spark and B
+    * on DuckDB. Clamp-then-floor is identical for every finite input
+    * (both orders land on the same integer) and maps NaN/±Inf to ±B on
+    * both engines. The bound is 2^24 — not the original 2^52 — so the
+    * integer-exact squared distance CANNOT overflow Long either
+    * (round-12 review, second pass): per-dim t² ≤ (2·2^24)² = 2^50 and
+    * the sum stays below 2^63 for any dims ≤ 8191 (8191·2^50 =
+    * 2^63 − 2^50; [[graft.plans.NearestCell]] enforces the cap loudly). Under
+    * the old 2^52 bound a feature with |x| > ~3.7e5 wrapped t·t
+    * negative and silently captured every row into the overflowing
+    * cell while the BIGINT oracle errored. At Scale = 2^13 the clamp
+    * engages only beyond |x| = 2048 — far outside any normalized
+    * embedding, so in-range data is unchanged.
     */
-  val QBound = 1L << 52
+  val QBound = 1L << 24
 
-  /** `floor(x_d * 2^13)` per dimension, clamped to ±2^52, as
+  /** `floor(x_d * 2^13)` per dimension, clamped to ±2^24, as
     * `array<long>`.
     */
   def quantize(vec: Column): Column =
     transform(vec, x =>
-      least(greatest(floor(x.cast("double") * Scale.toDouble),
-        lit(-QBound.toDouble)), lit(QBound.toDouble)).cast("long"))
+      floor(least(greatest(x.cast("double") * Scale.toDouble,
+        lit(-QBound.toDouble)), lit(QBound.toDouble))).cast("long"))
 
   /** SQL twin of [[quantize]] at dim grain (the oracle works on
     * (id, dim, v) rows); clamp order mirrors the Column tree exactly.
     */
   def quantizeSql(x: String): String =
-    s"CAST(LEAST(GREATEST(FLOOR(CAST($x AS DOUBLE) * $Scale), " +
-      s"-$QBound.0), $QBound.0) AS BIGINT)"
+    s"CAST(FLOOR(LEAST(GREATEST(CAST($x AS DOUBLE) * $Scale, " +
+      s"-$QBound.0), $QBound.0)) AS BIGINT)"
 
   /** Nearest-centroid cell id (0-based, ties → smallest index) via the
     * native codegen expression [[graft.plans.NearestCell]] — one
@@ -79,8 +93,7 @@ object KMeans {
   def assign(xq: Column, centroids: Seq[Seq[Long]]): Column = {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(graft.plans.NearestCell(
-      GraftBridge.expression(xq),
-      centroids.map(_.toArray).toArray))
+      GraftBridge.expression(xq), centroids))
   }
 
   /** Runs `iters` distributed Lloyd rounds and returns the final

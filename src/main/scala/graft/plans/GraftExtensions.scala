@@ -52,13 +52,15 @@ object GraftExtensions {
       new ExpressionInfo(classOf[StringPolyHash].getName, "graft_tok_hash"),
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_tok_hash(token)")
-        StringPolyHash(toString_(children(0)), 31L, Hashing.TokP, 7L)
+        StringPolyHash(toString_(children(0)),
+          Hashing.TokMult, Hashing.TokP, Hashing.TokSeed)
       }),
     ("graft_tok_hashes",
       new ExpressionInfo(classOf[StringPolyHashArray].getName, "graft_tok_hashes"),
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_tok_hashes(tokens)")
-        StringPolyHashArray(toStringArray(children(0)), 31L, Hashing.TokP, 7L)
+        StringPolyHashArray(toStringArray(children(0)),
+          Hashing.TokMult, Hashing.TokP, Hashing.TokSeed)
       }),
     ("graft_shingles",
       new ExpressionInfo(classOf[WordShinglesExpr].getName, "graft_shingles"),

@@ -360,16 +360,24 @@ object ChainReplaceExpr {
   }
 }
 
-case class ChainReplace(child: Expression, search: Array[String], repl: Array[String])
+/** Search/replace params are Seq, not Array (round-12 review): Array
+  * case fields compare by reference, defeating semanticEquals and
+  * subexpression elimination for structurally-identical nodes — a
+  * duplicated encode column would run the full merge chain once per
+  * occurrence per row (the MinHashesExpr pattern).
+  */
+case class ChainReplace(child: Expression, search: Seq[String], repl: Seq[String])
   extends UnaryExpression with Serializable {
   require(search.length == repl.length,
     s"search/replace lists differ: ${search.length} vs ${repl.length}")
   override def dataType: DataType = StringType
+  @transient private lazy val searchArr = search.toArray
+  @transient private lazy val replArr = repl.toArray
   override protected def nullSafeEval(input: Any): Any =
-    ChainReplaceExpr(input.asInstanceOf[UTF8String], search, repl)
+    ChainReplaceExpr(input.asInstanceOf[UTF8String], searchArr, replArr)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val s = ctx.addReferenceObj("search", search, "java.lang.String[]")
-    val r = ctx.addReferenceObj("repl", repl, "java.lang.String[]")
+    val s = ctx.addReferenceObj("search", searchArr, "java.lang.String[]")
+    val r = ctx.addReferenceObj("repl", replArr, "java.lang.String[]")
     defineCodeGen(ctx, ev, c => s"graft.plans.ChainReplaceExpr.apply($c, $s, $r)")
   }
   override protected def withNewChildInternal(newChild: Expression): ChainReplace =

@@ -24,13 +24,32 @@ object VectorExpr {
   }
 }
 
+/** Unequal-length inputs yield NULL, not a truncated sum (round-12
+  * review): both declared twins — the `zip_with`+`aggregate` column
+  * composition (zip_with null-pads the tail, nulling the sum) and the
+  * DuckDB `list_zip` oracle — produce NULL for a corrupt/truncated
+  * embedding, while a min-length dot returned a plausible finite score
+  * that could rank the damaged row into top-k. The mirror is the
+  * contract; equal-length rows are untouched.
+  */
 case class FloatArrayDot(left: Expression, right: Expression)
   extends BinaryExpression with Serializable {
   override def dataType: DataType = DoubleType
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorExpr.dotFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else VectorExpr.dotFloat(x, y)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorExpr.dotFloat($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.plans.VectorExpr.dotFloat($a, $b);
+         |}
+       """.stripMargin)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FloatArrayDot =
     copy(left = newLeft, right = newRight)
@@ -133,13 +152,26 @@ object NearestCellExpr {
   }
 }
 
-case class NearestCell(child: Expression, centroids: Array[Array[Long]])
+/** Centroid params are Seq, not Array (round-12 review): an Array case
+  * field compares by reference, so two structurally-identical nodes
+  * (the same cellAssign column in a projection AND a filter) would
+  * defeat semanticEquals/canonicalization — no subexpression
+  * elimination, the full k×dims scan once per occurrence per row (the
+  * MinHashesExpr pattern). The dims ≤ 8192 require is the loud half of
+  * KMeans.QBound's overflow-free contract: per-dim t² ≤ 2^50, so the
+  * Long distance sum is exact up to 8191 dims (8191·2^50 < 2^63).
+  */
+case class NearestCell(child: Expression, centroids: Seq[Seq[Long]])
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+  require(centroids.forall(_.length <= 8191),
+    s"centroid dims ${centroids.map(_.length).max} exceed 8191 — the " +
+      "integer-exact distance sum could overflow Long")
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  @transient private lazy val centArr = centroids.map(_.toArray).toArray
   override protected def nullSafeEval(input: Any): Any =
-    NearestCellExpr.nearest(input.asInstanceOf[ArrayData], centroids)
+    NearestCellExpr.nearest(input.asInstanceOf[ArrayData], centArr)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("centroids", centroids, "long[][]")
+    val ref = ctx.addReferenceObj("centroids", centArr, "long[][]")
     defineCodeGen(ctx, ev, c => s"graft.plans.NearestCellExpr.nearest($c, $ref)")
   }
   override protected def withNewChildInternal(newChild: Expression): NearestCell =

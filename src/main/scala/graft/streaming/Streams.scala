@@ -105,13 +105,19 @@ object Streams {
         }
     }
 
-  /** Streaming feature extraction: new image files (PNG or raw ROI
-    * payloads) flow through the full kernel — decode → segmentation →
-    * slim features — as they arrive, exactly once per file. This is the
-    * reference's scheduled "extract features for new bins" job
-    * (extract_slim_features.py over new data) as a checkpointed stream:
-    * the kernel is partition-local, so the stream scales like the batch
-    * path.
+  /** Streaming feature extraction: new PNG files flow through the full
+    * kernel — decode → segmentation → slim features — as they arrive,
+    * exactly once per file. This is the reference's scheduled "extract
+    * features for new bins" job (extract_slim_features.py over new
+    * data) as a checkpointed stream: the kernel is partition-local, so
+    * the stream scales like the batch path.
+    *
+    * PNG-only by contract (round-12; the scaladoc previously still
+    * promised raw ROI payloads): the `*.png` glob admits only container
+    * images, the corrupt-payload gate throws on anything else, and the
+    * file NAME must carry the roi id as trailing digits
+    * (`...<digits>.png`). Raw ROI streams go through
+    * [[graft.sources.RoiSource]] + the batch kernel instead.
     *
     * @param path directory watched via the binaryFile stream source
     */
@@ -136,7 +142,17 @@ object Streams {
       require(graft.multimodal.Media.isContainerImage(bytes),
         s"corrupt image payload at $p: no decodable container magic")
       val (px, w, h) = graft.multimodal.Media.decodeImage(bytes, 0, 0)
-      val roiId = "(\\d+)\\.png$".r.findFirstMatchIn(p).map(_.group(1).toLong).getOrElse(0L)
+      // fail loudly like the payload gate above (round-12 review): the
+      // old getOrElse(0L) stamped roi_id 0 on every digitless name —
+      // colliding rows silently corrupted per-ROI joins — and a
+      // >18-digit name killed the query with a raw NumberFormatException
+      // the lookbehind keeps a 19+-digit run from silently matching as
+      // its own last 18 digits — an over-long id must reject, not alias
+      val roiId = "(?<!\\d)(\\d{1,18})\\.png$".r.findFirstMatchIn(p)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot extract a roi id from '$p': the stream contract " +
+            "requires names ending in 1-18 digits before .png"))
       val row = graft.features.Features.computeFromRoi(roiId,
         graft.features.Segmentation.Gray(h, w, px))
       (p, row)

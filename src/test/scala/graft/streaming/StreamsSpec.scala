@@ -413,6 +413,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("featureStream rejects a digitless PNG name loudly, never as roi_id 0") {
+    // round-12 review: getOrElse(0L) silently collided every digitless
+    // name on roi_id 0, corrupting per-ROI joins downstream
+    val dir = java.nio.file.Files.createTempDirectory("feat-bad")
+    val ckpt = java.nio.file.Files.createTempDirectory("feat-bad-ckpt")
+    val (raw, h, w) = graft.queries.FeatureExtract.renderRoi(7L)
+    val png = graft.multimodal.Media.encodePng(raw.map(_ & 0xff), w, h)
+    java.nio.file.Files.write(dir.resolve("thumbnail.png"), png)
+    val q = Streams.featureStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("feats_bad")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(30000)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("cannot extract a roi id")), e.getMessage)
+    } finally q.stop()
+  }
+
   /** Most recent batch's state-operator row count — the memory bound of
     * the 100 TB streaming story: if watermark eviction works, this
     * tracks the dedup/window horizon, not everything ever seen.
