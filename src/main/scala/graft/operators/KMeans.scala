@@ -66,21 +66,28 @@ object KMeans {
     * engages only beyond |x| = 2048 — far outside any normalized
     * embedding, so in-range data is unchanged.
     */
-  val QBound = 1L << 24
+  val QBound: Long = graft.plans.NearestCellExpr.MaxAbsQ
 
   /** `floor(x_d * 2^13)` per dimension, clamped to ±2^24, as
-    * `array<long>`.
+    * `array<long>`. A NULL element coalesces to 0.0 BEFORE the clamp
+    * (round-12 review, third pass): Spark's null-skipping
+    * greatest/least would otherwise pin a missing dim to −QBound —
+    * full clamp weight in the distance — and DuckDB versions where
+    * GREATEST(NULL, x) is NULL would diverge from that silently;
+    * missing-means-0.0 is explicit, version-proof, and mirrored. No
+    * trailing long cast: Spark's floor over a double already returns
+    * LongType (the SQL twin's CAST AS BIGINT is the load-bearing one).
     */
   def quantize(vec: Column): Column =
     transform(vec, x =>
-      floor(least(greatest(x.cast("double") * Scale.toDouble,
-        lit(-QBound.toDouble)), lit(QBound.toDouble))).cast("long"))
+      floor(least(greatest(coalesce(x.cast("double"), lit(0.0)) * Scale.toDouble,
+        lit(-QBound.toDouble)), lit(QBound.toDouble))))
 
   /** SQL twin of [[quantize]] at dim grain (the oracle works on
     * (id, dim, v) rows); clamp order mirrors the Column tree exactly.
     */
   def quantizeSql(x: String): String =
-    s"CAST(FLOOR(LEAST(GREATEST(CAST($x AS DOUBLE) * $Scale, " +
+    s"CAST(FLOOR(LEAST(GREATEST(COALESCE(CAST($x AS DOUBLE), 0.0) * $Scale, " +
       s"-$QBound.0), $QBound.0)) AS BIGINT)"
 
   /** Nearest-centroid cell id (0-based, ties → smallest index) via the

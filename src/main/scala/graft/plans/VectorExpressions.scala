@@ -125,6 +125,15 @@ case class HyperplaneBucket(child: Expression, planes: Int, dims: Int)
   * operator's scale budget.
   */
 object NearestCellExpr {
+  /** Canonical overflow-exact contract, single-sourced here (the
+    * kernel owns it; `KMeans.QBound` aliases it): with every quantized
+    * value in [−MaxAbsQ, MaxAbsQ] and at most MaxDims dimensions,
+    * per-dim t² ≤ (2·2^24)² = 2^50 and the Long distance sum tops out
+    * at 8191·2^50 = 2^63 − 2^50 < Long.MaxValue — exact, no wrap.
+    */
+  val MaxAbsQ = 1L << 24
+  val MaxDims = 8191
+
   def nearest(vec: ArrayData, cents: Array[Array[Long]]): Int = {
     var best = 0
     var bestD = Long.MaxValue
@@ -157,15 +166,23 @@ object NearestCellExpr {
   * (the same cellAssign column in a projection AND a filter) would
   * defeat semanticEquals/canonicalization — no subexpression
   * elimination, the full k×dims scan once per occurrence per row (the
-  * MinHashesExpr pattern). The dims ≤ 8192 require is the loud half of
-  * KMeans.QBound's overflow-free contract: per-dim t² ≤ 2^50, so the
-  * Long distance sum is exact up to 8191 dims (8191·2^50 < 2^63).
+  * MinHashesExpr pattern). The requires enforce BOTH halves of
+  * [[NearestCellExpr.MaxAbsQ]]/[[NearestCellExpr.MaxDims]]'s
+  * overflow-exact contract loudly: dims ≤ 8191 AND every centroid
+  * value inside the quantization clamp — an out-of-contract seed
+  * (round-12 review, third pass) would otherwise wrap t·t silently
+  * and capture every row into the bad cell.
   */
 case class NearestCell(child: Expression, centroids: Seq[Seq[Long]])
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
-  require(centroids.forall(_.length <= 8191),
-    s"centroid dims ${centroids.map(_.length).max} exceed 8191 — the " +
-      "integer-exact distance sum could overflow Long")
+  require(centroids.forall(_.length <= NearestCellExpr.MaxDims),
+    s"centroid dims ${centroids.map(_.length).max} exceed " +
+      s"${NearestCellExpr.MaxDims} — the integer-exact distance sum " +
+      "could overflow Long")
+  require(centroids.forall(_.forall(v => math.abs(v) <= NearestCellExpr.MaxAbsQ)),
+    "centroid values outside the quantization clamp " +
+      s"±${NearestCellExpr.MaxAbsQ} — the integer-exact distance sum " +
+      "could overflow Long")
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   @transient private lazy val centArr = centroids.map(_.toArray).toArray
   override protected def nullSafeEval(input: Any): Any =

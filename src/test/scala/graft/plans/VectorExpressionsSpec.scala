@@ -37,10 +37,15 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(ChainReplace(w, Seq("a"), Seq("b")) == ChainReplace(w, Seq("a"), Seq("b")))
   }
 
-  test("NearestCell rejects centroid dims past the overflow-exact bound") {
+  test("NearestCell rejects centroid dims and values past the overflow-exact bound") {
     val c = GraftBridge.expression(col("xq"))
     intercept[IllegalArgumentException](
       NearestCell(c, Seq(Seq.fill(8192)(0L))))
+    // the values half of the contract: an unquantized seed would wrap
+    // t*t silently (round-12 review, third pass)
+    intercept[IllegalArgumentException](
+      NearestCell(c, Seq(Seq(1L << 40, 0L))))
+    NearestCell(c, Seq(Seq.fill(8191)(NearestCellExpr.MaxAbsQ))) // at the bound: fine
   }
 
   test("quantize clamp keeps the integer-exact distance inside Long") {
@@ -48,11 +53,15 @@ class VectorExpressionsSpec extends SparkSpec {
     // distance wrapped Long negative, silently capturing every row into
     // the overflowing cell; the 2^24 bound makes t*t*dims provably exact
     import graft.operators.KMeans
-    val q = Seq(Tuple1(Array(1e9f, Float.NaN, -1e9f, 0.25f)))
+    val q = Seq(Tuple1(Array(Some(1e9f), Some(Float.NaN), Some(-1e9f),
+        Some(0.25f), None)))
       .toDF("v").select(KMeans.quantize($"v").as("q"))
       .as[Seq[Long]].head()
     assert(q(0) == KMeans.QBound && q(1) == KMeans.QBound && q(2) == -KMeans.QBound)
     assert(q(3) == (0.25 * KMeans.Scale).toLong)
+    // a NULL element is missing-means-0.0, not the clamp corner
+    // (null-skipping greatest/least pinned it to -QBound before)
+    assert(q(4) == 0L)
     // worst-case squared distance at the clamp cannot overflow
     val t = 2L * KMeans.QBound
     assert(t * t > 0 && Long.MaxValue / (t * t) >= 8191,
