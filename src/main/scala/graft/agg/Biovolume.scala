@@ -25,7 +25,14 @@ object Biovolume {
         when(volUm3 > 3000.0, lit(0.117) * pow(volUm3, 0.881))
           .otherwise(lit(0.216) * pow(volUm3, 0.939)))
 
-  /** counts/ml → per-liter scaling (Rmd:1409-1411 `COEFF = 1000/ml`). */
+  /** counts/ml → per-liter scaling (Rmd:1409-1411 `COEFF = 1000/ml`).
+    * Zero analyzed volume yields NULL, not a crash (round-12 review):
+    * Spark 4 ANSI mode throws DIVIDE_BY_ZERO even for doubles, so one
+    * aborted-run sample row (IngestQc.sampleMetrics emits ml = 0.0 when
+    * runTime == inhibitTime) would abort a whole delivery/alert job.
+    * NULL is also exactly what DuckDB's `/` returns for a zero divisor,
+    * so the q37/q73 oracle mirrors hold without a CASE on their side.
+    */
   def perLiter(x: Column, mlAnalyzed: Column): Column =
-    x / mlAnalyzed * 1000.0
+    when(mlAnalyzed =!= 0.0, x / mlAnalyzed * 1000.0)
 }

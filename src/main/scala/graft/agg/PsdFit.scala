@@ -205,9 +205,15 @@ object PsdFit {
       .when(fires(peakEsdUm > p.bubbles), "Bubbles")
       .when(fires(totalCount < p.incompleteCount) ||
         fires(mlAnalyzed < p.incompleteVolumeMl), "Incomplete Run")
-      .when(fires(totalCount.cast("double") / triggerCount < p.missingCells),
+      // zero-divisor guards (round-12 review): ANSI division THROWS on
+      // trigger_count = 0 / ml = 0; the when(...) form nulls instead,
+      // which fires() treats as rule-disabled — the same outcome as
+      // DuckDB's null-on-zero `/` in the q88 oracle
+      .when(fires(when(triggerCount =!= 0L,
+        totalCount.cast("double") / triggerCount) < p.missingCells),
         "Missing Cells")
-      .when(fires(totalCount / mlAnalyzed < p.biomass), "Low Biomass")
+      .when(fires(when(mlAnalyzed =!= 0.0,
+        totalCount / mlAnalyzed) < p.biomass), "Low Biomass")
       .when(fires(peakEsdUm - startFitUm > p.bloom), "Bloom")
       .when(fires(humidityPct > p.humidity), "High Humidity")
       .when(r2.isNull || r2 < p.rSqr, "Poor Fit")

@@ -175,14 +175,18 @@ object EcoTaxaExport {
       "object_h180" -> src("h180"),
       "object_h90" -> src("h90"),
       "object_hflip" -> src("hflip"),
+      // zero-guarded ratios (round-12 review): a perfectly symmetric
+      // ROI has hflip/h180 exactly 0 (modifiedHausdorff of identical
+      // point sets), and ANSI division would abort the whole export for
+      // one such row; NULL renders as the NA the contract pre-fills
       "object_h90_over_hflip" -> ((src("h90"), src("hflip")) match {
-        case (Some(a), Some(b)) => Some(a / b); case _ => None
+        case (Some(a), Some(b)) => Some(when(b =!= 0.0, a / b)); case _ => None
       }),
       "object_h90_over_h180" -> ((src("h90"), src("h180")) match {
-        case (Some(a), Some(b)) => Some(a / b); case _ => None
+        case (Some(a), Some(b)) => Some(when(b =!= 0.0, a / b)); case _ => None
       }),
       "object_hflip_over_h180" -> ((src("hflip"), src("h180")) match {
-        case (Some(a), Some(b)) => Some(a / b); case _ => None
+        case (Some(a), Some(b)) => Some(when(b =!= 0.0, a / b)); case _ => None
       }),
       "object_rotated_area" -> src("rotated_area"),
       "object_rotated_bounding_box_xwidth" -> src("rotated_bbox_xwidth"),

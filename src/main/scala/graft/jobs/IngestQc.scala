@@ -95,8 +95,22 @@ object IngestQc {
     val joined = IntervalJoin.contains(
       binTimes, cruises, "datetime", "startdate", "stopdate",
       joinType = "left", maxReplication = None)
-    val filled = svepa.fold(joined)(
-      graft.sources.SvepaSnapshot.resolveCruiseNo(joined, _))
+    // ONE cruise per bin (round-12 review): overlapping cruise
+    // intervals — or a bin exactly on an inclusive stop==start boundary
+    // — matched twice and duplicated the pid row in the pid-keyed
+    // metadata. Deterministic resolution: the most recently STARTED
+    // containing cruise wins (the voyage the instrument is currently
+    // on), ties to the smallest cruise_no; unmatched left rows carry a
+    // single null-cruise row and pass through the rank untouched.
+    val cruisePick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sample"))
+      .orderBy(col("startdate").desc_nulls_last, col("cruise_no").asc_nulls_last)
+    val resolved = joined
+      .withColumn("__rk", row_number().over(cruisePick))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+    val filled = svepa.fold(resolved)(
+      graft.sources.SvepaSnapshot.resolveCruiseNo(resolved, _))
     filled
       .withColumn("cruise",
         concat(lit(cfg.cruisePrefix), lit("_"), year(col("datetime")),
@@ -364,16 +378,54 @@ object IngestQc {
     * yield nulls, which [[graft.agg.PsdFit.flags7]] treats as
     * rule-disabled.
     */
-  def sampleMetrics(spark: SparkSession, cfg: Config): DataFrame = {
-    val triggers = RoiSource.readAdc(spark, s"${cfg.rawDir}/*.adc")
-      .groupBy(col("sample")).agg(count(lit(1)).as("trigger_count"))
-    val hdr = HdrSource.read(spark, s"${cfg.rawDir}/*.hdr",
-      stringKeys = Nil,
-      numericKeys = Seq("runTime", "inhibitTime", "humidity"))
-      .select(col("sample"),
-        (lit(0.25) * (col("runTime") - coalesce(col("inhibitTime"), lit(0.0)))
-          / 60.0).as("ml_analyzed"),
-        col("humidity"))
+  def sampleMetrics(spark: SparkSession, cfg: Config,
+      restrictTo: Option[DataFrame] = None): DataFrame = {
+    // incremental scan discipline, the extractFeatures precedent
+    // (round-12 review): without the restriction every scheduled run
+    // re-parsed the whole archive's .adc AND .hdr once more here on
+    // top of the extractFeatures/hdrPositions scans. `restrictTo`
+    // (binsToPsd in run()) prunes the FILE LIST — O(new bins) — via
+    // the same cheap driver-side listing binIndex already does; note
+    // hdrPositions' full scan stays by design (positions cover the
+    // whole metadata spine).
+    def paths(ext: String): Option[Seq[String]] = restrictTo.map { samples =>
+      val keep = samples.select(col("sample").cast("string"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val re = HdrSource.SampleIdPattern.r
+      graft.sources.FileIndex.list(spark, cfg.rawDir, s"*.$ext")
+        .select("path").collect().map(_.getString(0))
+        .filter(p => re.findFirstMatchIn(p).exists(m => keep(m.group(1))))
+        .sorted.toSeq
+    }
+    val adcPaths = paths("adc")
+    val hdrPaths = paths("hdr")
+    val triggers =
+      if (adcPaths.exists(_.isEmpty))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "sample STRING, trigger_count BIGINT"))
+      else
+        adcPaths.fold(RoiSource.readAdc(spark, s"${cfg.rawDir}/*.adc"))(
+            ps => RoiSource.readAdc(spark, ps))
+          .groupBy(col("sample")).agg(count(lit(1)).as("trigger_count"))
+    val hdr =
+      if (hdrPaths.exists(_.isEmpty))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "sample STRING, ml_analyzed DOUBLE, humidity DOUBLE"))
+      else
+        hdrPaths.fold(HdrSource.read(spark, s"${cfg.rawDir}/*.hdr",
+            stringKeys = Nil,
+            numericKeys = Seq("runTime", "inhibitTime", "humidity")))(
+            ps => HdrSource.read(spark, ps,
+              stringKeys = Nil,
+              numericKeys = Seq("runTime", "inhibitTime", "humidity")))
+          .select(col("sample"),
+            (lit(0.25) * (col("runTime") - coalesce(col("inhibitTime"), lit(0.0)))
+              / 60.0).as("ml_analyzed"),
+            col("humidity"))
     triggers.join(hdr, Seq("sample"), "full_outer")
   }
 
@@ -399,10 +451,19 @@ object IngestQc {
     // re-written every run (round-12 review). HdrSource/RoiSource
     // already drop them at their own scans; here they dead-letter with
     // their own reason so the drop is visible, not silent.
-    val clean = clean0.filter(col("sample").isNotNull && col("sample") =!= "")
+    val clean1 = clean0.filter(col("sample").isNotNull && col("sample") =!= "")
+    // second gate (round-12 review): an id that matches the shape but
+    // encodes an invalid date (month 13) has no timestamp — it can
+    // never cruise-join or window; dead-letter it with its own reason
+    // instead of crashing the run (strict to_timestamp under ANSI) or
+    // flowing a null datetime into the metadata spine
+    val parseable = HdrSource.toTimestampFromSampleId(col("sample")).isNotNull
+    val clean = clean1.filter(parseable)
     val dead = dead0.unionByName(
       clean0.filter(col("sample").isNull || col("sample") === "")
         .withColumn("reason", lit("no_sample_id")))
+      .unionByName(clean1.filter(!parseable)
+        .withColumn("reason", lit("bad_sample_date")))
     val blacklisted = blacklistedSamples(clean, blacklist)
     val candidates = clean.select("sample").distinct()
       .join(blacklisted, Seq("sample"), "left_anti")
@@ -440,7 +501,8 @@ object IngestQc {
       FileIndex.newFiles(candidates, e.select("sample")))
     val (psdData, psdFits, psdFlags) = psd(
       allFeats.join(broadcast(binsToPsd.select("sample")), Seq("sample"), "left_semi"),
-      cfg, sampleMetrics = Some(sampleMetrics(spark, cfg)))
+      cfg, sampleMetrics = Some(
+        sampleMetrics(spark, cfg, restrictTo = Some(binsToPsd.select("sample")))))
 
     Frames(metadata, feats, psdData, psdFits, psdFlags, dead)
   }

@@ -135,8 +135,17 @@ object RunAll {
           lit("sample id not timestamp-parseable, cannot year-scope: "),
           col("sample"))).cast("boolean"))
       .otherwise(yr.isin(yearSet.map(Integer.valueOf): _*))
+    // adjacency over the FULL roi universe, not the year-filtered
+    // subset (round-12 review): lag/lead over a filtered frame is the
+    // subset-universe bug deliveryWithManual's shared universe fixed —
+    // with an adjacency partition coarser than year (the parameter
+    // permits any grain), a flagged sample at a year boundary would
+    // drop its neighbor in the multiyear delivery but keep it in the
+    // per-year one. The W1 window must see the same neighbors
+    // regardless of the year scope.
     SharkExport.delivery(
-      roi.filter(inScope), sampleDim, flags, cfg.removeFlagged, adjacencyPartition)
+      roi.filter(inScope), sampleDim, flags, cfg.removeFlagged,
+      adjacencyPartition, adjacencyUniverse = Some(roi))
   }
 
   /** The reference's file naming, one TSV directory per delivery:

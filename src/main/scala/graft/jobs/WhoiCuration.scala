@@ -56,11 +56,18 @@ object WhoiCuration {
       .withColumn("date",
         date_add(to_date(concat(col("__year"), lit("-01-01"))),
           col("__doy").cast("int") - 1))
-      .withColumn("timestamp", to_timestamp(concat(
+      // try_to_timestamp + the isNotNull filter below (round-12
+      // review): a legacy name whose \d{6} time field encodes an
+      // invalid clock reading (hour 25) matches the pattern but is not
+      // a timestamp — strict to_timestamp would abort the whole
+      // curation run under ANSI; such names drop like the reference's
+      // "Unknown format" branch instead
+      .withColumn("timestamp", try_to_timestamp(concat(
         col("date"), lit(" "),
         substring(col("__time"), 1, 2), lit(":"),
         substring(col("__time"), 3, 2), lit(":"),
         substring(col("__time"), 5, 2))))
+      .filter(col("timestamp").isNotNull)
       .withColumn("roi", col("__roi").cast("int"))
       .withColumn("canonical_name", concat(
         lit("I"), date_format(col("timestamp"), "yyyyMMdd'T'HHmmss"),
@@ -114,9 +121,19 @@ object WhoiCuration {
     */
   def annotateBatch(parsed: DataFrame, class2use: DataFrame,
       adcRois: DataFrame): DataFrame = {
+    // one label per (sample, roi): the same png left under TWO class
+    // folders used to fan the ADC row out to two contradictory rows
+    // (round-12 review). The reference's sequential ifcb_annotate_batch
+    // iterates folders in listing order and the LAST write wins —
+    // mirrored deterministically as the lexicographically greatest
+    // class_name (list.files returns alphabetical order).
+    val conflictW = Window.partitionBy(col("sample"), col("roi"))
+      .orderBy(col("class_name").desc)
     val labeled = parsed
       .join(broadcast(class2use),
         parsed("class_folder") === class2use("class_name"))
+      .withColumn("__rk", row_number().over(conflictW))
+      .filter(col("__rk") === 1)
       .select(col("sample"), col("roi").as("roi_number"),
         col("class_idx"), col("class_name"))
     val touched = labeled.select(col("sample")).distinct()

@@ -31,8 +31,21 @@ object HdrSource {
       spark: SparkSession,
       path: String,
       stringKeys: Seq[String],
+      numericKeys: Seq[String]): DataFrame =
+    read(spark, Seq(path), stringKeys, numericKeys)
+
+  /** Multi-path overload (round-12 review): incremental callers pass
+    * the explicit file list of the bins under processing instead of the
+    * whole-archive glob — a decade-deep archive must not re-read every
+    * historical header per scheduled run.
+    */
+  def read(
+      spark: SparkSession,
+      paths: Seq[String],
+      stringKeys: Seq[String],
       numericKeys: Seq[String]): DataFrame = {
-    val lines = spark.read.text(path)
+    require(paths.nonEmpty, "HdrSource.read: empty path list")
+    val lines = spark.read.text(paths: _*)
       // line order within a file: ids rise with partition index then row
       // position, and a file's splits are offset-ordered
       .withColumn("__ord", monotonically_increasing_id())
@@ -60,9 +73,13 @@ object HdrSource {
   }
 
   /** Filename→timestamp codec (`ifcb_convert_filenames`, Rmd:769):
-    * D20240101T123000_IFCB134 → 2024-01-01 12:30:00 UTC.
+    * D20240101T123000_IFCB134 → 2024-01-01 12:30:00 UTC. try_, not
+    * strict (round-12 review): a name matching the id shape but
+    * encoding an invalid date (D20231399T256090) yields NULL instead of
+    * aborting the whole run under ANSI — callers gate on it
+    * (IngestQc.run dead-letters such bins as `bad_sample_date`).
     */
   def toTimestampFromSampleId(sample: org.apache.spark.sql.Column) =
-    to_timestamp(
-      regexp_extract(sample, "D(\\d{8}T\\d{6})", 1), "yyyyMMdd'T'HHmmss")
+    try_to_timestamp(
+      regexp_extract(sample, "D(\\d{8}T\\d{6})", 1), lit("yyyyMMdd'T'HHmmss"))
 }

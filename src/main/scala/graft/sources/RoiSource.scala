@@ -25,12 +25,21 @@ object RoiSource {
 
   /** ADC schema: trigger rows with image geometry + byte offset. */
   def readAdc(spark: SparkSession, path: String): DataFrame =
+    readAdc(spark, Seq(path))
+
+  /** Multi-path overload (round-12 review): incremental callers pass
+    * the explicit .adc list of the bins under processing instead of
+    * re-scanning the whole-archive glob every run.
+    */
+  def readAdc(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "RoiSource.readAdc: empty path list")
     spark.read
       .schema("roi_number INT, width INT, height INT, start_byte LONG")
       .option("header", "true")
-      .csv(path)
+      .csv(paths: _*)
       .withColumn("sample",
         regexp_extract(input_file_name(), HdrSource.SampleIdPattern, 1))
+  }
 
   /** One row per image: (sample, roi_number, width, height, pixels).
     * Files whose names don't carry an IFCB sample id are dropped on

@@ -137,6 +137,24 @@ class PsdFitSpec extends SparkSpec {
     assert(df == "ok") // no humidity/volume/trigger recorded → clean
   }
 
+  test("flags7: zero trigger count / zero volume disable their rules, never crash (ANSI)") {
+    // round-12 review: ANSI division throws on a zero divisor even for
+    // doubles; the guards null the ratio, which fires() disables —
+    // matching DuckDB's null-on-zero division in the q88 oracle
+    val p = PsdFit.FlagParams()
+    val flag = Seq("x").toDF("k").select(
+      PsdFit.flags7(p, 15.0)(
+        lit(0.9), lit(16.5), lit(800L), lit(20000L),
+        lit(0L), lit(0.0), lit(50.0))).as[String].head()
+    // ml = 0.0 < incompleteVolumeMl fires first — the point is no crash
+    assert(flag == "Incomplete Run")
+    val flag2 = Seq("x").toDF("k").select(
+      PsdFit.flags7(p.copy(incompleteVolumeMl = 0.0), 15.0)(
+        lit(0.9), lit(16.5), lit(800L), lit(20000L),
+        lit(0L), lit(0.0), lit(50.0))).as[String].head()
+    assert(flag2 == "ok") // both divisor rules disabled, nothing else fires
+  }
+
   test("flags7: a null r2 (unfittable PSD) fires Poor Fit, not ok") {
     // round-12 review: r2 is fit-derived, so null means the fit was
     // degenerate — an unfittable sample must not ship flagged clean

@@ -96,6 +96,19 @@ class IngestQcSpec extends SparkSpec {
   private lazy val frames = IngestQc.run(
     spark, cfg, blacklist, cruises, ferrybox, baltic)
 
+  test("overlapping cruise intervals resolve to ONE cruise per bin, latest start wins") {
+    // round-12 review: the interval join emitted one row per containing
+    // cruise, duplicating the pid in the pid-keyed metadata
+    val overlapping = Seq(
+      ("7", ts("2024-06-01 00:00:00"), ts("2024-06-30 00:00:00")),
+      ("8", ts("2024-06-01 09:30:00"), ts("2024-06-02 00:00:00")) // later start
+    ).toDF("cruise_no", "startdate", "stopdate")
+    val bins = Seq(("DX", ts("2024-06-01 10:00:00"))).toDF("sample", "datetime")
+    val out = IngestQc.withCruise(bins, overlapping, cfg).collect()
+    assert(out.length == 1, s"one row per bin, got ${out.length}")
+    assert(out.head.getAs[String]("cruise") == "SVEA_2024_8")
+  }
+
   test("dashboard metadata matches the R:373-428 contract") {
     val md = frames.metadata.collect()
       .map(r => r.getAs[String]("pid") -> r).toMap

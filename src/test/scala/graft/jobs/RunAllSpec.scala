@@ -111,6 +111,28 @@ class RunAllSpec extends SparkSpec {
     assert(messages(e).contains("not timestamp-parseable"), messages(e))
   }
 
+  test("year-scoped adjacency sees the FULL run sequence, not the year slice") {
+    // round-12 review: with an adjacency partition coarser than year
+    // (here: one instrument), a bubbles sample on Dec 31 must drop its
+    // Jan 1 neighbor in the per-year delivery exactly as the multiyear
+    // run would — lag/lead over the year-filtered subset kept it
+    val roi = Seq(
+      ("2022-12-31 23:59:50", "algae", 100.0, false), // bubbles
+      ("2023-01-01 00:00:10", "algae", 100.0, false), // its neighbor
+      ("2023-06-01 12:00:00", "algae", 100.0, false)
+    ).toDF("sample", "class_name", "vol_um3", "is_diatom")
+    val dim = roi.select($"sample").distinct()
+      .withColumn("ml_analyzed", lit(3.0))
+      .withColumn("lat", lit(57.5)).withColumn("lon", lit(11.8))
+    val flags = Seq(("2022-12-31 23:59:50", "bubbles")).toDF("sample", "flag")
+    val d2023 = RunAll.deliveryFor(roi, dim, flags,
+      RunParams("Baltic", Seq(2023), Seq("bubbles"), multiyearDelivery = false),
+      Seq(2023), lit("inst1"))
+    val kept = d2023.select("SMPNO").as[String].collect().toSet
+    assert(kept == Set("2023-06-01 12:00:00"),
+      s"the Jan 1 neighbor of the flagged Dec 31 sample must drop: $kept")
+  }
+
   test("writeTsv lays out one delivery directory per config, reference-named") {
     val out = Files.createTempDirectory("runall").toString
     val data: String => ClassifierData =

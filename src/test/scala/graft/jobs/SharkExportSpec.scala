@@ -36,6 +36,23 @@ class SharkExportSpec extends SparkSpec {
     assert(math.abs(s1.getAs[Double]("BIOVOL") - 3e-6) < 1e-18)
   }
 
+  test("a zero-volume sample nulls ABUND/C_CONC instead of crashing the delivery (ANSI)") {
+    // round-12 review: IngestQc.sampleMetrics emits ml_analyzed = 0.0
+    // for an aborted run (runTime == inhibitTime); ANSI division used
+    // to abort the whole delivery on that one row
+    val roi = Seq(("S1", "algae", 1000.0, false), ("S2", "algae", 500.0, false))
+      .toDF("sample", "class_name", "vol_um3", "is_diatom")
+    val dim = Seq(("S1", 0.0, 57.0, 11.0), ("S2", 5.0, 57.0, 11.0))
+      .toDF("sample", "ml_analyzed", "lat", "lon")
+    val flags = Seq.empty[(String, String)].toDF("sample", "flag")
+    val out = SharkExport.delivery(roi, dim, flags, Nil,
+      org.apache.spark.sql.functions.lit("run1")).collect()
+      .map(r => r.getAs[String]("SMPNO") -> r).toMap
+    assert(out("S1").getAs[Any]("ABUND") == null)
+    assert(out("S1").getAs[Any]("C_CONC") == null)
+    assert(math.abs(out("S2").getAs[Double]("ABUND") - 200.0) < 1e-9)
+  }
+
   test("manual delivery from SQLite annotations unions with auto rows") {
     // annotations DB fixture: two annotators touch S6, the later one wins
     // the A5 analysis-date window (shark.R:268-277)

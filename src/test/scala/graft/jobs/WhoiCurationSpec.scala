@@ -16,13 +16,17 @@ class WhoiCurationSpec extends SparkSpec {
     "/data/png/ciliate/IFCB5_2016_060_010203_7.png", // leap year: day 60 = Feb 29
     // 4-digit instrument + 6-digit roi: must pad-without-truncate
     "/data/png/ciliate/IFCB1234_2015_001_000000_123456.png",
-    "/data/png/ciliate/not_a_legacy_name.png"
+    "/data/png/ciliate/not_a_legacy_name.png",
+    // matches the legacy pattern but encodes hour 25: not a timestamp —
+    // must drop like the unknown-format branch, not crash under ANSI
+    // (round-12 review)
+    "/data/png/diatom/IFCB1_2014_188_256090_99.png"
   ).toDF("path")
 
   test("legacy names parse to samples, dates and canonical renames") {
     val parsed = WhoiCuration.parseLegacyPngs(paths).collect()
       .map(r => r.getAs[Int]("roi") -> r).toMap
-    assert(parsed.size == 4) // the malformed name is dropped
+    assert(parsed.size == 4) // malformed name AND invalid-clock name drop
     val r42 = parsed(42)
     assert(r42.getAs[String]("sample") == "IFCB1_2014_188_222013")
     assert(r42.getAs[java.sql.Date]("date").toString == "2014-07-07")
@@ -76,6 +80,23 @@ class WhoiCurationSpec extends SparkSpec {
     val full = adc.unionByName(
       Seq(("IFCB1234_2015_001_000000", 123456)).toDF("sample", "roi_number"))
     assert(WhoiCuration.annotationOrphans(parsed, c2u, full).isEmpty)
+  }
+
+  test("a png under two class folders resolves to ONE label, last-alphabetical wins") {
+    // round-12 review: conflicting folders used to fan the ADC row out
+    // to two contradictory label rows; the reference's sequential
+    // annotate overwrites in folder-listing order, so the
+    // lexicographically greatest class wins deterministically
+    val dup = Seq(
+      "/data/png/diatom/IFCB1_2014_188_222013_42.png",
+      "/data/png/ciliate/IFCB1_2014_188_222013_42.png"
+    ).toDF("path")
+    val parsed = WhoiCuration.parseLegacyPngs(dup)
+    val c2u = WhoiCuration.class2useFromFolders(parsed)
+    val adc = Seq(("IFCB1_2014_188_222013", 42)).toDF("sample", "roi_number")
+    val ann = WhoiCuration.annotateBatch(parsed, c2u, adc).collect()
+    assert(ann.length == 1, "one label per (sample, roi)")
+    assert(ann.head.getAs[String]("class_name") == "diatom")
   }
 
   test("curation round-trip: annotateBatch writes manual .mat files the reader parses") {
