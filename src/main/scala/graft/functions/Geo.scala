@@ -72,7 +72,11 @@ object Geo {
     (lat: Column, lon: Column) => f(lat, lon)
   }
 
-  private def pointInPolygonEval(poly: Array[(Double, Double)])(lat: Double, lon: Double): Boolean = {
+  // private[graft] so Maps.inRing delegates here instead of carrying a
+  // third hand-rolled copy of the crossing test (round-12 review): a
+  // boundary-semantics fix must change the basin flags AND the rendered
+  // land mask together, never one without the other
+  private[graft] def pointInPolygonEval(poly: Array[(Double, Double)])(lat: Double, lon: Double): Boolean = {
     var inside = false
     var j = poly.length - 1
     var i = 0

@@ -170,6 +170,13 @@ object H5Source {
       val clazz = cv & 0x0f
       val bits0 = buf.get(off + 1) & 0xff
       val size = buf.getInt(off + 4)
+      // byte-order bit (round-12 review): decode() reads through a
+      // LITTLE_ENDIAN buffer, so a big-endian dataset ('>f8') would
+      // silently decode to garbage (1.0 reads as ~3e-319) — reject
+      // loudly per the module's out-of-scope contract
+      require(clazz > 1 || (bits0 & 0x01) == 0,
+        s"big-endian datatype (class $clazz): only little-endian " +
+          "fixed/float datasets are in scope")
       Datatype(clazz, size, (bits0 & 0x08) != 0)
     }.getOrElse(return None)
     val filters: Seq[Int] = msgs.collectFirst { case (0x000b, off, _) =>
@@ -385,6 +392,13 @@ object H5Source {
       if (idx == 0)
         throw new IllegalArgumentException( // free space ends the walk:
           s"global heap object $index not found before free space at $addr")
+      // size must be non-negative (round-12 review): a corrupt size in
+      // [-30, -23] rounds the padded advance to exactly 0 and the walk
+      // would SPIN FOREVER — the hang/DoS failure mode every other walk
+      // in this file caps against. Size 0 is legal (an empty vlen
+      // string's object) and still advances the 16-byte header.
+      require(size >= 0,
+        s"global heap object at $p claims size $size: corrupt collection")
       p += 16 + ((size + 7) / 8 * 8).toInt
     }
     throw new IllegalArgumentException(s"global heap object $index not found at $addr")

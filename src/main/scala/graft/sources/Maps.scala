@@ -242,22 +242,19 @@ object Maps {
 
   /** Point-in-ring ray casting over (lon, lat) ring points (the land
     * mask of plot_diva_maps.R:86-92, minus the geometry library).
+    * Delegates to [[graft.functions.Geo.pointInPolygonEval]] — the ONE
+    * copy of the crossing-test math (round-12 review): a
+    * boundary-semantics fix there must move the basin flags and this
+    * land mask together. Ring points are (lon, lat); the evaluator
+    * takes (lat, lon) tuples, so callers pre-swap ONCE per ring (the
+    * sea mask probes every grid node against every ring).
     */
-  private def inRing(ring: ShapefileSource.Ring, lon: Double, lat: Double): Boolean = {
-    val pts = ring.points
-    var inside = false
-    var j = pts.length - 1
-    var i = 0
-    while (i < pts.length) {
-      val (xi, yi) = pts(i)
-      val (xj, yj) = pts(j)
-      if ((yi > lat) != (yj > lat) &&
-        lon < (xj - xi) * (lat - yi) / (yj - yi) + xi) inside = !inside
-      j = i
-      i += 1
-    }
-    inside
-  }
+  private def swapAxes(ring: ShapefileSource.Ring): Array[(Double, Double)] =
+    ring.points.map { case (x, y) => (y, x) }.toArray
+
+  private def inRing(latLonRing: Array[(Double, Double)],
+      lon: Double, lat: Double): Boolean =
+    graft.functions.Geo.pointInPolygonEval(latLonRing)(lat, lon)
 
   /** DIVA-style per-taxon distribution maps (plot_diva_maps.R:38-277,
     * the reference's most-shared scientific product; summer cyano
@@ -320,8 +317,9 @@ object Maps {
     val lats = grid.lats
     // sea mask: not on land, not in the excluded corner (computed once;
     // identical for every cruise and taxon)
+    val basinRings = basins.map(swapAxes)
     val sea = Array.tabulate(grid.nx, grid.ny) { (i, j) =>
-      !exclude(lons(i), lats(j)) && !basins.exists(b => inRing(b, lons(i), lats(j)))
+      !exclude(lons(i), lats(j)) && !basinRings.exists(b => inRing(b, lons(i), lats(j)))
     }
 
     val fields = stations.groupBy(r => (r._1, r._2)).toSeq.sortBy(_._1)

@@ -94,6 +94,12 @@ object MatSource {
     if (small) {
       val tpe = tpeWord & 0xffff
       val n = tpeWord >>> 16
+      // a small element's packed payload is AT MOST 4 bytes; a larger
+      // claimed size would silently truncate ('TBscores' -> 'TBsc', so
+      // the variable reads as missing with zero rows and no error —
+      // round-12 review, the documented fail-loudly contract)
+      require(n <= 4,
+        s"MAT-5 small element claims $n bytes (max 4): corrupt tag")
       val data = new Array[Byte](4)
       buf.get(data)
       Some((tpe, data.take(n)))
@@ -139,7 +145,13 @@ object MatSource {
     val value: MatValue = clazz match {
       case 1 => // mxCELL_CLASS: sequence of nested miMATRIX elements
         val items = Seq.newBuilder[MatValue]
-        var n = dims.product
+        // overflow-safe dims product + a decoded-count cross-check, the
+        // numeric branch's discipline (round-12 review): corrupt cell
+        // dims (a negative element) made `dims.product` skip the loop
+        // and return a silently EMPTY cell — class2use read as an empty
+        // class list with no error
+        val expect = Dims.product(dims.map(_.toLong), s"cell '$name'")
+        var n = expect
         while (n > 0 && buf.remaining() >= 8) {
           readElement(buf) match {
             case Some((MiMatrix, d)) =>
@@ -148,7 +160,11 @@ object MatSource {
           }
           n -= 1
         }
-        MatCell(dims, items.result())
+        val cell = items.result()
+        require(cell.size == expect,
+          s"cell '$name' claims dims $dims ($expect items) " +
+            s"but holds ${cell.size}")
+        MatCell(dims, cell)
       case 4 => // mxCHAR_CLASS
         val (tpe, d) = readElement(buf).getOrElse(return None)
         MatStr(rowMajor(decodeChars(tpe, d), dims))

@@ -84,9 +84,12 @@ object ShapefileSource {
           for (part <- 0 until numParts) {
             val from = parts(part)
             val until = if (part + 1 < numParts) parts(part + 1) else numPoints
-            require(from >= 0 && from <= numPoints && until <= numPoints,
+            // from <= until too (round-12 review): non-ascending part
+            // offsets would emit a silently EMPTY ring and every
+            // point-in-polygon flag would read false with no error
+            require(from >= 0 && from <= until && until <= numPoints,
               s"record $recordNo part $part range [$from, $until) outside " +
-                s"[0, $numPoints)")
+                s"[0, $numPoints) or non-ascending")
             val pts = (from until until).map { i =>
               (le.getDouble(pointsOff + 16 * i), le.getDouble(pointsOff + 16 * i + 8))
             }
@@ -174,8 +177,14 @@ object ShapefileSource {
       require(wkb.length >= 9, "not a WKB polygon: too short")
       val order = if (wkb(0) == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
       val b = ByteBuffer.wrap(wkb).order(order)
-      val geomType = b.getInt(1) & 0xff
-      require(geomType == 3, s"not a WKB polygon (type $geomType)")
+      // full unmasked type (round-12 review): `& 0xff` accepted EWKB
+      // flag bits — a PolygonZ (0x80000003) has 24-byte points and the
+      // 16-byte stride below would silently garble every ring, and an
+      // SRID-flagged polygon would read its SRID as the ring count
+      val geomType = b.getInt(1)
+      require(geomType == 3,
+        s"not a plain XY WKB polygon (type 0x${geomType.toHexString}: " +
+          "EWKB Z/M/SRID variants are out of scope)")
       val nRings = b.getInt(5)
       require(nRings >= 0 && 9L + 4L * nRings <= wkb.length,
         s"WKB claims $nRings rings past buffer end ${wkb.length}")

@@ -86,6 +86,13 @@ object SqliteSource {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val pageSizeRaw = buf.getShort(16) & 0xffff
     val pageSize = if (pageSizeRaw == 1) 65536 else pageSizeRaw
+    // header geometry validation, the applyWal discipline (round-12
+    // review): a corrupt page-size short (0, 300) drives nonsense page
+    // bases and negative spill thresholds — garbage offsets at best
+    // parse coincidental 0x0d bytes as rows
+    require(pageSize >= 512 && pageSize <= 65536 &&
+      (pageSize & (pageSize - 1)) == 0,
+      s"malformed SQLite page size $pageSize (must be a power of two in [512, 65536])")
     // bytes reserved at the end of every page (header offset 20) shrink
     // the usable size every spill threshold derives from
     val usable = pageSize - (buf.get(20) & 0xff)
@@ -281,7 +288,14 @@ object SqliteSource {
   private def walkTable(buf: ByteBuffer, pageSize: Int, usable: Int,
       page: Int, depth: Int = 0): Seq[(Long, Seq[Any])] = {
     require(depth < 32, s"table B-tree deeper than 32 at page $page: cyclic page pointers")
-    val base = (page - 1) * pageSize
+    // Long-range bound BEFORE the Int truncation (round-12 review, the
+    // assembleSpilled/H5 discipline): a corrupt child pointer like
+    // 0x00100042 times pageSize wraps mod 2^32 onto a VALID in-file
+    // page, silently merging another table's rows into the result
+    val baseL = (page - 1).toLong * pageSize
+    require(page >= 1 && baseL + pageSize <= buf.limit(),
+      s"B-tree page $page outside the ${buf.limit()}-byte file: corrupt page pointer")
+    val base = baseL.toInt
     val hdr = base + (if (page == 1) 100 else 0)
     val pageType = buf.get(hdr) & 0xff
     val nCells = buf.getShort(hdr + 3) & 0xffff

@@ -37,6 +37,8 @@ object ZipSink {
   def write(
       df: DataFrame, nameCol: String, bytesCol: String,
       dir: String, maxPartBytes: Long): DataFrame = {
+    require(maxPartBytes > 0,
+      s"ZipSink: maxPartBytes must be positive, got $maxPartBytes")
     new File(dir).mkdirs()
     val spark = df.sparkSession
     import spark.implicits._
@@ -93,22 +95,32 @@ object ZipSink {
         tmp = null
         manifest.setLength(0)
       }
-      it.foreach { r =>
-        val part = r.getAs[Int]("__part")
-        if (part != cur) {
-          closeCurrent()
-          cur = part
-          tmp = File.createTempFile(s"part-$part-", ".zip.tmp", new File(dir))
-          zos = new ZipOutputStream(new FileOutputStream(tmp))
+      // try/finally (round-12 review): a mid-write failure (null bytes
+      // column, disk full) otherwise leaks the open stream AND leaves
+      // the .zip.tmp orphaned in the user-visible archive dir — one per
+      // retried attempt
+      try {
+        it.foreach { r =>
+          val part = r.getAs[Int]("__part")
+          if (part != cur) {
+            closeCurrent()
+            cur = part
+            tmp = File.createTempFile(s"part-$part-", ".zip.tmp", new File(dir))
+            zos = new ZipOutputStream(new FileOutputStream(tmp))
+          }
+          val name = r.getAs[String](nameCol)
+          val bytes = r.getAs[Array[Byte]](bytesCol)
+          require(bytes != null, s"ZipSink: null bytes for entry '$name'")
+          zos.putNextEntry(new ZipEntry(name))
+          zos.write(bytes)
+          zos.closeEntry()
+          manifest.append(s"$name\t${bytes.length}\n")
         }
-        val name = r.getAs[String](nameCol)
-        val bytes = r.getAs[Array[Byte]](bytesCol)
-        zos.putNextEntry(new ZipEntry(name))
-        zos.write(bytes)
-        zos.closeEntry()
-        manifest.append(s"$name\t${bytes.length}\n")
+        closeCurrent()
+      } finally if (zos != null) {
+        scala.util.Try(zos.close())
+        if (tmp != null) scala.util.Try(tmp.delete())
       }
-      closeCurrent()
     }
     plan.map { case (n, p, len) => (p, n, len) }.toSeq
       .toDF("part", "entry", "n_bytes")

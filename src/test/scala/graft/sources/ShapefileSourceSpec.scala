@@ -39,6 +39,18 @@ class ShapefileSourceSpec extends SparkSpec {
     }
   }
 
+  test("readWkbPolygon rejects EWKB Z/M/SRID variants instead of garbling points") {
+    // round-12 review: `& 0xff` accepted a PolygonZ (0x80000003), whose
+    // 24-byte points the 16-byte stride would silently garble
+    val wkb = ShapefileFixture.writeWkb(square, ByteOrder.LITTLE_ENDIAN)
+    val bb = ByteBuffer.wrap(wkb.clone()).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(1, 0x80000003) // EWKB Z flag
+    val e = intercept[IllegalArgumentException](
+      ShapefileSource.readWkbPolygon(bb.array()))
+    assert(e.getMessage.toLowerCase.contains("ewkb") ||
+      e.getMessage.contains("80000003"), e.getMessage)
+  }
+
   test("inPolygonFlag: broadcast ray-cast over shapefile geometry") {
     // shapefile x = lon, y = lat; square covers lon 0..10, lat 0..10
     val pts = Seq((5.0, 5.0), (5.0, 15.0), (-1.0, 5.0)).toDF("lat", "lon")

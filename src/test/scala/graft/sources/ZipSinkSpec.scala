@@ -40,6 +40,25 @@ class ZipSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("reserved"), e.getMessage)
   }
 
+  test("a mid-write failure cleans up its .zip.tmp and a bad cap rejects up front") {
+    // round-12 review: a null bytes row used to NPE with the stream
+    // open and the tmp file orphaned in the archive dir
+    val dir = Files.createTempDirectory("zipfail").toString + "/out"
+    // a null bytes row fails LOUDLY (the metadata length pass rejects
+    // it; the writer's own require is the second gate) and leaves no
+    // orphaned .zip.tmp in the archive dir
+    val rows = Seq(("a.png", Array[Byte](1)), ("b.png", null: Array[Byte]))
+    intercept[Exception](
+      ZipSink.write(rows.toDF("name", "bytes"), "name", "bytes", dir, 1000L))
+    val leftovers = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.endsWith(".zip.tmp"))
+    assert(leftovers.isEmpty, s"orphaned tmp parts: $leftovers")
+    val e2 = intercept[IllegalArgumentException](
+      ZipSink.write(Seq(("a.png", Array[Byte](1))).toDF("name", "bytes"),
+        "name", "bytes", dir, 0L))
+    assert(e2.getMessage.contains("maxPartBytes"), e2.getMessage)
+  }
+
   test("re-running over an existing output directory replaces parts atomically") {
     // REPLACE_EXISTING + ATOMIC_MOVE (round-12 review): the second run
     // must overwrite part-0.zip wholesale, not throw FileAlreadyExists
