@@ -103,7 +103,10 @@ object Corpus {
   def hashSplitSql(idExpr: String, salt: String,
       trainFrac: Double = 0.8, valFrac: Double = 0.1): String = {
     val (trainB, valB) = splitBounds(trainFrac, valFrac)
-    val h = s"substr(md5(CAST($idExpr AS VARCHAR) || ':$salt'), 1, 4)"
+    // single-sourced from bucket16Sql (round-12 review): a second
+    // hand-rolled copy of the salted-hash construction would silently
+    // drift if the salting scheme ever changes
+    val h = bucket16Sql(idExpr, salt)
     def below(bound: Long): String =
       if (bound >= 65536L) "TRUE" else f"$h < '$bound%04x'"
     s"CASE WHEN ${below(trainB)} THEN 'train' WHEN ${below(valB)} THEN 'val' ELSE 'test' END"

@@ -45,7 +45,13 @@ object Bpe {
   def trainMerges(docs: DataFrame, textCol: String, rounds: Int,
       delim: String = "\u0001"): DataFrame = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
-    require(delim.nonEmpty, "delimiter must be non-empty")
+    // single CHARACTER, not just non-empty (round-12 review): the
+    // symbol splits below use two-arg trim(), which strips a character
+    // SET — a multi-char delim whose characters occur at word edges
+    // would silently strip the word's own edge letters from the
+    // vocabulary ("bob" framed with delim "ab" loses both b's)
+    require(delim.length == 1,
+      s"delimiter must be a single character, got '$delim'")
     val spark = docs.sparkSession
     import spark.implicits._
     val d2 = delim + delim
@@ -111,6 +117,8 @@ object Bpe {
     */
   def encodeTokenCount(word: org.apache.spark.sql.Column,
       merges: Seq[(String, String)], delim: String = "\u0001"): org.apache.spark.sql.Column = {
+    require(delim.length == 1, // the trainMerges trim()-set contract
+      s"delimiter must be a single character, got '$delim'")
     val d2 = delim + delim
     val framed = concat(lit(delim),
       array_join(filter(split(word, ""), c => c =!= ""), d2), lit(delim))

@@ -343,7 +343,7 @@ object Dedup {
       // NaN >= minCosine TRUE — every zero vector would be flagged a
       // near-dup of its whole block. Cosine similarity is undefined
       // for it; it can neither drop nor be dropped (the topK rule).
-      .filter(col("__n") > 0.0)
+      .filter(col("__n") > 0.0 && !isnan(col("__n")))
     e.as("x").join(e.as("y"),
         col("x.__blk") === col("y.__blk") && col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),

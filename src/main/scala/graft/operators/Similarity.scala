@@ -38,15 +38,22 @@ object Similarity {
     s"${dotSql(a, b)} / SQRT(${dotSql(a, a)}) / SQRT(${dotSql(b, b)})"
   }
 
-  /** SQL twin of the exact top-k paths' zero-norm exclusion
-    * ([[bruteForceTopK]]/[[ivfTopK]] filter `sqrt(v·v) > 0`): oracles
-    * must apply this on both query and candidate sides or a zero
-    * vector's 0/0 = NaN cosine — which DuckDB sorts GREATEST — would
-    * rank it the #1 neighbor of everything while Spark excludes it.
+  /** SQL twin of the exact top-k paths' norm exclusion
+    * ([[bruteForceTopK]]/[[ivfTopK]] filter `sqrt(v·v) > 0` and not
+    * NaN): oracles must apply this on both query and candidate sides
+    * or a zero vector's 0/0 = NaN cosine — which DuckDB sorts GREATEST
+    * — would rank it the #1 neighbor of everything while Spark
+    * excludes it. The NOT isnan half (round-12 review): BOTH engines
+    * evaluate `NaN > 0.0` as TRUE (NaN-greatest comparison), so a
+    * vector with one NaN COMPONENT sailed through the zero-norm gate
+    * on both sides and its NaN cosine satisfied every threshold —
+    * silently agreeing wrong, which the hash gate cannot catch.
     */
-  def nonZeroNormSql(vec: String): String =
-    s"list_reduce(list_prepend(0.0, list_transform($vec, " +
-      s"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v) > 0.0"
+  def nonZeroNormSql(vec: String): String = {
+    val sumsq = s"list_reduce(list_prepend(0.0, list_transform($vec, " +
+      s"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v)"
+    s"($sumsq > 0.0 AND NOT isnan($sumsq))"
+  }
 
   /** Symmetric per-vector int8 quantization — the 4× embedding
     * compression an ANN index carries at 100 TB: `q_i = round(x_i /
@@ -83,10 +90,16 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("long") * y),
       lit(0L), (acc, v) => acc + v)
 
-  /** SQL twin of [[intDot]] (sum order irrelevant — integers are exact). */
+  /** SQL twin of [[intDot]] (sum order irrelevant — integers are
+    * exact). NULL-propagating reduce, not list_sum (round-12 review):
+    * list_sum SKIPS null elements, so unequal-length arrays — which
+    * zip_with NULL-pads and the Spark side therefore nulls — would
+    * yield a plausible finite truncated dot in the oracle only.
+    */
   def intDotSql(a: String, b: String): String =
-    s"CAST(list_sum(list_transform(list_zip($a, $b), " +
-      s"p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT)"
+    s"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(list_zip($a, $b), " +
+      s"p -> CAST(p[1] AS BIGINT) * p[2])), (acc, v) -> acc + v) AS BIGINT)"
 
   /** Brute-force top-k over [[quantizeInt8]]-quantized vectors: the
     * per-vector scale cancels in cosine, so candidates rank by the
@@ -104,6 +117,9 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int): DataFrame = {
+    require(k >= 1, s"top-k requires k >= 1, got $k") // round-12 review:
+    // k = 0 would crash executors inside TopKNeighbors.insert
+    // (`b.last` on an empty buffer) instead of failing loudly here
     val idType = integralIdType(corpus, cId)
     val c = corpus
       .select(col(cId), quantizeInt8(col(cVec)).as("__cq"))
@@ -221,11 +237,14 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int): DataFrame = {
+    require(k >= 1, s"top-k requires k >= 1, got $k") // round-12 review:
+    // k = 0 would crash executors inside TopKNeighbors.insert
+    // (`b.last` on an empty buffer) instead of failing loudly here
     val idType = integralIdType(corpus, cId)
     val q = queries.withColumn("__qn", sqrt(dot(col(qVec), col(qVec))))
-      .filter(col("__qn") > 0.0)
+      .filter(col("__qn") > 0.0 && !isnan(col("__qn")))
     val c = corpus.withColumn("__cn", sqrt(dot(col(cVec), col(cVec))))
-      .filter(col("__cn") > 0.0)
+      .filter(col("__cn") > 0.0 && !isnan(col("__cn")))
     val joined = c.join(broadcast(q), col(qId) =!= col(cId))
       .withColumn("cosine", dot(col(qVec), col(cVec)) / col("__qn") / col("__cn"))
       .withColumn("__cid", col(cId).cast("long"))
@@ -243,12 +262,15 @@ object Similarity {
       qId: String, qVec: String, qCell: String,
       cId: String, cVec: String, cCell: String,
       k: Int): DataFrame = {
+    require(k >= 1, s"top-k requires k >= 1, got $k") // round-12 review:
+    // k = 0 would crash executors inside TopKNeighbors.insert
+    // (`b.last` on an empty buffer) instead of failing loudly here
     val idType = integralIdType(corpus, cId)
     // zero-norm exclusion + shared-id-space contract: see bruteForceTopK
     val q = queries.withColumn("__qn", sqrt(dot(col(qVec), col(qVec))))
-      .filter(col("__qn") > 0.0)
+      .filter(col("__qn") > 0.0 && !isnan(col("__qn")))
     val c = corpus.withColumn("__cn", sqrt(dot(col(cVec), col(cVec))))
-      .filter(col("__cn") > 0.0)
+      .filter(col("__cn") > 0.0 && !isnan(col("__cn")))
     val joined = c.join(broadcast(q),
         col(qCell) === col(cCell) && col(qId) =!= col(cId))
       .withColumn("cosine", dot(col(qVec), col(cVec)) / col("__qn") / col("__cn"))
@@ -565,11 +587,19 @@ object Similarity {
     * approximately.
     */
   def hyperplaneBucketSql(vec: String, planes: Int, dims: Int): String = {
+    // both lists slice to min(len(vec), dims) BEFORE zipping (round-12
+    // review): the native kernel clamps its loop to the input's length,
+    // while an unclamped list_zip NULL-pads a short/long vector — the
+    // projection nulls, every CASE falls to 0, and a corrupt row lands
+    // in bucket 0 in the oracle but a real partial-projection bucket on
+    // the Spark side
+    val n = s"LEAST(len($vec), $dims)"
     val projs = (0 until planes).map { p =>
       val coefs = (0 until dims)
         .map(d => graft.plans.HyperplaneExpr.coef(p, d).toString)
         .mkString("[", ", ", "]")
-      s"list_reduce(list_prepend(0.0, list_transform(list_zip($vec, $coefs), " +
+      s"list_reduce(list_prepend(0.0, list_transform(" +
+        s"list_zip($vec[1:$n], $coefs[1:$n]), " +
         s"pr -> CAST(pr[1] AS DOUBLE) * pr[2])), (acc, v) -> acc + v)"
     }
     projs.zipWithIndex

@@ -47,6 +47,18 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq((1, "a", "b", 2L))) // a|b excluded from the census
   }
 
+  test("a multi-character delimiter rejects loudly (trim strips a char SET)") {
+    // round-12 review: two-arg trim() strips any of the delim's
+    // CHARACTERS from word edges — delim "ab" would eat "bob"'s b's
+    val docs = Seq("bob bobbed").toDF("text")
+    val e = intercept[IllegalArgumentException](
+      Bpe.trainMerges(docs, "text", rounds = 1, delim = "ab").collect())
+    assert(e.getMessage.contains("single character"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Bpe.encodeTokenCount(org.apache.spark.sql.functions.lit("x"), Nil, "ab"))
+    assert(e2.getMessage.contains("single character"), e2.getMessage)
+  }
+
   test("encodeTokenCount survives a 10k-entry merge list (round-11 depth fix)") {
     import org.apache.spark.sql.functions.col
     // the folded replace-Column form nested one node per merge and

@@ -82,6 +82,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 3L)), pairs.toString)
   }
 
+  test("NaN-component vectors neither drop nor are dropped (round-12)") {
+    // same class as the zero vector, re-opened for NaN components: the
+    // NaN norm passes `> 0.0` (NaN-greatest) and its NaN cosine passes
+    // every `>= tau` — the corrupt row flagged its whole block
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(Float.NaN, 1.0f), 0), // NaN component, same block
+      (3L, Array(0.9f, 0.1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.9, Some("label"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L)), pairs.toString)
+  }
+
   test("semDedup: cell-local keep-lowest-id policy; cross-cell twins both survive") {
     // two hand-placed centroids; vectors 1,2 near-dup in cell 0, vector 5
     // is an exact twin of 1 but lands in cell 1 — cells block the

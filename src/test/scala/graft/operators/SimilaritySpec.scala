@@ -112,6 +112,27 @@ class SimilaritySpec extends SparkSpec {
     assert(cmp.filter($"native" =!= $"hof").count() == 0)
   }
 
+  test("NaN-component vectors are excluded like zero vectors, and k=0 rejects loudly") {
+    // round-12 review: NaN > 0.0 is TRUE under Spark's NaN-greatest
+    // comparison, so a NaN norm sailed through the zero-norm gate and
+    // its NaN cosine satisfied every ranking threshold
+    val withNaN = corpus.unionByName(
+      Seq((8L, Array(1.0f, Float.NaN, 0.0f), 0)).toDF("vec_id", "embedding", "cell"))
+    val q = withNaN.filter($"vec_id" === 0L || $"vec_id" === 8L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val r = Similarity.bruteForceTopK(q, withNaN, "q_id", "q_vec",
+      "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(r.forall(!_._3.isNaN), s"NaN cosine ranked: ${r.mkString(",")}")
+    assert(!r.exists(_._2 == 8L), "NaN vector ranked as a neighbor")
+    assert(!r.exists(_._1 == 8L), "NaN-vector query produced rows")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(q, withNaN, "q_id", "q_vec", "vec_id", "embedding", 0)
+    }
+    assert(e.getMessage.contains("k >= 1"), e.getMessage)
+  }
+
   test("full trainer's seed pool keeps distinct-vector diversity on a duplicated corpus") {
     // round-12 review: the pool used to sort by xxhash64 of the vector
     // VALUE, so on a value-replicated corpus (the sf1 fixtures copy each
