@@ -30,11 +30,26 @@ object PhaseCongruency {
   val G = 5.0
   private val Eps = 1e-4 // Kovesi's epsilon guard
 
-  /** (M, m) covariance moment maps for a grayscale image. */
-  def moments(img: Array[Double], h: Int, w: Int): (Array[Double], Array[Double]) = {
-    val n = h * w
-    val (imR, imI) = Fft.fft2(img, h, w)
+  /** The pure function-of-(h, w) filter bank: log-Gabor radial filters
+    * and per-orientation angular spreads. Built once per raster shape
+    * and memoized ([[bank]]) — extraction re-visits the same ROI dims
+    * constantly (the Fft chirp-cache observation), and rebuilding this
+    * per ROI was ~(NScale + NOrient + 4)·h·w transcendental
+    * evaluations on the dominant per-row cost path (round-12 review).
+    * Arrays are read-only by construction.
+    */
+  private final case class FilterBank(
+      logGabor: Array[Array[Double]], spread: Array[Array[Double]])
 
+  private val BankCacheMax = 64
+  private val bankCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), FilterBank]()
+
+  private def bank(h: Int, w: Int): FilterBank = {
+    val key = (h, w)
+    val cached = bankCache.get(key)
+    if (cached != null) return cached
+    val n = h * w
     // normalized frequency grids (phasecong3: fftshifted ranges then
     // ifftshift), radius(0,0) = 1 to avoid log(0)
     val xr = if (w % 2 == 1) Array.tabulate(w)(j => (j - (w - 1) / 2).toDouble / (w - 1))
@@ -70,6 +85,27 @@ object PhaseCongruency {
       gab(0) = 0.0
       gab
     }
+    val spread = Array.tabulate(NOrient) { o =>
+      val angl = o * math.Pi / NOrient
+      val ca = math.cos(angl); val sa = math.sin(angl)
+      Array.tabulate(n) { k =>
+        val ds = sinU(k) * ca - cosU(k) * sa
+        val dc = cosU(k) * ca + sinU(k) * sa
+        val dtheta = math.min(math.abs(math.atan2(ds, dc)) * NOrient / 2.0, math.Pi)
+        (math.cos(dtheta) + 1.0) / 2.0
+      }
+    }
+    val b = FilterBank(logGabor, spread)
+    if (bankCache.size < BankCacheMax) bankCache.putIfAbsent(key, b)
+    b
+  }
+
+  /** (M, m) covariance moment maps for a grayscale image. */
+  def moments(img: Array[Double], h: Int, w: Int): (Array[Double], Array[Double]) = {
+    val n = h * w
+    val (imR, imI) = Fft.fft2(img, h, w)
+    val fb = bank(h, w)
+    val logGabor = fb.logGabor
 
     val covx2 = new Array[Double](n)
     val covy2 = new Array[Double](n)
@@ -78,12 +114,7 @@ object PhaseCongruency {
     for (o <- 0 until NOrient) {
       val angl = o * math.Pi / NOrient
       val ca = math.cos(angl); val sa = math.sin(angl)
-      val spread = Array.tabulate(n) { k =>
-        val ds = sinU(k) * ca - cosU(k) * sa
-        val dc = cosU(k) * ca + sinU(k) * sa
-        val dtheta = math.min(math.abs(math.atan2(ds, dc)) * NOrient / 2.0, math.Pi)
-        (math.cos(dtheta) + 1.0) / 2.0
-      }
+      val spread = fb.spread(o)
       val eoR = Array.ofDim[Double](NScale, n)
       val eoI = Array.ofDim[Double](NScale, n)
       val sumE = new Array[Double](n)

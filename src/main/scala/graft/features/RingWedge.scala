@@ -123,6 +123,43 @@ object RingWedge {
     m
   }
 
+  /** CSR-packed per-pixel membership lists derived from the boolean
+    * masks (round-12 review): the accumulation loop probed all 98
+    * masks per bottom-half pixel (~4.4M boolean tests per ROI on the
+    * extractFull hot path) where almost every pixel belongs to at most
+    * one wedge and one-or-two rings. Derived FROM the masks — not
+    * re-derived from the geometry — so membership is exactly the
+    * masks', including the boundary pixels adjacent rings can share in
+    * the last ulp, and the per-(mask, pixel) addition order below is
+    * unchanged → bit-identical sums vs the golden kernel.
+    */
+  private def csr(masks: Array[Array[Boolean]]): (Array[Int], Array[Int]) = {
+    val n = Dim * Dim
+    val off = new Array[Int](n + 1)
+    var k = 0
+    while (k < n) {
+      var c = 0; var m = 0
+      while (m < masks.length) { if (masks(m)(k)) c += 1; m += 1 }
+      off(k + 1) = off(k) + c
+      k += 1
+    }
+    val hits = new Array[Int](off(n))
+    val cur = off.clone()
+    var m = 0
+    while (m < masks.length) {
+      var kk = 0
+      while (kk < n) {
+        if (masks(m)(kk)) { hits(cur(kk)) = m; cur(kk) += 1 }
+        kk += 1
+      }
+      m += 1
+    }
+    (off, hits)
+  }
+
+  private lazy val (wedgeOff, wedgeHits) = csr(wedgeMasks)
+  private lazy val (ringOff, ringHits) = csr(ringMasks)
+
   /** (power integral, center/total power ratio, 48 wedges, 50 rings) —
     * `ring_wedge` (ringwedge.py:78-109) over the blob mask.
     */
@@ -146,17 +183,11 @@ object RingWedge {
     for (k <- halfStart until Dim * Dim) {
       val v = it(k)
       if (!centerMask(k)) {
-        var wi = 0
-        while (wi < NWedges) {
-          if (wedgeMasks(wi)(k)) wedgeVec(wi) += v
-          wi += 1
-        }
+        var p = wedgeOff(k); val e = wedgeOff(k + 1)
+        while (p < e) { wedgeVec(wedgeHits(p)) += v; p += 1 }
       }
-      var ri = 0
-      while (ri < NRings) {
-        if (ringMasks(ri)(k)) ringVec(ri) += v
-        ri += 1
-      }
+      var p = ringOff(k); val e = ringOff(k + 1)
+      while (p < e) { ringVec(ringHits(p)) += v; p += 1 }
     }
     val pwrIntegral = wedgeVec.sum
     (pwrIntegral, pwrRatio,

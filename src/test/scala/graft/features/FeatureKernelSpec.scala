@@ -153,6 +153,18 @@ class FeatureKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("edt2 handles masks with empty leading/trailing columns (finite-INF envelope)") {
+    // round-12 review candidate, REFUTED empirically and pinned here:
+    // the 1e20 sentinel is finite, so (INF+q^2)-(INF+v^2) collapses to
+    // exactly 0.0 in double (q^2 absorbed) and the lower envelope stays
+    // well-formed -- no NaN boundaries, exact distances even when the
+    // leftmost columns hold no sites
+    assert(Raster.edt2(Mask.from(Seq("001"))).toSeq == Seq(4.0, 1.0, 0.0))
+    assert(Raster.edt2(Mask.from(Seq("100"))).toSeq == Seq(0.0, 1.0, 4.0))
+    assert(Raster.edt2(Mask.from(Seq("0001000"))).toSeq ==
+      Seq(9.0, 4.0, 1.0, 0.0, 1.0, 4.0, 9.0))
+  }
+
   for ((name, fx) <- fixtures("segmentation_pc")) {
     test(s"segmentation parity with phase-congruency edges (default): $name") {
       val roi = grayOf((golden \ "segmentation" \ name) \ "roi")
