@@ -351,14 +351,22 @@ object ExtendedFeatures {
     * extended kernels instead of labeling the same mask twice per row
     * (round-12 review).
     */
-  def compute(mask: Mask, roi: Segmentation.Gray, blob: Mask): Map[String, Double] = {
-    val perimImage = Raster.perimeter(blob)
-    val perimPts = (for (i <- 0 until blob.h; j <- 0 until blob.w if perimImage(i, j))
-      yield (i, j)).toArray
+  def compute(mask: Mask, roi: Segmentation.Gray, blob: Mask,
+      shared: Option[Features.BlobShared] = None): Map[String, Double] = {
+    // reuse the slim kernel's intermediates for the same mask instance
+    // (round-12 review): perimeter image + points, the orientation
+    // moment pass, and the center+rotate ran twice per row before
+    val sh = shared.filter(_.blob eq blob)
+    val perimPts = sh.map(_.perimPts).getOrElse {
+      val perimImage = Raster.perimeter(blob)
+      (for (i <- 0 until blob.h; j <- 0 until blob.w if perimImage(i, j))
+        yield (i, j)).toArray
+    }
     val area = blob.count.toDouble
     val equivD = math.sqrt(4.0 * area / math.Pi)
     val (pm, pmed, pskew, pkurt) = perimeterStats(perimPts, equivD)
-    val rotated = BlobGeometry.rotateBlob(blob, BlobGeometry.orientation(blob))
+    val rotated = sh.map(_.rotated).getOrElse(
+      BlobGeometry.rotateBlob(blob, BlobGeometry.orientation(blob)))
     val (h180, h90, hflip) = hausdorffSymmetry(rotated)
     val (b180, b90, bflip) = binarySymmetry(rotated)
     val rotArea = rotated.count.toDouble

@@ -81,7 +81,27 @@ object Features {
   }
 
   /** All slim features of one cropped blob (all.py:25-316). */
-  def blobFeatures(blob: Mask): Blob = {
+  /** Lazily-computed expensive intermediates of ONE blob mask, shared
+    * between the slim kernel ([[blobFeatures]]) and the extended kernel
+    * ([[ExtendedFeatures.compute]]) on the extractFull hot path
+    * (round-12 review): perimeter image + points, the full-mask
+    * orientation moment pass, and the center+rotate — each O(h·w) —
+    * previously ran twice per row for the head blob. Lazy so the SOR
+    * branch's rotate is still skipped when neither kernel needs it.
+    * Consumers use the shared values ONLY when the instance wraps the
+    * same mask (`blob eq`), so semantics never change for other blobs.
+    */
+  final class BlobShared(val blob: Mask) {
+    lazy val perimImage: Mask = Raster.perimeter(blob)
+    lazy val perimPts: Array[(Int, Int)] =
+      (for (i <- 0 until blob.h; j <- 0 until blob.w if perimImage(i, j))
+        yield (i, j)).toArray
+    lazy val orientation: Double = BlobGeometry.orientation(blob)
+    lazy val rotated: Mask = BlobGeometry.rotateBlob(blob, orientation)
+  }
+
+  def blobFeatures(blob: Mask, shared: Option[BlobShared] = None): Blob = {
+    val sh = shared.filter(_.blob eq blob)
     // largest 8-connected region (MATLAB blob_geomprop parity; blobs from
     // findBlobs are single components already)
     val (lab, n) = Raster.label(blob, conn8 = true)
@@ -105,10 +125,11 @@ object Features {
 
     val equivDiameter = math.sqrt(4.0 * area / math.Pi)
     val extent = area / (region.h * region.w).toDouble
-    val perimImage = Raster.perimeter(blob)
+    val perimImage = sh.map(_.perimImage).getOrElse(Raster.perimeter(blob))
     val perimeter = BlobGeometry.benkridPerimeter(perimImage)
-    val perimPts = (for (i <- 0 until blob.h; j <- 0 until blob.w if perimImage(i, j))
-      yield (i, j)).toArray
+    val perimPts = sh.map(_.perimPts).getOrElse(
+      (for (i <- 0 until blob.h; j <- 0 until blob.w if perimImage(i, j))
+        yield (i, j)).toArray)
     val hullOpt = BlobGeometry.convexHull(perimPts)
     val (convexPerimeter, convexArea) = hullOpt match {
       case Some(hull) => BlobGeometry.hullProperties(hull)
@@ -122,14 +143,15 @@ object Features {
         BlobGeometry.feretDiameters(perimPts.map(p => (p._1.toDouble, p._2.toDouble)))
     }
     val (majA, minA, ecc) = BlobGeometry.ellipseProperties(blob)
-    val orient = BlobGeometry.orientation(blob)
+    val orient = sh.map(_.orientation).getOrElse(BlobGeometry.orientation(blob))
     // shape rule (all.py:225-233): near-convex or round-ish blobs take the
     // solid-of-revolution path, everything else the distance map
     val areaRatio = convexArea / area
     val p = equivDiameter / majA
     val volSa =
       if (areaRatio < 1.2 || (ecc < 0.8 && p > 0.8))
-        VolumeKernel.sor(BlobGeometry.rotateBlob(blob, orient))
+        VolumeKernel.sor(sh.map(_.rotated)
+          .getOrElse(BlobGeometry.rotateBlob(blob, orient)))
       else
         VolumeKernel.distmap(region)
     Blob(
@@ -154,8 +176,11 @@ object Features {
     * connected-component labeling + crops inside ExtendedFeatures for
     * the same mask, on the per-row hot path).
     */
-  def computeFromBlobs(roiId: Long, rawBlobs: Seq[Mask]): FeatureRow = {
-    val blobs = rawBlobs.map(blobFeatures)
+  def computeFromBlobs(roiId: Long, rawBlobs: Seq[Mask],
+      headShared: Option[BlobShared] = None): FeatureRow = {
+    val blobs = rawBlobs.zipWithIndex.map { case (b, i) =>
+      blobFeatures(b, if (i == 0) headShared else None)
+    }
     def nan0(v: Double): Double = if (v == 0.0) Double.NaN else v
     if (blobs.isEmpty) {
       FeatureRow(roiId, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
@@ -229,10 +254,14 @@ object Features {
         // directly (round-11 removed a labeling pass for the guard;
         // round-12 removed ExtendedFeatures' own re-labeling too)
         val rawBlobs = findBlobs(mask)
-        val slim = computeFromBlobs(id, rawBlobs)
+        // ONE BlobShared for the head blob: slim + extended both need
+        // its perimeter/orientation/rotation intermediates (round-12
+        // review — previously each kernel recomputed them)
+        val headShared = rawBlobs.headOption.map(new BlobShared(_))
+        val slim = computeFromBlobs(id, rawBlobs, headShared)
         val ext =
           if (rawBlobs.isEmpty) Map.empty[String, Double]
-          else ExtendedFeatures.compute(mask, roi, rawBlobs.head)
+          else ExtendedFeatures.compute(mask, roi, rawBlobs.head, headShared)
         (slim, ext)
       }
     }
