@@ -79,9 +79,12 @@ import org.apache.spark.sql.SparkSession
   * after the 3-pass suite (and after the suite's own sentinels are
   * sampled, so they keep describing the suite window), every query
   * whose suite minimum exceeds 2x its frozen baseline is re-timed — 3
-  * more hygiene-separated runs with a calib probe per flagged query —
-  * and the evidence rides in the contract line as a `readjudicated`
-  * map of [re-run min sec, that query's probe ms]. Bursty steal is
+  * more hygiene-separated runs with an ALL-CORES calib probe per
+  * flagged query (calibParMs, healthy ~225-330 ms: the single-thread
+  * probe reads clean during exactly the multi-core steal the re-run
+  * exists to detect — the r9 lesson) — and the evidence rides in the
+  * contract line as a `readjudicated` map of
+  * [re-run min sec, that query's par-probe ms]. Bursty steal is
   * gone by the re-run window in the contended-run case (r9 q76, r10
   * q55, r11 q76/q30 all adjudicated clean this way, manually); a query
   * whose RE-RUN minimum also exceeds 2x freeze — with a clean probe —
@@ -195,8 +198,13 @@ object Bench {
           try src.getLines().next() finally src.close()
         }
         // cpu user nice system idle iowait irq softirq steal guest gnice
+        // — total sums the first 8 fields only (through steal): the
+        // kernel already folds guest/gnice into user/nice, so summing
+        // them again double-counts guest time and UNDERSTATES steal_pct
+        // on a metal host running VMs (round-12 review; nil on this
+        // guest, where the guest columns are 0)
         val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-        Some((f.lift(7).getOrElse(0L), f.sum))
+        Some((f.lift(7).getOrElse(0L), f.take(8).sum))
       } catch { case _: Throwable => None }
 
     def calibParMs(): Double = {
@@ -337,8 +345,14 @@ object Bench {
     // burst that lands on ONE flagged query's re-run window must be
     // visible next to that query's minimum, or a contaminated re-run
     // reads as a genuine regression under rule 5
+    // the probe is the ALL-CORES calibration, not the single-threaded
+    // one (round-12 review): the class doc's own r9 post-mortem shows
+    // one free core keeps a 1-thread loop fast while competing load
+    // steals the other 31 — a single-thread probe would read clean
+    // during exactly the contention the re-run exists to detect, and
+    // rule 5 would then self-certify host noise as a plan regression
     val readj: Seq[(String, Double, Double)] = flagged.map { n =>
-      val probe = calibMs()
+      val probe = calibParMs()
       val ts = (1 to 3).map(_ => timed(n)).filter(_ >= 0)
       (n, if (ts.isEmpty) -1.0 else ts.min, probe)
     }

@@ -41,7 +41,14 @@ object GraftQuery {
   /** Order-independent sum of a double column, returned as double. */
   def dsum(c: Column, dt: DecimalType = D2): Column = sum(c.cast(dt)).cast("double")
 
-  /** SQL mirror of [[dsum]] for the DuckDB oracle. */
-  def dsumSql(expr: String, scale: Int = 2): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+  /** SQL mirror of [[dsum]] for the DuckDB oracle. Takes the SAME
+    * DecimalType constant as [[dsum]] (round-12 review): the old
+    * scale-only signature hardcoded precision 18, so pairing
+    * dsum(c, D12) with dsumSql(e, 12) silently rendered DECIMAL(18,12)
+    * — 6 integer digits, overflowing the oracle side on any per-group
+    * sum ≥ 10^6 while Spark computed fine at (28,12). One constant now
+    * drives both engines' precision AND scale.
+    */
+  def dsumSql(expr: String, dt: DecimalType = D2): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(${dt.precision},${dt.scale}))) AS DOUBLE)"
 }

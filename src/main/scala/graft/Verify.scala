@@ -25,9 +25,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(_._1.contains(only)).foreach { case (name, fn) =>
+      // NonFatal only (round-12 review; the Bench warmup discipline): an
+      // OOM/LinkageError means a corrupted JVM — continuing to dump the
+      // remaining queries would hand the gate plausible-looking fiction
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // per-query persists (dedup sketches) must not accumulate across
@@ -49,7 +52,21 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSqlRendered(spark, sfDir).filter(_._1.contains(only))
+    // name filter BEFORE rendering, and each dynamic renderer guarded
+    // like the dumps above (round-12 review): one failing renderer
+    // otherwise threw uncaught AFTER all 100 dumps succeeded, so no
+    // oracle_sql.json was written and the whole round's gate zeroed
+    val rendered = SparkEntry.oracleSql.filter(_._1.contains(only)) ++
+      SparkEntry.registry
+        .filter(r => r.name.contains(only) && r.oracleDyn.isDefined)
+        .flatMap { r =>
+          try Some(r.name -> r.oracleDyn.get(spark, sfDir).stripMargin.trim)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[verify] ${r.name} oracle render failed: ${e.getMessage}")
+            None
+          }
+        }.toMap
+    val json = rendered
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

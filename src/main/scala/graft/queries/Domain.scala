@@ -498,8 +498,8 @@ object Domain {
           sample_name AS sample_id
         FROM input)
       SELECT category, COUNT(*) AS n,
-        ${dsumSql("object_area", 4)} AS area_sum,
-        ${dsumSql("ratio", 6)} AS ratio_sum,
+        ${dsumSql("object_area", D4)} AS area_sum,
+        ${dsumSql("ratio", D6)} AS ratio_sum,
         COUNT(object_ring01) AS ring01_nonnull,
         MIN(object_id) AS first_object_id,
         MIN(object_time) AS first_time,

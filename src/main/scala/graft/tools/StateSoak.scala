@@ -66,7 +66,11 @@ object StateSoak {
     var stateRows = 0L
     var batches = 0L
     val deadline = System.nanoTime() + 15L * 60 * 1000 * 1000 * 1000
-    while (stateRows < targetKeys && System.nanoTime() < deadline) {
+    // q.isActive in the loop condition (round-12 review): a stream that
+    // dies early (checkpoint failure, executor OOM on the hdfs control
+    // run) otherwise spins silently for the full 15-minute deadline —
+    // the expected-quick control failure became a quarter-hour hang
+    while (stateRows < targetKeys && q.isActive && System.nanoTime() < deadline) {
       Thread.sleep(3000)
       val p = q.lastProgress
       if (p != null && p.stateOperators.nonEmpty) {
@@ -78,11 +82,16 @@ object StateSoak {
           s"""${Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()}}""")
       }
     }
+    // capture the failure cause BEFORE stop() clears it — the done line
+    // must say WHY a run fell short, not just pass:false
+    val streamError = Option(q.exception.orNull)
+      .map(e => e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(300))
     q.stop()
     val pass = stateRows >= targetKeys && needed > heap
     println(s"""{"soak":"done","pass":$pass,"provider":"${if (useRocks) "rocksdb" else "hdfs"}",""" +
       s""""state_rows":$stateRows,"batches":$batches,"heap_bytes":$heap,""" +
-      s""""heap_lower_bound_bytes":$needed}""")
+      s""""heap_lower_bound_bytes":$needed""" +
+      streamError.map(e => s""","stream_error":"$e"""").getOrElse("") + "}")
     spark.stop()
     if (!pass) sys.exit(1)
   }
