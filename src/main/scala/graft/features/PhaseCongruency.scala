@@ -42,6 +42,14 @@ object PhaseCongruency {
       logGabor: Array[Array[Double]], spread: Array[Array[Double]])
 
   private val BankCacheMax = 64
+  // entry COUNT alone is not a memory bound: each bank retains
+  // (NScale + NOrient)·h·w doubles for the JVM's life, so 64 large-ROI
+  // shapes could pin GBs of executor heap (round-12 ADVICE). Cap total
+  // cached elements too — typical ROI shapes (~10^4 px → ~100k doubles
+  // per bank) stay far under both bounds; an oversized shape simply
+  // rebuilds its bank per call, the pre-cache behavior.
+  private val BankCacheMaxElems = 16L << 20 // 16M doubles ≈ 128 MB
+  private val bankCacheElems = new java.util.concurrent.atomic.AtomicLong()
   private val bankCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), FilterBank]()
 
@@ -96,7 +104,13 @@ object PhaseCongruency {
       }
     }
     val b = FilterBank(logGabor, spread)
-    if (bankCache.size < BankCacheMax) bankCache.putIfAbsent(key, b)
+    // concurrent inserts can overshoot the element cap by at most one
+    // entry (the counter moves only for the putIfAbsent winner)
+    val entryElems = (NScale + NOrient).toLong * n
+    if (bankCache.size < BankCacheMax &&
+        bankCacheElems.get + entryElems <= BankCacheMaxElems &&
+        bankCache.putIfAbsent(key, b) == null)
+      bankCacheElems.addAndGet(entryElems)
     b
   }
 

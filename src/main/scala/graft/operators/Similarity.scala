@@ -67,15 +67,28 @@ object Similarity {
   def quantizeInt8(vec: Column): Column = {
     val maxabs = array_max(transform(vec, x => abs(x.cast("double"))))
     val scale = maxabs / 127.0
-    when(maxabs === 0.0, transform(vec, _ => lit(0)))
+    // non-finite maxabs (any NaN component → NaN, NaN sorts greatest on
+    // both engines; any ±Inf component → Inf, and Inf/Inf = NaN for that
+    // component) routes to the zero branch like a zero vector: the
+    // engines otherwise DIVERGE on floor(NaN) — Spark converts NaN→0
+    // inside floor while DuckDB keeps NaN and its CAST AS INTEGER aborts
+    // the query (the KMeans.quantize clamp-before-floor class,
+    // round-12 ADVICE). Callers' norm gates already exclude such
+    // vectors from ranking; this keeps the quantizer itself total and
+    // engine-identical.
+    when(maxabs === 0.0 || isnan(maxabs) || maxabs === lit(Double.PositiveInfinity),
+        transform(vec, _ => lit(0)))
       .otherwise(transform(vec,
         x => floor(x.cast("double") / scale + 0.5).cast("int")))
   }
 
-  /** SQL twin of [[quantizeInt8]] (same association: `x / (maxabs/127)`). */
+  /** SQL twin of [[quantizeInt8]] (same association: `x / (maxabs/127)`,
+    * same non-finite-maxabs zero route).
+    */
   def quantizeInt8Sql(vec: String): String = {
     val maxabs = s"list_max(list_transform($vec, x -> abs(CAST(x AS DOUBLE))))"
-    s"CASE WHEN $maxabs = 0.0 THEN list_transform($vec, x -> 0) " +
+    s"CASE WHEN $maxabs = 0.0 OR isnan($maxabs) OR isinf($maxabs) " +
+      s"THEN list_transform($vec, x -> 0) " +
       s"ELSE list_transform($vec, x -> CAST(floor(CAST(x AS DOUBLE) " +
       s"/ ($maxabs / 127.0) + 0.5) AS INTEGER)) END"
   }

@@ -209,7 +209,7 @@ object H5Source {
           // deferred allocation leaves the address undefined while the
           // dataspace still claims the full shape; an empty array here
           // would make consumers index past the data — reject loudly
-          require(dataAddr != Undef || dims.product == 0L,
+          require(dataAddr != Undef || Dims.product(dims, "dataset") == 0L,
             s"dataset has undefined data address but claims dims $dims")
           if (dataAddr == Undef) new Array[Byte](0)
           else {
@@ -231,10 +231,14 @@ object H5Source {
             a
           }
         case 2 => // chunked: dimensionality(1) btree(8) dims(4 each) elem(4)
-          // only deflate (1) is implemented; silently skipping shuffle
-          // (2) or fletcher32 (3) would decode transposed/shifted bytes
-          require(filters.forall(_ == 1),
-            s"unsupported filter pipeline $filters (only deflate is implemented)")
+          // deflate (1) and shuffle (2) are implemented — h5py/Keras
+          // write chunked CNN-scores datasets with shuffle=True + gzip
+          // by default (the shape the reference converts at
+          // convert_h5_to_irfcb_format.R:38-66); silently skipping
+          // fletcher32 (3) or an unknown filter would decode shifted
+          // bytes, so anything else still rejects loudly
+          require(filters.forall(f => f == 1 || f == 2),
+            s"unsupported filter pipeline $filters (deflate + shuffle are implemented)")
           val ndims = buf.get(off + 2) & 0xff // rank + 1
           val btree = buf.getLong(off + 3)
           val chunkDims = (0 until ndims - 1).map(i => buf.getInt(off + 11 + 4 * i).toLong)
@@ -253,14 +257,28 @@ object H5Source {
   private def readChunked(buf: ByteBuffer, btree: Long, dims: Seq[Long],
                           chunkDims: Seq[Long], elemSize: Int,
                           filters: Seq[Int]): Array[Byte] = {
-    val totalL = dims.product * elemSize
+    // overflow-safe product (Dims.product): a bare dims.product can wrap
+    // a Long in ONE step (dims [2, 2^62]) and slip a negative or small
+    // "total" under this cap, deferring the failure to a raw AIOOBE in
+    // copyChunk — outside the fail-loudly contract (round-12 ADVICE)
+    val count = Dims.product(dims, "chunked dataset")
     // per-bin datasets are tens of MB; the reference's own oversize-bin
     // guard skips files past 1 GiB (extract_features.R:61), so a claimed
     // shape above that is corruption, not data — reject before allocating
-    require(totalL >= 0 && totalL <= (1L << 30),
-      s"chunked dataset claims $totalL bytes (dims $dims x $elemSize): corrupt shape")
+    // (divide-form bound so count*elemSize itself cannot wrap)
+    require(elemSize > 0 && count <= (1L << 30) / elemSize,
+      s"chunked dataset claims $count x $elemSize bytes (dims $dims): corrupt shape")
+    val totalL = count * elemSize
     val total = totalL.toInt
     val out = new Array[Byte](total)
+    // chunk dims come from the (untrusted) layout message too — the
+    // same overflow-safe product + cap before any chunk-sized math
+    val chunkPayload = {
+      val c = Dims.product(chunkDims, "chunk")
+      require(c <= (1L << 30) / elemSize,
+        s"chunk claims $c x $elemSize bytes (chunk dims $chunkDims): corrupt shape")
+      (c * elemSize).toInt
+    }
     def walk(addr: Long, depth: Int): Unit = {
       require(depth < 64, s"chunk B-tree deeper than 64 at $addr: cyclic node pointers")
       require(sig(buf, addr) == "TREE", s"expected TREE at $addr")
@@ -287,7 +305,21 @@ object H5Source {
               s"exceeds file size ${buf.limit()}")
           var data = new Array[Byte](chunkBytes)
           System.arraycopy(buf.array(), child.toInt, data, 0, chunkBytes)
-          if (filters.contains(1)) data = inflate(data)
+          // the pipeline message lists filters in WRITE application
+          // order (shuffle, then deflate); reading inverts each in
+          // reverse order — inflate first, then un-shuffle
+          filters.reverse.foreach {
+            case 1 => data = inflate(data)
+            case 2 => data = unshuffle(data, elemSize)
+            case f => throw new IllegalArgumentException(s"filter $f") // unreachable: guarded at layout parse
+          }
+          // a full chunk payload is stored even for edge chunks; a
+          // short filter-chain result (truncated deflate stream,
+          // hostile chunkDims) would otherwise die in copyChunk with
+          // a raw AIOOBE outside the fail-loudly contract
+          require(data.length >= chunkPayload,
+            s"chunk decodes to ${data.length} bytes, " +
+              s"needs $chunkPayload (chunk dims $chunkDims x $elemSize)")
           copyChunk(out, data, dims, chunkDims, offsets, elemSize)
         }
         p += keySize + 8
@@ -316,6 +348,30 @@ object H5Source {
 
   private def inflate(data: Array[Byte]): Array[Byte] =
     Zlib.inflate(data, "HDF5 deflate chunk")
+
+  /** Inverse of the HDF5 shuffle filter (id 2): the filter stores byte 0
+    * of every element, then byte 1 of every element, … (a plain
+    * byte-matrix transpose); the inverse interleaves them back. No-op
+    * for 1-byte elements, matching the filter's definition.
+    */
+  private def unshuffle(data: Array[Byte], elemSize: Int): Array[Byte] = {
+    if (elemSize <= 1) return data
+    require(data.length % elemSize == 0,
+      s"shuffled chunk of ${data.length} bytes is not a multiple of element size $elemSize")
+    val n = data.length / elemSize
+    val out = new Array[Byte](data.length)
+    var i = 0
+    while (i < elemSize) {
+      val base = i * n
+      var j = 0
+      while (j < n) {
+        out(j * elemSize + i) = data(base + j)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
 
   private def decode(buf: ByteBuffer, dt: Datatype, dims: Seq[Long], raw: Array[Byte]): H5Value = {
     // cross-check the dataspace's claimed shape against the

@@ -211,6 +211,17 @@ object MatSink {
         val rows = it.map { case (_, roi, m) =>
           (roi, Some(m): Option[Int], None: Option[Int])
         }.toSeq.sortBy(_._1)
+        // fail loudly on conflicting labels for one ROI (round-12
+        // ADVICE): this is a public entry point, and a classlist with
+        // two contradictory rows for the same roi_number is a corrupt
+        // manual file no downstream reader can resolve —
+        // WhoiCuration.annotateBatch dedups upstream, but other
+        // callers must not be able to ship one silently
+        val dups = rows.groupBy(_._1).filter(_._2.size > 1).keys
+        require(dups.isEmpty,
+          s"sample '$sample' carries duplicate roi_number rows " +
+            s"(${dups.toSeq.sorted.take(5).mkString(",")}…): " +
+            "resolve conflicting labels before writing a manual file")
         (sample, manualBytes(rows, bc.value))
       }
       .foreachPartition { (it: Iterator[(String, Array[Byte])]) =>

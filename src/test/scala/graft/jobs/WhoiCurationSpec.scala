@@ -137,4 +137,26 @@ class WhoiCurationSpec extends SparkSpec {
     assert(items.map { case graft.sources.MatSource.MatStr(s) => s; case _ => "?" } ==
       Seq("unclassified", "ciliate", "diatom"))
   }
+
+  test("writeManualFiles rejects conflicting labels for one ROI loudly") {
+    // round-12 ADVICE: annotateBatch dedups upstream, but this public
+    // entry point must not silently ship a classlist carrying two
+    // contradictory rows for the same (sample, roi_number)
+    import org.apache.spark.sql.functions.col
+    val conflicting = Seq(
+      ("IFCB1_2014_188_222013", 42, 1),
+      ("IFCB1_2014_188_222013", 42, 2),
+      ("IFCB1_2014_188_222013", 43, 1)
+    ).toDF("sample", "roi_number", "manual_idx")
+      .select(col("sample"), col("roi_number"), col("manual_idx"))
+    val dir = java.nio.file.Files.createTempDirectory("manual_dup")
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.sources.MatSink.writeManualFiles(conflicting,
+        Seq("unclassified", "a", "b"), dir.toString)
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg != null && msg.contains("duplicate roi_number"), msg)
+    assert(new java.io.File(dir.toString).list().isEmpty,
+      "no manual file may be published from a conflicting batch")
+  }
 }

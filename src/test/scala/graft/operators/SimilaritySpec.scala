@@ -112,6 +112,29 @@ class SimilaritySpec extends SparkSpec {
     assert(cmp.filter($"native" =!= $"hof").count() == 0)
   }
 
+  test("quantizeInt8 maps non-finite-component vectors to all zeros, like zero vectors") {
+    // round-12 ADVICE: a NaN component makes maxabs NaN (NaN-greatest
+    // array_max) and an Inf component makes Inf/Inf = NaN for itself;
+    // without the non-finite route Spark floor()s NaN to 0 while the
+    // DuckDB oracle's CAST(floor(NaN) AS INTEGER) aborts the query —
+    // the quantizer must be total and engine-identical instead
+    val rows = Seq(
+      (0L, Array(1.0f, -2.0f, 0.5f)),          // normal
+      (1L, Array(0.0f, 0.0f, 0.0f)),           // zero vector
+      (2L, Array(1.0f, Float.NaN, 0.0f)),      // NaN component
+      (3L, Array(Float.PositiveInfinity, 1.0f, 0.0f)), // +Inf component
+      (4L, Array(Float.NegativeInfinity, 1.0f, 0.0f))  // -Inf component
+    ).toDF("vec_id", "embedding")
+    val q = rows.select($"vec_id",
+      Similarity.quantizeInt8($"embedding").as("q8"))
+      .as[(Long, Array[Int])].collect().toMap
+    assert(q(0L).toSeq == Seq(64, -127, 32), q(0L).toSeq)
+    assert(q(1L).toSeq == Seq(0, 0, 0))
+    assert(q(2L).toSeq == Seq(0, 0, 0), s"NaN component: ${q(2L).toSeq}")
+    assert(q(3L).toSeq == Seq(0, 0, 0), s"+Inf component: ${q(3L).toSeq}")
+    assert(q(4L).toSeq == Seq(0, 0, 0), s"-Inf component: ${q(4L).toSeq}")
+  }
+
   test("NaN-component vectors are excluded like zero vectors, and k=0 rejects loudly") {
     // round-12 review: NaN > 0.0 is TRUE under Spark's NaN-greatest
     // comparison, so a NaN norm sailed through the zero-norm gate and

@@ -23,9 +23,12 @@ object H5Fixture {
   final case class F64(name: String, values: Array[Double]) extends Ds
   /** 2-D float32, chunked + deflate (`chunkRows` rows per chunk —
     * multiple chunks exercise the reader's chunk-reassembly path).
+    * `shuffle` prepends the byte-shuffle filter (id 2) to the pipeline
+    * before deflate, the h5py/Keras default (`shuffle=True` + gzip).
     */
   final case class F32Matrix(name: String, rows: Int, cols: Int, values: Array[Float],
-                             chunkRows: Int = Int.MaxValue) extends Ds
+                             chunkRows: Int = Int.MaxValue,
+                             shuffle: Boolean = false) extends Ds
   final case class VStr(name: String, values: Array[String]) extends Ds
   /** int32 stored with the COMPACT data layout (class 0: data inline in
     * the object header) — exercises the reader's third layout path.
@@ -198,7 +201,7 @@ object H5Fixture {
           message(0x0001, dataspace(Seq(values.length.toLong))),
           message(0x0003, dt.array()),
           message(0x0008, layout.array())))
-      case F32Matrix(name, rows, cols, values, chunkRowsRaw) =>
+      case F32Matrix(name, rows, cols, values, chunkRowsRaw, shuffle) =>
         val chunkRows = math.min(chunkRowsRaw, rows)
         // per-chunk raw bytes (edge chunks zero-padded to full chunk size,
         // like libhdf5), deflate-compressed
@@ -207,8 +210,20 @@ object H5Fixture {
           val raw = ByteBuffer.allocate(4 * chunkRows * cols).order(ByteOrder.LITTLE_ENDIAN)
           for (r <- r0 until r0 + chunkRows; c <- 0 until cols)
             raw.putFloat(if (r < rows) values(r * cols + c) else 0.0f)
+          // write-order pipeline: shuffle (byte-transpose: byte 0 of
+          // every element, then byte 1, …) BEFORE deflate, like h5py
+          val filtered =
+            if (!shuffle) raw.array()
+            else {
+              val in = raw.array()
+              val n = in.length / 4
+              val out = new Array[Byte](in.length)
+              for (j <- 0 until n; i <- 0 until 4)
+                out(i * n + j) = in(j * 4 + i)
+              out
+            }
           val deflater = new Deflater()
-          deflater.setInput(raw.array()); deflater.finish()
+          deflater.setInput(filtered); deflater.finish()
           val compBuf = new Array[Byte](raw.array().length + 64)
           val compLen = deflater.deflate(compBuf)
           deflater.end()
@@ -242,8 +257,18 @@ object H5Fixture {
         layout.put(3.toByte).put(2.toByte).put(3.toByte) // v3, chunked, rank+1
         layout.putLong(cbtree.toLong)
         layout.putInt(chunkRows).putInt(cols).putInt(4) // chunk dims + elem size
-        val filters = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
-        filters.put(1.toByte).put(1.toByte).put(new Array[Byte](6))
+        val nFilters = if (shuffle) 2 else 1
+        val filters = ByteBuffer.allocate(8 + (if (shuffle) 16 else 0) + 8)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        filters.put(1.toByte).put(nFilters.toByte).put(new Array[Byte](6))
+        if (shuffle) { // listed FIRST: write application order
+          filters.putShort(2.toShort) // shuffle
+          filters.putShort(0.toShort) // name length
+          filters.putShort(0.toShort) // flags
+          filters.putShort(1.toShort) // 1 client value (element size)
+          filters.putInt(4) // element size
+          filters.putInt(0) // odd client-value count → pad to 8
+        }
         filters.putShort(1.toShort) // deflate
         filters.putShort(0.toShort) // name length
         filters.putShort(1.toShort) // flags: optional

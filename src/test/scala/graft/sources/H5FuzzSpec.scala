@@ -34,7 +34,8 @@ class H5FuzzSpec extends AnyFunSuite {
         cols <- Gen.chooseNum(1, 5)
         vs <- Gen.listOfN(rows * cols, Gen.chooseNum(-1e6, 1e6).map(_.toFloat))
         chunkRows <- Gen.oneOf(1, 2, 3, Int.MaxValue)
-      } yield H5Fixture.F32Matrix(name, rows, cols, vs.toArray, chunkRows)
+        shuffle <- Gen.oneOf(true, false) // h5py-default shuffle+deflate combo
+      } yield H5Fixture.F32Matrix(name, rows, cols, vs.toArray, chunkRows, shuffle)
       case 3 => for {
         n <- Gen.chooseNum(0, 5)
         vs <- Gen.listOfN(n,
@@ -76,7 +77,7 @@ class H5FuzzSpec extends AnyFunSuite {
           assert(data.toSeq == vs.toSeq, s"$ctx $name values")
         case other => fail(s"$ctx $name: $other")
       }
-    case H5Fixture.F32Matrix(name, rows, cols, vs, _) =>
+    case H5Fixture.F32Matrix(name, rows, cols, vs, _, _) =>
       parsed(name) match {
         case H5Num(dims, data) =>
           assert(dims == Seq(rows.toLong, cols.toLong), s"$ctx $name dims")
@@ -115,6 +116,32 @@ class H5FuzzSpec extends AnyFunSuite {
       assert(parsed.keySet == dss.map(_.name).toSet, s"seed $seed: names")
       dss.foreach(check(parsed, _, s"seed $seed"))
     }
+  }
+
+  test("wrap-inducing dataspace dims reject via the contract exception, not AIOOBE") {
+    // patch a valid chunked dataset's dataspace to claim dims [2, 2^62]:
+    // the element-count product wraps a Long in ONE multiply step, so a
+    // bare dims.product slips a negative/small total under the size cap
+    // and the failure deferred to a raw AIOOBE in chunk reassembly
+    // (round-12 ADVICE; guarded by the shared Dims.product helper)
+    val rows = 2
+    val cols = 3
+    val bytes = H5Fixture.write(Seq(H5Fixture.F32Matrix(
+      "evil", rows, cols, Array.tabulate(rows * cols)(_.toFloat), chunkRows = 1)))
+    val pattern = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(1.toByte).put(2.toByte).put(new Array[Byte](6))
+      .putLong(rows.toLong).putLong(cols.toLong).array()
+    val hits = (0 to bytes.length - 24)
+      .filter(i => pattern.indices.forall(j => bytes(i + j) == pattern(j)))
+    assert(hits.size == 1, s"dataspace pattern matched at $hits")
+    val patched = bytes.clone()
+    val evil = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putLong(2L).putLong(1L << 62).array()
+    System.arraycopy(evil, 0, patched, hits.head + 8, 16)
+    val e = intercept[IllegalArgumentException] { H5Source.parse(patched) }
+    assert(e.getMessage.contains("overflows"), e.getMessage)
   }
 
   test("mutation: byte flips and truncations decode or throw IllegalArgumentException") {

@@ -54,6 +54,19 @@ class H5SourceSpec extends SparkSpec {
     assert(data.map(_.toFloat).sameElements(vals))
   }
 
+  test("shuffle+deflate filter pipeline round-trips (h5py/Keras default)") {
+    // shuffle (id 2) listed before deflate in the pipeline message =
+    // write application order; the reader must inflate FIRST, then
+    // byte-transpose back — applying them in listed order (or skipping
+    // shuffle) decodes garbage floats, not an error
+    val vals = Array.tabulate(5 * 3)(i => (i * 1.25f) - 4f)
+    val bytes = H5Fixture.write(Seq(
+      H5Fixture.F32Matrix("scores", 5, 3, vals, chunkRows = 2, shuffle = true)))
+    val H5Source.H5Num(dims, data) = H5Source.parse(bytes)("scores"): @unchecked
+    assert(dims == Seq(5L, 3L))
+    assert(data.map(_.toFloat).sameElements(vals))
+  }
+
   test("contiguous data address past EOF fires the extent diagnostic") {
     // round-11 advice: the guard checked only n <= file size, so an
     // in-range SIZE with an out-of-range ADDRESS read past the buffer

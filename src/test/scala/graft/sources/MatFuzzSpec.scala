@@ -197,6 +197,21 @@ class MatFuzzSpec extends AnyFunSuite {
     assert(parsed > 0 && rejected > 0, s"parsed=$parsed rejected=$rejected")
   }
 
+  test("wrap-inducing dims reject via the contract exception, not AIOOBE") {
+    // dims whose element-count product overflows a Long in one multiply
+    // step ([MaxInt, MaxInt, MaxInt] ~ 2^93): a bare dims.product wraps
+    // and a wrapped "claimed" count slips under the bytes-available
+    // cross-check, deferring the failure to a raw AIOOBE in a consumer
+    // (round-12 ADVICE; guarded by the shared Dims.product helper)
+    val evil = MatFixture.matrix("evil", 6,
+      Seq(Int.MaxValue, Int.MaxValue, Int.MaxValue),
+      MatFixture.doubles(Seq(1.0)), 9)
+    val e = intercept[IllegalArgumentException] {
+      MatSource.parse(MatFixture.matFile(evil))
+    }
+    assert(e.getMessage.contains("overflows"), e.getMessage)
+  }
+
   test("deeply nested mxCELL rejects via the contract exception, not StackOverflowError") {
     // a hostile ~KB file of 200-deep nested cells: unbounded recursion
     // would throw StackOverflowError — an Error that escapes the
