@@ -40,11 +40,48 @@ object MatSource {
     require(bytes.length > 128, "not a MAT-5 file: too short")
     val endian = new String(bytes, 126, 2, "US-ASCII")
     require(endian == "IM", s"unsupported endianness tag: $endian")
-    try parseBody(bytes)
-    catch {
-      case e: IllegalArgumentException => throw e
-      case e: RuntimeException =>
-        throw new IllegalArgumentException(s"malformed MAT-5 file: $e", e)
+    // header version field (bytes 124-125, file byte order): 0x0100 =
+    // Level 5, 0x0200 = v7.3 (MATLAB writes -v7.3 for >2 GB variables:
+    // an HDF5 container behind the same 128-byte text header)
+    val version = ((bytes(125) & 0xff) << 8) | (bytes(124) & 0xff)
+    version match {
+      case 0x0100 =>
+        try parseBody(bytes)
+        catch {
+          case e: IllegalArgumentException => throw e
+          case e: RuntimeException =>
+            throw new IllegalArgumentException(s"malformed MAT-5 file: $e", e)
+        }
+      case 0x0200 => parseV73(bytes)
+      case v => throw new IllegalArgumentException(
+        f"unsupported MAT header version 0x$v%04x (Level 5 and v7.3 are implemented)")
+    }
+  }
+
+  /** MAT v7.3 = HDF5 container: the first 512 bytes are the HDF5
+    * userblock carrying the MAT text header (version 0x0200), with the
+    * HDF5 superblock at offset 512. HDF5 addresses are relative to the
+    * superblock base, so the tail slice parses as a standalone HDF5
+    * stream through the existing [[H5Source]] walker. MATLAB stores
+    * arrays transposed (HDF5 row-major = MATLAB column-major), so dims
+    * reverse on the way back while the flat data order is already the
+    * column-major order [[MatNum]] consumers index. Subset: root
+    * numeric/string datasets (the class-list/score shapes this module
+    * serves); grouped or object-reference variables (true MATLAB cell
+    * arrays) reject loudly inside the HDF5 walker.
+    */
+  private def parseV73(bytes: Array[Byte]): Map[String, MatValue] = {
+    require(bytes.length > 512 + 96,
+      "not a MAT v7.3 file: too short for the HDF5 payload at offset 512")
+    val h5 = java.util.Arrays.copyOfRange(bytes, 512, bytes.length)
+    H5Source.parse(h5).map {
+      case (name, H5Source.H5Num(dims, data)) =>
+        require(dims.forall(_ <= Int.MaxValue),
+          s"variable '$name' claims a dim past Int range: $dims")
+        name -> MatNum(dims.reverse.map(_.toInt), data)
+      case (name, H5Source.H5Str(_, data)) =>
+        name -> (if (data.length == 1) MatStr(data(0))
+                 else MatCell(Seq(1, data.length), data.toSeq.map(MatStr)))
     }
   }
 

@@ -55,6 +55,19 @@ object MatFixture {
     out.toByteArray
   }
 
+  /** A v7.3-shaped file: the 128-byte MAT text header with version
+    * 0x0200 padded to a 512-byte HDF5 userblock, then the HDF5 stream
+    * (superblock at offset 512, like MATLAB's `-v7.3` output).
+    */
+  def mat73File(h5: Array[Byte]): Array[Byte] = {
+    val userblock = new Array[Byte](512)
+    val desc = "MATLAB 7.3 MAT-file, graft test fixture".getBytes("US-ASCII")
+    System.arraycopy(desc, 0, userblock, 0, desc.length)
+    userblock(124) = 0; userblock(125) = 2 // version 0x0200
+    userblock(126) = 'I'; userblock(127) = 'M'
+    userblock ++ h5
+  }
+
   def charMatrix(name: String, s: String): Array[Byte] =
     matrix(name, 4, Seq(1, s.length), s.getBytes("UTF-8"), 16)
 

@@ -160,4 +160,33 @@ class MatSourceSpec extends SparkSpec {
     assert(r1.getAs[scala.collection.Seq[Double]]("scores").toSeq == Seq(0.9, 0.1))
     assert(r1.getAs[scala.collection.Seq[String]]("class_labels").toSeq == Seq("A", "B"))
   }
+
+  test("MAT v7.3 (HDF5 container) parses identically to its Level-5 twin") {
+    // MATLAB writes -v7.3 for >2 GB variables: same 128-byte text
+    // header (version 0x0200), HDF5 superblock at offset 512, arrays
+    // stored TRANSPOSED (HDF5 row-major = MATLAB column-major).
+    // A 2x3 MATLAB matrix [[1,3,5],[2,4,6]]:
+    //   v5: dims [2,3], column-major payload 1..6
+    //   v7.3: HDF5 dims [3,2], row-major payload 1..6 (same flat order)
+    val colMajor = Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+    val v5 = MatFixture.matFile(
+      MatFixture.matrix("scores", 6, Seq(2, 3),
+        MatFixture.doubles(colMajor.toSeq), 9),
+      MatFixture.charMatrix("ml_analyzed", "4.937"))
+    val v73 = MatFixture.mat73File(H5Fixture.write(Seq(
+      H5Fixture.F32Matrix("scores", 3, 2, colMajor.map(_.toFloat)),
+      H5Fixture.VStr("ml_analyzed", Array("4.937")))))
+    val a = MatSource.parse(v5)
+    val b = MatSource.parse(v73)
+    assert(a.keySet == b.keySet)
+    val MatSource.MatNum(d5, x5) = a("scores"): @unchecked
+    val MatSource.MatNum(d73, x73) = b("scores"): @unchecked
+    assert(d5 == Seq(2, 3) && d73 == Seq(2, 3))
+    assert(x5.toSeq == x73.toSeq)
+    assert(a("ml_analyzed") == b("ml_analyzed"))
+    // an unknown header version rejects loudly, naming the field
+    val bad = v73.clone(); bad(125) = 3
+    val e = intercept[IllegalArgumentException] { MatSource.parse(bad) }
+    assert(e.getMessage.contains("header version"), e.getMessage)
+  }
 }
