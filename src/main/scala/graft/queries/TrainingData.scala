@@ -136,30 +136,81 @@ object TrainingData {
       WHERE ${jaccardSql("xa.sh", "xb.sh")} >= 0.5
       ORDER BY id_a, id_b"""))
 
-  /** Embedding-cosine near-dup within IVF-style blocks (label = cell
-    * stand-in) — [[Dedup.embeddingNearDupPairs]]; deterministic fold-order
-    * cosine on both engines.
+  /** Cell count for the embedding-dedup family, scaled with the corpus
+    * so expected cell population stays ~250 and within-cell pair work
+    * stays LINEAR in corpus size — the SemDeDup paper's own recipe
+    * (100M+ docs into 50k clusters) and the operator's documented
+    * contract. A fixed K made pair counts quadratic: the round-13 sf1
+    * decade measured q45 at 45× / q91 at 14.6× per 10× of data before
+    * this, and 9.6× / 7.8× after — sub-linear, approaching the
+    * row-linear asymptote the now-linear pair stage implies
+    * (BENCH_SCALING.md round-13 section).
+    */
+  private def scaledK(n: Long): Int = math.max(8L, (n + 249) / 250).toInt
+
+  /** One sampled-trainer run per (session, dir), shared by q45 and q91
+    * and by each query's plan lambda + oracleDyn (the q100 memoization
+    * discipline: training is deterministic, so this is observationally
+    * pure; a size-1 slot so stopped sessions aren't pinned).
+    */
+  private val dedupCentsCache = new java.util.concurrent.atomic.AtomicReference[
+    ((SparkSession, String), Array[Array[Double]])]()
+  private def dedupCents(s: SparkSession, d: String): Array[Array[Double]] = {
+    val key = (s, d)
+    val cur = dedupCentsCache.get()
+    if (cur != null && cur._1 == key) cur._2
+    else {
+      val e = embeddings(s, d)
+      val trained = Similarity.trainKmeansCentroids(
+        e, "embedding", scaledK(e.count()), idCol = Some("vec_id"))
+      dedupCentsCache.set((key, trained))
+      trained
+    }
+  }
+
+  /** Embedding-cosine near-dup within (label × trained-cell) blocks —
+    * [[Dedup.embeddingNearDupPairs]] with the candidate space bounded
+    * the way every dedup path here is: label alone is a FIXED-cardinality
+    * key, so label-only blocking grows pairs quadratically with the
+    * corpus (measured 45× per 10× of data at the sf1 decade, round 13;
+    * 9.6× after this fix);
+    * composing it with corpus-scaled k-means cells ([[scaledK]]) keeps
+    * cell populations bounded and pair work linear. Recall contract:
+    * a pair is reported iff both sides share label AND nearest cell —
+    * the same same-cell contract q91/SemDeDup documents. Deterministic
+    * fold-order cosine on both engines; centroids re-derived identically
+    * at oracle-render time ([[GraftQuery.oracleDyn]]).
     */
   private val q45 = GraftQuery(
     "q45_embedding_neardup",
     (s, d) => {
       import s.implicits._
+      val blocked = embeddings(s, d)
+        .withColumn("__cell",
+          Similarity.cellAssign(col("embedding"), dedupCents(s, d)))
+        .withColumn("__lblcell",
+          concat_ws("_", col("label"), col("__cell")))
       Dedup.embeddingNearDupPairs(
-          embeddings(s, d), "vec_id", "embedding",
-          minCosine = 0.4, blockCol = Some("label"))
+          blocked, "vec_id", "embedding",
+          minCosine = 0.3, blockCol = Some("__lblcell"))
         .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
         .orderBy($"id_a", $"id_b")
     },
-    Some(s"""
+    oracleDyn = Some { (s, d) =>
+      val cs = dedupCents(s, d)
+      s"""
+      WITH c AS (
+        SELECT vec_id, label, embedding,
+               ${Similarity.cellAssignSql("embedding", cs)} AS cell
+        FROM embeddings
+        WHERE ${Similarity.nonZeroNormSql("embedding")})
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              ROUND(${Similarity.cosineSql("a.embedding", "b.embedding")}, 6) AS cosine
-      FROM (SELECT * FROM embeddings
-            WHERE ${Similarity.nonZeroNormSql("embedding")}) a
-      JOIN (SELECT * FROM embeddings
-            WHERE ${Similarity.nonZeroNormSql("embedding")}) b
-        ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.4
-      ORDER BY id_a, id_b"""))
+      FROM c a JOIN c b
+        ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.3
+      ORDER BY id_a, id_b"""
+    })
 
   /** Brute-force cosine top-k ANN baseline — [[Similarity.bruteForceTopK]]
     * (broadcast queries, one corpus scan, per-query window).
@@ -811,11 +862,12 @@ object TrainingData {
     * would log: population, drops, first kept/dropped ids.
     */
   private val q91 = {
-    val K = 8
-    val TAU = 0.4 // fires at every test SF (27/11/281 intra-cell pairs)
+    // K scales with the corpus ([[scaledK]]): the paper's recipe, and
+    // the fix for the quadratic within-cell pair growth a fixed K=8
+    // showed at the sf1 decade (14.6× per 10× of data, round 13)
+    val TAU = 0.4 // fires at every test SF (intra-cell pairs at K=8-grain)
     def cents(s: SparkSession, d: String): Array[Array[Double]] =
-      Similarity.trainKmeansCentroids(embeddings(s, d), "embedding", K,
-        idCol = Some("vec_id"))
+      dedupCents(s, d)
     def rollup(sd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       import sd.sparkSession.implicits._
       sd.groupBy($"cell".cast("int").as("cell"))

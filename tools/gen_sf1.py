@@ -23,9 +23,17 @@ honest:
   every 5-shingle window differs across replicas: cross-replica
   Jaccard is 0 and the near-dup structure WITHIN each replica mirrors
   sf0.1's, scaling pair counts linearly.
-- embeddings: vec_id shifts, vectors verbatim. NOT suitable for
-  embedding-dedup queries (replicated vectors are exact duplicates);
-  the sf1 subset deliberately excludes q45/q91-style queries.
+- embeddings: vec_id shifts; replica k>0 vectors get a deterministic
+  per-replica ORTHOGONAL transform (coordinate rotation by 7k mod d,
+  then a (dim, k)-keyed sign-flip pattern). Orthogonal maps preserve
+  every WITHIN-replica cosine exactly, so each replica's near-dup and
+  cluster structure mirrors sf0.1's and candidate-pair counts scale
+  linearly; ACROSS replicas the transformed vectors scatter (a rotated
+  copy is not a near-duplicate of its original), so the embedding-dedup
+  and ANN family (q45/q91/q99/q100) measures honestly at sf1 —
+  round 12's verbatim replication made replicas exact duplicates and
+  had to exclude those queries by construction (round-12 verdict
+  task 6 closes that).
 
 Usage: gen_sf1.py [src=/root/testdata/sf0.1] [dst=/tmp/graft_sf1]
 """
@@ -62,11 +70,26 @@ COPY (
          value, props
   FROM '{src}/events.parquet', (SELECT unnest(range({REPL})) AS k) r
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
-    con.execute(f"""
-COPY (
-  SELECT vec_id + r.k*1000000 AS vec_id, embedding, label
-  FROM '{src}/embeddings.parquet', (SELECT unnest(range({REPL})) AS k) r
-) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
+    etbl = pq.read_table(f"{src}/embeddings.parquet")
+    erows = etbl.to_pylist()
+    eout = []
+    for k in range(REPL):
+        for row in erows:
+            r = dict(row)
+            r["vec_id"] = row["vec_id"] + k * 1000000
+            if k > 0:
+                v = list(row["embedding"])
+                d = len(v)
+                rot = (7 * k) % d
+                v = v[rot:] + v[:rot]
+                # Knuth multiplicative hash keyed by (dim, k): a fixed
+                # ~1/3 of dims flip sign, differing per replica
+                v = [-x if ((i + 1) * 2654435761 + k * 40503) % 3 == 0
+                     else x for i, x in enumerate(v)]
+                r["embedding"] = v
+            eout.append(r)
+    pq.write_table(pa.Table.from_pylist(eout, schema=etbl.schema),
+                   f"{dst}/embeddings.parquet")
 
     tbl = pq.read_table(f"{src}/documents.parquet")
     rows = tbl.to_pylist()
