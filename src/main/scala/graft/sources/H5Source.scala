@@ -41,10 +41,28 @@ object H5Source {
     * an allocation sized from a corrupted length field (round-10 fuzz
     * hardening; exercised by H5FuzzSpec's byte-mutation corpus).
     */
-  def parse(bytes: Array[Byte]): Map[String, H5Value] = {
-    require(bytes.length > 96, "not an HDF5 file: too short")
-    require(bytes.take(8).sameElements(Signature), "not an HDF5 file: bad signature")
-    try parseBody(bytes)
+  def parse(bytes: Array[Byte]): Map[String, H5Value] =
+    parseWithAttrs(bytes).map { case (k, (v, _)) => k -> v }
+
+  /** Like [[parse]], but each dataset also carries its fixed-string
+    * scalar attributes — the subset MATLAB's `-v7.3` writer uses to
+    * type variables (`MATLAB_class` = "char"/"double"/"cell"/…), which
+    * [[MatSource]] needs to decode real v7.3 files correctly.
+    *
+    * `offset` positions the superblock inside `bytes` without copying
+    * (HDF5 userblocks, e.g. MAT v7.3's 512-byte MAT header): every HDF5
+    * address is relative to the superblock base, so a zero-copy slice
+    * view parses identically — copying the multi-GB-capable v7.3 tail
+    * just to rebase addresses doubled executor peak memory (round-13
+    * review).
+    */
+  def parseWithAttrs(bytes: Array[Byte], offset: Int = 0): Map[String, (H5Value, Map[String, String])] = {
+    require(offset >= 0 && bytes.length - offset > 96, "not an HDF5 file: too short")
+    val buf = ByteBuffer.wrap(bytes, offset, bytes.length - offset)
+      .slice().order(ByteOrder.LITTLE_ENDIAN)
+    require((0 until 8).forall(i => buf.get(i) == Signature(i)),
+      "not an HDF5 file: bad signature")
+    try parseBody(buf)
     catch {
       case e: IllegalArgumentException => throw e
       case e: RuntimeException =>
@@ -52,8 +70,7 @@ object H5Source {
     }
   }
 
-  private def parseBody(bytes: Array[Byte]): Map[String, H5Value] = {
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+  private def parseBody(buf: ByteBuffer): Map[String, (H5Value, Map[String, String])] = {
     val sbVersion = buf.get(8) & 0xff
     require(sbVersion == 0,
       s"unsupported superblock version $sbVersion (reader covers the v0 " +
@@ -64,7 +81,7 @@ object H5Source {
     val rootEntry = 56
     val rootHeader = buf.getLong(rootEntry + 8)
     val (btreeAddr, heapAddr) = symbolTableOf(buf, rootHeader)
-    val out = Map.newBuilder[String, H5Value]
+    val out = Map.newBuilder[String, (H5Value, Map[String, String])]
     for (snod <- btreeChildren(buf, btreeAddr)) {
       val n = buf.getShort(snod.toInt + 6) & 0xffff
       for (k <- 0 until n) {
@@ -72,10 +89,43 @@ object H5Source {
         val nameOff = buf.getLong(e)
         val objAddr = buf.getLong(e + 8)
         val name = heapString(buf, heapAddr, nameOff)
-        readDataset(buf, objAddr).foreach(v => out += name -> v)
+        readDataset(buf, objAddr).foreach(v =>
+          out += name -> ((v, stringAttrs(buf, objAddr))))
       }
     }
     out.result()
+  }
+
+  /** Fixed-string scalar attributes of an object header (message type
+    * 0x000C, v1) — the subset MATLAB's v7.3 writer uses (MATLAB_class).
+    * Attributes of any other datatype class or message version are
+    * SKIPPED, not rejected: attributes are auxiliary metadata, and an
+    * exotic one must not refuse a file whose datasets parse (the
+    * dataset path keeps its own fail-loudly contract).
+    */
+  private def stringAttrs(buf: ByteBuffer, addr: Long): Map[String, String] = {
+    def pad8(n: Int): Int = (n + 7) / 8 * 8
+    messages(buf, addr).flatMap {
+      case (0x000c, off, _) if (buf.get(off) & 0xff) == 1 =>
+        val nameSize = buf.getShort(off + 2) & 0xffff
+        val dtSize = buf.getShort(off + 4) & 0xffff
+        val dsSize = buf.getShort(off + 6) & 0xffff
+        var p = off + 8
+        val rawName = Array.tabulate(nameSize)(i => buf.get(p + i))
+        val name = new String(rawName, "US-ASCII").takeWhile(_ != 0.toChar)
+        p += pad8(nameSize)
+        val clazz = buf.get(p) & 0x0f
+        val vSize = buf.getInt(p + 4)
+        p += pad8(dtSize) + pad8(dsSize)
+        // class 3 = fixed string; the 4 KiB cap bounds the copy on a
+        // corrupt size field (a real MATLAB_class value is ~6 bytes)
+        if (clazz != 3 || vSize <= 0 || vSize > 4096) None
+        else {
+          val v = Array.tabulate(vSize)(i => buf.get(p + i))
+          Some(name -> new String(v, "US-ASCII").takeWhile(_ != 0.toChar))
+        }
+      case _ => None
+    }.toMap
   }
 
   /** Walks a v1 group B-tree, returning SNOD addresses left to right.
@@ -227,7 +277,7 @@ object H5Source {
             val a = new Array[Byte](n.toInt)
             // one memcpy, not tens of millions of per-index get()
             // calls on the per-file hot path (round-12 review)
-            System.arraycopy(buf.array(), dataAddr.toInt, a, 0, n.toInt)
+            System.arraycopy(buf.array(), buf.arrayOffset() + dataAddr.toInt, a, 0, n.toInt)
             a
           }
         case 2 => // chunked: dimensionality(1) btree(8) dims(4 each) elem(4)
@@ -279,6 +329,11 @@ object H5Source {
         s"chunk claims $c x $elemSize bytes (chunk dims $chunkDims): corrupt shape")
       (c * elemSize).toInt
     }
+    // a chunked dataset allocated but never written stores an undefined
+    // B-tree address (chunks allocate lazily); libhdf5 reads it as all
+    // fill-value — mirror that instead of crashing on sig(buf, -1) and
+    // rejecting a valid file (round-13 review)
+    if (btree == Undef) return out
     def walk(addr: Long, depth: Int): Unit = {
       require(depth < 64, s"chunk B-tree deeper than 64 at $addr: cyclic node pointers")
       require(sig(buf, addr) == "TREE", s"expected TREE at $addr")
@@ -289,6 +344,12 @@ object H5Source {
       var p = addr.toInt + 24
       for (_ <- 0 until used) {
         val chunkBytes = buf.getInt(p)
+        // per-chunk filter mask: bit i set = pipeline filter i was
+        // SKIPPED for this chunk (libhdf5 stores an incompressible
+        // chunk raw when deflate is registered optional — the fixture
+        // itself writes flags=1 "optional"); ignoring the mask would
+        // inflate raw bytes and reject a valid file (round-13 review)
+        val filterMask = buf.getInt(p + 4)
         val offsets = (0 until chunkDims.size).map(i => buf.getLong(p + 8 + 8 * i))
         val child = buf.getLong(p + keySize)
         if (level > 0) walk(child, depth + 1)
@@ -304,15 +365,17 @@ object H5Source {
             s"chunk data extent [$child, ${child + chunkBytes}) " +
               s"exceeds file size ${buf.limit()}")
           var data = new Array[Byte](chunkBytes)
-          System.arraycopy(buf.array(), child.toInt, data, 0, chunkBytes)
+          System.arraycopy(buf.array(), buf.arrayOffset() + child.toInt, data, 0, chunkBytes)
           // the pipeline message lists filters in WRITE application
           // order (shuffle, then deflate); reading inverts each in
-          // reverse order — inflate first, then un-shuffle
-          filters.reverse.foreach {
-            case 1 => data = inflate(data)
-            case 2 => data = unshuffle(data, elemSize)
-            case f => throw new IllegalArgumentException(s"filter $f") // unreachable: guarded at layout parse
-          }
+          // reverse order — inflate first, then un-shuffle — skipping
+          // any filter whose mask bit marks it skipped at write time
+          for (i <- filters.indices.reverse if (filterMask & (1 << i)) == 0)
+            filters(i) match {
+              case 1 => data = inflate(data)
+              case 2 => data = unshuffle(data, elemSize)
+              case f => throw new IllegalArgumentException(s"filter $f") // unreachable: guarded at layout parse
+            }
           // a full chunk payload is stored even for edge chunks; a
           // short filter-chain result (truncated deflate stream,
           // hostile chunkDims) would otherwise die in copyChunk with

@@ -211,18 +211,22 @@ object MatSink {
         val rows = it.map { case (_, roi, m) =>
           (roi, Some(m): Option[Int], None: Option[Int])
         }.toSeq.sortBy(_._1)
-        // fail loudly on conflicting labels for one ROI (round-12
+        // fail loudly on CONFLICTING labels for one ROI (round-12
         // ADVICE): this is a public entry point, and a classlist with
         // two contradictory rows for the same roi_number is a corrupt
         // manual file no downstream reader can resolve —
         // WhoiCuration.annotateBatch dedups upstream, but other
-        // callers must not be able to ship one silently
-        val dups = rows.groupBy(_._1).filter(_._2.size > 1).keys
+        // callers must not be able to ship one silently. Agreeing
+        // duplicates (an idempotent replay unioning overlapping
+        // batches) collapse via distinct first — only genuine
+        // contradictions abort (round-13 review).
+        val uniq = rows.distinct
+        val dups = uniq.groupBy(_._1).filter(_._2.size > 1).keys.toSeq.sorted
         require(dups.isEmpty,
-          s"sample '$sample' carries duplicate roi_number rows " +
-            s"(${dups.toSeq.sorted.take(5).mkString(",")}…): " +
-            "resolve conflicting labels before writing a manual file")
-        (sample, manualBytes(rows, bc.value))
+          s"sample '$sample' carries conflicting labels for roi_number " +
+            s"${dups.take(5).mkString(",")}${if (dups.size > 5) ",…" else ""}: " +
+            "resolve before writing a manual file")
+        (sample, manualBytes(uniq, bc.value))
       }
       .foreachPartition { (it: Iterator[(String, Array[Byte])]) =>
         it.foreach { case (sample, bytes) =>

@@ -73,15 +73,36 @@ object MatSource {
   private def parseV73(bytes: Array[Byte]): Map[String, MatValue] = {
     require(bytes.length > 512 + 96,
       "not a MAT v7.3 file: too short for the HDF5 payload at offset 512")
-    val h5 = java.util.Arrays.copyOfRange(bytes, 512, bytes.length)
-    H5Source.parse(h5).map {
-      case (name, H5Source.H5Num(dims, data)) =>
+    H5Source.parseWithAttrs(bytes, offset = 512).map { case (name, (value, attrs)) =>
+      // real MATLAB types its variables via the MATLAB_class attribute:
+      // char arrays are stored as uint16 code-unit datasets (NOT HDF5
+      // strings — decoding them as numbers would silently empty every
+      // label consumer, round-13 review), cellstr as object-reference
+      // datasets this reader deliberately rejects by name
+      val matDims = (dims: Seq[Long]) => {
         require(dims.forall(_ <= Int.MaxValue),
           s"variable '$name' claims a dim past Int range: $dims")
-        name -> MatNum(dims.reverse.map(_.toInt), data)
-      case (name, H5Source.H5Str(_, data)) =>
-        name -> (if (data.length == 1) MatStr(data(0))
-                 else MatCell(Seq(1, data.length), data.toSeq.map(MatStr)))
+        dims.reverse.map(_.toInt)
+      }
+      name -> ((attrs.get("MATLAB_class"), value) match {
+        case (Some("char"), H5Source.H5Num(dims, data)) =>
+          // uint16 code units; flat HDF5 row-major over [n,m] IS the
+          // MATLAB column-major order of [m,n] — same transpose rule
+          // as numeric data, re-linearized through the v5 helper
+          MatStr(rowMajor(data.map(_.toInt.toChar).mkString, matDims(dims)))
+        case (Some("cell"), _) =>
+          throw new IllegalArgumentException(
+            s"variable '$name' is a v7.3 cell array (object references " +
+              "into /#refs#): not supported — save cellstr variables " +
+              "as char matrices or use -v7")
+        case (_, H5Source.H5Num(dims, data)) =>
+          MatNum(matDims(dims), data)
+        case (_, H5Source.H5Str(_, data)) =>
+          // no MATLAB_class: a generic HDF5-written twin (the fixture
+          // path) — one string ≙ a char array, several ≙ a cell list
+          if (data.length == 1) MatStr(data(0))
+          else MatCell(Seq(1, data.length), data.toSeq.map(MatStr))
+      })
     }
   }
 

@@ -155,8 +155,22 @@ class WhoiCurationSpec extends SparkSpec {
         Seq("unclassified", "a", "b"), dir.toString)
     }
     val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
-    assert(msg != null && msg.contains("duplicate roi_number"), msg)
+    assert(msg != null && msg.contains("conflicting labels"), msg)
     assert(new java.io.File(dir.toString).list().isEmpty,
       "no manual file may be published from a conflicting batch")
+    // AGREEING duplicates (idempotent replay unioning overlapping
+    // batches) are not conflicts: they collapse and the write succeeds
+    val agreeing = Seq(
+      ("IFCB1_2014_188_222013", 42, 1),
+      ("IFCB1_2014_188_222013", 42, 1),
+      ("IFCB1_2014_188_222013", 43, 2)
+    ).toDF("sample", "roi_number", "manual_idx")
+    val dir2 = java.nio.file.Files.createTempDirectory("manual_replay")
+    graft.sources.MatSink.writeManualFiles(agreeing,
+      Seq("unclassified", "a", "b"), dir2.toString)
+    val back = graft.sources.MatSource.manualClassList(spark, dir2.toString)
+      .collect().map(r => r.getAs[Int]("roi_number") ->
+        r.getAs[Integer]("manual_idx")).toMap
+    assert(back == Map(42 -> (1: Integer), 43 -> (2: Integer)))
   }
 }

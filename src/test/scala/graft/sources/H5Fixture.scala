@@ -25,10 +25,17 @@ object H5Fixture {
     * multiple chunks exercise the reader's chunk-reassembly path).
     * `shuffle` prepends the byte-shuffle filter (id 2) to the pipeline
     * before deflate, the h5py/Keras default (`shuffle=True` + gzip).
+    * `rawChunks` stores every chunk UNcompressed with the deflate bit
+    * set in the per-chunk filter mask — what libhdf5 does when an
+    * optional deflate doesn't shrink an incompressible chunk.
+    * `unwritten` allocates the dataset but writes no chunks (B-tree
+    * address undefined) — libhdf5 reads such a dataset as fill-value.
     */
   final case class F32Matrix(name: String, rows: Int, cols: Int, values: Array[Float],
                              chunkRows: Int = Int.MaxValue,
-                             shuffle: Boolean = false) extends Ds
+                             shuffle: Boolean = false,
+                             rawChunks: Boolean = false,
+                             unwritten: Boolean = false) extends Ds
   final case class VStr(name: String, values: Array[String]) extends Ds
   /** int32 stored with the COMPACT data layout (class 0: data inline in
     * the object header) — exercises the reader's third layout path.
@@ -36,6 +43,13 @@ object H5Fixture {
   final case class I32Compact(name: String, values: Array[Int]) extends Ds
   /** Fixed-length (class 3) strings, NUL-padded to `size` bytes. */
   final case class FStr(name: String, size: Int, values: Array[String]) extends Ds
+  /** uint16 dataset carrying a fixed-string scalar MATLAB_class
+    * attribute — the shape real MATLAB `-v7.3` writes for char
+    * variables (UTF-16 code units, transposed). `h5dims` in HDF5
+    * (row-major) order.
+    */
+  final case class U16Attr(name: String, h5dims: Seq[Long], values: Array[Int],
+                           matlabClass: String) extends Ds
 
   private val Undef = -1L
 
@@ -201,11 +215,42 @@ object H5Fixture {
           message(0x0001, dataspace(Seq(values.length.toLong))),
           message(0x0003, dt.array()),
           message(0x0008, layout.array())))
-      case F32Matrix(name, rows, cols, values, chunkRowsRaw, shuffle) =>
+      case U16Attr(name, h5dims, values, mclass) =>
+        pad8()
+        val dataAddr = buf.position()
+        values.foreach(v => buf.putShort(v.toShort))
+        val dt = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+        dt.put(0x10.toByte).put(0x00.toByte).put(0.toByte).put(0.toByte)
+        dt.putInt(2).putShort(0.toShort).putShort(16.toShort)
+        val layout = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+        layout.put(3.toByte).put(1.toByte).putLong(dataAddr.toLong)
+          .putLong(2L * values.length)
+        // attribute message v1: name (NUL-terminated, 8-padded),
+        // datatype (class 3 fixed string sized to the value),
+        // dataspace (v1 rank-0 scalar), then the value bytes
+        def p8(a: Array[Byte]) = a ++ new Array[Byte]((8 - a.length % 8) % 8)
+        val aname = "MATLAB_class".getBytes("US-ASCII") :+ 0.toByte
+        val adt = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        adt.put(0x13.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        adt.putInt(mclass.length)
+        val ads = Array[Byte](1, 0, 0, 0, 0, 0, 0, 0)
+        val ahdr = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        ahdr.put(1.toByte).put(0.toByte)
+        ahdr.putShort(aname.length.toShort)
+        ahdr.putShort(8.toShort) // datatype size (unpadded)
+        ahdr.putShort(8.toShort) // dataspace size (unpadded)
+        val attrBody = ahdr.array() ++ p8(aname) ++ p8(adt.array()) ++
+          p8(ads) ++ mclass.getBytes("US-ASCII")
+        headerAddrs(name) = objectHeader(Seq(
+          message(0x0001, dataspace(h5dims)),
+          message(0x0003, dt.array()),
+          message(0x000c, attrBody),
+          message(0x0008, layout.array())))
+      case F32Matrix(name, rows, cols, values, chunkRowsRaw, shuffle, rawChunks, unwritten) =>
         val chunkRows = math.min(chunkRowsRaw, rows)
         // per-chunk raw bytes (edge chunks zero-padded to full chunk size,
         // like libhdf5), deflate-compressed
-        val chunkStarts = (0 until rows by chunkRows)
+        val chunkStarts = if (unwritten) Seq.empty[Int] else (0 until rows by chunkRows)
         val chunks = chunkStarts.map { r0 =>
           val raw = ByteBuffer.allocate(4 * chunkRows * cols).order(ByteOrder.LITTLE_ENDIAN)
           for (r <- r0 until r0 + chunkRows; c <- 0 until cols)
@@ -222,32 +267,43 @@ object H5Fixture {
                 out(i * n + j) = in(j * 4 + i)
               out
             }
-          val deflater = new Deflater()
-          deflater.setInput(filtered); deflater.finish()
-          val compBuf = new Array[Byte](raw.array().length + 64)
-          val compLen = deflater.deflate(compBuf)
-          deflater.end()
-          (r0, compBuf.take(compLen))
+          // rawChunks: store unfiltered, mask bit marks EVERY pipeline
+          // filter skipped (deflate bit, and shuffle's too when present
+          // — libhdf5 sets the skipped-filter bit per filter index)
+          if (rawChunks) {
+            val mask = if (shuffle) 3 else 1
+            (r0, raw.array().clone(), mask)
+          } else {
+            val deflater = new Deflater()
+            deflater.setInput(filtered); deflater.finish()
+            val compBuf = new Array[Byte](raw.array().length + 64)
+            val compLen = deflater.deflate(compBuf)
+            deflater.end()
+            (r0, compBuf.take(compLen), 0)
+          }
         }
-        val chunkAddrs = chunks.map { case (r0, data) =>
+        val chunkAddrs = chunks.map { case (r0, data, mask) =>
           pad8()
           val a = buf.position()
           buf.put(data)
-          (r0, a, data.length)
+          (r0, a, data.length, mask)
         }
         // chunk B-tree: one level-0 node, node type 1, N children
+        // (unwritten: no B-tree at all — address stays undefined)
         pad8()
-        val cbtree = buf.position()
-        buf.put("TREE".getBytes("US-ASCII"))
-        buf.put(1.toByte).put(0.toByte)
-        buf.putShort(chunkAddrs.size.toShort)
-        buf.putLong(Undef).putLong(Undef)
-        for ((r0, addr, len) <- chunkAddrs) {
-          buf.putInt(len).putInt(0) // key: nbytes, filter mask
-          buf.putLong(r0.toLong).putLong(0L).putLong(0L) // chunk offset + dtype dim
-          buf.putLong(addr.toLong) // child
+        val cbtree = if (unwritten) Undef else buf.position().toLong
+        if (!unwritten) {
+          buf.put("TREE".getBytes("US-ASCII"))
+          buf.put(1.toByte).put(0.toByte)
+          buf.putShort(chunkAddrs.size.toShort)
+          buf.putLong(Undef).putLong(Undef)
+          for ((r0, addr, len, mask) <- chunkAddrs) {
+            buf.putInt(len).putInt(mask) // key: nbytes, filter mask
+            buf.putLong(r0.toLong).putLong(0L).putLong(0L) // chunk offset + dtype dim
+            buf.putLong(addr.toLong) // child
+          }
+          buf.putInt(0).putInt(0) // keyN
         }
-        buf.putInt(0).putInt(0) // keyN
         buf.putLong(rows.toLong).putLong(cols.toLong).putLong(0L)
         val dt = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
         dt.put(0x11.toByte).put(0x20.toByte).put(0x1f.toByte).put(0.toByte)

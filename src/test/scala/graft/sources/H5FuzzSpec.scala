@@ -35,7 +35,9 @@ class H5FuzzSpec extends AnyFunSuite {
         vs <- Gen.listOfN(rows * cols, Gen.chooseNum(-1e6, 1e6).map(_.toFloat))
         chunkRows <- Gen.oneOf(1, 2, 3, Int.MaxValue)
         shuffle <- Gen.oneOf(true, false) // h5py-default shuffle+deflate combo
-      } yield H5Fixture.F32Matrix(name, rows, cols, vs.toArray, chunkRows, shuffle)
+        raw <- Gen.oneOf(true, false) // mask-skipped (incompressible) chunks
+      } yield H5Fixture.F32Matrix(name, rows, cols, vs.toArray, chunkRows,
+        shuffle, rawChunks = raw)
       case 3 => for {
         n <- Gen.chooseNum(0, 5)
         vs <- Gen.listOfN(n,
@@ -77,7 +79,7 @@ class H5FuzzSpec extends AnyFunSuite {
           assert(data.toSeq == vs.toSeq, s"$ctx $name values")
         case other => fail(s"$ctx $name: $other")
       }
-    case H5Fixture.F32Matrix(name, rows, cols, vs, _, _) =>
+    case H5Fixture.F32Matrix(name, rows, cols, vs, _, _, _, _) =>
       parsed(name) match {
         case H5Num(dims, data) =>
           assert(dims == Seq(rows.toLong, cols.toLong), s"$ctx $name dims")

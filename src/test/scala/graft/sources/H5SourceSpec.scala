@@ -67,6 +67,35 @@ class H5SourceSpec extends SparkSpec {
     assert(data.map(_.toFloat).sameElements(vals))
   }
 
+  test("per-chunk filter mask: raw-stored chunks of an optional-deflate pipeline decode") {
+    // libhdf5 stores an incompressible chunk RAW and sets the skipped
+    // filter's bit in the chunk key's 4-byte mask; inflating those raw
+    // bytes rejects a valid file (round-13 review)
+    val vals = Array.tabulate(5 * 3)(i => i * 0.5f)
+    val bytes = H5Fixture.write(Seq(
+      H5Fixture.F32Matrix("raw", 5, 3, vals, chunkRows = 2, rawChunks = true),
+      H5Fixture.F32Matrix("rawshuf", 5, 3, vals, chunkRows = 2,
+        shuffle = true, rawChunks = true),
+      H5Fixture.F32Matrix("comp", 5, 3, vals, chunkRows = 2)))
+    val parsed = H5Source.parse(bytes)
+    for (n <- Seq("raw", "rawshuf", "comp")) {
+      val H5Source.H5Num(dims, data) = parsed(n): @unchecked
+      assert(dims == Seq(5L, 3L), n)
+      assert(data.map(_.toFloat).sameElements(vals), n)
+    }
+  }
+
+  test("unwritten chunked dataset (undefined B-tree) reads as fill-value zeros") {
+    // chunks allocate lazily: a created-but-never-written dataset has
+    // an undefined B-tree address and libhdf5 reads it as fill-value —
+    // not a crash on a -1 buffer index (round-13 review)
+    val bytes = H5Fixture.write(Seq(H5Fixture.F32Matrix(
+      "empty", 4, 3, Array.fill(12)(9f), chunkRows = 2, unwritten = true)))
+    val H5Source.H5Num(dims, data) = H5Source.parse(bytes)("empty"): @unchecked
+    assert(dims == Seq(4L, 3L))
+    assert(data.forall(_ == 0.0), data.toSeq)
+  }
+
   test("contiguous data address past EOF fires the extent diagnostic") {
     // round-11 advice: the guard checked only n <= file size, so an
     // in-range SIZE with an out-of-range ADDRESS read past the buffer

@@ -189,4 +189,30 @@ class MatSourceSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { MatSource.parse(bad) }
     assert(e.getMessage.contains("header version"), e.getMessage)
   }
+
+  test("MAT v7.3 real-MATLAB shapes: uint16 char via MATLAB_class; cell rejects by name") {
+    // real MATLAB stores char variables as uint16 code-unit datasets
+    // typed by the MATLAB_class attribute — NOT HDF5 strings; decoding
+    // them as numbers would silently empty every label consumer
+    // (round-13 review). A MATLAB [1,5] char is HDF5 [5,1]; a MATLAB
+    // [2,3] char matrix is HDF5 [3,2] with column-major flat order.
+    val v73 = MatFixture.mat73File(H5Fixture.write(Seq(
+      H5Fixture.U16Attr("ml_analyzed", Seq(5L, 1L),
+        "4.937".map(_.toInt).toArray, "char"),
+      H5Fixture.U16Attr("grid", Seq(3L, 2L),
+        "adbecf".map(_.toInt).toArray, "char"), // col-major of [[a,b,c],[d,e,f]]
+      H5Fixture.U16Attr("codes", Seq(3L, 1L),
+        Array(7, 8, 9), "uint16"))))
+    val vars = MatSource.parse(v73)
+    assert(vars("ml_analyzed") == MatSource.MatStr("4.937"))
+    assert(vars("grid") == MatSource.MatStr("abcdef"))
+    val MatSource.MatNum(cd, cv) = vars("codes"): @unchecked
+    assert(cd == Seq(1, 3) && cv.toSeq == Seq(7.0, 8.0, 9.0))
+    // cellstr variables (object references into /#refs#) reject loudly
+    // naming the variable and the workaround
+    val cell = MatFixture.mat73File(H5Fixture.write(Seq(
+      H5Fixture.U16Attr("classes", Seq(2L, 1L), Array(1, 2), "cell"))))
+    val e = intercept[IllegalArgumentException] { MatSource.parse(cell) }
+    assert(e.getMessage.contains("cell array"), e.getMessage)
+  }
 }
