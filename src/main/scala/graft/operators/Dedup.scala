@@ -54,9 +54,11 @@ object Dedup {
     */
   private def materializePairs(sketch: DataFrame, pairs: DataFrame): DataFrame = {
     sketch.count()
-    val out = pairs.localCheckpoint(true)
-    sketch.unpersist()
-    out
+    // finally, not sequential (round-13 review): a failed checkpoint
+    // job must not leak the MEMORY_AND_DISK sketch entry for the
+    // session's life — KMeans.lloyd's lifecycle shape
+    try pairs.localCheckpoint(true)
+    finally sketch.unpersist()
   }
 
   /** Drops LSH buckets larger than `cap` from candidate generation.
@@ -96,6 +98,21 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** Shared exact-Jaccard verify tail: join both sides' shingle sets
+    * back onto the candidate pairs, score with [[jaccard]], threshold.
+    * One source (round-13 review) so the verify contract cannot drift
+    * between the LSH and inverted-index callers — the same
+    * single-source concern behind [[capBuckets]].
+    */
+  private def verifyJaccard(
+      cand: DataFrame, base: DataFrame, minJaccard: Double): DataFrame =
+    cand
+      .join(base.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
   /** MinHash + banded LSH near-duplicate pairs (the Broder construction):
     * 8 MinHashes in 4 bands of 2; a shared band is the join key; survivors
     * are verified with exact shingle-set Jaccard ≥ `minJaccard`.
@@ -132,12 +149,7 @@ object Dedup {
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
       .distinct()
-    val pairs = cand
-      .join(base.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
-      .join(base.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val pairs = verifyJaccard(cand, base, minJaccard)
     if (materialize) materializePairs(sketch, pairs) else pairs
   }
 
@@ -149,6 +161,14 @@ object Dedup {
     * size n/65536, candidate volume O(n²/2³⁴) — a 32-bit/8-bit-band
     * variant has 256 keys per band and degenerates into a near cross
     * product as n grows.
+    *
+    * RECALL CONTRACT (round-13 review): candidate completeness holds
+    * only for `maxHamming` ≤ 3 (pigeonhole over 4 bands). A larger
+    * radius is a legitimate *heuristic* — verified pairs are still
+    * exact — but pairs whose differing bits spread across ≥ 4 bands
+    * share no band and are not generated; callers past 3 accept the
+    * banded-candidate subset, the same documented trade as
+    * [[capBuckets]].
     */
   def simhashPairs(
       docs: DataFrame, id: String, text: String,
@@ -201,12 +221,7 @@ object Dedup {
         col("x.shingle") === col("y.shingle") && col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
       .distinct()
-    val pairs = cand
-      .join(base.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
-      .join(base.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val pairs = verifyJaccard(cand, base, minJaccard)
     if (materialize) materializePairs(sketch, pairs) else pairs
   }
 
@@ -260,7 +275,10 @@ object Dedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = edges.count()
-    if (nEdges <= driverMaxEdges) {
+    // try/finally around both branches (round-13 review): a failed
+    // collect or pointer-jumping round must not leak the edge/und
+    // cache entries for the session's life
+    try if (nEdges <= driverMaxEdges) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -276,13 +294,13 @@ object Dedup {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val rows = parent.keys.toSeq.map(id => (id, find(id)))
-      edges.unpersist()
       rows.toDF("id", "cluster")
     } else {
       val und = edges
         .union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
       // localCheckpoint truncates lineage each round: a persist chain
       // nests each round's plan inside the next (InMemoryRelation keeps
       // its child plan) and Spark's per-action plan rendering then costs
@@ -317,13 +335,12 @@ object Dedup {
         }
         labels = jumped
       }
-      und.unpersist()
-      edges.unpersist()
       if (!converged) throw new IllegalStateException(
         s"dupClusters: not converged after $maxRounds pointer-jumping rounds " +
           "(component diameter beyond budget) — raise maxRounds")
       labels
-    }
+      } finally und.unpersist()
+    } finally edges.unpersist()
   }
 
   /** Embedding-cosine near-duplicate pairs within blocks (`blockCol` is
@@ -343,7 +360,14 @@ object Dedup {
       // NaN >= minCosine TRUE — every zero vector would be flagged a
       // near-dup of its whole block. Cosine similarity is undefined
       // for it; it can neither drop nor be dropped (the topK rule).
-      .filter(col("__n") > 0.0 && !isnan(col("__n")))
+      // non-finite norms excluded entirely (round-13 review, the
+      // nonZeroNormSql contract): an Inf-component vector's Inf norm
+      // passes a zero/NaN-only gate, its cosine vs every block member
+      // is NaN (Inf/Inf), and NaN >= minCosine is TRUE under Spark's
+      // NaN-greatest ordering — through semDedup an Inf row with the
+      // smallest id in its cell would silently drop the whole cell
+      .filter(col("__n") > 0.0 && !isnan(col("__n")) &&
+        col("__n") =!= Double.PositiveInfinity)
     e.as("x").join(e.as("y"),
         col("x.__blk") === col("y.__blk") && col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),

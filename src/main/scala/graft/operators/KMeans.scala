@@ -129,6 +129,18 @@ object KMeans {
           .agg(sum("v").as("s"), count(lit(1)).as("n"))
           .collect()
           .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        // |v| ≤ QBound bounds |sum| ≤ n·QBound, so the Long sum is
+        // provably exact while n ≤ Long.MaxValue/QBound (~5.5e11 rows
+        // per cell); past that Spark's non-ANSI Long sum would wrap
+        // SILENTLY while the oracle's HUGEINT doesn't — fail loudly
+        // instead, like the 8191-dim distance bound above (round-13
+        // review)
+        upd.foreach { case (cell, _, _, n) =>
+          require(n <= Long.MaxValue / QBound,
+            s"k-means cell $cell holds $n rows: the per-(cell,dim) Long " +
+              s"sum is only exact up to ${Long.MaxValue / QBound} rows — " +
+              "shard the corpus or raise k")
+        }
         // exact floored division on the driver (tiny: k*dims rows); empty
         // cells are simply absent and the survivors re-pack densely in
         // old-cell order — the SQL twin's dense_rank does the same

@@ -115,9 +115,16 @@ object ManualMerge {
       .select(col("sample"), col("roi_number"),
         col("__midx").as("manual_idx"), col("class_name"))
 
+    // resolve base indices against the BASE class list, not `merged`
+    // (round-13 review): base indices are unchanged by the merge, but a
+    // dangling base manual_idx (class deleted from the base config)
+    // would match a newly APPENDED class's index in `merged` and
+    // silently acquire its name — the exact silent-mislabel this
+    // file's unknown-indices-surface contract forbids; against the
+    // base list it stays a null class and surfaces
     val baseNamed = annBase
       .select(col("sample"), col("roi_number"), col("manual_idx"))
-      .join(broadcast(merged.select(col("class_idx").as("manual_idx"),
+      .join(broadcast(c2uBase.select(col("class_idx").cast("int").as("manual_idx"),
         col("class_name"))), Seq("manual_idx"), "left")
       .select(col("sample"), col("roi_number"), col("manual_idx"),
         col("class_name"))
@@ -157,13 +164,28 @@ object ManualMerge {
       imageCol: String, newIdx: Int): DataFrame = {
     val base = regexp_replace(trim(col(imageCol)), "\\.[^.]*$", "")
     val roiStr = regexp_extract(base, "_([0-9]+)$", 1)
-    val sel = selectedImages
+    val parsed = selectedImages
       .select(
+        trim(col(imageCol)).as("__raw"),
         regexp_replace(base, "_[0-9]+$", "").as("sample"),
         // regexp_extract yields "" on no match — an ANSI cast would
         // throw on such rows, so gate before casting
         when(roiStr =!= "", roiStr.cast("int")).as("roi_number"))
+    // fail loudly on unparseable names (round-13 review): silently
+    // dropping a row means the curator's requested correction is
+    // skipped with no signal — mislabeled training data. Empty/blank
+    // rows are tolerated (trailing newline artifacts).
+    val bad = parsed
+      .filter(col("roi_number").isNull && col("__raw") =!= "")
+      .select(col("__raw")).limit(5)
+      .collect().map(_.getString(0))
+    require(bad.isEmpty,
+      s"correctAnnotation: unparseable image name(s) ${bad.mkString("'", "', '", "'")}" +
+        " — expected <sample>_<roi>.<ext>; fix the selection list rather" +
+        " than silently skipping the correction")
+    val sel = parsed
       .filter(col("roi_number").isNotNull)
+      .select(col("sample"), col("roi_number"))
       .distinct()
       .withColumn("__selected", lit(true))
     manual

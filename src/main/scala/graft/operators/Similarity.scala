@@ -47,12 +47,17 @@ object Similarity {
     * evaluate `NaN > 0.0` as TRUE (NaN-greatest comparison), so a
     * vector with one NaN COMPONENT sailed through the zero-norm gate
     * on both sides and its NaN cosine satisfied every threshold —
-    * silently agreeing wrong, which the hash gate cannot catch.
+    * silently agreeing wrong, which the hash gate cannot catch. The
+    * NOT isinf half (round-13 review): an Inf COMPONENT gives an Inf
+    * norm that passes both earlier halves, and its cosine is NaN
+    * (Inf/Inf) — ranked LAST by the Spark aggregator but FIRST by the
+    * oracle's NaN-greatest ORDER BY, a latent engine divergence; the
+    * gate must exclude every non-finite norm on both sides.
     */
   def nonZeroNormSql(vec: String): String = {
     val sumsq = s"list_reduce(list_prepend(0.0, list_transform($vec, " +
       s"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v)"
-    s"($sumsq > 0.0 AND NOT isnan($sumsq))"
+    s"($sumsq > 0.0 AND NOT isnan($sumsq) AND NOT isinf($sumsq))"
   }
 
   /** Symmetric per-vector int8 quantization — the 4× embedding
@@ -255,9 +260,11 @@ object Similarity {
     // (`b.last` on an empty buffer) instead of failing loudly here
     val idType = integralIdType(corpus, cId)
     val q = queries.withColumn("__qn", sqrt(dot(col(qVec), col(qVec))))
-      .filter(col("__qn") > 0.0 && !isnan(col("__qn")))
+      .filter(col("__qn") > 0.0 && !isnan(col("__qn")) &&
+        col("__qn") =!= Double.PositiveInfinity)
     val c = corpus.withColumn("__cn", sqrt(dot(col(cVec), col(cVec))))
-      .filter(col("__cn") > 0.0 && !isnan(col("__cn")))
+      .filter(col("__cn") > 0.0 && !isnan(col("__cn")) &&
+        col("__cn") =!= Double.PositiveInfinity)
     val joined = c.join(broadcast(q), col(qId) =!= col(cId))
       .withColumn("cosine", dot(col(qVec), col(cVec)) / col("__qn") / col("__cn"))
       .withColumn("__cid", col(cId).cast("long"))
@@ -281,9 +288,11 @@ object Similarity {
     val idType = integralIdType(corpus, cId)
     // zero-norm exclusion + shared-id-space contract: see bruteForceTopK
     val q = queries.withColumn("__qn", sqrt(dot(col(qVec), col(qVec))))
-      .filter(col("__qn") > 0.0 && !isnan(col("__qn")))
+      .filter(col("__qn") > 0.0 && !isnan(col("__qn")) &&
+        col("__qn") =!= Double.PositiveInfinity)
     val c = corpus.withColumn("__cn", sqrt(dot(col(cVec), col(cVec))))
-      .filter(col("__cn") > 0.0 && !isnan(col("__cn")))
+      .filter(col("__cn") > 0.0 && !isnan(col("__cn")) &&
+        col("__cn") =!= Double.PositiveInfinity)
     val joined = c.join(broadcast(q),
         col(qCell) === col(cCell) && col(qId) =!= col(cId))
       .withColumn("cosine", dot(col(qVec), col(cVec)) / col("__qn") / col("__cn"))
@@ -334,6 +343,8 @@ object Similarity {
       corpus: DataFrame, vec: String, k: Int,
       iters: Int = 10, sampleMax: Int = 10000,
       idCol: Option[String] = None): Array[Array[Double]] = {
+    require(k >= 1, s"k-means requires k >= 1, got $k") // round-13 review:
+    // k = 0 otherwise dies deep in the Lloyd loop with a raw AIOOBE
     // Hash-ordered top-k, NOT a bare limit() and NOT a seeded sample():
     // limit pulls from the first partitions (a partition-ordered corpus
     // would train on a biased slice), and Dataset.sample seeds its

@@ -96,6 +96,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 3L)), pairs.toString)
   }
 
+  test("Inf-component vectors neither drop nor are dropped (round-13)") {
+    // third member of the class: an Inf component gives an Inf norm
+    // (passes a zero/NaN-only gate) and a NaN cosine (Inf/Inf) that
+    // NaN-greatest ordering ranks past every threshold — with the
+    // smallest id in its cell it silently dropped the whole cell
+    val e = Seq(
+      (0L, Array(Float.PositiveInfinity, 1.0f), 0), // smallest id, Inf
+      (1L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.9f, 0.1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.9, Some("label"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L)), pairs.toString)
+  }
+
   test("semDedup: cell-local keep-lowest-id policy; cross-cell twins both survive") {
     // two hand-placed centroids; vectors 1,2 near-dup in cell 0, vector 5
     // is an exact twin of 1 but lands in cell 1 — cells block the

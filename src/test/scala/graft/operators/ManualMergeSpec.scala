@@ -117,7 +117,7 @@ class ManualMergeSpec extends SparkSpec {
       "D20160805T065357_IFCB10_00001.png",
       "D20160805T065357_IFCB10_00003.png",
       " D20160805T065357_IFCB10_00001.png", // dup + whitespace collapse
-      "not_a_roi_name") // unparseable row drops, must not null-join
+      "") // blank rows (trailing-newline artifacts) are tolerated
       .toDF("image_filename")
     val out = ManualMerge
       .correctAnnotation(manual, selected, "image_filename", newIdx = 44)
@@ -131,5 +131,43 @@ class ManualMergeSpec extends SparkSpec {
       ("D20160805T065357_IFCB10", 2, 7, 9), // untouched
       ("D20160805T065357_IFCB10", 3, 44, 9), // unannotated -> annotated
       ("D20160805T070000_IFCB10", 1, 7, -1))) // other sample untouched
+  }
+
+  test("correctAnnotation rejects unparseable image names loudly (round-13)") {
+    import spark.implicits._
+    val manual = Seq(("D20160805T065357_IFCB10", 1, Int.box(7), Int.box(7)))
+      .toDF("sample", "roi_number", "manual_idx", "auto_idx")
+    // a typo'd filename silently skipped = the curator's correction
+    // silently lost — the fix makes it throw, naming the offender
+    val selected = Seq(
+      "D20160805T065357_IFCB10_00001.png",
+      "not_a_roi_name").toDF("image_filename")
+    val e = intercept[IllegalArgumentException] {
+      ManualMerge.correctAnnotation(manual, selected, "image_filename", 44)
+    }
+    assert(e.getMessage.contains("not_a_roi_name"), e.getMessage)
+  }
+
+  test("dangling base manual_idx surfaces as null class, not an appended class's name (round-13)") {
+    val (c2uBaseDir, c2uAddDir, manBaseDir, manAddDir) = writeFixtures()
+    // corrupt base row: manual_idx 4 does not exist in the BASE list
+    // (1..3) but the merge appends Dinophysis AT index 4 — the old
+    // merged-list join silently labeled the dangling row "Dinophysis"
+    import spark.implicits._
+    val danglingBase = MatSource.manualClassList(spark, manBaseDir)
+      .unionByName(Seq(("D20240101T000000_IFCB134", 99, Int.box(4), null: Integer))
+        .toDF("sample", "roi_number", "manual_idx", "auto_idx"))
+    val merged = ManualMerge.merge(
+      MatSource.class2use(spark, c2uBaseDir),
+      MatSource.class2use(spark, c2uAddDir),
+      danglingBase,
+      MatSource.manualClassList(spark, manAddDir))
+    val row = merged.annotations
+      .filter(org.apache.spark.sql.functions.col("sample") === "D20240101T000000_IFCB134" &&
+        org.apache.spark.sql.functions.col("roi_number") === 99)
+      .collect().head
+    assert(row.getAs[Integer]("manual_idx") == 4)
+    assert(row.getAs[String]("class_name") == null,
+      s"dangling idx acquired '${row.getAs[String]("class_name")}'")
   }
 }
