@@ -51,4 +51,28 @@ object GraftQuery {
     */
   def dsumSql(expr: String, dt: DecimalType = D2): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(${dt.precision},${dt.scale}))) AS DOUBLE)"
+
+  /** Size-1 (session, dir)-keyed memo for deterministic data-derived
+    * training artifacts (k-means centroids, BPE merges) shared between
+    * a query's plan lambda and its oracle renderer — and across queries.
+    * Training is deterministic in the data, so memoization is
+    * observationally pure; a single last-result slot (not a map) so a
+    * stopped session's object graph isn't pinned for the JVM's life in
+    * a bench/test loop (round-12 review; the three hand-rolled copies
+    * unified round-13).
+    */
+  final class SessionMemo[T](train: (SparkSession, String) => T) {
+    private val slot = new java.util.concurrent.atomic.AtomicReference[
+      ((SparkSession, String), T)]()
+    def apply(s: SparkSession, d: String): T = {
+      val key = (s, d)
+      val cur = slot.get()
+      if (cur != null && cur._1 == key) cur._2
+      else {
+        val v = train(s, d)
+        slot.set((key, v))
+        v
+      }
+    }
+  }
 }

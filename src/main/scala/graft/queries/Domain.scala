@@ -55,15 +55,66 @@ object Domain {
             WHEN l_returnflag = 'A' THEN 0.288 * POW(l_extendedprice / 10.0, 0.811)
             WHEN l_extendedprice / 10.0 > 3000.0 THEN 0.117 * POW(l_extendedprice / 10.0, 0.881)
             ELSE 0.216 * POW(l_extendedprice / 10.0, 0.939) END, 4) AS DECIMAL(18,4))) AS DOUBLE) / 1e6 AS carbon_ug,
-        COUNT(*) / (o_totalprice / 10000.0) * 1000.0 AS counts_per_liter,
+        -- NULLIF mirrors Biovolume.perLiter's ml<>0 gate (round-13
+        -- review): an aborted sample's ml=0 must read NULL on BOTH
+        -- engines, not DuckDB's IEEE Infinity
+        COUNT(*) / NULLIF(o_totalprice / 10000.0, 0.0) * 1000.0 AS counts_per_liter,
         CAST(SUM(CAST(ROUND(CASE
             WHEN l_returnflag = 'A' THEN 0.288 * POW(l_extendedprice / 10.0, 0.811)
             WHEN l_extendedprice / 10.0 > 3000.0 THEN 0.117 * POW(l_extendedprice / 10.0, 0.881)
             ELSE 0.216 * POW(l_extendedprice / 10.0, 0.939) END, 4) AS DECIMAL(18,4))) AS DOUBLE) / 1e6
-          / (o_totalprice / 10000.0) * 1000.0 AS carbon_ug_per_liter
+          / NULLIF(o_totalprice / 10000.0, 0.0) * 1000.0 AS carbon_ug_per_liter
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY l_orderkey, l_returnflag, o_totalprice
       ORDER BY sample, class"""))
+
+  /** Shared q38/q88 PSD fit inputs — ONE source for the histogram and
+    * moment-sum discipline (bucket ≥ 1, ln-ln terms, decimal D12 sums)
+    * on both engines (round-13 review: the two copies had already
+    * drifted cosmetically and a future fit-input fix applied to one
+    * would silently leave the other computing different fits).
+    * `psdHist` is the Spark side; [[psdMomentsSql]] renders the
+    * hist/lg/m oracle CTEs, `withPeak` adding q88's packed peak column.
+    */
+  private def psdHist(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    lineitem(s, d)
+      .withColumn("bucket", floor(col("l_quantity") / 5.0))
+      .filter(col("bucket") >= 1)
+      .groupBy(col("l_suppkey"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lnx", log((col("bucket") + 0.5) * 5.0))
+      .withColumn("lny", log(col("n").cast("double")))
+
+  private def psdMomentCols: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("fit_n"),
+    dsum(col("lnx"), D12).as("sx"), dsum(col("lny"), D12).as("sy"),
+    dsum(col("lnx") * col("lnx"), D12).as("sxx"),
+    dsum(col("lnx") * col("lny"), D12).as("sxy"),
+    dsum(col("lny") * col("lny"), D12).as("syy"))
+
+  private def psdMomentsSql(withPeak: Boolean): String = {
+    val pk = if (withPeak) "\n          MAX(n * 1000000 + (999999 - bucket)) AS pk," else ""
+    s"""hist AS (
+        SELECT l_suppkey, CAST(FLOOR(l_quantity / 5.0) AS BIGINT) AS bucket,
+          COUNT(*) AS n
+        FROM lineitem
+        GROUP BY 1, 2
+        HAVING CAST(FLOOR(l_quantity / 5.0) AS BIGINT) >= 1),
+      lg AS (
+        SELECT l_suppkey, bucket, n,
+          LN((bucket + 0.5) * 5.0) AS lnx, LN(CAST(n AS DOUBLE)) AS lny
+        FROM hist),
+      m AS (
+        SELECT l_suppkey AS sample, CAST(SUM(n) AS BIGINT) AS total_count,$pk
+          CAST(COUNT(*) AS DOUBLE) AS k, COUNT(*) AS n_bins,
+          CAST(SUM(CAST(lnx AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(lny AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(lnx * lnx AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(lnx * lny AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(lny * lny AS DECIMAL(28,12))) AS DOUBLE) AS syy
+        FROM lg GROUP BY 1)"""
+  }
 
   /** A17 PSD power-law fit (ifcb_psd, Rmd:652-669): per-sample size
     * histogram → OLS fit of ln(n) = ln(a) − k·ln(size) → params + R² +
@@ -75,20 +126,10 @@ object Domain {
     "q38_psd_fit",
     (s, d) => {
       import s.implicits._
-      val hist = lineitem(s, d)
-        .withColumn("bucket", floor($"l_quantity" / 5.0))
-        .filter($"bucket" >= 1)
-        .groupBy($"l_suppkey", $"bucket")
-        .agg(count(lit(1)).as("n"))
-        .withColumn("lnx", log(($"bucket" + 0.5) * 5.0))
-        .withColumn("lny", log($"n".cast("double")))
+      val hist = psdHist(s, d)
       val agged = hist.groupBy($"l_suppkey").agg(
         sum($"n").as("total_count"),
-        count(lit(1)).as("fit_n"),
-        dsum($"lnx", D12).as("sx"), dsum($"lny", D12).as("sy"),
-        dsum($"lnx" * $"lnx", D12).as("sxx"),
-        dsum($"lnx" * $"lny", D12).as("sxy"),
-        dsum($"lny" * $"lny", D12).as("syy"))
+        psdMomentCols: _*)
       val (slope, intercept, r2) = PsdFit.solveCols(
         $"fit_n".cast("double"), $"sx", $"sy", $"sxx", $"sxy", $"syy")
       agged
@@ -100,25 +141,8 @@ object Domain {
         .withColumn("flag", PsdFit.flag($"slope", $"r2", $"total_count"))
         .orderBy($"sample")
     },
-    Some("""
-      WITH hist AS (
-        SELECT l_suppkey, FLOOR(l_quantity / 5.0) AS bucket, COUNT(*) AS n
-        FROM lineitem
-        GROUP BY 1, 2
-        HAVING FLOOR(l_quantity / 5.0) >= 1),
-      lg AS (
-        SELECT l_suppkey, n,
-          LN((bucket + 0.5) * 5.0) AS lnx, LN(CAST(n AS DOUBLE)) AS lny
-        FROM hist),
-      m AS (
-        SELECT l_suppkey AS sample, CAST(SUM(n) AS BIGINT) AS total_count,
-          CAST(COUNT(*) AS DOUBLE) AS k, COUNT(*) AS n_bins,
-          CAST(SUM(CAST(lnx AS DECIMAL(28,12))) AS DOUBLE) AS sx,
-          CAST(SUM(CAST(lny AS DECIMAL(28,12))) AS DOUBLE) AS sy,
-          CAST(SUM(CAST(lnx * lnx AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
-          CAST(SUM(CAST(lnx * lny AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
-          CAST(SUM(CAST(lny * lny AS DECIMAL(28,12))) AS DOUBLE) AS syy
-        FROM lg GROUP BY 1)
+    Some(s"""
+      WITH ${psdMomentsSql(withPeak = false)}
       SELECT sample, total_count, n_bins,
         ROUND(CASE WHEN k >= 2 AND k * sxx - sx * sx <> 0.0
           THEN (k * sxy - sx * sy) / (k * sxx - sx * sx) END, 6) AS slope,
@@ -274,9 +298,9 @@ object Domain {
           LEFT JOIN fagg f USING (sample)) b)
       SELECT r.sample AS "SMPNO", d.lat AS "LATIT", d.lon AS "LONGI",
         r.class_name AS "LATNM", r.counts AS "COUNTNR",
-        r.counts / d.ml_analyzed * 1000.0 AS "ABUND",
+        r.counts / NULLIF(d.ml_analyzed, 0.0) * 1000.0 AS "ABUND",
         r.biovolume_um3 / 1e9 AS "BIOVOL",
-        r.carbon_pg / 1e6 / d.ml_analyzed * 1000.0 AS "C_CONC"
+        r.carbon_pg / 1e6 / NULLIF(d.ml_analyzed, 0.0) * 1000.0 AS "C_CONC"
       FROM rolled r
       LEFT JOIN dim d USING (sample)
       LEFT JOIN fagg f USING (sample)
@@ -305,22 +329,11 @@ object Domain {
         rSqr = 0.5, beads = 90.0, bubbles = 40.0,
         incompleteCount = 500L, incompleteVolumeMl = 3.0,
         missingCells = 0.5, biomass = 150.0, bloom = 10.0, humidity = 75.0)
-      val hist = lineitem(s, d)
-        .withColumn("bucket", floor($"l_quantity" / 5.0))
-        .filter($"bucket" >= 1)
-        .groupBy($"l_suppkey", $"bucket")
-        .agg(count(lit(1)).as("n"))
-        .withColumn("lnx", log(($"bucket" + 0.5) * 5.0))
-        .withColumn("lny", log($"n".cast("double")))
+      val hist = psdHist(s, d)
       val enc = $"n" * 1000000L + (lit(999999L) - $"bucket")
       val agged = hist.groupBy($"l_suppkey").agg(
         sum($"n").as("total_count"),
-        max(enc).as("pk"),
-        count(lit(1)).as("fit_n"),
-        dsum($"lnx", D12).as("sx"), dsum($"lny", D12).as("sy"),
-        dsum($"lnx" * $"lnx", D12).as("sxx"),
-        dsum($"lnx" * $"lny", D12).as("sxy"),
-        dsum($"lny" * $"lny", D12).as("syy"))
+        max(enc).as("pk") +: psdMomentCols: _*)
         .withColumn("peak_n", floor($"pk" / 1000000L))
         .withColumn("peak_esd",
           ((lit(999999L) - pmod($"pk", lit(1000000L))).cast("double") + 0.5) * 5.0)
@@ -347,27 +360,8 @@ object Domain {
             $"trigger_count", $"ml_analyzed", $"humidity").as("flag"))
         .orderBy($"sample")
     },
-    Some("""
-      WITH hist AS (
-        SELECT l_suppkey, CAST(FLOOR(l_quantity / 5.0) AS BIGINT) AS bucket,
-          COUNT(*) AS n
-        FROM lineitem
-        GROUP BY 1, 2
-        HAVING CAST(FLOOR(l_quantity / 5.0) AS BIGINT) >= 1),
-      lg AS (
-        SELECT l_suppkey, bucket, n,
-          LN((bucket + 0.5) * 5.0) AS lnx, LN(CAST(n AS DOUBLE)) AS lny
-        FROM hist),
-      m AS (
-        SELECT l_suppkey AS sample, CAST(SUM(n) AS BIGINT) AS total_count,
-          MAX(n * 1000000 + (999999 - bucket)) AS pk,
-          CAST(COUNT(*) AS DOUBLE) AS k, COUNT(*) AS n_bins,
-          CAST(SUM(CAST(lnx AS DECIMAL(28,12))) AS DOUBLE) AS sx,
-          CAST(SUM(CAST(lny AS DECIMAL(28,12))) AS DOUBLE) AS sy,
-          CAST(SUM(CAST(lnx * lnx AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
-          CAST(SUM(CAST(lnx * lny AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
-          CAST(SUM(CAST(lny * lny AS DECIMAL(28,12))) AS DOUBLE) AS syy
-        FROM lg GROUP BY 1),
+    Some(s"""
+      WITH ${psdMomentsSql(withPeak = true)},
       j AS (
         SELECT m.*,
           CAST(pk // 1000000 AS BIGINT) AS peak_n,

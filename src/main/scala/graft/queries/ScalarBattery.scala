@@ -155,8 +155,13 @@ object ScalarBattery {
           when($"gap_us".isNull || $"gap_us" > 600000000L, lit(null)).otherwise($"value"))
         // P7: value kept only when its paired QC flag == 1
         .withColumn("qc_v", when($"event_id" % 2 === 1, $"value"))
-        // P8: sentinel floor(value)==0 → null
-        .withColumn("nz_v", nullif(floor($"value"), lit(0.0)))
+        // P8: sentinel floor(value)==0 → null. NaN routes to the
+        // sentinel BEFORE floor on both engines (round-13 review, the
+        // clamp-before-floor class): Spark's floor(double) converts
+        // NaN→0 internally while DuckDB's FLOOR keeps NaN, so an
+        // unguarded NaN value counted on DuckDB only
+        .withColumn("nz_v", nullif(floor(
+          when(isnan($"value"), lit(0.0)).otherwise($"value")), lit(0.0)))
         .groupBy($"user_id")
         .agg(
           count($"fresh_v").as("n_fresh"),
@@ -168,7 +173,7 @@ object ScalarBattery {
       SELECT user_id,
         COUNT(CASE WHEN gap_us IS NULL OR gap_us > 600000000 THEN NULL ELSE value END) AS n_fresh,
         CAST(SUM(CAST(CASE WHEN event_id % 2 = 1 THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS sum_qc,
-        COUNT(NULLIF(FLOOR(value), 0.0)) AS n_nonzero
+        COUNT(NULLIF(FLOOR(CASE WHEN isnan(value) THEN 0.0 ELSE value END), 0.0)) AS n_nonzero
       FROM (
         SELECT *, epoch_us(ts) - epoch_us(LAG(ts) OVER
           (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us

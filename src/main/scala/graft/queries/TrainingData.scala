@@ -53,6 +53,24 @@ object TrainingData {
   private def jaccardSql(a: String, b: String) =
     s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / (len($a) + len($b) - len(list_intersect($a, $b)))"
 
+  /** Banded-MinHash candidate CTEs (`banded` + `cand`), shared by q42's
+    * oracle and [[lshLabelChainSql]] (round-13 review): two verbatim
+    * copies of the band-key packing — which must also track
+    * [[Dedup.minhashLshPairs]] — could drift independently.
+    */
+  private def minhashBandCandSql: String = {
+    val bands = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, ${Hashing.minhashSql("th", 2 * b)} * ${Hashing.MinP} + " +
+        s"${Hashing.minhashSql("th", 2 * b + 1)} AS key FROM base"
+    }.mkString("\n        UNION ALL ")
+    s"""banded AS (
+        $bands),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)"""
+  }
+
   /** MinHash+LSH near-dup detection (Broder sketch; scales as
     * O(n·bands) instead of O(n²)) — [[Dedup.minhashLshPairs]].
     */
@@ -65,18 +83,9 @@ object TrainingData {
         .orderBy($"id_a", $"id_b")
     },
     Some {
-      val bands = (0 until 4).map { b =>
-        s"SELECT doc_id, $b AS band, ${Hashing.minhashSql("th", 2 * b)} * ${Hashing.MinP} + " +
-          s"${Hashing.minhashSql("th", 2 * b + 1)} AS key FROM base"
-      }.mkString("\n        UNION ALL ")
       s"""
       WITH ${shingleBaseSql()},
-      banded AS (
-        $bands),
-      cand AS (
-        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        FROM banded x JOIN banded y
-          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+      $minhashBandCandSql
       SELECT id_a, id_b, ROUND(${jaccardSql("xa.sh", "xb.sh")}, 4) AS jaccard
       FROM cand
       JOIN base xa ON id_a = xa.doc_id
@@ -149,24 +158,14 @@ object TrainingData {
   private def scaledK(n: Long): Int = math.max(8L, (n + 249) / 250).toInt
 
   /** One sampled-trainer run per (session, dir), shared by q45 and q91
-    * and by each query's plan lambda + oracleDyn (the q100 memoization
-    * discipline: training is deterministic, so this is observationally
-    * pure; a size-1 slot so stopped sessions aren't pinned).
+    * and by each query's plan lambda + oracleDyn
+    * ([[GraftQuery.SessionMemo]]).
     */
-  private val dedupCentsCache = new java.util.concurrent.atomic.AtomicReference[
-    ((SparkSession, String), Array[Array[Double]])]()
-  private def dedupCents(s: SparkSession, d: String): Array[Array[Double]] = {
-    val key = (s, d)
-    val cur = dedupCentsCache.get()
-    if (cur != null && cur._1 == key) cur._2
-    else {
-      val e = embeddings(s, d)
-      val trained = Similarity.trainKmeansCentroids(
-        e, "embedding", scaledK(e.count()), idCol = Some("vec_id"))
-      dedupCentsCache.set((key, trained))
-      trained
-    }
-  }
+  private val dedupCents = new GraftQuery.SessionMemo[Array[Array[Double]]]({ (s, d) =>
+    val e = embeddings(s, d)
+    Similarity.trainKmeansCentroids(
+      e, "embedding", scaledK(e.count()), idCol = Some("vec_id"))
+  })
 
   /** Embedding-cosine near-dup within (label × trained-cell) blocks —
     * [[Dedup.embeddingNearDupPairs]] with the candidate space bounded
@@ -355,15 +354,20 @@ object TrainingData {
           dsum($"l_quantity").as("sx"),
           dsum($"l_quantity" * $"l_quantity", D4).as("sxx"))
         .withColumn("mean", round($"sx" / $"n", 6))
-        .withColumn("sd", round(
-          sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 6))
+        // n > 1 gate on BOTH engines (round-13 review): Spark 4 ANSI
+        // throws DIVIDE_BY_ZERO for DOUBLE division too (pinned in
+        // OracleMirrorSpec), so a single-row group's (n-1)=0 divisor
+        // would abort the whole run while DuckDB answered NaN
+        .withColumn("sd", when($"n" > 1, round(
+          sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 6)))
         .select($"l_returnflag", $"p25", $"p50", $"p90", $"n", $"mean", $"sd")
         .orderBy($"l_returnflag")
     },
     Some("""
       SELECT l_returnflag, p25, p50, p90, n,
         ROUND(sx / n, 6) AS mean,
-        ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS sd
+        CASE WHEN n > 1
+          THEN ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) END AS sd
       FROM (
         SELECT l_returnflag,
           ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
@@ -392,17 +396,8 @@ object TrainingData {
     * CorpusPrep ledger (src = its exact-dedup CTE).
     */
   private def lshLabelChainSql(src: String): String = {
-    val bands = (0 until 4).map { b =>
-      s"SELECT doc_id, $b AS band, ${Hashing.minhashSql("th", 2 * b)} * ${Hashing.MinP} + " +
-        s"${Hashing.minhashSql("th", 2 * b + 1)} AS key FROM base"
-    }.mkString("\n        UNION ALL ")
     s"""${shingleBaseSql(src)},
-      banded AS (
-        $bands),
-      cand AS (
-        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        FROM banded x JOIN banded y
-          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+      $minhashBandCandSql,
       pairs AS (
         SELECT id_a, id_b
         FROM cand JOIN base xa ON id_a = xa.doc_id JOIN base xb ON id_b = xb.doc_id
@@ -1006,30 +1001,16 @@ object TrainingData {
     val NPROBE = 2
     val ITERS = 4
     // One training per (session, dir), shared by the plan lambda and
-    // oracleDyn — without the cache every Verify pass trains the full
+    // oracleDyn — without the memo every Verify pass trains the full
     // corpus TWICE (2 × (ITERS+1) scans + shuffles just for identical
-    // centroids; round-12 review, the chirp-memoization precedent).
-    // Training is deterministic so memoization is observationally pure;
-    // keyed on the session so a new session (new data visibility) never
-    // reuses stale centroids. A size-1 last-result slot, not a map: an
-    // unbounded (SparkSession, dir)-keyed map would pin every stopped
-    // session's object graph for the JVM's life in a bench/test loop
-    // (round-12 review). idCol=vec_id keeps the seed pool's
-    // distinct-vector diversity under value-duplicated corpora (the
-    // replicated sf1 fixtures) — the same fix q89/q91 got this round.
-    val centsCache = new java.util.concurrent.atomic.AtomicReference[
-      ((SparkSession, String), Array[Array[Double]])]()
-    def cents(s: SparkSession, d: String): Array[Array[Double]] = {
-      val key = (s, d)
-      val cur = centsCache.get()
-      if (cur != null && cur._1 == key) cur._2
-      else {
-        val trained = Similarity.trainKmeansCentroidsFull(
-          embeddings(s, d), "embedding", K, ITERS, idCol = Some("vec_id"))
-        centsCache.set((key, trained))
-        trained
-      }
-    }
+    // centroids; round-12 review, the chirp-memoization precedent;
+    // lifecycle rationale at [[GraftQuery.SessionMemo]]). idCol=vec_id
+    // keeps the seed pool's distinct-vector diversity under
+    // value-duplicated corpora (the replicated sf1 fixtures).
+    val cents = new GraftQuery.SessionMemo[Array[Array[Double]]]({ (s, d) =>
+      Similarity.trainKmeansCentroidsFull(
+        embeddings(s, d), "embedding", K, ITERS, idCol = Some("vec_id"))
+    })
     // the full trainer can return FEWER than K centroids (its documented
     // contract: Lloyd drops empty cells); probeCells requires
     // nProbe <= centroids.length, so clamp — both the plan and the

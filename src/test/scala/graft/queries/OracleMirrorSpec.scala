@@ -23,6 +23,19 @@ class OracleMirrorSpec extends SparkSpec {
     assert(thrown.getMessage.contains("CAST_INVALID_INPUT"))
   }
 
+  test("DOUBLE division by zero THROWS under ANSI — every zero-able divisor needs a guard") {
+    // pinned empirically (round-13): Spark 4 ANSI raises DIVIDE_BY_ZERO
+    // for DOUBLE division too (not just integral/decimal), while DuckDB
+    // keeps IEEE Inf/NaN — so an unguarded zero-able divisor is a CRASH
+    // on Spark and an answer on DuckDB (the q51 single-row-group sd).
+    // Every division in a query path must gate its divisor (when/CASE,
+    // GREATEST, or NULLIF) identically on both engines.
+    val thrown = intercept[Exception] {
+      Seq((1.0, 0.0)).toDF("a", "b").select(($"a" / $"b").as("div")).collect()
+    }
+    assert(thrown.getMessage.contains("DIVIDE_BY_ZERO"), thrown.getMessage)
+  }
+
   test("from_json(LongType) nulls non-integer and quoted k — the q34 mirror contract") {
     // DuckDB's ->> would stringify 1.5 / "123" and TRY_CAST would yield
     // 2 / 123; the oracle's json_type IN (BIGINT, UBIGINT) gate exists
