@@ -128,11 +128,21 @@ object HabAlert {
     * block when any sample reached bloom level. Collects only the
     * bounded summary frames.
     */
+  /** Dashboard bin link, HTML-escaped (round-13 review: class names
+    * and ids interpolated into alert mail unescaped — a real taxa name
+    * like "Chaetoceros <10 µm" reads as an unclosed tag and swallows
+    * the rest of the row; [[graft.sources.Svg.escape]] is the shared
+    * escaper Reports/Charts/Maps already use).
+    */
+  private def esc(v: Any): String =
+    graft.sources.Svg.escape(if (v == null) "" else v.toString)
+
+  private def binLink(cfg: Config, sample: String): String =
+    s"""<a href="${cfg.dashboardBase}/timeline?dataset=${cfg.dataset}&amp;bin=${esc(sample)}">${esc(sample)}</a>"""
+
   def emailHtml(
       maxCountRows: DataFrame, biomass: DataFrame, dateString: String,
       cfg: Config = Config()): String = {
-    def link(sample: String) =
-      s"""<a href="${cfg.dashboardBase}/timeline?dataset=${cfg.dataset}&bin=$sample">$sample</a>"""
 
     val blooms = biomass.filter(col("bloom_category") =!= "No bloom")
       .orderBy(col("total_carbon").desc).collect()
@@ -145,8 +155,8 @@ object HabAlert {
           .setScale(1, BigDecimal.RoundingMode.HALF_UP)
         s"""<p style="background-color:#ffcccc;font-weight:bold;padding:8px;">""" +
           s"${blooms.length} sample(s) reached bloom level. " +
-          s"Highest particle carbon: $carbon &micro;g C/L ($cat) in sample " +
-          link(top.getAs[String]("sample")) + ".</p>"
+          s"Highest particle carbon: $carbon &micro;g C/L (${esc(cat)}) in sample " +
+          binLink(cfg, top.getAs[String]("sample")) + ".</p>"
       }
 
     val rows = maxCountRows.withColumn("alert", alertCol).collect().map { r =>
@@ -156,12 +166,12 @@ object HabAlert {
         else ""
       val warn = Option(r.getAs[Any]("warning_level")).map(_.toString).getOrElse("")
       s"<tr$style>" +
-        s"<td>${r.getAs[Any]("aphia_id")}</td>" +
-        s"<td>${r.getAs[String]("class_clean")}</td>" +
-        s"<td>${link(r.getAs[String]("sample"))}</td>" +
+        s"<td>${esc(r.getAs[Any]("aphia_id"))}</td>" +
+        s"<td>${esc(r.getAs[String]("class_clean"))}</td>" +
+        s"<td>${binLink(cfg, r.getAs[String]("sample"))}</td>" +
         s"<td>${r.getAs[Any]("counts")}</td>" +
         s"<td>${r.getAs[Any]("counts_per_liter")}</td>" +
-        s"<td>$warn</td></tr>"
+        s"<td>${esc(warn)}</td></tr>"
     }.mkString("\n")
 
     s"""<html><body><p>Hej,</p>$bloomNotice
@@ -195,8 +205,6 @@ object HabAlert {
     */
   def bawsHtml(
       cyano: DataFrame, dateString: String, cfg: Config = Config()): String = {
-    def link(sample: String) =
-      s"""<a href="${cfg.dashboardBase}/timeline?dataset=${cfg.dataset}&bin=$sample">$sample</a>"""
     val rows = cyano
       .withColumn("alert", alertCol)
       .withColumn("is_priority", col("class_clean").isin(PrioritySpecies: _*))
@@ -210,9 +218,9 @@ object HabAlert {
             """ style="background-color:#d4edda;color:#155724;font-weight:bold;""""
           else ""
         s"<tr$style>" +
-          s"<td>${r.getAs[Any]("aphia_id")}</td>" +
-          s"<td>${r.getAs[String]("class_clean")}</td>" +
-          s"<td>${link(r.getAs[String]("sample"))}</td>" +
+          s"<td>${esc(r.getAs[Any]("aphia_id"))}</td>" +
+          s"<td>${esc(r.getAs[String]("class_clean"))}</td>" +
+          s"<td>${binLink(cfg, r.getAs[String]("sample"))}</td>" +
           s"<td>${r.getAs[Any]("counts")}</td>" +
           s"<td>${r.getAs[Any]("counts_per_liter")}</td></tr>"
       }.mkString("\n")
@@ -256,13 +264,22 @@ object HabAlert {
     // result frames are day-sized. Caller releases via Result.release.
     val biovol = biovolumes(roi, sampleDim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // failure-path hygiene (round-13 review): if a probe or render
+    // throws after the result frames persisted, Result is never built
+    // and Result.release can never run — without this ledger each
+    // failed daily attempt (e.g. replayed through foreachBatch) pins
+    // another set of cached frames for the driver's life
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var ok = false
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += p
+      p
+    }
     try {
-      val mc = maxCounts(biovol, classDim, habDim)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = biomassBands(biovol, cfg)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cy = cyanoCounts(biovol, classDim, habDim)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mc = pin(maxCounts(biovol, classDim, habDim))
+      val bands = pin(biomassBands(biovol, cfg))
+      val cy = pin(cyanoCounts(biovol, classDim, habDim))
       val warning = !mc.filter(alertCol).isEmpty
       val subject =
         if (warning) s"IFCB HAB ALERT - $dateString"
@@ -271,13 +288,19 @@ object HabAlert {
       val bawsSubject =
         if (cyWarning) s"IFCB BAWS ALERT - $dateString"
         else s"IFCB BAWS Summary - $dateString"
-      Result(mc, bands, cy, warning, subject, emailHtml(mc, bands, dateString, cfg),
+      val result = Result(mc, bands, cy, warning, subject,
+        emailHtml(mc, bands, dateString, cfg),
         cyWarning, bawsSubject, bawsHtml(cy, dateString, cfg),
         bawsInSeason(dateString))
+      ok = true
+      result
     } finally {
       // the result frames are materialized by the probes/renders above;
-      // the upstream rollup is no longer needed
+      // the upstream rollup is no longer needed. On FAILURE the result
+      // frames unpersist too — on success they stay pinned for the
+      // caller, released via Result.release
       biovol.unpersist()
+      if (!ok) persisted.foreach(_.unpersist())
     }
   }
 

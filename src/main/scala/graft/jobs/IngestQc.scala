@@ -216,9 +216,14 @@ object IngestQc {
     // filter); a general regex pattern (e.g. an instrument-wide rule or
     // a day-level ^D\d{8}$ pattern, which this positive match already
     // excludes) must not be emitted verbatim as a junk pid row
+    // the bin-id shape filter applies to BOTH branches (round-13
+    // review): an oversize file with no IFCB id in its name
+    // dead-letters with sample="" and would otherwise write a junk
+    // qc_bad pid="" row into the metadata every run — the id-less
+    // class the round-12 no_sample_id gate covers on the clean side
     val skipIds = blacklist.select(col("sample").as("pid"))
-      .filter(col("pid").rlike("^D\\d{8}T\\d{6}"))
       .unionByName(deadSamples.select(col("sample").as("pid")))
+      .filter(col("pid").rlike("^D\\d{8}T\\d{6}"))
       .distinct()
       .join(base.select("pid"), Seq("pid"), "left_anti")
       .withColumn("latitude", lit(null).cast("double"))
@@ -279,8 +284,12 @@ object IngestQc {
             featuresStateSchema)
         spark.read.format("binaryFile").load(paths: _*)
       } else
-        spark.read.format("binaryFile")
-          .option("pathGlobFilter", "*.roi").load(cfg.rawDir)
+        // no raw-directory glob fallback (round-13 review): a glob
+        // bypasses binIndex's size gate, reading dead-lettered
+        // oversize/blacklisted payloads (and crashing outright past
+        // binaryFile's 2 GB limit) — callers must pass gated paths
+        throw new IllegalArgumentException(
+          "extractFeatures requires a 'path' column (size-gated by binIndex)")
     val images = RoiSource.images(adc, roiFiles)
       .select($"sample", $"roi_number", $"width", $"height", $"pixels")
       .as[(String, Int, Int, Int, Array[Byte])]
@@ -487,7 +496,12 @@ object IngestQc {
     // binary scan loads ONLY new files (round-12 review — the glob
     // scan read the whole archive's payloads every scheduled run); the
     // first run processes everything anyway, where the glob is exact.
-    val binsToProcess = existingFeatures.fold(candidates)(e =>
+    // BOTH branches attach the size-gated .roi paths (round-13 review):
+    // the first-run glob fallback re-read every .roi in rawDir,
+    // including the dead-lettered oversize bins the 0.5 GB gate exists
+    // to skip — a >2 GB bin even crashes the binaryFile scan outright
+    val binsToProcess = existingFeatures.fold(
+      candidates.join(clean.select(col("sample"), col("path")), Seq("sample")))(e =>
       FileIndex.newFiles(candidates, e.select("sample"))
         .join(clean.select(col("sample"), col("path")), Seq("sample")))
     val feats = extractFeatures(spark, cfg, binsToProcess)
@@ -621,6 +635,14 @@ object IngestQc {
     org.apache.spark.sql.types.StructType.fromDDL(
       "sample STRING, slope DOUBLE, intercept DOUBLE, r2 DOUBLE, n_bins BIGINT")
 
+  private[jobs] val psdDataStateSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "sample STRING, esd_um DOUBLE, n BIGINT")
+
+  private[jobs] val psdFlagsStateSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "sample STRING, flag STRING")
+
   def runIncremental(
       spark: SparkSession,
       cfg: Config,
@@ -654,6 +676,12 @@ object IngestQc {
     }
     val exFeatures = existing(s"$outDir/features", featuresStateSchema)
     val exPsdFits = existing(s"$outDir/psd_fits", psdFitsStateSchema)
+    // psd_data/psd_flags too (round-13 review): the round-12 pass-through
+    // covered only features/psd_fits, so these two appends still paid a
+    // second lenient full-state scan per run AND their anti-join keys
+    // bypassed the drifted-state fail-loudly contract above
+    val exPsdData = existing(s"$outDir/psd_data", psdDataStateSchema)
+    val exPsdFlags = existing(s"$outDir/psd_flags", psdFlagsStateSchema)
     val frames = run(spark, cfg, blacklist, cruises, ferrybox, balticBasin,
       existingFeatures = exFeatures,
       existingPsdSamples = exPsdFits,
@@ -662,7 +690,9 @@ object IngestQc {
     // same state leniently for its append keys (round-12 review)
     write(frames, outDir,
       preRead = (exFeatures.map("features" -> _) ++
-        exPsdFits.map("psd_fits" -> _)).toMap)
+        exPsdFits.map("psd_fits" -> _) ++
+        exPsdData.map("psd_data" -> _) ++
+        exPsdFlags.map("psd_flags" -> _)).toMap)
     frames
   }
 }

@@ -23,8 +23,13 @@ import graft.sources.Sinks
   */
 object RunAll {
 
-  /** One params_list entry (`run_all.R:6-19`; threshold/f1 held at the
-    * reference's constants unless overridden).
+  /** One params_list entry (`run_all.R:6-19`).
+    *
+    * `f1Threshold` is carried for params_list shape parity and is
+    * DELIBERATELY unused — the reference declares the parameter the
+    * same way (`ifcb-data-pipeline.Rmd:11`: "not currently used"), so
+    * overriding it changes nothing there either; it is not silently
+    * dropped functionality (round-13 review).
     */
   final case class RunParams(
       classifier: String,

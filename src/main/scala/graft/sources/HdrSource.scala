@@ -45,7 +45,20 @@ object HdrSource {
       stringKeys: Seq[String],
       numericKeys: Seq[String]): DataFrame = {
     require(paths.nonEmpty, "HdrSource.read: empty path list")
-    val lines = spark.read.text(paths: _*)
+    // a glob matching ZERO files throws PATH_NOT_FOUND eagerly on the
+    // driver — but an .hdr-less archive is a designed degraded state
+    // (per-bin missing headers already coalesce to -999 positions
+    // downstream), so all-missing must yield an EMPTY header frame,
+    // not kill the scheduled run (round-13 review)
+    val lines0 =
+      try spark.read.text(paths: _*)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" =>
+          import spark.implicits._
+          spark.emptyDataset[String].toDF("value")
+      }
+    val lines = lines0
       // line order within a file: ids rise with partition index then row
       // position, and a file's splits are offset-ordered
       .withColumn("__ord", monotonically_increasing_id())

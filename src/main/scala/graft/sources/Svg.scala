@@ -4,7 +4,7 @@ package graft.sources
   * [[Charts]], [[Reports]]) — one copy of the coordinate format and the
   * markup escape so the escaping rules cannot drift between renders.
   */
-private[sources] object Svg {
+private[graft] object Svg {
 
   /** 2-decimal fixed-point coordinates: enough for pixel geometry, and
     * short enough to keep goldens readable. Locale.ROOT is load-bearing:

@@ -114,10 +114,18 @@ object Streams {
     *
     * PNG-only by contract (round-12; the scaladoc previously still
     * promised raw ROI payloads): the `*.png` glob admits only container
-    * images, the corrupt-payload gate throws on anything else, and the
-    * file NAME must carry the roi id as trailing digits
+    * images and the file NAME must carry the roi id as trailing digits
     * (`...<digits>.png`). Raw ROI streams go through
     * [[graft.sources.RoiSource]] + the batch kernel instead.
+    *
+    * DEAD-LETTER CONTRACT (round-13 review): a corrupt payload or
+    * unparseable name must NOT throw inside the stream's map — the
+    * checkpointed source would replay the same batch forever, turning
+    * one bad file into a permanent pipeline wedge (the batch path
+    * dead-letters and keeps running; streams get the same altitude).
+    * Bad files surface as rows with `error` set and null feature
+    * columns; route them with `filter($"error".isNotNull)` to a
+    * quarantine sink.
     *
     * @param path directory watched via the binaryFile stream source
     */
@@ -135,29 +143,36 @@ object Streams {
       .load(path)
       .select(col("path"), col("content"))
     files.as[(String, Array[Byte])].map { case (p, bytes) =>
-      // the *.png glob makes non-container bytes definitionally corrupt:
-      // without this gate, decodeImage's raw-payload fallback (caller
-      // dims 0×0) emitted a plausible-looking all-degenerate feature row
-      // for a truncated file, silently (round-12 review)
-      require(graft.multimodal.Media.isContainerImage(bytes),
-        s"corrupt image payload at $p: no decodable container magic")
-      val (px, w, h) = graft.multimodal.Media.decodeImage(bytes, 0, 0)
-      // fail loudly like the payload gate above (round-12 review): the
-      // old getOrElse(0L) stamped roi_id 0 on every digitless name —
-      // colliding rows silently corrupted per-ROI joins — and a
-      // >18-digit name killed the query with a raw NumberFormatException
-      // the lookbehind keeps a 19+-digit run from silently matching as
-      // its own last 18 digits — an over-long id must reject, not alias
-      val roiId = "(?<!\\d)(\\d{1,18})\\.png$".r.findFirstMatchIn(p)
-        .map(_.group(1).toLong)
-        .getOrElse(throw new IllegalArgumentException(
-          s"cannot extract a roi id from '$p': the stream contract " +
-            "requires names ending in 1-18 digits before .png"))
-      val row = graft.features.Features.computeFromRoi(roiId,
-        graft.features.Segmentation.Gray(h, w, px))
-      (p, row)
-    }.toDF("path", "features")
-      .select(col("path"), col("features.*"))
+      val attempt = scala.util.Try {
+        // the *.png glob makes non-container bytes definitionally
+        // corrupt: without this gate, decodeImage's raw-payload
+        // fallback (caller dims 0×0) emitted a plausible-looking
+        // all-degenerate feature row for a truncated file, silently
+        // (round-12 review)
+        require(graft.multimodal.Media.isContainerImage(bytes),
+          s"corrupt image payload at $p: no decodable container magic")
+        val (px, w, h) = graft.multimodal.Media.decodeImage(bytes, 0, 0)
+        // no silent roi_id 0 (round-12 review): the old getOrElse(0L)
+        // collided every digitless name on roi_id 0, corrupting
+        // per-ROI joins; the lookbehind keeps a 19+-digit run from
+        // silently matching as its own last 18 digits
+        val roiId = "(?<!\\d)(\\d{1,18})\\.png$".r.findFirstMatchIn(p)
+          .map(_.group(1).toLong)
+          .getOrElse(throw new IllegalArgumentException(
+            s"cannot extract a roi id from '$p': the stream contract " +
+              "requires names ending in 1-18 digits before .png"))
+        graft.features.Features.computeFromRoi(roiId,
+          graft.features.Segmentation.Gray(h, w, px))
+      }
+      attempt match {
+        case scala.util.Success(row) => (p, null: String, Some(row))
+        case scala.util.Failure(scala.util.control.NonFatal(e)) =>
+          (p, s"${e.getClass.getSimpleName}: ${e.getMessage}",
+            None: Option[graft.features.Features.FeatureRow])
+        case scala.util.Failure(e) => throw e
+      }
+    }.toDF("path", "error", "features")
+      .select(col("path"), col("error"), col("features.*"))
   }
 
   /** Streaming exact dedup, first-seen-wins — the continuously-ingesting

@@ -63,7 +63,7 @@ class HabAlertSpec extends SparkSpec {
     assert(!result.warningDetected)
     assert(result.subject == "IFCB HAB Summary - 2024-06-01")
     assert(result.html.contains("Alexandrium"))
-    assert(result.html.contains("timeline?dataset=RV_Svea&bin=S2"))
+    assert(result.html.contains("timeline?dataset=RV_Svea&amp;bin=S2"))
     assert(!result.html.contains("background-color:#ffcccc;font-weight:bold;\"><td>"))
 
     // raise concentration: 3 rois in S2 -> 1500/L > 1000 -> ALERT

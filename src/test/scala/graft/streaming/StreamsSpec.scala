@@ -413,26 +413,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("featureStream rejects a digitless PNG name loudly, never as roi_id 0") {
-    // round-12 review: getOrElse(0L) silently collided every digitless
-    // name on roi_id 0, corrupting per-ROI joins downstream
+  test("featureStream dead-letters a digitless PNG and keeps processing (round-13)") {
+    // round-12 made digitless names THROW (never roi_id 0); round-13
+    // review moved the failure to the right altitude: a throw inside
+    // the stream's map is a poison pill — the checkpointed source
+    // replays the failing batch forever, so ONE bad file wedged the
+    // whole pipeline. Bad files now surface as error rows (features
+    // null) and the stream keeps going, like the batch dead-letter path.
     val dir = java.nio.file.Files.createTempDirectory("feat-bad")
     val ckpt = java.nio.file.Files.createTempDirectory("feat-bad-ckpt")
     val (raw, h, w) = graft.queries.FeatureExtract.renderRoi(7L)
     val png = graft.multimodal.Media.encodePng(raw.map(_ & 0xff), w, h)
     java.nio.file.Files.write(dir.resolve("thumbnail.png"), png)
+    java.nio.file.Files.write(dir.resolve("garbage_11.png"),
+      Array[Byte](1, 2, 3, 4)) // corrupt payload: dead-letters too
     val q = Streams.featureStream(spark, dir.toString)
       .writeStream.format("memory").queryName("feats_bad")
       .option("checkpointLocation", ckpt.toString)
       .outputMode(OutputMode.Append).start()
     try {
-      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        q.processAllAvailable()
-        q.awaitTermination(30000)
-      }
-      def msgs(t: Throwable): Seq[String] =
-        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-      assert(msgs(e).exists(_.contains("cannot extract a roi id")), e.getMessage)
+      q.processAllAvailable()
+      val bad = spark.table("feats_bad")
+        .filter($"error".isNotNull)
+        .select("path", "error").as[(String, String)].collect()
+      assert(bad.length == 2, bad.mkString(","))
+      assert(bad.exists { case (p, e) =>
+        p.endsWith("thumbnail.png") && e.contains("cannot extract a roi id") })
+      assert(bad.exists { case (p, e) =>
+        p.endsWith("garbage_11.png") && e.contains("corrupt image payload") })
+      // the stream is NOT wedged: a good file arriving later processes
+      val (raw2, h2, w2) = graft.queries.FeatureExtract.renderRoi(42L)
+      java.nio.file.Files.write(dir.resolve("roi_42.png"),
+        graft.multimodal.Media.encodePng(raw2.map(_ & 0xff), w2, h2))
+      q.processAllAvailable()
+      val good = spark.table("feats_bad").filter($"error".isNull)
+      assert(good.count() == 1)
+      assert(good.select("roi_id").as[Long].head() == 42L)
     } finally q.stop()
   }
 
