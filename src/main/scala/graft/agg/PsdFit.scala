@@ -216,7 +216,11 @@ object PsdFit {
         totalCount / mlAnalyzed) < p.biomass), "Low Biomass")
       .when(fires(peakEsdUm - startFitUm > p.bloom), "Bloom")
       .when(fires(humidityPct > p.humidity), "High Humidity")
-      .when(r2.isNull || r2 < p.rSqr, "Poor Fit")
+      // isnan too (round-13 review): the typed-Aggregator pathway's
+      // unfittable result is FitResult(NaN,..), not null — NaN is not
+      // null and NaN < rSqr is FALSE under NaN-greatest ordering, so
+      // an unfittable sample fell through every rule to "ok"
+      .when(r2.isNull || isnan(r2) || r2 < p.rSqr, "Poor Fit")
       .otherwise("ok")
   }
 }

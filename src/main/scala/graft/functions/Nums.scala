@@ -15,7 +15,10 @@ object Nums {
   def signifPos(x: Column, digits: Int): Column = {
     val e = length(floor(x).cast("long").cast("string")) // decimal exponent + 1
     val scale = pow(lit(10.0), (e - lit(digits)).cast("double"))
-    round((x / scale).cast("double"), 0) * scale
+    // bround, not round (round-13 review): R's signif rounds half to
+    // EVEN (IEC 60559) — signif(123450, 4) = 123400 — while Spark's
+    // round() is HALF_UP; the DuckDB mirror uses round_even to match
+    bround((x / scale).cast("double"), 0) * scale
   }
 
   /** Harmonic mean 2ab/(a+b) — the F1 shape (Rmd:909). */

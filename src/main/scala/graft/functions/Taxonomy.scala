@@ -116,12 +116,8 @@ object Taxonomy {
   /** Applies [[CleanRules]], then the combined-class first-name cut and
     * trim (count_pngs_images.R:83-88) — one codegen'd projection.
     */
-  def cleanClassName(c: Column): Column = {
-    val replaced = CleanRules.foldLeft(c) {
-      case (acc, (p, r)) => regexp_replace(acc, p, r)
-    }
-    trim(element_at(split(replaced, ","), 1))
-  }
+  def cleanClassName(c: Column): Column =
+    trim(element_at(split(Strings.regexClean(CleanRules)(c), ","), 1))
 
   /** DuckDB mirror of [[cleanClassName]] — same table, same order. */
   def cleanClassNameSql(expr: String): String = {

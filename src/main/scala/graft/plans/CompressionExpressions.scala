@@ -18,22 +18,41 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object CompressionExpr {
 
+  /** Per-(thread, level) reused Deflater + output buffer (round-13
+    * review): creating/destroying a native zlib state (~256 KB window
+    * alloc) plus a fresh 8 KB buffer PER ROW dominated the corpus-scan
+    * hot path for documents shorter than the setup itself. reset()
+    * restores identical deflate state, so values are unchanged; levels
+    * are a tiny fixed set (the q68 battery uses 1/6/9).
+    */
+  private val pool =
+    new ThreadLocal[java.util.HashMap[Int, java.util.zip.Deflater]] {
+      override def initialValue() = new java.util.HashMap()
+    }
+  private val bufPool = new ThreadLocal[Array[Byte]] {
+    override def initialValue() = new Array[Byte](8192)
+  }
+
   def deflateRatio(s: UTF8String, level: Int): Double = {
     val bytes = s.getBytes
     if (bytes.length == 0) return 1.0
-    val d = new java.util.zip.Deflater(level, /* nowrap = */ true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) {
-        val n = d.deflate(buf)
-        if (n == 0 && !d.finished() && d.needsInput()) return 1.0 // defensive
-        total += n
-      }
-      total.toDouble / bytes.length
-    } finally d.end()
+    val m = pool.get()
+    var d = m.get(level)
+    if (d == null) {
+      d = new java.util.zip.Deflater(level, /* nowrap = */ true)
+      m.put(level, d)
+    }
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = bufPool.get()
+    var total = 0L
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      if (n == 0 && !d.finished() && d.needsInput()) return 1.0 // defensive
+      total += n
+    }
+    total.toDouble / bytes.length
   }
 }
 

@@ -12,6 +12,25 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * runs inside codegen instead of interpreted HOF eval.
   */
 object VectorExpr {
+  /** True iff no element is null — the null-element gate both
+    * [[FloatArrayDot]] and [[HyperplaneBucket]] apply (round-13 review):
+    * ArrayData.getFloat reads a null element as 0.0f with no error, so
+    * an unchecked loop gave a corrupt embedding with one null component
+    * a plausible finite score on Spark while the zip_with twin and the
+    * DuckDB list arithmetic both return NULL — the exact
+    * damaged-row-ranks-into-top-k failure this expression exists to
+    * prevent.
+    */
+  def noNulls(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
   def dotFloat(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
@@ -38,13 +57,16 @@ case class FloatArrayDot(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    if (x.numElements() != y.numElements()) null
+    if (x.numElements() != y.numElements() ||
+        !VectorExpr.noNulls(x) || !VectorExpr.noNulls(y)) null
     else VectorExpr.dotFloat(x, y)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |if ($a.numElements() != $b.numElements()) {
+         |if ($a.numElements() != $b.numElements() ||
+         |    !graft.plans.VectorExpr.noNulls($a) ||
+         |    !graft.plans.VectorExpr.noNulls($b)) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = graft.plans.VectorExpr.dotFloat($a, $b);
@@ -101,10 +123,25 @@ case class HyperplaneBucket(child: Expression, planes: Int, dims: Int)
       "adjacent planes' coefficient slices would overlap and correlate")
   require(planes >= 1 && planes <= 63, s"planes $planes must fit a long's sign bits")
   override def dataType: DataType = org.apache.spark.sql.types.LongType
-  override protected def nullSafeEval(input: Any): Any =
-    HyperplaneExpr.bucket(input.asInstanceOf[ArrayData], planes, dims)
+  override def nullable: Boolean = true
+  // null-element gate like [[FloatArrayDot]] (round-13 review): an
+  // unchecked getFloat reads a null component as 0.0 and buckets the
+  // corrupt vector somewhere plausible while the oracle's list
+  // arithmetic nulls the key — NULL bucket, dropped by the join
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (!VectorExpr.noNulls(v)) null
+    else HyperplaneExpr.bucket(v, planes, dims)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.HyperplaneExpr.bucket($c, $planes, $dims)")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if (!graft.plans.VectorExpr.noNulls($c)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.plans.HyperplaneExpr.bucket($c, $planes, $dims);
+         |}
+       """.stripMargin)
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
   override def prettyName: String = "hyperplane_bucket"

@@ -204,7 +204,7 @@ object ScalarBattery {
         CASE WHEN a + b <> 0.0 THEN ROUND(2.0 * a * b / (a + b), 2) END AS f1
       FROM (
         SELECT o_orderpriority,
-          CAST(SUM(CAST(ROUND(o_totalprice / POW(10.0, LENGTH(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR)) - 4)) *
+          CAST(SUM(CAST(round_even(o_totalprice / POW(10.0, LENGTH(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR)) - 4), 0) *
             POW(10.0, LENGTH(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR)) - 4) AS DECIMAL(18,2))) AS DOUBLE) AS sum_sig4,
           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS a,
           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS b

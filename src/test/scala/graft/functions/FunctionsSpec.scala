@@ -197,8 +197,12 @@ class FunctionsSpec extends SparkSpec {
   }
 
   test("signifPos matches R signif on representative values") {
+    // incl. exact ties (round-13 review): R signif rounds half to EVEN,
+    // so signif(123450, 4) = 123400 and signif(123550, 4) = 123600 —
+    // Spark's HALF_UP round() gave 123500 for the first
     val cases = Seq(123456.789 -> 123500.0, 99999.9 -> 100000.0,
-      1234.0 -> 1234.0, 10000.0 -> 10000.0)
+      1234.0 -> 1234.0, 10000.0 -> 10000.0,
+      123450.0 -> 123400.0, 123550.0 -> 123600.0)
     cases.foreach { case (in, want) =>
       val got = Seq(in).toDF("x").select(Nums.signifPos($"x", 4)).as[Double].head()
       assert(got == want, s"signif($in, 4)")
