@@ -227,7 +227,15 @@ object ExtendedFeatures {
     for (i <- 0 until roi.h; j <- 0 until roi.w) if (mask(i, j)) {
       val v = roi(i, j) / 255.0
       val clipped = math.min(math.max(v, lo), hi)
-      out += Math.rint((clipped - lo) / (hi - lo) * 255.0)
+      // hi == lo (a near-uniform ROI: p1 == p99) must not divide by
+      // zero — 0/0 = NaN for EVERY pixel, and statxture then silently
+      // dumped the all-NaN array into one histogram bin, reporting a
+      // confident-looking uniformity of exactly 1.0 next to NaN
+      // mean/std (round-13 review). Constant texture reads as the
+      // all-zero normalized raster: defined stats (mean 0, std 0,
+      // uniformity 1, entropy 0) with no NaN.
+      out += (if (hi > lo) Math.rint((clipped - lo) / (hi - lo) * 255.0)
+              else 0.0)
     }
     out.result()
   }
@@ -357,11 +365,8 @@ object ExtendedFeatures {
     // (round-12 review): perimeter image + points, the orientation
     // moment pass, and the center+rotate ran twice per row before
     val sh = shared.filter(_.blob eq blob)
-    val perimPts = sh.map(_.perimPts).getOrElse {
-      val perimImage = Raster.perimeter(blob)
-      (for (i <- 0 until blob.h; j <- 0 until blob.w if perimImage(i, j))
-        yield (i, j)).toArray
-    }
+    val perimPts = sh.map(_.perimPts).getOrElse(
+      Raster.truePoints(Raster.perimeter(blob)))
     val area = blob.count.toDouble
     val equivD = math.sqrt(4.0 * area / math.Pi)
     val (pm, pmed, pskew, pkurt) = perimeterStats(perimPts, equivD)

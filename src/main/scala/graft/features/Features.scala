@@ -93,43 +93,51 @@ object Features {
     */
   final class BlobShared(val blob: Mask) {
     lazy val perimImage: Mask = Raster.perimeter(blob)
-    lazy val perimPts: Array[(Int, Int)] =
-      (for (i <- 0 until blob.h; j <- 0 until blob.w if perimImage(i, j))
-        yield (i, j)).toArray
+    lazy val perimPts: Array[(Int, Int)] = Raster.truePoints(perimImage)
     lazy val orientation: Double = BlobGeometry.orientation(blob)
     lazy val rotated: Mask = BlobGeometry.rotateBlob(blob, orientation)
   }
 
-  def blobFeatures(blob: Mask, shared: Option[BlobShared] = None): Blob = {
+  def blobFeatures(blob: Mask, shared: Option[BlobShared] = None,
+      singleComponent: Boolean = false): Blob = {
     val sh = shared.filter(_.blob eq blob)
-    // largest 8-connected region (MATLAB blob_geomprop parity; blobs from
-    // findBlobs are single components already)
-    val (lab, n) = Raster.label(blob, conn8 = true)
-    val counts = new Array[Int](n + 1)
-    lab.foreach(counts(_) += 1)
-    counts(0) = 0
-    var largest = 1
-    for (k <- 2 to n) if (counts(k) > counts(largest)) largest = k
-    val area = counts(largest).toDouble
-    // tight crop of the largest region for the distmap algorithm
-    var y0 = blob.h; var y1 = -1; var x0 = blob.w; var x1 = -1
-    for (i <- 0 until blob.h; j <- 0 until blob.w) if (lab(i * blob.w + j) == largest) {
-      if (i < y0) y0 = i
-      if (i > y1) y1 = i
-      if (j < x0) x0 = j
-      if (j > x1) x1 = j
-    }
-    val region = Mask.empty(y1 - y0 + 1, x1 - x0 + 1)
-    for (i <- 0 until region.h; j <- 0 until region.w)
-      region.set(i, j, lab((y0 + i) * blob.w + (x0 + j)) == largest)
+    // largest 8-connected region (MATLAB blob_geomprop parity). The
+    // kernel path's blobs come from findBlobs — single components,
+    // already tight-cropped to their bbox — so `singleComponent` skips
+    // a full re-labeling + counts + label-compare crop per blob per
+    // row (round-13 review; the last redundant labeling pass after
+    // rounds 11/12 removed the others): the largest region IS the
+    // blob, by the caller's stated contract. Arbitrary multi-component
+    // masks keep the labeling path.
+    val (area, region) =
+      if (singleComponent) {
+        (blob.count.toDouble, blob)
+      } else {
+        val (lab, n) = Raster.label(blob, conn8 = true)
+        val counts = new Array[Int](n + 1)
+        lab.foreach(counts(_) += 1)
+        counts(0) = 0
+        var largest = 1
+        for (k <- 2 to n) if (counts(k) > counts(largest)) largest = k
+        // tight crop of the largest region for the distmap algorithm
+        var y0 = blob.h; var y1 = -1; var x0 = blob.w; var x1 = -1
+        for (i <- 0 until blob.h; j <- 0 until blob.w) if (lab(i * blob.w + j) == largest) {
+          if (i < y0) y0 = i
+          if (i > y1) y1 = i
+          if (j < x0) x0 = j
+          if (j > x1) x1 = j
+        }
+        val r = Mask.empty(y1 - y0 + 1, x1 - x0 + 1)
+        for (i <- 0 until r.h; j <- 0 until r.w)
+          r.set(i, j, lab((y0 + i) * blob.w + (x0 + j)) == largest)
+        (counts(largest).toDouble, r)
+      }
 
     val equivDiameter = math.sqrt(4.0 * area / math.Pi)
     val extent = area / (region.h * region.w).toDouble
     val perimImage = sh.map(_.perimImage).getOrElse(Raster.perimeter(blob))
     val perimeter = BlobGeometry.benkridPerimeter(perimImage)
-    val perimPts = sh.map(_.perimPts).getOrElse(
-      (for (i <- 0 until blob.h; j <- 0 until blob.w if perimImage(i, j))
-        yield (i, j)).toArray)
+    val perimPts = sh.map(_.perimPts).getOrElse(Raster.truePoints(perimImage))
     val hullOpt = BlobGeometry.convexHull(perimPts)
     val (convexPerimeter, convexArea) = hullOpt match {
       case Some(hull) => BlobGeometry.hullProperties(hull)
@@ -179,7 +187,10 @@ object Features {
   def computeFromBlobs(roiId: Long, rawBlobs: Seq[Mask],
       headShared: Option[BlobShared] = None): FeatureRow = {
     val blobs = rawBlobs.zipWithIndex.map { case (b, i) =>
-      blobFeatures(b, if (i == 0) headShared else None)
+      // this entry point's contract IS findBlobs output ("an
+      // already-labeled blob list"): single components, tight-cropped
+      blobFeatures(b, if (i == 0) headShared else None,
+        singleComponent = true)
     }
     def nan0(v: Double): Double = if (v == 0.0) Double.NaN else v
     if (blobs.isEmpty) {

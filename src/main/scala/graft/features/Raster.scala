@@ -48,6 +48,15 @@ private[features] final class IntStack(initialCap: Int = 256) {
   */
 object Raster {
 
+  /** Row-major (i, j) coordinates of the true cells of a perimeter
+    * mask — ONE source (round-13 review: the identical comprehension
+    * lived in three call sites, and subsampleDist's tie behavior
+    * depends on this ordering staying consistent everywhere).
+    */
+  def truePoints(mask: Mask): Array[(Int, Int)] =
+    (for (i <- 0 until mask.h; j <- 0 until mask.w if mask(i, j))
+      yield (i, j)).toArray
+
   /** Structuring element as (di, dj) offsets with center (cy, cx). */
   final case class Selem(offsets: Array[(Int, Int)])
 

@@ -35,7 +35,24 @@ object Media {
       bytes.take(4).sameElements(PngMagic) ||
       ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) ||
       (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8') ||
-      (bytes(0) == 'B' && bytes(1) == 'M'))
+      isBmp(bytes))
+
+  /** BMP needs more than the 2-byte 'BM' magic (round-13 review): two
+    * mid-gray leading pixels (66, 77) in a RAW grayscale payload
+    * satisfy it — ~1/65536 of random payloads, far more in real
+    * imagery — misrouting valid ROI rasters into ImageIO, which then
+    * throws on the non-BMP body and kills the task. A real BMP header
+    * also carries the file size at bytes 2-5 (little-endian; every
+    * writer including ImageIO stamps it) and four reserved zero bytes
+    * at 6-9 — require all three.
+    */
+  private def isBmp(bytes: Array[Byte]): Boolean =
+    bytes.length >= 14 && bytes(0) == 'B' && bytes(1) == 'M' && {
+      val claimed = (bytes(2) & 0xffL) | ((bytes(3) & 0xffL) << 8) |
+        ((bytes(4) & 0xffL) << 16) | ((bytes(5) & 0xffL) << 24)
+      claimed == bytes.length &&
+        bytes(6) == 0 && bytes(7) == 0 && bytes(8) == 0 && bytes(9) == 0
+    }
 
   /** Widens a raw 8-bit grayscale payload to int pixels, loudly: the
     * shared helper for every kernel entry point (round-11 review — the
