@@ -117,13 +117,22 @@ object H5Source {
         val clazz = buf.get(p) & 0x0f
         val vSize = buf.getInt(p + 4)
         p += pad8(dtSize) + pad8(dsSize)
-        // class 3 = fixed string; the 4 KiB cap bounds the copy on a
-        // corrupt size field (a real MATLAB_class value is ~6 bytes)
-        if (clazz != 3 || vSize <= 0 || vSize > 4096) None
-        else {
+        // class 3 = fixed string (MATLAB_class); class 0 = fixed-point
+        // scalar (MATLAB_empty is a uint8 flag), rendered as its decimal
+        // value. The 4 KiB cap bounds the copy on a corrupt size field
+        // (a real MATLAB_class value is ~6 bytes).
+        if (clazz == 3 && vSize > 0 && vSize <= 4096) {
           val v = Array.tabulate(vSize)(i => buf.get(p + i))
           Some(name -> new String(v, "US-ASCII").takeWhile(_ != 0.toChar))
-        }
+        } else if (clazz == 0 && Seq(1, 2, 4, 8).contains(vSize)) {
+          val v = vSize match {
+            case 1 => (buf.get(p) & 0xff).toLong
+            case 2 => (buf.getShort(p) & 0xffff).toLong
+            case 4 => buf.getInt(p) & 0xffffffffL
+            case 8 => buf.getLong(p)
+          }
+          Some(name -> v.toString)
+        } else None
       case _ => None
     }.toMap
   }

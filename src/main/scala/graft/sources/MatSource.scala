@@ -85,6 +85,17 @@ object MatSource {
         dims.reverse.map(_.toInt)
       }
       name -> ((attrs.get("MATLAB_class"), value) match {
+        // MATLAB_empty=1: the dataset holds the SIZE VECTOR (MATLAB
+        // order, uint64), not data — an empty variable must read as an
+        // empty value, not as a tiny numeric matrix of its own dims
+        // (round-13 ADVICE)
+        case (Some(cls), H5Source.H5Num(_, data))
+            if attrs.get("MATLAB_empty").contains("1") =>
+          cls match {
+            case "char" => MatStr("")
+            case "cell" => MatCell(data.map(_.toInt), Nil)
+            case _      => MatNum(data.map(_.toInt), Array.empty[Double])
+          }
         case (Some("char"), H5Source.H5Num(dims, data)) =>
           // uint16 code units; flat HDF5 row-major over [n,m] IS the
           // MATLAB column-major order of [m,n] — same transpose rule

@@ -49,7 +49,8 @@ object H5Fixture {
     * (row-major) order.
     */
   final case class U16Attr(name: String, h5dims: Seq[Long], values: Array[Int],
-                           matlabClass: String) extends Ds
+                           matlabClass: String,
+                           matlabEmpty: Boolean = false) extends Ds
 
   private val Undef = -1L
 
@@ -215,7 +216,7 @@ object H5Fixture {
           message(0x0001, dataspace(Seq(values.length.toLong))),
           message(0x0003, dt.array()),
           message(0x0008, layout.array())))
-      case U16Attr(name, h5dims, values, mclass) =>
+      case U16Attr(name, h5dims, values, mclass, mempty) =>
         pad8()
         val dataAddr = buf.position()
         values.foreach(v => buf.putShort(v.toShort))
@@ -241,10 +242,25 @@ object H5Fixture {
         ahdr.putShort(8.toShort) // dataspace size (unpadded)
         val attrBody = ahdr.array() ++ p8(aname) ++ p8(adt.array()) ++
           p8(ads) ++ mclass.getBytes("US-ASCII")
+        // MATLAB_empty: a uint8 scalar attribute with value 1, like
+        // MATLAB's -v7.3 writer stamps on empty variables
+        val emptyAttr = if (!mempty) Seq.empty else {
+          val ename = "MATLAB_empty".getBytes("US-ASCII") :+ 0.toByte
+          val edt = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+          edt.put(0x10.toByte).put(0x00.toByte).put(0.toByte).put(0.toByte)
+          edt.putInt(1).putShort(0.toShort).putShort(8.toShort)
+          val ehdr = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+          ehdr.put(1.toByte).put(0.toByte)
+          ehdr.putShort(ename.length.toShort)
+          ehdr.putShort(12.toShort) // datatype size (unpadded)
+          ehdr.putShort(8.toShort) // dataspace size (unpadded)
+          Seq(message(0x000c, ehdr.array() ++ p8(ename) ++ p8(edt.array()) ++
+            p8(ads) ++ Array[Byte](1)))
+        }
         headerAddrs(name) = objectHeader(Seq(
           message(0x0001, dataspace(h5dims)),
           message(0x0003, dt.array()),
-          message(0x000c, attrBody),
+          message(0x000c, attrBody)) ++ emptyAttr ++ Seq(
           message(0x0008, layout.array())))
       case F32Matrix(name, rows, cols, values, chunkRowsRaw, shuffle, rawChunks, unwritten) =>
         val chunkRows = math.min(chunkRowsRaw, rows)

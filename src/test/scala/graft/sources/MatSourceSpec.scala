@@ -208,6 +208,18 @@ class MatSourceSpec extends SparkSpec {
     assert(vars("grid") == MatSource.MatStr("abcdef"))
     val MatSource.MatNum(cd, cv) = vars("codes"): @unchecked
     assert(cd == Seq(1, 3) && cv.toSeq == Seq(7.0, 8.0, 9.0))
+    // MATLAB_empty=1: the dataset holds the size vector, not data —
+    // an empty variable reads as an empty value, not a tiny matrix of
+    // its own dims (round-13 ADVICE item closed)
+    val emptyV73 = MatFixture.mat73File(H5Fixture.write(Seq(
+      H5Fixture.U16Attr("ml", Seq(2L, 1L), Array(0, 0), "double",
+        matlabEmpty = true),
+      H5Fixture.U16Attr("note", Seq(2L, 1L), Array(0, 0), "char",
+        matlabEmpty = true))))
+    val evars = MatSource.parse(emptyV73)
+    val MatSource.MatNum(ed, ev) = evars("ml"): @unchecked
+    assert(ed == Seq(0, 0) && ev.isEmpty, s"$ed ${ev.toSeq}")
+    assert(evars("note") == MatSource.MatStr(""))
     // cellstr variables (object references into /#refs#) reject loudly
     // naming the variable and the workaround
     val cell = MatFixture.mat73File(H5Fixture.write(Seq(
