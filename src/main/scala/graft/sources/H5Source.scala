@@ -29,6 +29,21 @@ object H5Source {
   sealed trait H5Value
   final case class H5Num(dims: Seq[Long], data: Array[Double]) extends H5Value
   final case class H5Str(dims: Seq[Long], data: Array[String]) extends H5Value
+  /** An object-reference dataset (datatype class 7), resolved: each
+    * referenced object header is read as a dataset and carried with its
+    * own attributes — the shape MATLAB's `-v7.3` writer uses for cell
+    * arrays (references into the `/#refs#` group, each target typed by
+    * its own MATLAB_class). Resolution follows the reference ADDRESS,
+    * so targets parse wherever they live; the `/#refs#` group entry
+    * itself is just a root-group member this reader already skips
+    * (groups carry no dataspace).
+    */
+  final case class H5Cell(dims: Seq[Long],
+      items: Seq[(H5Value, Map[String, String])]) extends H5Value
+  /** Raw unresolved reference addresses — internal decode product only;
+    * [[readDataset]] resolves it to [[H5Cell]] before returning.
+    */
+  private final case class H5Ref(dims: Seq[Long], addrs: Array[Long]) extends H5Value
 
   private val Signature = Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte)
   private val Undef = -1L // 0xFFFFFFFFFFFFFFFF as signed
@@ -96,12 +111,25 @@ object H5Source {
     out.result()
   }
 
+  /** Marker key in an attribute map: an attribute message of a version
+    * this reader doesn't decode was skipped (value = that version).
+    * Consumers that TYPE data by attribute ([[MatSource]]'s
+    * MATLAB_class) must treat its presence without a readable
+    * MATLAB_class as un-typeable — a v7.3 uint16 char variable whose
+    * MATLAB_class hid in a v2+ attribute message would otherwise fall
+    * through to the numeric path and silently read as numbers
+    * (round-13 ADVICE).
+    */
+  val SkippedAttr = "__skipped_attribute_version__"
+
   /** Fixed-string scalar attributes of an object header (message type
     * 0x000C, v1) — the subset MATLAB's v7.3 writer uses (MATLAB_class).
     * Attributes of any other datatype class or message version are
     * SKIPPED, not rejected: attributes are auxiliary metadata, and an
     * exotic one must not refuse a file whose datasets parse (the
-    * dataset path keeps its own fail-loudly contract).
+    * dataset path keeps its own fail-loudly contract). Skipped message
+    * VERSIONS are surfaced under [[SkippedAttr]] so typing consumers
+    * can refuse rather than guess.
     */
   private def stringAttrs(buf: ByteBuffer, addr: Long): Map[String, String] = {
     def pad8(n: Int): Int = (n + 7) / 8 * 8
@@ -133,6 +161,8 @@ object H5Source {
           }
           Some(name -> v.toString)
         } else None
+      case (0x000c, off, _) =>
+        Some(SkippedAttr -> ((buf.get(off) & 0xff).toString))
       case _ => None
     }.toMap
   }
@@ -218,7 +248,15 @@ object H5Source {
 
   private final case class Datatype(clazz: Int, size: Int, signed: Boolean)
 
-  private def readDataset(buf: ByteBuffer, addr: Long): Option[H5Value] = {
+  /** Max depth of object-reference chains: a corrupt or hostile file can
+    * make a reference dataset point at itself (or form a longer cycle);
+    * genuine MATLAB cell nesting is far shallower than 16.
+    */
+  private val MaxRefDepth = 16
+
+  private def readDataset(buf: ByteBuffer, addr: Long, depth: Int = 0): Option[H5Value] = {
+    require(depth < MaxRefDepth,
+      s"object-reference chain deeper than $MaxRefDepth at $addr: cyclic references")
     val msgs = messages(buf, addr)
     val dims: Seq[Long] = msgs.collectFirst { case (0x0001, off, _) =>
       val rank = buf.get(off + 1) & 0xff
@@ -305,7 +343,32 @@ object H5Source {
         case c => throw new IllegalArgumentException(s"unsupported layout class $c")
       }
     }.getOrElse(return None)
-    Some(decode(buf, dt, dims, raw))
+    decode(buf, dt, dims, raw) match {
+      case H5Ref(rdims, addrs) => Some(resolveRefs(buf, rdims, addrs, depth))
+      case v => Some(v)
+    }
+  }
+
+  /** Resolves each object-reference address to (dataset value, string
+    * attributes). Fail-loudly contract for the reference chain:
+    * - dangling reference (address 0/undefined, outside the file, or not
+    *   a parseable object header) → IllegalArgumentException;
+    * - target that is not a dataset (e.g. a group header) → reject with
+    *   the address — a cell element must be data, silently skipping it
+    *   would shift every later element's index;
+    * - cyclic references → the [[MaxRefDepth]] cap fires.
+    */
+  private def resolveRefs(buf: ByteBuffer, dims: Seq[Long],
+      addrs: Array[Long], depth: Int): H5Cell = {
+    val items = addrs.toSeq.map { a =>
+      require(a > 0 && a < buf.limit(),
+        s"dangling object reference: address $a outside file of ${buf.limit()} bytes")
+      val v = readDataset(buf, a, depth + 1).getOrElse(throw new IllegalArgumentException(
+        s"object reference target at $a is not a dataset (a group or " +
+          "dataless header): corrupt cell element"))
+      (v, stringAttrs(buf, a))
+    }
+    H5Cell(dims, items)
   }
 
   /** Reassembles a chunked dataset from its v1 raw-data B-tree (node type
@@ -485,6 +548,14 @@ object H5Source {
           if (z >= 0) s.substring(0, z) else s
         }
         H5Str(dims, out)
+      case 7 => // reference: 8-byte object-header addresses (rtype 0).
+        // Region references (rtype 1) are 12 bytes — the size check
+        // rejects them loudly rather than mis-framing the address array.
+        require(dt.size == 8,
+          s"reference datatype of ${dt.size} bytes: only 8-byte object " +
+            "references (the MATLAB v7.3 cell shape) are in scope")
+        val nr = raw.length / 8
+        H5Ref(dims, Array.tabulate(nr)(i => b.getLong(i * 8)))
       case 9 => // variable-length string: len(4) + gheap addr(8) + index(4)
         val n = raw.length / 16
         val out = Array.tabulate(n) { i =>

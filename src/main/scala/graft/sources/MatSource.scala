@@ -66,9 +66,10 @@ object MatSource {
     * arrays transposed (HDF5 row-major = MATLAB column-major), so dims
     * reverse on the way back while the flat data order is already the
     * column-major order [[MatNum]] consumers index. Subset: root
-    * numeric/string datasets (the class-list/score shapes this module
-    * serves); grouped or object-reference variables (true MATLAB cell
-    * arrays) reject loudly inside the HDF5 walker.
+    * numeric/string datasets AND object-reference cell arrays (cellstr
+    * class lists reference `/#refs#` targets, resolved by
+    * [[H5Source.H5Cell]]) — the class-list/score shapes this module
+    * serves; anything else rejects loudly inside the HDF5 walker.
     */
   private def parseV73(bytes: Array[Byte]): Map[String, MatValue] = {
     require(bytes.length > 512 + 96,
@@ -78,42 +79,70 @@ object MatSource {
       // char arrays are stored as uint16 code-unit datasets (NOT HDF5
       // strings — decoding them as numbers would silently empty every
       // label consumer, round-13 review), cellstr as object-reference
-      // datasets this reader deliberately rejects by name
-      val matDims = (dims: Seq[Long]) => {
-        require(dims.forall(_ <= Int.MaxValue),
-          s"variable '$name' claims a dim past Int range: $dims")
-        dims.reverse.map(_.toInt)
-      }
-      name -> ((attrs.get("MATLAB_class"), value) match {
-        // MATLAB_empty=1: the dataset holds the SIZE VECTOR (MATLAB
-        // order, uint64), not data — an empty variable must read as an
-        // empty value, not as a tiny numeric matrix of its own dims
-        // (round-13 ADVICE)
-        case (Some(cls), H5Source.H5Num(_, data))
-            if attrs.get("MATLAB_empty").contains("1") =>
-          cls match {
-            case "char" => MatStr("")
-            case "cell" => MatCell(data.map(_.toInt), Nil)
-            case _      => MatNum(data.map(_.toInt), Array.empty[Double])
-          }
-        case (Some("char"), H5Source.H5Num(dims, data)) =>
-          // uint16 code units; flat HDF5 row-major over [n,m] IS the
-          // MATLAB column-major order of [m,n] — same transpose rule
-          // as numeric data, re-linearized through the v5 helper
-          MatStr(rowMajor(data.map(_.toInt.toChar).mkString, matDims(dims)))
-        case (Some("cell"), _) =>
-          throw new IllegalArgumentException(
-            s"variable '$name' is a v7.3 cell array (object references " +
-              "into /#refs#): not supported — save cellstr variables " +
-              "as char matrices or use -v7")
-        case (_, H5Source.H5Num(dims, data)) =>
-          MatNum(matDims(dims), data)
-        case (_, H5Source.H5Str(_, data)) =>
-          // no MATLAB_class: a generic HDF5-written twin (the fixture
-          // path) — one string ≙ a char array, several ≙ a cell list
-          if (data.length == 1) MatStr(data(0))
-          else MatCell(Seq(1, data.length), data.toSeq.map(MatStr))
-      })
+      // datasets resolved through H5Cell (round-14)
+      name -> v73Value(name, value, attrs)
+    }
+  }
+
+  /** Types one v7.3 value by its MATLAB_class attribute — applied to the
+    * root variables AND, recursively, to each object-reference target of
+    * a cell array (cellstr class lists reference uint16 char datasets in
+    * `/#refs#`, each carrying its own MATLAB_class — reference read
+    * sites: code/annotations/ifcb_merge_classifiers.R:15-31,
+    * compare_classlists.R:6-8, which accept class lists saved either
+    * `-v7` or `-v7.3`).
+    */
+  private def v73Value(name: String, value: H5Source.H5Value,
+      attrs: Map[String, String]): MatValue = {
+    val matDims = (dims: Seq[Long]) => {
+      require(dims.forall(_ <= Int.MaxValue),
+        s"variable '$name' claims a dim past Int range: $dims")
+      dims.reverse.map(_.toInt)
+    }
+    (attrs.get("MATLAB_class"), value) match {
+      // MATLAB_empty=1: the dataset holds the SIZE VECTOR (MATLAB
+      // order, uint64), not data — an empty variable must read as an
+      // empty value, not as a tiny numeric matrix of its own dims
+      // (round-13 ADVICE)
+      case (Some(cls), H5Source.H5Num(_, data))
+          if attrs.get("MATLAB_empty").contains("1") =>
+        cls match {
+          case "char" => MatStr("")
+          case "cell" => MatCell(data.map(_.toInt), Nil)
+          case _      => MatNum(data.map(_.toInt), Array.empty[Double])
+        }
+      case (Some("char"), H5Source.H5Num(dims, data)) =>
+        // uint16 code units; flat HDF5 row-major over [n,m] IS the
+        // MATLAB column-major order of [m,n] — same transpose rule
+        // as numeric data, re-linearized through the v5 helper
+        MatStr(rowMajor(data.map(_.toInt.toChar).mkString, matDims(dims)))
+      case (_, H5Source.H5Cell(dims, items)) =>
+        // a true MATLAB cell: object references, each target typed by
+        // its OWN MATLAB_class (cellstr items are char datasets). HDF5
+        // stores the cell's shape transposed like every other array;
+        // the flat reference order is already MATLAB's column-major.
+        MatCell(matDims(dims),
+          items.map { case (v, a) => v73Value(name, v, a) })
+      case (Some("cell"), _) =>
+        throw new IllegalArgumentException(
+          s"variable '$name' claims MATLAB_class cell array but its " +
+            "dataset is not object references: corrupt v7.3 file")
+      case (None, _) if attrs.contains(H5Source.SkippedAttr) =>
+        // the variable HAS attributes, but in a message version the
+        // reader skips — its MATLAB_class may be hiding there, and the
+        // numeric fallback would silently read a uint16 char variable
+        // as numbers (round-13 ADVICE): refuse rather than guess
+        throw new IllegalArgumentException(
+          s"variable '$name' carries an attribute message of unsupported " +
+            s"version ${attrs(H5Source.SkippedAttr)} and no readable " +
+            "MATLAB_class: refusing the untyped fallback")
+      case (_, H5Source.H5Num(dims, data)) =>
+        MatNum(matDims(dims), data)
+      case (_, H5Source.H5Str(_, data)) =>
+        // no MATLAB_class: a generic HDF5-written twin (the fixture
+        // path) — one string ≙ a char array, several ≙ a cell list
+        if (data.length == 1) MatStr(data(0))
+        else MatCell(Seq(1, data.length), data.toSeq.map(MatStr))
     }
   }
 

@@ -48,9 +48,30 @@ object H5Fixture {
     * variables (UTF-16 code units, transposed). `h5dims` in HDF5
     * (row-major) order.
     */
+  /** `attrVersion` stamps the MATLAB_class attribute MESSAGE with a
+    * non-v1 version byte — the reader skips such attributes and must
+    * then refuse to type the variable (round-13 ADVICE).
+    */
   final case class U16Attr(name: String, h5dims: Seq[Long], values: Array[Int],
                            matlabClass: String,
-                           matlabEmpty: Boolean = false) extends Ds
+                           matlabEmpty: Boolean = false,
+                           attrVersion: Int = 1) extends Ds
+  /** A symbol-table group (B-tree v1 + local heap + SNOD, like the root)
+    * holding child datasets — the `/#refs#` shape MATLAB's `-v7.3`
+    * writer uses for cell-array targets. Children's header addresses
+    * register as "group/child" for [[RefArray]] targets.
+    */
+  final case class Group(name: String, children: Seq[Ds]) extends Ds
+  /** Object-reference (datatype class 7) dataset: 8-byte addresses of
+    * the named targets' object headers, carrying a MATLAB_class
+    * attribute — the real-MATLAB cell-array shape (references into
+    * `/#refs#`). Sentinel targets for fuzz fixtures: `<self>` (cyclic —
+    * the RefArray's own header), `<dangling>` (an address past EOF),
+    * `<zero>` (a null address).
+    */
+  final case class RefArray(name: String, h5dims: Seq[Long],
+                            targets: Seq[String],
+                            matlabClass: String = "cell") extends Ds
 
   private val Undef = -1L
 
@@ -188,7 +209,31 @@ object H5Fixture {
       addr.toLong
     }
 
-    for (ds <- sorted) ds match {
+    // attribute message v1: name (NUL-terminated, 8-padded), datatype
+    // (class 3 fixed string sized to the value), dataspace (v1 rank-0
+    // scalar), then the value bytes — MATLAB_class, shared by U16Attr
+    // and RefArray
+    def matlabClassAttr(mclass: String, version: Int = 1): Array[Byte] = {
+      def p8(a: Array[Byte]) = a ++ new Array[Byte]((8 - a.length % 8) % 8)
+      val aname = "MATLAB_class".getBytes("US-ASCII") :+ 0.toByte
+      val adt = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      adt.put(0x13.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      adt.putInt(mclass.length)
+      val ads = Array[Byte](1, 0, 0, 0, 0, 0, 0, 0)
+      val ahdr = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      ahdr.put(version.toByte).put(0.toByte)
+      ahdr.putShort(aname.length.toShort)
+      ahdr.putShort(8.toShort) // datatype size (unpadded)
+      ahdr.putShort(8.toShort) // dataspace size (unpadded)
+      ahdr.array() ++ p8(aname) ++ p8(adt.array()) ++ p8(ads) ++
+        mclass.getBytes("US-ASCII")
+    }
+
+    // reference-array data positions to patch once every header address
+    // (incl. groups, written after their targets) is known
+    val refPatches = Seq.newBuilder[(Int, String, Seq[String])]
+
+    def writeOne(ds: Ds, key: String): Unit = ds match {
       case I32(name, values, splitHeader) =>
         pad8()
         val dataAddr = buf.position()
@@ -198,7 +243,7 @@ object H5Fixture {
         dt.putInt(4).putShort(0.toShort).putShort(32.toShort)
         val layout = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
         layout.put(3.toByte).put(1.toByte).putLong(dataAddr.toLong).putLong(4L * values.length)
-        headerAddrs(name) = objectHeader(Seq(
+        headerAddrs(key) = objectHeader(Seq(
           message(0x0001, dataspace(Seq(values.length.toLong))),
           message(0x0003, dt.array()),
           message(0x0008, layout.array())), split = splitHeader)
@@ -212,11 +257,11 @@ object H5Fixture {
         dt.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte).putInt(1023)
         val layout = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
         layout.put(3.toByte).put(1.toByte).putLong(dataAddr.toLong).putLong(8L * values.length)
-        headerAddrs(name) = objectHeader(Seq(
+        headerAddrs(key) = objectHeader(Seq(
           message(0x0001, dataspace(Seq(values.length.toLong))),
           message(0x0003, dt.array()),
           message(0x0008, layout.array())))
-      case U16Attr(name, h5dims, values, mclass, mempty) =>
+      case U16Attr(name, h5dims, values, mclass, mempty, attrVersion) =>
         pad8()
         val dataAddr = buf.position()
         values.foreach(v => buf.putShort(v.toShort))
@@ -226,22 +271,9 @@ object H5Fixture {
         val layout = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
         layout.put(3.toByte).put(1.toByte).putLong(dataAddr.toLong)
           .putLong(2L * values.length)
-        // attribute message v1: name (NUL-terminated, 8-padded),
-        // datatype (class 3 fixed string sized to the value),
-        // dataspace (v1 rank-0 scalar), then the value bytes
         def p8(a: Array[Byte]) = a ++ new Array[Byte]((8 - a.length % 8) % 8)
-        val aname = "MATLAB_class".getBytes("US-ASCII") :+ 0.toByte
-        val adt = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-        adt.put(0x13.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
-        adt.putInt(mclass.length)
         val ads = Array[Byte](1, 0, 0, 0, 0, 0, 0, 0)
-        val ahdr = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-        ahdr.put(1.toByte).put(0.toByte)
-        ahdr.putShort(aname.length.toShort)
-        ahdr.putShort(8.toShort) // datatype size (unpadded)
-        ahdr.putShort(8.toShort) // dataspace size (unpadded)
-        val attrBody = ahdr.array() ++ p8(aname) ++ p8(adt.array()) ++
-          p8(ads) ++ mclass.getBytes("US-ASCII")
+        val attrBody = matlabClassAttr(mclass, attrVersion)
         // MATLAB_empty: a uint8 scalar attribute with value 1, like
         // MATLAB's -v7.3 writer stamps on empty variables
         val emptyAttr = if (!mempty) Seq.empty else {
@@ -257,7 +289,7 @@ object H5Fixture {
           Seq(message(0x000c, ehdr.array() ++ p8(ename) ++ p8(edt.array()) ++
             p8(ads) ++ Array[Byte](1)))
         }
-        headerAddrs(name) = objectHeader(Seq(
+        headerAddrs(key) = objectHeader(Seq(
           message(0x0001, dataspace(h5dims)),
           message(0x0003, dt.array()),
           message(0x000c, attrBody)) ++ emptyAttr ++ Seq(
@@ -347,7 +379,7 @@ object H5Fixture {
         filters.putShort(1.toShort) // 1 client value
         // (level) + pad handled by message padding
         val filterBody = filters.array() ++ Array[Byte](6, 0, 0, 0)
-        headerAddrs(name) = objectHeader(Seq(
+        headerAddrs(key) = objectHeader(Seq(
           message(0x0001, dataspace(Seq(rows.toLong, cols.toLong))),
           message(0x0003, dt.array()),
           message(0x000b, filterBody),
@@ -367,7 +399,7 @@ object H5Fixture {
         layout.put(3.toByte).put(0.toByte)
         layout.putShort(dataBytes.length.toShort)
         layout.put(dataBytes)
-        headerAddrs(name) = objectHeader(Seq(
+        headerAddrs(key) = objectHeader(Seq(
           message(0x0001, dataspace(Seq(values.length.toLong))),
           message(0x0003, dt.array()),
           message(0x0008, layout.array())))
@@ -385,7 +417,7 @@ object H5Fixture {
         val layout = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
         layout.put(3.toByte).put(1.toByte).putLong(dataAddr.toLong)
           .putLong(size.toLong * values.length)
-        headerAddrs(name) = objectHeader(Seq(
+        headerAddrs(key) = objectHeader(Seq(
           message(0x0001, dataspace(Seq(values.length.toLong))),
           message(0x0003, dt.array()),
           message(0x0008, layout.array())))
@@ -404,10 +436,91 @@ object H5Fixture {
         dt.put(0x13.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(1)
         val layout = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
         layout.put(3.toByte).put(1.toByte).putLong(dataAddr.toLong).putLong(16L * values.length)
-        headerAddrs(name) = objectHeader(Seq(
+        headerAddrs(key) = objectHeader(Seq(
           message(0x0001, dataspace(Seq(values.length.toLong))),
           message(0x0003, dt.array()),
           message(0x0008, layout.array())))
+      case RefArray(_, h5dims, targets, mclass) =>
+        pad8()
+        val dataAddr = buf.position()
+        targets.foreach(_ => buf.putLong(0L)) // patched once headers exist
+        refPatches += ((dataAddr, key, targets))
+        val dt = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        dt.put(0x17.toByte) // version 1, class 7 (reference)
+        dt.put(0x00.toByte).put(0.toByte).put(0.toByte) // rtype 0 = object ref
+        dt.putInt(8)
+        val layout = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+        layout.put(3.toByte).put(1.toByte).putLong(dataAddr.toLong)
+          .putLong(8L * targets.length)
+        headerAddrs(key) = objectHeader(Seq(
+          message(0x0001, dataspace(h5dims)),
+          message(0x0003, dt.array()),
+          message(0x000c, matlabClassAttr(mclass)),
+          message(0x0008, layout.array())))
+      case Group(gname, children) =>
+        val kids = children.sortBy(_.name)
+        kids.foreach(c => writeOne(c, s"$gname/${c.name}"))
+        // the group's own local heap + B-tree + SNOD, mirroring the root
+        pad8()
+        val gHeapDataSize = 8L + kids.map(_.name.length + 1).sum
+        val gHeapAligned = (gHeapDataSize + 7) / 8 * 8
+        val gHeapHeader = buf.position()
+        val gHeapData = gHeapHeader + 32
+        buf.put("HEAP".getBytes("US-ASCII")).put(0.toByte).put(new Array[Byte](3))
+        buf.putLong(gHeapAligned)
+        buf.putLong(gHeapDataSize)
+        buf.putLong(gHeapData.toLong)
+        val gNameOff = scala.collection.mutable.Map.empty[String, Long]
+        val gHeapStart = buf.position()
+        buf.put(new Array[Byte](8))
+        for (c <- kids) {
+          gNameOff(c.name) = buf.position() - gHeapStart
+          buf.put(c.name.getBytes("US-ASCII")).put(0.toByte)
+        }
+        buf.position(gHeapStart + gHeapAligned.toInt)
+        pad8()
+        val gBtree = buf.position()
+        buf.put("TREE".getBytes("US-ASCII"))
+        buf.put(0.toByte).put(0.toByte)
+        buf.putShort(1.toShort)
+        buf.putLong(Undef).putLong(Undef)
+        val gSnodPos = buf.position() + 8
+        buf.putLong(0L) // key0
+        buf.putLong(0L) // child0 -> patched to the SNOD
+        buf.putLong(gNameOff(kids.last.name)) // keyN
+        pad8()
+        val gSnod = buf.position()
+        buf.put("SNOD".getBytes("US-ASCII")).put(1.toByte).put(0.toByte)
+        buf.putShort(kids.size.toShort)
+        val gEntryPos = buf.position()
+        buf.position(gEntryPos + 40 * kids.size)
+        buf.putLong(gSnodPos, gSnod.toLong)
+        for ((c, k) <- kids.zipWithIndex) {
+          val e = gEntryPos + 40 * k
+          buf.putLong(e, gNameOff(c.name))
+          buf.putLong(e + 8, headerAddrs(s"$gname/${c.name}"))
+          buf.putInt(e + 16, 0)
+          buf.putInt(e + 20, 0)
+        }
+        val st = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+        st.putLong(gBtree.toLong).putLong(gHeapHeader.toLong)
+        headerAddrs(key) = objectHeader(Seq(message(0x0011, st.array())))
+    }
+
+    for (ds <- sorted) writeOne(ds, ds.name)
+
+    // ---- patch reference-array payloads (targets may be group children
+    // written after the RefArray; sentinels exercise the reader's
+    // dangling/cyclic rejects)
+    for ((dataAddr, ownKey, targets) <- refPatches.result();
+         (t, i) <- targets.zipWithIndex) {
+      val addr = t match {
+        case "<self>" => headerAddrs(ownKey)
+        case "<dangling>" => 0x7ffffff0L
+        case "<zero>" => 0L
+        case other => headerAddrs(other)
+      }
+      buf.putLong(dataAddr + 8 * i, addr)
     }
 
     // ---- SNOD entries now that header addresses are known

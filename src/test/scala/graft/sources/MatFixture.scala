@@ -71,6 +71,24 @@ object MatFixture {
   def charMatrix(name: String, s: String): Array[Byte] =
     matrix(name, 4, Seq(1, s.length), s.getBytes("UTF-8"), 16)
 
+  /** A real-MATLAB-shaped `-v7.3` cellstr variable: an object-reference
+    * dataset (MATLAB_class "cell") whose 8-byte references point into a
+    * `/#refs#` group of uint16 char datasets — the idiom MATLAB uses
+    * when a class2use cell list is saved `-v7.3`. A MATLAB [n,1] cell is
+    * HDF5 [1,n]; each [1,len] char target is HDF5 [len,1].
+    */
+  def cellstrV73(varName: String, items: Seq[String]): Array[Byte] = {
+    def refName(i: Int): String = ('a' + i).toChar.toString
+    val kids = items.zipWithIndex.map { case (s, i) =>
+      H5Fixture.U16Attr(refName(i), Seq(s.length.toLong, 1L),
+        s.map(_.toInt).toArray, "char"): H5Fixture.Ds
+    }
+    mat73File(H5Fixture.write(Seq(
+      H5Fixture.Group("#refs#", kids),
+      H5Fixture.RefArray(varName, Seq(1L, items.length.toLong),
+        items.indices.map(i => s"#refs#/${refName(i)}")))))
+  }
+
   def stripTag(e: Array[Byte]): Array[Byte] = {
     val b = ByteBuffer.wrap(e).order(ByteOrder.LITTLE_ENDIAN)
     b.getInt(); val n = b.getInt()

@@ -231,4 +231,38 @@ class MatFuzzSpec extends AnyFunSuite {
       cells = Seq(MatFixture.stripTag(MatFixture.cellOfStrings("", Seq("ab")))))
     assert(MatSource.parse(MatFixture.matFile(ok)).contains("ok"))
   }
+
+  test("v7.3 cellstr reference-chain mutations reject via the contract exception") {
+    def refCell(targets: Seq[String]): Array[Byte] =
+      MatFixture.mat73File(H5Fixture.write(Seq(
+        H5Fixture.Group("#refs#", Seq(
+          H5Fixture.U16Attr("a", Seq(2L, 1L), Array('o', 'k'), "char"))),
+        H5Fixture.RefArray("classes", Seq(1L, targets.length.toLong), targets))))
+    // the healthy control parses (guards against vacuous rejects below)
+    assert(MatSource.parse(refCell(Seq("#refs#/a"))) ==
+      Map("classes" -> MatSource.MatCell(Seq(1, 1), Seq(MatSource.MatStr("ok")))))
+    // dangling reference: an address past EOF
+    val e1 = intercept[IllegalArgumentException] {
+      MatSource.parse(refCell(Seq("#refs#/a", "<dangling>")))
+    }
+    assert(e1.getMessage.contains("dangling"), e1.getMessage)
+    // null reference (address 0 is the superblock, never a header)
+    val e2 = intercept[IllegalArgumentException] {
+      MatSource.parse(refCell(Seq("<zero>")))
+    }
+    assert(e2.getMessage.contains("dangling"), e2.getMessage)
+    // cyclic reference: the cell dataset references itself — the depth
+    // cap must fire, not a StackOverflowError
+    val e3 = intercept[IllegalArgumentException] {
+      MatSource.parse(refCell(Seq("<self>")))
+    }
+    assert(e3.getMessage.contains("cyclic"), e3.getMessage)
+    // wrong-class target: a reference at the /#refs# GROUP header — a
+    // cell element must be a dataset; silently skipping it would shift
+    // every later element's index
+    val e4 = intercept[IllegalArgumentException] {
+      MatSource.parse(refCell(Seq("#refs#")))
+    }
+    assert(e4.getMessage.contains("not a dataset"), e4.getMessage)
+  }
 }

@@ -220,11 +220,41 @@ class MatSourceSpec extends SparkSpec {
     val MatSource.MatNum(ed, ev) = evars("ml"): @unchecked
     assert(ed == Seq(0, 0) && ev.isEmpty, s"$ed ${ev.toSeq}")
     assert(evars("note") == MatSource.MatStr(""))
-    // cellstr variables (object references into /#refs#) reject loudly
-    // naming the variable and the workaround
+    // a variable CLAIMING cell class whose payload is not object
+    // references is corruption, not data — reject loudly by name
     val cell = MatFixture.mat73File(H5Fixture.write(Seq(
       H5Fixture.U16Attr("classes", Seq(2L, 1L), Array(1, 2), "cell"))))
     val e = intercept[IllegalArgumentException] { MatSource.parse(cell) }
     assert(e.getMessage.contains("cell array"), e.getMessage)
+    // MATLAB_class stored in an attribute MESSAGE version the reader
+    // skips: the variable has attributes but none readable — refusing
+    // the untyped numeric fallback, not silently reading a uint16 char
+    // variable as numbers (round-13 ADVICE)
+    val hidden = MatFixture.mat73File(H5Fixture.write(Seq(
+      H5Fixture.U16Attr("label", Seq(2L, 1L), Array('h', 'i'),
+        "char", attrVersion = 3))))
+    val e2 = intercept[IllegalArgumentException] { MatSource.parse(hidden) }
+    assert(e2.getMessage.contains("unsupported version 3"), e2.getMessage)
+  }
+
+  test("MAT v7.3 cellstr (object references into /#refs#) reads like its v5 twin") {
+    // MATLAB auto-promotes big saves to -v7.3 and class lists are
+    // cellstr by idiom (reference read sites:
+    // code/annotations/ifcb_merge_classifiers.R:15-31,
+    // compare_classlists.R:6-8) — a v7.3 class2use must parse
+    // identically to the same list saved -v7
+    val classes = Seq("Mesodinium_rubrum", "Dinophysis_acuminata", "unclassified")
+    val v5 = MatFixture.matFile(MatFixture.cellOfStrings("class2use", classes))
+    val v73 = MatFixture.cellstrV73("class2use", classes)
+    val a = parse(v5)("class2use")
+    val b = parse(v73)("class2use")
+    assert(a == MatCell(Seq(3, 1), classes.map(MatStr)))
+    assert(b == a, s"v7.3 read $b, v5 read $a")
+    // and the relational view agrees end-to-end through Spark
+    val dir = Files.createTempDirectory("mat73cell")
+    Files.write(dir.resolve("class2use.mat"), v73)
+    val got = MatSource.class2use(spark, dir.toString).orderBy("class_idx").collect()
+    assert(got.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      classes.zipWithIndex.map { case (s, i) => (i + 1, s) })
   }
 }
