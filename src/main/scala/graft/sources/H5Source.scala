@@ -328,14 +328,15 @@ object H5Source {
             a
           }
         case 2 => // chunked: dimensionality(1) btree(8) dims(4 each) elem(4)
-          // deflate (1) and shuffle (2) are implemented — h5py/Keras
-          // write chunked CNN-scores datasets with shuffle=True + gzip
-          // by default (the shape the reference converts at
-          // convert_h5_to_irfcb_format.R:38-66); silently skipping
-          // fletcher32 (3) or an unknown filter would decode shifted
+          // deflate (1), shuffle (2) and fletcher32 (3) are implemented —
+          // h5py/Keras write chunked CNN-scores datasets with
+          // shuffle=True + gzip by default, fletcher32 opt-in (the shape
+          // the reference converts at convert_h5_to_irfcb_format.R:38-66);
+          // silently skipping an unknown filter would decode shifted
           // bytes, so anything else still rejects loudly
-          require(filters.forall(f => f == 1 || f == 2),
-            s"unsupported filter pipeline $filters (deflate + shuffle are implemented)")
+          require(filters.forall(f => f == 1 || f == 2 || f == 3),
+            s"unsupported filter pipeline $filters " +
+              "(deflate + shuffle + fletcher32 are implemented)")
           val ndims = buf.get(off + 2) & 0xff // rank + 1
           val btree = buf.getLong(off + 3)
           val chunkDims = (0 until ndims - 1).map(i => buf.getInt(off + 11 + 4 * i).toLong)
@@ -446,6 +447,7 @@ object H5Source {
             filters(i) match {
               case 1 => data = inflate(data)
               case 2 => data = unshuffle(data, elemSize)
+              case 3 => data = defletcher(data)
               case f => throw new IllegalArgumentException(s"filter $f") // unreachable: guarded at layout parse
             }
           // a full chunk payload is stored even for edge chunks; a
@@ -483,6 +485,61 @@ object H5Source {
 
   private def inflate(data: Array[Byte]): Array[Byte] =
     Zlib.inflate(data, "HDF5 deflate chunk")
+
+  /** Verifies and strips the fletcher32 filter (id 3): the chunk carries
+    * a trailing 4-byte little-endian Fletcher-32 checksum over the
+    * preceding bytes. A mismatch IS detected corruption — the filter's
+    * whole purpose — so it rejects loudly rather than decoding damaged
+    * data.
+    */
+  private def defletcher(data: Array[Byte]): Array[Byte] = {
+    require(data.length >= 4,
+      s"fletcher32 chunk of ${data.length} bytes: no room for the checksum")
+    val payload = java.util.Arrays.copyOfRange(data, 0, data.length - 4)
+    val stored = (data(data.length - 4) & 0xffL) |
+      ((data(data.length - 3) & 0xffL) << 8) |
+      ((data(data.length - 2) & 0xffL) << 16) |
+      ((data(data.length - 1) & 0xffL) << 24)
+    val computed = fletcher32(payload)
+    require(computed == stored,
+      f"fletcher32 checksum mismatch: stored 0x$stored%08x, " +
+        f"computed 0x$computed%08x — corrupt chunk")
+    payload
+  }
+
+  /** HDF5's Fletcher-32 variant (public H5_checksum_fletcher32): running
+    * sums over big-endian 16-bit words, modular 16-bit reduction every
+    * 360 words (the largest run that cannot overflow 32 bits), an odd
+    * trailing byte treated as the high byte of a final word, and a
+    * closing double reduction of each sum.
+    */
+  private def fletcher32(data: Array[Byte]): Long = {
+    var sum1 = 0L
+    var sum2 = 0L
+    var i = 0
+    var remaining = data.length / 2
+    while (remaining > 0) {
+      var tlen = math.min(remaining, 360)
+      remaining -= tlen
+      while (tlen > 0) {
+        sum1 += ((data(i) & 0xff) << 8) | (data(i + 1) & 0xff)
+        sum2 += sum1
+        i += 2
+        tlen -= 1
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    if (data.length % 2 == 1) {
+      sum1 += (data(data.length - 1) & 0xff) << 8
+      sum2 += sum1
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+    sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    (sum2 << 16) | sum1
+  }
 
   /** Inverse of the HDF5 shuffle filter (id 2): the filter stores byte 0
     * of every element, then byte 1 of every element, … (a plain

@@ -31,11 +31,18 @@ object H5Fixture {
     * `unwritten` allocates the dataset but writes no chunks (B-tree
     * address undefined) — libhdf5 reads such a dataset as fill-value.
     */
+  /** `fletcher32` appends the HDF5 checksum filter (id 3) LAST in the
+    * pipeline (over the deflated bytes, like h5py's `fletcher32=True`);
+    * `corruptFletcher` stores a deliberately wrong checksum so specs can
+    * assert the reader rejects the damage loudly.
+    */
   final case class F32Matrix(name: String, rows: Int, cols: Int, values: Array[Float],
                              chunkRows: Int = Int.MaxValue,
                              shuffle: Boolean = false,
                              rawChunks: Boolean = false,
-                             unwritten: Boolean = false) extends Ds
+                             unwritten: Boolean = false,
+                             fletcher32: Boolean = false,
+                             corruptFletcher: Boolean = false) extends Ds
   final case class VStr(name: String, values: Array[String]) extends Ds
   /** int32 stored with the COMPACT data layout (class 0: data inline in
     * the object header) — exercises the reader's third layout path.
@@ -294,7 +301,35 @@ object H5Fixture {
           message(0x0003, dt.array()),
           message(0x000c, attrBody)) ++ emptyAttr ++ Seq(
           message(0x0008, layout.array())))
-      case F32Matrix(name, rows, cols, values, chunkRowsRaw, shuffle, rawChunks, unwritten) =>
+      case F32Matrix(name, rows, cols, values, chunkRowsRaw, shuffle, rawChunks, unwritten, fletch, corruptFletch) =>
+        require(!rawChunks || !fletch, "fixture: rawChunks + fletcher32 not modeled")
+        // independent transcription of HDF5's H5_checksum_fletcher32
+        // (big-endian 16-bit word sums, 360-word modular reduction) so
+        // the spec doesn't test the reader against its own code
+        def checksum(d: Array[Byte]): Long = {
+          var s1 = 0L; var s2 = 0L; var k = 0
+          var words = d.length / 2
+          while (words > 0) {
+            var run = math.min(words, 360); words -= run
+            while (run > 0) {
+              s1 += ((d(k) & 0xff) << 8) | (d(k + 1) & 0xff); s2 += s1
+              k += 2; run -= 1
+            }
+            s1 = (s1 & 0xffff) + (s1 >> 16); s2 = (s2 & 0xffff) + (s2 >> 16)
+          }
+          if (d.length % 2 == 1) {
+            s1 += (d(d.length - 1) & 0xff) << 8; s2 += s1
+            s1 = (s1 & 0xffff) + (s1 >> 16); s2 = (s2 & 0xffff) + (s2 >> 16)
+          }
+          s1 = (s1 & 0xffff) + (s1 >> 16); s2 = (s2 & 0xffff) + (s2 >> 16)
+          (s2 << 16) | s1
+        }
+        def withChecksum(d: Array[Byte]): Array[Byte] = {
+          val c = checksum(d) ^ (if (corruptFletch) 0x5aL else 0L)
+          val b = ByteBuffer.allocate(d.length + 4).order(ByteOrder.LITTLE_ENDIAN)
+          b.put(d).putInt(c.toInt)
+          b.array()
+        }
         val chunkRows = math.min(chunkRowsRaw, rows)
         // per-chunk raw bytes (edge chunks zero-padded to full chunk size,
         // like libhdf5), deflate-compressed
@@ -327,7 +362,8 @@ object H5Fixture {
             val compBuf = new Array[Byte](raw.array().length + 64)
             val compLen = deflater.deflate(compBuf)
             deflater.end()
-            (r0, compBuf.take(compLen), 0)
+            val comp = compBuf.take(compLen)
+            (r0, if (fletch) withChecksum(comp) else comp, 0)
           }
         }
         val chunkAddrs = chunks.map { case (r0, data, mask) =>
@@ -361,7 +397,7 @@ object H5Fixture {
         layout.put(3.toByte).put(2.toByte).put(3.toByte) // v3, chunked, rank+1
         layout.putLong(cbtree.toLong)
         layout.putInt(chunkRows).putInt(cols).putInt(4) // chunk dims + elem size
-        val nFilters = if (shuffle) 2 else 1
+        val nFilters = 1 + (if (shuffle) 1 else 0) + (if (fletch) 1 else 0)
         val filters = ByteBuffer.allocate(8 + (if (shuffle) 16 else 0) + 8)
           .order(ByteOrder.LITTLE_ENDIAN)
         filters.put(1.toByte).put(nFilters.toByte).put(new Array[Byte](6))
@@ -377,8 +413,13 @@ object H5Fixture {
         filters.putShort(0.toShort) // name length
         filters.putShort(1.toShort) // flags: optional
         filters.putShort(1.toShort) // 1 client value
-        // (level) + pad handled by message padding
-        val filterBody = filters.array() ++ Array[Byte](6, 0, 0, 0)
+        // (level) + pad handled by message padding; fletcher32 listed
+        // LAST (applied after deflate on write, verified first on read)
+        val filterBody = filters.array() ++ Array[Byte](6, 0, 0, 0) ++
+          // deflate's odd client-value count pads to 8 BEFORE the next
+          // descriptor (id 3, no name, no client values)
+          (if (fletch) Array[Byte](0, 0, 0, 0, 3, 0, 0, 0, 0, 0, 0, 0)
+           else Array.empty[Byte])
         headerAddrs(key) = objectHeader(Seq(
           message(0x0001, dataspace(Seq(rows.toLong, cols.toLong))),
           message(0x0003, dt.array()),

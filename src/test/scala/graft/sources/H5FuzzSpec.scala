@@ -36,8 +36,9 @@ class H5FuzzSpec extends AnyFunSuite {
         chunkRows <- Gen.oneOf(1, 2, 3, Int.MaxValue)
         shuffle <- Gen.oneOf(true, false) // h5py-default shuffle+deflate combo
         raw <- Gen.oneOf(true, false) // mask-skipped (incompressible) chunks
+        fletch <- Gen.oneOf(true, false) // trailing per-chunk checksum
       } yield H5Fixture.F32Matrix(name, rows, cols, vs.toArray, chunkRows,
-        shuffle, rawChunks = raw)
+        shuffle, rawChunks = raw, fletcher32 = fletch && !raw)
       case 3 => for {
         n <- Gen.chooseNum(0, 5)
         vs <- Gen.listOfN(n,
@@ -79,7 +80,7 @@ class H5FuzzSpec extends AnyFunSuite {
           assert(data.toSeq == vs.toSeq, s"$ctx $name values")
         case other => fail(s"$ctx $name: $other")
       }
-    case H5Fixture.F32Matrix(name, rows, cols, vs, _, _, _, _) =>
+    case H5Fixture.F32Matrix(name, rows, cols, vs, _, _, _, _, _, _) =>
       parsed(name) match {
         case H5Num(dims, data) =>
           assert(dims == Seq(rows.toLong, cols.toLong), s"$ctx $name dims")
@@ -172,5 +173,23 @@ class H5FuzzSpec extends AnyFunSuite {
       }
     }
     assert(parsed > 0 && rejected > 0, s"parsed=$parsed rejected=$rejected")
+  }
+
+  test("corrupted fletcher32 checksum rejects loudly, never decodes damaged data") {
+    // the checksum filter's whole purpose is detecting chunk damage —
+    // the reader must surface the mismatch as the contract exception,
+    // not return silently wrong floats
+    val vals = Array.tabulate(6)(i => i * 1.5f)
+    val bad = H5Fixture.write(Seq(
+      H5Fixture.F32Matrix("scores", 3, 2, vals, chunkRows = 2,
+        fletcher32 = true, corruptFletcher = true)))
+    val e = intercept[IllegalArgumentException] { H5Source.parse(bad) }
+    assert(e.getMessage.contains("fletcher32 checksum mismatch"), e.getMessage)
+    // the same fixture with an honest checksum parses (non-vacuous)
+    val good = H5Fixture.write(Seq(
+      H5Fixture.F32Matrix("scores", 3, 2, vals, chunkRows = 2,
+        fletcher32 = true)))
+    val H5Num(_, data) = H5Source.parse(good)("scores"): @unchecked
+    assert(data.map(_.toFloat).sameElements(vals))
   }
 }

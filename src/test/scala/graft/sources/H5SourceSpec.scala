@@ -67,6 +67,25 @@ class H5SourceSpec extends SparkSpec {
     assert(data.map(_.toFloat).sameElements(vals))
   }
 
+  test("fletcher32(+shuffle+deflate) pipeline verifies and strips the chunk checksums") {
+    // fletcher32 (id 3) listed LAST = applied after deflate on write
+    // (h5py's fletcher32=True); the reader must verify + strip the
+    // 4-byte trailing checksum FIRST, then inflate, then un-shuffle —
+    // treating the checksum as data would corrupt the inflate input
+    val vals = Array.tabulate(5 * 3)(i => (i * 2.5f) - 7f)
+    val bytes = H5Fixture.write(Seq(
+      H5Fixture.F32Matrix("scores", 5, 3, vals, chunkRows = 2,
+        shuffle = true, fletcher32 = true)))
+    val H5Source.H5Num(dims, data) = H5Source.parse(bytes)("scores"): @unchecked
+    assert(dims == Seq(5L, 3L))
+    assert(data.map(_.toFloat).sameElements(vals))
+    // fletcher32 without shuffle too (deflate+fletcher32 only)
+    val bytes2 = H5Fixture.write(Seq(
+      H5Fixture.F32Matrix("scores", 4, 2, vals.take(8), fletcher32 = true)))
+    val H5Source.H5Num(_, data2) = H5Source.parse(bytes2)("scores"): @unchecked
+    assert(data2.map(_.toFloat).sameElements(vals.take(8)))
+  }
+
   test("per-chunk filter mask: raw-stored chunks of an optional-deflate pipeline decode") {
     // libhdf5 stores an incompressible chunk RAW and sets the skipped
     // filter's bit in the chunk key's 4-byte mask; inflating those raw
