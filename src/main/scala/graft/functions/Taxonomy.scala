@@ -113,15 +113,69 @@ object Taxonomy {
     " ([A-Z])" -> "/$1",
     " ([A-Z])" -> "/$1")
 
-  /** Applies [[CleanRules]], then the combined-class first-name cut and
-    * trim (count_pngs_images.R:83-88) — one codegen'd projection.
+  // --- per-script battery variants (round-14 parity audit) ------------------
+  // The reference carries FOUR orderly-divergent copies of the cleaner.
+  // [[CleanRules]] above is count_pngs_images.R's (the longest, with the
+  // Gymnodiniales/Ciliophora special cases); the three below are the
+  // variant scripts' own batteries, shared-segment composed so each
+  // table IS its script's gsub sequence, in source order.
+  private val TruncateRule = "_\\d{3}$" -> ""
+  private val UnderscoreRule = "_" -> " "
+  private val LikeBundleRules: Seq[(String, String)] =
+    Seq("-like" -> "", " like" -> "", " bundle" -> "")
+  private val ThirtyRules: Seq[(String, String)] = Seq(
+    // same deliberate shadowing as CleanRules: " larger than 30" first
+    " larger than 30" -> "",
+    " larger than 30unidentified" -> "",
+    " smaller than 30unidentified" -> "",
+    " smaller than 30" -> "")
+  private val FlagTailRules: Seq[(String, String)] = Seq(
+    "\\bcf\\b" -> "", "\\bspp\\b" -> "", "\\bsp\\b" -> "",
+    " group" -> "", "  " -> " ", "\\bf\\b" -> "f.",
+    " ([A-Z])" -> "/$1", " ([A-Z])" -> "/$1")
+
+  /** The main image-export battery
+    * (ifcb-image-export-pipeline.Rmd:334-359): truncation + the short
+    * morphology list WITH " round", none of count_pngs' special cases.
     */
-  def cleanClassName(c: Column): Column =
-    trim(element_at(split(Strings.regexClean(CleanRules)(c), ","), 1))
+  val CleanRulesExport: Seq[(String, String)] =
+    Seq(TruncateRule, UnderscoreRule) ++
+      Seq(" single cell", " single", " chain", " coil", " filament",
+        " pair", " round").map(_ -> "") ++
+      LikeBundleRules ++ ThirtyRules ++ FlagTailRules
+
+  /** The NIVA export battery
+    * (ifcb-image-export-pipeline-niva.Rmd:131-158): the export battery
+    * plus " heterotropic" (after coil) and " colony" (after filament) —
+    * NIVA's training folders carry those morphology suffixes.
+    */
+  val CleanRulesNiva: Seq[(String, String)] =
+    Seq(TruncateRule, UnderscoreRule) ++
+      Seq(" single cell", " single", " chain", " coil", " heterotropic",
+        " filament", " colony", " pair", " round").map(_ -> "") ++
+      LikeBundleRules ++ ThirtyRules ++ FlagTailRules
+
+  /** The MATLAB SHARK-delivery battery
+    * (code/ifcb_delivery_data_to_shark_matlab.R:395-434): NO folder
+    * truncation (names come from class2use lists, not version-suffixed
+    * training folders), no " round" — otherwise the export sequence.
+    */
+  val CleanRulesSharkMatlab: Seq[(String, String)] =
+    Seq(UnderscoreRule) ++
+      Seq(" single cell", " single", " chain", " coil", " filament",
+        " pair").map(_ -> "") ++
+      LikeBundleRules ++ ThirtyRules ++ FlagTailRules
+
+  /** Applies a battery (default [[CleanRules]]), then the combined-class
+    * first-name cut and trim (count_pngs_images.R:83-88) — one codegen'd
+    * projection. Pass a variant table to run a variant script's cleaner.
+    */
+  def cleanClassName(c: Column, rules: Seq[(String, String)] = CleanRules): Column =
+    trim(element_at(split(Strings.regexClean(rules)(c), ","), 1))
 
   /** DuckDB mirror of [[cleanClassName]] — same table, same order. */
-  def cleanClassNameSql(expr: String): String = {
-    val replaced = CleanRules.foldLeft(expr) { case (acc, (p, r)) =>
+  def cleanClassNameSql(expr: String, rules: Seq[(String, String)] = CleanRules): String = {
+    val replaced = rules.foldLeft(expr) { case (acc, (p, r)) =>
       s"regexp_replace($acc, '$p', '${r.replace("$1", "\\1")}', 'g')"
     }
     s"trim(string_split($replaced, ',')[1])"

@@ -104,4 +104,48 @@ class TaxonomySpec extends SparkSpec {
       assert(got(in) == want, s"cleanClassName($in) = ${got(in)}, want $want")
     }
   }
+
+  test("variant batteries diverge exactly where their scripts do (round-14 parity audit)") {
+    // four orderly-divergent copies of the cleaner exist in the
+    // reference; each table must reproduce ITS script's gsub sequence.
+    // Pins: names where at least two batteries disagree.
+    def runAll(name: String): (String, String, String, String) = {
+      val r = Seq(name).toDF("folder").select(
+        Taxonomy.cleanClassName($"folder").as("pngs"),
+        Taxonomy.cleanClassName($"folder", Taxonomy.CleanRulesExport).as("export"),
+        Taxonomy.cleanClassName($"folder", Taxonomy.CleanRulesNiva).as("niva"),
+        Taxonomy.cleanClassName($"folder", Taxonomy.CleanRulesSharkMatlab).as("matlab"))
+        .as[(String, String, String, String)].head()
+      r
+    }
+    // " colony" exists ONLY in the NIVA battery (niva.Rmd:138)
+    assert(runAll("Dolichospermum_colony") ==
+      (("Dolichospermum colony", "Dolichospermum colony",
+        "Dolichospermum", "Dolichospermum colony")))
+    // " round" exists in the export Rmds but not count_pngs / matlab
+    assert(runAll("Chaetoceros_round") ==
+      (("Chaetoceros round", "Chaetoceros", "Chaetoceros", "Chaetoceros round")))
+    // " heterotropic" exists in count_pngs and NIVA, not export / matlab
+    assert(runAll("Ceratium_heterotropic") ==
+      (("Ceratium", "Ceratium heterotropic", "Ceratium", "Ceratium heterotropic")))
+    // folder truncation: matlab names come from class lists, never
+    // version-suffixed folders — its battery must NOT truncate
+    assert(runAll("Mesodinium_001") ==
+      (("Mesodinium", "Mesodinium", "Mesodinium", "Mesodinium 001")))
+    // count_pngs-only morphology rule
+    assert(runAll("Cryptomonas_elliptical") ==
+      (("Cryptomonas", "Cryptomonas elliptical", "Cryptomonas elliptical",
+        "Cryptomonas elliptical")))
+    // shared behavior stays shared: flags, slash join, first-comma cut
+    assert(runAll("Snowella_Woronichinia") ==
+      (("Snowella/Woronichinia", "Snowella/Woronichinia",
+        "Snowella/Woronichinia", "Snowella/Woronichinia")))
+    assert(runAll("Nodularia_spumigena_coil,Nodularia_spumigena_filament") ==
+      (("Nodularia spumigena", "Nodularia spumigena",
+        "Nodularia spumigena", "Nodularia spumigena")))
+    // the SQL mirror takes the same table parameter (oracle parity for
+    // any future variant-battery query)
+    val sql = Taxonomy.cleanClassNameSql("folder", Taxonomy.CleanRulesNiva)
+    assert(sql.contains(" colony") && sql.contains(" heterotropic"))
+  }
 }
