@@ -42,16 +42,25 @@ object Media {
     * satisfy it — ~1/65536 of random payloads, far more in real
     * imagery — misrouting valid ROI rasters into ImageIO, which then
     * throws on the non-BMP body and kills the task. A real BMP header
-    * also carries the file size at bytes 2-5 (little-endian; every
-    * writer including ImageIO stamps it) and four reserved zero bytes
-    * at 6-9 — require all three.
+    * also carries four reserved zero bytes at 6-9, a DIB header whose
+    * size field at bytes 14-17 is one of the published header sizes,
+    * and usually the file size at bytes 2-5 — but bfSize is stamped 0
+    * or inaccurately by real-world writers (round-13 ADVICE), so a
+    * wrong bfSize only rejects when the DIB size field ALSO fails:
+    * trusting bfSize alone dropped genuine BMPs to the raw-grayscale
+    * path, where grayPixels rejects them on a size mismatch.
     */
   private def isBmp(bytes: Array[Byte]): Boolean =
-    bytes.length >= 14 && bytes(0) == 'B' && bytes(1) == 'M' && {
+    bytes.length >= 18 && bytes(0) == 'B' && bytes(1) == 'M' &&
+      bytes(6) == 0 && bytes(7) == 0 && bytes(8) == 0 && bytes(9) == 0 && {
       val claimed = (bytes(2) & 0xffL) | ((bytes(3) & 0xffL) << 8) |
         ((bytes(4) & 0xffL) << 16) | ((bytes(5) & 0xffL) << 24)
-      claimed == bytes.length &&
-        bytes(6) == 0 && bytes(7) == 0 && bytes(8) == 0 && bytes(9) == 0
+      val dibSize = (bytes(14) & 0xffL) | ((bytes(15) & 0xffL) << 8) |
+        ((bytes(16) & 0xffL) << 16) | ((bytes(17) & 0xffL) << 24)
+      // 12 = BITMAPCOREHEADER, 40 = BITMAPINFOHEADER, 52/56 = v2/v3,
+      // 64 = OS/2 2.x, 108 = v4, 124 = v5
+      claimed == bytes.length || claimed == 0 ||
+        Seq(12L, 40L, 52L, 56L, 64L, 108L, 124L).contains(dibSize)
     }
 
   /** Widens a raw 8-bit grayscale payload to int pixels, loudly: the

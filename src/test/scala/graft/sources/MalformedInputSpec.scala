@@ -66,6 +66,24 @@ class MalformedInputSpec extends AnyFunSuite {
     javax.imageio.ImageIO.write(img, "bmp", out)
     val (px, w, h) = graft.multimodal.Media.decodeImage(out.toByteArray, 0, 0)
     assert((w, h) == (3, 2) && px.toSeq == Seq(10, 11, 12, 13, 14, 15))
+    // real-world writers commonly stamp bfSize = 0 (round-13 ADVICE):
+    // the DIB header size field must still route such BMPs to ImageIO
+    // instead of dropping them to the raw path (where grayPixels
+    // rejects on a size mismatch)
+    val zeroSize = out.toByteArray.clone()
+    zeroSize(2) = 0; zeroSize(3) = 0; zeroSize(4) = 0; zeroSize(5) = 0
+    val (px0, w0, h0) = graft.multimodal.Media.decodeImage(zeroSize, 0, 0)
+    assert((w0, h0) == (3, 2) && px0.toSeq == px.toSeq)
+    // an INACCURATE (nonzero, wrong) bfSize also routes via the DIB field
+    val offSize = out.toByteArray.clone()
+    offSize(2) = 1; offSize(3) = 0; offSize(4) = 0; offSize(5) = 0
+    val (px1, w1, h1) = graft.multimodal.Media.decodeImage(offSize, 0, 0)
+    assert((w1, h1) == (3, 2) && px1.toSeq == px.toSeq)
+    // while a raw raster that merely STARTS 'B','M' (mid-gray pixels)
+    // still routes raw: reserved bytes / DIB field don't line up
+    val rawBm = Array[Byte]('B', 'M') ++ Array.tabulate[Byte](62)(i => (100 + i).toByte)
+    val (pxr, wr, hr) = graft.multimodal.Media.decodeImage(rawBm, 8, 8)
+    assert((wr, hr) == (8, 8) && pxr(0) == 'B'.toInt)
   }
 
   test("Zlib.inflate rejects truncated streams rather than returning partial bytes") {
