@@ -24,10 +24,29 @@ object CompressionExpr {
     * hot path for documents shorter than the setup itself. reset()
     * restores identical deflate state, so values are unchanged; levels
     * are a tiny fixed set (the q68 battery uses 1/6/9).
+    *
+    * Each thread's map registers a Cleaner on its OWNING THREAD that
+    * `end()`s the pooled native states when the thread is collected
+    * (round-13 ADVICE): long-lived executor pools never trigger it, but
+    * under thread churn (test suites, local mode) the JDK's own
+    * per-Deflater cleanup otherwise strands ~256 KB of native window
+    * per abandoned thread until GC happens to notice the tiny heap
+    * wrapper objects.
     */
+  private val cleaner = java.lang.ref.Cleaner.create()
+
+  private final class PoolCloser(
+      m: java.util.HashMap[Int, java.util.zip.Deflater]) extends Runnable {
+    override def run(): Unit = m.values().forEach(_.end())
+  }
+
   private val pool =
     new ThreadLocal[java.util.HashMap[Int, java.util.zip.Deflater]] {
-      override def initialValue() = new java.util.HashMap()
+      override def initialValue() = {
+        val m = new java.util.HashMap[Int, java.util.zip.Deflater]()
+        cleaner.register(Thread.currentThread(), new PoolCloser(m))
+        m
+      }
     }
   private val bufPool = new ThreadLocal[Array[Byte]] {
     override def initialValue() = new Array[Byte](8192)
