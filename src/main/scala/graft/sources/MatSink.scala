@@ -156,6 +156,278 @@ object MatSink {
       element(MiInt8, name.getBytes("US-ASCII")) ++ dataBytes
   }
 
+  // --- MAT v7.3 write side (round-14) ---------------------------------------
+
+  /** Serializes variables as a MAT v7.3 file: the 512-byte MAT userblock
+    * (version 0x0200) followed by an HDF5 stream in the same subset
+    * [[MatSource.parseV73]]/[[H5Source]] read — superblock v0,
+    * symbol-table root group, v1 object headers, CONTIGUOUS layouts,
+    * MATLAB_class/MATLAB_empty attributes, uint16 char datasets, and
+    * true cell arrays as object-reference datasets into a `/#refs#`
+    * group (the idiom MATLAB's own `-v7.3` writer uses for cellstr
+    * class lists). Deterministic byte-for-byte: fixed header text,
+    * sequential allocation, sorted symbol tables. Closes the write-side
+    * symmetry so the v7.3 round-trip fuzz generates its own corpus
+    * instead of hand-built fixtures (round-13 verdict task 7).
+    */
+  def write73(vars: Seq[(String, MatValue)]): Array[Byte] = {
+    val userblock = new Array[Byte](512)
+    java.util.Arrays.fill(userblock, 0, 116, ' '.toByte)
+    val desc = ("MATLAB 7.3 MAT-file, Platform: JVM, " +
+      "Created by: graft.sources.MatSink").getBytes("US-ASCII")
+    System.arraycopy(desc, 0, userblock, 0, math.min(desc.length, 116))
+    userblock(124) = 0x00
+    userblock(125) = 0x02
+    userblock(126) = 'I'
+    userblock(127) = 'M'
+    userblock ++ hdf5Stream(vars)
+  }
+
+  private def hdf5Stream(vars: Seq[(String, MatValue)]): Array[Byte] = {
+    val Undef = -1L
+    vars.foreach { case (name, _) =>
+      require(name.nonEmpty && name.forall(c => c > ' ' && c < 127),
+        s"variable name '$name' is not a plain ASCII identifier")
+    }
+    def payloadBytes(v: MatValue): Long = v match {
+      case MatNum(_, data) => 8L * data.length + 64
+      case MatStr(s) => 2L * s.length + 64
+      case MatCell(_, items) => items.map(payloadBytes).sum + 8L * items.size + 64
+    }
+    val cap = 8192L + vars.map { case (_, v) => 1024L + 2 * payloadBytes(v) }.sum
+    require(cap <= (1L << 30), s"v7.3 payload of $cap bytes exceeds the 1 GiB writer cap")
+    val buf = ByteBuffer.allocate(cap.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    def pad8(): Unit = while (buf.position() % 8 != 0) buf.put(0.toByte)
+
+    def message(tpe: Int, body: Array[Byte]): Array[Byte] = {
+      val padded = body ++ new Array[Byte]((8 - body.length % 8) % 8)
+      val m = ByteBuffer.allocate(8 + padded.length).order(ByteOrder.LITTLE_ENDIAN)
+      m.putShort(tpe.toShort).putShort(padded.length.toShort)
+      m.put(0.toByte).put(new Array[Byte](3)).put(padded)
+      m.array()
+    }
+    def dataspace(h5dims: Seq[Long]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + 8 * h5dims.size).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte).put(h5dims.size.toByte).put(0.toByte).put(new Array[Byte](5))
+      h5dims.foreach(b.putLong)
+      b.array()
+    }
+    def objectHeader(msgs: Seq[Array[Byte]]): Long = {
+      pad8()
+      val addr = buf.position()
+      buf.put(1.toByte).put(0.toByte)
+      buf.putShort(msgs.size.toShort)
+      buf.putInt(1)
+      buf.putInt(msgs.map(_.length).sum)
+      buf.put(new Array[Byte](4)) // align messages to 8
+      msgs.foreach(buf.put)
+      addr.toLong
+    }
+    def p8(a: Array[Byte]) = a ++ new Array[Byte]((8 - a.length % 8) % 8)
+    // v1 attribute message bodies — the exact shapes MatSource's
+    // attribute reader decodes (fixed string + uint8 scalar)
+    def classAttr(mclass: String): Array[Byte] = {
+      val aname = "MATLAB_class".getBytes("US-ASCII") :+ 0.toByte
+      val adt = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      adt.put(0x13.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      adt.putInt(mclass.length)
+      val ads = Array[Byte](1, 0, 0, 0, 0, 0, 0, 0)
+      val ahdr = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      ahdr.put(1.toByte).put(0.toByte)
+      ahdr.putShort(aname.length.toShort)
+      ahdr.putShort(8.toShort)
+      ahdr.putShort(8.toShort)
+      ahdr.array() ++ p8(aname) ++ p8(adt.array()) ++ p8(ads) ++
+        mclass.getBytes("US-ASCII")
+    }
+    def emptyAttr(): Array[Byte] = {
+      val ename = "MATLAB_empty".getBytes("US-ASCII") :+ 0.toByte
+      val edt = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+      edt.put(0x10.toByte).put(0x00.toByte).put(0.toByte).put(0.toByte)
+      edt.putInt(1).putShort(0.toShort).putShort(8.toShort)
+      val ads = Array[Byte](1, 0, 0, 0, 0, 0, 0, 0)
+      val ehdr = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      ehdr.put(1.toByte).put(0.toByte)
+      ehdr.putShort(ename.length.toShort)
+      ehdr.putShort(12.toShort)
+      ehdr.putShort(8.toShort)
+      ehdr.array() ++ p8(ename) ++ p8(edt.array()) ++ p8(ads) ++ Array[Byte](1)
+    }
+    def contiguous(dataAddr: Long, n: Long): Array[Byte] = {
+      val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(3.toByte).put(1.toByte).putLong(dataAddr).putLong(n)
+      b.array()
+    }
+    val dtDouble = {
+      val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(0x11.toByte).put(0x20.toByte).put(0x3f.toByte).put(0.toByte)
+      b.putInt(8).putShort(0.toShort).putShort(64.toShort)
+      b.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte).putInt(1023)
+      b.array()
+    }
+    def dtFixed(size: Int): Array[Byte] = { // unsigned little-endian
+      val b = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(0x10.toByte).put(0x00.toByte).put(0.toByte).put(0.toByte)
+      b.putInt(size).putShort(0.toShort).putShort((size * 8).toShort)
+      b.array()
+    }
+    val dtRef = {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(0x17.toByte).put(0x00.toByte).put(0.toByte).put(0.toByte)
+      b.putInt(8)
+      b.array()
+    }
+
+    // MATLAB_empty datasets hold the SIZE VECTOR (MATLAB order, uint64)
+    def writeEmpty(mclass: String, matDims: Seq[Int]): Long = {
+      pad8()
+      val dataAddr = buf.position()
+      matDims.foreach(d => buf.putLong(d.toLong))
+      objectHeader(Seq(
+        message(0x0001, dataspace(Seq(matDims.length.toLong))),
+        message(0x0003, dtFixed(8)),
+        message(0x000c, classAttr(mclass)),
+        message(0x000c, emptyAttr()),
+        message(0x0008, contiguous(dataAddr, 8L * matDims.length))))
+    }
+
+    // every cell target lands in /#refs#, depth-first so a nested cell's
+    // own reference dataset is written AFTER its targets — addresses are
+    // always known, no patching
+    val refEntries = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def writeValue(v: MatValue): Long = v match {
+      case MatNum(dims, data) if data.isEmpty =>
+        writeEmpty("double", dims)
+      case MatNum(dims, data) =>
+        val expect = Dims.product(dims.map(_.toLong), "v7.3 matrix")
+        require(expect == data.length,
+          s"v7.3 matrix dims $dims (=$expect) vs ${data.length} values")
+        pad8()
+        val dataAddr = buf.position()
+        data.foreach(buf.putDouble) // column-major flat == HDF5 row-major of reversed dims
+        objectHeader(Seq(
+          message(0x0001, dataspace(dims.reverse.map(_.toLong))),
+          message(0x0003, dtDouble),
+          message(0x000c, classAttr("double")),
+          message(0x0008, contiguous(dataAddr, 8L * data.length))))
+      case MatStr("") =>
+        writeEmpty("char", Seq(0, 0))
+      case MatStr(s) =>
+        pad8()
+        val dataAddr = buf.position()
+        s.foreach(c => buf.putShort(c.toShort)) // uint16 code units
+        objectHeader(Seq(
+          message(0x0001, dataspace(Seq(s.length.toLong, 1L))), // MATLAB [1,n]
+          message(0x0003, dtFixed(2)),
+          message(0x000c, classAttr("char")),
+          message(0x0008, contiguous(dataAddr, 2L * s.length))))
+      case MatCell(dims, items) if items.isEmpty =>
+        writeEmpty("cell", dims)
+      case MatCell(dims, items) =>
+        val expect = Dims.product(dims.map(_.toLong), "v7.3 cell")
+        require(expect == items.size,
+          s"v7.3 cell dims $dims (=$expect) vs ${items.size} items")
+        val addrs = items.map { it =>
+          val a = writeValue(it)
+          refEntries += ((f"r${refEntries.size + 1}%06d", a))
+          a
+        }
+        pad8()
+        val dataAddr = buf.position()
+        addrs.foreach(buf.putLong)
+        objectHeader(Seq(
+          message(0x0001, dataspace(dims.reverse.map(_.toLong))),
+          message(0x0003, dtRef),
+          message(0x000c, classAttr("cell")),
+          message(0x0008, contiguous(dataAddr, 8L * addrs.size))))
+    }
+
+    // reserve the superblock, then datasets (cells register refs),
+    // then the /#refs# group, then the root group over everything
+    buf.position(96)
+    val varAddrs = vars.map { case (name, v) => name -> writeValue(v) }
+
+    def writeGroup(entries: Seq[(String, Long)]): (Long, Long, Long) = {
+      val sorted = entries.sortBy(_._1)
+      pad8()
+      val heapDataSize = 8L + sorted.map(_._1.length + 1).sum
+      val heapAligned = (heapDataSize + 7) / 8 * 8
+      val heapHeader = buf.position()
+      val heapData = heapHeader + 32
+      buf.put("HEAP".getBytes("US-ASCII")).put(0.toByte).put(new Array[Byte](3))
+      buf.putLong(heapAligned)
+      buf.putLong(heapDataSize)
+      buf.putLong(heapData.toLong)
+      val nameOff = scala.collection.mutable.Map.empty[String, Long]
+      val heapStart = buf.position()
+      buf.put(new Array[Byte](8))
+      for ((n, _) <- sorted) {
+        nameOff(n) = buf.position() - heapStart
+        buf.put(n.getBytes("US-ASCII")).put(0.toByte)
+      }
+      buf.position(heapStart + heapAligned.toInt)
+      pad8()
+      val btree = buf.position()
+      buf.put("TREE".getBytes("US-ASCII"))
+      buf.put(0.toByte).put(0.toByte)
+      buf.putShort(1.toShort)
+      buf.putLong(Undef).putLong(Undef)
+      val snodPos = buf.position() + 8
+      buf.putLong(0L) // key0
+      buf.putLong(0L) // child0 -> patched to the SNOD
+      buf.putLong(if (sorted.isEmpty) 0L else nameOff(sorted.last._1)) // keyN
+      pad8()
+      val snod = buf.position()
+      buf.put("SNOD".getBytes("US-ASCII")).put(1.toByte).put(0.toByte)
+      buf.putShort(sorted.size.toShort)
+      val entryPos = buf.position()
+      buf.position(entryPos + 40 * sorted.size)
+      buf.putLong(snodPos, snod.toLong)
+      for (((n, addr), k) <- sorted.zipWithIndex) {
+        val e = entryPos + 40 * k
+        buf.putLong(e, nameOff(n))
+        buf.putLong(e + 8, addr)
+        buf.putInt(e + 16, 0)
+        buf.putInt(e + 20, 0)
+      }
+      val st = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      st.putLong(btree.toLong).putLong(heapHeader.toLong)
+      (objectHeader(Seq(message(0x0011, st.array()))), btree.toLong, heapHeader.toLong)
+    }
+
+    val rootEntries =
+      if (refEntries.isEmpty) varAddrs
+      else varAddrs :+ ("#refs#" -> writeGroup(refEntries.toSeq)._1)
+    val (rootHeader, rootBtree, rootHeap) = writeGroup(rootEntries)
+    val eof = buf.position()
+
+    // superblock v0
+    buf.position(0)
+    buf.put(Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    buf.put(0.toByte) // superblock v0
+    buf.put(0.toByte).put(0.toByte).put(0.toByte)
+    buf.put(0.toByte) // shared header version
+    buf.put(8.toByte).put(8.toByte).put(0.toByte) // offset/length sizes
+    // leaf/internal K sized to the widest symbol node this writer emits
+    // (one SNOD per group), so count <= 2K always holds
+    val k = math.max(4, rootEntries.size.max(refEntries.size))
+    buf.putShort(k.toShort).putShort(16.toShort)
+    buf.putInt(0)
+    buf.putLong(0L) // base address
+    buf.putLong(Undef)
+    buf.putLong(eof.toLong)
+    buf.putLong(Undef)
+    buf.putLong(0L) // root link name offset
+    buf.putLong(rootHeader)
+    buf.putInt(1).putInt(0)
+    buf.putLong(rootBtree).putLong(rootHeap)
+
+    val out = new Array[Byte](eof)
+    buf.position(0)
+    buf.get(out)
+    out
+  }
+
   // --- curation file shapes ------------------------------------------------
 
   /** A class2use config file (`ifcb_create_class2use` shape): one cell
