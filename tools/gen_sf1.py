@@ -72,6 +72,30 @@ COPY (
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
     etbl = pq.read_table(f"{src}/embeddings.parquet")
     erows = etbl.to_pylist()
+
+    # per-replica sign pattern, keyed JOINTLY by (dim, k): the old
+    # k*40503 term was divisible by 3, so it vanished mod 3 and every
+    # replica shared ONE pattern — replicas then differed only by
+    # rotation, and rotation-invariant vectors became exact
+    # cross-replica duplicates, partially re-introducing the
+    # quadratic-pair artifact this transform exists to remove
+    # (round-13 ADVICE). 40507 is prime (and not divisible by 3).
+    def signs(k, d):
+        return tuple(((i + 1) * 2654435761 + k * 40507) % 3 == 0
+                     for i in range(d))
+
+    # no two replica transforms may coincide (and none may be the
+    # identity), or the affected replicas are verbatim copies of each
+    # other and cross-replica pairs grow quadratically again
+    dset = {len(row["embedding"]) for row in erows}
+    for d in dset:
+        seen = {(0, tuple([False] * d))}  # k=0 keeps the identity
+        for k in range(1, REPL):
+            t = ((7 * k) % d, signs(k, d))
+            assert t not in seen, \
+                f"replica transform collision at k={k}, d={d}: {t[0]}"
+            seen.add(t)
+
     eout = []
     for k in range(REPL):
         for row in erows:
@@ -82,10 +106,8 @@ COPY (
                 d = len(v)
                 rot = (7 * k) % d
                 v = v[rot:] + v[:rot]
-                # Knuth multiplicative hash keyed by (dim, k): a fixed
-                # ~1/3 of dims flip sign, differing per replica
-                v = [-x if ((i + 1) * 2654435761 + k * 40503) % 3 == 0
-                     else x for i, x in enumerate(v)]
+                sg = signs(k, d)
+                v = [-x if sg[i] else x for i, x in enumerate(v)]
                 r["embedding"] = v
             eout.append(r)
     pq.write_table(pa.Table.from_pylist(eout, schema=etbl.schema),

@@ -8,7 +8,7 @@ is 10x; a wall-time ratio well under 10 means fixed per-query overhead
 (job setup, JIT) dominates at these sizes, which is expected. Flagged:
 ratio > 10 (super-linear in data).
 
-Usage: scaling_report.py bench_sf001.json bench_sf01.json
+Usage: scaling_report.py small_bench.json big_bench.json [label_small label_big]
 """
 import json
 import sys
@@ -37,16 +37,18 @@ def load(path):
     return pass_times, calib
 
 
-def main(p001, p01):
+def main(p001, p01, lbl_small=None, lbl_big=None):
     small, calib_small = load(p001)
     big, calib_big = load(p01)
+    lbl_small = lbl_small or "sf0.01"
+    lbl_big = lbl_big or "sf0.1"
     rows = []
     for q in sorted(small):
         if q not in big:
             continue
         r = big[q] / small[q] if small[q] > 0 else float("inf")
         rows.append((q, small[q], big[q], r))
-    print("| query | sf0.01 s | sf0.1 s | ratio (10x data) | flag |")
+    print(f"| query | {lbl_small} s | {lbl_big} s | ratio (10x data) | flag |")
     print("|---|---|---|---|---|")
     for q, s, b, r in rows:
         flag = "SUPER-LINEAR" if r > 10 else ""
@@ -57,14 +59,14 @@ def main(p001, p01):
     tot_s = sum(s for _, s, _, _ in rows)
     tot_b = sum(b for _, _, b, _ in rows)
     print()
-    print(f"totals: sf0.01 {tot_s:.1f} s, sf0.1 {tot_b:.1f} s, "
+    print(f"totals: {lbl_small} {tot_s:.1f} s, {lbl_big} {tot_b:.1f} s, "
           f"ratio {tot_b / tot_s:.2f}")
-    print(f"calib sf0.01: {calib_small}")
-    print(f"calib sf0.1: {calib_big}")
+    print(f"calib {lbl_small}: {calib_small}")
+    print(f"calib {lbl_big}: {calib_big}")
     print(f"super-linear queries: {[q for q, _ in sup] or 'none'}")
 
 
 if __name__ == "__main__":
-    if len(sys.argv) != 3:
+    if len(sys.argv) not in (3, 5):
         raise SystemExit(__doc__.strip().splitlines()[-1])
-    main(sys.argv[1], sys.argv[2])
+    main(*sys.argv[1:])
