@@ -58,8 +58,12 @@ object Media {
       val dibSize = (bytes(14) & 0xffL) | ((bytes(15) & 0xffL) << 8) |
         ((bytes(16) & 0xffL) << 16) | ((bytes(17) & 0xffL) << 24)
       // 12 = BITMAPCOREHEADER, 40 = BITMAPINFOHEADER, 52/56 = v2/v3,
-      // 64 = OS/2 2.x, 108 = v4, 124 = v5
-      claimed == bytes.length || claimed == 0 ||
+      // 64 = OS/2 2.x, 108 = v4, 124 = v5. NO bare `claimed == 0`
+      // acceptance (round-14 review): a zero-bfSize writer still writes
+      // a valid DIB size (the disjunct below accepts it), while a raw
+      // grayscale raster starting 'B','M' + a dark run of zeros would
+      // satisfy claimed==0 alone and get misrouted into ImageIO
+      claimed == bytes.length ||
         Seq(12L, 40L, 52L, 56L, 64L, 108L, 124L).contains(dibSize)
     }
 

@@ -140,6 +140,12 @@ final class NearestCentroidKernel(centroids: Array[Array[Double]])
     var vv = 0.0
     i = 0
     while (i < dims) { vv += v.getFloat(i).toDouble * v.getFloat(i).toDouble; i += 1 }
+    // a NaN element makes EVERY flat score NaN and the struct minimum
+    // falls to cell 0 (round-14 review: `s < best` and `s == best` are
+    // both false for NaN, so the loop below would leave bestId at its
+    // sentinel and return Int.MaxValue — a phantom cell diverging from
+    // the flat composition and the SQL twin)
+    if (java.lang.Double.isNaN(vv)) return 0
     // group lower bounds: lb = max(0, ‖v−Cg‖ − r_g); lbScore = lb² − vv
     val nG = coarse.length
     val lb = new Array[Double](nG)
@@ -184,7 +190,10 @@ final class NearestCentroidKernel(centroids: Array[Array[Double]])
         oi += 1
       }
     }
-    bestId
+    // belt over the NaN guard above: a NaN CENTROID coordinate (a
+    // degenerate trainer output) also NaNs its scores — if nothing ever
+    // beat the sentinel, mirror the flat composition's cell 0
+    if (bestId == Int.MaxValue) 0 else bestId
   }
 }
 

@@ -362,7 +362,10 @@ object H5Source {
   private def resolveRefs(buf: ByteBuffer, dims: Seq[Long],
       addrs: Array[Long], depth: Int): H5Cell = {
     val items = addrs.toSeq.map { a =>
-      require(a > 0 && a < buf.limit(),
+      // a full v1 header PREFIX (12 bytes + alignment pad) must fit, not
+      // just the address byte: a near-EOF reference otherwise dies in
+      // messages() with a buffer-index diagnostic instead of this one
+      require(a > 0 && a <= buf.limit() - 16L,
         s"dangling object reference: address $a outside file of ${buf.limit()} bytes")
       val v = readDataset(buf, a, depth + 1).getOrElse(throw new IllegalArgumentException(
         s"object reference target at $a is not a dataset (a group or " +

@@ -180,7 +180,17 @@ object MatSink {
     userblock(125) = 0x02
     userblock(126) = 'I'
     userblock(127) = 'M'
-    userblock ++ hdf5Stream(vars)
+    // a capacity-estimate miss must surface as the module's contract
+    // exception with context, not a raw BufferOverflowException
+    val h5 =
+      try hdf5Stream(vars)
+      catch {
+        case e: java.nio.BufferOverflowException =>
+          throw new IllegalArgumentException(
+            "v7.3 writer capacity estimate undersized for these " +
+              "variables (writer bug — report the shapes)", e)
+      }
+    userblock ++ h5
   }
 
   private def hdf5Stream(vars: Seq[(String, MatValue)]): Array[Byte] = {
@@ -188,11 +198,24 @@ object MatSink {
     vars.foreach { case (name, _) =>
       require(name.nonEmpty && name.forall(c => c > ' ' && c < 127),
         s"variable name '$name' is not a plain ASCII identifier")
+      // '#refs#' is the writer's own cell-target group: a variable by
+      // that name would put duplicate keys in the root symbol table and
+      // the reader silently resolves only one (round-14 review)
+      require(name != "#refs#",
+        "variable name '#refs#' collides with the cell-target group")
     }
+    require(vars.map(_._1).distinct.size == vars.size,
+      s"duplicate variable names: ${vars.map(_._1).diff(vars.map(_._1).distinct).distinct.mkString(",")}")
+    // capacity: every value costs its data bytes PLUS a fixed per-
+    // dataset overhead (v1 object header + dataspace/datatype/attr/
+    // layout messages ≈ 250 B, /#refs# heap+SNOD bookkeeping ≈ 56 B per
+    // cell target) — the round-14 review measured the old 64 B/value
+    // budget crashing at ~140 cellstr entries, exactly the class-list
+    // shape this writer exists for
     def payloadBytes(v: MatValue): Long = v match {
-      case MatNum(_, data) => 8L * data.length + 64
-      case MatStr(s) => 2L * s.length + 64
-      case MatCell(_, items) => items.map(payloadBytes).sum + 8L * items.size + 64
+      case MatNum(_, data) => 8L * data.length + 512
+      case MatStr(s) => 2L * s.length + 512
+      case MatCell(_, items) => items.map(payloadBytes).sum + 64L * items.size + 512
     }
     val cap = 8192L + vars.map { case (_, v) => 1024L + 2 * payloadBytes(v) }.sum
     require(cap <= (1L << 30), s"v7.3 payload of $cap bytes exceeds the 1 GiB writer cap")

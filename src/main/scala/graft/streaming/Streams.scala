@@ -226,19 +226,27 @@ object Streams {
     */
   def featureStreamQuarantined(spark: SparkSession, path: String,
       featuresDir: String, quarantineDir: String, checkpoint: String,
-      maxFilesPerTrigger: Int = 100): org.apache.spark.sql.streaming.StreamingQuery =
+      maxFilesPerTrigger: Int = 100): org.apache.spark.sql.streaming.StreamingQuery = {
+    // the anti-join universe is read ONCE at deployment start, not per
+    // micro-batch (round-14 review): the checkpointed source never
+    // re-delivers a file within a run, so the only replay risk is the
+    // last half-written batch of the PREVIOUS run — keys present on
+    // disk at start cover exactly that, while a per-batch re-read of
+    // the accumulated history made each batch's cost grow with stream
+    // lifetime (quadratic total work on a long-lived deployment)
+    val existingAtStart = {
+      val p = new org.apache.hadoop.fs.Path(featuresDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        Some(spark.read.option("header", "true").csv(featuresDir)
+          .select(col("path")).persist())
+      else None
+    }
     quarantinedSink(featureStream(spark, path, maxFilesPerTrigger),
         quarantineDir, checkpoint) { (clean, _) =>
-      val existing = {
-        val p = new org.apache.hadoop.fs.Path(featuresDir)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-          Some(spark.read.option("header", "true").csv(featuresDir)
-            .select(col("path")))
-        else None
-      }
-      graft.sources.Sinks.appendNew(clean, existing, Seq("path"), featuresDir)
+      graft.sources.Sinks.appendNew(clean, existingAtStart, Seq("path"), featuresDir)
     }
+  }
 
   /** Streaming exact dedup, first-seen-wins — the continuously-ingesting
     * counterpart of the batch content dedup (q41/`Dedup.exactGroups`): a

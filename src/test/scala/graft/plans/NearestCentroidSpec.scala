@@ -60,7 +60,11 @@ class NearestCentroidSpec extends SparkSpec {
       Tuple1(Array[Option[Float]](Some(4.0f), Some(6.0f))),
       Tuple1(null.asInstanceOf[Array[Option[Float]]]),      // null array
       Tuple1(Array[Option[Float]](Some(1.0f))),             // wrong length
-      Tuple1(Array[Option[Float]](Some(1.0f), None))        // null element
+      Tuple1(Array[Option[Float]](Some(1.0f), None)),       // null element
+      // NaN element: every flat score is NaN and the struct minimum
+      // ties down to cell 0 — the kernel must not return its internal
+      // sentinel (round-14 review: it returned Int.MaxValue)
+      Tuple1(Array[Option[Float]](Some(Float.NaN), Some(0.5f)))
     ).toDF("v")
       .select(nat($"v", cs).as("fast"),
         Similarity.cellAssignComposed($"v", cs).as("flat"))
@@ -72,6 +76,7 @@ class NearestCentroidSpec extends SparkSpec {
     assert(rows(0).getInt(0) == 0) // tie kept the smallest cell id
     assert(rows(1).getInt(0) == 1)
     assert(rows(2).getInt(0) == 0 && rows(3).getInt(0) == 0 && rows(4).getInt(0) == 0)
+    assert(rows(5).getInt(0) == 0) // NaN element lands on cell 0, both paths
   }
 
   test("structural equality holds (Seq params) so CSE can deduplicate identical nodes") {

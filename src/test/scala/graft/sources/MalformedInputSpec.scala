@@ -84,6 +84,14 @@ class MalformedInputSpec extends AnyFunSuite {
     val rawBm = Array[Byte]('B', 'M') ++ Array.tabulate[Byte](62)(i => (100 + i).toByte)
     val (pxr, wr, hr) = graft.multimodal.Media.decodeImage(rawBm, 8, 8)
     assert((wr, hr) == (8, 8) && pxr(0) == 'B'.toInt)
+    // and so does a DARK-leading raw raster ('BM' + a run of zeros):
+    // bytes 2-5 spell bfSize 0, which must NOT be accepted on its own —
+    // the DIB size field (pixel bytes 14-17 here) doesn't line up, so
+    // this stays raw (round-14 review: bare claimed==0 misrouted it)
+    val darkBm = Array[Byte]('B', 'M') ++ new Array[Byte](12) ++
+      Array.tabulate[Byte](50)(i => (20 + i).toByte)
+    val (pxd, wd, hd) = graft.multimodal.Media.decodeImage(darkBm, 8, 8)
+    assert((wd, hd) == (8, 8) && pxd(0) == 'B'.toInt && pxd(2) == 0)
   }
 
   test("Zlib.inflate rejects truncated streams rather than returning partial bytes") {

@@ -281,6 +281,25 @@ class MatFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("v7.3 writer handles a realistic 300-entry class2use cellstr (round-14 capacity fix)") {
+    // the original capacity budget (64 B/value) crashed at ~140 typical
+    // class names — exactly the class-list shape the writer exists for
+    val classes = (1 to 300).map(i => f"Mesodinium_rubrum_$i%03d")
+    val vars = Seq("class2use" ->
+      (MatCell(Seq(classes.size, 1), classes.map(MatStr(_): MatValue)): MatValue))
+    val parsed = MatSource.parse(MatSink.write73(vars))
+    assertEq(parsed("class2use"), vars.head._2, "class2use")
+    // name-collision and duplicate-name guards (silent variable loss)
+    val e1 = intercept[IllegalArgumentException] {
+      MatSink.write73(Seq("#refs#" -> MatStr("x")))
+    }
+    assert(e1.getMessage.contains("#refs#"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      MatSink.write73(Seq("a" -> MatStr("x"), "a" -> MatStr("y")))
+    }
+    assert(e2.getMessage.contains("duplicate"), e2.getMessage)
+  }
+
   test("v7.3 mutation: byte flips and truncations decode or throw IllegalArgumentException") {
     var parsed = 0
     var rejected = 0

@@ -48,7 +48,9 @@ FAMILIES = {
 
 
 def other_jvms():
-    """PIDs of java processes not belonging to this process tree."""
+    """ALL running java PIDs (no process-tree filtering: the canary is a
+    plain python entry point, so any java process means a foreign JVM).
+    """
     try:
         out = subprocess.run(["pgrep", "-x", "java"], capture_output=True,
                              text=True).stdout.split()
@@ -57,12 +59,38 @@ def other_jvms():
     return [p for p in out if p]
 
 
+def generator_version():
+    """GEN_VERSION from gen_sf1.py — the replication-scheme fingerprint."""
+    with open(os.path.join(REPO, "tools", "gen_sf1.py")) as f:
+        for line in f:
+            if line.startswith("GEN_VERSION"):
+                return line.split("=")[1].strip()
+    raise SystemExit("gen_sf1.py carries no GEN_VERSION")
+
+
 def ensure_sf1(sf1_dir):
-    probe = os.path.join(sf1_dir, "lineitem.parquet")
-    if os.path.exists(probe):
-        print(f"# sf1 dataset present at {sf1_dir}")
-        return
-    print(f"# generating sf1 at {sf1_dir} (gen_sf1.py)")
+    """(Re)generate sf1 unless a COMPLETE dataset from the CURRENT
+    generator scheme is present. The _GENERATOR stamp is written last,
+    so its presence also proves the generation finished; a stale stamp
+    (older sign-flip keying) or a partial dataset would silently poison
+    the measurement with data artifacts (round-14 review).
+    """
+    want = generator_version()
+    stamp = os.path.join(sf1_dir, "_GENERATOR")
+    if os.path.exists(stamp):
+        with open(stamp) as f:
+            have = f.read().strip()
+        if have == want:
+            print(f"# sf1 dataset present at {sf1_dir} (generator v{have})")
+            return
+        print(f"# sf1 at {sf1_dir} is generator v{have}, want v{want}: regenerating")
+        import shutil
+        shutil.rmtree(sf1_dir)
+    elif os.path.exists(os.path.join(sf1_dir, "lineitem.parquet")):
+        print(f"# sf1 at {sf1_dir} is unstamped (partial or pre-v{want}): regenerating")
+        import shutil
+        shutil.rmtree(sf1_dir)
+    print(f"# generating sf1 at {sf1_dir} (gen_sf1.py v{want})")
     subprocess.run([sys.executable, os.path.join(REPO, "tools", "gen_sf1.py"),
                     "/root/testdata/sf0.1", sf1_dir], check=True)
 
