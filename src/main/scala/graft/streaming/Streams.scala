@@ -202,8 +202,12 @@ object Streams {
         // IngestQc.write)
         val cached = batch.persist()
         try {
+          // newlines in a decoder message would split the audit row
+          // under the default multiLine=false read-back (round-14
+          // review) — flatten them before the CSV write
           val bad = cached.filter(col(errorCol).isNotNull)
-            .select(col("path"), col(errorCol).as("error"),
+            .select(col("path"),
+              regexp_replace(col(errorCol), "[\\r\\n]+", " ").as("error"),
               lit(id).as("batch_id"))
           if (!bad.isEmpty)
             bad.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
@@ -237,16 +241,65 @@ object Streams {
     val existingAtStart = {
       val p = new org.apache.hadoop.fs.Path(featuresDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-        Some(spark.read.option("header", "true").csv(featuresDir)
+      // gate on NON-HIDDEN data files, not bare listStatus: a dir
+      // holding only _SUCCESS (an all-poison first run) or _temporary
+      // (a crashed first append) otherwise drives spark.read.csv into
+      // UNABLE_TO_INFER_SCHEMA at exactly the restart this recovery
+      // path exists for (round-14 review)
+      val hasData = fs.exists(p) && fs.listStatus(p).exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (hasData)
+        // pinned schema + FAILFAST, the IngestQc state-read discipline:
+        // a lenient inferred read turns a malformed state row into a
+        // null anti-join key that never matches, silently duplicating
+        // replayed rows
+        Some(spark.read
+          .schema(featureCsvSchema)
+          .option("header", "true")
+          .option("mode", "FAILFAST")
+          .option("enforceSchema", "false")
+          .csv(featuresDir)
           .select(col("path")).persist())
       else None
     }
-    quarantinedSink(featureStream(spark, path, maxFilesPerTrigger),
+    val q = quarantinedSink(featureStream(spark, path, maxFilesPerTrigger),
         quarantineDir, checkpoint) { (clean, _) =>
-      graft.sources.Sinks.appendNew(clean, existingAtStart, Seq("path"), featuresDir)
+      // the all-poison batch must not run an empty write job (it would
+      // also seed the _SUCCESS-only dir state guarded above)
+      if (!clean.isEmpty)
+        graft.sources.Sinks.appendNew(clean, existingAtStart, Seq("path"), featuresDir)
     }
+    // release the cached path universe when THIS query terminates —
+    // repeated deploys in one session otherwise accumulate cache entries
+    existingAtStart.foreach { df =>
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == q.id) {
+            df.unpersist()
+            spark.streams.removeListener(this)
+          }
+      }
+      spark.streams.addListener(listener)
+    }
+    q
   }
+
+  /** The quarantined feature sink's on-disk CSV schema: `path` plus the
+    * slim-feature columns, derived from the same [[graft.features.Features.FeatureRow]]
+    * the stream emits — one source of truth, so the restart-time
+    * anti-join read validates instead of inferring (the IngestQc
+    * pinned-state-schema discipline).
+    */
+  private[streaming] val featureCsvSchema: StructType = StructType(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType) +:
+      org.apache.spark.sql.Encoders.product[graft.features.Features.FeatureRow]
+        .schema.fields.toSeq)
 
   /** Streaming exact dedup, first-seen-wins — the continuously-ingesting
     * counterpart of the batch content dedup (q41/`Dedup.exactGroups`): a

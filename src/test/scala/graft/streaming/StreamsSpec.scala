@@ -495,6 +495,34 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(quarDir.toString).count() == 1)
   }
 
+  test("featureStreamQuarantined survives an all-poison first run (dataless featuresDir)") {
+    // round-14 review: a first run that quarantines EVERYTHING used to
+    // run an empty append (featuresDir = {_SUCCESS}), and the restart's
+    // lenient existing-read then crashed with UNABLE_TO_INFER_SCHEMA —
+    // the empty write is now gated and the restart read is
+    // pinned-schema over non-hidden data files only
+    val dir = java.nio.file.Files.createTempDirectory("featp-in")
+    val featDir = java.nio.file.Files.createTempDirectory("featp-out").resolve("features")
+    val quarDir = java.nio.file.Files.createTempDirectory("featp-dead").resolve("quarantine")
+    val ckpt = java.nio.file.Files.createTempDirectory("featp-ckpt")
+    java.nio.file.Files.write(dir.resolve("poison_3.png"), Array[Byte](1, 2, 3))
+    val q1 = Streams.featureStreamQuarantined(spark, dir.toString,
+      featDir.toString, quarDir.toString, ckpt.toString)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.option("header", "true").csv(quarDir.toString).count() == 1)
+    // restart with a good file: the stream must START (no schema-infer
+    // crash on the dataless dir) and deliver the clean row
+    val (raw, h, w) = graft.queries.FeatureExtract.renderRoi(9L)
+    java.nio.file.Files.write(dir.resolve("roi_9.png"),
+      graft.multimodal.Media.encodePng(raw.map(_ & 0xff), w, h))
+    val q2 = Streams.featureStreamQuarantined(spark, dir.toString,
+      featDir.toString, quarDir.toString, ckpt.toString)
+    try q2.processAllAvailable() finally q2.stop()
+    val feats = spark.read.option("header", "true").csv(featDir.toString)
+    assert(feats.count() == 1)
+    assert(feats.select("roi_id").as[String].head() == "9")
+  }
+
   /** Most recent batch's state-operator row count — the memory bound of
     * the 100 TB streaming story: if watermark eviction works, this
     * tracks the dedup/window horizon, not everything ever seen.
