@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.util.zip.Inflater
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -98,14 +97,20 @@ object H5Source {
     val (btreeAddr, heapAddr) = symbolTableOf(buf, rootHeader)
     val out = Map.newBuilder[String, (H5Value, Map[String, String])]
     for (snod <- btreeChildren(buf, btreeAddr)) {
+      // the child address must actually hold a symbol node: a corrupt
+      // pointer whose low 32 bits land on unrelated in-file bytes would
+      // otherwise read a garbage count and garbage entries (the
+      // heapString/contiguous-extent guard class, round-14 review)
+      require(sig(buf, snod) == "SNOD", s"expected SNOD at $snod")
       val n = buf.getShort(snod.toInt + 6) & 0xffff
+      require(snod + 8 + 40L * n <= buf.limit(),
+        s"symbol node at $snod claims $n entries past file end")
       for (k <- 0 until n) {
         val e = snod.toInt + 8 + 40 * k
         val nameOff = buf.getLong(e)
         val objAddr = buf.getLong(e + 8)
         val name = heapString(buf, heapAddr, nameOff)
-        readDataset(buf, objAddr).foreach(v =>
-          out += name -> ((v, stringAttrs(buf, objAddr))))
+        readDatasetAndAttrs(buf, objAddr).foreach(out += name -> _)
       }
     }
     out.result()
@@ -131,9 +136,9 @@ object H5Source {
     * VERSIONS are surfaced under [[SkippedAttr]] so typing consumers
     * can refuse rather than guess.
     */
-  private def stringAttrs(buf: ByteBuffer, addr: Long): Map[String, String] = {
+  private def stringAttrs(buf: ByteBuffer, msgs: Seq[(Int, Int, Int)]): Map[String, String] = {
     def pad8(n: Int): Int = (n + 7) / 8 * 8
-    messages(buf, addr).flatMap {
+    msgs.flatMap {
       case (0x000c, off, _) if (buf.get(off) & 0xff) == 1 =>
         val nameSize = buf.getShort(off + 2) & 0xffff
         val dtSize = buf.getShort(off + 4) & 0xffff
@@ -160,11 +165,27 @@ object H5Source {
             case 8 => buf.getLong(p)
           }
           Some(name -> v.toString)
-        } else None
+        } else
+          // a v1 attribute of an UNDECODED datatype class is as opaque
+          // to a typing consumer as an unknown message version: without
+          // the marker, a MATLAB_class stored as e.g. a vlen string
+          // (h5py str attrs) silently reaches the untyped numeric
+          // fallback (round-14 review)
+          Some(SkippedAttr -> s"v1-class-$clazz")
       case (0x000c, off, _) =>
         Some(SkippedAttr -> ((buf.get(off) & 0xff).toString))
       case _ => None
     }.toMap
+  }
+
+  /** One header walk serving both the dataset decode and its attributes
+    * (round-14 review: readDataset + a second stringAttrs pass parsed
+    * every header — and every /#refs# cell target — twice).
+    */
+  private def readDatasetAndAttrs(buf: ByteBuffer, addr: Long,
+      depth: Int = 0): Option[(H5Value, Map[String, String])] = {
+    val msgs = messages(buf, addr)
+    readDataset(buf, addr, depth, Some(msgs)).map(v => (v, stringAttrs(buf, msgs)))
   }
 
   /** Walks a v1 group B-tree, returning SNOD addresses left to right.
@@ -183,9 +204,15 @@ object H5Source {
     if (level == 0) kids else kids.flatMap(btreeChildren(buf, _, depth + 1))
   }
 
-  private def sig(buf: ByteBuffer, addr: Long): String =
+  private def sig(buf: ByteBuffer, addr: Long): String = {
+    // range-check the FULL Long before the Int truncation: a corrupt
+    // address like 0x1_00000200 would otherwise wrap mod 2^32 and read
+    // a signature from an unrelated in-file position (round-14 review)
+    require(addr >= 0 && addr + 4 <= buf.limit(),
+      s"structure address $addr outside file of ${buf.limit()} bytes")
     new String(Array(buf.get(addr.toInt), buf.get(addr.toInt + 1),
       buf.get(addr.toInt + 2), buf.get(addr.toInt + 3)), "US-ASCII")
+  }
 
   private def heapString(buf: ByteBuffer, heapAddr: Long, off: Long): String = {
     require(sig(buf, heapAddr) == "HEAP", s"expected HEAP at $heapAddr")
@@ -210,6 +237,8 @@ object H5Source {
     * resumes at the pending continuation's address.
     */
   private def messages(buf: ByteBuffer, addr: Long): Seq[(Int, Int, Int)] = {
+    require(addr >= 0 && addr + 16 <= buf.limit(),
+      s"object header address $addr outside file of ${buf.limit()} bytes")
     val version = buf.get(addr.toInt) & 0xff
     require(version == 1, s"unsupported object header version $version")
     val nMsgs = buf.getShort(addr.toInt + 2) & 0xffff
@@ -254,10 +283,11 @@ object H5Source {
     */
   private val MaxRefDepth = 16
 
-  private def readDataset(buf: ByteBuffer, addr: Long, depth: Int = 0): Option[H5Value] = {
+  private def readDataset(buf: ByteBuffer, addr: Long, depth: Int = 0,
+      preParsed: Option[Seq[(Int, Int, Int)]] = None): Option[H5Value] = {
     require(depth < MaxRefDepth,
       s"object-reference chain deeper than $MaxRefDepth at $addr: cyclic references")
-    val msgs = messages(buf, addr)
+    val msgs = preParsed.getOrElse(messages(buf, addr))
     val dims: Seq[Long] = msgs.collectFirst { case (0x0001, off, _) =>
       val rank = buf.get(off + 1) & 0xff
       (0 until rank).map(i => buf.getLong(off + 8 + 8 * i))
@@ -367,10 +397,10 @@ object H5Source {
       // messages() with a buffer-index diagnostic instead of this one
       require(a > 0 && a <= buf.limit() - 16L,
         s"dangling object reference: address $a outside file of ${buf.limit()} bytes")
-      val v = readDataset(buf, a, depth + 1).getOrElse(throw new IllegalArgumentException(
-        s"object reference target at $a is not a dataset (a group or " +
-          "dataless header): corrupt cell element"))
-      (v, stringAttrs(buf, a))
+      readDatasetAndAttrs(buf, a, depth + 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"object reference target at $a is not a dataset (a group or " +
+            "dataless header): corrupt cell element"))
     }
     H5Cell(dims, items)
   }
@@ -718,13 +748,21 @@ object H5Source {
     */
   def topClassPerRoi(scores: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NaN scores (a failed feature upstream) must neither WIN the window
+    // nor pass the threshold gate: Spark orders NaN as the LARGEST
+    // double, so a raw score.desc ranked a NaN first and nanSafeCompare
+    // made `NaN >= threshold` true — the ROI delivered as that class
+    // "above threshold" (round-14 review). NaN maps to null, which
+    // desc_nulls_last ranks after every real score; an all-NaN ROI
+    // still yields its row, gated to "unclassified".
+    val cleanScore = when(!isnan(col("score")), col("score"))
     val w = Window.partitionBy(col("classifier"), col("sample"), col("roi_number"))
-      .orderBy(col("score").desc, col("class_name").asc)
+      .orderBy(cleanScore.desc_nulls_last, col("class_name").asc)
     scores
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .withColumn("class_above_threshold",
-        when(col("score") >= col("threshold"), col("class_name"))
+        when(cleanScore >= col("threshold"), col("class_name"))
           .otherwise(lit("unclassified")))
       .drop("rn")
   }

@@ -81,7 +81,11 @@ object Maps {
         col(lonCol).cast("double").as("lo"), year(col(dateCol)).as("y"),
         month(col(dateCol)).as("m"), col(flagCol).cast("string").as("fl"))
       .filter(col("s").isNotNull && col("la").isNotNull &&
-        col("lo").isNotNull && col("y").isNotNull && col("m").isNotNull)
+        col("lo").isNotNull && col("y").isNotNull && col("m").isNotNull &&
+        // NaN positions are as unplottable as nulls: they poison the
+        // viewport min/max and every marker renders at literal "NaN"
+        // (round-14 review)
+        !isnan(col("la")) && !isnan(col("lo")))
       .collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
         r.getInt(3), r.getInt(4), if (r.isNullAt(5)) None else Some(r.getString(5))))
@@ -143,10 +147,16 @@ object Maps {
       cellLon: Double = 0.3, cellLat: Double = 0.25,
       basins: Seq[ShapefileSource.Ring] = Nil,
       w: Int = 800, h: Int = 600): String = {
-    val cells = points.select(
+    val cells = points
+      // null/NaN positions have no cell — see qcMapHtml; the NaN gate
+      // must run BEFORE the long cast (floor(NaN) aborts the render
+      // under ANSI with CAST_OVERFLOW, and silently bins into a phantom
+      // (0,0) cell otherwise — round-14 review)
+      .filter(col(lonCol).isNotNull && col(latCol).isNotNull &&
+        !isnan(col(lonCol).cast("double")) && !isnan(col(latCol).cast("double")))
+      .select(
         floor(col(lonCol) / cellLon).cast("long").as("cx"),
         floor(col(latCol) / cellLat).cast("long").as("cy"))
-      // null positions have no cell — see qcMapHtml
       .filter(col("cx").isNotNull && col("cy").isNotNull)
       .groupBy("cx", "cy").agg(count(lit(1)).as("frequency"))
       .collect()

@@ -320,6 +320,13 @@ object MatSink {
     val refEntries = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     def writeValue(v: MatValue): Long = v match {
       case MatNum(dims, data) if data.isEmpty =>
+        // the v5 writer and the non-empty branches validate dims vs
+        // length; an empty payload must claim a zero-product shape too,
+        // or the reader hands consumers a self-contradictory
+        // MATLAB_empty that dies with a raw AIOOBE downstream
+        // (round-14 review)
+        require(Dims.product(dims.map(_.toLong), "v7.3 empty matrix") == 0L,
+          s"empty matrix claims non-empty dims $dims")
         writeEmpty("double", dims)
       case MatNum(dims, data) =>
         val expect = Dims.product(dims.map(_.toLong), "v7.3 matrix")
@@ -345,6 +352,8 @@ object MatSink {
           message(0x000c, classAttr("char")),
           message(0x0008, contiguous(dataAddr, 2L * s.length))))
       case MatCell(dims, items) if items.isEmpty =>
+        require(Dims.product(dims.map(_.toLong), "v7.3 empty cell") == 0L,
+          s"empty cell claims non-empty dims $dims")
         writeEmpty("cell", dims)
       case MatCell(dims, items) =>
         val expect = Dims.product(dims.map(_.toLong), "v7.3 cell")
@@ -379,7 +388,10 @@ object MatSink {
       val heapData = heapHeader + 32
       buf.put("HEAP".getBytes("US-ASCII")).put(0.toByte).put(new Array[Byte](3))
       buf.putLong(heapAligned)
-      buf.putLong(heapDataSize)
+      // free-list head: 1 = "no free block" (H5HL_FREE_NULL) — writing a
+      // data offset here claims a phantom free block that external HDF5
+      // readers would try to parse (round-14 review)
+      buf.putLong(1L)
       buf.putLong(heapData.toLong)
       val nameOff = scala.collection.mutable.Map.empty[String, Long]
       val heapStart = buf.position()

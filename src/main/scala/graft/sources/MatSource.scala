@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.util.zip.Inflater
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -143,6 +142,11 @@ object MatSource {
         // path) — one string ≙ a char array, several ≙ a cell list
         if (data.length == 1) MatStr(data(0))
         else MatCell(Seq(1, data.length), data.toSeq.map(MatStr))
+      case (_, other) =>
+        // unreachable by construction (H5Source resolves its private
+        // H5Ref before returning) — defensive, keeps the match total
+        throw new IllegalArgumentException(
+          s"variable '$name': unexpected HDF5 value shape ${other.getClass.getSimpleName}")
     }
   }
 

@@ -211,13 +211,25 @@ object ShapefileSource {
     * a shapefile — `ifcb_is_in_basin` re-expressed: polygon broadcast as a
     * constant into [[graft.functions.Geo.pointInPolygon]] ray casting.
     * Shapefile x = longitude, y = latitude.
+    *
+    * ALL parts of the record participate by even-odd counting (round-14
+    * review: testing only part 0 flagged points inside an island HOLE as
+    * in-basin and points in a second outer part as outside): a point is
+    * inside iff it falls in an ODD number of rings — the standard
+    * even-odd rule that handles both holes (outer + hole = even = out)
+    * and disjoint outer parts, matching how `Maps` consumes multi-ring
+    * land polygons.
     */
   def inPolygonFlag(df: DataFrame, lat: String, lon: String,
                     shp: Array[Byte], recordNo: Int = 1): DataFrame = {
-    val ring = readShp(shp).filter(r => r.recordNo == recordNo && r.partNo == 0)
-      .headOption.getOrElse(throw new IllegalArgumentException(s"no record $recordNo"))
-    val latLon = ring.points.map { case (x, y) => (y, x) }
-    val test = graft.functions.Geo.pointInPolygon(latLon)
-    df.withColumn("in_polygon", test(col(lat), col(lon)))
+    val rings = readShp(shp).filter(_.recordNo == recordNo)
+    require(rings.nonEmpty, s"no record $recordNo")
+    val tests = rings.map { r =>
+      graft.functions.Geo.pointInPolygon(r.points.map { case (x, y) => (y, x) })
+    }
+    val oddCount = tests
+      .map(t => when(t(col(lat), col(lon)), 1).otherwise(0))
+      .reduce(_ + _) % 2 === 1
+    df.withColumn("in_polygon", oddCount)
   }
 }

@@ -383,9 +383,18 @@ object SqliteSource {
     out
   }
 
-  /** One record: header of serial types, then values. */
+  /** One record: header of serial types, then values. Every read is
+    * bounded by `payloadLen` (round-14 review: the parameter was
+    * accepted but unused, so a corrupt header-length varint or an
+    * oversized serial type silently decoded the NEIGHBORING cell's
+    * bytes as this row's values — the spilled path was bounded by its
+    * own buffer, the in-page path was not).
+    */
   private def record(buf: ByteBuffer, start: Int, payloadLen: Int): Seq[Any] = {
     val (headerLen, afterHeaderLen) = varint(buf, start)
+    val recordEnd = start.toLong + payloadLen
+    require(headerLen >= 0 && start + headerLen <= recordEnd,
+      s"record header of $headerLen bytes exceeds the $payloadLen-byte payload")
     var p = afterHeaderLen
     val headerEnd = start + headerLen.toInt
     val types = Seq.newBuilder[Long]
@@ -397,6 +406,8 @@ object SqliteSource {
     var q = headerEnd
     types.result().map { t =>
       val (v, nq) = value(buf, q, t)
+      require(nq <= recordEnd,
+        s"serial type $t reads to byte ${nq - start} of a $payloadLen-byte record")
       q = nq
       v
     }

@@ -97,7 +97,7 @@ object H5Fixture {
     val heapDataAddr = heapHeaderAddr + 32
     buf.put("HEAP".getBytes("US-ASCII")).put(0.toByte).put(new Array[Byte](3))
     buf.putLong(heapDataSizeAligned)
-    buf.putLong(heapDataSize) // free-list head (unused by reader)
+    buf.putLong(1L) // free-list head: 1 = no free block (H5HL_FREE_NULL)
     buf.putLong(heapDataAddr)
     // heap data: offset 0 = empty root link name; names from offset 8
     val nameOffsets = scala.collection.mutable.Map.empty[String, Long]
@@ -509,7 +509,7 @@ object H5Fixture {
         val gHeapData = gHeapHeader + 32
         buf.put("HEAP".getBytes("US-ASCII")).put(0.toByte).put(new Array[Byte](3))
         buf.putLong(gHeapAligned)
-        buf.putLong(gHeapDataSize)
+        buf.putLong(1L) // no free block
         buf.putLong(gHeapData.toLong)
         val gNameOff = scala.collection.mutable.Map.empty[String, Long]
         val gHeapStart = buf.position()

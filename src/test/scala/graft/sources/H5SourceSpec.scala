@@ -161,4 +161,25 @@ class H5SourceSpec extends SparkSpec {
     assert(byRoi(12) == (("other", "other")))                          // 0.50 >= 0.5
     assert(byRoi(20) == (("Dinophysis_acuminata", "unclassified")))    // 0.70 < 0.75
   }
+
+  test("topClassPerRoi: a NaN score neither wins the window nor passes the gate") {
+    // round-14 review: Spark orders NaN as the LARGEST double, so a
+    // failed-feature NaN score ranked FIRST under score.desc and
+    // nanSafeCompare made `NaN >= threshold` true — the ROI was
+    // delivered as that class "above threshold"
+    import spark.implicits._
+    val scores = Seq(
+      (s, "c1", 1, "A", Double.NaN, 0.5),  // NaN must not win
+      (s, "c1", 1, "B", 0.6, 0.5),         // the real winner
+      (s, "c1", 2, "A", Double.NaN, 0.5),  // all-NaN ROI: unclassified
+      (s, "c1", 2, "B", Double.NaN, 0.5)
+    ).toDF("sample", "classifier", "roi_number", "class_name", "score", "threshold")
+    val top = H5Source.topClassPerRoi(scores)
+      .select("roi_number", "class_name", "class_above_threshold")
+      .as[(Int, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(top(1) == (("B", "B")), top(1))
+    assert(top(2)._2 == "unclassified", top(2))
+  }
+
+  private val s = "D20230801T120000_IFCB134"
 }

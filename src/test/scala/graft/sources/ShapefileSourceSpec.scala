@@ -58,5 +58,14 @@ class ShapefileSourceSpec extends SparkSpec {
     val got = flagged.select("lat", "lon", "in_polygon")
       .as[(Double, Double, Boolean)].collect().toSet
     assert(got == Set((5.0, 5.0, true), (5.0, 15.0, false), (-1.0, 5.0, false)))
+    // multi-part record (round-14 review: only part 0 was tested, so a
+    // point inside an island HOLE flagged in-basin): even-odd over ALL
+    // parts — inside the donut's hole = outside, in the annulus = inside
+    val pts2 = Seq((1.0, 21.0), (5.0, 25.0), (5.0, 15.0)).toDF("lat", "lon")
+    val flagged2 = ShapefileSource.inPolygonFlag(pts2, "lat", "lon",
+      ShapefileFixture.writeShp(Seq(square, donut)), recordNo = 2)
+    val got2 = flagged2.select("lat", "lon", "in_polygon")
+      .as[(Double, Double, Boolean)].collect().toSet
+    assert(got2 == Set((1.0, 21.0, true), (5.0, 25.0, false), (5.0, 15.0, false)))
   }
 }
