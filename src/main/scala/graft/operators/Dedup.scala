@@ -366,8 +366,7 @@ object Dedup {
       // is NaN (Inf/Inf), and NaN >= minCosine is TRUE under Spark's
       // NaN-greatest ordering — through semDedup an Inf row with the
       // smallest id in its cell would silently drop the whole cell
-      .filter(col("__n") > 0.0 && !isnan(col("__n")) &&
-        col("__n") =!= Double.PositiveInfinity)
+      .filter(Similarity.finiteNorm(col("__n")))
     e.as("x").join(e.as("y"),
         col("x.__blk") === col("y.__blk") && col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
@@ -397,8 +396,15 @@ object Dedup {
   def semDedup(
       embs: DataFrame, id: String, vec: String,
       centroids: Array[Array[Double]], tau: Double): DataFrame = {
+    // persist the assigned frame: it feeds THREE plan branches (the
+    // pair self-join's x and y sides and the final output join), and
+    // without it the nearest-centroid kernel — the operator's dominant
+    // O(n·√k·d) cost — re-evaluates per branch (round-14 review; the
+    // withShingleHashes discipline applied here). localCheckpoint is
+    // wrong here: the frame is one narrow map over the input.
     val cells = embs.withColumn(
       "__cell", Similarity.cellAssign(col(vec), centroids))
+      .persist()
     val dropped = embeddingNearDupPairs(cells, id, vec, tau, Some("__cell"))
       .select(col("id_b").as("__did")).distinct()
     cells.join(dropped, col(id) === col("__did"), "left")

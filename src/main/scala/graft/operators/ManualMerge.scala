@@ -188,6 +188,20 @@ object ManualMerge {
       .select(col("sample"), col("roi_number"))
       .distinct()
       .withColumn("__selected", lit(true))
+    // the same loud contract for PARSEABLE selections that match no
+    // manual row (round-14 review: a path-prefixed or wrong-dataset
+    // name parsed fine, joined to nothing, and the requested correction
+    // vanished with no signal — the exact silent skip the check above
+    // exists to prevent, one step later)
+    val unmatched = sel
+      .join(manual.select(col("sample"), col("roi_number")).distinct(),
+        Seq("sample", "roi_number"), "left_anti")
+      .limit(5).collect()
+      .map(r => s"${r.get(0)}_${r.get(1)}")
+    require(unmatched.isEmpty,
+      s"correctAnnotation: selection(s) ${unmatched.mkString("'", "', '", "'")}" +
+        " match no manual row — wrong dataset or mangled sample ids; fix" +
+        " the selection list rather than silently skipping the correction")
     manual
       .join(broadcast(sel), Seq("sample", "roi_number"), "left")
       .withColumn("manual_idx",

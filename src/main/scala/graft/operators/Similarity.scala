@@ -152,6 +152,7 @@ object Similarity {
         intDot(col("__qq"), col("__cq")).cast("double")
           / sqrt(col("__qn2").cast("double"))
           / sqrt(col("__cn2").cast("double")))
+      .filter(col("cosine").isNotNull) // dim-mismatch pairs — see bruteForceTopK
       .withColumn("__cid", col(cId).cast("long"))
     rankTopK(joined, qId, k, idType)
   }
@@ -218,6 +219,14 @@ object Similarity {
     dt
   }
 
+  /** The degenerate-norm exclusion gate, single-sourced (the Column twin
+    * of [[nonZeroNormSql]]; round-14 review: three hand-copies had
+    * already drifted twice historically — round-12 added the NaN
+    * clause, round-13 the Inf clause).
+    */
+  private[operators] def finiteNorm(n: Column): Column =
+    n > 0.0 && !isnan(n) && n =!= Double.PositiveInfinity
+
   /** Shared tail of both top-k paths: scored pairs → bounded aggregate →
     * exploded ranked rows. `idType` restores the corpus id's original
     * integral type on output (the aggregator works in long).
@@ -260,13 +269,16 @@ object Similarity {
     // (`b.last` on an empty buffer) instead of failing loudly here
     val idType = integralIdType(corpus, cId)
     val q = queries.withColumn("__qn", sqrt(dot(col(qVec), col(qVec))))
-      .filter(col("__qn") > 0.0 && !isnan(col("__qn")) &&
-        col("__qn") =!= Double.PositiveInfinity)
+      .filter(finiteNorm(col("__qn")))
     val c = corpus.withColumn("__cn", sqrt(dot(col(cVec), col(cVec))))
-      .filter(col("__cn") > 0.0 && !isnan(col("__cn")) &&
-        col("__cn") =!= Double.PositiveInfinity)
+      .filter(finiteNorm(col("__cn")))
     val joined = c.join(broadcast(q), col(qId) =!= col(cId))
       .withColumn("cosine", dot(col(qVec), col(cVec)) / col("__qn") / col("__cn"))
+      // a cross-pair dim mismatch makes the dot (hence cosine) NULL even
+      // when both norms pass their own gates; the ranking aggregate's
+      // non-nullable Double input would kill the job on it — exclude the
+      // pair like every other degenerate (round-14 review)
+      .filter(col("cosine").isNotNull)
       .withColumn("__cid", col(cId).cast("long"))
     rankTopK(joined, qId, k, idType)
   }
@@ -288,14 +300,13 @@ object Similarity {
     val idType = integralIdType(corpus, cId)
     // zero-norm exclusion + shared-id-space contract: see bruteForceTopK
     val q = queries.withColumn("__qn", sqrt(dot(col(qVec), col(qVec))))
-      .filter(col("__qn") > 0.0 && !isnan(col("__qn")) &&
-        col("__qn") =!= Double.PositiveInfinity)
+      .filter(finiteNorm(col("__qn")))
     val c = corpus.withColumn("__cn", sqrt(dot(col(cVec), col(cVec))))
-      .filter(col("__cn") > 0.0 && !isnan(col("__cn")) &&
-        col("__cn") =!= Double.PositiveInfinity)
+      .filter(finiteNorm(col("__cn")))
     val joined = c.join(broadcast(q),
         col(qCell) === col(cCell) && col(qId) =!= col(cId))
       .withColumn("cosine", dot(col(qVec), col(cVec)) / col("__qn") / col("__cn"))
+      .filter(col("cosine").isNotNull) // see bruteForceTopK
       .withColumn("__cid", col(cId).cast("long"))
     rankTopK(joined, qId, k, idType)
   }
@@ -368,10 +379,18 @@ object Similarity {
       .limit(sampleMax)
       .collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    require(sample.nonEmpty, "empty corpus")
+      // non-finite vectors are excluded like every ranking path's norm
+      // gate (round-14 review: one NaN component assigned to cell 0,
+      // made centroid 0 all-NaN after one iteration and silently left
+      // k-1 effective clusters; the distributed twin clamps via
+      // KMeans.quantize)
+      .filter(_.forall(java.lang.Double.isFinite))
+    require(sample.nonEmpty, "empty corpus (or all vectors non-finite)")
     val dims = sample.head.length
-    // deterministic init: evenly spaced sample vectors
-    var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
+    // deterministic init: evenly spaced sample vectors (Long math: at
+    // SemDeDup's k = n/250 recipe, i * sample.length overflows Int)
+    var centroids = Array.tabulate(k)(i =>
+      sample((i.toLong * sample.length / k).toInt).clone())
     for (_ <- 0 until iters) {
       val sums = Array.fill(k, dims)(0.0)
       val counts = new Array[Long](k)

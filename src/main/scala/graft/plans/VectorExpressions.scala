@@ -109,7 +109,12 @@ object HyperplaneExpr {
         proj += vec.getFloat(d).toDouble * coef(p, d)
         d += 1
       }
-      if (proj > 0.0) out += 1L << p
+      // NaN sets the bit: the DuckDB twin renders `CASE WHEN proj > 0.0`
+      // and SQL engines order NaN GREATEST, so Java's `NaN > 0.0 = false`
+      // here silently broke the bit-exact twin contract for vectors with
+      // a NaN component (round-14 review; latent behind callers' norm
+      // gates, but the operator contract must hold without them)
+      if (proj > 0.0 || java.lang.Double.isNaN(proj)) out += 1L << p
       p += 1
     }
     out

@@ -148,6 +148,22 @@ class ManualMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("not_a_roi_name"), e.getMessage)
   }
 
+  test("correctAnnotation rejects parseable selections matching no manual row (round-14)") {
+    import spark.implicits._
+    val manual = Seq(("D20160805T065357_IFCB10", 1, Int.box(7), Int.box(7)))
+      .toDF("sample", "roi_number", "manual_idx", "auto_idx")
+    // a path-prefixed or wrong-dataset name parses FINE, joins to
+    // nothing, and the correction used to vanish silently — the same
+    // lost-correction class as an unparseable name, one step later
+    val selected = Seq(
+      "D20160805T065357_IFCB10_00001.png",
+      "subdir/D20160805T065357_IFCB10_00001.png").toDF("image_filename")
+    val e = intercept[IllegalArgumentException] {
+      ManualMerge.correctAnnotation(manual, selected, "image_filename", 44)
+    }
+    assert(e.getMessage.contains("match no manual row"), e.getMessage)
+  }
+
   test("dangling base manual_idx surfaces as null class, not an appended class's name (round-13)") {
     val (c2uBaseDir, c2uAddDir, manBaseDir, manAddDir) = writeFixtures()
     // corrupt base row: manual_idx 4 does not exist in the BASE list

@@ -48,6 +48,34 @@ class SimilaritySpec extends SparkSpec {
     assert(!r.exists(_._1 == 9L), "zero-vector query produced rows")
   }
 
+  test("a dimension-mismatched corpus vector is excluded, not a job-killing NULL cosine") {
+    // round-14 review: a truncated embedding passes its OWN norm gate,
+    // but its cross-pair dot is NULL (FloatArrayDot's length contract)
+    // and the ranking aggregate's non-nullable Double input killed the
+    // whole job on it
+    val withShort = corpus.unionByName(
+      Seq((9L, Array(1.0f, 2.0f), 0)).toDF("vec_id", "embedding", "cell"))
+    val q = withShort.filter($"vec_id" === 0L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val r = Similarity.bruteForceTopK(q, withShort, "q_id", "q_vec",
+      "vec_id", "embedding", 10)
+      .select("neighbor_id").as[Long].collect()
+    assert(!r.contains(9L), "mismatched vector ranked as a neighbor")
+    assert(r.nonEmpty)
+  }
+
+  test("hyperplane bucket sets the bit on NaN projections, like its SQL twin") {
+    // round-14 review: the DuckDB twin renders CASE WHEN proj > 0.0 and
+    // SQL orders NaN GREATEST, so the native kernel's Java NaN > 0.0 =
+    // false silently broke the bit-exact contract for NaN components
+    val df = Seq((1L, Array(Float.NaN, 1.0f, 1.0f, 1.0f)))
+      .toDF("id", "v")
+      .select(Similarity.hyperplaneBucket($"v", 8, 4).as("b"))
+    // every plane's projection is NaN (the NaN component participates
+    // in all of them), so all 8 bits must be set
+    assert(df.as[Long].head() == 255L)
+  }
+
   test("cellAssign stays linear-sized in k and agrees with the driver kernel") {
     // round-11 review: the old when/otherwise fold doubled the Catalyst
     // tree per centroid (~2^k nodes) — k = 64 would never finish
