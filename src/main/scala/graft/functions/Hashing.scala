@@ -161,6 +161,13 @@ object Hashing {
     GraftBridge.column(StringPolyHash(GraftBridge.expression(text), FpMult, FpMod, FpSeed))
 
   def fingerprintSql(text: String): String =
-    s"list_reduce(list_prepend($FpSeed::BIGINT, list_transform(string_split($text, ''), " +
-      s"c -> ord(c)::BIGINT)), (a, c) -> (a * $FpMult + c) % $FpMod)"
+    // empty-string guard (round-14 review, the minhashSql COALESCE
+    // class): DuckDB's string_split('','') is [''] and ord('') folds as
+    // -1, yielding 916, while the kernel folds ZERO code points and
+    // returns the seed — q50's dup_key can be empty (whitespace-only
+    // text), so the mirror must return the seed there too
+    s"CASE WHEN $text = '' THEN $FpSeed " +
+      s"ELSE list_reduce(list_prepend($FpSeed::BIGINT, " +
+      s"list_transform(string_split($text, ''), " +
+      s"c -> ord(c)::BIGINT)), (a, c) -> (a * $FpMult + c) % $FpMod) END"
 }

@@ -399,16 +399,24 @@ object Dedup {
     // persist the assigned frame: it feeds THREE plan branches (the
     // pair self-join's x and y sides and the final output join), and
     // without it the nearest-centroid kernel — the operator's dominant
-    // O(n·√k·d) cost — re-evaluates per branch (round-14 review; the
-    // withShingleHashes discipline applied here). localCheckpoint is
-    // wrong here: the frame is one narrow map over the input.
+    // O(n·√k·d) cost — re-evaluates per branch (round-14 review).
+    // Lifecycle is the materializePairs pattern: the small output frame
+    // localCheckpoints, then the input cache releases in finally —
+    // a bare persist leaked one cached frame per invocation for the
+    // session's life (every other persist in this file releases).
     val cells = embs.withColumn(
       "__cell", Similarity.cellAssign(col(vec), centroids))
       .persist()
-    val dropped = embeddingNearDupPairs(cells, id, vec, tau, Some("__cell"))
-      .select(col("id_b").as("__did")).distinct()
-    cells.join(dropped, col(id) === col("__did"), "left")
-      .select(col(id), col("__cell").as("cell"),
-        col("__did").isNotNull.as("dropped"))
+    try {
+      val dropped = embeddingNearDupPairs(cells, id, vec, tau, Some("__cell"))
+        .select(col("id_b").as("__did")).distinct()
+      cells.join(dropped, col(id) === col("__did"), "left")
+        .select(col(id), col("__cell").as("cell"),
+          col("__did").isNotNull.as("dropped"))
+        .localCheckpoint()
+    } finally {
+      cells.unpersist()
+      ()
+    }
   }
 }

@@ -470,9 +470,14 @@ object CorpusBattery {
         // deflate's worst case is ADDITIVE (a ~5-byte stored-block header
         // per 64 KiB), not multiplicative: a very short incompressible
         // doc legitimately exceeds any fixed ratio cap, so the sanity
-        // bound is per-document in bytes — deflated ≤ raw + 12
+        // bound is per-document in bytes — and it must SCALE with the
+        // stored-block count (round-14 review: a flat +12 flipped
+        // doc_ok on any legal incompressible document over 64 KiB,
+        // which accrues ~5 bytes per 64 KiB block): deflated ≤
+        // raw + 5·⌈raw/65536⌉ + 11
         .withColumn("doc_ok", $"ratio" > 0.0 &&
-          $"ratio" * octet_length($"txt") <= octet_length($"txt") + lit(12.0))
+          $"ratio" * octet_length($"txt") <= octet_length($"txt") +
+            ceil(octet_length($"txt") / lit(65536.0)) * 5.0 + lit(11.0))
         .groupBy($"source")
         .agg(
           count(lit(1)).as("n_docs"),

@@ -459,17 +459,26 @@ object TrainingData {
           sum($"nsat").as("n_sat"))
         .orderBy($"label")
     },
-    Some(s"""
+    Some {
+      // null-PROPAGATING reduce, not list_sum (round-14 review — the
+      // round-12 intDotSql class): list_sum SKIPS null elements, so a
+      // corrupt embedding with one null component would contribute a
+      // finite partial sum here while the Spark aggregate fold nulls
+      // the whole row's ql1/qsum out of the group sums
+      def lsum(expr: String) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), $expr), (a, v) -> a + v)"
+      s"""
       SELECT label, COUNT(*) AS n_vecs,
-        CAST(SUM(list_sum(list_transform(q, x -> CAST(abs(x) AS BIGINT)))) AS BIGINT)
+        CAST(SUM(${lsum("list_transform(q, x -> CAST(abs(x) AS BIGINT))")}) AS BIGINT)
           AS sum_l1,
-        CAST(SUM(list_sum(list_transform(q, x -> CAST(x AS BIGINT)))) AS BIGINT)
+        CAST(SUM(${lsum("list_transform(q, x -> CAST(x AS BIGINT))")}) AS BIGINT)
           AS sum_q,
         CAST(SUM(len(list_filter(q, x -> abs(x) = 127))) AS BIGINT) AS n_sat
       FROM (SELECT label, ${Similarity.quantizeInt8Sql("embedding")} AS q
             FROM embeddings) t
       GROUP BY 1
-      ORDER BY 1"""))
+      ORDER BY 1"""
+    })
 
   /** Bigram-LM corpus scoring (the CCNet-style perplexity-proxy filter):
     * a bigram language model trained on the corpus itself — smoothed
@@ -658,8 +667,13 @@ object TrainingData {
     "q84_heavy_hitters",
     (s, d) => {
       import s.implicits._
+      // localCheckpoint: the sketch build and the exact top-20 are two
+      // separate ACTIONS over this frame, and without materialization
+      // each re-pays the dominant scan + word-split + explode cost
+      // (round-14 review; the q81 dg precedent at the same grain)
       val words = documents(s, d)
         .select(explode(Hashing.words($"text")).as("w"))
+        .localCheckpoint()
       val cms = words.stat.countMinSketch(
         "w", eps = 1e-4, confidence = 0.99, seed = 42)
       val total = cms.totalCount()
