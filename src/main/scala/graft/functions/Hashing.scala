@@ -89,8 +89,15 @@ object Hashing {
     GraftBridge.column(StringPolyHash(GraftBridge.expression(tok), TokMult, TokP, TokSeed))
 
   def tokHashSql(tok: String): String =
-    s"list_reduce(list_prepend($TokSeed::BIGINT, list_transform(string_split($tok, ''), " +
-      s"c -> ord(c)::BIGINT)), (a, c) -> (a * $TokMult + c) % $TokP)"
+    // same empty-string guard as fingerprintSql (round-14 review): the
+    // kernel returns the seed for '' while DuckDB's string_split('','')
+    // folds [''] as ord -1 — unreachable from the 5-word shingle
+    // callers, but this is a GENERAL mirror and the first oracle over
+    // raw possibly-empty tokens would silently hash-diverge
+    s"CASE WHEN $tok = '' THEN $TokSeed " +
+      s"ELSE list_reduce(list_prepend($TokSeed::BIGINT, " +
+      s"list_transform(string_split($tok, ''), " +
+      s"c -> ord(c)::BIGINT)), (a, c) -> (a * $TokMult + c) % $TokP) END"
 
   /** Hashes of an array of tokens. */
   def tokHashes(toks: Column): Column =

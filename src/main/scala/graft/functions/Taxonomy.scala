@@ -188,6 +188,16 @@ object Taxonomy {
     * out. Parent records are restricted to the parent ids of CF rows
     * (the reference only fetches those) and broadcast.
     *
+    * BUG-COMPATIBILITY NOTE (round-14 adjudication): the substitution
+    * joins by `parentNameUsageID` ALONE, so a non-CF taxon that happens
+    * to share a CF taxon's parent id is re-keyed to the parent too.
+    * That is exactly what the reference's `left_join(parent_records,
+    * by = "parentNameUsageID")` does (Rmd:1040-1049 — no CF predicate
+    * on the join), and bug-compatible output is the contract here (the
+    * taxa-cleaner shadowing rule); the q57 oracle mirrors the same
+    * join. Do NOT "fix" this by gating on sflag without a reference
+    * change to cite.
+    *
     * @param classNames (class, class_clean, sflag, scientificname,
     *                   aphia_id, parentNameUsageID)
     * @param parents    WoRMS records (AphiaID, scientificname)

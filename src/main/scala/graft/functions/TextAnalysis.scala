@@ -31,13 +31,21 @@ object TextAnalysis {
 
   /** Predicted language: argmax lexicon hit count, ties to the earlier
     * lexicon in [[Lexicons]] order, all-zero → 'und'.
+    *
+    * Conditional-free shape (round-14 review — the when()-defeats-CSE
+    * class): the old when-chain re-evaluated `greatest(all scores)`
+    * inside every lazily-reached branch (~6× the array-filter work per
+    * non-first-lexicon row). One `array_max` over (score, -index, lang)
+    * structs evaluates each lexicon filter exactly once: lexicographic
+    * max = highest score, ties to the larger -index = the EARLIER
+    * lexicon, and an (0, +1, 'und') sentinel wins exactly the all-zero
+    * case — the identical semantics, zero conditionals.
     */
   def langId(ws: Column): Column = {
-    val scores = Lexicons.map { case (lang, lex) => lang -> score(ws, lex) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((lang, s), rest) =>
-      when(s === best && best > 0, lang).otherwise(rest)
-    }
+    val packed = Lexicons.zipWithIndex.map { case ((lang, lex), i) =>
+      struct(score(ws, lex).as("s"), lit(-i).as("ni"), lit(lang).as("lang"))
+    } :+ struct(lit(0).as("s"), lit(1).as("ni"), lit("und").as("lang"))
+    array_max(array(packed: _*)).getField("lang")
   }
 
   def langIdSql(ws: String): String = {

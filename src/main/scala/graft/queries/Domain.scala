@@ -86,12 +86,20 @@ object Domain {
       .withColumn("lnx", log((col("bucket") + 0.5) * 5.0))
       .withColumn("lny", log(col("n").cast("double")))
 
-  private def psdMomentCols: Seq[org.apache.spark.sql.Column] = Seq(
-    count(lit(1)).as("fit_n"),
-    dsum(col("lnx"), D12).as("sx"), dsum(col("lny"), D12).as("sy"),
-    dsum(col("lnx") * col("lnx"), D12).as("sxx"),
-    dsum(col("lnx") * col("lny"), D12).as("sxy"),
-    dsum(col("lny") * col("lny"), D12).as("syy"))
+  /** Delegates to [[graft.agg.PsdFit.moments]] — the single source of
+    * the complete-pair/decimal-sum moment discipline (round-14 review:
+    * this was a second hand-copy of the same battery that a future
+    * discipline fix would silently miss) — renamed to this file's
+    * column names. lnx/lny are non-null here by construction, so the
+    * pair guard inside moments is a no-op.
+    */
+  private def psdMomentCols: Seq[org.apache.spark.sql.Column] = {
+    val renames = Map("fit_sx" -> "sx", "fit_sy" -> "sy",
+      "fit_sxx" -> "sxx", "fit_sxy" -> "sxy", "fit_syy" -> "syy")
+    graft.agg.PsdFit.moments(col("lnx"), col("lny")).map { case (n, c) =>
+      c.as(renames.getOrElse(n, n))
+    }
+  }
 
   private def psdMomentsSql(withPeak: Boolean): String = {
     val pk = if (withPeak) "\n          MAX(n * 1000000 + (999999 - bucket)) AS pk," else ""
