@@ -55,6 +55,14 @@ object CoordinateQc {
       .join(checked, Seq("sample"), "full_outer")
       .withColumn("near_land_qflag",
         when(col("near_land"), "Near land").otherwise(lit(null).cast("string")))
+      // IngestQc.psd emits the 'ok' SENTINEL for unflagged samples
+      // (flags7's .otherwise, kept for q88 oracle parity); treating it
+      // as a real flag painted every healthy sample red with a bogus
+      // 'Ok' label (round-14 review) — the reference uses NA for
+      // unflagged (Rmd:757-765), so 'ok' maps to null here
+      .withColumn("flag",
+        when(lower(col("flag")) === "ok", lit(null).cast("string"))
+          .otherwise(col("flag")))
       .withColumn("flag",
         concat_ws(", ",
           // concat_ws skips nulls — R's unite(na.rm = TRUE)

@@ -124,9 +124,20 @@ object CorpusPrep {
     *              watermark passes it)
     */
   def stream(docs: DataFrame, text: String, tsCol: String,
-      cfg: Config = Config()): DataFrame =
-    graft.streaming.Streams.dedupStream(
-      gate(annotate(docs, text, cfg), cfg), text, tsCol)
+      cfg: Config = Config()): DataFrame = {
+    // dedup on the SAME key the batch exact stage groups by — the
+    // leading exactKeyWords content key — not the full text (round-14
+    // review: fingerprinting the whole text kept shared-prefix
+    // duplicates the batch run drops, and the near-dup compaction pass
+    // need not catch them, so the streaming corpus permanently
+    // diverged from the batch corpus over identical input). words()
+    // lowercases, so dedupStream's internal lower() is a no-op on it.
+    val keyed = gate(annotate(docs, text, cfg), cfg)
+      .withColumn("__exact_key",
+        array_join(slice(Hashing.words(col(text)), 1, cfg.exactKeyWords), " "))
+    graft.streaming.Streams.dedupStream(keyed, "__exact_key", tsCol)
+      .drop("__exact_key")
+  }
 
   /** The attrition counts would otherwise re-execute the whole
     * annotate → gate → dedup → LSH lineage once per stage (4× the

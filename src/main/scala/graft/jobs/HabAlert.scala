@@ -76,7 +76,13 @@ object HabAlert {
       .filter(col("__rn") === 1)
       .select(
         col("aphia_id"), col("class_clean"), col("sample"), col("counts"),
-        round(col("counts_per_liter")).cast("long").as("counts_per_liter"),
+        // bround, not round: the reference rounds BEFORE the alert
+        // comparison (ifcb_hab_alert.R:118,152 -> :197,217 compare the
+        // already-rounded value — bug-compatible by design), and R's
+        // round() is half-EVEN: Spark's half-up round() would fire an
+        // alert at exactly warning_level + 0.5 that the reference does
+        // not (round-14 review; the q36 bround discipline)
+        bround(col("counts_per_liter")).cast("long").as("counts_per_liter"),
         col("warning_level"))
       .orderBy(col("class_clean"))
   }
@@ -111,7 +117,8 @@ object HabAlert {
       .join(broadcast(habDim), Seq("aphia_id"), "left")
       .select(
         col("aphia_id"), col("class_clean"), col("sample"), col("counts"),
-        round(col("counts_per_liter")).cast("long").as("counts_per_liter"),
+        bround(col("counts_per_liter")).cast("long") // half-even, see above
+          .as("counts_per_liter"),
         col("warning_level"))
       .orderBy(col("class_clean"))
   }

@@ -549,6 +549,14 @@ object IngestQc {
     frames.metadata.write.mode(SaveMode.Overwrite)
       .option("header", "true").option("nullValue", "").option("emptyValue", "")
       .csv(s"$outDir/metadata")
+    // persist the skip log (round-14 review): the dead-letter frame —
+    // R's own skip log (R:113-141, 190-197) — was returned to callers
+    // but the scheduled/streaming deployment dropped it on the floor,
+    // so an empty or oversize bin left no durable trace. Idempotent
+    // append keyed by path: a file's verdict is stable across re-runs.
+    Sinks.appendNew(frames.deadLetter.select(col("path"), col("reason")),
+      existing("dead_letter").map(_.select(col("path"))),
+      Seq("path"), s"$outDir/dead_letter")
     // the kernel output feeds FOUR independent actions below (its own
     // append + the three PSD frames via allFeats); without a persist the
     // partition-local feature kernel — the job's one heavy stage —
@@ -589,24 +597,28 @@ object IngestQc {
       outDir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.types.StructType
-    val binaryFileSchema = StructType.fromDDL(
-      "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+    // the TRIGGER watches *.hdr as text, NOT *.roi as binaryFile
+    // (round-14 review): binaryFile silently omits 0-byte files, so a
+    // new EMPTY bin — the exact case the empty-bin dead-letter gate
+    // exists for (R:190-197) — never produced a batch and was never
+    // dead-lettered until some unrelated file arrived. Every bin ships
+    // an .hdr (small text; the reference's own new-bin detection scans
+    // hdr listings), the text source tracks 0-byte files too, and
+    // runIncremental does its own FileIndex discovery — the batch is
+    // only a trigger, so foreachBatch runs unconditionally (an empty
+    // micro-batch still means newly-tracked files).
     spark.readStream
-      .format("binaryFile")
-      .schema(binaryFileSchema)
-      .option("pathGlobFilter", "*.roi")
+      .format("text")
+      .option("pathGlobFilter", "*.hdr")
       .load(cfg.rawDir)
-      .select(col("path")) // content pruned: the batch is only a trigger
+      .select(lit(1).as("tick")) // content pruned: the batch is only a trigger
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          runIncremental(spark, cfg, blacklist, cruises, ferrybox,
-            balticBasin, outDir)
-          ()
-        }
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        runIncremental(spark, cfg, blacklist, cruises, ferrybox,
+          balticBasin, outDir)
+        ()
       }
       .start()
   }

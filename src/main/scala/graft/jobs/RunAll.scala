@@ -157,11 +157,41 @@ object RunAll {
     * `<out>/ifcb_data_export_<classifier>_<years joined by _>`
     * (`run_all.R:26-27` without the render timestamp — outputs are
     * overwrite-idempotent here, not append-versioned).
+    *
+    * The name omits the FLAG-TERM identity, so two configs differing
+    * only in `removeFlagged` map to one directory and the second
+    * overwrite silently discards the first delivery (round-14 review;
+    * the reference disambiguates by render timestamp, which is
+    * non-deterministic). Use [[tsvSink]] — which detects the collision
+    * across the run's configs and disambiguates deterministically —
+    * unless the caller guarantees distinct (classifier, years) keys.
     */
   def writeTsv(outDir: String)(d: Delivery): Unit =
-    Sinks.deliveryTsv(d.frame,
-      s"$outDir/ifcb_data_export_${sanitize(d.params.classifier)}_" +
-        d.years.mkString("_"))
+    Sinks.deliveryTsv(d.frame, tsvPath(outDir, d, suffix = ""))
+
+  private def tsvPath(outDir: String, d: Delivery, suffix: String): String =
+    s"$outDir/ifcb_data_export_${sanitize(d.params.classifier)}_" +
+      d.years.mkString("_") + suffix
+
+  /** Collision-safe [[writeTsv]]: deliveries whose (classifier, years)
+    * key is unique across `configs` keep the reference name; colliding
+    * ones append a deterministic `_exclN`/`_exclNone` suffix derived
+    * from the config's flag terms, so no configured delivery can
+    * silently overwrite another.
+    */
+  def tsvSink(outDir: String, configs: Seq[RunParams]): Delivery => Unit = {
+    val keys = for (cfg <- configs; ys <- scopes(cfg))
+      yield (cfg.classifier, ys)
+    val colliding = keys.groupBy(identity).filter(_._2.size > 1).keySet
+    d => {
+      val suffix =
+        if (!colliding((d.params.classifier, d.years))) ""
+        else if (d.params.removeFlagged.isEmpty) "_exclNone"
+        else s"_excl${d.params.removeFlagged.size}_" +
+          sanitize(d.params.removeFlagged.map(_.replace(" ", "-")).mkString("+"))
+      Sinks.deliveryTsv(d.frame, tsvPath(outDir, d, suffix))
+    }
+  }
 
   private def sanitize(s: String): String =
     s.replaceAll("[^A-Za-z0-9_.-]", "_")

@@ -40,8 +40,13 @@ object WhoiCuration {
     * the reference's "Unknown format" branch.
     */
   def parseLegacyPngs(files: DataFrame): DataFrame = {
-    val base = element_at(split(col("path"), "/"), -1)
-    val folder = element_at(split(col("path"), "/"), -2)
+    val segs = split(col("path"), "/")
+    val base = element_at(segs, -1)
+    // a bare basename (a listing relative to the class directory) has
+    // no -2 segment; ANSI element_at would abort the whole run on one
+    // such row instead of the documented Unknown-format DROP
+    // (round-14 review) — null folder keeps the row droppable
+    val folder = when(size(segs) >= 2, element_at(segs, -2))
     def part(i: Int) = regexp_extract(base, LegacyPattern, i)
     files
       .withColumn("class_folder", folder)
@@ -50,7 +55,9 @@ object WhoiCuration {
       .withColumn("__doy", part(3))
       .withColumn("__time", part(4))
       .withColumn("__roi", part(5))
-      .filter(col("__ifcb") =!= "")
+      // no containing directory = no class label: drop like any other
+      // non-conforming row
+      .filter(col("__ifcb") =!= "" && col("class_folder").isNotNull)
       .withColumn("sample",
         concat_ws("_", col("__ifcb"), col("__year"), col("__doy"), col("__time")))
       .withColumn("date",

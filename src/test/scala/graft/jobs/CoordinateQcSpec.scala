@@ -43,4 +43,20 @@ class CoordinateQcSpec extends SparkSpec {
     assert(q("S1") == (("Near land", "red"))) // no PSD flag, on land
     assert(q("S4") == ((null, "blue")))
   }
+
+  test("the 'ok' PSD sentinel is NOT a QC flag: healthy offshore samples stay blue") {
+    // round-14 review: IngestQc.psd emits flag='ok' for unflagged
+    // samples (kept for q88 oracle parity); treating it as a real flag
+    // painted every healthy sample red with a bogus 'Ok' label — the
+    // reference uses NA for unflagged (Rmd:757-765)
+    val checked = CoordinateQc.checkCoordinates(positions, coast, basins)
+    val psd = Seq(("S4", "ok"), ("S1", "ok"), ("S3", "bubbles"))
+      .toDF("sample", "flag")
+    val q = CoordinateQc.qcFlags(psd, checked)
+      .collect().map(r => r.getAs[String]("sample") ->
+        ((r.getAs[String]("flag"), r.getAs[String]("group")))).toMap
+    assert(q("S4") == ((null, "blue")), q("S4")) // ok + offshore = blue
+    assert(q("S1") == (("Near land", "red"))) // ok + near land = just Near land
+    assert(q("S3") == (("Bubbles", "red"))) // real flags unaffected
+  }
 }

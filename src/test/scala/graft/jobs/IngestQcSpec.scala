@@ -258,6 +258,40 @@ class IngestQcSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(s"$out/features").count() == 6L)
   }
 
+  test("streaming trigger fires on a NEW empty bin and the skip log persists (round-14)") {
+    // binaryFile-based triggering silently omitted 0-byte files, so an
+    // EMPTY new bin — the exact case the dead-letter gate exists for —
+    // never produced a batch; the hdr-watched trigger fires, and the
+    // dead-letter frame (R's skip log) now lands durably in
+    // <out>/dead_letter instead of being dropped on the floor
+    val dir = Files.createTempDirectory("ingeststream-empty")
+    writeBin(dir, BinA, Seq(3L),
+      gps = Some((57.0, 16.0)), fix = Some("Jun/01/2024 09:59:30.000"))
+    val c = cfg.copy(rawDir = dir.toString)
+    val out = Files.createTempDirectory("ingeststream-empty-out").toString
+    val ckpt = Files.createTempDirectory("ingeststream-empty-ckpt").toString
+    val q = IngestQc.stream(spark, c, blacklist, cruises, ferrybox, baltic, out, ckpt)
+    q.awaitTermination(120000)
+    assert(spark.read.option("header", "true").csv(s"$out/features").count() > 0)
+    // a NEW bin arrives EMPTY (0-byte .roi + hdr): the trigger must fire
+    val emptyBin = "D20240601T180000_IFCB134"
+    Files.write(dir.resolve(s"$emptyBin.roi"), Array.empty[Byte])
+    Files.writeString(dir.resolve(s"$emptyBin.adc"),
+      "roi_number,width,height,start_byte\n")
+    Files.writeString(dir.resolve(s"$emptyBin.hdr"), "softwareVersion: 4.1\n")
+    val q2 = IngestQc.stream(spark, c, blacklist, cruises, ferrybox, baltic, out, ckpt)
+    q2.awaitTermination(120000)
+    val dead = spark.read.option("header", "true").csv(s"$out/dead_letter")
+    val row = dead.filter($"path".contains(emptyBin))
+      .select("reason").as[String].collect()
+    assert(row.toSeq == Seq("empty"), s"dead letter: ${dead.collect().mkString(",")}")
+    // idempotent: a third trigger does not duplicate the skip-log row
+    val q3 = IngestQc.stream(spark, c, blacklist, cruises, ferrybox, baltic, out, ckpt)
+    q3.awaitTermination(120000)
+    assert(spark.read.option("header", "true").csv(s"$out/dead_letter")
+      .filter($"path".contains(emptyBin)).count() == 1)
+  }
+
   test("engine-generated Bubbles flag drives the delivery W1 adjacency drop end-to-end") {
     import org.apache.spark.sql.functions.{substring, lit}
     // Five samples in one run sequence. S3's particles peak at 320 px ESD

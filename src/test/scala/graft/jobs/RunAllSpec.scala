@@ -147,4 +147,24 @@ class RunAllSpec extends SparkSpec {
     assert(read.count() > 0)
     assert(read.columns.contains("SMPNO") && read.columns.contains("C_CONC"))
   }
+
+  test("tsvSink keeps colliding configs apart (flag-term-only variants, round-14)") {
+    // the reference's naming omits the flag-term identity, so two
+    // configs differing only in removeFlagged mapped to ONE directory
+    // and the second overwrite silently discarded the first delivery
+    val out = Files.createTempDirectory("runall-collide").toString
+    val data: String => ClassifierData = _ => classifier("A", Seq(2023))
+    val configs = Seq(
+      RunParams("Baltic", Seq(2023), Seq("bubbles"), multiyearDelivery = true),
+      RunParams("Baltic", Seq(2023), Nil, multiyearDelivery = true))
+    RunAll.run(spark, data, configs, adjacency, RunAll.tsvSink(out, configs))
+    val dirs = new java.io.File(out).list().toSet
+    assert(dirs.size == 2, s"expected two delivery dirs, got $dirs")
+    assert(dirs.exists(_.contains("excl")), dirs)
+    // a non-colliding config keeps the bare reference name
+    val out2 = Files.createTempDirectory("runall-single").toString
+    val single = Seq(RunParams("Baltic", Seq(2023), Nil, multiyearDelivery = true))
+    RunAll.run(spark, data, single, adjacency, RunAll.tsvSink(out2, single))
+    assert(new java.io.File(s"$out2/ifcb_data_export_Baltic_2023").isDirectory)
+  }
 }
