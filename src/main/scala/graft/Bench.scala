@@ -409,10 +409,26 @@ object Bench {
     // the driver's tail cut the front of the JSON off
     val line = {
       val full = contract(qs)
+      // qNN prefixes must be UNIQUE or the fallback would emit duplicate
+      // JSON keys that json.loads silently last-wins (round-14 review;
+      // the registry dup-check covers full names only)
+      val prefixes = results.map(_._1.takeWhile(_ != '_'))
+      require(prefixes.distinct.size == prefixes.size,
+        s"duplicate qNN prefixes: ${prefixes.diff(prefixes.distinct).distinct.mkString(",")}")
       if (full.length <= 1950) full
-      else contract(results.map { case (k, v, _) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v)
-      }.mkString("{", ",", "}"))
+      else {
+        val short = contract(results.map { case (k, v, _) =>
+          "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v)
+        }.mkString("{", ",", "}"))
+        // the fallback must be length-checked too (round-14 review: at
+        // 100 queries it is the ALWAYS-taken path, and a contended run's
+        // readjudicated entries could push it past the driver tail) —
+        // as the last resort drop the readjudicated detail, whose full
+        // data already rode the pass_times/spread lines
+        if (short.length <= 1950) short
+        else short.replaceFirst("\"readjudicated\":\\{[^}]*\\},",
+          "\"readjudicated_dropped_for_length\":true,")
+      }
     }
     println(s"""{"metric":"pass_times","queries":$raw}""")
     println(s"""{"metric":"spread_max_minus_min","queries":$spreads}""")

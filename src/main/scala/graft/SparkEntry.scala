@@ -85,6 +85,24 @@ object SparkEntry {
   def oracleSqlRendered(spark: SparkSession, dir: String,
       nameFilter: String => Boolean = _ => true): Map[String, String] =
     oracleSql.filter { case (n, _) => nameFilter(n) } ++
-      registry.filter(q => nameFilter(q.name)).flatMap(q =>
-        q.oracleDyn.map(f => q.name -> f(spark, dir).stripMargin.trim)).toMap
+      registry.filter(q => nameFilter(q.name)).flatMap { q =>
+        q.oracleDyn.map { f =>
+          // a failing renderer must stay IN the gate as a loud failure
+          // (round-14 review): silently omitting the key made the query
+          // indistinguishable from "no oracle by design" — the driver
+          // skipped the compare and the round reported green with the
+          // query unverified. The sentinel SQL always hash-mismatches,
+          // so the failure surfaces as a red CORRECTNESS row naming the
+          // query.
+          q.name -> (try f(spark, dir).stripMargin.trim
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[oracle] ${q.name} render failed: ${e.getMessage}")
+              "SELECT 'ORACLE RENDER FAILED: " +
+                String.valueOf(e.getMessage).replace("'", "''") +
+                "' AS oracle_render_failed"
+          })
+        }
+      }.toMap
 }

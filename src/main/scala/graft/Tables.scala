@@ -43,11 +43,18 @@ object Tables {
     // It stays set in the nanos case: the scan consults it again at
     // execution, so a set-read-restore dance would break the very read
     // it enabled.
+    // walk the CAUSE CHAIN, not just the top message (round-14 review):
+    // when footer reading runs as a distributed job the executor-side
+    // error arrives wrapped in a SparkException whose own message may
+    // carry only stage-failure text, and a top-message-only guard would
+    // rethrow instead of enabling the nanos fallback
+    def mentionsNanos(t: Throwable): Boolean =
+      t != null && (String.valueOf(t.getMessage).contains("PARQUET_TYPE_ILLEGAL") ||
+        mentionsNanos(t.getCause))
     val raw =
       try table(s, d, "events")
       catch {
-        case e: Throwable if e.getMessage != null &&
-            e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
+        case e: Throwable if mentionsNanos(e) =>
           s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           table(s, d, "events")
       }

@@ -28,7 +28,11 @@ object Verify {
       // NonFatal only (round-12 review; the Bench warmup discipline): an
       // OOM/LinkageError means a corrupted JVM — continuing to dump the
       // remaining queries would hand the gate plausible-looking fiction
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), not coalesce(1) (round-14 review): coalesce
+      // collapses shuffle-free plans to ONE task end-to-end, serializing
+      // pure scan/filter queries; repartition keeps computation parallel
+      // and only merges at the write
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -52,20 +56,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // name filter BEFORE rendering, and each dynamic renderer guarded
-    // like the dumps above (round-12 review): one failing renderer
-    // otherwise threw uncaught AFTER all 100 dumps succeeded, so no
-    // oracle_sql.json was written and the whole round's gate zeroed
-    val rendered = SparkEntry.oracleSql.filter(_._1.contains(only)) ++
-      SparkEntry.registry
-        .filter(r => r.name.contains(only) && r.oracleDyn.isDefined)
-        .flatMap { r =>
-          try Some(r.name -> r.oracleDyn.get(spark, sfDir).stripMargin.trim)
-          catch { case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[verify] ${r.name} oracle render failed: ${e.getMessage}")
-            None
-          }
-        }.toMap
+    // ONE rendering implementation (round-14 review: this was an inline
+    // near-copy that had diverged from SparkEntry.oracleSqlRendered —
+    // the shared method now guards each dynamic renderer and keeps a
+    // failed render IN the gate as a loud sentinel row instead of
+    // silently dropping the query from the compare)
+    val rendered = SparkEntry.oracleSqlRendered(spark, sfDir, _.contains(only))
     val json = rendered
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

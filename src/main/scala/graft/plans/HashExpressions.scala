@@ -370,6 +370,12 @@ case class ChainReplace(child: Expression, search: Seq[String], repl: Seq[String
   extends UnaryExpression with Serializable {
   require(search.length == repl.length,
     s"search/replace lists differ: ${search.length} vs ${repl.length}")
+  // Java's String.replace("", r) INSERTS r between every character while
+  // Spark's StringReplace no-ops on an empty search — an empty entry
+  // would silently break the documented fold-of-replace contract
+  // (round-14 review); unreachable from Bpe's delimiter-framed strings,
+  // but the expression is public
+  require(search.forall(_.nonEmpty), "empty search string in replace chain")
   override def dataType: DataType = StringType
   @transient private lazy val searchArr = search.toArray
   @transient private lazy val replArr = repl.toArray

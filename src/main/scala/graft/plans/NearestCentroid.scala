@@ -18,9 +18,11 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * used — `cc − 2·(v·c)` with float-element products left-folded in
   * dimension order ([[VectorExpr.dotFloat]]) — so any candidate that IS
   * evaluated scores bit-identically. Pruning only SKIPS a group when its
-  * geometric lower bound exceeds the current best by a 1e-6 relative
-  * margin; the bound's own floating error is ~1e-14 relative (≤64-dim
-  * double accumulation), eight orders below the margin, so a skipped
+  * geometric lower bound exceeds the current best by a margin of
+  * 1e-9·(1 + vv + max cc) — MAGNITUDE-scaled, because the bound's
+  * floating error is proportional to the operand magnitudes (~1.4e-14·
+  * magnitude at 64 dims), not to the possibly-cancelled score; the
+  * margin sits five orders above that error, so a skipped
   * group can contain neither a strictly-better nor a tying candidate
   * (ties need equality, which the strict `> best + margin` test keeps
   * un-skippable). Scale shape: corpus-side assignment at SemDeDup's
@@ -108,6 +110,14 @@ final class NearestCentroidKernel(centroids: Array[Array[Double]])
     * slack against the radius computation's own rounding).
     */
   private val coarseCc: Array[Double] = coarse.map(c => c.map(x => x * x).sum)
+
+  /** Magnitude bound for the pruning margin: the bound/score floating
+    * error is proportional to the operand MAGNITUDES (vv, cc), not to
+    * the score — under catastrophic cancellation (score near 0 with
+    * large magnitudes) a score-relative margin under-covered the error
+    * and could prune the true argmin's group (round-14 review).
+    */
+  private val maxCc: Double = ccs.map(math.abs).max
   private val radii: Array[Double] = coarse.indices.toArray.map { g =>
     var r = 0.0
     members(g).foreach { i =>
@@ -174,7 +184,10 @@ final class NearestCentroidKernel(centroids: Array[Array[Double]])
     var oi = 0
     while (oi < nG) {
       val gg = order(oi)
-      if (lb(gg) > bestScore + 1e-6 * (1.0 + math.abs(bestScore))) {
+      // margin scales with the MAGNITUDES (error ~ dims·2⁻⁵²·magnitude
+      // ≈ 1.4e-14·mag at 64 dims — five orders below 1e-9·mag), never
+      // with the possibly-cancelled score
+      if (lb(gg) > bestScore + 1e-9 * (1.0 + vv + maxCc)) {
         oi = nG // sorted: no later group can hold a better or tying candidate
       } else {
         val ms = members(gg)
