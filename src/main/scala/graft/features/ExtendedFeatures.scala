@@ -84,13 +84,44 @@ object ExtendedFeatures {
 
   /** Modified Hausdorff distance (Dubuisson & Jain 1994). */
   def modifiedHausdorff(a: Array[(Double, Double)], b: Array[(Double, Double)]): Double = {
+    // EXACT nearest neighbor with an x-sorted sweep (round-14 review):
+    // the brute-force double loop was O(|a|·|b|) per directed pass — six
+    // passes per ROI on the extractFull hot path; sorting `to` by x and
+    // scanning outward from the query's x rank prunes once (dx)² beats
+    // the running best, the same distances to the last bit (min over a
+    // subset provably containing the argmin).
     def meanNearest(from: Array[(Double, Double)], to: Array[(Double, Double)]): Double = {
+      val byX = to.sortBy(_._2)
+      val xs = byX.map(_._2)
       var sum = 0.0
       for ((y, x) <- from) {
+        var lo = java.util.Arrays.binarySearch(xs, x)
+        if (lo < 0) lo = -lo - 1
+        var hi = lo
+        lo -= 1
         var best = Double.MaxValue
-        for ((ty, tx) <- to) {
-          val d = (y - ty) * (y - ty) + (x - tx) * (x - tx)
-          if (d < best) best = d
+        while (lo >= 0 || hi < byX.length) {
+          // expand the side whose next |dx| is smaller; stop a side when
+          // its (dx)² already exceeds the best squared distance
+          val dLo = if (lo >= 0) { val d = x - xs(lo); d * d } else Double.MaxValue
+          val dHi = if (hi < byX.length) { val d = xs(hi) - x; d * d } else Double.MaxValue
+          if (dLo <= dHi) {
+            if (dLo >= best) { lo = -1; if (dHi >= best) hi = byX.length }
+            else {
+              val (ty, tx) = byX(lo)
+              val d = (y - ty) * (y - ty) + (x - tx) * (x - tx)
+              if (d < best) best = d
+              lo -= 1
+            }
+          } else {
+            if (dHi >= best) { hi = byX.length; if (dLo >= best) lo = -1 }
+            else {
+              val (ty, tx) = byX(hi)
+              val d = (y - ty) * (y - ty) + (x - tx) * (x - tx)
+              if (d < best) best = d
+              hi += 1
+            }
+          }
         }
         sum += math.sqrt(best)
       }

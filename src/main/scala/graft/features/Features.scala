@@ -114,6 +114,11 @@ object Features {
         (blob.count.toDouble, blob)
       } else {
         val (lab, n) = Raster.label(blob, conn8 = true)
+        // an all-false mask has NO region: without this gate the bbox
+        // scan below built a spurious mask from negative extents and
+        // died with a raw AIOOBE (round-14 review) — public API, loud
+        // contract
+        require(n >= 1, "blobFeatures: mask has no set pixels")
         val counts = new Array[Int](n + 1)
         lab.foreach(counts(_) += 1)
         counts(0) = 0

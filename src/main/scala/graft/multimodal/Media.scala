@@ -77,8 +77,13 @@ object Media {
     require(w >= 0 && h >= 0 && w.toLong * h <= Int.MaxValue,
       s"bad raster dims ${w}x$h")
     val n = w * h
-    require(bytes.length >= n,
-      s"raw pixel payload of ${bytes.length} bytes short of ${w}x$h = $n")
+    // EXACT length, both directions (round-14 review: the short side was
+    // made fail-loud in round 11, but an over-long payload — corrupt
+    // metadata under-claiming the raster — silently truncated to the
+    // top rows and computed plausible features of half an image; every
+    // producer slices exactly w·h bytes)
+    require(bytes.length == n,
+      s"raw pixel payload of ${bytes.length} bytes vs declared ${w}x$h = $n")
     val px = new Array[Int](n)
     var k = 0
     while (k < n) { px(k) = bytes(k) & 0xff; k += 1 }
@@ -92,7 +97,22 @@ object Media {
     * dimensions.
     */
   def decodeImage(bytes: Array[Byte], rawW: Int, rawH: Int): (Array[Int], Int, Int) = {
-    if (isContainerImage(bytes)) {
+    // an EXACT raw-raster length match against the caller's declared
+    // dims outranks the WEAK BMP sniff (round-14 review): a raw
+    // grayscale ROI whose dark leading bytes mimic a BMP header (the
+    // DIB-size disjunct fires on zero-heavy imagery far more often than
+    // 2^-16) was misrouted into ImageIO, which then kills the task on
+    // the non-BMP body. Only the BMP sniff yields: a real BMP's file
+    // length ≈ never equals the caller's w·h (header + row padding),
+    // while the STRONG magics (PNG/JPEG/GIF) keep priority — yielding
+    // those on a length coincidence would decode a genuine container as
+    // silent raw garbage, the worse failure.
+    val exactRaw = rawW > 0 && rawH > 0 && rawW.toLong * rawH == bytes.length
+    val strongMagic = bytes.length >= 4 && (
+      bytes.take(4).sameElements(PngMagic) ||
+      ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) ||
+      (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8'))
+    if (strongMagic || (!exactRaw && isContainerImage(bytes))) {
       // fail-loudly contract (round-11, the MatSource/H5Source pattern):
       // ImageIO throws IOExceptions AND assorted RuntimeExceptions on
       // hostile bytes — normalize everything to the one contract type
@@ -114,20 +134,29 @@ object Media {
       // Those route through getRGB + luma, which resolves the palette /
       // scales the depth to 8 bits.
       val cm = img.getColorModel
-      val gray8 = img.getRaster.getNumBands == 1 &&
-        !cm.isInstanceOf[java.awt.image.IndexColorModel] &&
-        cm.getComponentSize(0) == 8
-      if (gray8) {
+      val plainGray = img.getRaster.getNumBands == 1 &&
+        !cm.isInstanceOf[java.awt.image.IndexColorModel]
+      val grayDepth = if (plainGray) cm.getComponentSize(0) else 0
+      if (grayDepth == 8 || grayDepth == 16) {
         // grayscale: read raster samples directly (getRGB would route
-        // through sRGB color management and distort the levels)
+        // through sRGB color management and distort the levels —
+        // round-14 review: 16-bit gray went through getRGB's
+        // linear-to-sRGB curve, turning true mid-gray 32768 into ~188;
+        // scaling the sample preserves levels)
+        val shift = grayDepth - 8
         val raster = img.getRaster
         for (y <- 0 until h; x <- 0 until w)
-          px(y * w + x) = raster.getSample(x, y, 0)
+          px(y * w + x) = raster.getSample(x, y, 0) >> shift
       } else {
-        for (y <- 0 until h; x <- 0 until w) {
-          val rgb = img.getRGB(x, y)
+        // ONE bulk getRGB pass (round-14 review): per-pixel getRGB pays
+        // bounds checks + color-model dispatch per call on the kernel path
+        val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        while (i < rgbs.length) {
+          val rgb = rgbs(i)
           val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
-          px(y * w + x) = ((299 * r + 587 * g + 114 * b) + 500) / 1000
+          px(i) = ((299 * r + 587 * g + 114 * b) + 500) / 1000
+          i += 1
         }
       }
       (px, w, h)
@@ -280,10 +309,21 @@ object Media {
         // container row with unset metadata (0, 0) previously reported
         // aspect 0.0 for a perfectly decodable image (round-11 review)
         val (px, w, h) = decodeImage(m.bytes, m.width, m.height)
-        val mean = if (px.isEmpty) 0.0 else px.map(_.toLong).sum.toDouble / px.length
+        // one fused pass (round-14 review): map(_.toLong) materialized
+        // an 8-byte-per-pixel copy just to sum it, then px.max scanned
+        // a third time
+        var sum = 0L
+        var maxPx = 0
+        var i = 0
+        while (i < px.length) {
+          val v = px(i)
+          sum += v
+          if (v > maxPx) maxPx = v
+          i += 1
+        }
+        val mean = if (px.isEmpty) 0.0 else sum.toDouble / px.length
         ImageFeatures(
-          m.media_id, m.bytes.length.toLong, mean,
-          if (px.isEmpty) 0 else px.max,
+          m.media_id, m.bytes.length.toLong, mean, maxPx,
           if (h == 0) 0.0 else w.toDouble / h)
       }
     }

@@ -396,26 +396,27 @@ object Dedup {
   def semDedup(
       embs: DataFrame, id: String, vec: String,
       centroids: Array[Array[Double]], tau: Double): DataFrame = {
-    // persist the assigned frame: it feeds THREE plan branches (the
-    // pair self-join's x and y sides and the final output join), and
-    // without it the nearest-centroid kernel — the operator's dominant
-    // O(n·√k·d) cost — re-evaluates per branch (round-14 review).
-    // Lifecycle is the materializePairs pattern: the small output frame
-    // localCheckpoints, then the input cache releases in finally —
-    // a bare persist leaked one cached frame per invocation for the
-    // session's life (every other persist in this file releases).
+    // persist the assigned frame while the PAIR stage materializes: the
+    // self-join's x and y sides otherwise each run the nearest-centroid
+    // kernel — the operator's dominant O(n·√k·d) cost (round-14
+    // review). The small dropped-id dim localCheckpoints (pair work
+    // never re-runs), the cache releases in finally (a bare persist
+    // leaked one cached frame per invocation for the session's life),
+    // and the RETURNED frame keeps its live join plan — the q91
+    // plan-shape pin must still see the cell-keyed equi join — at the
+    // cost of one kernel re-evaluation at the caller's action.
     val cells = embs.withColumn(
       "__cell", Similarity.cellAssign(col(vec), centroids))
-      .persist()
+    val cached = cells.persist()
     try {
-      val dropped = embeddingNearDupPairs(cells, id, vec, tau, Some("__cell"))
+      val dropped = embeddingNearDupPairs(cached, id, vec, tau, Some("__cell"))
         .select(col("id_b").as("__did")).distinct()
+        .localCheckpoint()
       cells.join(dropped, col(id) === col("__did"), "left")
         .select(col(id), col("__cell").as("cell"),
           col("__did").isNotNull.as("dropped"))
-        .localCheckpoint()
     } finally {
-      cells.unpersist()
+      cached.unpersist()
       ()
     }
   }
