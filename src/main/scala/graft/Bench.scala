@@ -426,8 +426,17 @@ object Bench {
         // as the last resort drop the readjudicated detail, whose full
         // data already rode the pass_times/spread lines
         if (short.length <= 1950) short
-        else short.replaceFirst("\"readjudicated\":\\{[^}]*\\},",
-          "\"readjudicated_dropped_for_length\":true,")
+        else {
+          val dropped = short.replaceFirst("\"readjudicated\":\\{[^}]*\\},",
+            "\"readjudicated_dropped_for_length\":true,")
+          // the regex can miss (nothing to drop, or an unexpected shape)
+          // and the dropped line is itself unchecked: re-verify once and
+          // fall back to a minimal ALWAYS-valid line rather than let the
+          // driver tail truncate mid-JSON (round-14 ADVICE)
+          if (dropped.length <= 1950) dropped
+          else s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+            s""""queries":{},"truncated":true,"sf":"$sfName"}"""
+        }
       }
     }
     println(s"""{"metric":"pass_times","queries":$raw}""")

@@ -102,9 +102,17 @@ object ExtendedFeatures {
         var best = Double.MaxValue
         while (lo >= 0 || hi < byX.length) {
           // expand the side whose next |dx| is smaller; stop a side when
-          // its (dx)² already exceeds the best squared distance
-          val dLo = if (lo >= 0) { val d = x - xs(lo); d * d } else Double.MaxValue
-          val dHi = if (hi < byX.length) { val d = xs(hi) - x; d * d } else Double.MaxValue
+          // its (dx)² already exceeds the best squared distance. A NaN
+          // coordinate (query or target) makes every comparison below
+          // false and would spin this loop forever — treat a NaN gap as
+          // side-exhausted, which reproduces the old brute force's
+          // behavior of ignoring NaN points (round-14 ADVICE)
+          var dLo = if (lo >= 0) { val d = x - xs(lo); d * d } else Double.MaxValue
+          if (java.lang.Double.isNaN(dLo)) { lo = -1; dLo = Double.MaxValue }
+          var dHi = if (hi < byX.length) { val d = xs(hi) - x; d * d } else Double.MaxValue
+          if (java.lang.Double.isNaN(dHi)) { hi = byX.length; dHi = Double.MaxValue }
+          if (lo < 0 && hi >= byX.length) ()
+          else
           if (dLo <= dHi) {
             if (dLo >= best) { lo = -1; if (dHi >= best) hi = byX.length }
             else {

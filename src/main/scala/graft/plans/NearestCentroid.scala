@@ -4,8 +4,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
 
 /** Precomputed state for [[NearestCentroid]]: the fine centroids in the
   * float-cast domain the flat composition scores in, plus a coarse
@@ -224,6 +225,16 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
     extends UnaryExpression with Serializable {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = false
+
+  // the kernel reads elements via ArrayData.getFloat: bound to any other
+  // array element type it would silently misread raw bits — fail analysis
+  // instead (round-14 ADVICE; the replaced flat composition shared the
+  // latent behavior via FloatArrayDot)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.catalogString}")
+  }
 
   @transient private lazy val kernel =
     new NearestCentroidKernel(centroids.map(_.toArray).toArray)

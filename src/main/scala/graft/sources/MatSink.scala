@@ -414,6 +414,13 @@ object MatSink {
       pad8()
       val snod = buf.position()
       buf.put("SNOD".getBytes("US-ASCII")).put(1.toByte).put(0.toByte)
+      // the SNOD entry count (and the superblock's B-tree K derived from
+      // the same group sizes) is a 2-byte field: the 1 GiB capacity gate
+      // admits ~1M cell items, so an unbounded .toShort would silently
+      // wrap past 32767 entries and emit a corrupt file (round-14 ADVICE)
+      require(sorted.size <= 0x7fff,
+        s"v7.3 writer: group holds ${sorted.size} entries " +
+          "(max 32767 per symbol node): split the variable set")
       buf.putShort(sorted.size.toShort)
       val entryPos = buf.position()
       buf.position(entryPos + 40 * sorted.size)

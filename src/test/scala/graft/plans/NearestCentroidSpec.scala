@@ -84,4 +84,15 @@ class NearestCentroidSpec extends SparkSpec {
     assert(NearestCentroid(c, Seq(Seq(1.0, 2.0))) ==
       NearestCentroid(c, Seq(Seq(1.0, 2.0))))
   }
+
+  test("binding to a non-float array fails analysis, not silently misreads (round-14 ADVICE)") {
+    // the kernel reads via ArrayData.getFloat: an array<double> child
+    // would decode raw bits as garbage floats without this check
+    import spark.implicits._
+    val df = Seq(Tuple1(Array(1.0, 2.0))).toDF("v")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(nat($"v", Array(Array(1.0, 2.0)))).collect()
+    }
+    assert(e.getMessage.contains("array<float>"), e.getMessage)
+  }
 }

@@ -20,9 +20,11 @@ object MatFixture {
 
   def matrix(name: String, clazz: Int, dims: Seq[Int],
       payload: Array[Byte], payloadType: Int,
-      cells: Seq[Array[Byte]] = Nil): Array[Byte] = {
+      cells: Seq[Array[Byte]] = Nil,
+      flagBits: Int = 0): Array[Byte] = {
+    // flags word byte 0 = class, byte 1 = flag bits (0x08 = complex)
     val flags = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-      .putInt(clazz).putInt(0).array()
+      .putInt(clazz | (flagBits << 8)).putInt(0).array()
     val dimBytes = {
       val b = ByteBuffer.allocate(dims.length * 4).order(ByteOrder.LITTLE_ENDIAN)
       dims.foreach(b.putInt)

@@ -232,6 +232,59 @@ class MatFuzzSpec extends AnyFunSuite {
     assert(MatSource.parse(MatFixture.matFile(ok)).contains("ok"))
   }
 
+  test("mxSTRUCT/mxOBJECT/mxSPARSE/mxFUNCTION/mxOPAQUE reject by class name, not mis-decode") {
+    // the round-14 verdict's finding: the old numeric catch-all decoded
+    // a 1×1 struct's field-name-length element (miINT32, value 32) as
+    // the NUMBER 32 — it even passed the dims/length cross-check. The
+    // byte layout below mimics exactly that struct prefix.
+    val fieldNameLen = {
+      val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(32); b.array()
+    }
+    val cases = Seq(
+      2 -> "mxSTRUCT_CLASS", 3 -> "mxOBJECT_CLASS", 5 -> "mxSPARSE_CLASS",
+      16 -> "mxFUNCTION_CLASS", 17 -> "mxOPAQUE_CLASS", 42 -> "unknown mxClass 42")
+    cases.foreach { case (clazz, expected) =>
+      val bytes = MatFixture.matFile(
+        MatFixture.matrix("opts", clazz, Seq(1, 1), fieldNameLen, 5))
+      val e = intercept[IllegalArgumentException](MatSource.parse(bytes))
+      assert(e.getMessage.contains(expected), s"class $clazz: ${e.getMessage}")
+      assert(e.getMessage.contains("opts"), e.getMessage)
+    }
+    // a struct INSIDE a cell rejects the same way (the recursive path)
+    val structInCell = MatFixture.matrix("wrap", 1, Seq(1, 1), Array.empty, 0,
+      cells = Seq(MatFixture.stripTag(
+        MatFixture.matrix("", 2, Seq(1, 1), fieldNameLen, 5))))
+    val e = intercept[IllegalArgumentException] {
+      MatSource.parse(MatFixture.matFile(structInCell))
+    }
+    assert(e.getMessage.contains("mxSTRUCT_CLASS"), e.getMessage)
+  }
+
+  test("complex numeric variables reject loudly instead of dropping the imaginary part") {
+    // a complex matrix carries TWO data elements (pr then pi); the old
+    // catch-all decoded pr and silently ignored pi AND the flag bit
+    val pr = MatFixture.doubles(Seq(1.5, 2.5))
+    val pi = MatFixture.doubles(Seq(0.5, -0.5))
+    val body = new java.io.ByteArrayOutputStream()
+    // rebuild the matrix body with both data elements and the complex bit
+    val withFlag = MatFixture.matrix("z", 6, Seq(1, 2), pr, 9, flagBits = 0x08)
+    body.write(MatFixture.stripTag(withFlag))
+    body.write(MatFixture.element(9, pi))
+    val full = MatFixture.element(14, body.toByteArray)
+    val e = intercept[IllegalArgumentException] {
+      MatSource.parse(MatFixture.matFile(full))
+    }
+    assert(e.getMessage.contains("complex"), e.getMessage)
+    assert(e.getMessage.contains("z"), e.getMessage)
+    // control: the same bytes WITHOUT the complex bit parse as the real part
+    // (the trailing pi element is past the declared dims and ignored by
+    // the >= length check — MATLAB never writes that shape uncomplexed)
+    val real = MatSource.parse(MatFixture.matFile(
+      MatFixture.matrix("z", 6, Seq(1, 2), pr, 9)))
+    assertEq(real("z"), MatNum(Seq(1, 2), Array(1.5, 2.5)), "control")
+  }
+
   // --- v7.3 writer-generated corpus (round-14: write-side symmetry) ---------
 
   /** Values the v7.3 writer serializes: double matrices (incl. empty),
@@ -298,6 +351,19 @@ class MatFuzzSpec extends AnyFunSuite {
       MatSink.write73(Seq("a" -> MatStr("x"), "a" -> MatStr("y")))
     }
     assert(e2.getMessage.contains("duplicate"), e2.getMessage)
+  }
+
+  test("v7.3 writer rejects >32767 group entries loudly (SNOD count is a 2-byte field)") {
+    // the 1 GiB capacity gate admits ~1M cell items, so an unbounded
+    // .toShort would silently wrap and emit a corrupt file (round-14
+    // ADVICE); a 32768-item cellstr puts 32768 targets in /#refs#
+    val items = Seq.fill(32768)(MatStr("x"): MatValue)
+    val e = intercept[IllegalArgumentException] {
+      MatSink.write73(Seq("c" -> MatCell(Seq(items.size, 1), items)))
+    }
+    assert(e.getMessage.contains("32767"), e.getMessage)
+    // control just under a smaller shape still round-trips (the 300-entry
+    // test above covers the realistic scale)
   }
 
   test("v7.3 mutation: byte flips and truncations decode or throw IllegalArgumentException") {
