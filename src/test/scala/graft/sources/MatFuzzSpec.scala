@@ -25,6 +25,37 @@ import MatSource.{MatCell, MatNum, MatStr, MatValue}
   * Deterministic: scalacheck generators driven by fixed seeds (the
   * FunctionsSpec pattern), so a failure reproduces by seed index.
   */
+object MatFuzzSpec {
+  /** Values the v7.3 writer serializes: double matrices (incl. empty),
+    * char vectors (incl. empty and non-ASCII BMP), cellstr, and a
+    * nested cell — every shape [[MatSink.write73]] emits. Shared with
+    * MatSinkCrossCheckSpec so the independent Python reader sweeps the
+    * same corpus the Scala round-trip pins.
+    */
+  val v73ValueGen: Gen[MatValue] = {
+    val numGen: Gen[MatValue] = for {
+      rows <- Gen.chooseNum(0, 4)
+      cols <- Gen.chooseNum(0, 4)
+      vs <- Gen.listOfN(rows * cols, Gen.chooseNum(-1e12, 1e12))
+    } yield MatNum(Seq(rows, cols), vs.toArray)
+    val strGen: Gen[MatValue] = Gen.oneOf(
+      Gen.const(MatStr("")),
+      Gen.listOfN(7, Gen.oneOf('a', 'Z', '0', 'å', '字', ' '))
+        .map(cs => MatStr(cs.mkString)))
+    val cellStrGen: Gen[MatValue] = for {
+      n <- Gen.chooseNum(0, 5)
+      ss <- Gen.listOfN(n, Gen.listOfN(5, Gen.alphaNumChar).map(_.mkString))
+    } yield MatCell(Seq(n, 1), ss.map(MatStr(_): MatValue))
+    val nestedGen: Gen[MatValue] = for {
+      num <- numGen
+      inner <- cellStrGen
+    } yield MatCell(Seq(1, 2), Seq(num, inner))
+    Gen.oneOf(numGen, strGen, cellStrGen, nestedGen)
+  }
+
+  def sampleV73Value(seed: Long): MatValue = FuzzGen.sample(v73ValueGen, seed)
+}
+
 class MatFuzzSpec extends AnyFunSuite {
 
   // --- generators -----------------------------------------------------------
@@ -287,30 +318,7 @@ class MatFuzzSpec extends AnyFunSuite {
 
   // --- v7.3 writer-generated corpus (round-14: write-side symmetry) ---------
 
-  /** Values the v7.3 writer serializes: double matrices (incl. empty),
-    * char vectors (incl. empty and non-ASCII BMP), cellstr, and a
-    * nested cell — every shape [[MatSink.write73]] emits.
-    */
-  private val v73ValueGen: Gen[MatValue] = {
-    val numGen: Gen[MatValue] = for {
-      rows <- Gen.chooseNum(0, 4)
-      cols <- Gen.chooseNum(0, 4)
-      vs <- Gen.listOfN(rows * cols, Gen.chooseNum(-1e12, 1e12))
-    } yield MatNum(Seq(rows, cols), vs.toArray)
-    val strGen: Gen[MatValue] = Gen.oneOf(
-      Gen.const(MatStr("")),
-      Gen.listOfN(7, Gen.oneOf('a', 'Z', '0', 'å', '字', ' '))
-        .map(cs => MatStr(cs.mkString)))
-    val cellStrGen: Gen[MatValue] = for {
-      n <- Gen.chooseNum(0, 5)
-      ss <- Gen.listOfN(n, Gen.listOfN(5, Gen.alphaNumChar).map(_.mkString))
-    } yield MatCell(Seq(n, 1), ss.map(MatStr(_): MatValue))
-    val nestedGen: Gen[MatValue] = for {
-      num <- numGen
-      inner <- cellStrGen
-    } yield MatCell(Seq(1, 2), Seq(num, inner))
-    Gen.oneOf(numGen, strGen, cellStrGen, nestedGen)
-  }
+  private def v73ValueGen: Gen[MatValue] = MatFuzzSpec.v73ValueGen
 
   private def v73File(seed: Long): (Array[Byte], Seq[(String, MatValue)]) = {
     val nVars = 1 + (seed % 3).toInt
