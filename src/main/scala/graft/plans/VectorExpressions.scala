@@ -203,6 +203,114 @@ object NearestCellExpr {
   }
 }
 
+/** Nearest candidate from a COLUMN of (cell, centroid) structs — the
+  * two-level IVF assignment kernel ([[graft.operators.Ivf]], round-15):
+  * where [[NearestCell]] carries its centroids as plan constants (O(k·d)
+  * serialized into every task), this reads them from a joined codebook
+  * column, so the plan stays O(√k·d) — the coarse literals — and the
+  * fine codebook rides the join as ordinary data. Same integer-exact
+  * distance and (distance, cell) lexicographic tie-break as
+  * [[NearestCellExpr.nearest]] / the SQL twin's `ORDER BY dist, cell`.
+  *
+  * Returns −1 for "no result" (encoded for codegen; the expression maps
+  * it to NULL): empty candidate list, or ANY structural corruption — a
+  * null struct/cell/vector, a null element, a candidate whose length
+  * differs from the input's, a value outside the quantization clamp, or
+  * more than [[NearestCellExpr.MaxDims]] dims (the overflow-exactness
+  * contract [[NearestCell]] enforces at construction must be checked
+  * per row here, because the candidates are data). Corrupt-to-NULL is
+  * the [[FloatArrayDot]] convention: both engines' twins null the same
+  * rows instead of one side inventing a plausible cell.
+  */
+object NearestCandidateExpr {
+  def nearest(vec: ArrayData, cands: ArrayData): Long = {
+    val nv = vec.numElements()
+    if (nv > NearestCellExpr.MaxDims) return -1L
+    var i = 0
+    while (i < nv) {
+      if (vec.isNullAt(i) ||
+          math.abs(vec.getLong(i)) > NearestCellExpr.MaxAbsQ) return -1L
+      i += 1
+    }
+    val m = cands.numElements()
+    var bestCell = -1L
+    var bestD = Long.MaxValue
+    var j = 0
+    while (j < m) {
+      if (cands.isNullAt(j)) return -1L
+      val s = cands.getStruct(j, 2)
+      if (s.isNullAt(0) || s.isNullAt(1)) return -1L
+      val cell = s.getInt(0)
+      if (cell < 0) return -1L // −1 is the null encoding; negative ids
+      val c = s.getArray(1)    // have no meaning in a codebook
+      if (c.numElements() != nv) return -1L
+      var d = 0L
+      i = 0
+      while (i < nv) {
+        if (c.isNullAt(i) ||
+            math.abs(c.getLong(i)) > NearestCellExpr.MaxAbsQ) return -1L
+        val t = vec.getLong(i) - c.getLong(i)
+        d += t * t
+        i += 1
+      }
+      if (d < bestD || (d == bestD && cell < bestCell)) {
+        bestD = d; bestCell = cell
+      }
+      j += 1
+    }
+    bestCell
+  }
+}
+
+case class NearestCandidate(left: Expression, right: Expression)
+  extends BinaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  // loud analysis-time type check (the round-14 NearestCentroid ADVICE
+  // applied from birth): getLong/getInt/getStruct silently misread any
+  // other physical layout
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types._
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _),
+            ArrayType(StructType(Array(f0, f1)), _))
+          if f0.dataType == IntegerType &&
+            f1.dataType.isInstanceOf[ArrayType] &&
+            f1.dataType.asInstanceOf[ArrayType].elementType == LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<bigint>, array<struct<int, array<bigint>>>), " +
+            s"got (${l.catalogString}, ${r.catalogString})")
+    }
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val r = NearestCandidateExpr.nearest(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r < 0) null else r.toInt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("nearestCand")
+    nullSafeCodeGen(ctx, ev, (v, cs) =>
+      s"""
+         |long $r = graft.plans.NearestCandidateExpr.nearest($v, $cs);
+         |if ($r < 0L) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (int) $r;
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCandidate =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "nearest_candidate"
+}
+
 /** Centroid params are Seq, not Array (round-12 review): an Array case
   * field compares by reference, so two structurally-identical nodes
   * (the same cellAssign column in a projection AND a filter) would

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.GraftQuery._
 import graft.functions.{Hashing, TextAnalysis}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Ivf, Similarity}
 
 /** Training-data pipeline battery over `documents`/`embeddings`: exact +
   * sketch-based dedup, ANN similarity search, and text analysis — the
@@ -1076,7 +1076,113 @@ object TrainingData {
       })
   }
 
+  /** Two-level IVF codebook shared by q101 (build+assign) and q102
+    * (incremental upsert) — q102 trains on the BASE slice only (its
+    * incremental contract); q101 on the full corpus. One training per
+    * (session, dir) each.
+    */
+  private val ivfCodebook = new GraftQuery.SessionMemo[Ivf.Codebook]({ (s, d) =>
+    Ivf.train(embeddings(s, d), "embedding", "vec_id",
+      k = 12, itersCoarse = 3, itersFine = 2)
+  })
+
+  /** q102's frozen pre-delta codebook: trained on the corpus MINUS the
+    * delta slice, exactly the state a daily-ingest index holds before
+    * new embeddings arrive.
+    */
+  private val ivfBaseCodebook = new GraftQuery.SessionMemo[Ivf.Codebook]({ (s, d) =>
+    Ivf.train(embeddings(s, d).filter(col("vec_id") % 7 =!= 0),
+      "embedding", "vec_id", k = 12, itersCoarse = 3, itersFine = 2)
+  })
+
+  private def ivfRollupSql(cbSql: String, coarse: Array[Array[Double]],
+      dims: Int, eFilter: String): String =
+    s"""
+      WITH $cbSql,
+      e AS (
+        SELECT vec_id,
+               CAST(${Similarity.cellAssignSql("embedding", coarse)} AS INTEGER) AS coarse,
+               ${Ivf.quantizeListSql("embedding")} AS xq
+        FROM embeddings
+        WHERE len(embedding) = $dims$eFilter),
+      a AS (
+        ${Ivf.assignCteSql("e", "cb")})
+      SELECT a.cell, COUNT(*) AS n, MIN(a.vec_id) AS first_member,
+             MIN(cb2.c[1]) AS c0, MIN(cb2.c[2]) AS c1
+      FROM a JOIN cb cb2 ON a.cell = cb2.cell
+      GROUP BY a.cell
+      ORDER BY a.cell"""
+
+  /** Two-level (hierarchical) IVF index build — [[Ivf.train]] →
+    * [[Ivf.assign]] (round-15, the round-14 verdict's named scale
+    * residual): coarse √k centroids trained DISTRIBUTED and shipped as
+    * the only plan literals; the fine codebook stays a DataFrame joined
+    * at assignment time, so trainer driver work is O(pool·√k·d) and
+    * plan bytes O(√k·d) instead of O(k·d) for both. Assignment runs in
+    * [[graft.operators.KMeans]]'s integer-exact quantized domain
+    * (codegen kernel [[graft.plans.NearestCandidate]]), so the oracle
+    * re-renders the trained codebook as BIGINT literals and hash-matches
+    * the full assignment. Output: the per-cell index manifest
+    * (population, first member, first two centroid coords).
+    */
+  private val q101 = GraftQuery(
+    "q101_hierarchical_ivf",
+    (s, d) => {
+      val cb = ivfCodebook(s, d)
+      val e = embeddings(s, d).filter(size(col("embedding")) === cb.dims)
+      val cents = cb.fine.select(col("cell"),
+        element_at(col("c"), 1).as("c0"), element_at(col("c"), 2).as("c1"))
+      Ivf.assign(e, "embedding", cb)
+        .filter(col("cell").isNotNull) // coarse cells with no fine entries
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), min("vec_id").as("first_member"))
+        .join(cents, "cell")
+        .orderBy("cell")
+    },
+    oracleDyn = Some { (s, d) =>
+      val cb = ivfCodebook(s, d)
+      ivfRollupSql(Ivf.codebookCteSql("cb", Ivf.collectFine(cb)),
+        cb.coarse, cb.dims, "")
+    })
+
+  /** Incremental ANN index maintenance (round-14 verdict task 4): the
+    * daily-ingest posture upserts NEW embeddings into an EXISTING IVF
+    * index instead of retraining. The codebook is frozen on the base
+    * slice (vec_id % 7 ≠ 0); the plan assigns base and delta in two
+    * independent [[Ivf.assign]] passes and unions them — while the
+    * oracle assigns base+delta in ONE pass over the same rendered
+    * codebook. Hash equality IS the incremental-correctness proof:
+    * fixed-codebook assignment is a pure per-row function, so
+    * `assign(corpus) ∪ assign(delta) ≡ assign(corpus ∪ delta)` — no
+    * re-indexing of existing rows is ever needed until the
+    * [[Ivf.driftFraction]] trigger fires (drift behavior pinned in
+    * IvfSpec; streaming restart in StreamsSpec).
+    */
+  private val q102 = GraftQuery(
+    "q102_ivf_incremental",
+    (s, d) => {
+      val cb = ivfBaseCodebook(s, d)
+      val all = embeddings(s, d).filter(size(col("embedding")) === cb.dims)
+      val base = all.filter(col("vec_id") % 7 =!= 0)
+      val delta = all.filter(col("vec_id") % 7 === 0)
+      val indexed = Ivf.assign(base, "embedding", cb)
+        .unionByName(Ivf.assign(delta, "embedding", cb))
+      indexed
+        .filter(col("cell").isNotNull)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), min("vec_id").as("first_member"))
+        .join(cb.fine.select(col("cell"),
+          element_at(col("c"), 1).as("c0"), element_at(col("c"), 2).as("c1")),
+          "cell")
+        .orderBy("cell")
+    },
+    oracleDyn = Some { (s, d) =>
+      val cb = ivfBaseCodebook(s, d)
+      ivfRollupSql(Ivf.codebookCteSql("cb", Ivf.collectFine(cb)),
+        cb.coarse, cb.dims, "")
+    })
+
   val all: Seq[GraftQuery] = Seq(
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q72,
-    q75, q79, q80, q81, q84, q89, q91, q95, q99, q100)
+    q75, q79, q80, q81, q84, q89, q91, q95, q99, q100, q101, q102)
 }

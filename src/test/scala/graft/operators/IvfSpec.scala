@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Two-level IVF codebook (round-15): training determinism, assignment
+  * exactness against a driver-side recompute, the incremental-upsert
+  * identity q102's oracle relies on, corrupt-input NULL contracts, and
+  * the drift trigger.
+  */
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 3 well-separated clusters in 8 dims, deterministic LCG jitter. */
+  private def corpus(n: Int, seed: Long = 7L): DataFrame = {
+    var s = seed
+    def rnd(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val centers = Array(
+      Array.fill(8)(0.0f), Array.fill(8)(5.0f), Array.fill(8)(-5.0f))
+    (0 until n).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + rnd().toFloat * 0.8f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def cb(df: DataFrame): Ivf.Codebook =
+    Ivf.train(df, "embedding", "vec_id", k = 9,
+      itersCoarse = 3, itersFine = 2, perCellSampleMax = 64)
+
+  test("assignment equals a driver-side argmin over the coarse cell's candidates") {
+    val df = corpus(240)
+    val book = cb(df)
+    val byCoarse = Ivf.collectFine(book).groupBy(_._1)
+    val rows = Ivf.assign(
+        df.withColumn("__coarse",
+          Similarity.cellAssign($"embedding", book.coarse)),
+        "embedding", book)
+      .select($"vec_id", $"__coarse", $"cell",
+        KMeans.quantize($"embedding").as("xq"))
+      .collect()
+    assert(rows.length == 240)
+    rows.foreach { r =>
+      val coarse = r.getInt(1)
+      val xq = r.getSeq[Long](3).toArray
+      val cands = byCoarse(coarse)
+      val best = cands.map { case (_, cell, c) =>
+        val d = c.toArray.zip(xq).map { case (a, b) =>
+          val t = a - b; t * t
+        }.sum
+        (d, cell)
+      }.min // (distance, cell) lexicographic — the kernel's tie-break
+      assert(!r.isNullAt(2) && r.getInt(2) == best._2,
+        s"vec ${r.getLong(0)}: kernel ${r.get(2)} vs recompute ${best._2}")
+    }
+    // the codebook really is two-level: >1 coarse cell, fine ids spread
+    assert(byCoarse.size > 1)
+    assert(Ivf.collectFine(book).map(_._2).distinct.size > byCoarse.size)
+  }
+
+  test("incremental upsert identity: assign(base) ∪ assign(delta) == assign(base ∪ delta)") {
+    val df = corpus(210)
+    val base = df.filter($"vec_id" % 7 =!= 0)
+    val delta = df.filter($"vec_id" % 7 === 0)
+    val book = cb(base) // frozen pre-delta, the q102 posture
+    def m(d: DataFrame): Map[Long, Int] =
+      Ivf.assign(d, "embedding", book).select($"vec_id", $"cell")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val incremental = m(base) ++ m(delta)
+    val full = m(df)
+    assert(incremental == full)
+    assert(incremental.size == 210)
+  }
+
+  test("training is partitioning-independent (the determinism contract)") {
+    val df = corpus(180)
+    val a = Ivf.collectFine(cb(df.repartition(1)))
+    val b = Ivf.collectFine(cb(df.repartition(13, $"vec_id")))
+    assert(a == b)
+  }
+
+  test("corrupt inputs get NULL cells, never a plausible bin") {
+    val df = corpus(60)
+    val book = cb(df)
+    // a vector whose length differs from the codebook dims
+    val ragged = Seq((999L, Array.fill(5)(1.0f))).toDF("vec_id", "embedding")
+    val r = Ivf.assign(ragged, "embedding", book).select($"cell").collect()
+    assert(r.length == 1 && r(0).isNullAt(0))
+    // kernel-level: a candidate list with a ragged centroid nulls the row
+    val bad = Seq((Array(1L, 2L), Seq((0, Seq(1L, 2L)), (1, Seq(1L)))))
+      .toDF("xq", "cands")
+    val k = bad.select(Ivf.nearestCandidate($"xq", $"cands")).collect()
+    assert(k(0).isNullAt(0))
+    // and an empty candidate list
+    val empty = Seq((Array(1L, 2L), Seq.empty[(Int, Seq[Long])]))
+      .toDF("xq", "cands")
+    assert(empty.select(Ivf.nearestCandidate($"xq", $"cands"))
+      .collect()(0).isNullAt(0))
+  }
+
+  test("driftFraction: in-distribution delta ~0, shifted delta ~1") {
+    val df = corpus(240)
+    val book = cb(df)
+    val typical = Ivf.typicalCoarseD2(df, "embedding", book)
+    val inDist = corpus(60, seed = 99L)
+    assert(Ivf.driftFraction(inDist, "embedding", book, typical,
+      tolerance = 4.0) < 0.2)
+    val shifted = inDist.select($"vec_id",
+      transform($"embedding", x => x + lit(40.0f)).as("embedding"))
+    assert(Ivf.driftFraction(shifted, "embedding", book, typical,
+      tolerance = 4.0) > 0.8)
+  }
+}
