@@ -117,7 +117,11 @@ object CorpusPrep {
     * (first-seen-wins on the content fingerprint), and checkpointed
     * offsets make each surviving document land exactly once. Near-dup
     * clustering stays a periodic batch compaction over the accumulated
-    * output — candidate pairs need a global LSH index, which is [[run]].
+    * output — text-similarity pairs need a global LSH index, which is
+    * [[run]]; SEMANTIC near-dups compact incrementally against the
+    * durable two-level IVF index ([[compactNearDups]]): new rows upsert
+    * into the frozen codebook, only their cells re-evaluate, and a
+    * drift-triggered retrain replaces the index atomically.
     *
     * @param tsCol event-time column the dedup watermark advances on
     *              (ingest time works; dedup state is evicted once the
@@ -137,6 +141,161 @@ object CorpusPrep {
         array_join(slice(Hashing.words(col(text)), 1, cfg.exactKeyWords), " "))
     graft.streaming.Streams.dedupStream(keyed, "__exact_key", tsCol)
       .drop("__exact_key")
+  }
+
+  /** One compaction's result: the full (id, cell, dropped) semantic
+    * ledger over the accumulated corpus, plus what the maintenance pass
+    * actually did (`retrained`, `version`) so deployments can alert on
+    * drift-triggered retrains.
+    */
+  final case class Compaction(
+      codebook: graft.operators.Ivf.Codebook,
+      ledger: DataFrame, // (id: long, cell: int|null, dropped: boolean)
+      retrained: Boolean,
+      version: Int)
+
+  /** Incremental SEMANTIC near-dup compaction over the stream's
+    * accumulated output (round-15, the round-14 verdict's task 4): the
+    * periodic batch pass [[stream]]'s scaladoc defers to, maintained
+    * against a DURABLE two-level IVF index under `indexDir` instead of
+    * retraining per pass.
+    *
+    * Each invocation: load the latest index state (codebook + per-cell
+    * typical distance + the (id, cell, dropped) ledger); the DELTA is
+    * every accumulated row not yet in the ledger (id-keyed anti-join, so
+    * a replayed/restarted compaction is idempotent); if
+    * [[graft.operators.Ivf.driftFraction]] of the delta exceeds
+    * `maxDriftFraction`, retrain on the full corpus and recompute
+    * everything — otherwise assign ONLY the delta with the frozen
+    * codebook and re-evaluate the drop policy in AFFECTED CELLS alone
+    * (cells are independent under SemDeDup's policy, so untouched
+    * cells' verdicts carry forward unchanged — the incremental result
+    * is row-identical to a full recompute with the same codebook,
+    * pinned by CorpusPrepSpec and the q102 oracle's assignment
+    * identity).
+    *
+    * Drop policy = [[graft.operators.Dedup.semDedup]]'s: a row is
+    * dropped iff some smaller-id member of its cell is `tau`-close.
+    * Rows whose vector cannot assign (ragged length) keep a NULL cell
+    * and are never dropped — visible, not silently binned.
+    *
+    * State writes are versioned (`indexDir/v<N>/…`) with an atomically
+    * renamed `LATEST` marker, so a compaction that dies mid-write
+    * leaves the previous version intact.
+    */
+  def compactNearDups(accumulated: DataFrame, id: String, vec: String,
+      indexDir: String, tau: Double,
+      k: Long => Int = n => math.max(8L, (n + 249) / 250).toInt,
+      driftTolerance: Double = 4.0,
+      maxDriftFraction: Double = 0.1): Compaction = {
+    import graft.operators.{Dedup, Ivf}
+    val spark = accumulated.sparkSession
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dirPath.getFileSystem(conf)
+    val latestPath = new org.apache.hadoop.fs.Path(dirPath, "LATEST")
+
+    def readLatest(): Option[Int] =
+      if (!fs.exists(latestPath)) None
+      else {
+        val in = fs.open(latestPath)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt)
+        finally in.close()
+      }
+
+    def stateDir(v: Int) = s"$indexDir/v$v"
+
+    def fullBuild(version: Int): Compaction = {
+      val n = accumulated.count()
+      val cb = Ivf.train(accumulated, vec, id, k(n))
+      val ledger = dropLedger(Ivf.assign(accumulated, vec, cb, "cell"), id)
+      write(version, cb, ledger, retrained = true)
+    }
+
+    /** The semDedup drop policy over an assigned frame: dropped iff a
+      * smaller-id same-cell member is tau-close; NULL-cell rows kept.
+      */
+    def dropLedger(assigned: DataFrame, idC: String): DataFrame = {
+      val dropped = Dedup.embeddingNearDupPairs(
+          assigned.filter(col("cell").isNotNull), idC, vec, tau, Some("cell"))
+        .select(col("id_b").as("__did")).distinct()
+      assigned.join(dropped, col(idC) === col("__did"), "left")
+        .select(col(idC).cast("long").as("id"), col("cell"),
+          col("__did").isNotNull.as("dropped"))
+    }
+
+    def write(version: Int, cb: Ivf.Codebook, ledger: DataFrame,
+        retrained: Boolean): Compaction = {
+      val d = stateDir(version)
+      Ivf.save(cb, s"$d/codebook")
+      Ivf.typicalCoarseD2(accumulated, vec, cb).toSeq
+        .toDF("cell", "d2")
+        .repartition(1).write.mode("overwrite").parquet(s"$d/typical")
+      // pin the column order: a using-column join upstream moves its key
+      // first, and the ledger's layout is part of the on-disk contract
+      ledger.select(col("id"), col("cell"), col("dropped"))
+        .write.mode("overwrite").parquet(s"$d/ledger")
+      // marker last, via temp + atomic rename: a crash before this line
+      // leaves LATEST pointing at the previous complete version
+      val tmp = new org.apache.hadoop.fs.Path(dirPath, s".LATEST.tmp$version")
+      val out = fs.create(tmp, true)
+      try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(latestPath)) fs.delete(latestPath, false)
+      require(fs.rename(tmp, latestPath),
+        s"failed to publish $latestPath: index state would be invisible")
+      Compaction(cb, spark.read.parquet(s"$d/ledger"), retrained, version)
+    }
+
+    readLatest() match {
+      case None => fullBuild(1)
+      case Some(prev) =>
+        val d = stateDir(prev)
+        val cb = Ivf.load(spark, s"$d/codebook")
+        val typical = spark.read.parquet(s"$d/typical")
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val ledger = spark.read.parquet(s"$d/ledger")
+        val delta = accumulated
+          .join(ledger.select(col("id").as(id)), Seq(id), "left_anti")
+          .persist()
+        try {
+          if (delta.isEmpty) Compaction(cb, ledger, retrained = false, prev)
+          else if (Ivf.driftFraction(delta, vec, cb, typical,
+              driftTolerance) > maxDriftFraction) {
+            cb.release()
+            fullBuild(prev + 1)
+          } else {
+            val newRows = Ivf.assign(delta, vec, cb, "cell")
+              .select(col(id).cast("long").as("id"), col("cell"))
+              .persist()
+            val affected = newRows.select("cell").filter(col("cell").isNotNull)
+              .distinct()
+            // affected cells re-evaluate over ALL their members (old +
+            // new): join the old members' vectors back in by id
+            val oldMembers = ledger.join(affected, Seq("cell"))
+              .select(col("id"), col("cell"))
+              .join(accumulated.select(col(id).cast("long").as("id"),
+                col(vec)), Seq("id"))
+            val newMembers = delta
+              .select(col(id).cast("long").as("id"), col(vec))
+              .join(newRows.filter(col("cell").isNotNull), Seq("id"))
+            val recomputed = dropLedger(oldMembers.unionByName(newMembers), "id")
+            val untouched = ledger
+              .join(affected, Seq("cell"), "left_anti")
+              // delta rows with NULL cells are in no affected cell;
+              // carry them as kept like the full build does
+              .unionByName(newRows.filter(col("cell").isNull)
+                .withColumn("dropped", lit(false)))
+            val out = write(prev + 1, cb,
+              untouched.unionByName(recomputed), retrained = false)
+            newRows.unpersist()
+            out
+          }
+        } finally {
+          delta.unpersist()
+          ()
+        }
+    }
   }
 
   /** The attrition counts would otherwise re-execute the whole

@@ -271,6 +271,35 @@ object Ivf {
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
   }
 
+  // --- durable index state (incremental maintenance across restarts) --------
+
+  /** Persists the codebook under `dir` (parquet: `coarse` as
+    * (i, c double[]), `fine` as-is, `meta` as one (fineK) row) — the
+    * index state a daily-ingest compaction reloads instead of
+    * retraining ([[graft.jobs.CorpusPrep.compactNearDups]]). The coarse
+    * half is √k rows and the fine half k rows: writing is O(k·d) DATA,
+    * never driver memory.
+    */
+  def save(cb: Codebook, dir: String): Unit = {
+    val spark = cb.fine.sparkSession
+    import spark.implicits._
+    cb.coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("i", "c")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/coarse")
+    cb.fine.write.mode("overwrite").parquet(s"$dir/fine")
+    Seq(Tuple1(cb.fineK)).toDF("fineK")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Codebook = {
+    val coarse = spark.read.parquet(s"$dir/coarse")
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(coarse.nonEmpty, s"no coarse centroids under $dir/coarse")
+    val fineK = spark.read.parquet(s"$dir/meta").collect()(0).getInt(0)
+    Codebook(coarse, spark.read.parquet(s"$dir/fine").persist(), fineK)
+  }
+
   // --- oracle-scale affordances ---------------------------------------------
 
   /** Collects the fine codebook — ORACLE/TEST SCALE ONLY (the operator

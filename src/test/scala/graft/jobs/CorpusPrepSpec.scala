@@ -70,6 +70,88 @@ class CorpusPrepSpec extends SparkSpec {
     assert(e.getMessage.contains("compression"))
   }
 
+  // --- incremental semantic compaction (round-15, verdict task 4) -----------
+
+  /** 3 nonzero-centered clusters (within-cluster cosine ≈ 1, across ≈
+    * ±0/−1) with deterministic jitter.
+    */
+  private def embCorpus(n: Int, seed: Long = 7L,
+      offset: Float = 0.0f): org.apache.spark.sql.DataFrame = {
+    var s = seed
+    def rnd(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val centers = Array(
+      Array.fill(8)(5.0f),
+      Array.tabulate(8)(i => if (i % 2 == 0) 5.0f else -5.0f),
+      Array.fill(8)(-5.0f))
+    (0 until n).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + offset + rnd().toFloat * 0.3f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("compactNearDups: the incremental pass equals a full recompute with the frozen codebook") {
+    import graft.operators.{Dedup, Ivf}
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val df = embCorpus(210)
+    val base = df.filter($"vec_id" % 7 =!= 0)
+    val TAU = 0.95
+
+    val c1 = CorpusPrep.compactNearDups(base, "vec_id", "embedding", idx,
+      tau = TAU, k = _ => 9)
+    assert(c1.retrained && c1.version == 1)
+    assert(c1.ledger.count() == base.count())
+
+    // second pass sees base + delta: upsert, no retrain
+    val c2 = CorpusPrep.compactNearDups(df, "vec_id", "embedding", idx,
+      tau = TAU, k = _ => 9)
+    assert(!c2.retrained && c2.version == 2)
+
+    // oracle: one full pass over everything with the SAME (frozen)
+    // codebook — cells are independent under the drop policy, so the
+    // incremental result must be row-identical
+    val assigned = Ivf.assign(df, "embedding", c2.codebook)
+    val dropped = Dedup.embeddingNearDupPairs(
+        assigned.filter($"cell".isNotNull), "vec_id", "embedding",
+        TAU, Some("cell"))
+      .select($"id_b").distinct().as[Long].collect().toSet
+    val expected = assigned.select($"vec_id", $"cell").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .map { case (id, cell) => (id, cell, dropped.contains(id)) }.toSet
+    val got = c2.ledger.collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)), r.getBoolean(2)))
+      .toSet
+    assert(got == expected)
+    assert(got.exists(_._3), "no drops fired — the tau is vacuous")
+
+    // idempotent replay: nothing new → previous version returned as-is
+    val c3 = CorpusPrep.compactNearDups(df, "vec_id", "embedding", idx,
+      tau = TAU, k = _ => 9)
+    assert(!c3.retrained && c3.version == 2)
+    assert(c3.ledger.count() == c2.ledger.count())
+    c2.codebook.release(); c3.codebook.release()
+  }
+
+  test("compactNearDups: distribution drift triggers a retrain that re-covers everything") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx2").toString
+    val df = embCorpus(120)
+    val c1 = CorpusPrep.compactNearDups(df, "vec_id", "embedding", idx,
+      tau = 0.95, k = _ => 9)
+    assert(c1.retrained && c1.version == 1)
+    // a delta from a shifted distribution (every coarse distance blows
+    // past tolerance² × typical)
+    val shifted = embCorpus(60, seed = 99L, offset = 60.0f)
+      .select(($"vec_id" + 1000).as("vec_id"), $"embedding")
+    val c2 = CorpusPrep.compactNearDups(df.unionByName(shifted),
+      "vec_id", "embedding", idx, tau = 0.95, k = _ => 9)
+    assert(c2.retrained && c2.version == 2)
+    assert(c2.ledger.count() == 180)
+    c1.codebook.release(); c2.codebook.release()
+  }
+
   test("stream gates junk and dedups content across micro-batches") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -126,6 +126,68 @@ class StreamsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("incremental near-dup compaction index survives a stream restart (round-15)") {
+    // the CorpusPrep daily-ingest loop: dedup stream → periodic semantic
+    // compaction against a DURABLE two-level IVF index. Batch 1 runs and
+    // compacts (index v1, full build); the stream restarts from its
+    // checkpoint, batch 2 lands, and the next compaction must UPSERT —
+    // reuse the frozen codebook (no retrain), bump the version, and
+    // cover every accumulated row exactly once.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfstreamckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ivfstreamout").toString
+    val idxDir = java.nio.file.Files.createTempDirectory("ivfstreamidx").toString
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val docs = in.toDF().toDF("ts", "doc_id", "text")
+    def start() = Streams.dedupStream(docs, "text", "ts")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    // the embed step stand-in: a deterministic nonzero vector per doc —
+    // same-cluster ids (mod 3) are near-identical, so drops can fire
+    def embedded() = spark.read.parquet(outDir)
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.sequence(
+            org.apache.spark.sql.functions.lit(1),
+            org.apache.spark.sql.functions.lit(8)),
+          i => (org.apache.spark.sql.functions.when(
+            $"doc_id" % 3 === i % 3, 5.0f).otherwise(-5.0f)
+            + $"doc_id" / 10000.0).cast("float")))
+    def compact() = graft.jobs.CorpusPrep.compactNearDups(
+      embedded(), "doc_id", "embedding", idxDir, tau = 0.95, k = _ => 4)
+
+    val q1 = start()
+    try {
+      in.addData((1L to 6L).map(i =>
+        (Timestamp.valueOf(s"2024-01-01 10:0$i:00"), i, s"alpha doc $i")): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val c1 = compact()
+    assert(c1.retrained && c1.version == 1 && c1.ledger.count() == 6)
+
+    val q2 = start() // same checkpoint: dedup state reloads
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 11:00:00"), 7L, "alpha doc 1"), // dup pre-restart
+        (Timestamp.valueOf("2024-01-01 11:01:00"), 8L, "fresh doc 8"),
+        (Timestamp.valueOf("2024-01-01 11:02:00"), 9L, "fresh doc 9"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(outDir).count() == 8) // 7 deduped pre-restart
+
+    val c2 = compact()
+    assert(!c2.retrained, "in-distribution delta must not retrain")
+    assert(c2.version == 2)
+    val ids = c2.ledger.select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L, 4L, 5L, 6L, 8L, 9L), s"got $ids")
+    // same-cluster near-identical vectors: at least one semantic drop,
+    // and the keep-lowest-id policy keeps doc 1
+    val dropped = c2.ledger.filter($"dropped").select("id").as[Long].collect().toSet
+    assert(dropped.nonEmpty && !dropped.contains(1L), s"dropped $dropped")
+    c1.codebook.release(); c2.codebook.release()
+  }
+
   test("sessionize closes sessions on gap and carries state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streams.SessionEvent]
