@@ -1,0 +1,101 @@
+package graft
+
+import java.util.Locale
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ivf, Similarity}
+
+/** Trainer-scaling measurement for the round-15 two-level IVF codebook
+  * (BENCH_SCALING evidence): for each k, times the FLAT full trainer
+  * ([[Similarity.trainKmeansCentroidsFull]] — O(pool·k·d) driver
+  * seeding, O(k·d) plan bytes at assignment) against the HIERARCHICAL
+  * [[Ivf.train]] (O(pool·√k·d) seeding, O(√k·d) plan bytes, fine
+  * codebook as data), plus the corpus assignment pass for each, and
+  * reports the serialized size of what each variant ships INSIDE the
+  * plan (the flat kernel's full centroid matrix vs the hierarchical
+  * path's coarse matrix — the fine codebook rides the join as ordinary
+  * rows, not plan state).
+  *
+  * One JSON line per (k, variant):
+  * `{"k":N,"variant":"flat|hier","train_sec":…,"assign_sec":…,
+  *   "plan_bytes":…,"cells":…}`
+  *
+  * Run exclusively (the Bench rule): `sbt "runMain graft.BenchIvf
+  * /tmp/graft_sf1 80,320,1280"`.
+  */
+object BenchIvf {
+  private def serializedBytes(o: AnyRef): Long = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(o)
+    oos.close()
+    bos.size().toLong
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf1"))
+    val ks = (if (args.length > 1) args(1) else "80,320,1280")
+      .split(",").map(_.trim.toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def fmt(v: Double) = String.format(Locale.ROOT, "%.3f", v: java.lang.Double)
+    def hygiene(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+      Thread.sleep(300)
+    }
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val e = Tables.embeddings(spark, sfDir)
+    // warm the JVM/session once so the first measured k is comparable
+    e.count()
+
+    for (k <- ks) {
+      hygiene()
+      val (flatCents, flatTrain) = timed {
+        Similarity.trainKmeansCentroidsFull(
+          e, "embedding", k, iters = 4, idCol = Some("vec_id"))
+      }
+      val (_, flatAssign) = timed {
+        e.withColumn("cell", Similarity.cellAssign(col("embedding"), flatCents))
+          .write.mode("overwrite").format("noop").save()
+      }
+      println(s"""{"k":$k,"variant":"flat","train_sec":${fmt(flatTrain)},""" +
+        s""""assign_sec":${fmt(flatAssign)},""" +
+        s""""plan_bytes":${serializedBytes(flatCents)},""" +
+        s""""cells":${flatCents.length}}""")
+
+      hygiene()
+      val (cb, hierTrain) = timed {
+        Ivf.train(e, "embedding", "vec_id", k,
+          itersCoarse = 4, itersFine = 3)
+      }
+      val (_, hierAssign) = timed {
+        Ivf.assign(e, "embedding", cb)
+          .write.mode("overwrite").format("noop").save()
+      }
+      val cells = cb.fine.count()
+      println(s"""{"k":$k,"variant":"hier","train_sec":${fmt(hierTrain)},""" +
+        s""""assign_sec":${fmt(hierAssign)},""" +
+        s""""plan_bytes":${serializedBytes(cb.coarse)},""" +
+        s""""cells":$cells}""")
+      cb.release()
+    }
+    spark.stop()
+  }
+}

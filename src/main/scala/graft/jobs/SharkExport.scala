@@ -102,10 +102,17 @@ object SharkExport {
     // lost its ValidatedByHuman rows). `adjacencyUniverse` carries the
     // full universe; the inner join below prunes back to rolled's
     // samples, so extra universe rows only inform the sort.
+    // NO broadcast() hints on sample-grain frames (round-15): the sample
+    // universe SCALES WITH THE DATA — the sf1→sf10 decade run measured
+    // the forced hint materializing a 2 GB broadcast (15M samples) that
+    // OOM-killed the job, exactly the failure mode a 100 TB deployment
+    // would hit. Size-based planning broadcasts these while they are
+    // dim-like and AQE re-plans at runtime from actual sizes; only
+    // FIXED-cardinality dims (the diatom class dim below) keep hints.
     val w = Window.partitionBy(adjacencyPartition).orderBy(col("sample"))
     val sampleQc = adjacencyUniverse.getOrElse(roi)
       .select(col("sample")).distinct()
-      .join(broadcast(flagAgg), Seq("sample"), "left")
+      .join(flagAgg, Seq("sample"), "left")
       .withColumn("__bub",
         lower(coalesce(col("flag"), lit(""))).contains("bubbles"))
       .withColumn("__drop_adj",
@@ -113,12 +120,12 @@ object SharkExport {
           coalesce(lead(col("__bub"), 1).over(w), lit(false)))
       .select(col("sample"), col("flag"), col("__drop_adj"))
 
-    // J1 star enrichment: sample dim + the QC frame, both broadcast
-    // (inner join on the QC frame is lossless: its universe is exactly
-    // rolled's sample set)
+    // J1 star enrichment: sample dim + the QC frame (inner join on the
+    // QC frame is lossless: its universe is exactly rolled's sample
+    // set). Unhinted — see the sample-grain note above.
     rolled
-      .join(broadcast(sampleDim), Seq("sample"), "left")
-      .join(broadcast(sampleQc), Seq("sample"))
+      .join(sampleDim, Seq("sample"), "left")
+      .join(sampleQc, Seq("sample"))
       .filter(keep && !col("__drop_adj"))
       .select(
         year(sampleTimestamp(col("sample"))).as("MYEAR"),
@@ -200,7 +207,9 @@ object SharkExport {
         manualRoi(annotations, features, diatomDim, micronFactor),
         sampleDim, flags, removeFlagged, adjacencyPartition,
         adjacencyUniverse = Some(universe))
-      .join(broadcast(manualAnalysisDates(annotations))
+      // annotation-grain: scales with the data like the sample frames
+      // above — unhinted for the same reason
+      .join(manualAnalysisDates(annotations)
           .withColumnRenamed("sample", "SMPNO"),
         Seq("SMPNO"), "left")
       .withColumn("VERIF", lit("ValidatedByHuman"))

@@ -154,7 +154,13 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q73: delivery DAG — dims broadcast, adjacency windows at sample grain") {
     val p = plan("q73_shark_delivery")
-    assert(!p.contains("SortMergeJoin"), "sample dim / flags / adjacency must broadcast")
+    // sample-grain joins are UNHINTED since round 15 (a forced hint
+    // materialized a 2 GB broadcast at the sf10 decade): at dim-like
+    // sizes the size-based planner must still pick broadcast — this pin
+    // now guards the ESTIMATE path, while large sizes fall back to the
+    // shuffle join by design
+    assert(!p.contains("SortMergeJoin"),
+      "sample dim / flags / adjacency should size-estimate to broadcast at sf0.001")
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("partial_count"), "rollup combines map-side")
     // the adjacency window orders by sample only AFTER the distinct —

@@ -557,6 +557,60 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(quarDir.toString).count() == 1)
   }
 
+  test("quarantine append is exactly-once: a batch replayed after a pre-commit crash does not duplicate (round-15)") {
+    // simulate the kill-between-append-and-commit window: run one
+    // batch to completion, then delete its checkpoint COMMIT marker —
+    // on restart the source replays the batch (offsets exist, commit
+    // missing), re-running the quarantine write. The old flat Append
+    // held two copies of the poison row; the batch_id-keyed Overwrite
+    // must leave exactly one.
+    val dir = java.nio.file.Files.createTempDirectory("featx-in")
+    val featDir = java.nio.file.Files.createTempDirectory("featx-out").resolve("features")
+    val quarDir = java.nio.file.Files.createTempDirectory("featx-dead").resolve("quarantine")
+    val ckpt = java.nio.file.Files.createTempDirectory("featx-ckpt")
+    val (raw, h, w) = graft.queries.FeatureExtract.renderRoi(21L)
+    java.nio.file.Files.write(dir.resolve("roi_21.png"),
+      graft.multimodal.Media.encodePng(raw.map(_ & 0xff), w, h))
+    java.nio.file.Files.write(dir.resolve("poison_5.png"),
+      Array[Byte](4, 4, 4, 4))
+    val q1 = Streams.featureStreamQuarantined(spark, dir.toString,
+      featDir.toString, quarDir.toString, ckpt.toString)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.option("header", "true").csv(quarDir.toString).count() == 1)
+
+    // q1.stop() can deregister asynchronously; starting the restart
+    // query against the same checkpoint before that lands trips the
+    // concurrent-use guard
+    val deadline = System.currentTimeMillis() + 30000
+    while (spark.streams.active.nonEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(spark.streams.active.isEmpty, "previous query did not deregister")
+
+    // crash simulation: the batch committed its sink effects but not
+    // its checkpoint — remove the latest commit marker
+    val commits = new java.io.File(ckpt.toFile, "commits")
+      .listFiles().filterNot(_.getName.startsWith("."))
+    assert(commits.nonEmpty, "no commit markers written")
+    val last = commits.maxBy(_.getName.toInt)
+    assert(last.delete(), s"could not delete $last")
+    // the local checksum FS shadows every file with .N.crc — a stale
+    // one fails the replay's atomic rename
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+
+    val q2 = Streams.featureStreamQuarantined(spark, dir.toString,
+      featDir.toString, quarDir.toString, ckpt.toString)
+    try q2.processAllAvailable() finally q2.stop()
+    val quarantined = spark.read.option("header", "true").csv(quarDir.toString)
+    assert(quarantined.count() == 1,
+      s"replayed batch duplicated the quarantine rows: ${quarantined.collect().mkString(",")}")
+    assert(quarantined.select("path").as[String].head().endsWith("poison_5.png"))
+    // the clean row stays exactly-once too (path anti-join)
+    val feats = spark.read.option("header", "true").csv(featDir.toString)
+    assert(feats.count() == 1)
+    assert(feats.select("roi_id").as[String].head() == "21")
+  }
+
   test("featureStreamQuarantined survives an all-poison first run (dataless featuresDir)") {
     // round-14 review: a first run that quarantines EVERYTHING used to
     // run an empty append (featuresDir = {_SUCCESS}), and the restart's

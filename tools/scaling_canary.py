@@ -44,6 +44,12 @@ FAMILIES = {
     "embedding": ("q42,q45,q52,q91,q99,q100", "sf0.1", "sf1"),
     "skew": ("q29,q37,q73,q76,q77,q90,q95,q96", "sf0.1", "sf1"),
     "relational": (None, "sf0.01", "sf0.1"),
+    # the THIRD decade (round-15 verdict task 5): the top-cost composed
+    # family at sf1 -> sf10 (sf10 = 100x of sf0.1, generated directly
+    # from sf0.1 with REPL=100 — see gen_sf1.py on why chaining the
+    # generator is unsound). Excluded from the "all" default: ~25 min of
+    # exclusive bench on top of the sf10 generation; run it explicitly.
+    "compose10": ("q52,q73,q75,q90,q95", "sf1", "sf10"),
 }
 
 
@@ -68,14 +74,16 @@ def generator_version():
     raise SystemExit("gen_sf1.py carries no GEN_VERSION")
 
 
-def ensure_sf1(sf1_dir):
+def ensure_sf1(sf1_dir, repl=None):
     """(Re)generate sf1 unless a COMPLETE dataset from the CURRENT
     generator scheme is present. The _GENERATOR stamp is written last,
     so its presence also proves the generation finished; a stale stamp
     (older sign-flip keying) or a partial dataset would silently poison
-    the measurement with data artifacts (round-14 review).
+    the measurement with data artifacts (round-14 review). With `repl`,
+    generates an sfN = repl/10 dataset instead (the stamp then carries
+    `version:repl`).
     """
-    want = generator_version()
+    want = generator_version() + (f":{repl}" if repl else "")
     stamp = os.path.join(sf1_dir, "_GENERATOR")
     if os.path.exists(stamp):
         with open(stamp) as f:
@@ -90,9 +98,12 @@ def ensure_sf1(sf1_dir):
         print(f"# sf1 at {sf1_dir} is unstamped (partial or pre-v{want}): regenerating")
         import shutil
         shutil.rmtree(sf1_dir)
-    print(f"# generating sf1 at {sf1_dir} (gen_sf1.py v{want})")
-    subprocess.run([sys.executable, os.path.join(REPO, "tools", "gen_sf1.py"),
-                    "/root/testdata/sf0.1", sf1_dir], check=True)
+    print(f"# generating at {sf1_dir} (gen_sf1.py v{want})")
+    cmd = [sys.executable, os.path.join(REPO, "tools", "gen_sf1.py"),
+           "/root/testdata/sf0.1", sf1_dir]
+    if repl:
+        cmd.append(str(repl))
+    subprocess.run(cmd, check=True)
 
 
 def run_bench(sf_dir, only, out_path):
@@ -115,6 +126,7 @@ def main():
     ap.add_argument("--family", default="all",
                     choices=sorted(FAMILIES) + ["all"])
     ap.add_argument("--sf1-dir", default="/tmp/graft_sf1")
+    ap.add_argument("--sf10-dir", default="/tmp/graft_sf10")
     ap.add_argument("--out-dir", default="/tmp/graft_canary")
     args = ap.parse_args()
 
@@ -124,13 +136,22 @@ def main():
             f"refusing to bench: other JVMs running (pids {jvms}) — every "
             "BENCH number depends on an exclusive session")
 
-    fams = sorted(FAMILIES) if args.family == "all" else [args.family]
-    if any(FAMILIES[f][2] == "sf1" for f in fams):
+    # "all" excludes the third-decade family (its sf10 generation + ~25
+    # min exclusive bench is an explicit opt-in)
+    fams = (sorted(f for f in FAMILIES if f != "compose10")
+            if args.family == "all" else [args.family])
+    if any("sf1" in FAMILIES[f][1:] for f in fams):
         ensure_sf1(args.sf1_dir)
+    if any(FAMILIES[f][2] == "sf10" for f in fams):
+        ensure_sf1(args.sf10_dir, repl=100)
     os.makedirs(args.out_dir, exist_ok=True)
 
     def sf_path(name):
-        return args.sf1_dir if name == "sf1" else f"/root/testdata/{name}"
+        if name == "sf1":
+            return args.sf1_dir
+        if name == "sf10":
+            return args.sf10_dir
+        return f"/root/testdata/{name}"
 
     failures = []
     for fam in fams:
