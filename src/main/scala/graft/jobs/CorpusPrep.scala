@@ -187,8 +187,10 @@ object CorpusPrep {
       indexDir: String, tau: Double,
       k: Long => Int = n => math.max(8L, (n + 249) / 250).toInt,
       driftTolerance: Double = 4.0,
-      maxDriftFraction: Double = 0.1): Compaction = {
+      maxDriftFraction: Double = 0.1,
+      growthFactor: Double = 2.0): Compaction = {
     import graft.operators.{Dedup, Ivf}
+    require(growthFactor > 1.0, s"growthFactor must exceed 1: $growthFactor")
     val spark = accumulated.sparkSession
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
@@ -196,21 +198,37 @@ object CorpusPrep {
     val fs = dirPath.getFileSystem(conf)
     val latestPath = new org.apache.hadoop.fs.Path(dirPath, "LATEST")
 
+    def stateDir(v: Int) = s"$indexDir/v$v"
+    def completeMarker(v: Int) =
+      new org.apache.hadoop.fs.Path(s"${stateDir(v)}/_COMPLETE")
+
+    /** LATEST if present; else the highest _COMPLETE-marked version —
+      * the fallback that makes the delete-then-rename publication
+      * window survivable (round-15 review: a crash inside it otherwise
+      * lost the whole version history to a fullBuild(1)).
+      */
     def readLatest(): Option[Int] =
-      if (!fs.exists(latestPath)) None
-      else {
+      if (fs.exists(latestPath)) {
         val in = fs.open(latestPath)
         try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt)
         finally in.close()
-      }
-
-    def stateDir(v: Int) = s"$indexDir/v$v"
+      } else if (!fs.exists(dirPath)) None
+      else fs.listStatus(dirPath).toSeq
+        .map(_.getPath.getName)
+        .filter(_.matches("v\\d+"))
+        .map(_.drop(1).toInt)
+        .filter(v => fs.exists(completeMarker(v)))
+        .sorted.lastOption
 
     def fullBuild(version: Int): Compaction = {
       val n = accumulated.count()
       val cb = Ivf.train(accumulated, vec, id, k(n))
       val ledger = dropLedger(Ivf.assign(accumulated, vec, cb, "cell"), id)
-      write(version, cb, ledger, retrained = true)
+      // the drift baseline freezes HERE, at training time — incremental
+      // passes carry it forward unchanged (recomputing it over drifted
+      // data ratchets the baseline and the trigger never fires)
+      write(version, cb, ledger, retrained = true,
+        Ivf.typicalCoarseD2(accumulated, vec, id, cb), rowsAtTraining = n)
     }
 
     /** The semDedup drop policy over an assigned frame: dropped iff a
@@ -226,24 +244,40 @@ object CorpusPrep {
     }
 
     def write(version: Int, cb: Ivf.Codebook, ledger: DataFrame,
-        retrained: Boolean): Compaction = {
+        retrained: Boolean, typical: Map[Int, Double],
+        rowsAtTraining: Long): Compaction = {
       val d = stateDir(version)
       Ivf.save(cb, s"$d/codebook")
-      Ivf.typicalCoarseD2(accumulated, vec, cb).toSeq
-        .toDF("cell", "d2")
+      typical.toSeq.toDF("cell", "d2")
         .repartition(1).write.mode("overwrite").parquet(s"$d/typical")
+      Seq((rowsAtTraining, retrained)).toDF("rows_at_training", "retrained")
+        .repartition(1).write.mode("overwrite").parquet(s"$d/trainmeta")
       // pin the column order: a using-column join upstream moves its key
       // first, and the ledger's layout is part of the on-disk contract
       ledger.select(col("id"), col("cell"), col("dropped"))
         .write.mode("overwrite").parquet(s"$d/ledger")
-      // marker last, via temp + atomic rename: a crash before this line
-      // leaves LATEST pointing at the previous complete version
+      // completeness marker: readLatest's fallback only trusts versions
+      // that finished all their parquet writes
+      fs.create(completeMarker(version), true).close()
+      // publish last, via temp + atomic rename; the unavoidable
+      // delete→rename window is covered by the _COMPLETE fallback above
       val tmp = new org.apache.hadoop.fs.Path(dirPath, s".LATEST.tmp$version")
       val out = fs.create(tmp, true)
       try out.write(version.toString.getBytes("UTF-8")) finally out.close()
       if (fs.exists(latestPath)) fs.delete(latestPath, false)
       require(fs.rename(tmp, latestPath),
         s"failed to publish $latestPath: index state would be invisible")
+      // prune superseded versions (keep version-1 for rollback): each
+      // version holds a FULL ledger copy, so an unpruned daily
+      // compaction accumulates corpus-sized state × pass count
+      // (round-15 review)
+      fs.listStatus(dirPath).toSeq
+        .map(_.getPath.getName)
+        .filter(_.matches("v\\d+"))
+        .map(_.drop(1).toInt)
+        .filter(_ < version - 1)
+        .foreach(v => fs.delete(
+          new org.apache.hadoop.fs.Path(stateDir(v)), true))
       Compaction(cb, spark.read.parquet(s"$d/ledger"), retrained, version)
     }
 
@@ -254,13 +288,23 @@ object CorpusPrep {
         val cb = Ivf.load(spark, s"$d/codebook")
         val typical = spark.read.parquet(s"$d/typical")
           .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val rowsAtTraining = spark.read.parquet(s"$d/trainmeta")
+          .collect()(0).getLong(0)
         val ledger = spark.read.parquet(s"$d/ledger")
         val delta = accumulated
           .join(ledger.select(col("id").as(id)), Seq(id), "left_anti")
           .persist()
         try {
-          if (delta.isEmpty) Compaction(cb, ledger, retrained = false, prev)
-          else if (Ivf.driftFraction(delta, vec, cb, typical,
+          val deltaN = delta.count()
+          // growth trigger (round-15 review): k is sized n/250 AT
+          // TRAINING — in-distribution growth never trips the drift
+          // trigger, but it inflates cell populations and the
+          // intra-cell pair stage is quadratic in them. Retrain once
+          // the corpus outgrows its codebook.
+          val grown =
+            ledger.count() + deltaN > growthFactor * rowsAtTraining
+          if (deltaN == 0) Compaction(cb, ledger, retrained = false, prev)
+          else if (grown || Ivf.driftFraction(delta, vec, cb, typical,
               driftTolerance) > maxDriftFraction) {
             cb.release()
             fullBuild(prev + 1)
@@ -286,8 +330,11 @@ object CorpusPrep {
               // carry them as kept like the full build does
               .unionByName(newRows.filter(col("cell").isNull)
                 .withColumn("dropped", lit(false)))
+            // typical + rowsAtTraining carry forward UNCHANGED: the
+            // drift baseline is frozen at training time
             val out = write(prev + 1, cb,
-              untouched.unionByName(recomputed), retrained = false)
+              untouched.unionByName(recomputed), retrained = false,
+              typical, rowsAtTraining)
             newRows.unpersist()
             out
           }

@@ -201,13 +201,43 @@ object Ivf {
       .drop("__ivf_coarse", "__ivf_xq", "__ivf_cands", "__ivf_cb_coarse")
   }
 
+  /** The coarse centroids re-quantized into [[KMeans.quantize]]'s
+    * integer domain — ONE implementation of the clamp-before-floor rule
+    * (the round-12 divergence class), shared by [[driftFraction]] and
+    * [[typicalCoarseD2]] (round-15 review: two hand-rolled copies).
+    */
+  private def coarseQuantized(
+      coarse: Array[Array[Double]]): Seq[(Int, Seq[Long])] =
+    coarse.zipWithIndex.map { case (c, i) =>
+      (i, c.map(x => math.floor(
+        math.min(math.max(x * KMeans.Scale, -KMeans.QBound.toDouble),
+          KMeans.QBound.toDouble)).toLong).toSeq)
+    }.toSeq
+
+  /** Squared distance (quantized domain) from `__xq` to the row's
+    * `__c`-indexed coarse centroid. NULL when the vector's length
+    * differs from the centroid's (zip_with null-pads).
+    */
+  private def coarseD2(cb: Codebook): Column =
+    aggregate(
+      zip_with(col("__xq"),
+        element_at(map_from_entries(typedLit(coarseQuantized(cb.coarse))),
+          col("__c")),
+        (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+
   /** Retrain trigger for incremental maintenance: the fraction of delta
     * rows whose nearest-COARSE squared distance (quantized domain)
     * exceeds `tolerance²` times the codebook's per-cell typical
     * (training-time mean) squared distance. Distribution drift pushes
     * new points far from every trained centroid; assignment stays
     * well-defined (nearest cell always exists) but recall decays — this
-    * quantifies it as one scan of the (small) delta.
+    * quantifies it as one scan of the (small) delta. Rows that cannot
+    * be scored against the codebook at all — a ragged vector length,
+    * exactly what an upstream embedder regression produces — count as
+    * FAR, like rows landing in a coarse cell the typical map has never
+    * seen (round-15 review: they previously nulled out of the
+    * numerator while staying in the denominator).
     */
   def driftFraction(delta: DataFrame, vec: String, cb: Codebook,
       typicalD2: Map[Int, Double], tolerance: Double): Double = {
@@ -222,52 +252,36 @@ object Ivf {
       // a delta row landing in a coarse cell the typical map has never
       // seen IS drift — count it far (0.0 baseline), don't null it away
       .withColumn("__d2", coalesce(col("__d2"), lit(0.0)))
-    val coarseCands = cb.coarse.zipWithIndex.map { case (c, i) =>
-      // the coarse centroids re-quantized into the integer domain the
-      // delta vectors are scored in
-      (i, c.map(x => math.floor(
-        math.min(math.max(x * KMeans.Scale, -KMeans.QBound.toDouble),
-          KMeans.QBound.toDouble)).toLong).toSeq)
-    }.toSeq
-    val candsLit = typedLit(coarseCands.map { case (i, c) => (i, c) })
-    val scored = d.withColumn("__d",
-      aggregate(
-        zip_with(col("__xq"),
-          element_at(map_from_entries(candsLit), col("__c")),
-          (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, v) => acc + v))
+    val scored = d.withColumn("__d", coarseD2(cb))
     val row = scored.select(
       count(lit(1)).as("n"),
-      count(when(col("__d").cast("double") >
-        col("__d2") * tolerance * tolerance, lit(1))).as("far"))
+      count(when(col("__d").isNull ||
+        col("__d").cast("double") > col("__d2") * tolerance * tolerance,
+        lit(1))).as("far"))
       .collect()(0)
     val n = row.getLong(0)
     if (n == 0) 0.0 else row.getLong(1).toDouble / n
   }
 
-  /** Per-coarse-cell mean squared distance at training time — the
-    * baseline [[driftFraction]] compares against. One bounded-sample
-    * scan (reuses the assignment path on the training corpus's sample
-    * scale is the caller's choice).
+  /** Per-coarse-cell mean squared distance AT TRAINING TIME — the
+    * frozen baseline [[driftFraction]] compares against (compute it
+    * once per retrain and carry it forward across incremental passes:
+    * recomputing it over drifted data ratchets the baseline toward the
+    * drift and the trigger never fires — round-15 review). One
+    * bounded-sample scan, keyed by a row-unique id like every sampler
+    * here (hashing the vector VALUE lets one duplicated embedding flood
+    * the sample and starve most cells from the map).
     */
-  def typicalCoarseD2(corpus: DataFrame, vec: String, cb: Codebook,
-      sampleMax: Int = 10000): Map[Int, Double] = {
-    val coarseQ = cb.coarse.map(c => c.map(x => math.floor(
-      math.min(math.max(x * KMeans.Scale, -KMeans.QBound.toDouble),
-        KMeans.QBound.toDouble)).toLong).toSeq).toSeq
+  def typicalCoarseD2(corpus: DataFrame, vec: String, idCol: String,
+      cb: Codebook, sampleMax: Int = 10000): Map[Int, Double] = {
     val d = corpus
       .select(KMeans.quantize(col(vec)).as("__xq"),
         Similarity.cellAssign(col(vec), cb.coarse).as("__c"),
-        xxhash64(col(vec)).as("__h"))
-      .sort(col("__h")).limit(sampleMax)
-      .withColumn("__d",
-        aggregate(
-          zip_with(col("__xq"),
-            element_at(map_from_entries(typedLit(
-              coarseQ.zipWithIndex.map { case (c, i) => (i, c) })), col("__c")),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v))
-    d.groupBy("__c").agg(avg(col("__d").cast("double")).as("__m"))
+        xxhash64(col(idCol)).as("__h"), col(idCol).as("__id"))
+      .sort(col("__h"), col("__id")).limit(sampleMax)
+      .withColumn("__d", coarseD2(cb))
+    d.filter(col("__d").isNotNull)
+      .groupBy("__c").agg(avg(col("__d").cast("double")).as("__m"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
   }
 

@@ -135,6 +135,51 @@ class CorpusPrepSpec extends SparkSpec {
     c2.codebook.release(); c3.codebook.release()
   }
 
+  test("compactNearDups: in-distribution GROWTH triggers a retrain; baseline and meta carry forward until then") {
+    // round-15 review: k is sized n/250 at training, so a corpus that
+    // doubles through in-distribution deltas (drift never fires)
+    // inflates cell populations quadratically in the pair stage unless
+    // growth retrains
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx3").toString
+    val df = embCorpus(300)
+    val c1 = CorpusPrep.compactNearDups(df.filter($"vec_id" < 90),
+      "vec_id", "embedding", idx, tau = 0.95, k = _ => 9, growthFactor = 2.0)
+    assert(c1.retrained && c1.version == 1)
+    // +50%: under the growth factor, in-distribution → incremental,
+    // and the frozen typical baseline is carried forward byte-for-byte
+    val c2 = CorpusPrep.compactNearDups(df.filter($"vec_id" < 135),
+      "vec_id", "embedding", idx, tau = 0.95, k = _ => 9, growthFactor = 2.0)
+    assert(!c2.retrained && c2.version == 2)
+    val t1 = spark.read.parquet(s"$idx/v1/typical").collect().toSet
+    val t2 = spark.read.parquet(s"$idx/v2/typical").collect().toSet
+    assert(t1 == t2, "incremental pass must not recompute the drift baseline")
+    // past 2× rows-at-training: retrain fires with zero drift
+    val c3 = CorpusPrep.compactNearDups(df,
+      "vec_id", "embedding", idx, tau = 0.95, k = _ => 9, growthFactor = 2.0)
+    assert(c3.retrained && c3.version == 3)
+    assert(c3.ledger.count() == 300)
+    // superseded versions prune (keep version-1 for rollback)
+    assert(!new java.io.File(s"$idx/v1").exists(), "v1 must be pruned")
+    assert(new java.io.File(s"$idx/v2").exists())
+    c1.codebook.release(); c2.codebook.release(); c3.codebook.release()
+  }
+
+  test("compactNearDups: a lost LATEST marker recovers from the _COMPLETE fallback") {
+    // the publication window deletes LATEST before renaming the new
+    // marker in — a crash inside it must NOT reset the index to v1
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx4").toString
+    val df = embCorpus(120)
+    val c1 = CorpusPrep.compactNearDups(df, "vec_id", "embedding", idx,
+      tau = 0.95, k = _ => 9)
+    assert(c1.version == 1)
+    assert(new java.io.File(s"$idx/LATEST").delete())
+    val c2 = CorpusPrep.compactNearDups(df, "vec_id", "embedding", idx,
+      tau = 0.95, k = _ => 9)
+    assert(!c2.retrained && c2.version == 1,
+      "fallback must find the complete v1, not rebuild from scratch")
+    c1.codebook.release(); c2.codebook.release()
+  }
+
   test("compactNearDups: distribution drift triggers a retrain that re-covers everything") {
     val idx = java.nio.file.Files.createTempDirectory("ivfidx2").toString
     val df = embCorpus(120)

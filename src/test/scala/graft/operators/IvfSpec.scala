@@ -101,10 +101,10 @@ class IvfSpec extends SparkSpec {
       .collect()(0).isNullAt(0))
   }
 
-  test("driftFraction: in-distribution delta ~0, shifted delta ~1") {
+  test("driftFraction: in-distribution delta ~0, shifted delta ~1, ragged delta counts far") {
     val df = corpus(240)
     val book = cb(df)
-    val typical = Ivf.typicalCoarseD2(df, "embedding", book)
+    val typical = Ivf.typicalCoarseD2(df, "embedding", "vec_id", book)
     val inDist = corpus(60, seed = 99L)
     assert(Ivf.driftFraction(inDist, "embedding", book, typical,
       tolerance = 4.0) < 0.2)
@@ -112,5 +112,12 @@ class IvfSpec extends SparkSpec {
       transform($"embedding", x => x + lit(40.0f)).as("embedding"))
     assert(Ivf.driftFraction(shifted, "embedding", book, typical,
       tolerance = 4.0) > 0.8)
+    // an embedder regression changing dims IS drift: ragged rows can
+    // never assign under the frozen codebook — they must count FAR,
+    // not null out of the numerator (round-15 review)
+    val ragged = inDist.select($"vec_id",
+      slice($"embedding", 1, 5).as("embedding"))
+    assert(Ivf.driftFraction(ragged, "embedding", book, typical,
+      tolerance = 4.0) == 1.0)
   }
 }
