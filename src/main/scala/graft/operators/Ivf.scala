@@ -226,6 +226,96 @@ object Ivf {
         (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, v) => acc + v)
 
+  /** Query-side probe over the two-level codebook — the SEARCH half of
+    * the hierarchical index (assignment alone only builds it): each
+    * query row gets the `nProbeFine` nearest FINE cells drawn from its
+    * `nProbeCoarse` nearest COARSE cells' codebook entries, as an
+    * `array<int>` ready for [[Similarity.ivfTopKProbed]]. Per-query
+    * work is O(nProbeCoarse·√k·d) against joined codebook rows — the
+    * flat probe ([[Similarity.probeCells]]) scans all k centroid
+    * literals, which is exactly the O(k·d) plan/driver term this module
+    * removes. Integer-exact scoring with (distance, cell) tie-breaks,
+    * so a DuckDB oracle reproduces the probe lists bit-for-bit
+    * ([[probeSelectSql]]). Queries whose vector cannot score (ragged
+    * length) get an EMPTY probe list. Input rows must be DISTINCT (the
+    * per-query regroup keys on all input columns; exact duplicate rows
+    * would collapse to one).
+    */
+  def probeCells(queries: DataFrame, vec: String, cb: Codebook,
+      nProbeCoarse: Int, nProbeFine: Int,
+      outCol: String = "probes"): DataFrame = {
+    require(nProbeCoarse >= 1 && nProbeCoarse <= cb.coarse.length,
+      s"nProbeCoarse must be in [1, ${cb.coarse.length}], got $nProbeCoarse")
+    require(nProbeFine >= 1, s"nProbeFine must be >= 1, got $nProbeFine")
+    Seq("__ivf_q_coarse", "__ivf_q_xq", "__ivf_q_cands", "__ivf_q_scored")
+      .foreach { c =>
+        require(!queries.columns.contains(c), s"input already carries $c")
+      }
+    val cands = cb.fine.groupBy("coarse")
+      .agg(sort_array(collect_list(struct(col("cell"), col("c"))))
+        .as("__ivf_q_cands"))
+      .withColumnRenamed("coarse", "__ivf_q_cb_coarse")
+    // coarse probes are the float-domain struct sort over the √k
+    // literals (the Similarity machinery, oracle twin probeCellsSql);
+    // quantization in a SEPARATE projection below the explode (the
+    // ExtractGenerator hoist trap)
+    val probed = queries
+      .withColumn("__ivf_q_xq", KMeans.quantize(col(vec)))
+      .withColumn("__ivf_q_coarse",
+        explode(Similarity.probeCells(col(vec), cb.coarse, nProbeCoarse)))
+    val scored = probed
+      .join(cands, col("__ivf_q_coarse") === col("__ivf_q_cb_coarse"), "left")
+      .withColumn("__ivf_q_scored",
+        filter(
+          transform(coalesce(col("__ivf_q_cands"),
+            array().cast("array<struct<cell:int,c:array<bigint>>>")),
+            cand => struct(
+              aggregate(zip_with(col("__ivf_q_xq"), cand.getField("c"),
+                (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
+                .as("d"),
+              cand.getField("cell").as("cell"))),
+          s => s.getField("d").isNotNull))
+    // the probe list is GLOBAL over the probed coarse cells' union —
+    // flatten, one total-order sort, slice (collect_list order is
+    // nondeterministic; array_sort over (d, cell) structs restores a
+    // data-only order)
+    val groupCols = queries.columns.map(col).toIndexedSeq
+    scored
+      .groupBy(groupCols: _*)
+      .agg(flatten(collect_list(col("__ivf_q_scored"))).as("__ivf_q_all"))
+      .withColumn(outCol,
+        transform(slice(array_sort(col("__ivf_q_all")), 1, nProbeFine),
+          s => s.getField("cell")))
+      .drop("__ivf_q_all")
+  }
+
+  /** SQL twin of [[probeCells]] as a SELECT body over `qName` (must
+    * expose q_id, xq and `coarseListExpr` — the rendered
+    * [[Similarity.probeCellsSql]] list): emits (q_id, probes). Sort
+    * keys stay BIGINT end-to-end — a DOUBLE-cast distance would
+    * tie-collapse past 2^53 on this side only — and NULL distances
+    * (ragged vectors) are excluded like the Spark side's filter (a
+    * fully-ragged query then has no row here ≡ an empty probe list
+    * there: both contribute zero search candidates).
+    */
+  def probeSelectSql(qName: String, cbName: String, coarseListExpr: String,
+      nProbeFine: Int): String =
+    s"""SELECT q_id, list_transform(
+       |    list_slice(list_sort(list([d, cellb])), 1, $nProbeFine),
+       |    x -> CAST(x[2] AS INTEGER)) AS probes
+       |  FROM (
+       |    SELECT qq.q_id,
+       |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(list_zip(qq.xq, $cbName.c),
+       |               p -> (p[1] - p[2]) * (p[1] - p[2]))),
+       |             (acc, v) -> acc + v) AS d,
+       |           CAST($cbName.cell AS BIGINT) AS cellb
+       |    FROM (SELECT q_id, xq, unnest($coarseListExpr) AS probe_coarse
+       |          FROM $qName) qq
+       |    JOIN $cbName ON $cbName.coarse = qq.probe_coarse) s
+       |  WHERE d IS NOT NULL
+       |  GROUP BY q_id""".stripMargin
+
   /** Retrain trigger for incremental maintenance: the fraction of delta
     * rows whose nearest-COARSE squared distance (quantized domain)
     * exceeds `tolerance²` times the codebook's per-cell typical

@@ -1182,7 +1182,81 @@ object TrainingData {
         cb.coarse, cb.dims, "")
     })
 
+  /** Hierarchical ANN search end-to-end (round-15): the SEARCH half of
+    * the two-level index q101 builds — queries probe their nearest
+    * coarse cells' codebook entries for the nProbeFine nearest FINE
+    * cells ([[Ivf.probeCells]], O(√k·d) per query instead of the flat
+    * probe's O(k·d) literal scan), then [[Similarity.ivfTopKProbed]]
+    * ranks candidates within the probed cells. Probe lists are
+    * integer-exact with BIGINT sort keys on both engines; cosines are
+    * the fold-ordered float-domain machinery q89/q100 pin.
+    */
+  private val q103 = {
+    val NPF = 3
+    GraftQuery(
+      "q103_hierarchical_ann",
+      (s, d) => {
+        import s.implicits._
+        val cb = ivfCodebook(s, d)
+        val npc = math.min(2, cb.coarse.length)
+        val all = embeddings(s, d).filter(size(col("embedding")) === cb.dims)
+        val corpus = Ivf.assign(all, "embedding", cb)
+          .filter($"cell".isNotNull)
+        val queries = Ivf.probeCells(
+          all.filter($"vec_id" < 5)
+            .select($"vec_id".as("q_id"), $"embedding".as("q_vec")),
+          "q_vec", cb, npc, NPF)
+        Similarity.ivfTopKProbed(queries, corpus,
+            "q_id", "q_vec", "probes", "vec_id", "embedding", "cell", k = 5)
+          .select($"query_id", $"neighbor_id", $"rank",
+            round($"cosine", 6).as("cosine"))
+          .orderBy($"query_id", $"rank")
+      },
+      oracleDyn = Some { (s, d) =>
+        val cb = ivfCodebook(s, d)
+        val npc = math.min(2, cb.coarse.length)
+        s"""
+      WITH ${Ivf.codebookCteSql("cb", Ivf.collectFine(cb))},
+      e AS (
+        SELECT vec_id,
+               CAST(${Similarity.cellAssignSql("embedding", cb.coarse)} AS INTEGER) AS coarse,
+               ${Ivf.quantizeListSql("embedding")} AS xq
+        FROM embeddings
+        WHERE len(embedding) = ${cb.dims}),
+      a AS (
+        ${Ivf.assignCteSql("e", "cb")}),
+      corpus AS (
+        SELECT e0.vec_id, e0.embedding, a.cell
+        FROM embeddings e0 JOIN a USING (vec_id)
+        WHERE ${Similarity.nonZeroNormSql("e0.embedding")}),
+      qs AS (
+        SELECT vec_id AS q_id, embedding AS q_vec,
+               ${Ivf.quantizeListSql("embedding")} AS xq,
+               ${Similarity.probeCellsSql("embedding", cb.coarse, npc)} AS cps
+        FROM embeddings
+        WHERE vec_id < 5 AND len(embedding) = ${cb.dims}
+          AND ${Similarity.nonZeroNormSql("embedding")}),
+      p0 AS (
+        ${Ivf.probeSelectSql("qs", "cb", "cps", NPF)}),
+      p AS (
+        SELECT qs.q_id, qs.q_vec, unnest(p0.probes) AS probe
+        FROM qs JOIN p0 USING (q_id)),
+      scored AS (
+        SELECT p.q_id, corpus.vec_id AS nid,
+               ${Similarity.cosineSql("p.q_vec", "corpus.embedding")} AS cos
+        FROM corpus JOIN p ON corpus.cell = p.probe AND corpus.vec_id <> p.q_id),
+      ranked AS (
+        SELECT q_id, nid, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid) AS rk
+        FROM scored)
+      SELECT q_id AS query_id, nid AS neighbor_id,
+             CAST(rk AS INTEGER) AS "rank", round(cos, 6) AS cosine
+      FROM ranked WHERE rk <= 5
+      ORDER BY query_id, "rank""""
+      })
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q72,
-    q75, q79, q80, q81, q84, q89, q91, q95, q99, q100, q101, q102)
+    q75, q79, q80, q81, q84, q89, q91, q95, q99, q100, q101, q102, q103)
 }

@@ -168,6 +168,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition"), "adjacency window present")
   }
 
+  test("q101: hierarchical IVF — codebook joins broadcast at dim sizes, fine codebook read from cache") {
+    val p = plan("q101_hierarchical_ivf")
+    // the codebook is a persisted k-row frame: at any dim-like size the
+    // planner must broadcast it against the corpus (no hint — the whole
+    // point is that extreme k falls back to a coarse-keyed shuffle)
+    assert(p.contains("BroadcastHashJoin"), "codebook join should broadcast here")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("InMemoryTableScan"),
+      "fine codebook must come from the persisted frame, not retrain")
+  }
+
   test("q78: BPE encode is map-side — no join, merges inlined as literals") {
     val p = plan("q78_bpe_encode")
     assert(!p.contains("Join"), "merge list must inline, never join")

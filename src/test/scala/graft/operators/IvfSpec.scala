@@ -101,6 +101,38 @@ class IvfSpec extends SparkSpec {
       .collect()(0).isNullAt(0))
   }
 
+  test("probeCells equals a driver-side recompute over the probed coarse cells' candidates") {
+    val df = corpus(240)
+    val book = cb(df)
+    val npc = math.min(2, book.coarse.length)
+    val queries = df.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val got = Ivf.probeCells(queries, "q_vec", book, npc, nProbeFine = 3)
+      .select($"q_id", $"probes",
+        Similarity.probeCells($"q_vec", book.coarse, npc).as("cps"),
+        KMeans.quantize($"q_vec").as("xq"))
+      .collect()
+    assert(got.length == 20)
+    val byCoarse = Ivf.collectFine(book).groupBy(_._1)
+    got.foreach { r =>
+      val cps = r.getSeq[Int](2)
+      val xq = r.getSeq[Long](3).toArray
+      val expected = cps.flatMap(c => byCoarse.getOrElse(c, Nil))
+        .map { case (_, cell, cvec) =>
+          (cvec.toArray.zip(xq).map { case (a, b) => val t = a - b; t * t }.sum,
+            cell)
+        }
+        .sorted.take(3).map(_._2)
+      assert(r.getSeq[Int](1) == expected,
+        s"q ${r.getLong(0)}: ${r.getSeq[Int](1)} vs $expected")
+    }
+    // a ragged query gets an empty probe list, not a crash or a bin
+    val ragged = Seq((99L, Array.fill(5)(1.0f))).toDF("q_id", "q_vec")
+    val rp = Ivf.probeCells(ragged, "q_vec", book, npc, nProbeFine = 3)
+      .select($"probes").collect()
+    assert(rp.length == 1 && rp(0).getSeq[Int](0).isEmpty)
+  }
+
   test("driftFraction: in-distribution delta ~0, shifted delta ~1, ragged delta counts far") {
     val df = corpus(240)
     val book = cb(df)
