@@ -78,6 +78,37 @@ object Ivf {
     GraftBridge.column(graft.plans.NearestCandidate(
       GraftBridge.expression(xq), GraftBridge.expression(cands)))
 
+  /** Exact integer squared distance between two `array<long>` columns
+    * (NULL when lengths differ — zip_with's null-pad propagates). ONE
+    * Column-side implementation, mirrored exactly by [[sqDistSql]]
+    * (round-15 review: the repo's finiteNorm history shows hand-copies
+    * of exactness-critical snippets drift).
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** DuckDB twin of [[sqDist]]: exact BIGINT arithmetic, NULL on a
+    * length mismatch (list_zip null-pads, the reduce propagates).
+    */
+  def sqDistSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |               list_transform(list_zip($a, $b),
+       |                 p -> (p[1] - p[2]) * (p[1] - p[2]))),
+       |               (acc, v) -> acc + v)""".stripMargin
+
+  /** The (coarse → sorted fine candidates) aggregation both [[assign]]
+    * and [[probeCells]] join against — single-sourced so the struct
+    * shape feeding [[graft.plans.NearestCandidate]] and the probe
+    * scorer cannot drift apart.
+    */
+  private def fineCands(cb: Codebook, candsCol: String,
+      coarseCol: String): DataFrame =
+    cb.fine.groupBy("coarse")
+      .agg(sort_array(collect_list(struct(col("cell"), col("c"))))
+        .as(candsCol))
+      .withColumnRenamed("coarse", coarseCol)
+
   /** Trains the two-level codebook. Deterministic end-to-end: the
     * coarse half inherits [[Similarity.trainKmeansCentroidsFull]]'s
     * seeded determinism; the fine half samples by (xxhash64(id), id)
@@ -187,13 +218,11 @@ object Ivf {
     */
   def assign(df: DataFrame, vec: String, cb: Codebook,
       outCol: String = "cell"): DataFrame = {
-    Seq("__ivf_coarse", "__ivf_xq", "__ivf_cands").foreach { c =>
-      require(!df.columns.contains(c), s"input already carries $c")
-    }
-    val cands = cb.fine.groupBy("coarse")
-      .agg(sort_array(collect_list(struct(col("cell"), col("c"))))
-        .as("__ivf_cands"))
-      .withColumnRenamed("coarse", "__ivf_cb_coarse")
+    Seq("__ivf_coarse", "__ivf_xq", "__ivf_cands", "__ivf_cb_coarse")
+      .foreach { c =>
+        require(!df.columns.contains(c), s"input already carries $c")
+      }
+    val cands = fineCands(cb, "__ivf_cands", "__ivf_cb_coarse")
     df.withColumn("__ivf_coarse", Similarity.cellAssign(col(vec), cb.coarse))
       .withColumn("__ivf_xq", KMeans.quantize(col(vec)))
       .join(cands, col("__ivf_coarse") === col("__ivf_cb_coarse"), "left")
@@ -219,12 +248,9 @@ object Ivf {
     * differs from the centroid's (zip_with null-pads).
     */
   private def coarseD2(cb: Codebook): Column =
-    aggregate(
-      zip_with(col("__xq"),
-        element_at(map_from_entries(typedLit(coarseQuantized(cb.coarse))),
-          col("__c")),
-        (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, v) => acc + v)
+    sqDist(col("__xq"),
+      element_at(map_from_entries(typedLit(coarseQuantized(cb.coarse))),
+        col("__c")))
 
   /** Query-side probe over the two-level codebook — the SEARCH half of
     * the hierarchical index (assignment alone only builds it): each
@@ -237,29 +263,29 @@ object Ivf {
     * removes. Integer-exact scoring with (distance, cell) tie-breaks,
     * so a DuckDB oracle reproduces the probe lists bit-for-bit
     * ([[probeSelectSql]]). Queries whose vector cannot score (ragged
-    * length) get an EMPTY probe list. Input rows must be DISTINCT (the
-    * per-query regroup keys on all input columns; exact duplicate rows
-    * would collapse to one).
+    * length) get an EMPTY probe list. `idCol` must be row-unique — the
+    * per-query regroup keys on it alone (grouping on every input
+    * column broke on unorderable incidental columns and merged rows
+    * differing only in float normalization, round-15 review); the
+    * remaining input columns ride back through an id-keyed self-join.
     */
-  def probeCells(queries: DataFrame, vec: String, cb: Codebook,
-      nProbeCoarse: Int, nProbeFine: Int,
+  def probeCells(queries: DataFrame, idCol: String, vec: String,
+      cb: Codebook, nProbeCoarse: Int, nProbeFine: Int,
       outCol: String = "probes"): DataFrame = {
     require(nProbeCoarse >= 1 && nProbeCoarse <= cb.coarse.length,
       s"nProbeCoarse must be in [1, ${cb.coarse.length}], got $nProbeCoarse")
     require(nProbeFine >= 1, s"nProbeFine must be >= 1, got $nProbeFine")
-    Seq("__ivf_q_coarse", "__ivf_q_xq", "__ivf_q_cands", "__ivf_q_scored")
+    Seq("__ivf_q_coarse", "__ivf_q_xq", "__ivf_q_cands", "__ivf_q_scored",
+      "__ivf_q_cb_coarse", "__ivf_q_all", outCol)
       .foreach { c =>
         require(!queries.columns.contains(c), s"input already carries $c")
       }
-    val cands = cb.fine.groupBy("coarse")
-      .agg(sort_array(collect_list(struct(col("cell"), col("c"))))
-        .as("__ivf_q_cands"))
-      .withColumnRenamed("coarse", "__ivf_q_cb_coarse")
+    val cands = fineCands(cb, "__ivf_q_cands", "__ivf_q_cb_coarse")
     // coarse probes are the float-domain struct sort over the √k
     // literals (the Similarity machinery, oracle twin probeCellsSql);
     // quantization in a SEPARATE projection below the explode (the
     // ExtractGenerator hoist trap)
-    val probed = queries
+    val probed = queries.select(col(idCol), col(vec))
       .withColumn("__ivf_q_xq", KMeans.quantize(col(vec)))
       .withColumn("__ivf_q_coarse",
         explode(Similarity.probeCells(col(vec), cb.coarse, nProbeCoarse)))
@@ -270,23 +296,22 @@ object Ivf {
           transform(coalesce(col("__ivf_q_cands"),
             array().cast("array<struct<cell:int,c:array<bigint>>>")),
             cand => struct(
-              aggregate(zip_with(col("__ivf_q_xq"), cand.getField("c"),
-                (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
-                .as("d"),
+              sqDist(col("__ivf_q_xq"), cand.getField("c")).as("d"),
               cand.getField("cell").as("cell"))),
           s => s.getField("d").isNotNull))
     // the probe list is GLOBAL over the probed coarse cells' union —
     // flatten, one total-order sort, slice (collect_list order is
     // nondeterministic; array_sort over (d, cell) structs restores a
     // data-only order)
-    val groupCols = queries.columns.map(col).toIndexedSeq
-    scored
-      .groupBy(groupCols: _*)
+    val probes = scored
+      .groupBy(col(idCol))
       .agg(flatten(collect_list(col("__ivf_q_scored"))).as("__ivf_q_all"))
-      .withColumn(outCol,
+      .select(col(idCol),
         transform(slice(array_sort(col("__ivf_q_all")), 1, nProbeFine),
-          s => s.getField("cell")))
-      .drop("__ivf_q_all")
+          s => s.getField("cell")).as(outCol))
+    queries.join(probes, Seq(idCol), "left")
+      .withColumn(outCol,
+        coalesce(col(outCol), array().cast("array<int>")))
   }
 
   /** SQL twin of [[probeCells]] as a SELECT body over `qName` (must
@@ -305,10 +330,7 @@ object Ivf {
        |    x -> CAST(x[2] AS INTEGER)) AS probes
        |  FROM (
        |    SELECT qq.q_id,
-       |           list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |             list_transform(list_zip(qq.xq, $cbName.c),
-       |               p -> (p[1] - p[2]) * (p[1] - p[2]))),
-       |             (acc, v) -> acc + v) AS d,
+       |           ${sqDistSql("qq.xq", s"$cbName.c")} AS d,
        |           CAST($cbName.cell AS BIGINT) AS cellb
        |    FROM (SELECT q_id, xq, unnest($coarseListExpr) AS probe_coarse
        |          FROM $qName) qq
@@ -438,10 +460,7 @@ object Ivf {
     s"""SELECT vec_id, cell FROM (
        |    SELECT $eName.vec_id, $cbName.cell,
        |           ROW_NUMBER() OVER (PARTITION BY $eName.vec_id ORDER BY
-       |             list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |               list_transform(list_zip($eName.xq, $cbName.c),
-       |                 p -> (p[1] - p[2]) * (p[1] - p[2]))),
-       |               (acc, v) -> acc + v),
+       |             ${sqDistSql(s"$eName.xq", s"$cbName.c")},
        |             $cbName.cell) AS rn
        |    FROM $eName JOIN $cbName ON $eName.coarse = $cbName.coarse)
        |  WHERE rn = 1""".stripMargin

@@ -732,14 +732,7 @@ object TrainingData {
         SELECT q.q_id, c.vec_id AS nid,
                ${Similarity.cosineSql("q.q_vec", "c.embedding")} AS cos
         FROM b c JOIN q ON c.bucket = q.q_bucket AND c.vec_id <> q.q_id),
-      ranked AS (
-        SELECT q_id, nid, cos,
-               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid) AS rk
-        FROM scored)
-      SELECT q_id AS query_id, nid AS neighbor_id,
-             CAST(rk AS INTEGER) AS "rank", round(cos, 6) AS cosine
-      FROM ranked WHERE rk <= 5
-      ORDER BY query_id, "rank""""))
+      $annTailSql"""))
 
   /** Multi-probe LSH ANN — q54's recall lever: each query probes its own
     * hyperplane bucket plus the four Hamming-1 neighbors (one sign-bit
@@ -784,14 +777,7 @@ object TrainingData {
         SELECT p.q_id, c.vec_id AS nid,
                ${Similarity.cosineSql("p.q_vec", "c.embedding")} AS cos
         FROM b c JOIN probes p ON c.bucket = p.probe AND c.vec_id <> p.q_id),
-      ranked AS (
-        SELECT q_id, nid, cos,
-               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid) AS rk
-        FROM scored)
-      SELECT q_id AS query_id, nid AS neighbor_id,
-             CAST(rk AS INTEGER) AS "rank", round(cos, 6) AS cosine
-      FROM ranked WHERE rk <= 5
-      ORDER BY query_id, "rank""""))
+      $annTailSql"""))
 
   /** True multi-probe IVF, oracle-checked end-to-end (q72 covers the
     * LSH-bucketed variant; this one runs the *trained* index path —
@@ -848,14 +834,7 @@ object TrainingData {
         SELECT p.q_id, c.vec_id AS nid,
                ${Similarity.cosineSql("p.q_vec", "c.embedding")} AS cos
         FROM c JOIN p ON c.cell = p.probe AND c.vec_id <> p.q_id),
-      ranked AS (
-        SELECT q_id, nid, cos,
-               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid) AS rk
-        FROM scored)
-      SELECT q_id AS query_id, nid AS neighbor_id,
-             CAST(rk AS INTEGER) AS "rank", round(cos, 6) AS cosine
-      FROM ranked WHERE rk <= 5
-      ORDER BY query_id, "rank""""
+      $annTailSql"""
       })
   }
 
@@ -1065,14 +1044,7 @@ object TrainingData {
         SELECT p.q_id, c.vec_id AS nid,
                ${Similarity.cosineSql("p.q_vec", "c.embedding")} AS cos
         FROM c JOIN p ON c.cell = p.probe AND c.vec_id <> p.q_id),
-      ranked AS (
-        SELECT q_id, nid, cos,
-               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid) AS rk
-        FROM scored)
-      SELECT q_id AS query_id, nid AS neighbor_id,
-             CAST(rk AS INTEGER) AS "rank", round(cos, 6) AS cosine
-      FROM ranked WHERE rk <= 5
-      ORDER BY query_id, "rank""""
+      $annTailSql"""
       })
   }
 
@@ -1095,18 +1067,43 @@ object TrainingData {
       "embedding", "vec_id", k = 12, itersCoarse = 3, itersFine = 2)
   })
 
-  private def ivfRollupSql(cbSql: String, coarse: Array[Array[Double]],
-      dims: Int, eFilter: String): String =
-    s"""
-      WITH $cbSql,
-      e AS (
+  /** The `e` (coarse + quantized) and `a` (fine argmin) CTE pair every
+    * hierarchical-IVF oracle shares — single-sourced so the
+    * exactness-critical assignment SQL cannot drift between q101, q102
+    * and q103 (round-15 review).
+    */
+  private def ivfAssignCtesSql(coarse: Array[Array[Double]], dims: Int,
+      eFilter: String): String =
+    s"""e AS (
         SELECT vec_id,
                CAST(${Similarity.cellAssignSql("embedding", coarse)} AS INTEGER) AS coarse,
                ${Ivf.quantizeListSql("embedding")} AS xq
         FROM embeddings
         WHERE len(embedding) = $dims$eFilter),
       a AS (
-        ${Ivf.assignCteSql("e", "cb")})
+        ${Ivf.assignCteSql("e", "cb")})"""
+
+  /** The rank-and-project tail every ANN oracle shares (the top-k=5
+    * queries — q46/q89/q100/q103 et al.): expects a
+    * `scored(q_id, nid, cos)` CTE. A `def`, not a `val`: the static
+    * oracles interpolate it during THEIR val initializers, which run
+    * before any later val in this object would be assigned.
+    */
+  private def annTailSql: String =
+    s"""ranked AS (
+        SELECT q_id, nid, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid) AS rk
+        FROM scored)
+      SELECT q_id AS query_id, nid AS neighbor_id,
+             CAST(rk AS INTEGER) AS "rank", round(cos, 6) AS cosine
+      FROM ranked WHERE rk <= 5
+      ORDER BY query_id, "rank""""
+
+  private def ivfRollupSql(cbSql: String, coarse: Array[Array[Double]],
+      dims: Int, eFilter: String): String =
+    s"""
+      WITH $cbSql,
+      ${ivfAssignCtesSql(coarse, dims, eFilter)}
       SELECT a.cell, COUNT(*) AS n, MIN(a.vec_id) AS first_member,
              MIN(cb2.c[1]) AS c0, MIN(cb2.c[2]) AS c1
       FROM a JOIN cb cb2 ON a.cell = cb2.cell
@@ -1205,7 +1202,7 @@ object TrainingData {
         val queries = Ivf.probeCells(
           all.filter($"vec_id" < 5)
             .select($"vec_id".as("q_id"), $"embedding".as("q_vec")),
-          "q_vec", cb, npc, NPF)
+          "q_id", "q_vec", cb, npc, NPF)
         Similarity.ivfTopKProbed(queries, corpus,
             "q_id", "q_vec", "probes", "vec_id", "embedding", "cell", k = 5)
           .select($"query_id", $"neighbor_id", $"rank",
@@ -1217,14 +1214,7 @@ object TrainingData {
         val npc = math.min(2, cb.coarse.length)
         s"""
       WITH ${Ivf.codebookCteSql("cb", Ivf.collectFine(cb))},
-      e AS (
-        SELECT vec_id,
-               CAST(${Similarity.cellAssignSql("embedding", cb.coarse)} AS INTEGER) AS coarse,
-               ${Ivf.quantizeListSql("embedding")} AS xq
-        FROM embeddings
-        WHERE len(embedding) = ${cb.dims}),
-      a AS (
-        ${Ivf.assignCteSql("e", "cb")}),
+      ${ivfAssignCtesSql(cb.coarse, cb.dims, "")},
       corpus AS (
         SELECT e0.vec_id, e0.embedding, a.cell
         FROM embeddings e0 JOIN a USING (vec_id)
@@ -1245,14 +1235,7 @@ object TrainingData {
         SELECT p.q_id, corpus.vec_id AS nid,
                ${Similarity.cosineSql("p.q_vec", "corpus.embedding")} AS cos
         FROM corpus JOIN p ON corpus.cell = p.probe AND corpus.vec_id <> p.q_id),
-      ranked AS (
-        SELECT q_id, nid, cos,
-               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nid) AS rk
-        FROM scored)
-      SELECT q_id AS query_id, nid AS neighbor_id,
-             CAST(rk AS INTEGER) AS "rank", round(cos, 6) AS cosine
-      FROM ranked WHERE rk <= 5
-      ORDER BY query_id, "rank""""
+      $annTailSql"""
       })
   }
 

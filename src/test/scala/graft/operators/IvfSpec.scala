@@ -107,7 +107,7 @@ class IvfSpec extends SparkSpec {
     val npc = math.min(2, book.coarse.length)
     val queries = df.filter($"vec_id" < 20)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
-    val got = Ivf.probeCells(queries, "q_vec", book, npc, nProbeFine = 3)
+    val got = Ivf.probeCells(queries, "q_id", "q_vec", book, npc, nProbeFine = 3)
       .select($"q_id", $"probes",
         Similarity.probeCells($"q_vec", book.coarse, npc).as("cps"),
         KMeans.quantize($"q_vec").as("xq"))
@@ -128,7 +128,7 @@ class IvfSpec extends SparkSpec {
     }
     // a ragged query gets an empty probe list, not a crash or a bin
     val ragged = Seq((99L, Array.fill(5)(1.0f))).toDF("q_id", "q_vec")
-    val rp = Ivf.probeCells(ragged, "q_vec", book, npc, nProbeFine = 3)
+    val rp = Ivf.probeCells(ragged, "q_id", "q_vec", book, npc, nProbeFine = 3)
       .select($"probes").collect()
     assert(rp.length == 1 && rp(0).getSeq[Int](0).isEmpty)
   }
