@@ -81,13 +81,20 @@ object CorpusPrep {
     if (cfg.dropUnknownLang) c.filter(col("lang") =!= "und") else c
   }
 
+  /** The exact-dedup content key (q41's): leading `exactKeyWords`
+    * normalized words — ONE definition shared by the batch stage and
+    * the stream (round-14 found the two drifting; round-15 review
+    * single-sourced it).
+    */
+  private def exactKey(text: String, cfg: Config) =
+    array_join(slice(Hashing.words(col(text)), 1, cfg.exactKeyWords), " ")
+
   /** Exact dedup: canonical row = min id per leading-words content key
     * (the q41 key), all rows kept for singleton keys.
     */
   def exactCanonical(
       df: DataFrame, id: String, text: String, cfg: Config): DataFrame = {
-    val key = array_join(
-      slice(Hashing.words(col(text)), 1, cfg.exactKeyWords), " ")
+    val key = exactKey(text, cfg)
     val w = Window.partitionBy(key)
     df.withColumn("__keeper", min(col(id)).over(w))
       .filter(col(id) === col("__keeper"))
@@ -137,8 +144,7 @@ object CorpusPrep {
     // diverged from the batch corpus over identical input). words()
     // lowercases, so dedupStream's internal lower() is a no-op on it.
     val keyed = gate(annotate(docs, text, cfg), cfg)
-      .withColumn("__exact_key",
-        array_join(slice(Hashing.words(col(text)), 1, cfg.exactKeyWords), " "))
+      .withColumn("__exact_key", exactKey(text, cfg))
     graft.streaming.Streams.dedupStream(keyed, "__exact_key", tsCol)
       .drop("__exact_key")
   }
@@ -152,7 +158,14 @@ object CorpusPrep {
       codebook: graft.operators.Ivf.Codebook,
       ledger: DataFrame, // (id: long, cell: int|null, dropped: boolean)
       retrained: Boolean,
-      version: Int)
+      version: Int) {
+    /** The codebook frame is persisted ([[graft.operators.Ivf.train]]/
+      * [[graft.operators.Ivf.load]]) — call this when done consuming,
+      * like [[Frames.release]]: a forgotten release pins one cache
+      * entry per compaction pass for the JVM lifetime.
+      */
+    def release(): Unit = codebook.release()
+  }
 
   /** Incremental SEMANTIC near-dup compaction over the stream's
     * accumulated output (round-15, the round-14 verdict's task 4): the
@@ -179,9 +192,19 @@ object CorpusPrep {
     * Rows whose vector cannot assign (ragged length) keep a NULL cell
     * and are never dropped — visible, not silently binned.
     *
-    * State writes are versioned (`indexDir/v<N>/…`) with an atomically
-    * renamed `LATEST` marker, so a compaction that dies mid-write
-    * leaves the previous version intact.
+    * A corpus that GROWS in-distribution never trips the drift trigger
+    * but outgrows its codebook (k was sized at training): once
+    * ledger+delta rows exceed `growthFactor` × the rows at training,
+    * the pass retrains regardless of drift.
+    *
+    * State writes are versioned (`indexDir/v<N>-<attempt>/…`, each
+    * attempt a unique directory) with an atomically renamed `LATEST`
+    * marker and a `_COMPLETE` fallback, so a compaction that dies
+    * mid-write — or mid-publication — leaves the previous version
+    * intact. Invocations should still be SERIALIZED per indexDir: an
+    * overlapping pair is detected at publish time (LATEST moved) and
+    * the later one aborts loudly rather than discarding the other's
+    * ledger.
     */
   def compactNearDups(accumulated: DataFrame, id: String, vec: String,
       indexDir: String, tau: Double,
@@ -189,8 +212,13 @@ object CorpusPrep {
       driftTolerance: Double = 4.0,
       maxDriftFraction: Double = 0.1,
       growthFactor: Double = 2.0): Compaction = {
-    import graft.operators.{Dedup, Ivf}
+    import graft.operators.{Dedup, Ivf, Similarity}
     require(growthFactor > 1.0, s"growthFactor must exceed 1: $growthFactor")
+    // the ledger keys by long: a string/UUID id would cast("long") to
+    // all-NULL silently — every later delta anti-join then matches
+    // nothing and the compaction reprocesses the whole corpus forever
+    // (round-15 review); pre-assign a dense long id for other key types
+    Similarity.integralIdType(accumulated, id)
     val spark = accumulated.sparkSession
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
@@ -198,37 +226,59 @@ object CorpusPrep {
     val fs = dirPath.getFileSystem(conf)
     val latestPath = new org.apache.hadoop.fs.Path(dirPath, "LATEST")
 
-    def stateDir(v: Int) = s"$indexDir/v$v"
-    def completeMarker(v: Int) =
-      new org.apache.hadoop.fs.Path(s"${stateDir(v)}/_COMPLETE")
+    // state dirs carry an attempt-unique suffix: two OVERLAPPING
+    // compactions targeting the same version number then write to
+    // DIFFERENT directories, so neither can tear a version the other
+    // already published (round-15 review); LATEST stores the dir NAME
+    val StateName = "v(\\d+)(?:-[0-9a-f]+)?".r
+    def versionOf(name: String): Int = name match {
+      case StateName(v) => v.toInt
+      case _ => throw new IllegalArgumentException(
+        s"unrecognized index state name '$name' under $indexDir " +
+          "(corrupt LATEST marker?)")
+    }
+    def completeMarker(name: String) =
+      new org.apache.hadoop.fs.Path(s"$indexDir/$name/_COMPLETE")
 
-    /** LATEST if present; else the highest _COMPLETE-marked version —
-      * the fallback that makes the delete-then-rename publication
-      * window survivable (round-15 review: a crash inside it otherwise
-      * lost the whole version history to a fullBuild(1)).
-      */
-    def readLatest(): Option[Int] =
-      if (fs.exists(latestPath)) {
+    def readLatestRaw(): Option[String] =
+      if (!fs.exists(latestPath)) None
+      else {
         val in = fs.open(latestPath)
-        try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim)
         finally in.close()
-      } else if (!fs.exists(dirPath)) None
-      else fs.listStatus(dirPath).toSeq
-        .map(_.getPath.getName)
-        .filter(_.matches("v\\d+"))
-        .map(_.drop(1).toInt)
-        .filter(v => fs.exists(completeMarker(v)))
-        .sorted.lastOption
+      }
 
-    def fullBuild(version: Int): Compaction = {
+    /** LATEST's dir name if present; else the highest _COMPLETE-marked
+      * state dir — the fallback that makes the delete-then-rename
+      * publication window survivable (a crash inside it otherwise lost
+      * the whole version history to a fullBuild(1)).
+      */
+    def readLatest(): Option[String] =
+      readLatestRaw().orElse {
+        if (!fs.exists(dirPath)) None
+        else fs.listStatus(dirPath).toSeq
+          .map(_.getPath.getName)
+          .filter(n => StateName.pattern.matcher(n).matches())
+          .filter(n => fs.exists(completeMarker(n)))
+          .sortBy(n => (versionOf(n), n))
+          .lastOption
+      }
+
+    def fullBuild(version: Int, observedLatest: Option[String]): Compaction = {
       val n = accumulated.count()
       val cb = Ivf.train(accumulated, vec, id, k(n))
-      val ledger = dropLedger(Ivf.assign(accumulated, vec, cb, "cell"), id)
-      // the drift baseline freezes HERE, at training time — incremental
-      // passes carry it forward unchanged (recomputing it over drifted
-      // data ratchets the baseline and the trigger never fires)
-      write(version, cb, ledger, retrained = true,
-        Ivf.typicalCoarseD2(accumulated, vec, id, cb), rowsAtTraining = n)
+      try {
+        val ledger = dropLedger(Ivf.assign(accumulated, vec, cb, "cell"), id)
+        // the drift baseline freezes HERE, at training time —
+        // incremental passes carry it forward unchanged (recomputing it
+        // over drifted data ratchets the baseline and the trigger never
+        // fires)
+        write(version, cb, ledger, retrained = true,
+          Ivf.typicalCoarseD2(accumulated, vec, id, cb), rowsAtTraining = n,
+          observedLatest)
+      } catch {
+        case e: Throwable => cb.release(); throw e
+      }
     }
 
     /** The semDedup drop policy over an assigned frame: dropped iff a
@@ -245,8 +295,10 @@ object CorpusPrep {
 
     def write(version: Int, cb: Ivf.Codebook, ledger: DataFrame,
         retrained: Boolean, typical: Map[Int, Double],
-        rowsAtTraining: Long): Compaction = {
-      val d = stateDir(version)
+        rowsAtTraining: Long, observedLatest: Option[String]): Compaction = {
+      val name =
+        s"v$version-${java.util.UUID.randomUUID().toString.take(8)}"
+      val d = s"$indexDir/$name"
       Ivf.save(cb, s"$d/codebook")
       typical.toSeq.toDF("cell", "d2")
         .repartition(1).write.mode("overwrite").parquet(s"$d/typical")
@@ -256,35 +308,45 @@ object CorpusPrep {
       // first, and the ledger's layout is part of the on-disk contract
       ledger.select(col("id"), col("cell"), col("dropped"))
         .write.mode("overwrite").parquet(s"$d/ledger")
-      // completeness marker: readLatest's fallback only trusts versions
-      // that finished all their parquet writes
-      fs.create(completeMarker(version), true).close()
+      // completeness marker: readLatest's fallback only trusts state
+      // dirs that finished all their parquet writes
+      fs.create(completeMarker(name), true).close()
+      // optimistic concurrency check BEFORE publishing: if another
+      // compaction published since this one loaded its base state,
+      // silently overwriting LATEST would discard that pass's ledger —
+      // abort loudly instead; this attempt's unique dir stays on disk
+      // for inspection and the prune of a later successful pass
+      val nowLatest = readLatestRaw()
+      require(nowLatest == observedLatest,
+        s"concurrent compaction detected: LATEST moved from " +
+          s"$observedLatest to $nowLatest while this pass ran — " +
+          "serialize compaction invocations")
       // publish last, via temp + atomic rename; the unavoidable
       // delete→rename window is covered by the _COMPLETE fallback above
-      val tmp = new org.apache.hadoop.fs.Path(dirPath, s".LATEST.tmp$version")
+      val tmp = new org.apache.hadoop.fs.Path(dirPath, s".LATEST.tmp$name")
       val out = fs.create(tmp, true)
-      try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+      try out.write(name.getBytes("UTF-8")) finally out.close()
       if (fs.exists(latestPath)) fs.delete(latestPath, false)
       require(fs.rename(tmp, latestPath),
         s"failed to publish $latestPath: index state would be invisible")
       // prune superseded versions (keep version-1 for rollback): each
       // version holds a FULL ledger copy, so an unpruned daily
       // compaction accumulates corpus-sized state × pass count
-      // (round-15 review)
       fs.listStatus(dirPath).toSeq
         .map(_.getPath.getName)
-        .filter(_.matches("v\\d+"))
-        .map(_.drop(1).toInt)
-        .filter(_ < version - 1)
-        .foreach(v => fs.delete(
-          new org.apache.hadoop.fs.Path(stateDir(v)), true))
+        .filter(n => StateName.pattern.matcher(n).matches())
+        .filter(n => versionOf(n) < version - 1)
+        .foreach(n => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$indexDir/$n"), true))
       Compaction(cb, spark.read.parquet(s"$d/ledger"), retrained, version)
     }
 
-    readLatest() match {
-      case None => fullBuild(1)
-      case Some(prev) =>
-        val d = stateDir(prev)
+    val observedLatest = readLatest()
+    observedLatest match {
+      case None => fullBuild(1, observedLatest = None)
+      case Some(prevName) =>
+        val prev = versionOf(prevName)
+        val d = s"$indexDir/$prevName"
         val cb = Ivf.load(spark, s"$d/codebook")
         val typical = spark.read.parquet(s"$d/typical")
           .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
@@ -296,18 +358,19 @@ object CorpusPrep {
           .persist()
         try {
           val deltaN = delta.count()
+          // no-op fast path FIRST: the growth check below pays a
+          // corpus-sized ledger scan a quiet stream must not pay
+          if (deltaN == 0) Compaction(cb, ledger, retrained = false, prev)
           // growth trigger (round-15 review): k is sized n/250 AT
           // TRAINING — in-distribution growth never trips the drift
           // trigger, but it inflates cell populations and the
           // intra-cell pair stage is quadratic in them. Retrain once
           // the corpus outgrows its codebook.
-          val grown =
-            ledger.count() + deltaN > growthFactor * rowsAtTraining
-          if (deltaN == 0) Compaction(cb, ledger, retrained = false, prev)
-          else if (grown || Ivf.driftFraction(delta, vec, cb, typical,
-              driftTolerance) > maxDriftFraction) {
+          else if (ledger.count() + deltaN > growthFactor * rowsAtTraining
+              || Ivf.driftFraction(delta, vec, cb, typical,
+                driftTolerance) > maxDriftFraction) {
             cb.release()
-            fullBuild(prev + 1)
+            fullBuild(prev + 1, observedLatest)
           } else {
             val newRows = Ivf.assign(delta, vec, cb, "cell")
               .select(col(id).cast("long").as("id"), col("cell"))
@@ -332,11 +395,13 @@ object CorpusPrep {
                 .withColumn("dropped", lit(false)))
             // typical + rowsAtTraining carry forward UNCHANGED: the
             // drift baseline is frozen at training time
-            val out = write(prev + 1, cb,
+            try write(prev + 1, cb,
               untouched.unionByName(recomputed), retrained = false,
-              typical, rowsAtTraining)
-            newRows.unpersist()
-            out
+              typical, rowsAtTraining, observedLatest)
+            finally {
+              newRows.unpersist()
+              ()
+            }
           }
         } finally {
           delta.unpersist()

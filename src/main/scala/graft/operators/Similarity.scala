@@ -208,7 +208,7 @@ object Similarity {
     * (round-12: the whitelist was duplicated there and the two copies
     * could drift).
     */
-  private[operators] def integralIdType(
+  private[graft] def integralIdType(
       df: DataFrame, idCol: String): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
     val dt = df.schema(idCol).dataType

@@ -196,6 +196,12 @@ object Streams {
     * so the directory as a whole always holds exactly one copy per
     * batch. Clean-row delivery keeps whatever idempotency `onClean`
     * provides (the default deployment below anti-joins by path).
+    *
+    * Migration note: a quarantine dir written by the pre-round-15 flat
+    * Append layout holds root-level part files; Spark's partition
+    * discovery refuses mixed depths, so move legacy files into a
+    * `batch_id=-1/` subdirectory once before pointing this sink at an
+    * old directory.
     */
   def quarantinedSink(stream: DataFrame, quarantineDir: String,
       checkpoint: String, errorCol: String = "error")(
@@ -272,13 +278,22 @@ object Streams {
           .select(col("path")).persist())
       else None
     }
-    val q = quarantinedSink(featureStream(spark, path, maxFilesPerTrigger),
-        quarantineDir, checkpoint) { (clean, _) =>
-      // the all-poison batch must not run an empty write job (it would
-      // also seed the _SUCCESS-only dir state guarded above)
-      if (!clean.isEmpty)
-        graft.sources.Sinks.appendNew(clean, existingAtStart, Seq("path"), featuresDir)
-    }
+    // a FAILED start (bad checkpoint, source permissions) must release
+    // the cached path universe too — the termination listener below can
+    // only cover queries that actually started (round-15 review)
+    val q =
+      try quarantinedSink(featureStream(spark, path, maxFilesPerTrigger),
+          quarantineDir, checkpoint) { (clean, _) =>
+        // the all-poison batch must not run an empty write job (it would
+        // also seed the _SUCCESS-only dir state guarded above)
+        if (!clean.isEmpty)
+          graft.sources.Sinks.appendNew(clean, existingAtStart, Seq("path"), featuresDir)
+      }
+      catch {
+        case e: Throwable =>
+          existingAtStart.foreach(_.unpersist())
+          throw e
+      }
     // release the cached path universe when THIS query terminates —
     // repeated deploys in one session otherwise accumulate cache entries
     existingAtStart.foreach { df =>
@@ -400,6 +415,17 @@ object Streams {
             val sorted = it.toSeq.sortBy(_.tsMicros)
             var cur = state.getOption
             val out = Seq.newBuilder[SessionOut]
+            // stragglers older than the CURRENT foldable window are
+            // DEFERRED, not emitted immediately (round-15 review): a
+            // later foldable event in the same batch can lower `start`
+            // and re-admit them — emitting eagerly produced a spurious
+            // singleton the batch path chains into one session
+            var deferred = List.empty[SessionEvent]
+            def flushDeferred(): Unit = {
+              deferred.foreach(e =>
+                out += SessionOut(key, e.tsMicros, e.tsMicros, 1L, e.value))
+              deferred = Nil
+            }
             sorted.foreach { e =>
               cur match {
                 // late event from an EARLIER micro-batch (in-batch order
@@ -415,26 +441,46 @@ object Streams {
                 // via that endpoint (the round-11 guard only accepted
                 // the tail side, so an in-span event of a longer-than-
                 // one-gap session emitted a spurious overlapping
-                // singleton). Older than start − gap, batch order would
-                // have placed it in an earlier session that may already
-                // be emitted — emit it as its own singleton late
-                // session (stragglers are not retro-merged with each
-                // other; the accepted streaming-lateness trade).
+                // singleton). Older than start − gap, batch order MAY
+                // have placed it in an earlier emitted session — defer
+                // it and retry once the batch's folds have settled;
+                // whatever stays outside the final window emits as its
+                // own singleton late session (stragglers are not
+                // retro-merged with each other; the accepted
+                // streaming-lateness trade).
                 case Some(st) if e.tsMicros < st.last =>
                   if (e.tsMicros >= st.start - gapMicros)
                     cur = Some(st.copy(start = math.min(st.start, e.tsMicros),
                       n = st.n + 1, sum = st.sum + e.value))
                   else
-                    out += SessionOut(key, e.tsMicros, e.tsMicros, 1L, e.value)
+                    deferred ::= e
                 case Some(st) if e.tsMicros - st.last <= gapMicros =>
                   cur = Some(st.copy(last = e.tsMicros, n = st.n + 1, sum = st.sum + e.value))
                 case Some(st) =>
+                  // the closing session's window is final: deferred
+                  // stragglers can never reach the NEW session either
+                  // (its start exceeds last + gap), so they resolve here
+                  flushDeferred()
                   out += SessionOut(key, st.start, st.last, st.n, st.sum)
                   cur = Some(SessionState(e.tsMicros, e.tsMicros, 1L, e.value))
                 case None =>
                   cur = Some(SessionState(e.tsMicros, e.tsMicros, 1L, e.value))
               }
             }
+            // retry deferred stragglers DESCENDING once: folding only
+            // lowers `start`, so admission is monotone and one
+            // descending pass reaches the fixpoint (if the largest is
+            // out of window, every smaller one is too)
+            deferred.sortBy(-_.tsMicros).foreach { e =>
+              cur match {
+                case Some(st) if e.tsMicros >= st.start - gapMicros =>
+                  cur = Some(st.copy(start = math.min(st.start, e.tsMicros),
+                    n = st.n + 1, sum = st.sum + e.value))
+                case _ =>
+                  out += SessionOut(key, e.tsMicros, e.tsMicros, 1L, e.value)
+              }
+            }
+            deferred = Nil
             cur.foreach { st =>
               state.update(st)
               // a set timeout clears whenever the function runs for the

@@ -150,8 +150,14 @@ class CorpusPrepSpec extends SparkSpec {
     val c2 = CorpusPrep.compactNearDups(df.filter($"vec_id" < 135),
       "vec_id", "embedding", idx, tau = 0.95, k = _ => 9, growthFactor = 2.0)
     assert(!c2.retrained && c2.version == 2)
-    val t1 = spark.read.parquet(s"$idx/v1/typical").collect().toSet
-    val t2 = spark.read.parquet(s"$idx/v2/typical").collect().toSet
+    def stateDir(v: Int): String = {
+      val ds = new java.io.File(idx).listFiles().map(_.getName)
+        .filter(_.matches(s"v$v(-[0-9a-f]+)?"))
+      assert(ds.length == 1, s"state dirs for v$v: ${ds.mkString(",")}")
+      s"$idx/${ds.head}"
+    }
+    val t1 = spark.read.parquet(s"${stateDir(1)}/typical").collect().toSet
+    val t2 = spark.read.parquet(s"${stateDir(2)}/typical").collect().toSet
     assert(t1 == t2, "incremental pass must not recompute the drift baseline")
     // past 2× rows-at-training: retrain fires with zero drift
     val c3 = CorpusPrep.compactNearDups(df,
@@ -159,9 +165,41 @@ class CorpusPrepSpec extends SparkSpec {
     assert(c3.retrained && c3.version == 3)
     assert(c3.ledger.count() == 300)
     // superseded versions prune (keep version-1 for rollback)
-    assert(!new java.io.File(s"$idx/v1").exists(), "v1 must be pruned")
-    assert(new java.io.File(s"$idx/v2").exists())
-    c1.codebook.release(); c2.codebook.release(); c3.codebook.release()
+    val names = new java.io.File(idx).listFiles().map(_.getName)
+      .filter(_.startsWith("v"))
+    assert(!names.exists(_.matches("v1(-[0-9a-f]+)?")), s"v1 must prune: ${names.mkString(",")}")
+    assert(names.exists(_.matches("v2(-[0-9a-f]+)?")))
+    c1.release(); c2.release(); c3.release()
+  }
+
+  test("compactNearDups rejects non-integral ids and concurrent publication loudly") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx5").toString
+    // string ids would cast("long") to an all-NULL ledger silently
+    val strIds = embCorpus(30).select(concat(lit("d"), $"vec_id").as("vec_id"),
+      $"embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      CorpusPrep.compactNearDups(strIds, "vec_id", "embedding", idx,
+        tau = 0.95, k = _ => 9)
+    }
+    assert(e1.getMessage.contains("integral"), e1.getMessage)
+    // a corrupted LATEST marker must fail LOUDLY (name the corruption),
+    // never silently rebuild over the existing state
+    val df = embCorpus(90)
+    val c1 = CorpusPrep.compactNearDups(df, "vec_id", "embedding", idx,
+      tau = 0.95, k = _ => 9)
+    val latest = new java.io.File(idx, "LATEST")
+    java.nio.file.Files.writeString(latest.toPath, "garbage name")
+    // drop the checksum shadow or Hadoop's local FS fails the read
+    // with ChecksumException before our parser sees the content
+    val crc = new java.io.File(idx, ".LATEST.crc")
+    if (crc.exists()) assert(crc.delete())
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusPrep.compactNearDups(df, "vec_id", "embedding", idx,
+        tau = 0.95, k = _ => 9)
+    }
+    assert(e2.getMessage.contains("unrecognized index state name"),
+      e2.getMessage)
+    c1.release()
   }
 
   test("compactNearDups: a lost LATEST marker recovers from the _COMPLETE fallback") {

@@ -233,9 +233,13 @@ class StreamsSpec extends SparkSpec {
         .select("startMicros", "endMicros", "n", "sum")
         .as[(Long, Long, Long, Double)].collect().toSet
       assert(rows.forall { case (s, e, _, _) => e >= s }, s"end < start in $rows")
+      // batch parity (round-15): folding 70 s lowers the window to
+      // 70−60 = 10 s, re-admitting the 10 s straggler — batch order
+      // chains 10→70→100 into ONE session (70−10 = gap exactly). The
+      // pre-round-15 expectation (a spurious 10 s singleton beside a
+      // [70,100] session) pinned the stale-window bug the deferral fixed.
       assert(rows == Set(
-        (10L * 1000000, 10L * 1000000, 1L, 3.0),   // straggler singleton
-        (70L * 1000000, 100L * 1000000, 2L, 3.0)), // folded session closed by 165 s
+        (10L * 1000000, 100L * 1000000, 3L, 6.0)), // closed by 165 s
         s"got $rows")
     } finally q.stop()
   }
@@ -262,6 +266,40 @@ class StreamsSpec extends SparkSpec {
         .select("startMicros", "endMicros", "n")
         .as[(Long, Long, Long)].collect().toSet
       assert(rows == Set((0L, 150L * 1000000, 5L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("sessionize: a same-batch foldable event re-admits an earlier straggler (round-15)") {
+    // state {start=100, last=105}, gap=50; a batch delivers ts=40 and
+    // ts=58. Eager emission classified 40 against the STALE window
+    // (>= 50) and emitted a spurious singleton even though folding 58
+    // lowers start to 58 and batch order chains 40→58→100→105 into ONE
+    // session. Deferral + the descending retry must fold both.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.SessionEvent]
+    val q = Streams.sessionize(in.toDS(), gapMicros = 50L)
+      .writeStream.format("memory").queryName("sess_defer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Streams.SessionEvent(1L, 100L, 1.0),
+        Streams.SessionEvent(1L, 105L, 1.0))
+      q.processAllAvailable()
+      in.addData(Streams.SessionEvent(1L, 40L, 1.0),
+        Streams.SessionEvent(1L, 58L, 1.0))
+      q.processAllAvailable()
+      in.addData(Streams.SessionEvent(1L, 1000L, 0.0)) // closes the session
+      q.processAllAvailable()
+      val got = spark.table("sess_defer").as[Streams.SessionOut].collect()
+        .map(s => (s.startMicros, s.endMicros, s.n)).toSet
+      assert(got == Set((40L, 105L, 4L)), s"got $got")
+      // and a straggler that stays outside the settled window still
+      // emits as its own singleton (the documented lateness trade)
+      in.addData(Streams.SessionEvent(1L, 2000L, 0.0),
+        Streams.SessionEvent(1L, 100L, 1.0)) // far below 2000-50
+      q.processAllAvailable()
+      val late = spark.table("sess_defer").as[Streams.SessionOut].collect()
+        .map(s => (s.startMicros, s.endMicros, s.n)).toSet
+      assert(late.contains((100L, 100L, 1L)), s"got $late")
     } finally q.stop()
   }
 

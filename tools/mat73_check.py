@@ -126,8 +126,13 @@ def mat5_matrix(payload):
         return name, {"class": "cell", "dims": dims, "items": items}
     if clazz == 4:  # mxCHAR
         tpe, data = next(it)
-        return name, {"class": "char", "dims": dims,
-                      "value": mat5_char(tpe, data, dims)}
+        s = mat5_char(tpe, data, dims)
+        n = 1
+        for d in dims:
+            n *= d
+        if len(s) != n:
+            fail(f"char '{name}' dims {dims} vs {len(s)} code units")
+        return name, {"class": "char", "dims": dims, "value": s}
     if 6 <= clazz <= 15:
         if cplx:
             fail(f"variable '{name}' is complex")
@@ -136,10 +141,13 @@ def mat5_matrix(payload):
         n = 1
         for d in dims:
             n *= d
-        if len(vals) < n:
+        # EXACT count, both directions: a writer that overruns its data
+        # element must fail the independent check, not silently truncate
+        # (real MATLAB would see trailing garbage)
+        if len(vals) != n:
             fail(f"matrix '{name}' dims {dims} vs {len(vals)} values")
         return name, {"class": "double", "dims": dims,
-                      "value": [num_json(v) for v in vals[:n]]}
+                      "value": [num_json(v) for v in vals]}
     fail(f"variable '{name}' has unsupported mxClass {clazz}")
 
 
@@ -290,8 +298,9 @@ class H5:
         pos += p8(name_sz)
         dtype = self.dtype(body[pos:pos + dt_sz])
         pos += p8(dt_sz)
-        # scalar dataspace assumed (the MATLAB_* attrs are scalars)
-        pos += 8
+        # skip the declared dataspace size (a non-scalar attribute's
+        # dataspace exceeds 8 bytes; hardcoding 8 would misread the value)
+        pos += p8(_ds_sz)
         kind, size = dtype
         if kind == "str":
             return name, body[pos:pos + size].decode("ascii")
