@@ -95,7 +95,11 @@ object H5Source {
     val rootEntry = 56
     val rootHeader = buf.getLong(rootEntry + 8)
     val (btreeAddr, heapAddr) = symbolTableOf(buf, rootHeader)
-    val out = Map.newBuilder[String, (H5Value, Map[String, String])]
+    // insertion-ordered: MatSource's class2use fallback documents "the
+    // file's first cell variable" (SNOD entries are name-sorted, so
+    // "first" = alphabetical here — but deterministically so)
+    val out = scala.collection.immutable.VectorMap
+      .newBuilder[String, (H5Value, Map[String, String])]
     for (snod <- btreeChildren(buf, btreeAddr)) {
       // the child address must actually hold a symbol node: a corrupt
       // pointer whose low 32 bits land on unrelated in-file bytes would
@@ -253,6 +257,13 @@ object H5Source {
         val (ca, cs) = continuation.getOrElse(
           throw new IllegalArgumentException(
             s"object header at $addr: ran past block end with $remaining messages left"))
+        // Long-range check BEFORE truncating to Int (the sig/heapString
+        // guard class, round-15 review): a corrupt continuation address
+        // past 2^31 whose low 32 bits land in-file would silently parse
+        // unrelated bytes as header messages
+        require(ca >= 0 && cs >= 0 && ca + cs <= buf.limit(),
+          s"object header at $addr: continuation block [$ca, ${ca + cs}) " +
+            s"outside file of ${buf.limit()} bytes")
         p = ca.toInt
         limit = (ca + cs).toInt
         continuation = None
@@ -289,6 +300,12 @@ object H5Source {
       s"object-reference chain deeper than $MaxRefDepth at $addr: cyclic references")
     val msgs = preParsed.getOrElse(messages(buf, addr))
     val dims: Seq[Long] = msgs.collectFirst { case (0x0001, off, _) =>
+      // version gate (round-15 review): a v2 dataspace drops the
+      // reserved bytes, so dims start at off+4 — reading the v1 layout
+      // against it straddles dim values into silently-garbage shapes
+      val dsVersion = buf.get(off) & 0xff
+      require(dsVersion == 1,
+        s"unsupported dataspace message version $dsVersion (v1 only)")
       val rank = buf.get(off + 1) & 0xff
       (0 until rank).map(i => buf.getLong(off + 8 + 8 * i))
     }.getOrElse(return None)
@@ -307,6 +324,12 @@ object H5Source {
       Datatype(clazz, size, (bits0 & 0x08) != 0)
     }.getOrElse(return None)
     val filters: Seq[Int] = msgs.collectFirst { case (0x000b, off, _) =>
+      // v2 drops the reserved bytes and the name-length field for
+      // standard filters — parsing it with the v1 layout misreads every
+      // filter id (round-15 review)
+      val fpVersion = buf.get(off) & 0xff
+      require(fpVersion == 1,
+        s"unsupported filter pipeline version $fpVersion (v1 only)")
       val n = buf.get(off + 1) & 0xff
       // v1 filter pipeline: 8-byte header then filter descriptions; we
       // only need the filter ids (deflate = 1)
@@ -620,7 +643,12 @@ object H5Source {
           case 1 => if (dt.signed) raw(i).toDouble else (raw(i) & 0xff).toDouble
           case 2 => if (dt.signed) b.getShort(i * 2).toDouble else (b.getShort(i * 2) & 0xffff).toDouble
           case 4 => if (dt.signed) b.getInt(i * 4).toDouble else (b.getInt(i * 4).toLong & 0xffffffffL).toDouble
-          case 8 => b.getLong(i * 8).toDouble
+          case 8 =>
+            val v = b.getLong(i * 8)
+            // uint64 past 2^63 must not wrap negative (round-15 review;
+            // the sizes-1/2/4 branches already honor the signed flag)
+            if (dt.signed || v >= 0) v.toDouble
+            else v.toDouble + 1.8446744073709552E19
           case s => throw new IllegalArgumentException(s"fixed-point size $s")
         }
         H5Num(dims, out)

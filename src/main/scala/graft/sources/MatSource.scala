@@ -153,17 +153,32 @@ object MatSource {
   private def parseBody(bytes: Array[Byte]): Map[String, MatValue] = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     buf.position(128)
-    val out = Map.newBuilder[String, MatValue]
+    // insertion-ordered map (round-15 review): the class2use fallback
+    // documents "the file's FIRST cell variable", and a HashMap's
+    // iteration order stops being file order past 4 entries — the
+    // chosen variable then depended on name hashing
+    val out = scala.collection.immutable.VectorMap.newBuilder[String, MatValue]
+    // a miMATRIX whose INNER framing is broken (flags/dims/name
+    // sub-element truncated) must fail like the outer framing does —
+    // parseMatrix = None used to silently drop the variable, reading a
+    // corrupt file as "variable missing" (round-15 review; the same
+    // class the round-12 outer fix eliminated)
+    def addMatrix(data: Array[Byte]): Unit =
+      out += parseMatrix(data).getOrElse(throw new IllegalArgumentException(
+        "corrupt MAT-5 variable: truncated flags/dims/name sub-element"))
     while (buf.remaining() >= 8) {
       readElement(buf) match {
         case Some((tpe, data)) if tpe == MiMatrix =>
-          parseMatrix(data).foreach(out += _)
+          addMatrix(data)
         case Some((tpe, data)) if tpe == MiCompressed =>
           val inflated = inflate(data)
           val ib = ByteBuffer.wrap(inflated).order(ByteOrder.LITTLE_ENDIAN)
           readElement(ib) match {
-            case Some((t2, d2)) if t2 == MiMatrix => parseMatrix(d2).foreach(out += _)
-            case _ => ()
+            case Some((t2, d2)) if t2 == MiMatrix => addMatrix(d2)
+            case Some((t2, _)) => throw new IllegalArgumentException(
+              s"compressed MAT-5 element wraps mi type $t2, not miMATRIX")
+            case None => throw new IllegalArgumentException(
+              "compressed MAT-5 element wraps a truncated inner element")
           }
         case Some(_) => () // skip other top-level element kinds
         case None =>
@@ -257,7 +272,13 @@ object MatSource {
         while (n > 0 && buf.remaining() >= 8) {
           readElement(buf) match {
             case Some((MiMatrix, d)) =>
-              items += parseMatrix(d, depth + 1).map(_._2).getOrElse(MatStr(""))
+              // a corrupt ITEM must fail loudly, not read back as an
+              // empty string that passes the count cross-check below —
+              // class2use would silently emit "" as a class name
+              // (round-15 review; the fail-loudly contract)
+              items += parseMatrix(d, depth + 1).map(_._2)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"cell '$name': corrupt item (truncated sub-element)"))
             case _ => ()
           }
           n -= 1
@@ -351,7 +372,14 @@ object MatSource {
       case 6 => Array.fill(d.length / 4)((b.getInt().toLong & 0xffffffffL).toDouble)
       case 7 => Array.fill(d.length / 4)(b.getFloat().toDouble)
       case 9 => Array.fill(d.length / 8)(b.getDouble())
-      case 12 | 13 => Array.fill(d.length / 8)(b.getLong().toDouble)
+      case 12 => Array.fill(d.length / 8)(b.getLong().toDouble)
+      case 13 => Array.fill(d.length / 8) {
+        // miUINT64: values past 2^63 must not wrap negative (round-15
+        // review); the standard unsigned widening loses only the
+        // precision any double conversion loses
+        val v = b.getLong()
+        if (v >= 0) v.toDouble else v.toDouble + 1.8446744073709552E19
+      }
       case t => throw new IllegalArgumentException(s"numeric mi type $t")
     }
   }

@@ -231,17 +231,38 @@ object SqliteSource {
     (s0, s1)
   }
 
-  /** Index of the column declared `INTEGER PRIMARY KEY` (the rowid
-    * alias), if any.
+  /** Index of the rowid-alias column, if any: a column declared
+    * `INTEGER PRIMARY KEY` inline, OR (round-15 review) an
+    * INTEGER-typed column named by a single-column table-level
+    * `PRIMARY KEY(col)` constraint — SQLite treats both as the rowid
+    * alias and stores NULL in the record, so missing the second form
+    * read a well-formed table's key column as all-null. `PRIMARY
+    * KEY(col DESC)` is NOT an alias (the spec's one exception), nor is
+    * a composite key.
     */
   private[sources] def rowidAliasIndex(sql: String): Option[Int] = {
     val body = sql.substring(sql.indexOf('(') + 1, sql.lastIndexOf(')'))
-    val defs = splitTopLevel(body)
-      .filterNot(c => Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
-        .contains(c.split("[\\s(]+").head.toUpperCase))
-    val i = defs.indexWhere(
+    val parts = splitTopLevel(body)
+    val isConstraint = (c: String) =>
+      Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
+        .contains(c.split("[\\s(]+").head.toUpperCase)
+    val defs = parts.filterNot(isConstraint)
+    val inline = defs.indexWhere(
       _.toUpperCase.matches("""(?s).*\bINTEGER\s+PRIMARY\s+KEY\b.*"""))
-    if (i >= 0) Some(i) else None
+    if (inline >= 0) Some(inline)
+    else {
+      val TableLevel =
+        """(?is).*\bPRIMARY\s+KEY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(ASC\s*)?\).*""".r
+      parts.filter(isConstraint).collectFirst {
+        case TableLevel(colName, _) => colName
+      }.flatMap { colName =>
+        val i = defs.indexWhere { d =>
+          d.split("\\s+").headOption.exists(_.equalsIgnoreCase(colName)) &&
+            d.toUpperCase.matches("""(?s).*\bINTEGER\b.*""")
+        }
+        if (i >= 0) Some(i) else None
+      }
+    }
   }
 
   /** Splits a CREATE TABLE body on commas at paren depth 0 only —
@@ -299,10 +320,21 @@ object SqliteSource {
     val hdr = base + (if (page == 1) 100 else 0)
     val pageType = buf.get(hdr) & 0xff
     val nCells = buf.getShort(hdr + 3) & 0xffff
+    // a cell OFFSET is page-relative and must stay inside this page
+    // (round-15 review): with a 512-byte page a corrupt 0xFFFF pointer
+    // lands pages away but still in-file, where varint+record decode
+    // unrelated bytes into a plausible garbage row — the same
+    // silent-wrong-data class the page-number guard above closes
+    def cellAt(off: Int): Int = {
+      val rel = buf.getShort(off) & 0xffff
+      require(rel >= 0 && rel < pageSize,
+        s"page $page: cell pointer $rel outside the $pageSize-byte page")
+      base + rel
+    }
     pageType match {
       case 0x0d => // leaf table
         (0 until nCells).map { i =>
-          val cellPtr = base + (buf.getShort(hdr + 8 + 2 * i) & 0xffff)
+          val cellPtr = cellAt(hdr + 8 + 2 * i)
           var p = cellPtr
           val (payloadLen, p1) = varint(buf, p); p = p1
           val (rowid, p2) = varint(buf, p); p = p2
@@ -321,8 +353,7 @@ object SqliteSource {
         }
       case 0x05 => // interior table: cells carry left-child pointers
         val kids = (0 until nCells).map { i =>
-          val cellPtr = base + (buf.getShort(hdr + 12 + 2 * i) & 0xffff)
-          buf.getInt(cellPtr)
+          buf.getInt(cellAt(hdr + 12 + 2 * i))
         } :+ buf.getInt(hdr + 8) // right-most pointer
         kids.flatMap(walkTable(buf, pageSize, usable, _, depth + 1))
       case t => throw new IllegalArgumentException(s"unsupported page type 0x${t.toHexString}")
@@ -511,8 +542,15 @@ object SqliteSource {
         }
         val t = readTable(main, table, wal)
         val ci = t.columns.zipWithIndex.toMap
-        def str(r: Seq[Any], c: String): String =
-          ci.get(c).map(r(_)).map { case null => null; case v => v.toString }.orNull
+        // a MISSING column fails loudly like num() (round-15 review): a
+        // renamed sample-name column otherwise read back all-null and
+        // nulled every image_name join key with zero errors; a NULL
+        // VALUE in a present column stays null (legitimately nullable)
+        def str(r: Seq[Any], c: String): String = {
+          val i = ci.getOrElse(c, throw new IllegalArgumentException(
+            s"$dbPath: table '$table' has no column '$c'"))
+          r(i) match { case null => null; case v => v.toString }
+        }
         // loud, not getOrElse(0L): SQLite columns are dynamically
         // typed, so a NULL or text-stored roi_number would otherwise
         // emit roi 0 / image_name "<sample>_00000" — silently corrupt

@@ -316,6 +316,48 @@ class MatFuzzSpec extends AnyFunSuite {
     assertEq(real("z"), MatNum(Seq(1, 2), Array(1.5, 2.5)), "control")
   }
 
+  test("corrupt cell items and corrupt variables reject loudly, never read as empty strings (round-15)") {
+    // a cell item whose inner framing is broken used to substitute
+    // MatStr("") — class2use silently emitted "" as a class name while
+    // the count cross-check passed
+    val corruptItem = MatFixture.matrix("wrap", 1, Seq(1, 1), Array.empty, 0,
+      cells = Seq(Array[Byte](1, 2, 3, 4))) // 4 bytes: no element header fits
+    val e1 = intercept[IllegalArgumentException] {
+      MatSource.parse(MatFixture.matFile(corruptItem))
+    }
+    assert(e1.getMessage.contains("corrupt item"), e1.getMessage)
+    // a top-level variable with broken INNER framing used to drop
+    // silently ("TBscores missing", zero rows, no error)
+    val corruptVar = MatFixture.element(14, Array[Byte](1, 2, 3, 4))
+    val e2 = intercept[IllegalArgumentException] {
+      MatSource.parse(MatFixture.matFile(corruptVar))
+    }
+    assert(e2.getMessage.contains("truncated flags"), e2.getMessage)
+    // a compressed element wrapping a non-miMATRIX inner element too
+    val deflater = new Deflater()
+    val inner = MatFixture.element(5, Array[Byte](1, 0, 0, 0)) // miINT32, not miMATRIX
+    deflater.setInput(inner); deflater.finish()
+    val zbuf = new Array[Byte](inner.length + 64)
+    val zn = deflater.deflate(zbuf); deflater.end()
+    val z = ByteBuffer.allocate(8 + zn).order(ByteOrder.LITTLE_ENDIAN)
+    z.putInt(15).putInt(zn).put(zbuf, 0, zn)
+    val e3 = intercept[IllegalArgumentException] {
+      MatSource.parse(MatFixture.matFile(z.array()))
+    }
+    assert(e3.getMessage.contains("not miMATRIX"), e3.getMessage)
+  }
+
+  test("miUINT64 values past 2^63 decode positive, not wrapped negative (round-15)") {
+    val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    b.putLong(-1L) // unsigned: 2^64 − 1
+    b.putLong(42L)
+    val v = MatFixture.matrix("u", 6, Seq(1, 2), b.array(), 13)
+    val parsed = MatSource.parse(MatFixture.matFile(v))("u")
+      .asInstanceOf[MatNum].data
+    assert(parsed(0) == 1.8446744073709552E19, parsed(0))
+    assert(parsed(1) == 42.0)
+  }
+
   // --- v7.3 writer-generated corpus (round-14: write-side symmetry) ---------
 
   private def v73ValueGen: Gen[MatValue] = MatFuzzSpec.v73ValueGen

@@ -317,6 +317,21 @@ class SqliteSourceSpec extends SparkSpec {
       "CREATE TABLE t (a TEXT, n INTEGER PRIMARY KEY)").contains(1))
     assert(SqliteSource.rowidAliasIndex(
       "CREATE TABLE t (a TEXT, n INTEGER)").isEmpty)
+    // table-level single-column constraint form (round-15 review):
+    // SQLite treats it as a rowid alias too and stores NULL in the
+    // record — missing it read the key column back all-null
+    assert(SqliteSource.rowidAliasIndex(
+      "CREATE TABLE t (n INTEGER, a TEXT, PRIMARY KEY(n))").contains(0))
+    assert(SqliteSource.rowidAliasIndex(
+      "CREATE TABLE t (n INTEGER, a TEXT, PRIMARY KEY(n ASC))").contains(0))
+    // the spec's exceptions: DESC keys and composite keys are NOT aliases
+    assert(SqliteSource.rowidAliasIndex(
+      "CREATE TABLE t (n INTEGER, a TEXT, PRIMARY KEY(n DESC))").isEmpty)
+    assert(SqliteSource.rowidAliasIndex(
+      "CREATE TABLE t (n INTEGER, a TEXT, PRIMARY KEY(n, a))").isEmpty)
+    // a TEXT-typed constraint key is not an alias either
+    assert(SqliteSource.rowidAliasIndex(
+      "CREATE TABLE t (n TEXT, a TEXT, PRIMARY KEY(n))").isEmpty)
   }
 
   test("INTEGER PRIMARY KEY rowid alias reads back from the cell rowid") {
