@@ -201,10 +201,13 @@ object CorpusPrep {
     * attempt a unique directory) with an atomically renamed `LATEST`
     * marker and a `_COMPLETE` fallback, so a compaction that dies
     * mid-write — or mid-publication — leaves the previous version
-    * intact. Invocations should still be SERIALIZED per indexDir: an
-    * overlapping pair is detected at publish time (LATEST moved) and
-    * the later one aborts loudly rather than discarding the other's
-    * ledger.
+    * intact — and a pass that loads its base state THROUGH that
+    * fallback (LATEST lost to a crash) still publishes normally,
+    * re-materializing the marker. Invocations should still be
+    * SERIALIZED per indexDir: an overlapping pair is detected at
+    * publish time (LATEST moved) and the later one aborts loudly —
+    * deleting its never-completed attempt dir — rather than discarding
+    * the other's ledger.
     */
   def compactNearDups(accumulated: DataFrame, id: String, vec: String,
       indexDir: String, tau: Double,
@@ -248,23 +251,21 @@ object CorpusPrep {
         finally in.close()
       }
 
-    /** LATEST's dir name if present; else the highest _COMPLETE-marked
-      * state dir — the fallback that makes the delete-then-rename
-      * publication window survivable (a crash inside it otherwise lost
-      * the whole version history to a fullBuild(1)).
+    /** The highest _COMPLETE-marked state dir — the fallback that makes
+      * the delete-then-rename publication window survivable (a crash
+      * inside it otherwise lost the whole version history to a
+      * fullBuild(1)).
       */
-    def readLatest(): Option[String] =
-      readLatestRaw().orElse {
-        if (!fs.exists(dirPath)) None
-        else fs.listStatus(dirPath).toSeq
-          .map(_.getPath.getName)
-          .filter(n => StateName.pattern.matcher(n).matches())
-          .filter(n => fs.exists(completeMarker(n)))
-          .sortBy(n => (versionOf(n), n))
-          .lastOption
-      }
+    def completeFallback(): Option[String] =
+      if (!fs.exists(dirPath)) None
+      else fs.listStatus(dirPath).toSeq
+        .map(_.getPath.getName)
+        .filter(n => StateName.pattern.matcher(n).matches())
+        .filter(n => fs.exists(completeMarker(n)))
+        .sortBy(n => (versionOf(n), n))
+        .lastOption
 
-    def fullBuild(version: Int, observedLatest: Option[String]): Compaction = {
+    def fullBuild(version: Int, observedRaw: Option[String]): Compaction = {
       val n = accumulated.count()
       val cb = Ivf.train(accumulated, vec, id, k(n))
       try {
@@ -275,7 +276,7 @@ object CorpusPrep {
         // fires)
         write(version, cb, ledger, retrained = true,
           Ivf.typicalCoarseD2(accumulated, vec, id, cb), rowsAtTraining = n,
-          observedLatest)
+          observedRaw)
       } catch {
         case e: Throwable => cb.release(); throw e
       }
@@ -295,7 +296,7 @@ object CorpusPrep {
 
     def write(version: Int, cb: Ivf.Codebook, ledger: DataFrame,
         retrained: Boolean, typical: Map[Int, Double],
-        rowsAtTraining: Long, observedLatest: Option[String]): Compaction = {
+        rowsAtTraining: Long, observedRaw: Option[String]): Compaction = {
       val name =
         s"v$version-${java.util.UUID.randomUUID().toString.take(8)}"
       val d = s"$indexDir/$name"
@@ -308,19 +309,33 @@ object CorpusPrep {
       // first, and the ledger's layout is part of the on-disk contract
       ledger.select(col("id"), col("cell"), col("dropped"))
         .write.mode("overwrite").parquet(s"$d/ledger")
-      // completeness marker: readLatest's fallback only trusts state
-      // dirs that finished all their parquet writes
+      // optimistic concurrency check BEFORE the completeness marker
+      // (round-16: marking first let an aborted racer's stale dir win
+      // the crash-window fallback): if another compaction published
+      // since this one loaded its base state, silently overwriting
+      // LATEST would discard that pass's ledger — abort loudly instead.
+      // Compare RAW-vs-RAW: observedRaw is the marker as read at load
+      // time, possibly None when the load recovered the base state via
+      // the _COMPLETE fallback after a crash in the publication window
+      // — a raw compare against the fallback-resolved NAME wedged every
+      // subsequent pass with a phantom "concurrent compaction"
+      // (round-16 advice), defeating the fallback's purpose.
+      val nowRaw = readLatestRaw()
+      if (nowRaw != observedRaw) {
+        // never _COMPLETE-marked, so the fallback cannot resurrect it —
+        // and a corpus-sized parquet ledger per aborted racer is not
+        // worth keeping for inspection
+        fs.delete(new org.apache.hadoop.fs.Path(d), true)
+        throw new IllegalStateException(
+          s"concurrent compaction detected: LATEST moved from " +
+            s"$observedRaw to $nowRaw while this pass ran — " +
+            "serialize compaction invocations (this attempt's state " +
+            "dir was removed)")
+      }
+      // completeness marker: the crash-window fallback only trusts
+      // state dirs that finished all their parquet writes AND won the
+      // optimistic check
       fs.create(completeMarker(name), true).close()
-      // optimistic concurrency check BEFORE publishing: if another
-      // compaction published since this one loaded its base state,
-      // silently overwriting LATEST would discard that pass's ledger —
-      // abort loudly instead; this attempt's unique dir stays on disk
-      // for inspection and the prune of a later successful pass
-      val nowLatest = readLatestRaw()
-      require(nowLatest == observedLatest,
-        s"concurrent compaction detected: LATEST moved from " +
-          s"$observedLatest to $nowLatest while this pass ran — " +
-          "serialize compaction invocations")
       // publish last, via temp + atomic rename; the unavoidable
       // delete→rename window is covered by the _COMPLETE fallback above
       val tmp = new org.apache.hadoop.fs.Path(dirPath, s".LATEST.tmp$name")
@@ -341,9 +356,13 @@ object CorpusPrep {
       Compaction(cb, spark.read.parquet(s"$d/ledger"), retrained, version)
     }
 
-    val observedLatest = readLatest()
+    // raw marker and fallback-resolved name tracked SEPARATELY: the
+    // resolved name picks the base state to load; the raw value is what
+    // the publish-time optimistic check compares against
+    val observedRaw = readLatestRaw()
+    val observedLatest = observedRaw.orElse(completeFallback())
     observedLatest match {
-      case None => fullBuild(1, observedLatest = None)
+      case None => fullBuild(1, observedRaw = None)
       case Some(prevName) =>
         val prev = versionOf(prevName)
         val d = s"$indexDir/$prevName"
@@ -370,7 +389,7 @@ object CorpusPrep {
               || Ivf.driftFraction(delta, vec, cb, typical,
                 driftTolerance) > maxDriftFraction) {
             cb.release()
-            fullBuild(prev + 1, observedLatest)
+            fullBuild(prev + 1, observedRaw)
           } else {
             val newRows = Ivf.assign(delta, vec, cb, "cell")
               .select(col(id).cast("long").as("id"), col("cell"))
@@ -397,7 +416,7 @@ object CorpusPrep {
             // drift baseline is frozen at training time
             try write(prev + 1, cb,
               untouched.unionByName(recomputed), retrained = false,
-              typical, rowsAtTraining, observedLatest)
+              typical, rowsAtTraining, observedRaw)
             finally {
               newRows.unpersist()
               ()

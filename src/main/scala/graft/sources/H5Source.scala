@@ -260,9 +260,13 @@ object H5Source {
         // Long-range check BEFORE truncating to Int (the sig/heapString
         // guard class, round-15 review): a corrupt continuation address
         // past 2^31 whose low 32 bits land in-file would silently parse
-        // unrelated bytes as header messages
-        require(ca >= 0 && cs >= 0 && ca + cs <= buf.limit(),
-          s"object header at $addr: continuation block [$ca, ${ca + cs}) " +
+        // unrelated bytes as header messages. Overflow-safe form
+        // (round-16 advice): `ca + cs <= limit` wraps negative when
+        // both sit near 2^62 and PASSES — bound each term first, then
+        // the sum via subtraction on the already-bounded side.
+        require(ca >= 0 && cs >= 0 && ca <= buf.limit() &&
+            cs <= buf.limit() - ca,
+          s"object header at $addr: continuation block [$ca, +$cs) " +
             s"outside file of ${buf.limit()} bytes")
         p = ca.toInt
         limit = (ca + cs).toInt

@@ -232,13 +232,16 @@ object SqliteSource {
   }
 
   /** Index of the rowid-alias column, if any: a column declared
-    * `INTEGER PRIMARY KEY` inline, OR (round-15 review) an
+    * `INTEGER PRIMARY KEY [ASC]` inline, OR (round-15 review) an
     * INTEGER-typed column named by a single-column table-level
-    * `PRIMARY KEY(col)` constraint — SQLite treats both as the rowid
-    * alias and stores NULL in the record, so missing the second form
-    * read a well-formed table's key column as all-null. `PRIMARY
-    * KEY(col DESC)` is NOT an alias (the spec's one exception), nor is
-    * a composite key.
+    * `PRIMARY KEY(col [ASC|DESC])` constraint — SQLite treats both as
+    * the rowid alias and stores NULL in the record, so missing either
+    * form reads a well-formed table's key column as all-null. The
+    * spec's ONE non-alias exception is the INLINE `x INTEGER PRIMARY
+    * KEY DESC` declaration (a kept-for-compatibility quirk); the
+    * table-level DESC form IS an alias — round-16 advice caught these
+    * two inverted, which silently nulled `PRIMARY KEY(col DESC)`
+    * tables' keys. Composite keys are never aliases.
     */
   private[sources] def rowidAliasIndex(sql: String): Option[Int] = {
     val body = sql.substring(sql.indexOf('(') + 1, sql.lastIndexOf(')'))
@@ -247,23 +250,48 @@ object SqliteSource {
       Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
         .contains(c.split("[\\s(]+").head.toUpperCase)
     val defs = parts.filterNot(isConstraint)
-    val inline = defs.indexWhere(
-      _.toUpperCase.matches("""(?s).*\bINTEGER\s+PRIMARY\s+KEY\b.*"""))
+    // negative lookahead: `INTEGER PRIMARY KEY DESC` is the inline
+    // exception (ASC, ON CONFLICT, AUTOINCREMENT all still alias)
+    val inline = defs.indexWhere(_.toUpperCase.matches(
+      """(?s).*\bINTEGER\s+PRIMARY\s+KEY\b(?!\s+DESC\b).*"""))
     if (inline >= 0) Some(inline)
     else {
+      // identifier may be quoted ("col" / [col] / `col`) and carry an
+      // ASC|DESC ordering — both alias at table level
       val TableLevel =
-        """(?is).*\bPRIMARY\s+KEY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(ASC\s*)?\).*""".r
+        ("""(?is).*\bPRIMARY\s+KEY\s*\(\s*("[^"]+"|\[[^\]]+\]|`[^`]+`""" +
+          """|[A-Za-z_][A-Za-z0-9_]*)(\s+(?:ASC|DESC))?\s*\).*""").r
       parts.filter(isConstraint).collectFirst {
-        case TableLevel(colName, _) => colName
+        case TableLevel(colName, _) => unquote(colName)
       }.flatMap { colName =>
         val i = defs.indexWhere { d =>
-          d.split("\\s+").headOption.exists(_.equalsIgnoreCase(colName)) &&
+          defName(d).equalsIgnoreCase(colName) &&
             d.toUpperCase.matches("""(?s).*\bINTEGER\b.*""")
         }
         if (i >= 0) Some(i) else None
       }
     }
   }
+
+  /** The declared name of a column definition: the leading token,
+    * unquoted — quoted identifiers may contain spaces ("b c" / [b c] /
+    * `b c`), so a bare whitespace split is wrong for them.
+    */
+  private def defName(c: String): String =
+    c.headOption.flatMap(identCloser.get) match {
+      case Some(close) => c.substring(1, c.indexOf(close, 1))
+      case None        => c.split("\\s+").head
+    }
+
+  private val identCloser = Map('"' -> '"', '[' -> ']', '`' -> '`')
+
+  /** Strips one layer of identifier quoting from a standalone token. */
+  private def unquote(id: String): String =
+    id.headOption.flatMap(identCloser.get) match {
+      case Some(close) if id.length >= 2 && id.last == close =>
+        id.substring(1, id.length - 1)
+      case _ => id
+    }
 
   /** Splits a CREATE TABLE body on commas at paren depth 0 only —
     * `DECIMAL(10,2)` or `CHECK(x IN (1,2))` must not produce phantom
@@ -291,14 +319,7 @@ object SqliteSource {
     splitTopLevel(body)
       .filterNot(c => Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
         .contains(c.split("[\\s(]+").head.toUpperCase))
-      .map { c =>
-        // quoted identifiers may contain spaces: "b c" / [b c] / `b c`
-        val closer = Map('"' -> '"', '[' -> ']', '`' -> '`')
-        c.headOption.flatMap(closer.get) match {
-          case Some(close) => c.substring(1, c.indexOf(close, 1))
-          case None        => c.split("\\s+").head
-        }
-      }
+      .map(defName)
       .toSeq
   }
 

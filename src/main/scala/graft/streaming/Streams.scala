@@ -199,9 +199,9 @@ object Streams {
     *
     * Migration note: a quarantine dir written by the pre-round-15 flat
     * Append layout holds root-level part files; Spark's partition
-    * discovery refuses mixed depths, so move legacy files into a
-    * `batch_id=-1/` subdirectory once before pointing this sink at an
-    * old directory.
+    * discovery refuses mixed depths, so run
+    * [[migrateQuarantineLayout]] once before pointing this sink at an
+    * old directory — it moves the legacy files into `batch_id=-1/`.
     */
   def quarantinedSink(stream: DataFrame, quarantineDir: String,
       checkpoint: String, errorCol: String = "error")(
@@ -233,6 +233,60 @@ object Streams {
         }
       }
       .start()
+
+  /** One-time migration of a pre-round-15 FLAT quarantine dir into the
+    * `batch_id=N` partitioned layout [[quarantinedSink]] writes
+    * (round-16 verdict task 5): every root-level data file (the old
+    * layout's `Append` part files) moves into a `batch_id=-1/`
+    * subdirectory, so partition discovery sees one uniform depth and a
+    * read of `quarantineDir` returns the union — legacy rows carry
+    * batch_id −1, a value no real micro-batch can claim. Without the
+    * migration, partition discovery anchors on the leaf dirs and
+    * SILENTLY DROPS the root-level legacy rows (StreamsSpec pins it) —
+    * quiet audit-trail loss, not even a loud refusal.
+    *
+    * Idempotent: a second run (or a resume after a crash mid-move)
+    * finds fewer/no root-level files and moves only what remains.
+    * LOUD on states it cannot interpret rather than guessing: a
+    * root-level subdirectory that is not a `batch_id=*` partition
+    * (unknown layout — not this sink's dir), or a destination name
+    * collision (a `batch_id=-1` dir already holding a same-named file
+    * that ALSO still exists at root — two different writers, not a
+    * resumable half-move). Hidden files (`_SUCCESS`, `.crc` shadows)
+    * stay put; Spark readers ignore them at any depth.
+    *
+    * @return number of files moved (0 = already migrated or empty)
+    */
+  def migrateQuarantineLayout(spark: SparkSession,
+      quarantineDir: String): Int = {
+    val dir = new org.apache.hadoop.fs.Path(quarantineDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0
+    val entries = fs.listStatus(dir).toSeq
+    val visible = entries.filterNot { s =>
+      val n = s.getPath.getName
+      n.startsWith("_") || n.startsWith(".")
+    }
+    val (dirs, files) = visible.partition(_.isDirectory)
+    val alien = dirs.map(_.getPath.getName)
+      .filterNot(_.matches("batch_id=-?\\d+"))
+    require(alien.isEmpty,
+      s"$quarantineDir holds non-partition subdirectories " +
+        s"(${alien.mkString(", ")}): not a quarantine sink layout — " +
+        "refusing to migrate")
+    if (files.isEmpty) return 0
+    val legacy = new org.apache.hadoop.fs.Path(dir, "batch_id=-1")
+    if (!fs.exists(legacy)) fs.mkdirs(legacy)
+    files.foreach { f =>
+      val dst = new org.apache.hadoop.fs.Path(legacy, f.getPath.getName)
+      require(!fs.exists(dst),
+        s"migration collision: ${f.getPath} and $dst both exist — " +
+          "two writers produced same-named files; resolve manually")
+      require(fs.rename(f.getPath, dst),
+        s"failed to move ${f.getPath} to $dst")
+    }
+    files.size
+  }
 
   /** The DEFAULT streaming feature-extraction deployment (the IngestQc
     * scheduled shape): [[featureStream]] over `path`, poison files
@@ -421,10 +475,31 @@ object Streams {
             // and re-admit them — emitting eagerly produced a spurious
             // singleton the batch path chains into one session
             var deferred = List.empty[SessionEvent]
-            def flushDeferred(): Unit = {
-              deferred.foreach(e =>
-                out += SessionOut(key, e.tsMicros, e.tsMicros, 1L, e.value))
+            // retry deferred stragglers DESCENDING against a session's
+            // FINAL window (folding only lowers `start`, so admission is
+            // monotone and one descending pass reaches the fixpoint — if
+            // the largest is out of window, every smaller one is too);
+            // whatever stays outside emits as its own singleton late
+            // session (stragglers are not retro-merged with each other;
+            // the accepted streaming-lateness trade). Runs at session
+            // close AND at batch end — round-16 advice: the close path
+            // used to emit deferred as singletons unconditionally, but a
+            // same-batch fold can have LOWERED the closing session's
+            // start enough to re-admit them (gap=5, state [100,110],
+            // batch 92,96,200: 96 lowers start to 96, so 92 ≥ 96−5
+            // chains under batch order), reproducing the exact spurious
+            // overlapping-singleton class the deferral exists to fix.
+            def resolveDeferred(st0: SessionState): SessionState = {
+              var st = st0
+              deferred.sortBy(-_.tsMicros).foreach { e =>
+                if (e.tsMicros >= st.start - gapMicros)
+                  st = st.copy(start = math.min(st.start, e.tsMicros),
+                    n = st.n + 1, sum = st.sum + e.value)
+                else
+                  out += SessionOut(key, e.tsMicros, e.tsMicros, 1L, e.value)
+              }
               deferred = Nil
+              st
             }
             sorted.foreach { e =>
               cur match {
@@ -457,30 +532,23 @@ object Streams {
                 case Some(st) if e.tsMicros - st.last <= gapMicros =>
                   cur = Some(st.copy(last = e.tsMicros, n = st.n + 1, sum = st.sum + e.value))
                 case Some(st) =>
-                  // the closing session's window is final: deferred
-                  // stragglers can never reach the NEW session either
-                  // (its start exceeds last + gap), so they resolve here
-                  flushDeferred()
-                  out += SessionOut(key, st.start, st.last, st.n, st.sum)
+                  // the closing session's window is final HERE: deferred
+                  // stragglers retry against it (they can never reach
+                  // the NEW session — its start exceeds last + gap while
+                  // every deferred ts is below last), then the session
+                  // emits with whatever they folded in
+                  val fin = resolveDeferred(st)
+                  out += SessionOut(key, fin.start, fin.last, fin.n, fin.sum)
                   cur = Some(SessionState(e.tsMicros, e.tsMicros, 1L, e.value))
                 case None =>
                   cur = Some(SessionState(e.tsMicros, e.tsMicros, 1L, e.value))
               }
             }
-            // retry deferred stragglers DESCENDING once: folding only
-            // lowers `start`, so admission is monotone and one
-            // descending pass reaches the fixpoint (if the largest is
-            // out of window, every smaller one is too)
-            deferred.sortBy(-_.tsMicros).foreach { e =>
-              cur match {
-                case Some(st) if e.tsMicros >= st.start - gapMicros =>
-                  cur = Some(st.copy(start = math.min(st.start, e.tsMicros),
-                    n = st.n + 1, sum = st.sum + e.value))
-                case _ =>
-                  out += SessionOut(key, e.tsMicros, e.tsMicros, 1L, e.value)
-              }
-            }
-            deferred = Nil
+            // batch end: resolve what's still deferred against the open
+            // session (a deferral implies an open session existed, and
+            // nothing below ever sets cur back to None, so deferred
+            // nonempty ⇒ cur is Some)
+            cur = cur.map(resolveDeferred)
             cur.foreach { st =>
               state.update(st)
               // a set timeout clears whenever the function runs for the

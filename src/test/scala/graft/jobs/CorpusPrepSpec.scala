@@ -218,6 +218,73 @@ class CorpusPrepSpec extends SparkSpec {
     c1.codebook.release(); c2.codebook.release()
   }
 
+  test("compactNearDups: a fallback-recovered pass with a NONZERO delta publishes (no phantom concurrency wedge)") {
+    // round-16 advice: the deltaN==0 fast path above never reaches
+    // write(); a pass that recovers its base via the _COMPLETE fallback
+    // and then has real work compared nowRaw=None against the
+    // fallback-resolved NAME — every publishing pass after the crash
+    // aborted forever with a misleading 'concurrent compaction'
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx6").toString
+    val df = embCorpus(150)
+    val c1 = CorpusPrep.compactNearDups(df.filter($"vec_id" < 120),
+      "vec_id", "embedding", idx, tau = 0.95, k = _ => 9)
+    assert(c1.version == 1)
+    // crash inside the delete→rename publication window: LATEST gone
+    // (drop the checksum shadow too, like a real crash's torn state)
+    assert(new java.io.File(s"$idx/LATEST").delete())
+    val crc = new java.io.File(idx, ".LATEST.crc")
+    if (crc.exists()) assert(crc.delete())
+    val c2 = CorpusPrep.compactNearDups(df, "vec_id", "embedding", idx,
+      tau = 0.95, k = _ => 9)
+    assert(!c2.retrained && c2.version == 2,
+      "recovered pass must publish incrementally on the fallback base")
+    assert(c2.ledger.count() == 150)
+    // and the marker is re-materialized for the next pass
+    val latest = java.nio.file.Files.readString(
+      java.nio.file.Path.of(s"$idx/LATEST")).trim
+    assert(latest.matches("v2(-[0-9a-f]+)?"), latest)
+    c1.codebook.release(); c2.codebook.release()
+  }
+
+  test("compactNearDups: an aborted racing pass leaves no _COMPLETE dir the fallback could resurrect") {
+    // round-16 verdict task 1: _COMPLETE used to be created BEFORE the
+    // optimistic LATEST check, so an aborted racer's stale ledger could
+    // win the crash-window fallback over the published winner
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx7").toString
+    val df = embCorpus(90)
+    val winner = df.filter($"vec_id" < 60)
+    var raced = false
+    // the k callback runs between this pass's base-state load and its
+    // write — the one place a real overlapping invocation interleaves
+    val e = intercept[IllegalStateException] {
+      CorpusPrep.compactNearDups(df, "vec_id", "embedding", idx,
+        tau = 0.95, k = n => {
+          if (!raced) {
+            raced = true
+            CorpusPrep.compactNearDups(winner, "vec_id", "embedding", idx,
+              tau = 0.95, k = _ => 9).release()
+          }
+          9
+        })
+    }
+    assert(e.getMessage.contains("concurrent compaction"), e.getMessage)
+    // exactly ONE v1 state dir survives: the winner's (the aborted
+    // attempt's dir was deleted, and was never _COMPLETE-marked)
+    val v1s = new java.io.File(idx).listFiles().map(_.getName)
+      .filter(_.matches("v1(-[0-9a-f]+)?"))
+    assert(v1s.length == 1, s"v1 dirs: ${v1s.mkString(",")}")
+    assert(new java.io.File(s"$idx/${v1s.head}/_COMPLETE").exists())
+    // even with LATEST lost, the fallback resolves to the winner
+    assert(new java.io.File(s"$idx/LATEST").delete())
+    val crc = new java.io.File(idx, ".LATEST.crc")
+    if (crc.exists()) assert(crc.delete())
+    val c = CorpusPrep.compactNearDups(winner, "vec_id", "embedding", idx,
+      tau = 0.95, k = _ => 9)
+    assert(!c.retrained && c.version == 1 && c.ledger.count() == 60,
+      "fallback must resolve to the published winner's ledger")
+    c.release()
+  }
+
   test("compactNearDups: distribution drift triggers a retrain that re-covers everything") {
     val idx = java.nio.file.Files.createTempDirectory("ivfidx2").toString
     val df = embCorpus(120)

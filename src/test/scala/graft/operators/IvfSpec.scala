@@ -133,6 +133,60 @@ class IvfSpec extends SparkSpec {
     assert(rp.length == 1 && rp(0).getSeq[Int](0).isEmpty)
   }
 
+  test("train and probeCells reject non-integral ids loudly (round-16)") {
+    // the id contract was documented but unenforced: every consumer
+    // keys ledgers/search by long, where a string id casts to all-NULL
+    // silently — the compactNearDups reject class
+    val df = corpus(90)
+    val strIds = df.select(concat(lit("d"), $"vec_id").as("vec_id"),
+      $"embedding")
+    val e1 = intercept[IllegalArgumentException](cb(strIds))
+    assert(e1.getMessage.contains("integral"), e1.getMessage)
+    val book = cb(df)
+    val strQ = df.filter($"vec_id" < 5)
+      .select(concat(lit("q"), $"vec_id").as("q_id"), $"embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Ivf.probeCells(strQ, "q_id", "embedding", book, 1, nProbeFine = 3)
+    }
+    assert(e2.getMessage.contains("integral"), e2.getMessage)
+  }
+
+  test("probeCells duplicate query ids: both rows get the union-merged probe list (the documented contract)") {
+    // row-uniqueness is the caller's contract — this pins what happens
+    // when it's broken so the behavior is DEFINED, not accidental: the
+    // id-keyed regroup unions the duplicates' scored candidates and
+    // every duplicate row receives that one merged list
+    val df = corpus(240)
+    val book = cb(df)
+    val npc = math.min(2, book.coarse.length)
+    // two rows sharing id 7: one from each far-apart cluster
+    val a = df.filter($"vec_id" === 0L).select(lit(7L).as("q_id"),
+      $"embedding")
+    val b = df.filter($"vec_id" === 1L).select(lit(7L).as("q_id"),
+      $"embedding")
+    val dup = a.unionByName(b)
+    val got = Ivf.probeCells(dup, "q_id", "embedding", book, npc,
+      nProbeFine = 3).select($"probes").collect()
+    assert(got.length == 2, "each duplicate row rides back through the join")
+    assert(got(0).getSeq[Int](0) == got(1).getSeq[Int](0),
+      "duplicates share one merged probe list")
+    // the merged list is the global top-3 over BOTH rows' scored
+    // candidates — recompute it driver-side
+    val byCoarse = Ivf.collectFine(book).groupBy(_._1)
+    val merged = dup.select($"embedding",
+        Similarity.probeCells($"embedding", book.coarse, npc).as("cps"),
+        KMeans.quantize($"embedding").as("xq")).collect()
+      .flatMap { r =>
+        val xq = r.getSeq[Long](2).toArray
+        r.getSeq[Int](1).flatMap(c => byCoarse.getOrElse(c, Nil))
+          .map { case (_, cell, cvec) =>
+            (cvec.toArray.zip(xq).map { case (x, y) =>
+              val t = x - y; t * t }.sum, cell)
+          }
+      }.sorted.take(3).map(_._2).toSeq
+    assert(got(0).getSeq[Int](0) == merged, s"${got(0).getSeq[Int](0)} vs $merged")
+  }
+
   test("driftFraction: in-distribution delta ~0, shifted delta ~1, ragged delta counts far") {
     val df = corpus(240)
     val book = cb(df)

@@ -45,6 +45,26 @@ class H5SourceSpec extends SparkSpec {
     assert(vals.toSeq == Seq(5.0, 6.0, 7.0))
   }
 
+  test("continuation bounds reject when addr+len overflows Long (round-16)") {
+    // ca and cs each near 2^62 are individually positive and ca+cs
+    // wraps NEGATIVE, so the old `ca + cs <= limit` guard passed and
+    // ca.toInt silently parsed unrelated in-file bytes as messages —
+    // the exact class the bound was added to close
+    val bytes = H5Fixture.write(Seq(
+      H5Fixture.I32("rois", Array(5, 6, 7), splitHeader = true)))
+    // locate the continuation message: type 0x0010, size 16, zero flags
+    val pat = Array[Byte](0x10, 0x00, 0x10, 0x00, 0x00, 0x00, 0x00, 0x00)
+    val at = bytes.indices.indexWhere(i => i + 24 <= bytes.length &&
+      pat.indices.forall(j => bytes(i + j) == pat(j)))
+    assert(at >= 0, "continuation message not found in fixture")
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putLong(at + 8, 0x4000000000000000L + 64L)  // address
+    b.putLong(at + 16, 0x4000000000000000L)       // length
+    val e = intercept[IllegalArgumentException](H5Source.parse(bytes))
+    assert(e.getMessage.contains("continuation block"), e.getMessage)
+  }
+
   test("multi-chunk datasets reassemble correctly (2-row chunks, edge padding)") {
     val vals = Array.tabulate(5 * 3)(_.toFloat)
     val bytes = H5Fixture.write(Seq(

@@ -324,9 +324,22 @@ class SqliteSourceSpec extends SparkSpec {
       "CREATE TABLE t (n INTEGER, a TEXT, PRIMARY KEY(n))").contains(0))
     assert(SqliteSource.rowidAliasIndex(
       "CREATE TABLE t (n INTEGER, a TEXT, PRIMARY KEY(n ASC))").contains(0))
-    // the spec's exceptions: DESC keys and composite keys are NOT aliases
+    // round-16 advice: per the SQLite spec the table-level DESC form IS
+    // an alias; the sole non-alias exception is the INLINE `INTEGER
+    // PRIMARY KEY DESC` declaration — the previous round had them
+    // inverted, nulling PRIMARY KEY(col DESC) tables' keys silently
     assert(SqliteSource.rowidAliasIndex(
-      "CREATE TABLE t (n INTEGER, a TEXT, PRIMARY KEY(n DESC))").isEmpty)
+      "CREATE TABLE t (n INTEGER, a TEXT, PRIMARY KEY(n DESC))").contains(0))
+    assert(SqliteSource.rowidAliasIndex(
+      "CREATE TABLE t (a TEXT, n INTEGER PRIMARY KEY DESC)").isEmpty)
+    assert(SqliteSource.rowidAliasIndex(
+      "CREATE TABLE t (a TEXT, n INTEGER PRIMARY KEY ASC)").contains(1))
+    // quoted identifiers in both the constraint and the definition
+    assert(SqliteSource.rowidAliasIndex(
+      "CREATE TABLE t (\"n\" INTEGER, a TEXT, PRIMARY KEY(\"n\"))").contains(0))
+    assert(SqliteSource.rowidAliasIndex(
+      "CREATE TABLE t ([n] INTEGER, a TEXT, PRIMARY KEY(`n` DESC))").contains(0))
+    // composite keys are never aliases
     assert(SqliteSource.rowidAliasIndex(
       "CREATE TABLE t (n INTEGER, a TEXT, PRIMARY KEY(n, a))").isEmpty)
     // a TEXT-typed constraint key is not an alias either
@@ -338,6 +351,20 @@ class SqliteSourceSpec extends SparkSpec {
     // SQLite stores NULL in the record for a rowid-alias column; the
     // value lives in the cell's rowid varint
     val cols = Seq("roi_number" -> "INTEGER PRIMARY KEY", "class_name" -> "TEXT")
+    val rows = Seq(Seq(null, "Mesodinium"), Seq(null, "Dinophysis"))
+    val t = SqliteSource.readTable(
+      SqliteFixture.write("annotations", cols, rows), "annotations")
+    assert(t.columns == Seq("roi_number", "class_name"))
+    assert(t.rows.map(_.head) == Seq(1L, 2L))
+    assert(t.rows.map(_(1)) == Seq("Mesodinium", "Dinophysis"))
+  }
+
+  test("table-level PRIMARY KEY(col DESC) rowid alias reads back from the cell rowid (round-16)") {
+    // the DESC constraint form is STILL a rowid alias per the spec —
+    // the record stores NULL and the key lives in the rowid varint, so
+    // the pre-fix parser read these tables' keys back all-null
+    val cols = Seq("roi_number" -> "INTEGER", "class_name" -> "TEXT",
+      "PRIMARY KEY(roi_number DESC)" -> "")
     val rows = Seq(Seq(null, "Mesodinium"), Seq(null, "Dinophysis"))
     val t = SqliteSource.readTable(
       SqliteFixture.write("annotations", cols, rows), "annotations")

@@ -303,6 +303,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: a straggler re-admits into a session CLOSED in the same batch (round-16)") {
+    // round-16 advice: state {start=100, last=110}, gap=5; one batch
+    // delivers 92, 96, 200. 92 defers (92 < 100−5), 96 folds lowering
+    // start to 96, 200 closes the session — the close path used to
+    // flush 92 as a singleton even though 92 ≥ 96−5 chains it into the
+    // closing session under batch order. The close-time retry must
+    // fold it: one session (92,110,n=4), then (200,...) when closed.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.SessionEvent]
+    val q = Streams.sessionize(in.toDS(), gapMicros = 5L)
+      .writeStream.format("memory").queryName("sess_close_defer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Streams.SessionEvent(1L, 100L, 1.0),
+        Streams.SessionEvent(1L, 105L, 1.0),
+        Streams.SessionEvent(1L, 110L, 1.0))
+      q.processAllAvailable()
+      in.addData(Streams.SessionEvent(1L, 92L, 1.0),
+        Streams.SessionEvent(1L, 96L, 1.0),
+        Streams.SessionEvent(1L, 200L, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_close_defer").as[Streams.SessionOut]
+        .collect().map(s => (s.startMicros, s.endMicros, s.n)).toSet
+      assert(got == Set((92L, 110L, 5L)), s"got $got")
+      // a straggler genuinely outside the closing window still emits as
+      // its own singleton: state {start=200,last=200}, batch 150, 300 —
+      // 150 < 200−5 defers, 300 closes, 150 stays out
+      in.addData(Streams.SessionEvent(1L, 150L, 1.0),
+        Streams.SessionEvent(1L, 300L, 1.0))
+      q.processAllAvailable()
+      val late = spark.table("sess_close_defer").as[Streams.SessionOut]
+        .collect().map(s => (s.startMicros, s.endMicros, s.n)).toSet
+      assert(late.contains((150L, 150L, 1L)) && late.contains((200L, 200L, 1L)),
+        s"got $late")
+    } finally q.stop()
+  }
+
   test("sessionize idle timeout closes a silent key's session without any flush event") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streams.SessionEvent]
@@ -593,6 +630,51 @@ class StreamsSpec extends SparkSpec {
     assert(feats2.count() == 2)
     assert(feats2.select("roi_id").as[String].collect().toSet == Set("11", "12"))
     assert(spark.read.option("header", "true").csv(quarDir.toString).count() == 1)
+  }
+
+  test("migrateQuarantineLayout moves legacy flat files to batch_id=-1 and the union reads back (round-16)") {
+    val quarDir = java.nio.file.Files.createTempDirectory("featm-dead")
+      .resolve("quarantine")
+    // a legacy (pre-round-15 flat Append) dir: headered part files at
+    // the ROOT, plus the _SUCCESS marker such writes leave behind
+    java.nio.file.Files.createDirectories(quarDir)
+    java.nio.file.Files.writeString(quarDir.resolve("part-00000.csv"),
+      "path,error\n/in/old_1.png,legacy decode failure\n")
+    java.nio.file.Files.writeString(quarDir.resolve("part-00001.csv"),
+      "path,error\n/in/old_2.png,legacy truncated header\n")
+    java.nio.file.Files.writeString(quarDir.resolve("_SUCCESS"), "")
+    // ...that a new-layout deployment has ALSO written one batch into
+    java.nio.file.Files.createDirectories(quarDir.resolve("batch_id=3"))
+    java.nio.file.Files.writeString(
+      quarDir.resolve("batch_id=3").resolve("part-00000.csv"),
+      "path,error\n/in/new_9.png,new-layout poison\n")
+    // pre-migration, partition discovery silently DROPS the root-level
+    // legacy files (it anchors on the leaf dirs) — a reader sees only
+    // the new-layout rows, which is silent audit-trail loss, worse
+    // than a refusal
+    val pre = spark.read.option("header", "true").csv(quarDir.toString)
+      .select($"path").as[String].collect().toSet
+    assert(pre == Set("/in/new_9.png"), pre.toString)
+    assert(Streams.migrateQuarantineLayout(spark, quarDir.toString) == 2)
+    val rows = spark.read.option("header", "true").csv(quarDir.toString)
+      .select($"path", $"batch_id".cast("long")).as[(String, Long)]
+      .collect().toSet
+    assert(rows == Set(("/in/old_1.png", -1L), ("/in/old_2.png", -1L),
+      ("/in/new_9.png", 3L)), rows.toString)
+    // idempotent: a second run finds nothing at the root
+    assert(Streams.migrateQuarantineLayout(spark, quarDir.toString) == 0)
+    // loud on a layout it cannot interpret (non-partition subdir)
+    val junk = java.nio.file.Files.createTempDirectory("featm-junk")
+      .resolve("quarantine")
+    java.nio.file.Files.createDirectories(junk.resolve("year=2024"))
+    java.nio.file.Files.writeString(junk.resolve("part-00000.csv"), "x\n")
+    val e = intercept[IllegalArgumentException] {
+      Streams.migrateQuarantineLayout(spark, junk.toString)
+    }
+    assert(e.getMessage.contains("refusing to migrate"), e.getMessage)
+    // a missing dir is a no-op, not an error
+    assert(Streams.migrateQuarantineLayout(
+      spark, junk.resolveSibling("absent").toString) == 0)
   }
 
   test("quarantine append is exactly-once: a batch replayed after a pre-commit crash does not duplicate (round-15)") {
