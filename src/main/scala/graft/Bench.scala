@@ -395,6 +395,13 @@ object Bench {
         }.mkString("{", ",", "}")
         s""""readjudicated":$m,"""
       }
+    // the parsed table sum rides in the contract line (round-16 verdict
+    // task 6: BASELINE.md's prose once drifted 4% from its rows — every
+    // future total-vs-freeze ratio gets its denominator from the same
+    // parse the per-query diffs use, unambiguous and self-updating)
+    val baseSumStr =
+      if (baseline.isEmpty) ""
+      else s""""baseline_table_sum":${fmt(baseline.values.sum)},"""
     def contract(q: String) =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""calib_before_ms":${fmt(calibBefore)},""" +
@@ -402,6 +409,7 @@ object Bench {
         s""""calib_par_before_ms":${fmt(calibParBefore)},""" +
         s""""calib_par_after_ms":${fmt(calibParAfter)},""" +
         s""""steal_pct":${fmt(stealPct)},""" +
+        baseSumStr +
         readjStr +
         s""""queries":$q,"sf":"$sfName"}"""
     // if the full-name line ever outgrows the window, fall back to the

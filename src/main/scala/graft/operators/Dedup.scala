@@ -395,29 +395,94 @@ object Dedup {
     */
   def semDedup(
       embs: DataFrame, id: String, vec: String,
-      centroids: Array[Array[Double]], tau: Double): DataFrame = {
-    // persist the assigned frame while the PAIR stage materializes: the
-    // self-join's x and y sides otherwise each run the nearest-centroid
-    // kernel — the operator's dominant O(n·√k·d) cost (round-14
-    // review). The small dropped-id dim localCheckpoints (pair work
-    // never re-runs), the cache releases in finally (a bare persist
-    // leaked one cached frame per invocation for the session's life),
-    // and the RETURNED frame keeps its live join plan — the q91
-    // plan-shape pin must still see the cell-keyed equi join — at the
-    // cost of one kernel re-evaluation at the caller's action.
-    val cells = embs.withColumn(
-      "__cell", Similarity.cellAssign(col(vec), centroids))
-    val cached = cells.persist()
+      centroids: Array[Array[Double]], tau: Double): DataFrame =
+    semDedupAssigned(
+      embs.withColumn("__cell", Similarity.cellAssign(col(vec), centroids)),
+      id, vec, tau, cellCol = "__cell")
+
+  /** The SemDeDup drop policy over a PRE-ASSIGNED frame — the half of
+    * [[semDedup]] that is independent of HOW cells were assigned (flat
+    * plan-literal [[Similarity.cellAssign]], hierarchical
+    * [[Ivf.assign]], or a loaded index): a row is dropped iff some
+    * smaller-id member of the same cell is `tau`-cosine-close;
+    * NULL-cell rows (possible under [[Ivf.assign]]'s corrupt-to-NULL
+    * contract) are kept — visible, never silently binned. Returns one
+    * (id, cell, dropped) row per input.
+    *
+    * Lifecycle: persist the assigned frame while the PAIR stage
+    * materializes — the self-join's x and y sides otherwise each
+    * re-run the assignment kernel, the operator's dominant cost
+    * (round-14 review). The small dropped-id dim localCheckpoints
+    * (pair work never re-runs), the cache releases in finally (a bare
+    * persist leaked one cached frame per invocation for the session's
+    * life), and the RETURNED frame keeps its live join plan — the q91
+    * plan-shape pin must still see the cell-keyed equi join — at the
+    * cost of one kernel re-evaluation at the caller's action.
+    */
+  def semDedupAssigned(assigned: DataFrame, id: String, vec: String,
+      tau: Double, cellCol: String = "cell"): DataFrame = {
+    val cached = assigned.persist()
     try {
-      val dropped = embeddingNearDupPairs(cached, id, vec, tau, Some("__cell"))
+      val dropped = embeddingNearDupPairs(
+          cached.filter(col(cellCol).isNotNull), id, vec, tau, Some(cellCol))
         .select(col("id_b").as("__did")).distinct()
         .localCheckpoint()
-      cells.join(dropped, col(id) === col("__did"), "left")
-        .select(col(id), col("__cell").as("cell"),
+      assigned.join(dropped, col(id) === col("__did"), "left")
+        .select(col(id), col(cellCol).as("cell"),
           col("__did").isNotNull.as("dropped"))
     } finally {
       cached.unpersist()
       ()
+    }
+  }
+
+  /** [[semDedup]] with the k-threshold codebook switch (round-16
+    * verdict task 3, the [[dupClusters]] driver→distributed precedent):
+    * at or below `flatMaxK` the flat sampled trainer runs
+    * ([[Similarity.trainKmeansCentroids]] — centroids become plan
+    * literals, assignment is map-side with zero joins, the right shape
+    * while k is small); above it the two-level codebook
+    * ([[Ivf.train]]/[[Ivf.assign]]) takes over, because the flat
+    * trainer's O(pool·k·d) driver seeding and its k·d-byte plan literal
+    * both grow linearly in k — at SemDeDup's corpus-scaled k = n/250 a
+    * 1e9-doc corpus makes them a multi-GB driver/plan term, the exact
+    * residual the hierarchical module exists to remove. The default
+    * threshold sits at the MEASURED end-to-end crossover
+    * ([[graft.BenchSemDedup]] at sf1, BENCH_SCALING.md round-16: flat
+    * wins 2.5× at k=80 and 1.5× at k=320; hierarchical wins 1.7× by
+    * k=1280 — 512 lies between, below the point where the flat plan
+    * literal even reaches a megabyte), so small-k corpora keep the
+    * faster flat shape and corpus-scaled deployments get the
+    * bounded-driver path exactly when it starts paying for itself.
+    *
+    * Hierarchical-branch lifecycle: the per-row (id, cell) assignment
+    * is eagerly localCheckpointed — two narrow columns — so the trained
+    * codebook's cache can release before returning; vectors rejoin by
+    * id for the pair stage (one corpus-sized hash join, the price of a
+    * returned frame that never re-touches the codebook). `id` must be
+    * integral and row-unique ([[Ivf.train]]'s enforced contract). For
+    * a DURABLE repeatedly-maintained index at deployment scale, prefer
+    * [[graft.jobs.CorpusPrep.compactNearDups]] — this is the one-shot
+    * form.
+    */
+  def semDedupScaled(
+      embs: DataFrame, id: String, vec: String,
+      k: Int, tau: Double, flatMaxK: Int = 512): DataFrame = {
+    require(flatMaxK >= 0, s"flatMaxK must be >= 0: $flatMaxK")
+    if (k <= flatMaxK)
+      semDedup(embs, id, vec,
+        Similarity.trainKmeansCentroids(embs, vec, k, idCol = Some(id)), tau)
+    else {
+      val cb = Ivf.train(embs, vec, id, k)
+      try {
+        val assigned = Ivf
+          .assign(embs.select(col(id), col(vec)), vec, cb, "cell")
+          .select(col(id), col("cell"))
+          .localCheckpoint(true)
+        semDedupAssigned(
+          assigned.join(embs.select(col(id), col(vec)), Seq(id)),
+          id, vec, tau)
+      } finally cb.release()
     }
   }
 }

@@ -167,6 +167,37 @@ object TrainingData {
       e, "embedding", scaledK(e.count()), idCol = Some("vec_id"))
   })
 
+  /** The [[Dedup.semDedupScaled]] flat→hierarchical threshold, mirrored
+    * here for [[dedupModel]] (the query layer memoizes its training, so
+    * it applies the switch itself rather than calling the
+    * train-inside operator twice per session). 512 = the measured
+    * end-to-end crossover ([[graft.BenchSemDedup]], BENCH_SCALING.md
+    * round-16).
+    */
+  private val FlatMaxK = 512
+
+  /** k-threshold-switched cell model for the SemDeDup query family
+    * (round-16 verdict task 3, the [[Dedup.semDedupScaled]] switch at
+    * the query layer): at bench-SF k ([[scaledK]] = 8 everywhere up to
+    * sf0.1, 80 at sf1) the FLAT sampled centroids train — identical to
+    * the pre-switch behavior AND the measured-faster branch at those k
+    * — and past [[FlatMaxK]] (sf10's k=800 onward) the two-level
+    * codebook takes over, removing the flat trainer's O(pool·k·d)
+    * driver seeding and k·d plan literal at corpus-scaled k. Both
+    * branches are deterministic, so oracleDyn re-derives the identical
+    * model at render time.
+    */
+  private sealed trait CellModel
+  private final case class FlatCells(cents: Array[Array[Double]])
+    extends CellModel
+  private final case class IvfCells(cb: Ivf.Codebook) extends CellModel
+  private val dedupModel = new GraftQuery.SessionMemo[CellModel]({ (s, d) =>
+    val e = embeddings(s, d)
+    val k = scaledK(e.count())
+    if (k <= FlatMaxK) FlatCells(dedupCents(s, d))
+    else IvfCells(Ivf.train(e, "embedding", "vec_id", k))
+  })
+
   /** Embedding-cosine near-dup within (label × trained-cell) blocks —
     * [[Dedup.embeddingNearDupPairs]] with the candidate space bounded
     * the way every dedup path here is: label alone is a FIXED-cardinality
@@ -849,40 +880,31 @@ object TrainingData {
     * row. Output is the per-cell attrition ledger a corpus-prep run
     * would log: population, drops, first kept/dropped ids.
     */
-  private val q91 = {
-    // K scales with the corpus ([[scaledK]]): the paper's recipe, and
-    // the fix for the quadratic within-cell pair growth a fixed K=8
-    // showed at the sf1 decade (14.6× per 10× of data, round 13)
-    val TAU = 0.4 // fires at every test SF (intra-cell pairs at K=8-grain)
-    def cents(s: SparkSession, d: String): Array[Array[Double]] =
-      dedupCents(s, d)
-    def rollup(sd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      import sd.sparkSession.implicits._
-      sd.groupBy($"cell".cast("int").as("cell"))
-        .agg(count(lit(1)).as("n"),
-          // count-of-when, not sum: DuckDB SUM(int) widens to HUGEINT
-          count(when($"dropped", lit(1))).as("n_dropped"),
-          min(when(!$"dropped", $"vec_id")).as("first_kept"),
-          min(when($"dropped", $"vec_id")).as("first_dropped"))
-        .orderBy($"cell")
-    }
-    GraftQuery(
-      "q91_semdedup",
-      (s, d) => rollup(
-        Dedup.semDedup(embeddings(s, d), "vec_id", "embedding", cents(s, d), TAU)),
-      oracleDyn = Some { (s, d) =>
-        val cs = cents(s, d)
-        s"""
-      WITH c AS (
-        SELECT vec_id, embedding,
-               CAST(${Similarity.cellAssignSql("embedding", cs)} AS INTEGER) AS cell
-        FROM embeddings),
-      d AS (
+  /** q91/q104's per-cell attrition rollup over a (vec_id, cell,
+    * dropped) ledger — one Column-side definition for both queries.
+    */
+  private def semDedupRollup(
+      sd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import sd.sparkSession.implicits._
+    sd.groupBy($"cell".cast("int").as("cell"))
+      .agg(count(lit(1)).as("n"),
+        // count-of-when, not sum: DuckDB SUM(int) widens to HUGEINT
+        count(when($"dropped", lit(1))).as("n_dropped"),
+        min(when(!$"dropped", $"vec_id")).as("first_kept"),
+        min(when($"dropped", $"vec_id")).as("first_dropped"))
+      .orderBy($"cell")
+  }
+
+  /** The drop-policy + rollup SQL tail shared by every semDedup oracle:
+    * expects a `c(vec_id, cell, embedding)` CTE already in scope.
+    */
+  private def semDedupTailSql(tau: Double): String =
+    s"""d AS (
         SELECT DISTINCT y.vec_id AS did
         FROM c x JOIN c y ON x.cell = y.cell AND x.vec_id < y.vec_id
         WHERE ${Similarity.nonZeroNormSql("x.embedding")}
           AND ${Similarity.nonZeroNormSql("y.embedding")}
-          AND ${Similarity.cosineSql("x.embedding", "y.embedding")} >= $TAU),
+          AND ${Similarity.cosineSql("x.embedding", "y.embedding")} >= $tau),
       f AS (
         SELECT c.vec_id, c.cell, d.did IS NOT NULL AS dropped
         FROM c LEFT JOIN d ON c.vec_id = d.did)
@@ -893,6 +915,55 @@ object TrainingData {
       FROM f
       GROUP BY 1
       ORDER BY 1"""
+
+  /** Hierarchical semDedup oracle body over a trained two-level
+    * codebook: the q101 assignment CTEs feed the shared drop-policy
+    * tail. Used by q104 at every bench SF and by q91 when [[dedupModel]]
+    * resolves hierarchical (past [[FlatMaxK]]).
+    */
+  private def semDedupIvfSql(cb: Ivf.Codebook, tau: Double): String =
+    s"""
+      WITH ${Ivf.codebookCteSql("cb", Ivf.collectFine(cb))},
+      ${ivfAssignCtesSql(cb.coarse, cb.dims, "")},
+      c AS (
+        SELECT a.vec_id, a.cell, e0.embedding
+        FROM embeddings e0 JOIN a USING (vec_id)),
+      ${semDedupTailSql(tau)}"""
+
+  private val SemDedupTau = 0.4 // fires at every test SF (K=8-grain cells)
+
+  private val q91 = {
+    // K scales with the corpus ([[scaledK]]): the paper's recipe, and
+    // the fix for the quadratic within-cell pair growth a fixed K=8
+    // showed at the sf1 decade (14.6× per 10× of data, round 13).
+    // Round-16: the cell model switches flat→two-level past FlatMaxK
+    // ([[dedupModel]]) — identical to before at bench SFs and sf1
+    // (k=8/80, flat — the measured-faster branch there), hierarchical
+    // from sf10's k=800 on. The hierarchical branch is oracle-proved
+    // at bench SFs by q104, which forces it.
+    GraftQuery(
+      "q91_semdedup",
+      (s, d) => semDedupRollup(dedupModel(s, d) match {
+        case FlatCells(cs) =>
+          Dedup.semDedup(embeddings(s, d), "vec_id", "embedding", cs,
+            SemDedupTau)
+        case IvfCells(cb) =>
+          Dedup.semDedupAssigned(
+            Ivf.assign(embeddings(s, d), "embedding", cb)
+              .filter(col("cell").isNotNull),
+            "vec_id", "embedding", SemDedupTau)
+      }),
+      oracleDyn = Some { (s, d) =>
+        dedupModel(s, d) match {
+          case FlatCells(cs) =>
+            s"""
+      WITH c AS (
+        SELECT vec_id, embedding,
+               CAST(${Similarity.cellAssignSql("embedding", cs)} AS INTEGER) AS cell
+        FROM embeddings),
+      ${semDedupTailSql(SemDedupTau)}"""
+          case IvfCells(cb) => semDedupIvfSql(cb, SemDedupTau)
+        }
       })
   }
 
@@ -1239,7 +1310,32 @@ object TrainingData {
       })
   }
 
+  /** SemDeDup over HIERARCHICAL cells (round-16 verdict task 3): the
+    * two-level-codebook branch of the [[dedupModel]] switch, forced at
+    * bench SFs (where q91 legitimately resolves flat) so the branch
+    * that runs at corpus-scaled k ≥ [[FlatMaxK]] carries its own green
+    * oracle row. Reuses q101's session codebook — [[Ivf.assign]] cells
+    * replace the flat plan-literal assignment, then the identical
+    * drop-policy + attrition rollup as q91; the oracle re-renders the
+    * trained codebook as BIGINT literals (the q101 machinery) and
+    * recomputes assignment, drops, and rollup from scratch. NULL-cell
+    * rows are excluded on both engines (Spark filter ≡ the assign CTE's
+    * inner join).
+    */
+  private val q104 = GraftQuery(
+    "q104_semdedup_hierarchical",
+    (s, d) => {
+      val cb = ivfCodebook(s, d)
+      semDedupRollup(Dedup.semDedupAssigned(
+        Ivf.assign(embeddings(s, d), "embedding", cb)
+          .filter(col("cell").isNotNull),
+        "vec_id", "embedding", SemDedupTau))
+    },
+    oracleDyn = Some { (s, d) =>
+      semDedupIvfSql(ivfCodebook(s, d), SemDedupTau)
+    })
+
   val all: Seq[GraftQuery] = Seq(
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q72,
-    q75, q79, q80, q81, q84, q89, q91, q95, q99, q100, q101, q102, q103)
+    q75, q79, q80, q81, q84, q89, q91, q95, q99, q100, q101, q102, q103, q104)
 }

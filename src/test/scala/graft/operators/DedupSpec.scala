@@ -132,6 +132,66 @@ class DedupSpec extends SparkSpec {
     assert(r(4L) == ((1, false)) && r(5L) == ((1, true)))
   }
 
+  test("semDedupScaled: flat branch equals semDedup with the same trainer; hierarchical branch matches a driver recompute (round-16)") {
+    // 3 well-separated clusters, deterministic jitter (the IvfSpec shape)
+    var s = 7L
+    def rnd(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val centers = Array(
+      Array.fill(8)(0.0f), Array.fill(8)(5.0f), Array.fill(8)(-5.0f))
+    val e = (0 until 210).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + rnd().toFloat * 0.8f))
+    }.toDF("vec_id", "embedding")
+    val K = 9
+    val TAU = 0.97
+
+    // below the threshold: byte-identical to training flat + semDedup
+    val flat = Dedup.semDedup(e, "vec_id", "embedding",
+      Similarity.trainKmeansCentroids(e, "embedding", K, idCol = Some("vec_id")),
+      TAU).collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    val viaSwitch = Dedup.semDedupScaled(e, "vec_id", "embedding", K, TAU,
+        flatMaxK = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(viaSwitch == flat)
+
+    // above the threshold (forced with flatMaxK=0): one row per input,
+    // and the drop policy over ITS cells matches a driver-side
+    // recompute — dropped iff a smaller-id same-cell member is tau-close
+    val hier = Dedup.semDedupScaled(e, "vec_id", "embedding", K, TAU,
+        flatMaxK = 0)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)), r.getBoolean(2)))
+    assert(hier.length == 210)
+    val vecs = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      dot / math.sqrt(na) / math.sqrt(nb)
+    }
+    val byCell = hier.filter(_._2.isDefined).groupBy(_._2.get)
+    hier.foreach { case (id, cellOpt, dropped) =>
+      val expect = cellOpt.exists { c =>
+        byCell(c).exists { case (oid, _, _) =>
+          oid < id && cos(vecs(oid), vecs(id)) >= TAU
+        }
+      }
+      assert(dropped == expect, s"vec $id cell $cellOpt: $dropped vs $expect")
+    }
+    assert(hier.exists(_._3), "no drops fired — tau vacuous for the fixture")
+    // the switch genuinely went hierarchical: >1 coarse cell behind the
+    // global ids means cells exceed the flat trainer's reach only if
+    // distinct cells appear — weak but cheap sanity
+    assert(byCell.size > 1)
+  }
+
   test("full-corpus Lloyd training is drop-in for semDedup; recall and balance vs sampled") {
     // synthetic clustered corpus: 8 well-separated direction-clusters in
     // 8 dims, 40 points each, plus one tau-close near-dup planted per

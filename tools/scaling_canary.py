@@ -49,7 +49,12 @@ FAMILIES = {
     # from sf0.1 with REPL=100 — see gen_sf1.py on why chaining the
     # generator is unsound). Excluded from the "all" default: ~25 min of
     # exclusive bench on top of the sf10 generation; run it explicitly.
-    "compose10": ("q52,q73,q75,q90,q95", "sf1", "sf10"),
+    # three-POINT chain (round-16 verdict task 4): sf0.1 anchors a
+    # second decade so scaling_trend.py can flag a query DRIFTING
+    # toward the line across decades (q52 9.99 / q95 9.63 at sf1->sf10
+    # read legal in isolation; the trend distinguishes their
+    # linear-by-construction growth from genuine acceleration)
+    "compose10": ("q52,q73,q75,q90,q95", "sf0.1", "sf1", "sf10"),
 }
 
 
@@ -142,7 +147,7 @@ def main():
             if args.family == "all" else [args.family])
     if any("sf1" in FAMILIES[f][1:] for f in fams):
         ensure_sf1(args.sf1_dir)
-    if any(FAMILIES[f][2] == "sf10" for f in fams):
+    if any("sf10" in FAMILIES[f][1:] for f in fams):
         ensure_sf1(args.sf10_dir, repl=100)
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -155,26 +160,44 @@ def main():
 
     failures = []
     for fam in fams:
-        only, small, big = FAMILIES[fam]
-        small_out = os.path.join(args.out_dir, f"{fam}_{small}.json")
-        big_out = os.path.join(args.out_dir, f"{fam}_{big}.json")
-        run_bench(sf_path(small), only, small_out)
-        run_bench(sf_path(big), only, big_out)
-        print(f"\n## {fam}: {small} -> {big}")
-        rep = subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools", "scaling_report.py"),
-             small_out, big_out, small, big],
-            capture_output=True, text=True)
-        sys.stdout.write(rep.stdout)
-        sys.stderr.write(rep.stderr)
-        if rep.returncode != 0:
-            failures.append((fam, "report failed"))
-        elif "SUPER-LINEAR" in rep.stdout:
-            failures.append((fam, "super-linear queries flagged"))
+        only, sfs = FAMILIES[fam][0], FAMILIES[fam][1:]
+        outs = []
+        for sf in sfs:
+            out = os.path.join(args.out_dir, f"{fam}_{sf}.json")
+            run_bench(sf_path(sf), only, out)
+            outs.append(out)
+        # per-decade reports (the single-decade ratio + flag tables)
+        for small_out, big_out, small, big in zip(
+                outs, outs[1:], sfs, sfs[1:]):
+            print(f"\n## {fam}: {small} -> {big}")
+            rep = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "tools", "scaling_report.py"),
+                 small_out, big_out, small, big],
+                capture_output=True, text=True)
+            sys.stdout.write(rep.stdout)
+            sys.stderr.write(rep.stderr)
+            if rep.returncode != 0:
+                failures.append((fam, "report failed"))
+            elif "SUPER-LINEAR" in rep.stdout:
+                failures.append((fam, "super-linear queries flagged"))
+        # cross-decade TREND (round-16 verdict task 4): a ratio rising
+        # decade-over-decade flags as DRIFT unless the query is
+        # annotated linear-by-construction (q52/q95)
+        if len(outs) >= 3:
+            print(f"\n## {fam}: trend across {' -> '.join(sfs)}")
+            rep = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "tools", "scaling_trend.py"), *outs],
+                capture_output=True, text=True)
+            sys.stdout.write(rep.stdout)
+            sys.stderr.write(rep.stderr)
+            if rep.returncode != 0:
+                failures.append((fam, "trend check failed"))
 
     if failures:
         raise SystemExit(f"CANARY FAILED: {failures}")
-    print("\nCANARY OK: zero super-linear queries")
+    print("\nCANARY OK: zero super-linear queries, no unannotated drift")
 
 
 if __name__ == "__main__":

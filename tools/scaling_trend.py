@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Multi-decade scaling TREND check (round-16 verdict task 4).
+
+scaling_report.py reads ONE decade and flags ratio > 10; a query can
+drift toward the line across decades while every single decade stays
+under it (round-15 measured q52 at 9.99 and q95 at 9.63 for sf1->sf10
+— legal, but a judge should not have to re-derive whether that is
+expected). This tool reads THREE OR MORE graft.Bench outputs captured
+at consecutive decades in one exclusive session and flags, per query:
+
+  SUPER-LINEAR  any single decade's ratio > 10 (scaling_report's rule)
+  AT-THE-LINE   the LAST decade's ratio >= AT_LINE (9.0)
+
+A RISING ratio across decades is NOT drift by itself: any query with
+fixed overhead c and linear term a*n reads (c + 10an)/(c + an), which
+climbs toward 10 as n grows — the approach to the linear asymptote is
+the expected shape. What needs an explanation is sitting AT the line:
+queries in LINEAR_BY_CONSTRUCTION are expected there (their
+candidate/edge counts grow linearly with the data BY DATASET
+CONSTRUCTION — see gen_sf1.py's per-replica word-tagging/orthogonal
+transforms) and print their annotation as "at the line (expected)";
+an UNANNOTATED query at the line fails as DRIFT — either it is a real
+regression one decade from super-linear, or it earned an annotation a
+human should write down. SUPER-LINEAR still fails even for annotated
+rows: construction bounds them AT the line, never above it.
+
+Usage: scaling_trend.py bench_sfA.json bench_sfB.json bench_sfC.json...
+       (increasing SFs, one decade apart; labels default to file stems)
+"""
+import os
+import sys
+
+from scaling_report import load
+
+AT_LINE = 9.0
+
+LINEAR_BY_CONSTRUCTION = {
+    "q52_dedup_clusters": (
+        "edge count linear by data construction; crosses the 2^20-edge "
+        "CC driver->distributed switch near sf10 (pays the distributed "
+        "constant once)"),
+    "q75_dedup_clusters_distributed": (
+        "edge count linear by data construction; deliberate "
+        "full-convergence distributed CC (high per-round variance)"),
+    "q95_corpus_prep_ledger": (
+        "LSH-candidate + CC ledger; candidate pairs linear by data "
+        "construction (per-replica shingle tagging)"),
+}
+
+
+def main(paths):
+    runs = []
+    for p in paths:
+        times, calib = load(p)
+        label = os.path.basename(p).rsplit(".", 1)[0]
+        runs.append((label, times, calib))
+    shared = sorted(set.intersection(*(set(t) for _, t, _ in runs)))
+    if not shared:
+        raise SystemExit("no query names shared across all runs")
+
+    decades = [(runs[i][0], runs[i + 1][0]) for i in range(len(runs) - 1)]
+    hdr = " | ".join(f"{a}->{b}" for a, b in decades)
+    print(f"| query | {hdr} | trend | note |")
+    print("|---|" + "---|" * (len(decades) + 2))
+    failures = []
+    for q in shared:
+        ratios = []
+        for i in range(len(runs) - 1):
+            s, b = runs[i][1][q], runs[i + 1][1][q]
+            ratios.append(b / s if s > 0 else float("inf"))
+        note = LINEAR_BY_CONSTRUCTION.get(q, "")
+        trend = ""
+        if any(r > 10 for r in ratios):
+            trend = "SUPER-LINEAR"
+            failures.append((q, "super-linear"))
+        elif ratios[-1] >= AT_LINE:
+            if note:
+                trend = "at the line (expected)"
+            else:
+                trend = "DRIFT"
+                failures.append((q, "at the line, unannotated"))
+        cells = " | ".join(f"{r:.2f}" for r in ratios)
+        print(f"| {q} | {cells} | {trend} | {note} |")
+
+    for label, _, calib in runs:
+        print(f"calib {label}: {calib}")
+    if failures:
+        raise SystemExit(f"TREND FAILED: {failures}")
+    print("trend OK: no super-linear or unannotated rising queries")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 4:
+        raise SystemExit(__doc__.strip().splitlines()[-2].strip())
+    main(sys.argv[1:])
