@@ -475,13 +475,16 @@ object Dedup {
     else {
       val cb = Ivf.train(embs, vec, id, k)
       try {
+        // reserved out name: assigning straight into "cell" would
+        // silently REPLACE an id/vec column that happens to carry that
+        // name (withColumn overwrites), not error
         val assigned = Ivf
-          .assign(embs.select(col(id), col(vec)), vec, cb, "cell")
-          .select(col(id), col("cell"))
+          .assign(embs.select(col(id), col(vec)), vec, cb, "__sdh_cell")
+          .select(col(id), col("__sdh_cell"))
           .localCheckpoint(true)
         semDedupAssigned(
           assigned.join(embs.select(col(id), col(vec)), Seq(id)),
-          id, vec, tau)
+          id, vec, tau, cellCol = "__sdh_cell")
       } finally cb.release()
     }
   }

@@ -30,22 +30,10 @@ Usage: scaling_trend.py bench_sfA.json bench_sfB.json bench_sfC.json...
 import os
 import sys
 
+from scaling_notes import CONTROLS, LINEAR_BY_CONSTRUCTION
 from scaling_report import load
 
 AT_LINE = 9.0
-
-LINEAR_BY_CONSTRUCTION = {
-    "q52_dedup_clusters": (
-        "edge count linear by data construction; crosses the 2^20-edge "
-        "CC driver->distributed switch near sf10 (pays the distributed "
-        "constant once)"),
-    "q75_dedup_clusters_distributed": (
-        "edge count linear by data construction; deliberate "
-        "full-convergence distributed CC (high per-round variance)"),
-    "q95_corpus_prep_ledger": (
-        "LSH-candidate + CC ledger; candidate pairs linear by data "
-        "construction (per-replica shingle tagging)"),
-}
 
 
 def main(paths):
@@ -62,17 +50,30 @@ def main(paths):
     hdr = " | ".join(f"{a}->{b}" for a, b in decades)
     print(f"| query | {hdr} | trend | note |")
     print("|---|" + "---|" * (len(decades) + 2))
-    failures = []
-    for q in shared:
-        ratios = []
+    def decade_ratios(q):
+        out = []
         for i in range(len(runs) - 1):
             s, b = runs[i][1][q], runs[i + 1][1][q]
-            ratios.append(b / s if s > 0 else float("inf"))
+            out.append(b / s if s > 0 else float("inf"))
+        return out
+
+    failures = []
+    for q in shared:
+        ratios = decade_ratios(q)
         note = LINEAR_BY_CONSTRUCTION.get(q, "")
         trend = ""
         if any(r > 10 for r in ratios):
-            trend = "SUPER-LINEAR"
-            failures.append((q, "super-linear"))
+            # a documented path-switch query is exonerated iff its
+            # control (same algorithm forced onto the big-data path at
+            # both ends) reads linear over the same decades
+            ctrl = CONTROLS.get(q)
+            if (ctrl and ctrl in runs[0][1]
+                    and all(r <= 10 for r in decade_ratios(ctrl))):
+                trend = (f"PATH-SWITCH (control {ctrl} at "
+                         f"{max(decade_ratios(ctrl)):.2f})")
+            else:
+                trend = "SUPER-LINEAR"
+                failures.append((q, "super-linear"))
         elif ratios[-1] >= AT_LINE:
             if note:
                 trend = "at the line (expected)"
