@@ -58,16 +58,29 @@ object TrainingData {
     * copies of the band-key packing — which must also track
     * [[Dedup.minhashLshPairs]] — could drift independently.
     */
-  private def minhashBandCandSql: String = {
+  private def minhashBandCandSql(cap: Option[Int] = None): String = {
     val bands = (0 until 4).map { b =>
       s"SELECT doc_id, $b AS band, ${Hashing.minhashSql("th", 2 * b)} * ${Hashing.MinP} + " +
         s"${Hashing.minhashSql("th", 2 * b + 1)} AS key FROM base"
     }.mkString("\n        UNION ALL ")
+    // the capped form mirrors Dedup.capBuckets exactly: buckets holding
+    // MORE than `cap` members drop from candidate generation (hot via
+    // HAVING > cap, kept via NOT EXISTS ≡ the Spark left_anti)
+    val src = if (cap.isDefined) "kept" else "banded"
+    val extraCtes = cap.fold("") { c =>
+      s"""hot AS (
+        SELECT band, key FROM banded GROUP BY band, key HAVING COUNT(*) > $c),
+      kept AS (
+        SELECT b.doc_id, b.band, b.key FROM banded b
+        WHERE NOT EXISTS (
+          SELECT 1 FROM hot h WHERE h.band = b.band AND h.key = b.key)),
+      """
+    }
     s"""banded AS (
         $bands),
-      cand AS (
+      ${extraCtes}cand AS (
         SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        FROM banded x JOIN banded y
+        FROM $src x JOIN $src y
           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)"""
   }
 
@@ -85,7 +98,7 @@ object TrainingData {
     Some {
       s"""
       WITH ${shingleBaseSql()},
-      $minhashBandCandSql
+      ${minhashBandCandSql()}
       SELECT id_a, id_b, ROUND(${jaccardSql("xa.sh", "xb.sh")}, 4) AS jaccard
       FROM cand
       JOIN base xa ON id_a = xa.doc_id
@@ -426,9 +439,10 @@ object TrainingData {
     * `WITH RECURSIVE`; shared by q52/q75 (src = documents) and the q95
     * CorpusPrep ledger (src = its exact-dedup CTE).
     */
-  private def lshLabelChainSql(src: String): String = {
+  private def lshLabelChainSql(src: String,
+      cap: Option[Int] = None): String = {
     s"""${shingleBaseSql(src)},
-      $minhashBandCandSql,
+      ${minhashBandCandSql(cap)},
       pairs AS (
         SELECT id_a, id_b
         FROM cand JOIN base xa ON id_a = xa.doc_id JOIN base xb ON id_b = xb.doc_id
@@ -443,9 +457,9 @@ object TrainingData {
         SELECT id, LEAST(id, MIN(peer)) AS cluster FROM reach GROUP BY id)"""
   }
 
-  private def clusterSizesSql: String =
+  private def clusterSizesSql(cap: Option[Int] = None): String =
     s"""
-      WITH RECURSIVE ${lshLabelChainSql("documents")}
+      WITH RECURSIVE ${lshLabelChainSql("documents", cap)}
       SELECT cluster, COUNT(*) AS n_members
       FROM labels
       GROUP BY 1
@@ -461,7 +475,7 @@ object TrainingData {
         .agg(count(lit(1)).as("n_members"))
         .orderBy($"cluster")
     },
-    Some(clusterSizesSql))
+    Some(clusterSizesSql()))
 
   /** Int8 embedding quantization ([[Similarity.quantizeInt8]] — the 4×
     * compression an ANN index at 100 TB stores instead of float32):
@@ -631,7 +645,7 @@ object TrainingData {
         .agg(count(lit(1)).as("n_members"))
         .orderBy($"cluster")
     },
-    Some(clusterSizesSql))
+    Some(clusterSizesSql()))
 
   /** Approximate sketch tier — the exact queries' 100 TB swap-ins
     * (q16's countDistinct → HLL, q51's percentile → GK sketch). Sketch
@@ -1335,7 +1349,37 @@ object TrainingData {
       semDedupIvfSql(ivfCodebook(s, d), SemDedupTau)
     })
 
+  /** The hot-bucket-CAPPED LSH cluster pipeline (round-16): q52's
+    * measured scale control. q52 runs UNCAPPED LSH — exact recall, the
+    * oracle contract — and its candidate volume is quadratic in
+    * hot-bucket mass (measured on the scaling corpora: 121k candidate
+    * pairs at sf1 → 11.1M at sf10, a 92× growth for 10× data, driven
+    * by max bucket size 35 → 265; the verified EDGES stay linear at
+    * 2,555 → 25,557 because almost all hot-bucket candidates fail the
+    * Jaccard verify). This twin runs the identical pipeline with
+    * [[Dedup.capBuckets]]'s documented mitigation (`maxBucket = 3`,
+    * sized to BITE at bench SFs — sf0.001's max bucket is 4 and
+    * sf0.1's 7, so the capped branch is differentially oracle-covered
+    * where results visibly change, and bites hard at sf1/sf10's
+    * 35/265-member hot buckets) — the q76/q77 salting precedent: same semantics family,
+    * wall-clock isolates the mitigation. The oracle mirrors the cap as
+    * a HAVING > cap / NOT EXISTS pair over the same banded CTE.
+    */
+  private val q105 = GraftQuery(
+    "q105_dedup_clusters_capped",
+    (s, d) => {
+      import s.implicits._
+      val pairs = Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
+        maxBucket = Some(3))
+      Dedup.dupClusters(pairs)
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy($"cluster")
+    },
+    Some(clusterSizesSql(Some(3))))
+
   val all: Seq[GraftQuery] = Seq(
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q72,
-    q75, q79, q80, q81, q84, q89, q91, q95, q99, q100, q101, q102, q103, q104)
+    q75, q79, q80, q81, q84, q89, q91, q95, q99, q100, q101, q102, q103, q104,
+    q105)
 }

@@ -41,7 +41,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 FAMILIES = {
-    "embedding": ("q42,q45,q52,q91,q99,q100,q104", "sf0.1", "sf1"),
+    "embedding": ("q42,q45,q52,q91,q99,q100,q104,q105", "sf0.1", "sf1"),
     "skew": ("q29,q37,q73,q76,q77,q90,q95,q96", "sf0.1", "sf1"),
     "relational": (None, "sf0.01", "sf0.1"),
     # the THIRD decade (round-15 verdict task 5): the top-cost composed
@@ -57,7 +57,7 @@ FAMILIES = {
     # q91 joined in round 16: its cell model switches flat->two-level
     # at sf10's k=800 (scaledK past FlatMaxK=512), so the third decade
     # now exercises the hierarchical SemDeDup branch at scale
-    "compose10": ("q52,q73,q75,q90,q91,q95", "sf0.1", "sf1", "sf10"),
+    "compose10": ("q52,q73,q75,q90,q91,q95,q105", "sf0.1", "sf1", "sf10"),
 }
 
 

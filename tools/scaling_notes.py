@@ -26,17 +26,27 @@ underlying distributed algorithm.
 
 LINEAR_BY_CONSTRUCTION = {
     "q52_dedup_clusters": (
-        "edge count linear by data construction; crosses the 2^20-edge "
-        "CC driver->distributed switch near sf10 (pays the distributed "
-        "constant once)"),
+        "UNCAPPED LSH by contract (exact recall): candidate volume is "
+        "quadratic in hot-bucket mass (round-16 measurement: 121k->11.1M "
+        "candidates for 10x data at sf1->sf10, max bucket 35->265, while "
+        "verified edges stay linear 2,555->25,557 — r15's 'crosses the "
+        "CC driver->distributed switch' note was refuted by the edge "
+        "count, 40x below the 2^20 threshold); its capped twin q105 is "
+        "the documented scale path"),
     "q75_dedup_clusters_distributed": (
         "edge count linear by data construction; deliberate "
         "full-convergence distributed CC (high per-round variance)"),
     "q95_corpus_prep_ledger": (
-        "LSH-candidate + CC ledger; candidate pairs linear by data "
-        "construction (per-replica shingle tagging)"),
+        "LSH-candidate + CC ledger over the exact-deduped set; "
+        "candidate pairs linear by data construction (per-replica "
+        "shingle tagging)"),
 }
 
+# control = the same pipeline with the documented large-scale
+# mitigation applied (q105 = q52 with the hot-bucket cap, the q76/q77
+# salting-pair precedent): a super-linear q52 with a linear q105
+# demotes to MITIGATED — the engine's scale path holds; if the capped
+# twin ever reads super-linear too, both fail.
 CONTROLS = {
-    "q52_dedup_clusters": "q75_dedup_clusters_distributed",
+    "q52_dedup_clusters": "q105_dedup_clusters_capped",
 }

@@ -59,13 +59,13 @@ def main(p001, p01, lbl_small=None, lbl_big=None):
     for q, s, b, r in rows:
         flag = ""
         if r > 10:
-            # path-switch exemption (round-16, scaling_notes.py): the
-            # control is the same algorithm forced onto the big-data
-            # path at both ends — a linear control attributes the
-            # flagged reading to the documented one-time switch
+            # mitigation exemption (round-16, scaling_notes.py): the
+            # control is the same pipeline with the documented
+            # large-scale mitigation applied — a linear control proves
+            # the engine's scale path holds
             ctrl = CONTROLS.get(q)
             if ctrl and ratio.get(ctrl, float("inf")) <= 10:
-                flag = f"path-switch (control {ctrl} at {ratio[ctrl]:.2f})"
+                flag = f"mitigated (control {ctrl} at {ratio[ctrl]:.2f})"
             else:
                 flag = "SUPER-LINEAR"
                 sup.append((q, r))

@@ -63,13 +63,13 @@ def main(paths):
         note = LINEAR_BY_CONSTRUCTION.get(q, "")
         trend = ""
         if any(r > 10 for r in ratios):
-            # a documented path-switch query is exonerated iff its
-            # control (same algorithm forced onto the big-data path at
-            # both ends) reads linear over the same decades
+            # a query whose documented mitigation twin reads linear
+            # over the same decades demotes: the engine's scale path
+            # holds, the uncapped form is the exact-recall contract
             ctrl = CONTROLS.get(q)
             if (ctrl and ctrl in runs[0][1]
                     and all(r <= 10 for r in decade_ratios(ctrl))):
-                trend = (f"PATH-SWITCH (control {ctrl} at "
+                trend = (f"MITIGATED (control {ctrl} at "
                          f"{max(decade_ratios(ctrl)):.2f})")
             else:
                 trend = "SUPER-LINEAR"
