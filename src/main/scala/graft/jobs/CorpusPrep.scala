@@ -35,7 +35,19 @@ object CorpusPrep {
       // are repetitive/templated junk. 0.0 disables (default: the
       // synthetic corpus is natural-prose-like, and the threshold is a
       // per-deployment tuning decision)
-      minCompressionRatio: Double = 0.0)
+      minCompressionRatio: Double = 0.0,
+      // hot-bucket cap for the near-dup LSH stage
+      // ([[graft.operators.Dedup.capBuckets]]): None (default) keeps
+      // exact banded recall — the oracle contract — but candidate
+      // volume is then QUADRATIC in hot-bucket mass (round-16
+      // measurement on q52, the same pipeline: 121k→11.1M candidates
+      // for 10× data, driven by boilerplate band buckets of 35→265
+      // members whose candidates almost all fail the Jaccard verify).
+      // A boilerplate-heavy corpus at deployment scale should set a
+      // small cap (the q105 measured pair: 7.6× vs 12.6× per decade) —
+      // pairs dropped from one hot band usually recover via their
+      // other bands, the documented bounded-recall trade
+      maxLshBucket: Option[Int] = None)
 
   final case class Frames(
       annotated: DataFrame, // input + lang, quality, tokens
@@ -107,7 +119,8 @@ object CorpusPrep {
   def nearDupCanonical(
       df: DataFrame, id: String, text: String, cfg: Config): DataFrame = {
     val pairs = Dedup.minhashLshPairs(
-      df, id, text, shingleK = cfg.shingleK, minJaccard = cfg.minJaccard)
+      df, id, text, shingleK = cfg.shingleK, minJaccard = cfg.minJaccard,
+      maxBucket = cfg.maxLshBucket)
     val labels = Dedup.dupClusters(pairs)
     // no broadcast hint: the non-canonical set is bounded by the dup
     // count, which can be a large corpus fraction — AQE picks the

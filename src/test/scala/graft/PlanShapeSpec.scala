@@ -280,6 +280,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), "cell ledger combines map-side")
   }
 
+  test("q104: hierarchical semDedup — codebook joins stay equi, pair space cell-bucketed") {
+    val p = plan("q104_semdedup_hierarchical")
+    // the Ivf.assign codebook join, the intra-cell pair join and the
+    // dropped-id anti-lookup must all be equi joins; an all-pairs
+    // comparison or a literal-exploded codebook would change shape
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Join"), "cell-keyed pair join present")
+    assert(p.contains("partial_count"), "cell ledger combines map-side")
+  }
+
+  test("q105: capped LSH — the cap is an anti join on bucket keys, never a pair blowup") {
+    // the registered query materializes its pairs (localCheckpoint), so
+    // the LSH stage is gone from ITS plan — inspect the lazy pair plan
+    // the same way the operator builds it
+    val pairs = graft.operators.Dedup.minhashLshPairs(
+      Tables.documents(spark, d), "doc_id", "text",
+      maxBucket = Some(3), materialize = false)
+    val p = pairs.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("LeftAnti"), "capBuckets must plan as a left-anti join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q92: shuffle order is ONE shard exchange + per-shard sort, no global sort") {
     val p = plan("q92_corpus_shuffle")
     assert(shuffles(p) == 1, // hashpartitioning(shard) for the window;

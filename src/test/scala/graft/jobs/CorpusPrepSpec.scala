@@ -50,6 +50,36 @@ class CorpusPrepSpec extends SparkSpec {
     assert(s2("input") == s2("near_dup"), s"second run dropped rows: $s2")
   }
 
+  test("maxLshBucket plumbs the hot-bucket cap into the near-dup stage (round-16)") {
+    // plumbing check with the extreme cap: c=1 drops every band bucket
+    // holding both members of any pair, so NO near-dup candidates
+    // survive — the injected near-dup that the uncapped run removes
+    // must be KEPT under the cap. (The cap's semantics themselves are
+    // pinned in DedupSpec and oracle-checked by q105; this guards the
+    // config wire from silently disconnecting.)
+    val all = Tables.documents(spark, d).select($"doc_id", $"text")
+    val src = CorpusPrep
+      .gate(CorpusPrep.annotate(all, "text"), CorpusPrep.Config())
+      .orderBy($"doc_id").limit(1).select($"doc_id").as[Long].collect().head
+    // PREPENDED words: the leading-8-words exact key differs (the
+    // exact stage must NOT catch this one) while the shingle overlap
+    // stays high enough for LSH
+    val nearDup = all.filter($"doc_id" === src)
+      .select(lit(200001L).as("doc_id"),
+        concat(lit("zebra quill prefix "), $"text").as("text"))
+    val input = all.unionByName(nearDup)
+    val uncapped = CorpusPrep.run(input, "doc_id", "text")
+    val capped = CorpusPrep.run(input, "doc_id", "text",
+      CorpusPrep.Config(maxLshBucket = Some(1)))
+    try {
+      val ku = uncapped.kept.select($"doc_id").as[Long].collect().toSet
+      val kc = capped.kept.select($"doc_id").as[Long].collect().toSet
+      assert(!ku.contains(200001L), "uncapped run must drop the near-dup")
+      assert(kc.contains(200001L) && kc.contains(src),
+        "cap=1 kills every candidate bucket, so the near-dup survives")
+    } finally { uncapped.release(); capped.release() }
+  }
+
   test("low-entropy gate drops repetitive docs only when enabled") {
     // passes quality (stopword-rich) and language (en lexicon), but
     // deflates to almost nothing
