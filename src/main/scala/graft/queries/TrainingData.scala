@@ -1324,11 +1324,27 @@ object TrainingData {
       })
   }
 
+  /** q104's own CORPUS-SCALED two-level codebook (k = [[scaledK]], the
+    * SemDeDup recipe — NOT q101's fixed k=12 index codebook): a fixed
+    * cell count makes intra-cell pair work quadratic as the corpus
+    * grows, the exact round-13 q45/q91 trap; cells must scale with
+    * rows for the pair stage to stay linear (the first embedding-
+    * family canary with q104 read 6.81 per decade on the fixed-k form
+    * — caught before it reached a third decade).
+    */
+  private val ivfScaledCodebook = new GraftQuery.SessionMemo[Ivf.Codebook]({
+    (s, d) =>
+      val e = embeddings(s, d)
+      Ivf.train(e, "embedding", "vec_id", scaledK(e.count()),
+        itersCoarse = 3, itersFine = 2)
+  })
+
   /** SemDeDup over HIERARCHICAL cells (round-16 verdict task 3): the
     * two-level-codebook branch of the [[dedupModel]] switch, forced at
     * bench SFs (where q91 legitimately resolves flat) so the branch
     * that runs at corpus-scaled k ≥ [[FlatMaxK]] carries its own green
-    * oracle row. Reuses q101's session codebook — [[Ivf.assign]] cells
+    * oracle row. Trains [[ivfScaledCodebook]] (corpus-scaled k, the
+    * same cell-population contract as q91) — [[Ivf.assign]] cells
     * replace the flat plan-literal assignment, then the identical
     * drop-policy + attrition rollup as q91; the oracle re-renders the
     * trained codebook as BIGINT literals (the q101 machinery) and
@@ -1339,14 +1355,14 @@ object TrainingData {
   private val q104 = GraftQuery(
     "q104_semdedup_hierarchical",
     (s, d) => {
-      val cb = ivfCodebook(s, d)
+      val cb = ivfScaledCodebook(s, d)
       semDedupRollup(Dedup.semDedupAssigned(
         Ivf.assign(embeddings(s, d), "embedding", cb)
           .filter(col("cell").isNotNull),
         "vec_id", "embedding", SemDedupTau))
     },
     oracleDyn = Some { (s, d) =>
-      semDedupIvfSql(ivfCodebook(s, d), SemDedupTau)
+      semDedupIvfSql(ivfScaledCodebook(s, d), SemDedupTau)
     })
 
   /** The hot-bucket-CAPPED LSH cluster pipeline (round-16): q52's
