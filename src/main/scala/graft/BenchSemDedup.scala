@@ -16,8 +16,10 @@ import graft.operators.Dedup
   * the trainer alone ([[BenchIvf]] isolates that).
   *
   * One JSON line per (k, variant, pass):
-  * `{"variant":"switched|forced-flat","k":N,"rows":N,"total_sec":…,
-  *   "dropped":N}`
+  * `{"variant":"forced-hier|forced-flat","k":N,"rows":N,"total_sec":…,
+  *   "dropped":N}` — both branches are FORCED (the switched default
+  * is one of the two by definition, so timing it adds nothing; the
+  * crossover is read off where the two forced curves cross).
   *
   * Run exclusively (the Bench rule):
   * `sbt "runMain graft.BenchSemDedup /tmp/graft_sf1 scaled,320,1280 3"`

@@ -21,10 +21,11 @@ the method:
      non-zero if any query reads super-linear (ratio > 10 at 10x
      data).
 
-Families (default: all three):
-  embedding   q42,q45,q52,q91,q99,q100      sf0.1 -> sf1
-  skew        q29,q37,q73,q76,q77,q90,q95,q96  sf0.1 -> sf1
-  relational  full suite                     sf0.01 -> sf0.1
+Families: defined ONLY in the FAMILIES dict below (query list + SF
+chain per family; a copy here went stale twice — r16 ADVICE). The
+default `--family all` runs every family except compose10, the
+third-decade sf10 chain that is an explicit opt-in (sf10 generation
+plus ~25 min of exclusive bench).
 
 Usage:
   tools/scaling_canary.py [--family embedding|skew|relational|all]

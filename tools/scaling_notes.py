@@ -50,3 +50,23 @@ LINEAR_BY_CONSTRUCTION = {
 CONTROLS = {
     "q52_dedup_clusters": "q105_dedup_clusters_capped",
 }
+
+# The MITIGATED demotion is BOUNDED (round-17, r16 ADVICE: an
+# unbounded exemption would let a regression confined to the uncapped
+# path ride the linear control forever): a flagged ratio demotes only
+# while it stays within ENVELOPE_FACTOR x the MEASURED expected ratio
+# recorded here (q52: 12.6x/decade, the round-16 clean-window
+# sf1->sf10 pair). Beyond the envelope — or when a controlled query
+# has no recorded expectation — the reading fails loudly as
+# SUPER-LINEAR even with a linear control.
+MITIGATED_EXPECTED = {
+    "q52_dedup_clusters": 12.6,
+}
+ENVELOPE_FACTOR = 2.0
+
+
+def within_envelope(q, ratio):
+    """True iff `ratio` for query `q` sits inside the recorded
+    mitigation envelope. No recorded expectation => never inside."""
+    exp = MITIGATED_EXPECTED.get(q)
+    return exp is not None and ratio <= ENVELOPE_FACTOR * exp

@@ -43,9 +43,12 @@ def main(p001, p01, lbl_small=None, lbl_big=None):
     lbl_small = lbl_small or "sf0.01"
     lbl_big = lbl_big or "sf0.1"
     try:
-        from scaling_notes import CONTROLS
+        from scaling_notes import CONTROLS, within_envelope
     except ImportError:
         CONTROLS = {}
+
+        def within_envelope(q, ratio):
+            return False
     rows = []
     for q in sorted(small):
         if q not in big:
@@ -62,9 +65,13 @@ def main(p001, p01, lbl_small=None, lbl_big=None):
             # mitigation exemption (round-16, scaling_notes.py): the
             # control is the same pipeline with the documented
             # large-scale mitigation applied — a linear control proves
-            # the engine's scale path holds
+            # the engine's scale path holds. BOUNDED (round-17, r16
+            # ADVICE): only within the recorded measured envelope —
+            # an uncapped-path regression past it fails even with a
+            # linear control.
             ctrl = CONTROLS.get(q)
-            if ctrl and ratio.get(ctrl, float("inf")) <= 10:
+            if (ctrl and ratio.get(ctrl, float("inf")) <= 10
+                    and within_envelope(q, r)):
                 flag = f"mitigated (control {ctrl} at {ratio[ctrl]:.2f})"
             else:
                 flag = "SUPER-LINEAR"

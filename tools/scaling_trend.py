@@ -30,7 +30,7 @@ Usage: scaling_trend.py bench_sfA.json bench_sfB.json bench_sfC.json...
 import os
 import sys
 
-from scaling_notes import CONTROLS, LINEAR_BY_CONSTRUCTION
+from scaling_notes import CONTROLS, LINEAR_BY_CONSTRUCTION, within_envelope
 from scaling_report import load
 
 AT_LINE = 9.0
@@ -65,9 +65,15 @@ def main(paths):
         if any(r > 10 for r in ratios):
             # a query whose documented mitigation twin reads linear
             # over the same decades demotes: the engine's scale path
-            # holds, the uncapped form is the exact-recall contract
+            # holds, the uncapped form is the exact-recall contract.
+            # The control must be present in EVERY run (r16 ADVICE: a
+            # first-run-only check let decade_ratios raise KeyError on
+            # a control missing later), and the demotion is BOUNDED by
+            # the recorded measured envelope — a flagged ratio past it
+            # is an uncapped-path regression and fails regardless.
             ctrl = CONTROLS.get(q)
-            if (ctrl and ctrl in runs[0][1]
+            if (ctrl and all(ctrl in t for _, t, _ in runs)
+                    and all(within_envelope(q, r) for r in ratios if r > 10)
                     and all(r <= 10 for r in decade_ratios(ctrl))):
                 trend = (f"MITIGATED (control {ctrl} at "
                          f"{max(decade_ratios(ctrl)):.2f})")
