@@ -60,8 +60,23 @@ object GraftQuery {
     * stopped session's object graph isn't pinned for the JVM's life in
     * a bench/test loop (round-12 review; the three hand-rolled copies
     * unified round-13).
+    *
+    * `close` runs on the value a (session, dir) switch REPLACES
+    * (round-17, r16 verdict: memos holding an [[graft.operators.Ivf]]
+    * codebook — whose fine frame is a persisted DataFrame — leaked one
+    * cache entry per SF/dir switch within a JVM, exactly the
+    * multi-SF-session leak class `semDedupAssigned`'s
+    * `finally unpersist` exists to prevent; pass `_.release()`).
+    * Values for plain driver-side artifacts need no close — the GC
+    * owns them — so it defaults to a no-op. Single-threaded use is the
+    * contract (Verify/Bench run queries sequentially): under a
+    * same-key race the loser's duplicate value is conservatively
+    * LEAKED, never closed, because the winner may already have handed
+    * the other out.
     */
-  final class SessionMemo[T](train: (SparkSession, String) => T) {
+  final class SessionMemo[T](
+      train: (SparkSession, String) => T,
+      close: T => Unit = (_: T) => ()) {
     private val slot = new java.util.concurrent.atomic.AtomicReference[
       ((SparkSession, String), T)]()
     def apply(s: SparkSession, d: String): T = {
@@ -70,7 +85,8 @@ object GraftQuery {
       if (cur != null && cur._1 == key) cur._2
       else {
         val v = train(s, d)
-        slot.set((key, v))
+        val prev = slot.getAndSet((key, v))
+        if (prev != null && prev._1 != key) close(prev._2)
         v
       }
     }

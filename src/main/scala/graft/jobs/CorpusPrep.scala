@@ -220,14 +220,43 @@ object CorpusPrep {
     * SERIALIZED per indexDir: an overlapping pair is detected at
     * publish time (LATEST moved) and the later one aborts loudly —
     * deleting its never-completed attempt dir — rather than discarding
-    * the other's ledger.
+    * the other's ledger. A pair that slips past that optimistic check
+    * (both loaded before either renamed — the r16 residual) is caught
+    * by a POST-publish verify: the racer whose rename was overwritten
+    * inside the publication window re-reads the marker, deletes its
+    * attempt dir, and aborts loudly instead of returning success for a
+    * discarded ledger.
     */
   def compactNearDups(accumulated: DataFrame, id: String, vec: String,
       indexDir: String, tau: Double,
       k: Long => Int = n => math.max(8L, (n + 249) / 250).toInt,
       driftTolerance: Double = 4.0,
       maxDriftFraction: Double = 0.1,
-      growthFactor: Double = 2.0): Compaction = {
+      growthFactor: Double = 2.0): Compaction =
+    compactNearDupsImpl(accumulated, id, vec, indexDir, tau, k,
+      driftTolerance, maxDriftFraction, growthFactor, PublishSeams())
+
+  /** Test seams for the publication race windows (CorpusPrepSpec only —
+    * production passes the no-op defaults via [[compactNearDups]]).
+    * `readLatest` replaces the marker read at base-state LOAD and at
+    * the write-time OPTIMISTIC check (injecting the stale view a racer
+    * holds after another pass publishes); the POST-publish verify
+    * always reads the real marker — that read is the mechanism under
+    * test. `afterRename` runs inside the rename→verify window,
+    * simulating a racer's rename landing there.
+    */
+  private[graft] final case class PublishSeams(
+      readLatest: Option[() => Option[String]] = None,
+      afterRename: () => Unit = () => ())
+
+  private[graft] def compactNearDupsImpl(
+      accumulated: DataFrame, id: String, vec: String,
+      indexDir: String, tau: Double,
+      k: Long => Int,
+      driftTolerance: Double,
+      maxDriftFraction: Double,
+      growthFactor: Double,
+      seams: PublishSeams): Compaction = {
     import graft.operators.{Dedup, Ivf, Similarity}
     require(growthFactor > 1.0, s"growthFactor must exceed 1: $growthFactor")
     // the ledger keys by long: a string/UUID id would cast("long") to
@@ -256,13 +285,23 @@ object CorpusPrep {
     def completeMarker(name: String) =
       new org.apache.hadoop.fs.Path(s"$indexDir/$name/_COMPLETE")
 
-    def readLatestRaw(): Option[String] =
+    /** The marker as physically on disk — the post-publish verify must
+      * use THIS read even under a test seam (the seam injects the stale
+      * observed view; the verify is the real-world cross-check).
+      */
+    def readLatestReal(): Option[String] =
       if (!fs.exists(latestPath)) None
       else {
         val in = fs.open(latestPath)
         try Some(new String(in.readAllBytes(), "UTF-8").trim)
         finally in.close()
       }
+
+    /** The marker as THIS pass observes it (load + optimistic check);
+      * seam-injectable to stage publication races in specs.
+      */
+    def readLatestRaw(): Option[String] =
+      seams.readLatest.fold(readLatestReal())(f => f())
 
     /** The highest _COMPLETE-marked state dir — the fallback that makes
       * the delete-then-rename publication window survivable (a crash
@@ -357,6 +396,32 @@ object CorpusPrep {
       if (fs.exists(latestPath)) fs.delete(latestPath, false)
       require(fs.rename(tmp, latestPath),
         s"failed to publish $latestPath: index state would be invisible")
+      seams.afterRename()
+      // post-publish verify (round-17, r16 verdict task 3): the
+      // optimistic check above still leaves a check→publish window —
+      // two racers can BOTH pass it before either renames, and the
+      // last rename then silently discarded the other's published
+      // ledger (both dirs _COMPLETE-marked). A real lock is out of
+      // scope (invocations are documented-serialized); what this read
+      // buys is a LOUD loser: re-read the marker immediately after
+      // renaming and require our own name — a mismatch means another
+      // pass renamed inside the window and this publication is already
+      // superseded-by-discard. Abort like the pre-publish path:
+      // delete the attempt dir so its _COMPLETE copy can never win a
+      // crash-window fallback over the racer that actually holds
+      // LATEST (it was LATEST for at most the rename→verify instant;
+      // a pass that loaded it in that instant fails loudly on its own
+      // optimistic check or on the missing files).
+      val published = readLatestReal()
+      if (!published.contains(name)) {
+        fs.delete(new org.apache.hadoop.fs.Path(d), true)
+        throw new IllegalStateException(
+          s"concurrent compaction detected post-publish: LATEST reads " +
+            s"${published.getOrElse("<missing>")} immediately after this " +
+            s"pass renamed it to $name — another pass renamed inside the " +
+            "publication window; this attempt's state dir was removed. " +
+            "Serialize compaction invocations per indexDir.")
+      }
       // prune superseded versions (keep version-1 for rollback): each
       // version holds a FULL ledger copy, so an unpruned daily
       // compaction accumulates corpus-sized state × pass count
@@ -442,6 +507,18 @@ object CorpusPrep {
     }
   }
 
+  /** When the near-dup stage runs UNCAPPED (the exact-recall default)
+    * and its measured candidate mass exceeds this many candidates PER
+    * INPUT DOC, [[run]] logs an advisory to set
+    * [[Config.maxLshBucket]]. Derivation: the round-16 scaling
+    * measurement read ~0.6 candidates/doc at sf1 and ~5.5 at sf10 —
+    * a 9×-per-decade quadratic signature; 10 sits just past the
+    * measured sf10 point, so a corpus reads the advice one decade
+    * before the candidate join dominates its wall clock.
+    */
+  private val AdviseCandidatesPerDoc = 10.0
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** The attrition counts would otherwise re-execute the whole
     * annotate → gate → dedup → LSH lineage once per stage (4× the
     * deflate/annotation work, 2× the shuffles): the intermediate frames
@@ -449,6 +526,19 @@ object CorpusPrep {
     * recompute), upstream stages unpersist once counted, and `kept`
     * STAYS cached for the caller's consumption — call
     * [[Frames.release]] when done.
+    *
+    * The ledger also records the near-dup stage's measured hot-bucket
+    * mass (round-17, r16 verdict task 4) as two diagnostic rows over
+    * the exact-deduped set the LSH stage actually processes —
+    * `lsh_max_bucket` (largest (band, key) bucket) and
+    * `lsh_candidate_pairs` (Σ m·(m−1)/2, the exact uncapped
+    * candidate-join volume, quadratic in hot-bucket mass): the numbers
+    * a deployment needs to size [[Config.maxLshBucket]] BEFORE the
+    * next data decade, surfaced on every run instead of discovered
+    * from a blown-up candidate join. When they cross the measured
+    * quadratic threshold ([[AdviseCandidatesPerDoc]]) and no cap is
+    * configured, an slf4j warning names the knob. The default stays
+    * exact-recall — the advice is informational.
     *
     * The id column must be integral (the near-dup clustering labels in
     * long — [[graft.operators.Dedup.dupClusters]] rejects other types
@@ -462,11 +552,23 @@ object CorpusPrep {
     val gated = gate(ann, cfg).persist()
     val exact = exactCanonical(gated, id, text, cfg).persist()
     val kept = nearDupCanonical(exact, id, text, cfg).persist()
+    val nExact = exact.count()
+    val profile = Dedup.lshBucketProfile(exact, id, text, cfg.shingleK)
+    if (cfg.maxLshBucket.isEmpty && nExact > 0 &&
+        profile.candidatePairs > AdviseCandidatesPerDoc * nExact)
+      log.warn(
+        s"near-dup LSH candidate volume is ${profile.candidatePairs} " +
+          s"pairs for $nExact docs (max bucket ${profile.maxBucket}) — " +
+          "quadratic hot-bucket signature; consider " +
+          "Config.maxLshBucket (bounded recall trade, see " +
+          "Dedup.capBuckets) before the next data decade")
     val stats = Seq(
       ("input", docs.count()),
       ("quality_lang_gate", gated.count()),
-      ("exact_dedup", exact.count()),
-      ("near_dup", kept.count())
+      ("exact_dedup", nExact),
+      ("near_dup", kept.count()),
+      ("lsh_max_bucket", profile.maxBucket),
+      ("lsh_candidate_pairs", profile.candidatePairs)
     ).toDF("stage", "docs")
     gated.unpersist()
     exact.unpersist()

@@ -82,6 +82,59 @@ object Dedup {
       banded.join(hot, keys, "left_anti")
     }
 
+  /** The Broder banded-MinHash key frame over a sketched base
+    * (`__id`, `__th`): one (id, band, key) row per band — the SINGLE
+    * source of the band-key packing, shared by the candidate join
+    * ([[minhashLshPairs]]) and the bucket-mass diagnostic
+    * ([[lshBucketProfile]]) so the two can never measure different
+    * bandings.
+    */
+  private def bandedKeys(base: DataFrame): DataFrame = {
+    val nBands = Hashing.MinHashSeeds.size / 2
+    base
+      .withColumn("__mh", Hashing.minhashAll(col("__th")))
+      .select(
+        col("__id"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            (element_at(col("__mh"), 2 * b + 1) * Hashing.MinP +
+              element_at(col("__mh"), 2 * b + 2)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("__id"), col("bk.band"), col("bk.key"))
+  }
+
+  /** Bucket-mass profile of the banded-LSH key space over `docs` —
+    * what a deployment reads to decide whether it needs a `maxBucket`
+    * cap BEFORE the uncapped candidate join teaches it the hard way
+    * (round-17, r16 verdict task 4: candidate volume is QUADRATIC in
+    * hot-bucket mass — measured 121k→11.1M candidates for 10× data on
+    * the scaling corpora, max bucket 35→265).
+    *
+    * `candidatePairs` is Σ m·(m−1)/2 over (band, key) buckets — the
+    * EXACT candidate-join output size the uncapped pipeline will pay,
+    * integer-exact via DIV. One narrow aggregation (n·bands rows of
+    * (band, key)) — linear, one shuffle; the shingle/minhash work is
+    * recomputed rather than shared with a pair run's internal cache,
+    * the price of a standalone diagnostic.
+    */
+  final case class LshBucketProfile(
+      buckets: Long, maxBucket: Long, candidatePairs: Long)
+
+  def lshBucketProfile(docs: DataFrame, id: String, text: String,
+      shingleK: Int = 5): LshBucketProfile = {
+    val base = withShingleHashes(docs, text, shingleK, cache = false)
+      .select(col(id).as("__id"), col("__th"))
+    val row = bandedKeys(base)
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("m"))
+      .agg(count(lit(1)).as("buckets"),
+        coalesce(max(col("m")), lit(0L)).as("max_bucket"),
+        coalesce(sum(expr("m * (m - 1) DIV 2")), lit(0L))
+          .as("candidate_pairs"))
+      .collect()(0)
+    LshBucketProfile(row.getLong(0), row.getLong(1), row.getLong(2))
+  }
+
   /** Exact Jaccard between two string-array columns. */
   def jaccard(a: Column, b: Column): Column = {
     // |a∪b| via |a|+|b|−|a∩b| is exact only for DISTINCT arrays — every
@@ -131,19 +184,7 @@ object Dedup {
       maxBucket: Option[Int] = None, materialize: Boolean = true): DataFrame = {
     val sketch = withShingleHashes(docs, text, shingleK, cache = materialize)
     val base = sketch.select(col(id).as("__id"), col("__sh"), col("__th"))
-    val nBands = Hashing.MinHashSeeds.size / 2
-    val banded = capBuckets(
-      base
-        .withColumn("__mh", Hashing.minhashAll(col("__th")))
-        .select(
-          col("__id"),
-          explode(array((0 until nBands).map { b =>
-            struct(lit(b).as("band"),
-              (element_at(col("__mh"), 2 * b + 1) * Hashing.MinP +
-                element_at(col("__mh"), 2 * b + 2)).as("key"))
-          }: _*)).as("bk"))
-        .select(col("__id"), col("bk.band"), col("bk.key")),
-      Seq("band", "key"), maxBucket)
+    val banded = capBuckets(bandedKeys(base), Seq("band", "key"), maxBucket)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.__id") < col("y.__id"))

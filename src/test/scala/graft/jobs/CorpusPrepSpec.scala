@@ -80,6 +80,41 @@ class CorpusPrepSpec extends SparkSpec {
     } finally { uncapped.release(); capped.release() }
   }
 
+  test("ledger surfaces hot-bucket mass; profile counts candidates exactly (round-17)") {
+    import graft.operators.Dedup
+    // planted hot buckets: identical texts share EVERY band key, so a
+    // group of m copies makes 4 buckets of mass m — max bucket and the
+    // exact candidate volume Σ m·(m−1)/2 are known in closed form
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textB = "one two three four five six seven eight nine ten eleven"
+    val docs = (
+      (0 until 4).map(i => (i.toLong, textA)) ++
+      (10 until 13).map(i => (i.toLong, textB)) ++
+      Seq((20L, "lonely unique document with entirely different words here okay"))
+    ).toDF("doc_id", "text")
+    val p = Dedup.lshBucketProfile(docs, "doc_id", "text")
+    assert(p.maxBucket == 4, p)
+    // 4 bands × (4·3/2 for the A-group + 3·2/2 for the B-group)
+    assert(p.candidatePairs == 4 * (6 + 3), p)
+
+    // run()'s ledger carries the same numbers, measured over the
+    // EXACT-DEDUPED set the near-dup stage actually processes (the
+    // planted identical copies collapse there, so the ledger's rows
+    // describe what LSH sees, not the raw input)
+    val all = Tables.documents(spark, d).select($"doc_id", $"text")
+    val out = CorpusPrep.run(all, "doc_id", "text")
+    val stats = out.stats.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.release()
+    val cfg = CorpusPrep.Config()
+    val exact = CorpusPrep.exactCanonical(
+      CorpusPrep.gate(CorpusPrep.annotate(all, "text", cfg), cfg),
+      "doc_id", "text", cfg)
+    val expected = Dedup.lshBucketProfile(exact, "doc_id", "text", cfg.shingleK)
+    assert(stats("lsh_max_bucket") == expected.maxBucket, stats)
+    assert(stats("lsh_candidate_pairs") == expected.candidatePairs, stats)
+    assert(stats("lsh_max_bucket") >= 1 && stats("lsh_candidate_pairs") >= 0)
+  }
+
   test("low-entropy gate drops repetitive docs only when enabled") {
     // passes quality (stopword-rich) and language (en lexicon), but
     // deflates to almost nothing
@@ -313,6 +348,61 @@ class CorpusPrepSpec extends SparkSpec {
     assert(!c.retrained && c.version == 1 && c.ledger.count() == 60,
       "fallback must resolve to the published winner's ledger")
     c.release()
+  }
+
+  test("compactNearDups: a racer past the optimistic check loses LOUDLY at the post-publish verify (round-17)") {
+    // r16 verdict task 3: the optimistic check leaves a check→publish
+    // window — two passes can BOTH pass it before either renames, and
+    // the rename that lands second used to silently discard the first
+    // pass's published ledger (both dirs _COMPLETE-marked). Staged via
+    // the publish seams: A holds a stale observed marker (readLatest
+    // seam ⇒ its load AND optimistic check see v1) and the racer's
+    // rename lands inside A's rename→verify window (afterRename seam).
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx8").toString
+    val hfs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def latestRaw(): String = {
+      val in = hfs.open(new org.apache.hadoop.fs.Path(s"$idx/LATEST"))
+      try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    }
+    val df = embCorpus(180)
+    val c1 = CorpusPrep.compactNearDups(df.filter($"vec_id" < 120),
+      "vec_id", "embedding", idx, tau = 0.95, k = _ => 9)
+    assert(c1.version == 1)
+    val rawV1 = latestRaw()
+    // the racer B: a normal serialized pass that publishes v2
+    val cB = CorpusPrep.compactNearDups(df.filter($"vec_id" < 150),
+      "vec_id", "embedding", idx, tau = 0.95, k = _ => 9)
+    assert(!cB.retrained && cB.version == 2)
+    val rawV2B = latestRaw()
+    val bLedgerRows = cB.ledger.count()
+    // A raced B: loaded at v1, checked at v1 (seam), renamed — and B's
+    // rename lands inside A's rename→verify window (seam restores it)
+    val e = intercept[IllegalStateException] {
+      CorpusPrep.compactNearDupsImpl(df, "vec_id", "embedding", idx,
+        tau = 0.95, k = _ => 9, driftTolerance = 4.0,
+        maxDriftFraction = 0.1, growthFactor = 2.0,
+        CorpusPrep.PublishSeams(
+          readLatest = Some(() => Some(rawV1)),
+          afterRename = () => {
+            val out = hfs.create(
+              new org.apache.hadoop.fs.Path(s"$idx/LATEST"), true)
+            try out.write(rawV2B.getBytes("UTF-8")) finally out.close()
+          }))
+    }
+    assert(e.getMessage.contains("post-publish"), e.getMessage)
+    // exactly one winner: LATEST still resolves to B, B's state intact,
+    // and the loud loser's v2 attempt dir is gone (it must never win a
+    // crash-window _COMPLETE fallback over B)
+    assert(latestRaw() == rawV2B)
+    val v2s = new java.io.File(idx).listFiles().map(_.getName)
+      .filter(_.matches("v2(-[0-9a-f]+)?"))
+    assert(v2s.toSeq == Seq(rawV2B), s"v2 dirs: ${v2s.mkString(",")}")
+    val c3 = CorpusPrep.compactNearDups(df.filter($"vec_id" < 150),
+      "vec_id", "embedding", idx, tau = 0.95, k = _ => 9)
+    assert(!c3.retrained && c3.version == 2 && c3.ledger.count() == bLedgerRows,
+      "a subsequent pass must load the winner's state untouched")
+    c1.release(); cB.release(); c3.release()
   }
 
   test("compactNearDups: distribution drift triggers a retrain that re-covers everything") {

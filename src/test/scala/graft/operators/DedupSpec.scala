@@ -305,6 +305,44 @@ class DedupSpec extends SparkSpec {
     assert(pairs.join(d, pairs("id_a") === d("did")).count() == pairs.count())
   }
 
+  test("minhash cap: losses confined to over-cap near-dup families; small buckets keep exact recall (round-17)") {
+    // the q106-verified loss shape, planted: a FAMILY of 6 near-identical
+    // docs (one shared long prefix, distinct tails) concentrates ≥ 4
+    // members in every band bucket its pairs share — past cap=3, the
+    // whole family's pairs drop together and no other band recovers
+    // them. An isolated near-dup pair sits in buckets of 2 and must
+    // survive the cap untouched: the cap's recall price is families
+    // larger than the cap, never unrelated small-bucket pairs.
+    val family = (0 until 6).map(i => (10L + i, base + s" familytail$i end$i"))
+    val second = "a second unrelated narrative describing catalyst optimizer " +
+      "internals where logical plans become physical operators through " +
+      "strategies and rules while adaptive execution reshapes partitions " +
+      "at runtime based on observed statistics from completed stages"
+    val isolated = Seq((50L, second), (51L, mutate(second, 7)))
+    val filler = Seq(
+      (90L, "completely different content about harbors ships tides and gulls circling above the quay at dawn"),
+      (91L, "another standalone document on alpine meadows snow lines and the slow patience of glaciers moving"))
+    val all = (family ++ isolated ++ filler).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val unc = pairSet(Dedup.minhashLshPairs(all, "doc_id", "text"))
+    val cap = pairSet(Dedup.minhashLshPairs(all, "doc_id", "text",
+      maxBucket = Some(3)))
+    val famIds = (10L until 16L).toSet
+    val famPairs = for (a <- famIds; b <- famIds if a < b) yield (a, b)
+    assert(famPairs.subsetOf(unc), s"uncapped must find the family: $unc")
+    assert(unc.contains((50L, 51L)))
+    assert(cap.subsetOf(unc), "capped candidates are a subset by construction")
+    assert(cap.contains((50L, 51L)), "small-bucket pair must survive the cap")
+    val lost = unc -- cap
+    assert(lost.nonEmpty, "cap=3 must bite on the 6-member family")
+    assert(lost.forall { case (a, b) => famIds(a) && famIds(b) },
+      s"losses must be confined to the planted family: $lost")
+    // the profile diagnostic sees the family as hot mass
+    val p = Dedup.lshBucketProfile(all, "doc_id", "text")
+    assert(p.maxBucket >= 4, p)
+  }
+
   test("hot-bucket cap bounds candidate fan-out (with documented recall loss)") {
     // 30 docs sharing one boilerplate sentence + a distinct tail: every
     // doc lands in the same shingle buckets for the boilerplate part
