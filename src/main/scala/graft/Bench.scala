@@ -270,7 +270,16 @@ object Bench {
     // noise). Raw per-pass times and the max-min spread go on their own
     // earlier lines (full logs only) so a future regression is
     // attributable without a judge re-measurement.
-    val passes = Seq.fill(3)(names.map(n => timed(n)))
+    // SPARK_GRAFT_BENCH_PASSES (round-17): the deep-scale canary legs
+    // run multi-minute queries where 3 passes would triple an hour-long
+    // exclusive window for little signal — bursty steal matters for
+    // sub-5 s queries, while a 10-minute query integrates over it. The
+    // default stays 3; the contract line is unchanged (minima over
+    // however many passes ran).
+    val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .map(_.toInt).getOrElse(3)
+    require(nPasses >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1: $nPasses")
+    val passes = Seq.fill(nPasses)(names.map(n => timed(n)))
     val results = names.zipWithIndex.map { case (n, i) =>
       val ts = passes.map(_(i)).filter(_ >= 0)
       if (ts.isEmpty) (n, -1.0, -1.0) else (n, ts.min, ts.max - ts.min)

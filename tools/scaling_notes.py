@@ -51,6 +51,27 @@ CONTROLS = {
     "q52_dedup_clusters": "q105_dedup_clusters_capped",
 }
 
+# RISING_EXPECTED: queries whose decade-over-decade ratio GROWTH is
+# measured and adjudicated (scaling_trend.py's trajectory rule,
+# round-17: a consecutive-decade ratio that doubles while material is
+# the q104 signature one decade before it crosses the line). Unlike
+# LINEAR_BY_CONSTRUCTION (at-the-line adjudications), an entry here
+# must cite the MEASUREMENT showing the growth is the approach to the
+# linear asymptote (fixed overhead amortizing against linear work),
+# not acceleration — e.g. a further decade whose ratio stops growing.
+RISING_EXPECTED = {
+    "q73_shark_delivery": (
+        "ratio 1.85 -> 7.28 across sf0.1->sf1->sf10 (r16): the star "
+        "join + rollup + partitioned-window shape has ~2 s of fixed "
+        "setup amortizing against linear scan/shuffle work — "
+        "adjudicated by the r17 FOURTH decade's direct measurement "
+        "(sf10->sf100; BENCH_SCALING.md round-17 fourth-decade table). "
+        "A sub-line sf100 reading keeps this exemption; this note must "
+        "be deleted if that decade ever reads at or over the line "
+        "(the exemption never reaches >= 9 readings anyway — AT-LINE/"
+        "SUPER-LINEAR branches run first)"),
+}
+
 # The MITIGATED demotion is BOUNDED (round-17, r16 ADVICE: an
 # unbounded exemption would let a regression confined to the uncapped
 # path ride the linear control forever): a flagged ratio demotes only

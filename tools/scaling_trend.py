@@ -10,19 +10,27 @@ at consecutive decades in one exclusive session and flags, per query:
 
   SUPER-LINEAR  any single decade's ratio > 10 (scaling_report's rule)
   AT-THE-LINE   the LAST decade's ratio >= AT_LINE (9.0)
+  RISING        a consecutive-decade ratio grew >= RISING_FACTOR (2x)
+                while material (>= RISING_FLOOR) — round-17, r16
+                verdict task 6: q73 went 1.85x -> 7.28x across decades,
+                legal at every single decade, but that trajectory is
+                how the next q104 announces itself one decade early.
 
-A RISING ratio across decades is NOT drift by itself: any query with
-fixed overhead c and linear term a*n reads (c + 10an)/(c + an), which
-climbs toward 10 as n grows — the approach to the linear asymptote is
-the expected shape. What needs an explanation is sitting AT the line:
-queries in LINEAR_BY_CONSTRUCTION are expected there (their
-candidate/edge counts grow linearly with the data BY DATASET
-CONSTRUCTION — see gen_sf1.py's per-replica word-tagging/orthogonal
-transforms) and print their annotation as "at the line (expected)";
-an UNANNOTATED query at the line fails as DRIFT — either it is a real
-regression one decade from super-linear, or it earned an annotation a
-human should write down. SUPER-LINEAR still fails even for annotated
-rows: construction bounds them AT the line, never above it.
+A MILDLY rising ratio across decades is NOT drift by itself: any query
+with fixed overhead c and linear term a*n reads (c + 10an)/(c + an),
+which climbs toward 10 as n grows — the approach to the linear
+asymptote is the expected shape, and RISING_FLOOR keeps small-ratio
+amortization noise out. What needs an explanation is sitting AT the
+line or jumping toward it: queries in LINEAR_BY_CONSTRUCTION are
+expected at the line (their candidate/edge counts grow linearly with
+the data BY DATASET CONSTRUCTION — see gen_sf1.py's per-replica
+word-tagging/orthogonal transforms) and print their annotation as
+"at the line (expected)"; a RISING query in RISING_EXPECTED prints
+"rising (adjudicated)". An UNANNOTATED query in either state fails —
+either it is a real regression one or two decades from super-linear,
+or it earned an annotation a human should write down (with the
+measurement that justifies it). SUPER-LINEAR still fails even for
+annotated rows: construction bounds them AT the line, never above it.
 
 Usage: scaling_trend.py bench_sfA.json bench_sfB.json bench_sfC.json...
        (increasing SFs, one decade apart; labels default to file stems)
@@ -30,10 +38,13 @@ Usage: scaling_trend.py bench_sfA.json bench_sfB.json bench_sfC.json...
 import os
 import sys
 
-from scaling_notes import CONTROLS, LINEAR_BY_CONSTRUCTION, within_envelope
+from scaling_notes import (CONTROLS, LINEAR_BY_CONSTRUCTION,
+                           RISING_EXPECTED, within_envelope)
 from scaling_report import load
 
 AT_LINE = 9.0
+RISING_FACTOR = 2.0  # consecutive-decade ratio growth that flags
+RISING_FLOOR = 4.0   # only once the grown ratio is material
 
 
 def main(paths):
@@ -86,6 +97,21 @@ def main(paths):
             else:
                 trend = "DRIFT"
                 failures.append((q, "at the line, unannotated"))
+        elif any(b >= RISING_FACTOR * a and b >= RISING_FLOOR
+                 for a, b in zip(ratios, ratios[1:])):
+            # the trajectory rule (round-17): a ratio that DOUBLES
+            # decade-over-decade while material is the q104 signature
+            # one decade before it crosses the line — adjudicate it
+            # (RISING_EXPECTED, with the measurement) or fail
+            rnote = RISING_EXPECTED.get(q, "")
+            if rnote:
+                trend = "rising (adjudicated)"
+                note = rnote
+            else:
+                trend = "RISING"
+                failures.append(
+                    (q, f"ratio grew >= {RISING_FACTOR}x across decades, "
+                        "unannotated"))
         cells = " | ".join(f"{r:.2f}" for r in ratios)
         print(f"| {q} | {cells} | {trend} | {note} |")
 

@@ -1,0 +1,139 @@
+#!/usr/bin/env python3
+"""Self-test for the scaling-canary adjudication tools (round-17).
+
+Synthetic three-decade fixtures drive scaling_trend.py / scaling_report.py
+through every adjudication path: super-linear fail, bounded MITIGATED
+demotion (within / beyond the measured envelope), missing-control
+robustness, at-the-line annotation, and the round-17 RISING trajectory
+rule (flags unannotated doubling, passes adjudicated doubling, ignores
+small-ratio amortization noise under RISING_FLOOR).
+
+Run: python3 tools/test_scaling_tools.py   (prints OK, exit 0)
+"""
+import contextlib
+import io
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import scaling_notes  # noqa: E402
+import scaling_trend  # noqa: E402
+import scaling_report  # noqa: E402
+
+Q52 = "q52_dedup_clusters"
+Q105 = "q105_dedup_clusters_capped"
+
+
+def mk(d, name, times):
+    p = os.path.join(d, name)
+    with open(p, "w") as f:
+        f.write(json.dumps({"metric": "pass_times",
+                            "queries": {q: [t] for q, t in times.items()}}) + "\n")
+        f.write(json.dumps({"metric": "calib_ms", "before": 220,
+                            "after": 220}) + "\n")
+    return p
+
+
+def run_trend(paths):
+    """(exit_code, stdout) of scaling_trend.main on the fixture files."""
+    out = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(out):
+            scaling_trend.main(paths)
+        return 0, out.getvalue()
+    except SystemExit as e:
+        return 1 if e.code else 0, out.getvalue() + str(e.code)
+
+
+def run_report(a, b):
+    out = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(out):
+            scaling_report.main(a, b)
+        return 0, out.getvalue()
+    except SystemExit as e:
+        return 1 if e.code else 0, out.getvalue() + str(e.code)
+
+
+def main():
+    checks = []
+
+    def check(name, cond, detail=""):
+        checks.append((name, cond))
+        status = "ok " if cond else "FAIL"
+        print(f"  {status} {name}" + ("" if cond else f" — {detail}"))
+
+    with tempfile.TemporaryDirectory() as d:
+        # Fixture decades: base times 1.0; per-decade multipliers applied.
+        def chain(name, series):
+            """series: {query: [t_sf0, t_sf1, t_sf2]} → 3 fixture files."""
+            return [mk(d, f"{name}{i}.json",
+                       {q: ts[i] for q, ts in series.items()})
+                    for i in range(3)]
+
+        filler = [8.0, 40.0, 200.0]  # steady 5x/decade — never flags
+
+        # 1. MITIGATED within envelope: q52 at 12x with linear control.
+        rc, out = run_trend(chain("a", {
+            Q52: [1.0, 9.0, 108.0], Q105: [1.0, 7.0, 49.0],
+            "q00_filler": filler}))
+        check("mitigated within envelope passes", rc == 0 and "MITIGATED" in out, out)
+
+        # 2. Beyond envelope (30x) fails even with a linear control.
+        rc, out = run_trend(chain("b", {
+            Q52: [1.0, 9.0, 270.0], Q105: [1.0, 7.0, 49.0],
+            "q00_filler": filler}))
+        check("beyond envelope fails", rc == 1 and "SUPER-LINEAR" in out, out)
+
+        # 3. Control missing from a later run: clean fail, no traceback.
+        files = chain("c", {Q52: [1.0, 9.0, 108.0], "q00_filler": filler})
+        # rewrite the LAST file without the control
+        mk(d, "c2.json", {Q52: 108.0, "q00_filler": 200.0})
+        rc, out = run_trend(files)
+        check("missing control fails cleanly", rc == 1, out)
+
+        # 4. At-the-line annotated row passes; unannotated fails.
+        rc, out = run_trend(chain("d", {
+            "q95_corpus_prep_ledger": [1.0, 9.0, 85.0],  # last decade 9.44
+            "q00_filler": filler}))
+        check("annotated at-the-line passes", rc == 0 and "expected" in out, out)
+        rc, out = run_trend(chain("e", {
+            "q00_unannotated": [1.0, 9.0, 85.0], "q01_filler": filler}))
+        check("unannotated at-the-line fails as DRIFT", rc == 1 and "DRIFT" in out, out)
+
+        # 5. RISING: unannotated doubling to a material ratio fails...
+        rc, out = run_trend(chain("f", {
+            "q00_riser": [1.0, 2.5, 17.5],  # ratios 2.5 -> 7.0 (2.8x growth)
+            "q01_filler": filler}))
+        check("unannotated rising flags", rc == 1 and "RISING" in out, out)
+        # ...an adjudicated riser passes (q73 carries the r17 annotation)...
+        assert "q73_shark_delivery" in scaling_notes.RISING_EXPECTED
+        rc, out = run_trend(chain("g", {
+            "q73_shark_delivery": [1.0, 2.5, 17.5], "q01_filler": filler}))
+        check("adjudicated rising passes", rc == 0 and "adjudicated" in out, out)
+        # ...and small-ratio amortization noise stays silent (growth 3x
+        # but final ratio 3.0 < RISING_FLOOR).
+        rc, out = run_trend(chain("h", {
+            "q00_smallamortizer": [10.0, 10.0, 30.0],  # ratios 1.0 -> 3.0
+            "q01_filler": filler}))
+        check("sub-floor rising stays silent", rc == 0 and "RISING" not in out, out)
+
+        # 6. scaling_report single-decade: bounded demotion both ways.
+        a = mk(d, "r0.json", {Q52: 9.0, Q105: 7.0})
+        b_in = mk(d, "r1.json", {Q52: 108.0, Q105: 49.0})
+        b_out = mk(d, "r2.json", {Q52: 270.0, Q105: 49.0})
+        rc, out = run_report(a, b_in)
+        check("report demotes within envelope", rc == 0 and "mitigated" in out, out)
+        rc, out = run_report(a, b_out)
+        check("report fails beyond envelope", "SUPER-LINEAR" in out, out)
+
+    bad = [n for n, c in checks if not c]
+    if bad:
+        raise SystemExit(f"SELF-TEST FAILED: {bad}")
+    print(f"OK — {len(checks)} checks")
+
+
+if __name__ == "__main__":
+    main()
