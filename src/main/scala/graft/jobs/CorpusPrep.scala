@@ -519,6 +519,24 @@ object CorpusPrep {
   private val AdviseCandidatesPerDoc = 10.0
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** The advisory decision as a pure function (spec-testable; the
+    * slf4j call in [[run]] is just transport): Some(message) when the
+    * near-dup stage is uncapped and its measured candidate mass has
+    * the quadratic hot-bucket signature, None otherwise.
+    */
+  private[graft] def capAdvice(
+      profile: graft.operators.Dedup.LshBucketProfile,
+      nDocs: Long, cfg: Config): Option[String] =
+    if (cfg.maxLshBucket.isEmpty && nDocs > 0 &&
+        profile.candidatePairs > AdviseCandidatesPerDoc * nDocs)
+      Some(
+        s"near-dup LSH candidate volume is ${profile.candidatePairs} " +
+          s"pairs for $nDocs docs (max bucket ${profile.maxBucket}) — " +
+          "quadratic hot-bucket signature; consider " +
+          "Config.maxLshBucket (bounded recall trade, see " +
+          "Dedup.capBuckets) before the next data decade")
+    else None
+
   /** The attrition counts would otherwise re-execute the whole
     * annotate → gate → dedup → LSH lineage once per stage (4× the
     * deflate/annotation work, 2× the shuffles): the intermediate frames
@@ -554,14 +572,7 @@ object CorpusPrep {
     val kept = nearDupCanonical(exact, id, text, cfg).persist()
     val nExact = exact.count()
     val profile = Dedup.lshBucketProfile(exact, id, text, cfg.shingleK)
-    if (cfg.maxLshBucket.isEmpty && nExact > 0 &&
-        profile.candidatePairs > AdviseCandidatesPerDoc * nExact)
-      log.warn(
-        s"near-dup LSH candidate volume is ${profile.candidatePairs} " +
-          s"pairs for $nExact docs (max bucket ${profile.maxBucket}) — " +
-          "quadratic hot-bucket signature; consider " +
-          "Config.maxLshBucket (bounded recall trade, see " +
-          "Dedup.capBuckets) before the next data decade")
+    capAdvice(profile, nExact, cfg).foreach(log.warn)
     val stats = Seq(
       ("input", docs.count()),
       ("quality_lang_gate", gated.count()),

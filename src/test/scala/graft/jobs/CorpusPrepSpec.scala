@@ -113,6 +113,21 @@ class CorpusPrepSpec extends SparkSpec {
     assert(stats("lsh_max_bucket") == expected.maxBucket, stats)
     assert(stats("lsh_candidate_pairs") == expected.candidatePairs, stats)
     assert(stats("lsh_max_bucket") >= 1 && stats("lsh_candidate_pairs") >= 0)
+
+    // the advisory fires on the quadratic signature (uncapped + mass
+    // past the measured threshold), stays silent when capped or calm
+    import graft.operators.Dedup.LshBucketProfile
+    val hot = LshBucketProfile(buckets = 100, maxBucket = 400,
+      candidatePairs = 2000)
+    assert(CorpusPrep.capAdvice(hot, nDocs = 100, CorpusPrep.Config())
+      .exists(_.contains("maxLshBucket")))
+    assert(CorpusPrep.capAdvice(hot, nDocs = 100,
+      CorpusPrep.Config(maxLshBucket = Some(3))).isEmpty,
+      "a capped config needs no advice")
+    val calm = LshBucketProfile(buckets = 100, maxBucket = 3,
+      candidatePairs = 300)
+    assert(CorpusPrep.capAdvice(calm, nDocs = 100, CorpusPrep.Config()).isEmpty,
+      "sub-threshold mass must not nag")
   }
 
   test("low-entropy gate drops repetitive docs only when enabled") {

@@ -59,7 +59,23 @@ FAMILIES = {
     # at sf10's k=800 (scaledK past FlatMaxK=512), so the third decade
     # now exercises the hierarchical SemDeDup branch at scale
     "compose10": ("q52,q73,q75,q90,q91,q95,q105", "sf0.1", "sf1", "sf10"),
+    # the FOURTH decade (round-17 verdict task 5): the at-the-line /
+    # rising rows extended one more decade, sf10 -> sf100 (REPL=1000,
+    # ~14 GB parquet, sized this round). DELIBERATELY EXCLUDES the
+    # uncapped-LSH rows (q52, q95): their candidate volume is measured
+    # quadratic in hot-bucket mass (121k -> 11.1M for sf1 -> sf10), so
+    # sf100 implies ~1e9 candidate pairs each dragging two ~80-element
+    # shingle arrays through the verify join — a >1 TB intermediate,
+    # refused by arithmetic (BENCH_SCALING.md round-17); q105 IS the
+    # capped scale path and runs here. Like compose10, an explicit
+    # opt-in (generation + ~1 h of exclusive bench at 2 passes).
+    "compose100": ("q73,q75,q91,q105", "sf10", "sf100"),
 }
+
+# per-family bench pass-count overrides (default 3): the sf100 leg
+# runs multi-minute queries that integrate over bursty steal, so two
+# passes buy the minimum's protection without tripling the window
+PASSES = {"compose100": 2}
 
 
 def other_jvms():
@@ -115,11 +131,14 @@ def ensure_sf1(sf1_dir, repl=None):
     subprocess.run(cmd, check=True)
 
 
-def run_bench(sf_dir, only, out_path):
+def run_bench(sf_dir, only, out_path, passes=None):
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     if only:
         env["SPARK_GRAFT_BENCH_ONLY"] = only
-    print(f"# bench: SF_DIR={sf_dir} ONLY={only or '<full suite>'}")
+    if passes:
+        env["SPARK_GRAFT_BENCH_PASSES"] = str(passes)
+    print(f"# bench: SF_DIR={sf_dir} ONLY={only or '<full suite>'}"
+          + (f" PASSES={passes}" if passes else ""))
     with open(out_path, "w") as f:
         # stdout only: Spark INFO goes to stderr and would drown the
         # JSON contract lines scaling_report.py reads
@@ -136,6 +155,7 @@ def main():
                     choices=sorted(FAMILIES) + ["all"])
     ap.add_argument("--sf1-dir", default="/tmp/graft_sf1")
     ap.add_argument("--sf10-dir", default="/tmp/graft_sf10")
+    ap.add_argument("--sf100-dir", default="/tmp/graft_sf100")
     ap.add_argument("--out-dir", default="/tmp/graft_canary")
     args = ap.parse_args()
 
@@ -145,14 +165,17 @@ def main():
             f"refusing to bench: other JVMs running (pids {jvms}) — every "
             "BENCH number depends on an exclusive session")
 
-    # "all" excludes the third-decade family (its sf10 generation + ~25
-    # min exclusive bench is an explicit opt-in)
-    fams = (sorted(f for f in FAMILIES if f != "compose10")
+    # "all" excludes the deep-decade families (their generation + long
+    # exclusive bench windows are explicit opt-ins)
+    fams = (sorted(f for f in FAMILIES
+                   if f not in ("compose10", "compose100"))
             if args.family == "all" else [args.family])
     if any("sf1" in FAMILIES[f][1:] for f in fams):
         ensure_sf1(args.sf1_dir)
     if any("sf10" in FAMILIES[f][1:] for f in fams):
         ensure_sf1(args.sf10_dir, repl=100)
+    if any("sf100" in FAMILIES[f][1:] for f in fams):
+        ensure_sf1(args.sf100_dir, repl=1000)
     os.makedirs(args.out_dir, exist_ok=True)
 
     def sf_path(name):
@@ -160,6 +183,8 @@ def main():
             return args.sf1_dir
         if name == "sf10":
             return args.sf10_dir
+        if name == "sf100":
+            return args.sf100_dir
         return f"/root/testdata/{name}"
 
     failures = []
@@ -168,7 +193,7 @@ def main():
         outs = []
         for sf in sfs:
             out = os.path.join(args.out_dir, f"{fam}_{sf}.json")
-            run_bench(sf_path(sf), only, out)
+            run_bench(sf_path(sf), only, out, passes=PASSES.get(fam))
             outs.append(out)
         # per-decade reports (the single-decade ratio + flag tables)
         for small_out, big_out, small, big in zip(
