@@ -97,9 +97,19 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val noGc = sys.env.contains("SPARK_GRAFT_BENCH_NOGC")
     val diag = sys.env.contains("SPARK_GRAFT_BENCH_DIAG")
+    // SPARK_GRAFT_SHUFFLE (round-17): shuffle width, default = cores.
+    // At the sf100 canary decade a fixed 32-way shuffle puts ~19M rows
+    // in every sort/join partition — past executor memory, so sorts
+    // and hash joins fall off the spill cliff and a plan whose WORK is
+    // measured linear reads super-linear in wall clock. A real cluster
+    // removes this by scaling partition count with data (AQE coalesces
+    // the small stages back down); the deep-scale canary legs do the
+    // same through this knob, so the canary measures the PLAN, not a
+    // fixed-width harness artifact.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1502,8 +1502,34 @@ object TrainingData {
           ELSE TRUE END AS recall_ok
       FROM n"""))
 
+  /** The deployment-scale cluster pipeline END-TO-END: hot-bucket-capped
+    * LSH candidates (q105's linear-by-construction volume) into the
+    * FORCED distributed CC branch (q75's 100 TB code path). Round-17's
+    * fourth scaling decade showed why this composition needs its own
+    * row: q75 composes the distributed CC with UNCAPPED LSH, whose
+    * candidate volume is measured quadratic in hot-bucket mass
+    * (11.1M candidates at sf10 → 1.117B at sf100, probe-measured this
+    * round) — so q75 cannot run at sf100 in this harness and the
+    * distributed-CC branch had NO feasible deep-scale probe. This twin
+    * is that probe: capped candidates ≤ cap·buckets = linear, and the
+    * CC branch choice must never change the labels, so the oracle is
+    * q105's SQL verbatim (the q52/q75 shared-oracle precedent).
+    */
+  private val q107 = GraftQuery(
+    "q107_dedup_clusters_capped_distributed",
+    (s, d) => {
+      import s.implicits._
+      val pairs = Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
+        maxBucket = Some(3))
+      Dedup.dupClusters(pairs, driverMaxEdges = 0L)
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy($"cluster")
+    },
+    Some(clusterSizesSql(Some(3))))
+
   val all: Seq[GraftQuery] = Seq(
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q72,
     q75, q79, q80, q81, q84, q89, q91, q95, q99, q100, q101, q102, q103, q104,
-    q105, q106)
+    q105, q106, q107)
 }

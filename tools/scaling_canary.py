@@ -62,15 +62,69 @@ FAMILIES = {
     # the FOURTH decade (round-17 verdict task 5): the at-the-line /
     # rising rows extended one more decade, sf10 -> sf100 (REPL=1000,
     # ~14 GB parquet, sized this round). DELIBERATELY EXCLUDES the
-    # uncapped-LSH rows (q52, q95): their candidate volume is measured
-    # quadratic in hot-bucket mass (121k -> 11.1M for sf1 -> sf10), so
-    # sf100 implies ~1e9 candidate pairs each dragging two ~80-element
-    # shingle arrays through the verify join — a >1 TB intermediate,
-    # refused by arithmetic (BENCH_SCALING.md round-17); q105 IS the
-    # capped scale path and runs here. Like compose10, an explicit
-    # opt-in (generation + ~1 h of exclusive bench at 2 passes).
-    "compose100": ("q73,q75,q91,q105", "sf10", "sf100"),
+    # uncapped-LSH rows (q52, q75, q95): their candidate volume is
+    # quadratic in hot-bucket mass — probe-MEASURED this round at
+    # 11.1M candidates (sf10) -> 1.117e9 (sf100), max bucket 265 ->
+    # 2486 — and the verify join drags two ~80-element shingle arrays
+    # onto every pair (>1 TB intermediate; the first compose100 run
+    # included q75 and it failed all passes, BENCH_SCALING.md
+    # round-17). The capped twins ARE the scale path and run here:
+    # q105 (capped + adaptive CC) and q107 (capped + FORCED-distributed
+    # CC — the 100 TB clustering branch q75 probes at smaller SFs).
+    # Like compose10, an explicit opt-in (generation + ~45 min of
+    # exclusive bench at 2 passes). 32 GiB driver heap on BOTH legs
+    # (the default 8g GC-thrashed the sf100 leg). NOTE the r17 A/B
+    # REFUTED the spill-cliff hypothesis for the over-the-line rows:
+    # SPARK_GRAFT_SHUFFLE=256 moved q73 only 8% (289->267 s) and q91
+    # not at all — the readings are measured bounded asymptotics
+    # (scaling_notes.SUPERLINEAR_EXPECTED), not shuffle-width
+    # artifacts, so the legs keep the standard 32-way config.
+    "compose100": ("q73,q91,q105,q107", "sf10", "sf100"),
 }
+
+# per-family env overrides (see compose100 note above)
+FAMILY_ENV = {"compose100": {"SPARK_DRIVER_MEM": "32g"}}
+
+# solo families run ONE BENCH JVM PER QUERY per SF and merge the
+# pass_times lines (round-17): the first shared-JVM compose100 sf100
+# leg OOM-died (Spark exit 52) in pass 2 after ~18 min — four
+# hundred-second queries in one 32 GiB JVM accumulate enough
+# codegen/broadcast/shuffle state that the second pass tips over, and
+# a leg that dies mid-suite wastes the whole exclusive window. Solo
+# JVMs also make deep-scale minima independent of query order, the
+# same isolation the BASELINE.md re-adjudication protocol uses.
+FAMILY_SOLO = {"compose100"}
+
+
+def run_bench_solo(sf_dir, only, out_path, passes=None, extra_env=None):
+    """One bench invocation per query; merged pass_times/calib written
+    to out_path in the shape scaling_report.load expects."""
+    merged = {}
+    calib = None
+    for q in only.split(","):
+        part = out_path + f".{q}"
+        try:
+            run_bench(sf_dir, q, part, passes=passes, extra_env=extra_env)
+        except SystemExit as e:
+            # a dying per-query JVM must not waste the rest of the
+            # exclusive window; its contract lines (if any) still merge
+            print(f"# solo bench for {q} failed ({e}); continuing")
+        import json
+        with open(part) as f:
+            for line in f:
+                try:
+                    obj = json.loads(line.strip())
+                except ValueError:
+                    continue
+                if obj.get("metric") == "pass_times":
+                    merged.update(obj["queries"])
+                if obj.get("metric") == "calib_ms":
+                    calib = obj
+    import json
+    with open(out_path, "w") as f:
+        f.write(json.dumps({"metric": "pass_times", "queries": merged}) + "\n")
+        if calib:
+            f.write(json.dumps(calib) + "\n")
 
 # per-family bench pass-count overrides (default 3): the sf100 leg
 # runs multi-minute queries that integrate over bursty steal, so two
@@ -131,14 +185,16 @@ def ensure_sf1(sf1_dir, repl=None):
     subprocess.run(cmd, check=True)
 
 
-def run_bench(sf_dir, only, out_path, passes=None):
+def run_bench(sf_dir, only, out_path, passes=None, extra_env=None):
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     if only:
         env["SPARK_GRAFT_BENCH_ONLY"] = only
     if passes:
         env["SPARK_GRAFT_BENCH_PASSES"] = str(passes)
+    env.update(extra_env or {})
     print(f"# bench: SF_DIR={sf_dir} ONLY={only or '<full suite>'}"
-          + (f" PASSES={passes}" if passes else ""))
+          + (f" PASSES={passes}" if passes else "")
+          + (f" ENV={extra_env}" if extra_env else ""))
     with open(out_path, "w") as f:
         # stdout only: Spark INFO goes to stderr and would drown the
         # JSON contract lines scaling_report.py reads
@@ -193,7 +249,9 @@ def main():
         outs = []
         for sf in sfs:
             out = os.path.join(args.out_dir, f"{fam}_{sf}.json")
-            run_bench(sf_path(sf), only, out, passes=PASSES.get(fam))
+            runner = run_bench_solo if fam in FAMILY_SOLO else run_bench
+            runner(sf_path(sf), only, out, passes=PASSES.get(fam),
+                   extra_env=FAMILY_ENV.get(fam))
             outs.append(out)
         # per-decade reports (the single-decade ratio + flag tables)
         for small_out, big_out, small, big in zip(

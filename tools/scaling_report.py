@@ -43,11 +43,15 @@ def main(p001, p01, lbl_small=None, lbl_big=None):
     lbl_small = lbl_small or "sf0.01"
     lbl_big = lbl_big or "sf0.1"
     try:
-        from scaling_notes import CONTROLS, within_envelope
+        from scaling_notes import (CONTROLS, SUPERLINEAR_EXPECTED,
+                                   asymptotic_ok, within_envelope)
     except ImportError:
-        CONTROLS = {}
+        CONTROLS, SUPERLINEAR_EXPECTED = {}, {}
 
         def within_envelope(q, ratio):
+            return False
+
+        def asymptotic_ok(q, ratio):
             return False
     rows = []
     for q in sorted(small):
@@ -73,6 +77,11 @@ def main(p001, p01, lbl_small=None, lbl_big=None):
             if (ctrl and ratio.get(ctrl, float("inf")) <= 10
                     and within_envelope(q, r)):
                 flag = f"mitigated (control {ctrl} at {ratio[ctrl]:.2f})"
+            elif asymptotic_ok(q, r):
+                # bounded measured asymptotic (round-17): see
+                # scaling_notes.SUPERLINEAR_EXPECTED
+                flag = (f"expected (asymptotic, <= "
+                        f"{SUPERLINEAR_EXPECTED[q]})")
             else:
                 flag = "SUPER-LINEAR"
                 sup.append((q, r))

@@ -39,7 +39,8 @@ import os
 import sys
 
 from scaling_notes import (CONTROLS, LINEAR_BY_CONSTRUCTION,
-                           RISING_EXPECTED, within_envelope)
+                           RISING_EXPECTED, SUPERLINEAR_EXPECTED,
+                           asymptotic_ok, within_envelope)
 from scaling_report import load
 
 AT_LINE = 9.0
@@ -88,6 +89,13 @@ def main(paths):
                     and all(r <= 10 for r in decade_ratios(ctrl))):
                 trend = (f"MITIGATED (control {ctrl} at "
                          f"{max(decade_ratios(ctrl)):.2f})")
+            elif all(asymptotic_ok(q, r) for r in ratios if r > 10):
+                # bounded measured asymptotic (round-17): the reading
+                # is explained by a recorded work decomposition
+                # (n log n sorts, the n·√k assign term) and stays
+                # inside its envelope — beyond it, fail anyway
+                trend = (f"expected (asymptotic, <= "
+                         f"{SUPERLINEAR_EXPECTED[q]})")
             else:
                 trend = "SUPER-LINEAR"
                 failures.append((q, "super-linear"))

@@ -120,6 +120,21 @@ def main():
             "q01_filler": filler}))
         check("sub-floor rising stays silent", rc == 0 and "RISING" not in out, out)
 
+        # 5b. Bounded asymptotic envelope (round-17): a >10 reading
+        # inside SUPERLINEAR_EXPECTED's bound passes with the
+        # "expected (asymptotic)" tag; beyond the bound it fails.
+        assert "q73_shark_delivery" in scaling_notes.SUPERLINEAR_EXPECTED
+        rc, out = run_trend(chain("i", {
+            "q73_shark_delivery": [1.0, 8.0, 144.0],  # last decade 18 <= 20
+            "q01_filler": filler}))
+        check("asymptotic within bound passes",
+              rc == 0 and "asymptotic" in out, out)
+        rc, out = run_trend(chain("j", {
+            "q73_shark_delivery": [1.0, 8.0, 176.0],  # last decade 22 > 20
+            "q01_filler": filler}))
+        check("asymptotic beyond bound fails",
+              rc == 1 and "SUPER-LINEAR" in out, out)
+
         # 6. scaling_report single-decade: bounded demotion both ways.
         a = mk(d, "r0.json", {Q52: 9.0, Q105: 7.0})
         b_in = mk(d, "r1.json", {Q52: 108.0, Q105: 49.0})
@@ -128,6 +143,11 @@ def main():
         check("report demotes within envelope", rc == 0 and "mitigated" in out, out)
         rc, out = run_report(a, b_out)
         check("report fails beyond envelope", "SUPER-LINEAR" in out, out)
+        a2 = mk(d, "r3.json", {"q73_shark_delivery": 10.0})
+        b2 = mk(d, "r4.json", {"q73_shark_delivery": 150.0})  # 15 <= 20
+        rc, out = run_report(a2, b2)
+        check("report honors asymptotic envelope",
+              rc == 0 and "asymptotic" in out, out)
 
     bad = [n for n, c in checks if not c]
     if bad:
