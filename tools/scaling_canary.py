@@ -28,8 +28,9 @@ third-decade sf10 chain that is an explicit opt-in (sf10 generation
 plus ~25 min of exclusive bench).
 
 Usage:
-  tools/scaling_canary.py [--family embedding|skew|relational|all]
-                          [--sf1-dir /tmp/graft_sf1] [--out-dir /tmp/graft_canary]
+  tools/scaling_canary.py [--family <name>|all]   (names: FAMILIES keys)
+                          [--sf1-dir /tmp/graft_sf1] [--sf10-dir ...]
+                          [--sf100-dir ...] [--out-dir /tmp/graft_canary]
 
 Each bench's raw JSON lines land in --out-dir for re-reading; the
 ratio tables print to stdout in the BENCH_SCALING.md format.
