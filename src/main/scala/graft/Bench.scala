@@ -286,8 +286,14 @@ object Bench {
     // sub-5 s queries, while a 10-minute query integrates over it. The
     // default stays 3; the contract line is unchanged (minima over
     // however many passes ran).
+    // named parse failure (r17 ADVICE): a typo'd value must fail with
+    // the env var's name BEFORE the exclusive bench window is spent,
+    // not as a context-free NumberFormatException
     val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .map(_.toInt).getOrElse(3)
+      .map { v =>
+        scala.util.Try(v.trim.toInt).getOrElse(throw new IllegalArgumentException(
+          s"SPARK_GRAFT_BENCH_PASSES must be an integer, got '$v'"))
+      }.getOrElse(3)
     require(nPasses >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1: $nPasses")
     val passes = Seq.fill(nPasses)(names.map(n => timed(n)))
     val results = names.zipWithIndex.map { case (n, i) =>

@@ -121,6 +121,27 @@ object CorpusPrep {
     val pairs = Dedup.minhashLshPairs(
       df, id, text, shingleK = cfg.shingleK, minJaccard = cfg.minJaccard,
       maxBucket = cfg.maxLshBucket)
+    dropNonCanonical(df, id, pairs)
+  }
+
+  /** [[nearDupCanonical]] that also returns the hot-bucket profile of
+    * the SAME banding the candidate join read (round-18, r17 verdict
+    * task 3 / r17 ADVICE): [[run]]'s ledger wants both, and computing
+    * the profile standalone re-paid the whole shingle+minhash pass on
+    * every invocation — a diagnostic roughly doubling the near-dup
+    * stage's sketch work.
+    */
+  private[graft] def nearDupCanonicalProfiled(
+      df: DataFrame, id: String, text: String,
+      cfg: Config): (DataFrame, Dedup.LshBucketProfile) = {
+    val (pairs, profile) = Dedup.minhashLshPairsProfiled(
+      df, id, text, shingleK = cfg.shingleK, minJaccard = cfg.minJaccard,
+      maxBucket = cfg.maxLshBucket)
+    (dropNonCanonical(df, id, pairs), profile)
+  }
+
+  private def dropNonCanonical(
+      df: DataFrame, id: String, pairs: DataFrame): DataFrame = {
     val labels = Dedup.dupClusters(pairs)
     // no broadcast hint: the non-canonical set is bounded by the dup
     // count, which can be a large corpus fraction — AQE picks the
@@ -221,11 +242,20 @@ object CorpusPrep {
     * publish time (LATEST moved) and the later one aborts loudly —
     * deleting its never-completed attempt dir — rather than discarding
     * the other's ledger. A pair that slips past that optimistic check
-    * (both loaded before either renamed — the r16 residual) is caught
-    * by a POST-publish verify: the racer whose rename was overwritten
-    * inside the publication window re-reads the marker, deletes its
-    * attempt dir, and aborts loudly instead of returning success for a
-    * discarded ledger.
+    * (both loaded before either renamed — the r16 residual) is usually
+    * caught by a POST-publish verify: a racer whose rename was
+    * overwritten before its verify read re-reads the marker, deletes
+    * its attempt dir, and aborts loudly instead of returning success
+    * for a discarded ledger. The verify SHRINKS the silent-discard
+    * window to the rename→verify instant — it does not close it: a
+    * racer whose rename lands AFTER this pass's verify read still
+    * silently supersedes it (r17 ADVICE). Closing that residual needs
+    * mutual exclusion the storage layer cannot portably provide
+    * (exclusive-create is not atomic on object stores, and a lock file
+    * left by a crashed pass wedges every later compaction), so
+    * SERIALIZATION REMAINS THE CONTRACT; the optimistic check and the
+    * verify exist to make an accidental violation loud in practice,
+    * not to license concurrent invocations.
     */
   def compactNearDups(accumulated: DataFrame, id: String, vec: String,
       indexDir: String, tau: Double,
@@ -569,9 +599,12 @@ object CorpusPrep {
     val ann = annotate(docs, text, cfg)
     val gated = gate(ann, cfg).persist()
     val exact = exactCanonical(gated, id, text, cfg).persist()
-    val kept = nearDupCanonical(exact, id, text, cfg).persist()
+    // profile and pairs from ONE shingle+minhash pass (round-18, r17
+    // verdict task 3): the ledger's hot-bucket rows previously re-paid
+    // the whole sketch via the standalone lshBucketProfile diagnostic
+    val (keptRaw, profile) = nearDupCanonicalProfiled(exact, id, text, cfg)
+    val kept = keptRaw.persist()
     val nExact = exact.count()
-    val profile = Dedup.lshBucketProfile(exact, id, text, cfg.shingleK)
     capAdvice(profile, nExact, cfg).foreach(log.warn)
     val stats = Seq(
       ("input", docs.count()),

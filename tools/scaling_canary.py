@@ -99,9 +99,17 @@ FAMILY_SOLO = {"compose100"}
 
 def run_bench_solo(sf_dir, only, out_path, passes=None, extra_env=None):
     """One bench invocation per query; merged pass_times/calib written
-    to out_path in the shape scaling_report.load expects."""
+    to out_path in the shape scaling_report.load expects. A per-query
+    JVM that dies (or emits no pass_times) is RECORDED in the merged
+    JSON's `failed` list — the report/trend tools treat such a query as
+    a scaling failure instead of silently dropping it from the
+    adjudication (r17 ADVICE: the worst-case failure mode — a query
+    that cannot complete at the large SF at all — previously vanished
+    from the ratio table and the canary exited 0 with 'trend OK')."""
     merged = {}
+    failed = []
     calib = None
+    import json
     for q in only.split(","):
         part = out_path + f".{q}"
         try:
@@ -110,20 +118,24 @@ def run_bench_solo(sf_dir, only, out_path, passes=None, extra_env=None):
             # a dying per-query JVM must not waste the rest of the
             # exclusive window; its contract lines (if any) still merge
             print(f"# solo bench for {q} failed ({e}); continuing")
-        import json
-        with open(part) as f:
-            for line in f:
-                try:
-                    obj = json.loads(line.strip())
-                except ValueError:
-                    continue
-                if obj.get("metric") == "pass_times":
-                    merged.update(obj["queries"])
-                if obj.get("metric") == "calib_ms":
-                    calib = obj
-    import json
+        try:
+            with open(part) as f:
+                for line in f:
+                    try:
+                        obj = json.loads(line.strip())
+                    except ValueError:
+                        continue
+                    if obj.get("metric") == "pass_times":
+                        merged.update(obj["queries"])
+                    if obj.get("metric") == "calib_ms":
+                        calib = obj
+        except FileNotFoundError:
+            pass
+        if q not in merged:
+            failed.append(q)
     with open(out_path, "w") as f:
-        f.write(json.dumps({"metric": "pass_times", "queries": merged}) + "\n")
+        f.write(json.dumps({"metric": "pass_times", "queries": merged,
+                            "failed": failed}) + "\n")
         if calib:
             f.write(json.dumps(calib) + "\n")
 

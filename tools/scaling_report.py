@@ -15,8 +15,13 @@ import sys
 
 
 def load(path):
+    """(min-across-passes times, calib line, recorded-failed names).
+    `failed` comes from scaling_canary.run_bench_solo, which records a
+    per-query JVM that died or emitted no pass_times — those names must
+    surface as scaling FAILURES downstream, never silently drop."""
     pass_times = None
     calib = None
+    failed = []
     with open(path) as f:
         for line in f:
             line = line.strip()
@@ -30,18 +35,24 @@ def load(path):
                 pass_times = {q: min(t for t in ts if t >= 0)
                               for q, ts in obj["queries"].items()
                               if any(t >= 0 for t in ts)}
+                failed = list(obj.get("failed", []))
             if obj.get("metric") == "calib_ms":
                 calib = obj
     if pass_times is None:
         raise SystemExit(f"{path}: no pass_times line")
-    return pass_times, calib
+    return pass_times, calib, failed
 
 
 def main(p001, p01, lbl_small=None, lbl_big=None):
-    small, calib_small = load(p001)
-    big, calib_big = load(p01)
+    small, calib_small, fail_small = load(p001)
+    big, calib_big, fail_big = load(p01)
     lbl_small = lbl_small or "sf0.01"
     lbl_big = lbl_big or "sf0.1"
+    # a query present at one SF but absent (or recorded-failed) at the
+    # other CANNOT be ratio'd — that is the worst scaling outcome, not a
+    # skippable row (r17 ADVICE): flag it SUPER-LINEAR so both the
+    # printed flag and the bottom-line list trip the canary's contract
+    missing = sorted((set(small) ^ set(big)) | set(fail_small) | set(fail_big))
     try:
         from scaling_notes import (CONTROLS, SUPERLINEAR_EXPECTED,
                                    asymptotic_ok, within_envelope)
@@ -86,6 +97,14 @@ def main(p001, p01, lbl_small=None, lbl_big=None):
                 flag = "SUPER-LINEAR"
                 sup.append((q, r))
         print(f"| {q} | {s:.3f} | {b:.3f} | {r:.2f} | {flag} |")
+    for q in missing:
+        sides = [l for l, t, fl in ((lbl_small, small, fail_small),
+                                    (lbl_big, big, fail_big))
+                 if q not in t or q in fl]
+        print(f"| {q} | {small.get(q, float('nan')):.3f} | "
+              f"{big.get(q, float('nan')):.3f} | - | "
+              f"SUPER-LINEAR (failed or missing at {', '.join(sides)}) |")
+        sup.append((q, float("inf")))
     if not rows:
         raise SystemExit("no query names shared between the two runs")
     tot_s = sum(s for _, s, _, _ in rows)

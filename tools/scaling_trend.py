@@ -50,12 +50,23 @@ RISING_FLOOR = 4.0   # only once the grown ratio is material
 
 def main(paths):
     runs = []
+    dropped = {}  # query -> labels where it is missing or recorded-failed
     for p in paths:
-        times, calib = load(p)
+        times, calib, failed = load(p)
         label = os.path.basename(p).rsplit(".", 1)[0]
         runs.append((label, times, calib))
+        for q in failed:
+            dropped.setdefault(q, []).append(label)
     shared = sorted(set.intersection(*(set(t) for _, t, _ in runs)))
-    if not shared:
+    # a query present in SOME runs but not all — or recorded-failed by a
+    # solo leg — cannot be trended; that is the worst-case scaling
+    # outcome (it could not complete at the deeper SF), so it FAILS the
+    # trend instead of silently leaving the intersection (r17 ADVICE)
+    everywhere = set.union(*(set(t) for _, t, _ in runs))
+    for q in sorted(everywhere - set(shared)):
+        dropped.setdefault(q, []).extend(
+            l for l, t, _ in runs if q not in t and l not in dropped.get(q, []))
+    if not shared and not dropped:
         raise SystemExit("no query names shared across all runs")
 
     decades = [(runs[i][0], runs[i + 1][0]) for i in range(len(runs) - 1)]
@@ -122,6 +133,11 @@ def main(paths):
                         "unannotated"))
         cells = " | ".join(f"{r:.2f}" for r in ratios)
         print(f"| {q} | {cells} | {trend} | {note} |")
+
+    for q in sorted(dropped):
+        labels = ", ".join(dropped[q])
+        print(f"| {q} | - | SUPER-LINEAR | failed or missing at {labels} |")
+        failures.append((q, f"failed or missing at {labels}"))
 
     for label, _, calib in runs:
         print(f"calib {label}: {calib}")

@@ -149,6 +149,63 @@ def main():
         check("report honors asymptotic envelope",
               rc == 0 and "asymptotic" in out, out)
 
+        # 7. A query that FAILS at the deeper SF must surface as a
+        # scaling failure, not silently drop from the adjudication
+        # (r17 ADVICE: the canary's exit-code contract was bypassed by
+        # the worst-case failure mode — a query that cannot complete at
+        # sf100 at all vanished from report and trend).
+        a3 = mk(d, "m0.json", {"q00_dies": 5.0, "q01_filler": 8.0})
+        b3 = mk(d, "m1.json", {"q01_filler": 40.0})  # q00_dies absent
+        rc, out = run_report(a3, b3)
+        check("report flags a query missing at the big SF",
+              "SUPER-LINEAR" in out and "q00_dies" in out, out)
+        rc, out = run_trend([a3,
+                             mk(d, "m2.json", {"q00_dies": 25.0,
+                                               "q01_filler": 40.0}),
+                             mk(d, "m3.json", {"q01_filler": 200.0})])
+        check("trend fails on a query missing at the deepest SF",
+              rc == 1 and "failed or missing" in out, out)
+        # a solo leg's RECORDED failure (pass_times present, query
+        # listed in `failed`) flags identically
+        pf = os.path.join(d, "m4.json")
+        with open(pf, "w") as f:
+            f.write(json.dumps({"metric": "pass_times",
+                                "queries": {"q01_filler": [40.0]},
+                                "failed": ["q00_dies"]}) + "\n")
+        rc, out = run_report(a3, pf)
+        check("report flags a recorded-failed query",
+              "SUPER-LINEAR" in out and "q00_dies" in out, out)
+
+        # 8. run_bench_solo records a dying per-query JVM in `failed`
+        # (monkeypatched run_bench: one query succeeds, one dies before
+        # writing any contract line).
+        import scaling_canary
+
+        def fake_run_bench(sf_dir, only, out_path, passes=None,
+                           extra_env=None):
+            if only == "q00_dies":
+                with open(out_path, "w"):
+                    pass  # bench opened its file, JVM died before output
+                raise SystemExit("bench failed (fake)")
+            with open(out_path, "w") as f:
+                f.write(json.dumps({"metric": "pass_times",
+                                    "queries": {only: [1.5]}}) + "\n")
+
+        orig = scaling_canary.run_bench
+        scaling_canary.run_bench = fake_run_bench
+        try:
+            merged_path = os.path.join(d, "solo.json")
+            with contextlib.redirect_stdout(io.StringIO()):
+                scaling_canary.run_bench_solo(
+                    "/nonexistent", "q01_filler,q00_dies", merged_path)
+        finally:
+            scaling_canary.run_bench = orig
+        with open(merged_path) as f:
+            solo = json.loads(f.readline())
+        check("run_bench_solo records the dead query",
+              solo.get("failed") == ["q00_dies"]
+              and "q01_filler" in solo["queries"], str(solo))
+
     bad = [n for n, c in checks if not c]
     if bad:
         raise SystemExit(f"SELF-TEST FAILED: {bad}")
