@@ -95,6 +95,26 @@ object BenchIvf {
         s""""plan_bytes":${serializedBytes(cb.coarse)},""" +
         s""""cells":$cells}""")
       cb.release()
+
+      // three-level (round-18, r17 verdict task 2): the mitigation for
+      // the two-level assign's Θ(√k·d)-per-row term — this is the
+      // crossover instrument showing per-row assign cost k^⅓-bounded
+      // as k grows past the corpus-scaled 8000 mark
+      hygiene()
+      val (cb3, hier3Train) = timed {
+        Ivf.train3(e, "embedding", "vec_id", k,
+          itersCoarse = 4, itersLevel = 3)
+      }
+      val (_, hier3Assign) = timed {
+        Ivf.assign3(e, "embedding", cb3)
+          .write.mode("overwrite").format("noop").save()
+      }
+      val cells3 = cb3.fine.count()
+      println(s"""{"k":$k,"variant":"hier3","train_sec":${fmt(hier3Train)},""" +
+        s""""assign_sec":${fmt(hier3Assign)},""" +
+        s""""plan_bytes":${serializedBytes(cb3.coarse)},""" +
+        s""""cells":$cells3}""")
+      cb3.release()
     }
     spark.stop()
   }

@@ -97,17 +97,23 @@ object Ivf {
        |                 p -> (p[1] - p[2]) * (p[1] - p[2]))),
        |               (acc, v) -> acc + v)""".stripMargin
 
-  /** The (coarse → sorted fine candidates) aggregation both [[assign]]
-    * and [[probeCells]] join against — single-sourced so the struct
-    * shape feeding [[graft.plans.NearestCandidate]] and the probe
-    * scorer cannot drift apart.
+  /** The (parent → sorted candidates) aggregation every level join
+    * reads — single-sourced so the struct shape feeding
+    * [[graft.plans.NearestCandidate]] and the probe scorer cannot
+    * drift apart. `level` is any (coarse, cell, c) codebook frame
+    * (the two-level fine codebook, or either deep level of a
+    * [[Codebook3]] — both use the same layout).
     */
-  private def fineCands(cb: Codebook, candsCol: String,
-      coarseCol: String): DataFrame =
-    cb.fine.groupBy("coarse")
+  private def candsOf(level: DataFrame, candsCol: String,
+      parentCol: String): DataFrame =
+    level.groupBy("coarse")
       .agg(sort_array(collect_list(struct(col("cell"), col("c"))))
         .as(candsCol))
-      .withColumnRenamed("coarse", coarseCol)
+      .withColumnRenamed("coarse", parentCol)
+
+  private def fineCands(cb: Codebook, candsCol: String,
+      coarseCol: String): DataFrame =
+    candsOf(cb.fine, candsCol, coarseCol)
 
   /** Trains the two-level codebook. Deterministic end-to-end: the
     * coarse half inherits [[Similarity.trainKmeansCentroidsFull]]'s
@@ -158,54 +164,19 @@ object Ivf {
       .filter(col("__rank") <= perCellSampleMax)
       .persist()
     try {
-      var fine = sampled.filter(col("__rank") <= kf)
-        .select(col("__coarse").as("coarse"),
-          (col("__rank") - 1).cast("int").as("fine"), col("__xq").as("c"))
-      for (_ <- 0 until itersFine) {
-        val cands = fine.groupBy("coarse")
-          .agg(sort_array(collect_list(struct(col("fine"), col("c"))))
-            .as("__cands"))
-        // assignment in its OWN projection below the explode — fused,
-        // ExtractGenerator hoists the kernel above the Generate and it
-        // re-runs once per exploded dimension (the q99/KMeans.lloyd
-        // 64× trap)
-        val assigned = sampled.join(cands, col("__coarse") === cands("coarse"))
-          .select(col("coarse"),
-            nearestCandidate(col("__xq"), col("__cands")).as("fine"),
-            col("__xq"))
-          .filter(col("fine").isNotNull)
-        val upd = assigned
-          .select(col("coarse"), col("fine"),
-            posexplode(col("__xq")).as(Seq("dim", "v")))
-          .groupBy("coarse", "fine", "dim")
-          .agg(sum("v").as("s"), count(lit(1)).as("n"))
-        // exact floored division (the KMeans.lloyd update in Column
-        // form): s − pmod(s, n) is an exact multiple of n and both fit
-        // double exactly under the sample bound, so `/` is exact
-        fine = upd
-          .groupBy("coarse", "fine")
-          .agg(sort_array(collect_list(struct(col("dim"), col("s"), col("n"))))
-            .as("__dims"))
-          .select(col("coarse"), col("fine"),
-            transform(col("__dims"), x =>
-              ((x.getField("s") - pmod(x.getField("s"), x.getField("n")))
-                / x.getField("n")).cast("long")).as("c"))
-          // empty cells are absent; survivors re-rank densely per
-          // coarse cell in old-id order (the lloyd/lloydSql dense_rank)
-          .withColumn("fine",
-            (row_number().over(
-              Window.partitionBy("coarse").orderBy("fine")) - 1).cast("int"))
-      }
       // materialize the (k-row) codebook ONCE while the sample cache is
       // live, as a PERSIST with intact lineage — not localCheckpoint:
       // a truncated-lineage block evicted between a build and a later
       // oracle render dies with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND,
       // while a persisted frame recomputes (every stage here is
       // deterministic, so the recompute is bit-identical)
-      val withGlobal = fine.select(
-        col("coarse").cast("int").as("coarse"),
-        (col("coarse") * kf + col("fine")).cast("int").as("cell"),
-        col("c"))
+      val withGlobal = lloydPerParent(
+          sampled.select(col("__coarse").as("__parent"), col("__rank"),
+            col("__xq")), kf, itersFine)
+        .select(
+          col("__parent").cast("int").as("coarse"),
+          (col("__parent") * kf + col("__sub")).cast("int").as("cell"),
+          col("c"))
         .persist()
       withGlobal.count()
       Codebook(coarse, withGlobal, kf)
@@ -213,6 +184,59 @@ object Ivf {
       sampled.unpersist()
       ()
     }
+  }
+
+  /** The bounded-sample integer Lloyd loop every distributed level of a
+    * codebook trains with — extracted from [[train]] (round-18, so
+    * [[train3]]'s two deep levels run the IDENTICAL update). Input:
+    * (__parent, __rank, __xq) rows, `__rank` the per-parent
+    * deterministic hash order. Output: (__parent, __sub: int, c) —
+    * up to `kPer` centroids per parent, densely re-ranked; empty cells
+    * absent. Deterministic end-to-end (seeds = each parent's first
+    * `kPer` sample rows, integer-exact Lloyd with (distance, cell)
+    * tie-breaks, floored-division updates).
+    */
+  private def lloydPerParent(
+      sampled: DataFrame, kPer: Int, iters: Int): DataFrame = {
+    var cents = sampled.filter(col("__rank") <= kPer)
+      .select(col("__parent"),
+        (col("__rank") - 1).cast("int").as("__sub"), col("__xq").as("c"))
+    for (_ <- 0 until iters) {
+      val cands = cents.groupBy("__parent")
+        .agg(sort_array(collect_list(struct(col("__sub"), col("c"))))
+          .as("__cands"))
+      // assignment in its OWN projection below the explode — fused,
+      // ExtractGenerator hoists the kernel above the Generate and it
+      // re-runs once per exploded dimension (the q99/KMeans.lloyd
+      // 64× trap)
+      val assigned = sampled.join(cands, Seq("__parent"))
+        .select(col("__parent"),
+          nearestCandidate(col("__xq"), col("__cands")).as("__sub"),
+          col("__xq"))
+        .filter(col("__sub").isNotNull)
+      val upd = assigned
+        .select(col("__parent"), col("__sub"),
+          posexplode(col("__xq")).as(Seq("dim", "v")))
+        .groupBy("__parent", "__sub", "dim")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      // exact floored division (the KMeans.lloyd update in Column
+      // form): s − pmod(s, n) is an exact multiple of n and both fit
+      // double exactly under the sample bound, so `/` is exact
+      cents = upd
+        .groupBy("__parent", "__sub")
+        .agg(sort_array(collect_list(struct(col("dim"), col("s"), col("n"))))
+          .as("__dims"))
+        .select(col("__parent"), col("__sub"),
+          transform(col("__dims"), x =>
+            ((x.getField("s") - pmod(x.getField("s"), x.getField("n")))
+              / x.getField("n")).cast("long")).as("c"))
+        // empty cells are absent; survivors re-rank densely per
+        // parent cell in old-id order (the lloyd/lloydSql dense_rank)
+        .withColumn("__sub",
+          (row_number().over(
+            Window.partitionBy("__parent").orderBy("__sub")) - 1).cast("int"))
+    }
+    cents
   }
 
   /** Assigns every row its global fine cell: map-side coarse assignment
@@ -234,6 +258,142 @@ object Ivf {
       .join(cands, col("__ivf_coarse") === col("__ivf_cb_coarse"), "left")
       .withColumn(outCol, nearestCandidate(col("__ivf_xq"), col("__ivf_cands")))
       .drop("__ivf_coarse", "__ivf_xq", "__ivf_cands", "__ivf_cb_coarse")
+  }
+
+  // --- three-level codebook (round-18, r17 verdict task 2) -------------------
+
+  /** A trained THREE-level codebook — the corpus-scaled-k mitigation
+    * the two-level module's own long-run note names (BENCH_SCALING
+    * round-17): with SemDeDup's k ∝ n, [[assign]]'s per-row cost is
+    * Θ(√k·d) (√k coarse plan literals + ~√k joined fine candidates),
+    * so TOTAL assignment work is n^1.5 — measured 3.20 s → 36.9 s for
+    * 10× data at k = 800 → 8000 (sf10 → sf100), the next decade's
+    * super-linear row. Adding a level bounds the per-row term at
+    * Θ(3·k^⅓·d): k^⅓ top-level plan literals, then two candidate
+    * joins of ~k^⅓ entries each — at k = 8000 that is 20+20+20
+    * centroid distances per row instead of ~90+90, and the gap widens
+    * as √k/k^⅓ = k^(1/6) with every further decade. Plan bytes and
+    * trainer driver state shrink the same way (O(k^⅓·d)).
+    *
+    * Layout mirrors [[Codebook]] one level deeper: `mid` and `fine`
+    * are both (coarse, cell, c) frames in [[KMeans.quantize]]'s
+    * integer domain — `mid.coarse` is the top cell, `mid.cell` the
+    * global mid id (top·midK + rank); `fine.coarse` is that global mid
+    * id, `fine.cell` the global fine id (mid·fineK + rank). Both
+    * levels train with the SAME integer Lloyd ([[lloydPerParent]]) the
+    * two-level fine half uses, so assignment is bit-reproducible and a
+    * DuckDB oracle hash-matches it end-to-end (q109: two chained
+    * [[assignCteSql]] steps over two rendered codebook CTEs).
+    */
+  final case class Codebook3(coarse: Array[Array[Double]], mid: DataFrame,
+      fine: DataFrame, midK: Int, fineK: Int) {
+    def dims: Int = coarse(0).length
+    def release(): Unit = { mid.unpersist(); fine.unpersist(); () }
+  }
+
+  /** Trains the three-level codebook: k^⅓ top centroids distributed
+    * ([[Similarity.trainKmeansCentroidsFull]]), then a bounded
+    * hash-ordered sample per top cell trains ~√(k/k^⅓) mid centroids
+    * per top cell, the sample re-keys by its assigned mid cell
+    * (re-ranked per mid cell), and the same loop trains the fine level
+    * — total fine cells ≈ k. Deterministic end-to-end like [[train]];
+    * rows whose vector length differs from the top dims influence
+    * neither deep level.
+    */
+  def train3(corpus: DataFrame, vec: String, idCol: String, k: Int,
+      itersCoarse: Int = 4, itersLevel: Int = 3,
+      perCellSampleMax: Int = 2000): Codebook3 = {
+    Similarity.integralIdType(corpus, idCol)
+    require(k >= 1, s"ivf train3 requires k >= 1, got $k")
+    require(perCellSampleMax >= 1 && perCellSampleMax <= (1 << 26),
+      s"perCellSampleMax out of range: $perCellSampleMax")
+    val kc = math.max(1, math.ceil(math.cbrt(k.toDouble)).toInt)
+    val coarse = Similarity.trainKmeansCentroidsFull(
+      corpus, vec, kc, itersCoarse, idCol = Some(idCol))
+    // per-level branching so kc · per · per ≈ k
+    val per = math.max(1,
+      math.ceil(math.sqrt(k.toDouble / coarse.length)).toInt)
+
+    def ranked(keyed: DataFrame, key: String): DataFrame =
+      keyed.withColumn("__rank", row_number().over(
+        Window.partitionBy(key).orderBy(xxhash64(col("__id")), col("__id"))))
+        .filter(col("__rank") <= perCellSampleMax)
+
+    val sampled = ranked(
+      corpus
+        .filter(size(col(vec)) === coarse(0).length)
+        .select(col(idCol).as("__id"),
+          Similarity.cellAssign(col(vec), coarse).as("__top"),
+          KMeans.quantize(col(vec)).as("__xq")),
+      "__top").persist()
+    try {
+      val mid = lloydPerParent(
+          sampled.select(col("__top").as("__parent"), col("__rank"),
+            col("__xq")), per, itersLevel)
+        .select(col("__parent").cast("int").as("coarse"),
+          (col("__parent") * per + col("__sub")).cast("int").as("cell"),
+          col("c"))
+        .persist()
+      mid.count()
+      // re-key the sample by its assigned mid cell; the re-rank gives
+      // each mid cell its own deterministic seed order (a top-cell rank
+      // would seed every mid child from the same leading rows)
+      val midCands = candsOf(mid, "__cands3", "__parent")
+      val sampledMid = ranked(
+        sampled.join(midCands, col("__top") === col("__parent"))
+          .select(col("__id"),
+            nearestCandidate(col("__xq"), col("__cands3")).as("__mid"),
+            col("__xq"))
+          .filter(col("__mid").isNotNull),
+        "__mid").persist()
+      try {
+        val fine = lloydPerParent(
+            sampledMid.select(col("__mid").as("__parent"), col("__rank"),
+              col("__xq")), per, itersLevel)
+          .select(col("__parent").cast("int").as("coarse"),
+            (col("__parent") * per + col("__sub")).cast("int").as("cell"),
+            col("c"))
+          .persist()
+        fine.count()
+        Codebook3(coarse, mid, fine, per, per)
+      } finally {
+        sampledMid.unpersist()
+        ()
+      }
+    } finally {
+      sampled.unpersist()
+      ()
+    }
+  }
+
+  /** Assigns every row its global fine cell through the three-level
+    * codebook: map-side top assignment (k^⅓ literals), then TWO
+    * candidate joins (top → mid entries, mid → fine entries) each
+    * resolved by the codegen'd [[graft.plans.NearestCandidate]] argmin
+    * — O(k^⅓·d) work and plan bytes per row at every step. AQE
+    * broadcasts both codebook sides while they fit (each is ≤ k rows
+    * of narrow integers). Rows that cannot assign (ragged vector, or a
+    * cell with no deeper entries) carry a NULL through both joins —
+    * visible, never silently binned, exactly [[assign]]'s contract.
+    */
+  def assign3(df: DataFrame, vec: String, cb: Codebook3,
+      outCol: String = "cell"): DataFrame = {
+    Seq("__ivf3_top", "__ivf3_xq", "__ivf3_mid",
+      "__ivf3_mc", "__ivf3_mc_top", "__ivf3_fc", "__ivf3_fc_mid")
+      .foreach { c =>
+        require(!df.columns.contains(c), s"input already carries $c")
+      }
+    val midCands = candsOf(cb.mid, "__ivf3_mc", "__ivf3_mc_top")
+    val fineCands3 = candsOf(cb.fine, "__ivf3_fc", "__ivf3_fc_mid")
+    df.withColumn("__ivf3_top", Similarity.cellAssign(col(vec), cb.coarse))
+      .withColumn("__ivf3_xq", KMeans.quantize(col(vec)))
+      .join(midCands, col("__ivf3_top") === col("__ivf3_mc_top"), "left")
+      .withColumn("__ivf3_mid",
+        nearestCandidate(col("__ivf3_xq"), col("__ivf3_mc")))
+      .join(fineCands3, col("__ivf3_mid") === col("__ivf3_fc_mid"), "left")
+      .withColumn(outCol, nearestCandidate(col("__ivf3_xq"), col("__ivf3_fc")))
+      .drop("__ivf3_top", "__ivf3_xq", "__ivf3_mid",
+        "__ivf3_mc", "__ivf3_mc_top", "__ivf3_fc", "__ivf3_fc_mid")
   }
 
   /** The coarse centroids re-quantized into [[KMeans.quantize]]'s
@@ -442,15 +602,20 @@ object Ivf {
 
   // --- oracle-scale affordances ---------------------------------------------
 
-  /** Collects the fine codebook — ORACLE/TEST SCALE ONLY (the operator
-    * itself never collects it; at production k this is the O(k·d) pull
-    * the design exists to avoid).
+  /** Collects a distributed codebook level — ORACLE/TEST SCALE ONLY
+    * (the operator itself never collects it; at production k this is
+    * the O(k·d) pull the design exists to avoid). Works for the
+    * two-level fine frame and either deep level of a [[Codebook3]]
+    * (same (coarse, cell, c) layout).
     */
-  def collectFine(cb: Codebook): Seq[(Int, Int, Seq[Long])] =
-    cb.fine.select(col("coarse"), col("cell"), col("c"))
+  def collectLevel(level: DataFrame): Seq[(Int, Int, Seq[Long])] =
+    level.select(col("coarse"), col("cell"), col("c"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
       .sortBy(r => (r._1, r._2))
+
+  def collectFine(cb: Codebook): Seq[(Int, Int, Seq[Long])] =
+    collectLevel(cb.fine)
 
   /** DuckDB CTE rendering the collected codebook as literal rows:
     * `name(coarse, cell, c)`.

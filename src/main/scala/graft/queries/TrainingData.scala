@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.GraftQuery._
-import graft.functions.{Hashing, TextAnalysis}
+import graft.functions.{Corpus, Hashing, TextAnalysis}
 import graft.operators.{Dedup, Ivf, Similarity}
 
 /** Training-data pipeline battery over `documents`/`embeddings`: exact +
@@ -1528,8 +1528,165 @@ object TrainingData {
     },
     Some(clusterSizesSql(Some(3))))
 
+  /** The deterministic 1/8 document sample q108 measures recall over:
+    * salted-md5 bucket below 0x2000 = 8192/65536 — a pure function of
+    * doc_id (the q70/q66 sampler machinery), so both engines draw the
+    * identical sample at any SF.
+    */
+  private val SampledRecallSalt = "lsh-recall-r18"
+  private val SampledRecallHexBound = "2000"
+
+  /** Below this many sampled uncapped pairs the recall estimate has no
+    * statistical support (a single lost pair swings it past any fixed
+    * bound — at bench SFs the 1/8 sample holds 0-4 pairs) and the
+    * acceptance is vacuously true; the row's JOB is the deep-scale
+    * regime, where the sample holds thousands (see scaladoc).
+    */
+  private val SampledRecallMinSupport = 20L
+
+  /** SAMPLED capped-LSH recall — q106 extended past the last decade
+    * where its uncapped denominator is feasible (round-18, r17 verdict
+    * task 4): the exact pipeline's full pair set costs a candidate
+    * join that is QUADRATIC in hot-bucket mass (probe-measured 1.117B
+    * candidate pairs at sf100 — q75 failed both passes there), so at
+    * deployment scale the recall floor is estimated over a
+    * deterministic 1/8 document sample instead of refused.
+    *
+    * Identity the estimator leans on: banded-LSH candidacy is a pure
+    * per-PAIR function of the two documents' own shingles (a band key
+    * depends on nothing else in the corpus), so the uncapped pipeline
+    * RUN OVER THE SAMPLE alone emits exactly the full pipeline's
+    * verified pairs with both endpoints sampled — each full-corpus
+    * pair is included with probability (1/8)², an unbiased pair
+    * sample, and the quadratic term shrinks by 64×. The CAPPED side
+    * deliberately runs over the FULL corpus (hot buckets are a
+    * full-corpus property — capping the sample's buckets would measure
+    * a different, gentler cap) and is linear by construction; the
+    * retained set intersects the two. Acceptance mirrors q106's bound
+    * with a support gate ([[SampledRecallMinSupport]]).
+    *
+    * Measured (round-18, Spark side verified against the DuckDB twin
+    * at the fixture SFs): sf0.001/sf0.01 0 sampled pairs (vacuous),
+    * sf0.1 9/9 = 1.0, sf1 46/49 = 0.9388, sf10 342/357 = 0.9580 —
+    * tracking q106's exact floor (0.9648 at sf1/sf10) within sampling
+    * noise — and sf100, the decade the exact denominator cannot reach:
+    * see BENCH_SCALING.md round-18 for the deployment-scale floor.
+    */
+  private val q108 = GraftQuery(
+    "q108_capped_lsh_recall_sampled",
+    (s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val samp = docs.filter(
+        Corpus.bucket16($"doc_id", SampledRecallSalt) < SampledRecallHexBound)
+      val unc = Dedup.minhashLshPairs(samp, "doc_id", "text")
+        .select($"id_a", $"id_b")
+      val cap = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          maxBucket = Some(3))
+        .select($"id_a", $"id_b")
+      val nPairs = unc.count()
+      val nRetained = unc.join(cap, Seq("id_a", "id_b")).count()
+      val recall = if (nPairs > 0) Some(nRetained.toDouble / nPairs) else None
+      Seq((nPairs, nRetained,
+          recall.map(r => math.round(r * 1e4) / 1e4),
+          nPairs < SampledRecallMinSupport ||
+            recall.exists(_ >= CappedLshRecallBound)))
+        .toDF("n_pairs", "n_retained", "recall", "recall_ok")
+    },
+    Some(s"""
+      WITH ${shingleBaseSql()},
+      ${minhashBandCandSql()},
+      ${cappedCandSql(3, "_c")},
+      samp AS (
+        SELECT doc_id FROM documents
+        WHERE ${Corpus.bucket16Sql("doc_id", SampledRecallSalt)}
+                < '$SampledRecallHexBound'),
+      -- candidacy is per-pair, so full-corpus candidates restricted to
+      -- sampled endpoints == candidates of the sampled sub-corpus (what
+      -- the Spark side actually runs)
+      cand_s AS (
+        SELECT c.id_a, c.id_b FROM cand c
+        JOIN samp sa ON c.id_a = sa.doc_id
+        JOIN samp sb ON c.id_b = sb.doc_id),
+      pairs_s AS (
+        SELECT id_a, id_b
+        FROM cand_s JOIN base xa ON id_a = xa.doc_id JOIN base xb ON id_b = xb.doc_id
+        WHERE ${jaccardSql("xa.sh", "xb.sh")} >= 0.5),
+      retained AS (
+        SELECT p.id_a, p.id_b FROM pairs_s p
+        JOIN cand_c c ON p.id_a = c.id_a AND p.id_b = c.id_b),
+      n AS (SELECT (SELECT COUNT(*) FROM pairs_s) AS n_pairs,
+                   (SELECT COUNT(*) FROM retained) AS n_retained)
+      SELECT n_pairs, n_retained,
+        CASE WHEN n_pairs > 0
+          THEN ROUND(CAST(n_retained AS DOUBLE) / n_pairs, 4) END AS recall,
+        CASE WHEN n_pairs >= $SampledRecallMinSupport
+          THEN CAST(n_retained AS DOUBLE) / n_pairs >= $CappedLshRecallBound
+          ELSE TRUE END AS recall_ok
+      FROM n"""))
+
+  /** q109's own THREE-level codebook (k = 27 so all three levels are
+    * populated at every SF; itersLevel = 2 keeps oracle-render retrain
+    * cost bounded like q101's fixed index).
+    */
+  private val ivf3Codebook = new GraftQuery.SessionMemo[Ivf.Codebook3](
+    (s, d) => Ivf.train3(embeddings(s, d), "embedding", "vec_id",
+      k = 27, itersCoarse = 3, itersLevel = 2),
+    close = _.release())
+
+  /** Three-level IVF codebook build + assignment (round-18, r17 verdict
+    * task 2): the corpus-scaled-k mitigation for the two-level
+    * module's measured n^1.5 assignment asymptote — with k ∝ n,
+    * [[Ivf.assign]]'s per-row Θ(√k·d) term grew 3.20 s → 36.9 s per
+    * 10× of data at sf10→sf100 (BENCH_SCALING round-17); the deep path
+    * bounds per-row work at Θ(3·k^⅓·d) ([[Ivf.train3]] scaladoc, the
+    * flat→two-level q101/q104 precedent one level up). Everything past
+    * the k^⅓ top literals is integer-exact distributed data, so the
+    * oracle re-renders BOTH deep levels as BIGINT codebook CTEs and
+    * hash-matches the full two-join assignment — the same per-cell
+    * manifest as q101.
+    */
+  private val q109 = GraftQuery(
+    "q109_ivf3_deep_codebook",
+    (s, d) => {
+      val cb = ivf3Codebook(s, d)
+      val e = embeddings(s, d).filter(size(col("embedding")) === cb.dims)
+      Ivf.assign3(e, "embedding", cb)
+        .filter(col("cell").isNotNull)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), min("vec_id").as("first_member"))
+        .join(cb.fine.select(col("cell"),
+          element_at(col("c"), 1).as("c0"), element_at(col("c"), 2).as("c1")),
+          "cell")
+        .orderBy("cell")
+    },
+    oracleDyn = Some { (s, d) =>
+      val cb = ivf3Codebook(s, d)
+      s"""
+      WITH ${Ivf.codebookCteSql("cbm", Ivf.collectLevel(cb.mid))},
+      ${Ivf.codebookCteSql("cbf", Ivf.collectLevel(cb.fine))},
+      e AS (
+        SELECT vec_id,
+               CAST(${Similarity.cellAssignSql("embedding", cb.coarse)} AS INTEGER) AS coarse,
+               ${Ivf.quantizeListSql("embedding")} AS xq
+        FROM embeddings
+        WHERE len(embedding) = ${cb.dims}),
+      m AS (
+        ${Ivf.assignCteSql("e", "cbm")}),
+      e2 AS (
+        SELECT m.vec_id, CAST(m.cell AS INTEGER) AS coarse, e.xq
+        FROM m JOIN e USING (vec_id)),
+      a AS (
+        ${Ivf.assignCteSql("e2", "cbf")})
+      SELECT a.cell, COUNT(*) AS n, MIN(a.vec_id) AS first_member,
+             MIN(cbf2.c[1]) AS c0, MIN(cbf2.c[2]) AS c1
+      FROM a JOIN cbf cbf2 ON a.cell = cbf2.cell
+      GROUP BY a.cell
+      ORDER BY a.cell"""
+    })
+
   val all: Seq[GraftQuery] = Seq(
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q72,
     q75, q79, q80, q81, q84, q89, q91, q95, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107)
+    q105, q106, q107, q108, q109)
 }

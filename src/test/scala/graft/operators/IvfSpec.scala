@@ -101,6 +101,67 @@ class IvfSpec extends SparkSpec {
       .collect()(0).isNullAt(0))
   }
 
+  // --- three-level codebook (round-18) --------------------------------------
+
+  private def cb3(df: DataFrame): Ivf.Codebook3 =
+    Ivf.train3(df, "embedding", "vec_id", k = 27,
+      itersCoarse = 3, itersLevel = 2, perCellSampleMax = 64)
+
+  test("three-level assignment equals a driver-side two-step argmin (round-18)") {
+    val df = corpus(240)
+    val book = cb3(df)
+    try {
+      val byTop = Ivf.collectLevel(book.mid).groupBy(_._1)
+      val byMid = Ivf.collectLevel(book.fine).groupBy(_._1)
+      def argmin(cands: Seq[(Int, Int, Seq[Long])], xq: Array[Long]): Int =
+        cands.map { case (_, cell, c) =>
+          (c.toArray.zip(xq).map { case (a, b) => val t = a - b; t * t }.sum,
+            cell)
+        }.min._2 // (distance, cell) lexicographic — the kernel's tie-break
+      val rows = Ivf.assign3(
+          df.withColumn("__top",
+            Similarity.cellAssign($"embedding", book.coarse)),
+          "embedding", book)
+        .select($"vec_id", $"__top", $"cell",
+          KMeans.quantize($"embedding").as("xq"))
+        .collect()
+      assert(rows.length == 240)
+      rows.foreach { r =>
+        val xq = r.getSeq[Long](3).toArray
+        val mid = argmin(byTop(r.getInt(1)), xq)
+        val want = argmin(byMid(mid), xq)
+        assert(!r.isNullAt(2) && r.getInt(2) == want,
+          s"vec ${r.getLong(0)}: kernel ${r.get(2)} vs recompute $want")
+      }
+      // genuinely three levels: >1 top cell, mids spread, fines spread
+      assert(byTop.size > 1)
+      assert(Ivf.collectLevel(book.mid).map(_._2).distinct.size > byTop.size)
+      assert(Ivf.collectLevel(book.fine).map(_._2).distinct.size >
+        Ivf.collectLevel(book.mid).map(_._2).distinct.size)
+    } finally book.release()
+  }
+
+  test("three-level training is partitioning-independent; corrupt rows get NULL (round-18)") {
+    val df = corpus(180)
+    val a = cb3(df.repartition(1))
+    val b = cb3(df.repartition(13, $"vec_id"))
+    try {
+      assert(Ivf.collectLevel(a.mid) == Ivf.collectLevel(b.mid))
+      assert(Ivf.collectLevel(a.fine) == Ivf.collectLevel(b.fine))
+      val ragged = Seq((999L, Array.fill(5)(1.0f))).toDF("vec_id", "embedding")
+      val r = Ivf.assign3(ragged, "embedding", a).select($"cell").collect()
+      assert(r.length == 1 && r(0).isNullAt(0))
+      // incremental identity carries over: fixed-codebook assignment is
+      // a pure per-row function at every level
+      val base = df.filter($"vec_id" % 7 =!= 0)
+      val delta = df.filter($"vec_id" % 7 === 0)
+      def m(d: DataFrame): Map[Long, Int] =
+        Ivf.assign3(d, "embedding", a).select($"vec_id", $"cell")
+          .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+      assert(m(base) ++ m(delta) == m(df))
+    } finally { a.release(); b.release() }
+  }
+
   test("probeCells equals a driver-side recompute over the probed coarse cells' candidates") {
     val df = corpus(240)
     val book = cb(df)
