@@ -39,6 +39,13 @@ object BenchIvf {
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf1"))
     val ks = (if (args.length > 1) args(1) else "80,320,1280")
       .split(",").map(_.trim.toInt)
+    // optional variant filter (round-18): the deep-k crossover runs
+    // hier vs hier3 only — the flat trainer's O(pool·k·d) driver
+    // seeding is exactly the term the hierarchical paths remove, and
+    // paying it at k=32000 would waste most of the exclusive window
+    // re-measuring the r16 flat-vs-hier verdict
+    val variants = (if (args.length > 2) args(2) else "flat,hier,hier3")
+      .split(",").map(_.trim).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,6 +73,7 @@ object BenchIvf {
     e.count()
 
     for (k <- ks) {
+      if (variants("flat")) {
       hygiene()
       val (flatCents, flatTrain) = timed {
         Similarity.trainKmeansCentroidsFull(
@@ -79,7 +87,9 @@ object BenchIvf {
         s""""assign_sec":${fmt(flatAssign)},""" +
         s""""plan_bytes":${serializedBytes(flatCents)},""" +
         s""""cells":${flatCents.length}}""")
+      }
 
+      if (variants("hier")) {
       hygiene()
       val (cb, hierTrain) = timed {
         Ivf.train(e, "embedding", "vec_id", k,
@@ -95,7 +105,9 @@ object BenchIvf {
         s""""plan_bytes":${serializedBytes(cb.coarse)},""" +
         s""""cells":$cells}""")
       cb.release()
+      }
 
+      if (variants("hier3")) {
       // three-level (round-18, r17 verdict task 2): the mitigation for
       // the two-level assign's Θ(√k·d)-per-row term — this is the
       // crossover instrument showing per-row assign cost k^⅓-bounded
@@ -115,6 +127,7 @@ object BenchIvf {
         s""""plan_bytes":${serializedBytes(cb3.coarse)},""" +
         s""""cells":$cells3}""")
       cb3.release()
+      }
     }
     spark.stop()
   }

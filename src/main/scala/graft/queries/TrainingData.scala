@@ -1458,7 +1458,10 @@ object TrainingData {
     * never corrupts unrelated ones. The sf0.001 dip is small-corpus
     * quantization — that one family's 6 pairs against only 28 total.
     * The bound (0.75) holds at every measured SF; the figure a
-    * deployment should quote is the at-scale floor 0.9648.
+    * deployment should quote is the at-scale floor 0.9648. Past sf10
+    * this row's uncapped denominator is infeasible (1.117B candidates
+    * at sf100, probe-measured) — q108 carries the floor onward over a
+    * deterministic pair sample.
     */
   private val q106 = GraftQuery(
     "q106_capped_lsh_recall",

@@ -75,21 +75,26 @@ RISING_EXPECTED = {
 # records the stage decomposition that explains the reading, plus the
 # envelope beyond which the explanation no longer holds and the row
 # fails anyway:
-#   q73: stage-decomposed at sf10->sf100 (ProbeQ73, single-pass):
-#        bare rollup groupBy 12.6x, bare sample distinct 13.4x,
-#        delivery-no-sort 15.9x, +global sort 22.6x — EVERY stage,
-#        including trivial linear ones, amplifies ~12-16x because the
-#        sample-grain group/distinct cardinality scales with the data
-#        (15M -> 150M samples) while a single 32 GiB local[32] JVM
-#        cannot scale partitions x memory with it (GB-scale
-#        per-partition agg state -> sort/spill fallback + GC; a
-#        1000-executor cluster bounds this by construction). The
-#        spill-width A/B (SPARK_GRAFT_SHUFFLE=256) moved it only 8%,
-#        and the CONTRAST case proves no quadratic hides here: real
-#        quadratic measured 100.5x in the same session (q75's
-#        uncapped candidates). Whole-query readings across four r17
-#        sf100 runs: 11.1-17.9 (order- and cache-sensitive).
-#        Envelope 20.
+#   q73: stage-decomposed at sf10->sf100 (ProbeQ73, single-pass, BOTH
+#        heap sizes in r18): bare rollup groupBy 12.0-12.6x, bare
+#        sample distinct 8.8-13.4x, delivery-no-sort 15.9-18.8x,
+#        +global sort 22.6-23.0x — EVERY stage, including the minimal
+#        one-shuffle rollup, amplifies, so no delivery-plan rework can
+#        go below its own bare first stage. The r17 memory sentence
+#        ("fixed 32 GiB against 10x cardinality") was TESTED and
+#        REFUTED in r18 by its own mechanism: 2x heap made the query
+#        1.49x SLOWER (G1 pause growth), ParallelGC 1.21x slower, and
+#        the r17 width A/B had already moved it only 8%. Corrected
+#        mechanism: fixed-core amplification — 10x data on the same
+#        32 threads costs >=10x by arithmetic, plus a 1.2-1.7x
+#        allocator/page-cache/GC residual that grows with PER-TASK
+#        data volume; a cluster bounds per-task volume by scaling
+#        executor COUNT with data, which no single-box knob emulates.
+#        CONTRAST case proving the envelope still fails a real
+#        regression: quadratic measured 100.5x in the same r17
+#        session (q75's uncapped candidates). Whole-query solo sf100
+#        readings at the operative 32 GiB config: 11.1-17.9 (r17),
+#        16.6 (r18). Envelope 20.
 #   (q91 was adjudicated OUT of this table the same round: its first
 #   shared-JVM reading of 11.51 dropped to 6.18 in a solo JVM — suite
 #   contamination, not the plan; pair mass 10.63x and assign 11.5x
