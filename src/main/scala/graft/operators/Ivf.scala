@@ -47,6 +47,14 @@ import org.apache.spark.sql.functions._
   * and IvfSpec). [[driftFraction]] is the retrain trigger: the share of
   * delta rows whose nearest-coarse distance exceeds a tolerance times
   * the training-time typical distance.
+  *
+  * THREE-level extension (round-18): at SemDeDup's corpus-scaled
+  * k ∝ n even the two-level per-row Θ(√k·d) assign term makes total
+  * work n^1.5 (measured — see [[Codebook3]]); [[train3]]/[[assign3]]/
+  * [[probeCells3]] bound per-row work at Θ(k^⅓·d) per hop, the
+  * complete deeper index (build q109 / search q110; BenchIvf crossover
+  * in BENCH_SCALING.md round-18: assign 2.2× faster at k=8000, 2.5×
+  * at k=32000 over the 2M-row corpus).
   */
 object Ivf {
 
@@ -449,22 +457,43 @@ object Ivf {
     require(nProbeCoarse >= 1 && nProbeCoarse <= cb.coarse.length,
       s"nProbeCoarse must be in [1, ${cb.coarse.length}], got $nProbeCoarse")
     require(nProbeFine >= 1, s"nProbeFine must be >= 1, got $nProbeFine")
-    Seq("__ivf_q_coarse", "__ivf_q_xq", "__ivf_q_cands", "__ivf_q_scored",
-      "__ivf_q_cb_coarse", "__ivf_q_all", outCol)
+    Seq("__ivf_q_parent", "__ivf_q_xq", "__ivf_q_cands", "__ivf_q_scored",
+      "__ivf_q_cb_parent", "__ivf_q_all", outCol)
       .foreach { c =>
         require(!queries.columns.contains(c), s"input already carries $c")
       }
-    val cands = fineCands(cb, "__ivf_q_cands", "__ivf_q_cb_coarse")
     // coarse probes are the float-domain struct sort over the √k
     // literals (the Similarity machinery, oracle twin probeCellsSql);
     // quantization in a SEPARATE projection below the explode (the
     // ExtractGenerator hoist trap)
     val probed = queries.select(col(idCol), col(vec))
       .withColumn("__ivf_q_xq", KMeans.quantize(col(vec)))
-      .withColumn("__ivf_q_coarse",
+      .withColumn("__ivf_q_parent",
         explode(Similarity.probeCells(col(vec), cb.coarse, nProbeCoarse)))
+    val probes = probeHop(probed, idCol, cb.fine, nProbeFine, outCol)
+    queries.join(probes, Seq(idCol), "left")
+      .withColumn(outCol,
+        coalesce(col(outCol), array().cast("array<int>")))
+  }
+
+  /** One probe hop — the exactness-critical scoring shared by
+    * [[probeCells]] and both stages of [[probeCells3]] (single-sourced
+    * so the integer scoring, NULL exclusion, and (d, cell) total order
+    * cannot drift between the two-level and three-level paths; the
+    * DuckDB twin is [[probeSelectSql]], reused per hop the same way).
+    * Input rows carry (idCol, __ivf_q_xq, __ivf_q_parent) — one row
+    * per (query, probed parent cell); output is one (idCol, outCol)
+    * row per query whose probes scored, outCol = the `nProbe` nearest
+    * `level` cells drawn from the probed parents' union. The probe
+    * list is GLOBAL over that union — flatten, one total-order sort,
+    * slice (collect_list order is nondeterministic; array_sort over
+    * (d, cell) structs restores a data-only order).
+    */
+  private def probeHop(probed: DataFrame, idCol: String, level: DataFrame,
+      nProbe: Int, outCol: String): DataFrame = {
+    val cands = candsOf(level, "__ivf_q_cands", "__ivf_q_cb_parent")
     val scored = probed
-      .join(cands, col("__ivf_q_coarse") === col("__ivf_q_cb_coarse"), "left")
+      .join(cands, col("__ivf_q_parent") === col("__ivf_q_cb_parent"), "left")
       .withColumn("__ivf_q_scored",
         filter(
           transform(coalesce(col("__ivf_q_cands"),
@@ -473,16 +502,52 @@ object Ivf {
               sqDist(col("__ivf_q_xq"), cand.getField("c")).as("d"),
               cand.getField("cell").as("cell"))),
           s => s.getField("d").isNotNull))
-    // the probe list is GLOBAL over the probed coarse cells' union —
-    // flatten, one total-order sort, slice (collect_list order is
-    // nondeterministic; array_sort over (d, cell) structs restores a
-    // data-only order)
-    val probes = scored
+    scored
       .groupBy(col(idCol))
       .agg(flatten(collect_list(col("__ivf_q_scored"))).as("__ivf_q_all"))
       .select(col(idCol),
-        transform(slice(array_sort(col("__ivf_q_all")), 1, nProbeFine),
+        transform(slice(array_sort(col("__ivf_q_all")), 1, nProbe),
           s => s.getField("cell")).as(outCol))
+  }
+
+  /** Query-side probe over the THREE-level codebook — [[probeCells]]
+    * one level deeper, completing [[Codebook3]] as a full index
+    * (build [[train3]], maintain [[assign3]], search here): each query
+    * row probes its `nProbeTop` nearest top cells (k^⅓ plan literals),
+    * scores those cells' mid entries for the `nProbeMid` nearest mid
+    * cells, then scores THOSE cells' fine entries for the `nProbeFine`
+    * nearest fine cells — O(nProbe·k^⅓·d) work per query per hop
+    * against the two-level probe's O(nProbe·√k·d). Same integer-exact
+    * scoring and (distance, cell) tie-breaks per hop ([[probeHop]]),
+    * so the DuckDB twin is two chained [[probeSelectSql]] steps
+    * (q110). Ragged queries get an EMPTY probe list, like
+    * [[probeCells]]; rows sharing an id get the union-merged list
+    * (the documented probeCells contract).
+    */
+  def probeCells3(queries: DataFrame, idCol: String, vec: String,
+      cb: Codebook3, nProbeTop: Int, nProbeMid: Int, nProbeFine: Int,
+      outCol: String = "probes"): DataFrame = {
+    Similarity.integralIdType(queries, idCol)
+    require(nProbeTop >= 1 && nProbeTop <= cb.coarse.length,
+      s"nProbeTop must be in [1, ${cb.coarse.length}], got $nProbeTop")
+    require(nProbeMid >= 1, s"nProbeMid must be >= 1, got $nProbeMid")
+    require(nProbeFine >= 1, s"nProbeFine must be >= 1, got $nProbeFine")
+    Seq("__ivf_q_xq", "__ivf_q_parent", "__ivf_q_cands", "__ivf_q_scored",
+      "__ivf_q_cb_parent", "__ivf_q_all", "__ivf_q_mids", outCol)
+      .foreach { c =>
+        require(!queries.columns.contains(c), s"input already carries $c")
+      }
+    val base = queries.select(col(idCol), col(vec))
+      .withColumn("__ivf_q_xq", KMeans.quantize(col(vec)))
+    val topProbed = base.withColumn("__ivf_q_parent",
+      explode(Similarity.probeCells(col(vec), cb.coarse, nProbeTop)))
+    val mids = probeHop(topProbed, idCol, cb.mid, nProbeMid, "__ivf_q_mids")
+    // explode drops queries whose mid list is empty (ragged vectors) —
+    // the final left join + coalesce restores their empty probe list
+    val midProbed = base.join(mids, Seq(idCol))
+      .withColumn("__ivf_q_parent", explode(col("__ivf_q_mids")))
+      .drop("__ivf_q_mids")
+    val probes = probeHop(midProbed, idCol, cb.fine, nProbeFine, outCol)
     queries.join(probes, Seq(idCol), "left")
       .withColumn(outCol,
         coalesce(col(outCol), array().cast("array<int>")))

@@ -1688,8 +1688,89 @@ object TrainingData {
       ORDER BY a.cell"""
     })
 
+  /** Deep ANN search end-to-end (round-18): the SEARCH half of the
+    * three-level index q109 builds — q103's shape one level deeper.
+    * Queries probe their nearest top cells' MID entries, then the
+    * chosen mid cells' FINE entries ([[Ivf.probeCells3]] —
+    * O(nProbe·k^⅓·d) per query per hop against the two-level probe's
+    * O(nProbe·√k·d)), then [[Similarity.ivfTopKProbed]] ranks
+    * candidates within the probed fine cells. Probe lists are
+    * integer-exact with BIGINT sort keys on both engines (two chained
+    * [[Ivf.probeSelectSql]] hops); cosines are the fold-ordered
+    * float-domain machinery q89/q100/q103 pin.
+    */
+  private val q110 = {
+    val NPM = 4
+    val NPF = 3
+    GraftQuery(
+      "q110_ivf3_deep_ann",
+      (s, d) => {
+        import s.implicits._
+        val cb = ivf3Codebook(s, d)
+        val npt = math.min(2, cb.coarse.length)
+        val all = embeddings(s, d).filter(size(col("embedding")) === cb.dims)
+        val corpus = Ivf.assign3(all, "embedding", cb)
+          .filter($"cell".isNotNull)
+        val queries = Ivf.probeCells3(
+          all.filter($"vec_id" < 5)
+            .select($"vec_id".as("q_id"), $"embedding".as("q_vec")),
+          "q_id", "q_vec", cb, npt, NPM, NPF)
+        Similarity.ivfTopKProbed(queries, corpus,
+            "q_id", "q_vec", "probes", "vec_id", "embedding", "cell", k = 5)
+          .select($"query_id", $"neighbor_id", $"rank",
+            round($"cosine", 6).as("cosine"))
+          .orderBy($"query_id", $"rank")
+      },
+      oracleDyn = Some { (s, d) =>
+        val cb = ivf3Codebook(s, d)
+        val npt = math.min(2, cb.coarse.length)
+        s"""
+      WITH ${Ivf.codebookCteSql("cbm", Ivf.collectLevel(cb.mid))},
+      ${Ivf.codebookCteSql("cbf", Ivf.collectLevel(cb.fine))},
+      e AS (
+        SELECT vec_id,
+               CAST(${Similarity.cellAssignSql("embedding", cb.coarse)} AS INTEGER) AS coarse,
+               ${Ivf.quantizeListSql("embedding")} AS xq
+        FROM embeddings
+        WHERE len(embedding) = ${cb.dims}),
+      m AS (
+        ${Ivf.assignCteSql("e", "cbm")}),
+      e2 AS (
+        SELECT m.vec_id, CAST(m.cell AS INTEGER) AS coarse, e.xq
+        FROM m JOIN e USING (vec_id)),
+      a AS (
+        ${Ivf.assignCteSql("e2", "cbf")}),
+      corpus AS (
+        SELECT e0.vec_id, e0.embedding, a.cell
+        FROM embeddings e0 JOIN a USING (vec_id)
+        WHERE ${Similarity.nonZeroNormSql("e0.embedding")}),
+      qs AS (
+        SELECT vec_id AS q_id, embedding AS q_vec,
+               ${Ivf.quantizeListSql("embedding")} AS xq,
+               ${Similarity.probeCellsSql("embedding", cb.coarse, npt)} AS cps
+        FROM embeddings
+        WHERE vec_id < 5 AND len(embedding) = ${cb.dims}
+          AND ${Similarity.nonZeroNormSql("embedding")}),
+      pm AS (
+        ${Ivf.probeSelectSql("qs", "cbm", "cps", NPM)}),
+      qs2 AS (
+        SELECT qs.q_id, qs.xq, pm.probes AS pmids
+        FROM qs JOIN pm USING (q_id)),
+      pf AS (
+        ${Ivf.probeSelectSql("qs2", "cbf", "pmids", NPF)}),
+      p AS (
+        SELECT qs.q_id, qs.q_vec, unnest(pf.probes) AS probe
+        FROM qs JOIN pf USING (q_id)),
+      scored AS (
+        SELECT p.q_id, corpus.vec_id AS nid,
+               ${Similarity.cosineSql("p.q_vec", "corpus.embedding")} AS cos
+        FROM corpus JOIN p ON corpus.cell = p.probe AND corpus.vec_id <> p.q_id),
+      $annTailSql"""
+      })
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q72,
     q75, q79, q80, q81, q84, q89, q91, q95, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108, q109)
+    q105, q106, q107, q108, q109, q110)
 }

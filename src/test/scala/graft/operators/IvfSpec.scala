@@ -194,6 +194,45 @@ class IvfSpec extends SparkSpec {
     assert(rp.length == 1 && rp(0).getSeq[Int](0).isEmpty)
   }
 
+  test("probeCells3 equals a driver-side two-hop recompute (round-18)") {
+    val df = corpus(240)
+    val book = cb3(df)
+    try {
+      val npt = math.min(2, book.coarse.length)
+      val (npm, npf) = (4, 3)
+      val queries = df.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      val got = Ivf.probeCells3(queries, "q_id", "q_vec", book, npt, npm, npf)
+        .select($"q_id", $"probes",
+          Similarity.probeCells($"q_vec", book.coarse, npt).as("tps"),
+          KMeans.quantize($"q_vec").as("xq"))
+        .collect()
+      assert(got.length == 20)
+      val byTop = Ivf.collectLevel(book.mid).groupBy(_._1)
+      val byMid = Ivf.collectLevel(book.fine).groupBy(_._1)
+      def hop(parents: Seq[Int], lvl: Map[Int, Seq[(Int, Int, Seq[Long])]],
+          xq: Array[Long], n: Int): Seq[Int] =
+        parents.flatMap(p => lvl.getOrElse(p, Nil))
+          .map { case (_, cell, cvec) =>
+            (cvec.toArray.zip(xq).map { case (a, b) =>
+              val t = a - b; t * t
+            }.sum, cell)
+          }
+          .sorted.take(n).map(_._2)
+      got.foreach { r =>
+        val xq = r.getSeq[Long](3).toArray
+        val expected = hop(hop(r.getSeq[Int](2), byTop, xq, npm), byMid, xq, npf)
+        assert(r.getSeq[Int](1) == expected,
+          s"q ${r.getLong(0)}: ${r.getSeq[Int](1)} vs $expected")
+      }
+      // a ragged query gets an empty probe list, not a crash or a bin
+      val ragged = Seq((99L, Array.fill(5)(1.0f))).toDF("q_id", "q_vec")
+      val rp = Ivf.probeCells3(ragged, "q_id", "q_vec", book, npt, npm, npf)
+        .select($"probes").collect()
+      assert(rp.length == 1 && rp(0).getSeq[Int](0).isEmpty)
+    } finally book.release()
+  }
+
   test("train and probeCells reject non-integral ids loudly (round-16)") {
     // the id contract was documented but unenforced: every consumer
     // keys ledgers/search by long, where a string id casts to all-NULL

@@ -43,11 +43,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 FAMILIES = {
-    # q108/q109 joined in round 18: the sampled recall floor (capped
-    # full-corpus pipeline = linear; its sampled uncapped term is
-    # quadratic-by-contract but 64x-damped, invisible at these SFs) and
-    # the three-level codebook (fixed k=27 — pure linear scan+assign)
-    "embedding": ("q42,q45,q52,q91,q99,q100,q104,q105,q108,q109",
+    # q108/q109/q110 joined in round 18: the sampled recall floor
+    # (capped full-corpus pipeline = linear; its sampled uncapped term
+    # is quadratic-by-contract but 64x-damped, invisible at these SFs)
+    # and the three-level codebook build + deep ANN search (fixed k=27
+    # — pure linear scan/assign/probe)
+    "embedding": ("q42,q45,q52,q91,q99,q100,q104,q105,q108,q109,q110",
                   "sf0.1", "sf1"),
     "skew": ("q29,q37,q73,q76,q77,q90,q95,q96", "sf0.1", "sf1"),
     "relational": (None, "sf0.01", "sf0.1"),
