@@ -545,6 +545,11 @@ object Dedup {
     * literal even reaches a megabyte), so small-k corpora keep the
     * faster flat shape and corpus-scaled deployments get the
     * bounded-driver path exactly when it starts paying for itself.
+    * Round-18 adds the THIRD tier: at `deepMinK` (default 8000, the
+    * measured point where the two-level assign's n^1.5 term becomes
+    * the dominant asymptote AND the three-level path's 2.2× assign win
+    * is measured — BENCH_SCALING r17/r18) the switch goes one level
+    * deeper ([[Ivf.train3]]/[[Ivf.assign3]], per-row Θ(k^⅓·d)).
     *
     * Hierarchical-branch lifecycle: the per-row (id, cell) assignment
     * is eagerly localCheckpointed — two narrow columns — so the trained
@@ -558,25 +563,49 @@ object Dedup {
     */
   def semDedupScaled(
       embs: DataFrame, id: String, vec: String,
-      k: Int, tau: Double, flatMaxK: Int = 512): DataFrame = {
+      k: Int, tau: Double, flatMaxK: Int = 512,
+      deepMinK: Int = 8000): DataFrame = {
     require(flatMaxK >= 0, s"flatMaxK must be >= 0: $flatMaxK")
+    require(deepMinK > flatMaxK,
+      s"deepMinK ($deepMinK) must exceed flatMaxK ($flatMaxK)")
     if (k <= flatMaxK)
       semDedup(embs, id, vec,
         Similarity.trainKmeansCentroids(embs, vec, k, idCol = Some(id)), tau)
-    else {
+    else if (k < deepMinK) {
       val cb = Ivf.train(embs, vec, id, k)
-      try {
-        // reserved out name: assigning straight into "cell" would
-        // silently REPLACE an id/vec column that happens to carry that
-        // name (withColumn overwrites), not error
-        val assigned = Ivf
-          .assign(embs.select(col(id), col(vec)), vec, cb, "__sdh_cell")
-          .select(col(id), col("__sdh_cell"))
-          .localCheckpoint(true)
-        semDedupAssigned(
-          assigned.join(embs.select(col(id), col(vec)), Seq(id)),
-          id, vec, tau, cellCol = "__sdh_cell")
-      } finally cb.release()
+      try semDedupHier(embs, id, vec, tau,
+        Ivf.assign(embs.select(col(id), col(vec)), vec, cb, "__sdh_cell"))
+      finally cb.release()
+    } else {
+      // THIRD tier (round-18): at corpus-scaled k past the measured
+      // n^1.5 point the two-level assign's Θ(√k·d)-per-row term is the
+      // dominant asymptote (BENCH_SCALING r17: 3.2 s → 36.9 s per 10×
+      // of data at k = 800 → 8000); the three-level codebook bounds it
+      // at Θ(3·k^⅓·d) — measured 2.20× faster at k = 8000 and 2.48×
+      // at 32000 over the 2M-row corpus (BenchIvf crossover, r18).
+      // 8000 = the first measured point where the deep win and the
+      // asymptotic term coincide.
+      val cb = Ivf.train3(embs, vec, id, k)
+      try semDedupHier(embs, id, vec, tau,
+        Ivf.assign3(embs.select(col(id), col(vec)), vec, cb, "__sdh_cell"))
+      finally cb.release()
     }
+  }
+
+  /** The shared hierarchical-branch lifecycle of [[semDedupScaled]]:
+    * eagerly checkpoint the narrow (id, cell) assignment so the trained
+    * codebook's cache can release before returning, then rejoin vectors
+    * by id for the pair stage. `assigned` must carry exactly
+    * (id, __sdh_cell) — the reserved out name (assigning straight into
+    * "cell" would silently REPLACE an id/vec column of that name).
+    */
+  private def semDedupHier(embs: DataFrame, id: String, vec: String,
+      tau: Double, assigned: DataFrame): DataFrame = {
+    val pinned = assigned
+      .select(col(id), col("__sdh_cell"))
+      .localCheckpoint(true)
+    semDedupAssigned(
+      pinned.join(embs.select(col(id), col(vec)), Seq(id)),
+      id, vec, tau, cellCol = "__sdh_cell")
   }
 }

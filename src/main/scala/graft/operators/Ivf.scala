@@ -665,6 +665,35 @@ object Ivf {
     Codebook(coarse, spark.read.parquet(s"$dir/fine").persist(), fineK)
   }
 
+  /** [[save]]/[[load]] for the three-level codebook — same layout one
+    * level deeper (`coarse`, `mid`, `fine`, `meta` = one (midK, fineK)
+    * row). Both deep levels are ≤ k rows of narrow integers: writing
+    * is O(k·d) DATA, never driver memory.
+    */
+  def save3(cb: Codebook3, dir: String): Unit = {
+    val spark = cb.fine.sparkSession
+    import spark.implicits._
+    cb.coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("i", "c")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/coarse")
+    cb.mid.write.mode("overwrite").parquet(s"$dir/mid")
+    cb.fine.write.mode("overwrite").parquet(s"$dir/fine")
+    Seq((cb.midK, cb.fineK)).toDF("midK", "fineK")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def load3(spark: org.apache.spark.sql.SparkSession, dir: String): Codebook3 = {
+    val coarse = spark.read.parquet(s"$dir/coarse")
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(coarse.nonEmpty, s"no coarse centroids under $dir/coarse")
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    Codebook3(coarse,
+      spark.read.parquet(s"$dir/mid").persist(),
+      spark.read.parquet(s"$dir/fine").persist(),
+      meta.getInt(0), meta.getInt(1))
+  }
+
   // --- oracle-scale affordances ---------------------------------------------
 
   /** Collects a distributed codebook level — ORACLE/TEST SCALE ONLY

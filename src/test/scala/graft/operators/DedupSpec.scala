@@ -190,6 +190,32 @@ class DedupSpec extends SparkSpec {
     // global ids means cells exceed the flat trainer's reach only if
     // distinct cells appear — weak but cheap sanity
     assert(byCell.size > 1)
+
+    // THIRD tier (round-18): forced deep branch (deepMinK at the
+    // threshold) = semDedupAssigned over the 3-level assignment — the
+    // same drop-policy recompute, cells from assign3
+    val deep = Dedup.semDedupScaled(e, "vec_id", "embedding", K, TAU,
+        flatMaxK = 0, deepMinK = K)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)), r.getBoolean(2)))
+    assert(deep.length == 210)
+    val deepByCell = deep.filter(_._2.isDefined).groupBy(_._2.get)
+    deep.foreach { case (id, cellOpt, dropped) =>
+      val expect = cellOpt.exists { c =>
+        deepByCell(c).exists { case (oid, _, _) =>
+          oid < id && cos(vecs(oid), vecs(id)) >= TAU
+        }
+      }
+      assert(dropped == expect, s"deep vec $id cell $cellOpt: $dropped vs $expect")
+    }
+    assert(deep.exists(_._3), "deep branch: no drops fired")
+    // a mis-ordered threshold pair fails loudly, not as a silent flat run
+    val err = intercept[IllegalArgumentException] {
+      Dedup.semDedupScaled(e, "vec_id", "embedding", K, TAU,
+        flatMaxK = 100, deepMinK = 50)
+    }
+    assert(err.getMessage.contains("deepMinK"))
   }
 
   test("full-corpus Lloyd training is drop-in for semDedup; recall and balance vs sampled") {

@@ -194,6 +194,26 @@ class IvfSpec extends SparkSpec {
     assert(rp.length == 1 && rp(0).getSeq[Int](0).isEmpty)
   }
 
+  test("save3/load3 round-trip: reloaded codebook assigns identically (round-18)") {
+    val df = corpus(180)
+    val book = cb3(df)
+    val dir = java.nio.file.Files.createTempDirectory("ivf3state").toString
+    try {
+      Ivf.save3(book, dir)
+      val reloaded = Ivf.load3(spark, dir)
+      try {
+        assert(reloaded.midK == book.midK && reloaded.fineK == book.fineK)
+        assert(reloaded.coarse.map(_.toSeq).toSeq == book.coarse.map(_.toSeq).toSeq)
+        assert(Ivf.collectLevel(reloaded.mid) == Ivf.collectLevel(book.mid))
+        assert(Ivf.collectLevel(reloaded.fine) == Ivf.collectLevel(book.fine))
+        def m(b: Ivf.Codebook3): Map[Long, Int] =
+          Ivf.assign3(df, "embedding", b).select($"vec_id", $"cell")
+            .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(m(reloaded) == m(book))
+      } finally reloaded.release()
+    } finally book.release()
+  }
+
   test("probeCells3 equals a driver-side two-hop recompute (round-18)") {
     val df = corpus(240)
     val book = cb3(df)
