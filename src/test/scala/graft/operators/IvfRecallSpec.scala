@@ -64,6 +64,38 @@ class IvfRecallSpec extends SparkSpec {
     assert(recallAt5(probed(8), exact) == 1.0)
   }
 
+  test("deep (3-level) probe: recall grows with fine probes; exhaustive probing equals brute force (round-18)") {
+    val e = Tables.embeddings(spark, d)
+    val cb = Ivf.train3(e, "embedding", "vec_id", k = 27,
+      itersCoarse = 3, itersLevel = 2)
+    try {
+      val corpus = Ivf.assign3(e, "embedding", cb).filter($"cell".isNotNull)
+      val nMids = Ivf.collectLevel(cb.mid).map(_._2).distinct.size
+      val nFines = Ivf.collectLevel(cb.fine).map(_._2).distinct.size
+      def probed(npt: Int, npm: Int, npf: Int) = {
+        val queries = Ivf.probeCells3(
+          e.filter($"vec_id" < 20)
+            .select($"vec_id".as("q_id"), $"embedding".as("q_vec")),
+          "q_id", "q_vec", cb, npt, npm, npf)
+        topk(Similarity.ivfTopKProbed(queries, corpus,
+          "q_id", "q_vec", "probes", "vec_id", "embedding", "cell", 5))
+      }
+      val exact = topk(Similarity.bruteForceTopK(
+        e.filter($"vec_id" < 20)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_vec")),
+        e, "q_id", "q_vec", "vec_id", "embedding", 5))
+      val narrow = recallAt5(probed(1, 2, 2), exact)
+      val wide = recallAt5(probed(2, 6, 9), exact)
+      // EXHAUSTIVE probing (every top, every mid, every fine cell) must
+      // collapse the approximation to exact brute force — candidates
+      // are the whole assignable corpus
+      val full = recallAt5(
+        probed(cb.coarse.length, nMids, nFines), exact)
+      assert(wide >= narrow, s"recall@5 narrow=$narrow wide=$wide")
+      assert(full == 1.0, s"exhaustive deep probe recall@5 = $full")
+    } finally cb.release()
+  }
+
   test("int8-quantized top-k holds a recall floor vs the exact float baseline (q80)") {
     // round-12 (r11 verdict task 6): quantization error is a measured
     // contract, not a vibe — the same discipline this spec applies to
