@@ -46,6 +46,15 @@ object BenchIvf {
     // re-measuring the r16 flat-vs-hier verdict
     val variants = (if (args.length > 2) args(2) else "flat,hier,hier3")
       .split(",").map(_.trim).toSet
+    // fail loudly on a typo'd variant BEFORE the session starts: an
+    // unknown name would run zero benches for it and silently waste
+    // the exclusive window (r18 ADVICE — the same failure mode the
+    // SPARK_GRAFT_BENCH_PASSES validation in Bench exists to prevent)
+    val knownVariants = Set("flat", "hier", "hier3")
+    val unknown = variants -- knownVariants
+    require(unknown.isEmpty,
+      s"unknown BenchIvf variant(s) ${unknown.mkString(", ")} — " +
+        s"allowed: ${knownVariants.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

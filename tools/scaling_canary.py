@@ -137,7 +137,12 @@ def run_bench_solo(sf_dir, only, out_path, passes=None, extra_env=None):
                         calib = obj
         except FileNotFoundError:
             pass
-        if q not in merged:
+        # membership by Bench's own prefix rule: FAMILIES names the
+        # short prefix ('q73') but pass_times keys the full name
+        # ('q73_shark_delivery') — a bare `q in merged` was always
+        # false, flagging every solo query failed on healthy runs
+        # (r18 ADVICE)
+        if not any(k == q or k.startswith(q + "_") for k in merged):
             failed.append(q)
     with open(out_path, "w") as f:
         f.write(json.dumps({"metric": "pass_times", "queries": merged,

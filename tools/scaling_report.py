@@ -101,17 +101,25 @@ def main(p001, p01, lbl_small=None, lbl_big=None):
         sides = [l for l, t, fl in ((lbl_small, small, fail_small),
                                     (lbl_big, big, fail_big))
                  if q not in t or q in fl]
-        print(f"| {q} | {small.get(q, float('nan')):.3f} | "
-              f"{big.get(q, float('nan')):.3f} | - | "
+        # '-' for an absent side, not nan (r18 ADVICE): nan reads like
+        # a measurement artifact; the row's flag is the adjudication
+        cs = f"{small[q]:.3f}" if q in small else "-"
+        cb = f"{big[q]:.3f}" if q in big else "-"
+        print(f"| {q} | {cs} | {cb} | - | "
               f"SUPER-LINEAR (failed or missing at {', '.join(sides)}) |")
         sup.append((q, float("inf")))
-    if not rows:
+    if not rows and not missing:
+        # truly disjoint inputs with nothing recorded-failed: a usage
+        # error, not a scaling verdict. When `missing` is non-empty the
+        # SUPER-LINEAR rows above ARE the reported failure (r18 ADVICE:
+        # this abort used to replace them with a misleading message).
         raise SystemExit("no query names shared between the two runs")
-    tot_s = sum(s for _, s, _, _ in rows)
-    tot_b = sum(b for _, _, b, _ in rows)
-    print()
-    print(f"totals: {lbl_small} {tot_s:.1f} s, {lbl_big} {tot_b:.1f} s, "
-          f"ratio {tot_b / tot_s:.2f}")
+    if rows:
+        tot_s = sum(s for _, s, _, _ in rows)
+        tot_b = sum(b for _, _, b, _ in rows)
+        print()
+        print(f"totals: {lbl_small} {tot_s:.1f} s, {lbl_big} {tot_b:.1f} s, "
+              f"ratio {tot_b / tot_s:.2f}")
     print(f"calib {lbl_small}: {calib_small}")
     print(f"calib {lbl_big}: {calib_big}")
     print(f"super-linear queries: {[q for q, _ in sup] or 'none'}")

@@ -176,6 +176,17 @@ def main():
         check("report flags a recorded-failed query",
               "SUPER-LINEAR" in out and "q00_dies" in out, out)
 
+        # 7b. No shared names at all (every query failed/missing on one
+        # side): the SUPER-LINEAR rows are the verdict — no misleading
+        # "no query names shared" abort — and absent cells print '-'
+        # (r18 ADVICE).
+        a4 = mk(d, "n0.json", {"q00_dies": 5.0})
+        b4 = mk(d, "n1.json", {"q01_other": 40.0})
+        rc, out = run_report(a4, b4)
+        check("disjoint runs adjudicate as SUPER-LINEAR, no abort",
+              "SUPER-LINEAR" in out and "| - |" in out
+              and "no query names" not in out, out)
+
         # 8. run_bench_solo records a dying per-query JVM in `failed`
         # (monkeypatched run_bench: one query succeeds, one dies before
         # writing any contract line).
@@ -187,9 +198,13 @@ def main():
                 with open(out_path, "w"):
                     pass  # bench opened its file, JVM died before output
                 raise SystemExit("bench failed (fake)")
+            # full-style key (prefix + suffix), like the real Bench's
+            # pass_times — r18 ADVICE: a short-name fake masked the
+            # prefix-vs-full-name mismatch in run_bench_solo's
+            # failed-list membership test
             with open(out_path, "w") as f:
                 f.write(json.dumps({"metric": "pass_times",
-                                    "queries": {only: [1.5]}}) + "\n")
+                                    "queries": {only + "_full": [1.5]}}) + "\n")
 
         orig = scaling_canary.run_bench
         scaling_canary.run_bench = fake_run_bench
@@ -204,7 +219,7 @@ def main():
             solo = json.loads(f.readline())
         check("run_bench_solo records the dead query",
               solo.get("failed") == ["q00_dies"]
-              and "q01_filler" in solo["queries"], str(solo))
+              and "q01_filler_full" in solo["queries"], str(solo))
 
     bad = [n for n, c in checks if not c]
     if bad:
