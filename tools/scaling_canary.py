@@ -47,8 +47,12 @@ FAMILIES = {
     # (capped full-corpus pipeline = linear; its sampled uncapped term
     # is quadratic-by-contract but 64x-damped, invisible at these SFs)
     # and the three-level codebook build + deep ANN search (fixed k=27
-    # — pure linear scan/assign/probe)
-    "embedding": ("q42,q45,q52,q91,q99,q100,q104,q105,q108,q109,q110",
+    # — pure linear scan/assign/probe). q111/q112 joined in round 19:
+    # the deep (corpus-scaled-k train3) semDedup and its sampled
+    # co-location recall floor — the pipeline that becomes q91's
+    # default branch at sf100's k=8000
+    "embedding": ("q42,q45,q52,q91,q99,q100,q104,q105,q108,q109,q110,"
+                  "q111,q112",
                   "sf0.1", "sf1"),
     "skew": ("q29,q37,q73,q76,q77,q90,q95,q96", "sf0.1", "sf1"),
     "relational": (None, "sf0.01", "sf0.1"),
