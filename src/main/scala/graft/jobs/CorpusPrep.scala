@@ -160,7 +160,7 @@ object CorpusPrep {
     * clustering stays a periodic batch compaction over the accumulated
     * output — text-similarity pairs need a global LSH index, which is
     * [[run]]; SEMANTIC near-dups compact incrementally against the
-    * durable two-level IVF index ([[compactNearDups]]): new rows upsert
+    * durable tiered IVF index ([[compactNearDups]]): new rows upsert
     * into the frozen codebook, only their cells re-evaluate, and a
     * drift-triggered retrain replaces the index atomically.
     *
@@ -189,7 +189,7 @@ object CorpusPrep {
     * drift-triggered retrains.
     */
   final case class Compaction(
-      codebook: graft.operators.Ivf.Codebook,
+      codebook: graft.operators.Ivf.AnyCodebook,
       ledger: DataFrame, // (id: long, cell: int|null, dropped: boolean)
       retrained: Boolean,
       version: Int) {
@@ -204,7 +204,7 @@ object CorpusPrep {
   /** Incremental SEMANTIC near-dup compaction over the stream's
     * accumulated output (round-15, the round-14 verdict's task 4): the
     * periodic batch pass [[stream]]'s scaladoc defers to, maintained
-    * against a DURABLE two-level IVF index under `indexDir` instead of
+    * against a DURABLE tiered IVF index under `indexDir` instead of
     * retraining per pass.
     *
     * Each invocation: load the latest index state (codebook + per-cell
@@ -231,40 +231,53 @@ object CorpusPrep {
     * ledger+delta rows exceed `growthFactor` × the rows at training,
     * the pass retrains regardless of drift.
     *
+    * Codebook DEPTH follows [[graft.operators.Ivf.trainTiered]]'s
+    * measured switch (round-19, r18 verdict task 1): a (re)train at
+    * `k(n) >= deepMinK` builds the THREE-level codebook — at SemDeDup's
+    * corpus-scaled k the two-level assign's Θ(√k·d)-per-row term makes
+    * total work n^1.5 (BENCH_SCALING r17: 3.20 s → 36.9 s per 10× of
+    * data at k = 800 → 8000), exactly the asymptote the batch path
+    * ([[graft.operators.Dedup.semDedupScaled]]) already dodges at the
+    * same threshold. The depth is a property of each SAVED state
+    * (`loadAny` sniffs it), so incremental passes keep the frozen
+    * codebook's depth and the switch engages at the next growth/drift
+    * retrain — the moment k is re-derived from the grown corpus.
+    *
     * State writes are versioned (`indexDir/v<N>-<attempt>/…`, each
     * attempt a unique directory) with an atomically renamed `LATEST`
     * marker and a `_COMPLETE` fallback, so a compaction that dies
     * mid-write — or mid-publication — leaves the previous version
     * intact — and a pass that loads its base state THROUGH that
     * fallback (LATEST lost to a crash) still publishes normally,
-    * re-materializing the marker. Invocations should still be
-    * SERIALIZED per indexDir: an overlapping pair is detected at
-    * publish time (LATEST moved) and the later one aborts loudly —
-    * deleting its never-completed attempt dir — rather than discarding
-    * the other's ledger. A pair that slips past that optimistic check
-    * (both loaded before either renamed — the r16 residual) is usually
-    * caught by a POST-publish verify: a racer whose rename was
-    * overwritten before its verify read re-reads the marker, deletes
-    * its attempt dir, and aborts loudly instead of returning success
-    * for a discarded ledger. The verify SHRINKS the silent-discard
-    * window to the rename→verify instant — it does not close it: a
-    * racer whose rename lands AFTER this pass's verify read still
-    * silently supersedes it (r17 ADVICE). Closing that residual needs
-    * mutual exclusion the storage layer cannot portably provide
-    * (exclusive-create is not atomic on object stores, and a lock file
-    * left by a crashed pass wedges every later compaction), so
-    * SERIALIZATION REMAINS THE CONTRACT; the optimistic check and the
-    * verify exist to make an accidental violation loud in practice,
-    * not to license concurrent invocations.
+    * re-materializing the marker.
+    *
+    * Mutual exclusion (round-19, r18 verdict task 3): each pass takes
+    * an exclusive-create `LOCK` file under `indexDir` for its whole
+    * duration — an overlapping invocation now fails LOUDLY AT ENTRY
+    * instead of at publish time, so two passes can no longer both
+    * report success. A lock left by a CRASHED pass (JVM death skips
+    * the finally-release) is broken once its age exceeds
+    * `lockStaleMs`; size that above the longest expected pass — a
+    * premature break re-admits the overlap, which then degrades to the
+    * pre-lock protections rather than silence: the publish-time
+    * OPTIMISTIC check (LATEST moved since load → abort, attempt dir
+    * deleted) and the POST-publish verify (rename overwritten inside
+    * the rename→verify instant → abort loudly). Exclusive-create is
+    * atomic on HDFS and single-host filesystems; on object stores
+    * without it the lock degrades to advisory and the same two
+    * backstops carry the loudness guarantee.
     */
   def compactNearDups(accumulated: DataFrame, id: String, vec: String,
       indexDir: String, tau: Double,
       k: Long => Int = n => math.max(8L, (n + 249) / 250).toInt,
       driftTolerance: Double = 4.0,
       maxDriftFraction: Double = 0.1,
-      growthFactor: Double = 2.0): Compaction =
+      growthFactor: Double = 2.0,
+      deepMinK: Int = 8000,
+      lockStaleMs: Long = 60L * 60 * 1000): Compaction =
     compactNearDupsImpl(accumulated, id, vec, indexDir, tau, k,
-      driftTolerance, maxDriftFraction, growthFactor, PublishSeams())
+      driftTolerance, maxDriftFraction, growthFactor, deepMinK,
+      lockStaleMs, PublishSeams())
 
   /** Test seams for the publication race windows (CorpusPrepSpec only —
     * production passes the no-op defaults via [[compactNearDups]]).
@@ -286,9 +299,12 @@ object CorpusPrep {
       driftTolerance: Double,
       maxDriftFraction: Double,
       growthFactor: Double,
+      deepMinK: Int,
+      lockStaleMs: Long,
       seams: PublishSeams): Compaction = {
     import graft.operators.{Dedup, Ivf, Similarity}
     require(growthFactor > 1.0, s"growthFactor must exceed 1: $growthFactor")
+    require(lockStaleMs > 0, s"lockStaleMs must be positive: $lockStaleMs")
     // the ledger keys by long: a string/UUID id would cast("long") to
     // all-NULL silently — every later delta anti-join then matches
     // nothing and the compaction reprocesses the whole corpus forever
@@ -300,7 +316,71 @@ object CorpusPrep {
     val dirPath = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dirPath.getFileSystem(conf)
     val latestPath = new org.apache.hadoop.fs.Path(dirPath, "LATEST")
+    val lockPath = new org.apache.hadoop.fs.Path(dirPath, "LOCK")
+    // per-attempt token: release only deletes a lock that still holds
+    // OUR token, so a pass whose stale lock was broken by a newer one
+    // can never delete that newer pass's lock on its way out
+    val lockToken = java.util.UUID.randomUUID().toString
 
+    def readLock(): Option[String] =
+      if (!fs.exists(lockPath)) None
+      else {
+        val in = fs.open(lockPath)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim)
+        finally in.close()
+      }
+
+    /** Exclusive-create lock acquisition (r18 verdict task 3): create
+      * with overwrite=false, then READ BACK — on a filesystem whose
+      * exclusive create is check-then-act (the local FS), two racers
+      * can both survive the create, but only one token ends up in the
+      * file and the other pass loses loudly here.
+      */
+    def acquireLock(): Unit = {
+      if (!fs.exists(dirPath)) fs.mkdirs(dirPath)
+      def tryCreate(): Boolean =
+        try {
+          val out = fs.create(lockPath, false)
+          try out.write(lockToken.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      val created = tryCreate() || {
+        // a crashed pass's lock (JVM death skips the finally) is broken
+        // once its age exceeds lockStaleMs; a LIVE overlapping pass
+        // fails here loudly instead — at entry, not at publish time
+        val age = try {
+          System.currentTimeMillis() -
+            fs.getFileStatus(lockPath).getModificationTime
+        } catch {
+          // the holder released between our create attempt and the
+          // status read: retry the create, don't break anything
+          case _: java.io.FileNotFoundException => -1L
+        }
+        if (age > lockStaleMs) {
+          log.warn(s"breaking stale compaction lock at $lockPath " +
+            s"(age ${age}ms > ${lockStaleMs}ms — holder presumed crashed)")
+          try fs.delete(lockPath, false)
+          catch { case _: java.io.IOException => () }
+        }
+        tryCreate()
+      }
+      if (!created || !readLock().contains(lockToken))
+        throw new IllegalStateException(
+          s"concurrent compaction detected: lock at $lockPath is held " +
+            s"by another pass (stale after ${lockStaleMs}ms) — " +
+            "compaction invocations are serialized per indexDir")
+    }
+
+    def releaseLock(): Unit =
+      try if (readLock().contains(lockToken)) { fs.delete(lockPath, false); () }
+      catch {
+        case e: java.io.IOException =>
+          log.warn(s"failed to release compaction lock $lockPath — " +
+            s"the next pass will break it after ${lockStaleMs}ms", e)
+      }
+
+    acquireLock()
+    try {
     // state dirs carry an attempt-unique suffix: two OVERLAPPING
     // compactions targeting the same version number then write to
     // DIFFERENT directories, so neither can tear a version the other
@@ -349,9 +429,12 @@ object CorpusPrep {
 
     def fullBuild(version: Int, observedRaw: Option[String]): Compaction = {
       val n = accumulated.count()
-      val cb = Ivf.train(accumulated, vec, id, k(n))
+      // the measured depth switch (r18 verdict task 1): k >= deepMinK
+      // trains the three-level codebook — the durable path previously
+      // stayed two-level at any k, one decade from the n^1.5 cliff
+      val cb = Ivf.trainTiered(accumulated, vec, id, k(n), deepMinK)
       try {
-        val ledger = dropLedger(Ivf.assign(accumulated, vec, cb, "cell"), id)
+        val ledger = dropLedger(Ivf.assignAny(accumulated, vec, cb, "cell"), id)
         // the drift baseline freezes HERE, at training time —
         // incremental passes carry it forward unchanged (recomputing it
         // over drifted data ratchets the baseline and the trigger never
@@ -376,13 +459,13 @@ object CorpusPrep {
           col("__did").isNotNull.as("dropped"))
     }
 
-    def write(version: Int, cb: Ivf.Codebook, ledger: DataFrame,
+    def write(version: Int, cb: Ivf.AnyCodebook, ledger: DataFrame,
         retrained: Boolean, typical: Map[Int, Double],
         rowsAtTraining: Long, observedRaw: Option[String]): Compaction = {
       val name =
         s"v$version-${java.util.UUID.randomUUID().toString.take(8)}"
       val d = s"$indexDir/$name"
-      Ivf.save(cb, s"$d/codebook")
+      Ivf.saveAny(cb, s"$d/codebook")
       typical.toSeq.toDF("cell", "d2")
         .repartition(1).write.mode("overwrite").parquet(s"$d/typical")
       Seq((rowsAtTraining, retrained)).toDF("rows_at_training", "retrained")
@@ -474,7 +557,7 @@ object CorpusPrep {
       case Some(prevName) =>
         val prev = versionOf(prevName)
         val d = s"$indexDir/$prevName"
-        val cb = Ivf.load(spark, s"$d/codebook")
+        val cb = Ivf.loadAny(spark, s"$d/codebook")
         val typical = spark.read.parquet(s"$d/typical")
           .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
         val rowsAtTraining = spark.read.parquet(s"$d/trainmeta")
@@ -499,7 +582,7 @@ object CorpusPrep {
             cb.release()
             fullBuild(prev + 1, observedRaw)
           } else {
-            val newRows = Ivf.assign(delta, vec, cb, "cell")
+            val newRows = Ivf.assignAny(delta, vec, cb, "cell")
               .select(col(id).cast("long").as("id"), col("cell"))
               .persist()
             val affected = newRows.select("cell").filter(col("cell").isNotNull)
@@ -535,6 +618,7 @@ object CorpusPrep {
           ()
         }
     }
+    } finally releaseLock()
   }
 
   /** When the near-dup stage runs UNCAPPED (the exact-recall default)

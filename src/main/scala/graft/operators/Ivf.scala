@@ -58,6 +58,21 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
+  /** Common surface of the two- and three-level codebooks — what a
+    * TIER-AGNOSTIC consumer (the durable compaction path,
+    * [[graft.jobs.CorpusPrep.compactNearDups]]) needs: the coarse/top
+    * centroids every drift probe scores against, the dims contract,
+    * and the cache-release lifecycle. Dispatch to the depth-specific
+    * machinery goes through [[assignAny]]/[[saveAny]]/[[loadAny]]/
+    * [[trainTiered]] so the tier choice lives in ONE switch instead of
+    * leaking a `match` into every caller.
+    */
+  sealed trait AnyCodebook {
+    def coarse: Array[Array[Double]]
+    def dims: Int = coarse(0).length
+    def release(): Unit
+  }
+
   /** A trained two-level codebook.
     *
     * @param coarse coarse centroids (float domain — the
@@ -69,8 +84,7 @@ object Ivf {
     * @param fineK  fine cells per coarse cell (the id stride)
     */
   final case class Codebook(coarse: Array[Array[Double]], fine: DataFrame,
-      fineK: Int) {
-    def dims: Int = coarse(0).length
+      fineK: Int) extends AnyCodebook {
     /** Releases the persisted fine codebook — the owner calls this when
       * the index is retired (e.g. replaced after a drift retrain).
       * Safe even if blocks were already evicted: lineage is intact.
@@ -294,8 +308,7 @@ object Ivf {
     * [[assignCteSql]] steps over two rendered codebook CTEs).
     */
   final case class Codebook3(coarse: Array[Array[Double]], mid: DataFrame,
-      fine: DataFrame, midK: Int, fineK: Int) {
-    def dims: Int = coarse(0).length
+      fine: DataFrame, midK: Int, fineK: Int) extends AnyCodebook {
     def release(): Unit = { mid.unpersist(); fine.unpersist(); () }
   }
 
@@ -404,6 +417,48 @@ object Ivf {
         "__ivf3_mc", "__ivf3_mc_top", "__ivf3_fc", "__ivf3_fc_mid")
   }
 
+  // --- tier-agnostic dispatch (round-19, r18 verdict task 1) -----------------
+
+  /** Trains the right codebook depth for `k` — the [[Dedup.semDedupScaled]]
+    * threshold applied at the TRAIN call so durable consumers
+    * ([[graft.jobs.CorpusPrep.compactNearDups]]) pick up the deep tier
+    * at exactly the measured crossover instead of riding the two-level
+    * n^1.5 assign term past it (BENCH_SCALING r17: 3.20 s → 36.9 s per
+    * 10× of data at k = 800 → 8000; r18: three-level assign 2.2× faster
+    * at k = 8000). `deepMinK` defaults to that measured point.
+    */
+  def trainTiered(corpus: DataFrame, vec: String, idCol: String, k: Int,
+      deepMinK: Int = 8000): AnyCodebook =
+    if (k >= deepMinK) train3(corpus, vec, idCol, k)
+    else train(corpus, vec, idCol, k)
+
+  /** [[assign]]/[[assign3]] behind the depth switch. */
+  def assignAny(df: DataFrame, vec: String, cb: AnyCodebook,
+      outCol: String = "cell"): DataFrame = cb match {
+    case c: Codebook => assign(df, vec, c, outCol)
+    case c: Codebook3 => assign3(df, vec, c, outCol)
+  }
+
+  /** [[save]]/[[save3]] behind the depth switch — both layouts share
+    * `coarse`/`fine`/`meta`; the three-level state adds `mid`, which is
+    * also how [[loadAny]] tells them apart.
+    */
+  def saveAny(cb: AnyCodebook, dir: String): Unit = cb match {
+    case c: Codebook => save(c, dir)
+    case c: Codebook3 => save3(c, dir)
+  }
+
+  /** Loads whichever depth was saved under `dir`: the presence of the
+    * `mid` level is the (backward-compatible) discriminator — every
+    * pre-round-19 durable state is two-level and loads unchanged.
+    */
+  def loadAny(spark: org.apache.spark.sql.SparkSession,
+      dir: String): AnyCodebook = {
+    val mid = new org.apache.hadoop.fs.Path(s"$dir/mid")
+    val fs = mid.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mid)) load3(spark, dir) else load(spark, dir)
+  }
+
   /** The coarse centroids re-quantized into [[KMeans.quantize]]'s
     * integer domain — ONE implementation of the clamp-before-floor rule
     * (the round-12 divergence class), shared by [[driftFraction]] and
@@ -421,7 +476,7 @@ object Ivf {
     * `__c`-indexed coarse centroid. NULL when the vector's length
     * differs from the centroid's (zip_with null-pads).
     */
-  private def coarseD2(cb: Codebook): Column =
+  private def coarseD2(cb: AnyCodebook): Column =
     sqDist(col("__xq"),
       element_at(map_from_entries(typedLit(coarseQuantized(cb.coarse))),
         col("__c")))
@@ -590,7 +645,7 @@ object Ivf {
     * seen (round-15 review: they previously nulled out of the
     * numerator while staying in the denominator).
     */
-  def driftFraction(delta: DataFrame, vec: String, cb: Codebook,
+  def driftFraction(delta: DataFrame, vec: String, cb: AnyCodebook,
       typicalD2: Map[Int, Double], tolerance: Double): Double = {
     require(tolerance > 0.0, s"tolerance must be positive: $tolerance")
     val spark = delta.sparkSession
@@ -624,7 +679,7 @@ object Ivf {
     * the sample and starve most cells from the map).
     */
   def typicalCoarseD2(corpus: DataFrame, vec: String, idCol: String,
-      cb: Codebook, sampleMax: Int = 10000): Map[Int, Double] = {
+      cb: AnyCodebook, sampleMax: Int = 10000): Map[Int, Double] = {
     val d = corpus
       .select(KMeans.quantize(col(vec)).as("__xq"),
         Similarity.cellAssign(col(vec), cb.coarse).as("__c"),

@@ -198,6 +198,17 @@ object TrainingData {
     */
   private val FlatMaxK = 512
 
+  /** The two→THREE-level threshold, mirroring
+    * [[Dedup.semDedupScaled]]'s `deepMinK` the same way [[FlatMaxK]]
+    * mirrors its `flatMaxK` (round-19: the operator switched at r18
+    * but the query layer's [[dedupModel]] stayed two-level — at sf100's
+    * k = 8000 the two would have trained DIFFERENT codebook depths for
+    * the same corpus). 8000 = the measured point where the two-level
+    * assign's n^1.5 term dominates AND the three-level assign wins
+    * 2.2× (BENCH_SCALING r17/r18).
+    */
+  private val DeepMinK = 8000
+
   /** k-threshold-switched cell model for the SemDeDup query family
     * (round-16 verdict task 3, the [[Dedup.semDedupScaled]] switch at
     * the query layer): at bench-SF k ([[scaledK]] = 8 everywhere up to
@@ -213,16 +224,25 @@ object TrainingData {
   private final case class FlatCells(cents: Array[Array[Double]])
     extends CellModel
   private final case class IvfCells(cb: Ivf.Codebook) extends CellModel
+  private final case class IvfCells3(cb: Ivf.Codebook3) extends CellModel
   private val dedupModel = new GraftQuery.SessionMemo[CellModel](
     { (s, d) =>
       val e = embeddings(s, d)
       val k = scaledK(e.count())
       if (k <= FlatMaxK) FlatCells(dedupCents(s, d))
-      else IvfCells(Ivf.train(e, "embedding", "vec_id", k))
+      else if (k < DeepMinK) IvfCells(Ivf.train(e, "embedding", "vec_id", k))
+      // the deep tier (round-19): sf100's k = 8000 lands exactly here —
+      // the branch is oracle-proved at bench SFs by q111, which forces
+      // it the way q104 forces the two-level branch
+      else IvfCells3(Ivf.train3(e, "embedding", "vec_id", k))
     },
-    // IvfCells holds a persisted fine frame — release it when an SF/dir
-    // switch replaces the slot (the SessionMemo close contract)
-    close = { case IvfCells(cb) => cb.release(); case _ => () })
+    // Ivf cells hold persisted codebook frames — release them when an
+    // SF/dir switch replaces the slot (the SessionMemo close contract)
+    close = {
+      case IvfCells(cb) => cb.release()
+      case IvfCells3(cb) => cb.release()
+      case _ => ()
+    })
 
   /** Embedding-cosine near-dup within (label × trained-cell) blocks —
     * [[Dedup.embeddingNearDupPairs]] with the candidate space bounded
@@ -957,6 +977,43 @@ object TrainingData {
         FROM embeddings e0 JOIN a USING (vec_id)),
       ${semDedupTailSql(tau)}"""
 
+  /** The THREE-level assignment CTE chain (two rendered codebook levels
+    * + two chained [[Ivf.assignCteSql]] hops, ending in `a(vec_id,
+    * cell)`) — single-sourced for q109, q110, [[semDedupIvf3Sql]] and
+    * q112 the way [[ivfAssignCtesSql]] is for the two-level family
+    * (round-19; the exactness-critical SQL must not drift between the
+    * build, search, dedup and recall rows).
+    */
+  private def ivf3AssignCtesSql(cb: Ivf.Codebook3, eFilter: String): String =
+    s"""${Ivf.codebookCteSql("cbm", Ivf.collectLevel(cb.mid))},
+      ${Ivf.codebookCteSql("cbf", Ivf.collectLevel(cb.fine))},
+      e AS (
+        SELECT vec_id,
+               CAST(${Similarity.cellAssignSql("embedding", cb.coarse)} AS INTEGER) AS coarse,
+               ${Ivf.quantizeListSql("embedding")} AS xq
+        FROM embeddings
+        WHERE len(embedding) = ${cb.dims}$eFilter),
+      m AS (
+        ${Ivf.assignCteSql("e", "cbm")}),
+      e2 AS (
+        SELECT m.vec_id, CAST(m.cell AS INTEGER) AS coarse, e.xq
+        FROM m JOIN e USING (vec_id)),
+      a AS (
+        ${Ivf.assignCteSql("e2", "cbf")})"""
+
+  /** Deep-tier semDedup oracle body: the three-level assignment chain
+    * feeding the shared drop-policy tail — [[semDedupIvfSql]] one level
+    * deeper. Used by q111 at every bench SF and by q91 when
+    * [[dedupModel]] resolves deep (past [[DeepMinK]]).
+    */
+  private def semDedupIvf3Sql(cb: Ivf.Codebook3, tau: Double): String =
+    s"""
+      WITH ${ivf3AssignCtesSql(cb, "")},
+      c AS (
+        SELECT a.vec_id, a.cell, e0.embedding
+        FROM embeddings e0 JOIN a USING (vec_id)),
+      ${semDedupTailSql(tau)}"""
+
   private val SemDedupTau = 0.4 // fires at every test SF (K=8-grain cells)
 
   private val q91 = {
@@ -979,6 +1036,11 @@ object TrainingData {
             Ivf.assign(embeddings(s, d), "embedding", cb)
               .filter(col("cell").isNotNull),
             "vec_id", "embedding", SemDedupTau)
+        case IvfCells3(cb) =>
+          Dedup.semDedupAssigned(
+            Ivf.assign3(embeddings(s, d), "embedding", cb)
+              .filter(col("cell").isNotNull),
+            "vec_id", "embedding", SemDedupTau)
       }),
       oracleDyn = Some { (s, d) =>
         dedupModel(s, d) match {
@@ -990,6 +1052,7 @@ object TrainingData {
         FROM embeddings),
       ${semDedupTailSql(SemDedupTau)}"""
           case IvfCells(cb) => semDedupIvfSql(cb, SemDedupTau)
+          case IvfCells3(cb) => semDedupIvf3Sql(cb, SemDedupTau)
         }
       })
   }
@@ -1666,21 +1729,7 @@ object TrainingData {
     oracleDyn = Some { (s, d) =>
       val cb = ivf3Codebook(s, d)
       s"""
-      WITH ${Ivf.codebookCteSql("cbm", Ivf.collectLevel(cb.mid))},
-      ${Ivf.codebookCteSql("cbf", Ivf.collectLevel(cb.fine))},
-      e AS (
-        SELECT vec_id,
-               CAST(${Similarity.cellAssignSql("embedding", cb.coarse)} AS INTEGER) AS coarse,
-               ${Ivf.quantizeListSql("embedding")} AS xq
-        FROM embeddings
-        WHERE len(embedding) = ${cb.dims}),
-      m AS (
-        ${Ivf.assignCteSql("e", "cbm")}),
-      e2 AS (
-        SELECT m.vec_id, CAST(m.cell AS INTEGER) AS coarse, e.xq
-        FROM m JOIN e USING (vec_id)),
-      a AS (
-        ${Ivf.assignCteSql("e2", "cbf")})
+      WITH ${ivf3AssignCtesSql(cb, "")}
       SELECT a.cell, COUNT(*) AS n, MIN(a.vec_id) AS first_member,
              MIN(cbf2.c[1]) AS c0, MIN(cbf2.c[2]) AS c1
       FROM a JOIN cbf cbf2 ON a.cell = cbf2.cell
@@ -1725,21 +1774,7 @@ object TrainingData {
         val cb = ivf3Codebook(s, d)
         val npt = math.min(2, cb.coarse.length)
         s"""
-      WITH ${Ivf.codebookCteSql("cbm", Ivf.collectLevel(cb.mid))},
-      ${Ivf.codebookCteSql("cbf", Ivf.collectLevel(cb.fine))},
-      e AS (
-        SELECT vec_id,
-               CAST(${Similarity.cellAssignSql("embedding", cb.coarse)} AS INTEGER) AS coarse,
-               ${Ivf.quantizeListSql("embedding")} AS xq
-        FROM embeddings
-        WHERE len(embedding) = ${cb.dims}),
-      m AS (
-        ${Ivf.assignCteSql("e", "cbm")}),
-      e2 AS (
-        SELECT m.vec_id, CAST(m.cell AS INTEGER) AS coarse, e.xq
-        FROM m JOIN e USING (vec_id)),
-      a AS (
-        ${Ivf.assignCteSql("e2", "cbf")}),
+      WITH ${ivf3AssignCtesSql(cb, "")},
       corpus AS (
         SELECT e0.vec_id, e0.embedding, a.cell
         FROM embeddings e0 JOIN a USING (vec_id)
@@ -1769,8 +1804,179 @@ object TrainingData {
       })
   }
 
+  /** q111/q112's CORPUS-SCALED three-level codebook (k = [[scaledK]],
+    * the SemDeDup recipe — [[ivfScaledCodebook]] one level deeper):
+    * q111 forces the deep [[dedupModel]] branch at bench SFs exactly
+    * the way q104 forces the two-level one, so the branch that becomes
+    * the default at k ≥ [[DeepMinK]] (sf100 onward) carries its own
+    * green oracle row before any deployment reaches it.
+    */
+  private val ivf3ScaledCodebook = new GraftQuery.SessionMemo[Ivf.Codebook3](
+    { (s, d) =>
+      val e = embeddings(s, d)
+      Ivf.train3(e, "embedding", "vec_id", scaledK(e.count()),
+        itersCoarse = 3, itersLevel = 2)
+    },
+    close = _.release())
+
+  /** SemDeDup over the THREE-level codebook (round-19, r18 verdict
+    * task 7): [[Dedup.semDedupScaled]]'s deep branch — forced at bench
+    * SFs with the corpus-scaled k — end-to-end: [[Ivf.train3]] cells
+    * via [[Ivf.assign3]], then the identical drop policy + attrition
+    * rollup as q91/q104. The oracle re-renders BOTH deep codebook
+    * levels as BIGINT CTEs, chains two assignment hops, and recomputes
+    * drops and rollup from scratch ([[semDedupIvf3Sql]]). NULL-cell
+    * rows excluded on both engines (Spark filter ≡ the assign CTEs'
+    * inner joins).
+    */
+  private val q111 = GraftQuery(
+    "q111_semdedup_deep",
+    (s, d) => {
+      val cb = ivf3ScaledCodebook(s, d)
+      semDedupRollup(Dedup.semDedupAssigned(
+        Ivf.assign3(embeddings(s, d), "embedding", cb)
+          .filter(col("cell").isNotNull),
+        "vec_id", "embedding", SemDedupTau))
+    },
+    oracleDyn = Some { (s, d) =>
+      semDedupIvf3Sql(ivf3ScaledCodebook(s, d), SemDedupTau)
+    })
+
+  /** The deterministic 1/8 sample + support gate for the deep tier's
+    * recall row — q108's machinery pointed at the SEMANTIC pipeline.
+    */
+  private val DeepRecallSalt = "semdedup-deep-r19"
+  private val DeepRecallHexBound = "2000"
+  private val DeepRecallMinSupport = 20L
+
+  /** The deep tier's measured co-location CAPACITY floor vs the
+    * two-level tier it replaces at [[DeepMinK]]: the ratio of true
+    * tau-close pairs each partition co-locates (the pairs its SemDeDup
+    * can drop). Measured 112/113 = 0.9912 at sf1 (tools/Probe112,
+    * round-19) — the extra approximation level costs ~1% of the
+    * shallower tier's reachable drop mass. NOT a pair-wise
+    * intersection: at a loose tau the co-located pairs are borderline
+    * pairs near cell boundaries, and two equally-good partitions
+    * co-locate different ones (the measured intersection is 9/113 —
+    * partition similarity, not dedup capability); what a deployment
+    * needs preserved across the tier switch is the drop CAPACITY. The
+    * bound sits well under the measured ratio with sampling-noise room.
+    */
+  private val DeepRecallBound = 0.8
+
+  /** SAMPLED co-location-capacity floor for the DEEP semantic tier
+    * (round-19, r18 verdict task 7): q106/q108 price the hot-bucket
+    * cap for the text-LSH path; this row prices the two→three-level
+    * codebook switch the same way, before it becomes the default at
+    * k ≥ [[DeepMinK]] (sf100 onward). SemDeDup can only drop a
+    * near-dup pair its cell partition CO-LOCATES, so the deep tier's
+    * semantic price is the drop mass it can still reach: the count of
+    * sampled tau-close pairs each partition co-locates, compared as a
+    * ratio (see [[DeepRecallBound]] for why capacity, not pair-wise
+    * intersection, is the preserved quantity — and why the ABSOLUTE
+    * rate, 0.07-0.11 at tau=0.4 for ALL tiers including flat, is a
+    * property of within-cell dedup at a loose tau, not of any tier).
+    * Over a deterministic 1/8 sample (assignment is a pure per-row
+    * function of (vector, codebook), so sampled rows' cells equal
+    * their full-corpus cells, and the brute-force true-pair term is
+    * 64×-damped — the q108 identity), both engines count tau-close
+    * pairs, both tiers' co-location counts against the SAME session
+    * codebooks q104/q111 train, and the acceptance
+    * `n_deep/n_two >= bound` under the q108-style support gate (on
+    * the two-level count — the comparison's denominator).
+    *
+    * Measured (round-19): sf1 112/113 = 0.9912; fixture SFs are below
+    * support (1 pair at sf0.01, 9 at sf0.1 — vacuously true, the row's
+    * job is the deep-scale regime); sf10/sf100 in BENCH_SCALING.md
+    * round-19.
+    */
+  private val q112 = GraftQuery(
+    "q112_semdedup_deep_recall_sampled",
+    (s, d) => {
+      import s.implicits._
+      val cb2 = ivfScaledCodebook(s, d)
+      val cb3 = ivf3ScaledCodebook(s, d)
+      val samp = embeddings(s, d)
+        .filter(size(col("embedding")) === cb3.dims)
+        .filter(Corpus.bucket16($"vec_id", DeepRecallSalt)
+          < DeepRecallHexBound)
+      val truePairs = Dedup.embeddingNearDupPairs(
+          samp, "vec_id", "embedding", SemDedupTau, blockCol = None)
+        .select($"id_a", $"id_b")
+      val cells = Ivf.assign(samp, "embedding", cb2, "two")
+        .select($"vec_id", $"two")
+        .join(Ivf.assign3(samp, "embedding", cb3, "three")
+          .select($"vec_id", $"three"), "vec_id")
+      val counts = truePairs
+        .join(cells.select($"vec_id".as("id_a"), $"two".as("ta"),
+          $"three".as("ha")), "id_a")
+        .join(cells.select($"vec_id".as("id_b"), $"two".as("tb"),
+          $"three".as("hb")), "id_b")
+        .select(
+          count(lit(1)).as("n"),
+          count(when($"ta".isNotNull && $"ta" === $"tb", 1)).as("n2"),
+          count(when($"ha".isNotNull && $"ha" === $"hb", 1)).as("n3"))
+        .collect()(0)
+      val (n, n2, n3) = (counts.getLong(0), counts.getLong(1),
+        counts.getLong(2))
+      val ratio = if (n2 > 0) Some(n3.toDouble / n2) else None
+      Seq((n, n2, n3, ratio.map(r => math.round(r * 1e4) / 1e4),
+          n2 < DeepRecallMinSupport ||
+            ratio.exists(_ >= DeepRecallBound)))
+        .toDF("n_pairs", "n_two", "n_deep", "deep_over_two", "deep_ok")
+    },
+    oracleDyn = Some { (s, d) =>
+      val cb2 = ivfScaledCodebook(s, d)
+      val cb3 = ivf3ScaledCodebook(s, d)
+      val sampCond =
+        s" AND ${Corpus.bucket16Sql("vec_id", DeepRecallSalt)}" +
+          s" < '$DeepRecallHexBound'"
+      s"""
+      WITH ${ivf3AssignCtesSql(cb3, sampCond)},
+      ${Ivf.codebookCteSql("cb2l", Ivf.collectFine(cb2))},
+      e2l AS (
+        SELECT vec_id,
+               CAST(${Similarity.cellAssignSql("embedding", cb2.coarse)} AS INTEGER) AS coarse,
+               ${Ivf.quantizeListSql("embedding")} AS xq
+        FROM embeddings
+        WHERE len(embedding) = ${cb2.dims}$sampCond),
+      a2l AS (
+        ${Ivf.assignCteSql("e2l", "cb2l")}),
+      samp AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE len(embedding) = ${cb3.dims}$sampCond),
+      tp AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM samp x JOIN samp y ON x.vec_id < y.vec_id
+        WHERE ${Similarity.nonZeroNormSql("x.embedding")}
+          AND ${Similarity.nonZeroNormSql("y.embedding")}
+          AND ${Similarity.cosineSql("x.embedding", "y.embedding")}
+                >= $SemDedupTau),
+      co2 AS (
+        SELECT tp.id_a, tp.id_b FROM tp
+        JOIN a2l xa ON tp.id_a = xa.vec_id
+        JOIN a2l xb ON tp.id_b = xb.vec_id
+        WHERE xa.cell = xb.cell),
+      co3 AS (
+        SELECT tp.id_a, tp.id_b FROM tp
+        JOIN a ya ON tp.id_a = ya.vec_id
+        JOIN a yb ON tp.id_b = yb.vec_id
+        WHERE ya.cell = yb.cell),
+      n AS (SELECT (SELECT COUNT(*) FROM tp) AS n_pairs,
+                   (SELECT COUNT(*) FROM co2) AS n_two,
+                   (SELECT COUNT(*) FROM co3) AS n_deep)
+      SELECT n_pairs, n_two, n_deep,
+        CASE WHEN n_two > 0
+          THEN ROUND(CAST(n_deep AS DOUBLE) / n_two, 4)
+          END AS deep_over_two,
+        CASE WHEN n_two >= $DeepRecallMinSupport
+          THEN CAST(n_deep AS DOUBLE) / n_two >= $DeepRecallBound
+          ELSE TRUE END AS deep_ok
+      FROM n"""
+    })
+
   val all: Seq[GraftQuery] = Seq(
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q72,
     q75, q79, q80, q81, q84, q89, q91, q95, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108, q109, q110)
+    q105, q106, q107, q108, q109, q110, q111, q112)
 }

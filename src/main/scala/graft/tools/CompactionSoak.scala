@@ -20,18 +20,22 @@ import graft.operators.{Dedup, Ivf}
   * frozen codebook (the scaled version of CorpusPrepSpec's identity
   * pin), and reports per-stage wall time plus on-disk index state size.
   *
-  * k follows the compaction's own corpus-scaled default (n/250 — 7200
-  * cells at the sf100 base), so the soak exercises the SAME two-level
-  * codebook regime the 100 TB posture trains. Run exclusively:
+  * k follows the compaction's corpus-scaled shape n/kDiv (third arg,
+  * default 250 — 7200 cells at the sf100 base, the two-level regime the
+  * r18 soak recorded). kDiv=200 pushes the sf100 base past the
+  * [[graft.operators.Ivf.trainTiered]] deep switch (k = 9000 ≥ 8000),
+  * so the SAME soak proves the durable THREE-level path (round-19, r18
+  * verdict task 1): incremental ≡ full over the deep codebook, and the
+  * incremental pass still beats the full rebuild. Run exclusively:
   *
   * {{{
-  * SPARK_DRIVER_MEM=32g sbt "runMain graft.tools.CompactionSoak /tmp/graft_sf100"
+  * SPARK_DRIVER_MEM=32g sbt "runMain graft.tools.CompactionSoak /tmp/graft_sf100 0.4 200"
   * }}}
   *
   * Prints one JSON line per stage and a final `{"soak":"done",...}`
   * contract line; exits non-zero unless the identity holds AND the
   * incremental pass did not retrain. Recorded evidence lives in
-  * STATE_SOAK.md (round-18 section).
+  * STATE_SOAK.md (round-18 two-level / round-19 three-level sections).
   */
 object CompactionSoak {
 
@@ -43,6 +47,8 @@ object CompactionSoak {
     // the synthetic corpus (a no-drop soak would never exercise the
     // affected-cell recompute the identity assert exists for)
     val tau = if (args.length > 1) args(1).toDouble else 0.4
+    val kDiv = if (args.length > 2) args(2).toInt else 250
+    require(kDiv >= 1, s"k divisor must be >= 1: $kDiv")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(
         master = s"local[$cpus]", shufflePartitions = cpus.toInt,
@@ -61,25 +67,30 @@ object CompactionSoak {
     val base = e.filter(col("vec_id") % 10 =!= 0)
     val nBase = base.count()
     val nAll = e.count()
+    val kOf: Long => Int = n => math.max(8L, (n + kDiv - 1) / kDiv).toInt
     println(s"""{"soak":"start","sf_dir":"$sfDir","rows_base":$nBase,""" +
-      s""""rows_all":$nAll,"tau":$tau,"index_dir":"$idx"}""")
+      s""""rows_all":$nAll,"tau":$tau,"k_div":$kDiv,"k_base":${kOf(nBase)},""" +
+      s""""index_dir":"$idx"}""")
 
     // v1: full build over the 90% base — the state a deployment holds
     // before an sf10-sized ingest batch lands
     val (v1, tBuild) = timed {
-      CorpusPrep.compactNearDups(base, "vec_id", "embedding", idx, tau)
+      CorpusPrep.compactNearDups(base, "vec_id", "embedding", idx, tau,
+        k = kOf)
     }
     val v1Rows = v1.ledger.count()
     val v1Dropped = v1.ledger.filter(col("dropped")).count()
     println(s"""{"soak":"v1_full_build","sec":${fmt(tBuild)},""" +
       s""""version":${v1.version},"retrained":${v1.retrained},""" +
-      s""""ledger_rows":$v1Rows,"dropped":$v1Dropped}""")
+      s""""depth":"${depthOf(v1.codebook)}","ledger_rows":$v1Rows,""" +
+      s""""dropped":$v1Dropped}""")
     v1.release()
 
     // v2: the incremental pass — the delta anti-joins out, assigns with
     // the frozen codebook, and only affected cells re-evaluate
     val (v2, tInc) = timed {
-      CorpusPrep.compactNearDups(e, "vec_id", "embedding", idx, tau)
+      CorpusPrep.compactNearDups(e, "vec_id", "embedding", idx, tau,
+        k = kOf)
     }
     val v2Rows = v2.ledger.count()
     val v2Dropped = v2.ledger.filter(col("dropped")).count()
@@ -93,7 +104,7 @@ object CompactionSoak {
     // verdicts are only correct if this holds at scale too
     val ((diffs, tAssign), tFull) = timed {
       val (assigned, tA) = timed {
-        Ivf.assign(e, "embedding", v2.codebook, "cell")
+        Ivf.assignAny(e, "embedding", v2.codebook, "cell")
           .localCheckpoint(true)
       }
       val full = Dedup.semDedupAssigned(assigned, "vec_id", "embedding", tau)
@@ -114,10 +125,16 @@ object CompactionSoak {
       new org.apache.hadoop.fs.Path(idx)).getLength
     val pass = diffs == 0 && !v2.retrained && v2.version == 2
     println(s"""{"soak":"done","pass":$pass,"diff_rows":$diffs,""" +
-      s""""v2_retrained":${v2.retrained},"state_bytes":$stateBytes,""" +
+      s""""v2_retrained":${v2.retrained},"depth":"${depthOf(v2.codebook)}",""" +
+      s""""state_bytes":$stateBytes,""" +
       s""""build_sec":${fmt(tBuild)},"incremental_sec":${fmt(tInc)},""" +
       s""""check_sec":${fmt(tFull)}}""")
     spark.stop()
     if (!pass) sys.exit(1)
+  }
+
+  private def depthOf(cb: Ivf.AnyCodebook): String = cb match {
+    case _: Ivf.Codebook => "two-level"
+    case _: Ivf.Codebook3 => "three-level"
   }
 }

@@ -351,6 +351,73 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("nearest_cell"), "assignment must use NearestCell")
   }
 
+  /** Largest literal-centroid payload any single kernel in the plan
+    * carries: NearestCentroid rows plus composed probe arrays (a
+    * CreateArray of FloatArrayDot-scored structs — one branch per
+    * probed centroid). The three-level path's contract is that ONLY
+    * the k^⅓ top centroids ever ship as plan literals — a regression
+    * to flat literals would pass every oracle at test k and only die
+    * at production k (r18 verdict task 2), so this measures the plan
+    * itself.
+    */
+  private def maxCentroidLiterals(
+      df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.expressions.CreateArray
+    df.queryExecution.optimizedPlan.collect { case n =>
+      n.expressions.flatMap(_.collect {
+        case e: plans.NearestCentroid => e.centroids.length
+        case ca: CreateArray if ca.children.exists(
+            _.exists(_.isInstanceOf[plans.FloatArrayDot])) =>
+          ca.children.size
+      })
+    }.flatten.maxOption.getOrElse(0)
+  }
+
+  test("q109: three-level assign — only k^3root top centroids as literals, deep levels joined from cache") {
+    val df = SparkEntry.queries("q109_ivf3_deep_codebook")(spark, d)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("InMemoryTableScan"),
+      "mid+fine codebook levels must come from the persisted frames, not retrain")
+    // one codegen'd candidate argmin PER DEEP HOP — both levels resolve
+    // through the joined codebook, never a literal scan
+    assert("nearest_candidate".r.findAllMatchIn(p).size >= 2,
+      "both deep hops must use the joined-candidate kernel")
+    // the quantitative no-literal-array gate: q109's codebook is k=27,
+    // so a flat regression ships 27 centroid literals; the three-level
+    // contract is k^1/3 = 3 top centroids (ceil slack 4)
+    val m = maxCentroidLiterals(df)
+    assert(m >= 1 && m <= 4,
+      s"largest literal centroid payload $m — fine/mid centroids must " +
+        "never ship as plan literals (flat k=27 would read 27)")
+  }
+
+  test("q110: deep ANN search — two bounded probe hops, no flat literal scan, O(k) ranking") {
+    val df = SparkEntry.queries("q110_ivf3_deep_ann")(spark, d)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // ranking is the bounded aggregate (q89/q100/q103 discipline). The
+    // blanket no-window form q89 uses would trip on the TRAINER lineage
+    // rendered inside the persisted codebook's InMemoryRelation
+    // (train3's per-parent row_number sampling windows) — the search
+    // path's own ranking is what must never become a per-QUERY window
+    assert(!p.contains("WindowGroupLimit") &&
+      !p.contains("windowspecdefinition(q_id"),
+      p.linesIterator.filter(_.contains("windowspecdefinition"))
+        .mkString("\n"))
+    // corpus assignment + each probe hop resolve through joined
+    // codebook rows (mid and fine hops both visible)
+    assert("nearest_candidate".r.findAllMatchIn(p).size >= 2,
+      "deep assignment must keep the joined-candidate kernel")
+    assert(p.contains("InMemoryTableScan"),
+      "probe hops must read the persisted codebook levels")
+    // top probe scores k^1/3 literals; a flat probe would score all 27
+    val m = maxCentroidLiterals(df)
+    assert(m >= 1 && m <= 4,
+      s"largest literal centroid payload $m — the probe must stay " +
+        "k^1/3-bounded (a flat probe scores all 27 fine cells as literals)")
+  }
+
   test("q11: global top-k plans as TakeOrderedAndProject, no global sort") {
     assert(plan("q11_global_topk").contains("TakeOrderedAndProject"))
   }

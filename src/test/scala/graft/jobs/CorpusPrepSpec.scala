@@ -192,7 +192,7 @@ class CorpusPrepSpec extends SparkSpec {
     // oracle: one full pass over everything with the SAME (frozen)
     // codebook — cells are independent under the drop policy, so the
     // incremental result must be row-identical
-    val assigned = Ivf.assign(df, "embedding", c2.codebook)
+    val assigned = Ivf.assignAny(df, "embedding", c2.codebook)
     val dropped = Dedup.embeddingNearDupPairs(
         assigned.filter($"cell".isNotNull), "vec_id", "embedding",
         TAU, Some("cell"))
@@ -326,43 +326,108 @@ class CorpusPrepSpec extends SparkSpec {
     c1.codebook.release(); c2.codebook.release()
   }
 
-  test("compactNearDups: an aborted racing pass leaves no _COMPLETE dir the fallback could resurrect") {
-    // round-16 verdict task 1: _COMPLETE used to be created BEFORE the
-    // optimistic LATEST check, so an aborted racer's stale ledger could
-    // win the crash-window fallback over the published winner
+  test("compactNearDups: an overlapping invocation fails at the LOCK while the holder publishes (round-19)") {
+    // r18 verdict task 3: the exclusive-create LOCK turns the overlap
+    // the optimistic check used to catch at WRITE time into an
+    // at-ENTRY failure — the racer cannot even load a base state, so
+    // two passes can no longer both report success. Staged at the k
+    // callback, which runs between the holder's lock acquisition and
+    // its write — where a real overlapping invocation would land.
     val idx = java.nio.file.Files.createTempDirectory("ivfidx7").toString
     val df = embCorpus(90)
-    val winner = df.filter($"vec_id" < 60)
-    var raced = false
-    // the k callback runs between this pass's base-state load and its
-    // write — the one place a real overlapping invocation interleaves
-    val e = intercept[IllegalStateException] {
-      CorpusPrep.compactNearDups(df, "vec_id", "embedding", idx,
-        tau = 0.95, k = n => {
-          if (!raced) {
-            raced = true
-            CorpusPrep.compactNearDups(winner, "vec_id", "embedding", idx,
+    var racerError: Option[IllegalStateException] = None
+    val c = CorpusPrep.compactNearDups(df, "vec_id", "embedding", idx,
+      tau = 0.95, k = n => {
+        if (racerError.isEmpty)
+          racerError = Some(intercept[IllegalStateException] {
+            CorpusPrep.compactNearDups(
+              df.filter($"vec_id" < 60), "vec_id", "embedding", idx,
               tau = 0.95, k = _ => 9).release()
-          }
-          9
-        })
-    }
-    assert(e.getMessage.contains("concurrent compaction"), e.getMessage)
-    // exactly ONE v1 state dir survives: the winner's (the aborted
-    // attempt's dir was deleted, and was never _COMPLETE-marked)
+          })
+        9
+      })
+    // the racer lost loudly AT ENTRY — and wrote nothing at all
+    assert(racerError.exists(_.getMessage.contains("concurrent compaction")),
+      racerError.map(_.getMessage).toString)
+    assert(racerError.exists(_.getMessage.contains("lock")),
+      racerError.map(_.getMessage).toString)
+    // the holder published normally: one _COMPLETE v1 dir, its full ledger
+    assert(c.version == 1 && c.ledger.count() == 90)
     val v1s = new java.io.File(idx).listFiles().map(_.getName)
       .filter(_.matches("v1(-[0-9a-f]+)?"))
     assert(v1s.length == 1, s"v1 dirs: ${v1s.mkString(",")}")
     assert(new java.io.File(s"$idx/${v1s.head}/_COMPLETE").exists())
-    // even with LATEST lost, the fallback resolves to the winner
-    assert(new java.io.File(s"$idx/LATEST").delete())
-    val crc = new java.io.File(idx, ".LATEST.crc")
-    if (crc.exists()) assert(crc.delete())
-    val c = CorpusPrep.compactNearDups(winner, "vec_id", "embedding", idx,
+    // the holder's finally released the lock: the next pass proceeds
+    assert(!new java.io.File(s"$idx/LOCK").exists(), "lock must release")
+    val c2 = CorpusPrep.compactNearDups(df, "vec_id", "embedding", idx,
       tau = 0.95, k = _ => 9)
-    assert(!c.retrained && c.version == 1 && c.ledger.count() == 60,
-      "fallback must resolve to the published winner's ledger")
+    assert(!c2.retrained && c2.version == 1)
+    c.release(); c2.release()
+  }
+
+  test("compactNearDups: a crashed pass's stale lock is broken; a fresh one wedges the racer (round-19)") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx9").toString
+    val df = embCorpus(90)
+    // a "crashed" holder: lock file exists, no pass alive. Fresh lock
+    // (age < lockStaleMs) → the next invocation must fail loudly...
+    val lock = new java.io.File(idx, "LOCK")
+    java.nio.file.Files.writeString(lock.toPath, "dead-pass-token")
+    val e = intercept[IllegalStateException] {
+      CorpusPrep.compactNearDups(df, "vec_id", "embedding", idx,
+        tau = 0.95, k = _ => 9)
+    }
+    assert(e.getMessage.contains("lock"), e.getMessage)
+    // ...and a STALE lock (age > lockStaleMs) is broken: the pass runs
+    assert(lock.setLastModified(System.currentTimeMillis() - 10000))
+    val c = CorpusPrep.compactNearDupsImpl(df, "vec_id", "embedding", idx,
+      tau = 0.95, k = _ => 9, driftTolerance = 4.0,
+      maxDriftFraction = 0.1, growthFactor = 2.0,
+      deepMinK = 8000, lockStaleMs = 5000L,
+      seams = CorpusPrep.PublishSeams())
+    assert(c.retrained && c.version == 1)
+    assert(!lock.exists(), "broken+reacquired lock must release on exit")
     c.release()
+  }
+
+  test("compactNearDups: the deep (three-level) tier engages at deepMinK and the incremental identity holds (round-19)") {
+    import graft.operators.{Dedup, Ivf}
+    // r18 verdict task 1: the durable path previously always trained
+    // two-level; at k(n) >= deepMinK it must now build the THREE-level
+    // codebook (forced here with a bench-scale threshold, the q104
+    // force-the-branch precedent) and the q102-style identity —
+    // incremental ≡ full recompute with the frozen codebook — must
+    // hold over the deep assignment too.
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx10").toString
+    val df = embCorpus(210)
+    val base = df.filter($"vec_id" % 7 =!= 0)
+    val TAU = 0.95
+    val c1 = CorpusPrep.compactNearDups(base, "vec_id", "embedding", idx,
+      tau = TAU, k = _ => 9, deepMinK = 9)
+    assert(c1.retrained && c1.version == 1)
+    assert(c1.codebook.isInstanceOf[Ivf.Codebook3],
+      s"k=9 >= deepMinK=9 must train three-level, got ${c1.codebook.getClass}")
+    c1.release()
+    // incremental pass: loadAny sniffs the saved depth; no retrain
+    val c2 = CorpusPrep.compactNearDups(df, "vec_id", "embedding", idx,
+      tau = TAU, k = _ => 9, deepMinK = 9)
+    assert(!c2.retrained && c2.version == 2)
+    assert(c2.codebook.isInstanceOf[Ivf.Codebook3],
+      "incremental pass must keep the frozen deep codebook")
+    val assigned = Ivf.assignAny(df, "embedding", c2.codebook)
+    val dropped = Dedup.embeddingNearDupPairs(
+        assigned.filter($"cell".isNotNull), "vec_id", "embedding",
+        TAU, Some("cell"))
+      .select($"id_b").distinct().as[Long].collect().toSet
+    val expected = assigned.select($"vec_id", $"cell").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .map { case (id, cell) => (id, cell, dropped.contains(id)) }.toSet
+    val got = c2.ledger.collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)), r.getBoolean(2)))
+      .toSet
+    assert(got == expected)
+    assert(got.exists(_._3), "no drops fired — the tau is vacuous")
+    c2.release()
   }
 
   test("compactNearDups: a racer past the optimistic check loses LOUDLY at the post-publish verify (round-17)") {
@@ -397,7 +462,8 @@ class CorpusPrepSpec extends SparkSpec {
       CorpusPrep.compactNearDupsImpl(df, "vec_id", "embedding", idx,
         tau = 0.95, k = _ => 9, driftTolerance = 4.0,
         maxDriftFraction = 0.1, growthFactor = 2.0,
-        CorpusPrep.PublishSeams(
+        deepMinK = 8000, lockStaleMs = 3600000L,
+        seams = CorpusPrep.PublishSeams(
           readLatest = Some(() => Some(rawV1)),
           afterRename = () => {
             val out = hfs.create(

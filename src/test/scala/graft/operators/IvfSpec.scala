@@ -214,6 +214,47 @@ class IvfSpec extends SparkSpec {
     } finally book.release()
   }
 
+  test("tier dispatch: trainTiered switches depth at deepMinK; saveAny/loadAny sniff it back (round-19)") {
+    val df = corpus(180)
+    // below the threshold: two-level; at/above: three-level
+    val shallow = Ivf.trainTiered(df, "embedding", "vec_id", k = 9,
+      deepMinK = 10)
+    val deep = Ivf.trainTiered(df, "embedding", "vec_id", k = 9,
+      deepMinK = 9)
+    try {
+      assert(shallow.isInstanceOf[Ivf.Codebook], shallow.getClass.toString)
+      assert(deep.isInstanceOf[Ivf.Codebook3], deep.getClass.toString)
+      // assignAny routes to the depth-specific kernel: same cells as
+      // the direct call, for both depths
+      def cells(a: DataFrame): Map[Long, Option[Int]] =
+        a.select($"vec_id", $"cell").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+      assert(cells(Ivf.assignAny(df, "embedding", shallow)) ==
+        cells(Ivf.assign(df, "embedding",
+          shallow.asInstanceOf[Ivf.Codebook])))
+      assert(cells(Ivf.assignAny(df, "embedding", deep)) ==
+        cells(Ivf.assign3(df, "embedding",
+          deep.asInstanceOf[Ivf.Codebook3])))
+      // loadAny discriminates by the on-disk layout (mid level present)
+      // — a pre-round-19 two-level state dir loads unchanged
+      val d2 = java.nio.file.Files.createTempDirectory("ivfany2").toString
+      val d3 = java.nio.file.Files.createTempDirectory("ivfany3").toString
+      Ivf.saveAny(shallow, d2)
+      Ivf.saveAny(deep, d3)
+      val r2 = Ivf.loadAny(spark, d2)
+      val r3 = Ivf.loadAny(spark, d3)
+      try {
+        assert(r2.isInstanceOf[Ivf.Codebook], r2.getClass.toString)
+        assert(r3.isInstanceOf[Ivf.Codebook3], r3.getClass.toString)
+        assert(cells(Ivf.assignAny(df, "embedding", r2)) ==
+          cells(Ivf.assignAny(df, "embedding", shallow)))
+        assert(cells(Ivf.assignAny(df, "embedding", r3)) ==
+          cells(Ivf.assignAny(df, "embedding", deep)))
+      } finally { r2.release(); r3.release() }
+    } finally { shallow.release(); deep.release() }
+  }
+
   test("probeCells3 equals a driver-side two-hop recompute (round-18)") {
     val df = corpus(240)
     val book = cb3(df)
