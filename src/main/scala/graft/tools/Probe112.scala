@@ -15,12 +15,25 @@ import graft.operators.{Dedup, Ivf, Similarity}
   * `DeepRecallBound` and the q112 scaladoc's per-SF table. One JSON
   * line per (tau, tier). Run exclusively like every measurement main:
   *
-  * {{{ sbt "runMain graft.tools.Probe112 /tmp/graft_sf1" }}}
+  * {{{ sbt "runMain graft.tools.Probe112 /tmp/graft_sf1 [hexBound] [tiers]" }}}
+  *
+  * `hexBound` shrinks the sample (default "2000" = 1/8, q112's; the
+  * sf100 measurement uses "0400" = 1/64 — the 1/8 brute term is
+  * ~31G pairs there, the same infeasibility that moved q108 to a
+  * sample in the first place). `tiers` ⊆ flat,two,three (default all;
+  * sf100 drops `flat` — its O(pool·k·d) driver seeding at k = 8000 is
+  * exactly the term the hierarchical tiers exist to remove).
   */
 object Probe112 {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf1"))
+    val hexBound = if (args.length > 1) args(1) else "2000"
+    val tiers = (if (args.length > 2) args(2) else "flat,two,three")
+      .split(",").map(_.trim).toSet
+    val unknownTiers = tiers -- Set("flat", "two", "three")
+    require(unknownTiers.isEmpty,
+      s"unknown Probe112 tier(s): ${unknownTiers.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(
         master = s"local[$cpus]", shufflePartitions = cpus.toInt,
@@ -33,24 +46,33 @@ object Probe112 {
     val e = Tables.embeddings(spark, sfDir)
     val n = e.count()
     val k = math.max(8L, (n + 249) / 250).toInt
-    println(s"""{"probe":"start","sf_dir":"$sfDir","rows":$n,"k":$k}""")
+    println(s"""{"probe":"start","sf_dir":"$sfDir","rows":$n,"k":$k,""" +
+      s""""hex_bound":"$hexBound","tiers":"${tiers.toSeq.sorted.mkString(",")}"}""")
 
     val samp = e.filter(
-        Corpus.bucket16($"vec_id", "semdedup-deep-r19") < "2000")
+        Corpus.bucket16($"vec_id", "semdedup-deep-r19") < hexBound)
       .select($"vec_id", $"embedding").persist()
     val ns = samp.count()
 
-    // tier assignments over the sample (pure per-row functions)
-    val flatCents = Similarity.trainKmeansCentroids(
-      e, "embedding", k, idCol = Some("vec_id"))
-    val cb2 = Ivf.train(e, "embedding", "vec_id", k,
-      itersCoarse = 3, itersFine = 2)
-    val cb3 = Ivf.train3(e, "embedding", "vec_id", k,
-      itersCoarse = 3, itersLevel = 2)
-    val cells = samp
-      .withColumn("flat", Similarity.cellAssign($"embedding", flatCents))
-    val cells2 = Ivf.assign(cells, "embedding", cb2, "two")
-    val cells3 = Ivf.assign3(cells2, "embedding", cb3, "three")
+    // tier assignments over the sample (pure per-row functions); a
+    // skipped tier carries NULL cells, so its co-location count reads
+    // 0 — the start line's "tiers" field says which columns are live
+    val cells0 =
+      if (tiers("flat")) {
+        val flatCents = Similarity.trainKmeansCentroids(
+          e, "embedding", k, idCol = Some("vec_id"))
+        samp.withColumn("flat", Similarity.cellAssign($"embedding", flatCents))
+      } else samp.withColumn("flat", lit(null).cast("int"))
+    val cb2 = if (tiers("two"))
+      Some(Ivf.train(e, "embedding", "vec_id", k,
+        itersCoarse = 3, itersFine = 2)) else None
+    val cb3 = if (tiers("three"))
+      Some(Ivf.train3(e, "embedding", "vec_id", k,
+        itersCoarse = 3, itersLevel = 2)) else None
+    val cells2 = cb2.fold(cells0.withColumn("two", lit(null).cast("int")))(
+      b => Ivf.assign(cells0, "embedding", b, "two"))
+    val cells3 = cb3.fold(cells2.withColumn("three", lit(null).cast("int")))(
+        b => Ivf.assign3(cells2, "embedding", b, "three"))
       .select($"vec_id", $"flat", $"two", $"three").persist()
     cells3.count()
 
@@ -78,7 +100,7 @@ object Probe112 {
         s""""r_three":${fmt(r(joined.getLong(2)))}}""")
       tp.unpersist()
     }
-    cb2.release(); cb3.release()
+    cb2.foreach(_.release()); cb3.foreach(_.release())
     spark.stop()
   }
 }
