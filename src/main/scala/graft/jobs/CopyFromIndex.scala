@@ -100,44 +100,88 @@ object CopyFromIndex {
   def copy(resolved: DataFrame, destDir: String): DataFrame = {
     val spark = resolved.sparkSession
     import spark.implicits._
-    resolved.select(col("dest_class")).distinct().collect()
-      .foreach { r =>
-        java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(destDir, r.getString(0)))
-      }
-    resolved
+    // ONE materialization of the resolve window feeds both the
+    // driver-side metadata pass below and the copy kernel — without
+    // the persist the row_number window over the full index runs twice
+    val slim = resolved
       .select(col("filename").cast("string"),
         col("dest_class").cast("string"),
         col("source_owner").cast("string"),
         col("source_path").cast("string"))
-      .as[(String, String, String, String)]
-      .mapPartitions { it =>
-        it.map { case (fn, dc, owner, src) =>
-          val status =
-            if (src == null) "skipped_smhi"
-            else {
-              val sp = java.nio.file.Paths.get(src)
-              val dp = java.nio.file.Paths.get(destDir, dc, fn)
-              if (!java.nio.file.Files.exists(sp)) "missing"
-              else if (java.nio.file.Files.exists(dp)) "exists"
-              else
-                try { java.nio.file.Files.copy(sp, dp); "copied" }
-                catch {
-                  // a replayed/speculative sibling attempt won the
-                  // create: the destination holds a complete copy
-                  case _: java.nio.file.FileAlreadyExistsException =>
-                    "exists"
-                }
-            }
-          (fn, dc, owner, src, status)
-        }
+      .persist()
+    try {
+      // one bounded metadata pass: destination class dirs (created up
+      // front, the reference's :68-71) AND the owner contract — an
+      // unknown or NULL owner would otherwise fall silently into the
+      // SMHI branch (skipped, or worse: copying smhiDir/<filename>'s
+      // bytes into the wrong class), the same quiet-typo failure mode
+      // the bench tools validate against loudly
+      val meta = slim.select(col("dest_class"), col("source_owner"))
+        .distinct().collect()
+      val knownOwners = SourceOrder.toSet + "SMHI"
+      val badOwners = meta.map(_.getString(1))
+        .filter(o => o == null || !knownOwners.contains(o)).distinct
+      require(badOwners.isEmpty,
+        s"unknown source_owner(s) ${badOwners.mkString(", ")} — " +
+          s"allowed: ${knownOwners.toSeq.sorted.mkString(", ")}")
+      meta.map(_.getString(0)).distinct.foreach { dc =>
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(destDir, dc))
+        ()
       }
-      .toDF("filename", "dest_class", "source_owner", "source_path",
-        "status")
-      // eager + pinned: the copy is a SIDE EFFECT — a lazily returned
-      // frame would re-run it on every action, flipping first-run
-      // `copied` statuses to `exists` under the caller's feet
-      .localCheckpoint(true)
+      slim
+        .as[(String, String, String, String)]
+        .mapPartitions { it =>
+          it.map { case (fn, dc, owner, src) =>
+            val status =
+              if (src == null) "skipped_smhi"
+              else {
+                val sp = java.nio.file.Paths.get(src)
+                val dp = java.nio.file.Paths.get(destDir, dc, fn)
+                if (!java.nio.file.Files.exists(sp)) "missing"
+                else if (java.nio.file.Files.exists(dp)) "exists"
+                else {
+                  // copy into a temp name and ATOMIC_MOVE onto the
+                  // final one (the ZipSink/MatSink discipline): a task
+                  // attempt killed mid-copy must never leave a
+                  // truncated file that later runs see as `exists`
+                  val tmp = java.nio.file.Files.createTempFile(
+                    dp.getParent, s".$fn.", ".tmp")
+                  try {
+                    java.nio.file.Files.copy(sp, tmp,
+                      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                    java.nio.file.Files.move(tmp, dp,
+                      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                    "copied"
+                  } catch {
+                    // a replayed/speculative sibling attempt won the
+                    // move: the destination holds a COMPLETE copy
+                    // (only whole files are ever moved in; on POSIX
+                    // rename the loser silently replaces it with the
+                    // IDENTICAL bytes — both attempts copy the same
+                    // resolved source — and reports `copied`)
+                    case _: java.nio.file.FileAlreadyExistsException =>
+                      java.nio.file.Files.deleteIfExists(tmp)
+                      "exists"
+                    case e: Throwable =>
+                      java.nio.file.Files.deleteIfExists(tmp)
+                      throw e
+                  }
+                }
+              }
+            (fn, dc, owner, src, status)
+          }
+        }
+        .toDF("filename", "dest_class", "source_owner", "source_path",
+          "status")
+        // eager + pinned: the copy is a SIDE EFFECT — a lazily returned
+        // frame would re-run it on every action, flipping first-run
+        // `copied` statuses to `exists` under the caller's feet
+        .localCheckpoint(true)
+    } finally {
+      slim.unpersist()
+      ()
+    }
   }
 
   /** [[resolve]] + [[copy]] + the run summary the reference prints

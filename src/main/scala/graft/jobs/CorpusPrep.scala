@@ -263,9 +263,11 @@ object CorpusPrep {
     * OPTIMISTIC check (LATEST moved since load → abort, attempt dir
     * deleted) and the POST-publish verify (rename overwritten inside
     * the rename→verify instant → abort loudly). Exclusive-create is
-    * atomic on HDFS and single-host filesystems; on object stores
-    * without it the lock degrades to advisory and the same two
-    * backstops carry the loudness guarantee.
+    * atomic on HDFS — one winner, full stop; on filesystems whose
+    * create is check-then-act (Hadoop's local FS, object stores) the
+    * lock plus its token read-back NARROW the overlap window rather
+    * than close it, and the same two backstops carry the loudness
+    * guarantee.
     */
   def compactNearDups(accumulated: DataFrame, id: String, vec: String,
       indexDir: String, tau: Double,
@@ -319,7 +321,9 @@ object CorpusPrep {
     val lockPath = new org.apache.hadoop.fs.Path(dirPath, "LOCK")
     // per-attempt token: release only deletes a lock that still holds
     // OUR token, so a pass whose stale lock was broken by a newer one
-    // can never delete that newer pass's lock on its way out
+    // does not delete that newer pass's lock on its way out (residual:
+    // the read→delete instant of a pass that ran past lockStaleMs —
+    // size the staleness above the longest expected pass)
     val lockToken = java.util.UUID.randomUUID().toString
 
     def readLock(): Option[String] =
@@ -331,10 +335,15 @@ object CorpusPrep {
       }
 
     /** Exclusive-create lock acquisition (r18 verdict task 3): create
-      * with overwrite=false, then READ BACK — on a filesystem whose
-      * exclusive create is check-then-act (the local FS), two racers
-      * can both survive the create, but only one token ends up in the
-      * file and the other pass loses loudly here.
+      * with overwrite=false, then READ BACK. On HDFS the create itself
+      * is atomic — one winner, full stop. On a filesystem whose
+      * exclusive create is check-then-act (the local FS) two racers
+      * can both survive the create; the read-back catches the usual
+      * interleaving (the loser sees the winner's token) but NOT a
+      * racer whose overwrite lands after the winner's read-back — on
+      * such filesystems the lock NARROWS the overlap window and the
+      * publish-time optimistic check + post-publish verify remain the
+      * loud backstops.
       */
     def acquireLock(): Unit = {
       if (!fs.exists(dirPath)) fs.mkdirs(dirPath)
@@ -359,8 +368,21 @@ object CorpusPrep {
         if (age > lockStaleMs) {
           log.warn(s"breaking stale compaction lock at $lockPath " +
             s"(age ${age}ms > ${lockStaleMs}ms — holder presumed crashed)")
-          try fs.delete(lockPath, false)
-          catch { case _: java.io.IOException => () }
+          // break by RENAME-aside, not delete (round-19 review): two
+          // passes can both observe the same stale lock, and a
+          // delete-based break let the slower one remove the faster
+          // one's FRESHLY created lock — rename is atomic, so exactly
+          // one breaker moves the stale file; the loser's rename
+          // no-ops (source gone) and its create below loses loudly
+          val aside = new org.apache.hadoop.fs.Path(
+            dirPath, s".LOCK.broken.$lockToken")
+          val won =
+            try fs.rename(lockPath, aside)
+            catch { case _: java.io.IOException => false }
+          if (won) {
+            try fs.delete(aside, false)
+            catch { case _: java.io.IOException => () }
+          }
         }
         tryCreate()
       }

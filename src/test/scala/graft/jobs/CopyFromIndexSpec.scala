@@ -79,5 +79,14 @@ class CopyFromIndexSpec extends SparkSpec {
     assert(read(s"$dest/classC/img3.png") == "smhi3")
     // everything already copied reports exists — idempotent second run
     assert(st2("img1.png") == "exists" && st2("img2.png") == "exists")
+
+    // an unknown owner fails LOUDLY before any copy — a typo would
+    // otherwise fall silently into the SMHI branch (round-19 review)
+    val bad = Seq(("img9.png", "classA", "niva", "classA/img9.png"))
+      .toDF("filename", "dest_class", "source_owner", "source_relpath")
+    val e = intercept[IllegalArgumentException] {
+      CopyFromIndex.run(bad, orig, dest)
+    }
+    assert(e.getMessage.contains("niva"), e.getMessage)
   }
 }

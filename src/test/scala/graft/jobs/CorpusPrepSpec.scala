@@ -430,6 +430,45 @@ class CorpusPrepSpec extends SparkSpec {
     c2.release()
   }
 
+  test("compactNearDups: the publish-time optimistic check aborts and deletes the attempt dir when LATEST moves mid-pass (round-19)") {
+    // the lock rework (r18 verdict task 3) retired the k-callback race
+    // staging that used to drive this path, but the optimistic check is
+    // still load-bearing — it is the documented backstop when a stale
+    // break or a check-then-act filesystem re-admits an overlap. Stage
+    // it directly: a STATEFUL readLatest seam shows the pass v1 at
+    // base-state load and a different (racer-published) marker at the
+    // write-time check.
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx11").toString
+    val df = embCorpus(150)
+    val c1 = CorpusPrep.compactNearDups(df.filter($"vec_id" < 120),
+      "vec_id", "embedding", idx, tau = 0.95, k = _ => 9)
+    assert(c1.version == 1)
+    val v1Name = java.nio.file.Files.readString(
+      java.nio.file.Path.of(s"$idx/LATEST")).trim
+    var calls = 0
+    val e = intercept[IllegalStateException] {
+      CorpusPrep.compactNearDupsImpl(df, "vec_id", "embedding", idx,
+        tau = 0.95, k = _ => 9, driftTolerance = 4.0,
+        maxDriftFraction = 0.1, growthFactor = 2.0,
+        deepMinK = 8000, lockStaleMs = 3600000L,
+        seams = CorpusPrep.PublishSeams(
+          readLatest = Some(() => {
+            calls += 1
+            if (calls == 1) Some(v1Name) else Some("v9-deadbeef")
+          })))
+    }
+    assert(e.getMessage.contains("concurrent compaction") &&
+      e.getMessage.contains("LATEST moved"), e.getMessage)
+    // the aborted attempt's v2 dir is gone (never _COMPLETE-marked,
+    // deleted on abort) and the winner's v1 state is untouched
+    val names = new java.io.File(idx).listFiles().map(_.getName)
+      .filter(_.startsWith("v"))
+    assert(names.toSeq == Seq(v1Name), names.mkString(","))
+    assert(!new java.io.File(s"$idx/LOCK").exists(),
+      "the aborting pass must still release its lock")
+    c1.release()
+  }
+
   test("compactNearDups: a racer past the optimistic check loses LOUDLY at the post-publish verify (round-17)") {
     // r16 verdict task 3: the optimistic check leaves a check→publish
     // window — two passes can BOTH pass it before either renames, and
