@@ -326,11 +326,22 @@ object Dedup {
     * iteration. Above it, a distributed min-label + pointer-jumping loop
     * (each round: neighbor-min then label(label(id)) — O(log diameter)
     * rounds, the standard Spark CC pattern). The first `freeRounds`
-    * rounds run without convergence checks (they resolve any diameter
-    * ≤ 2⁶); after that each round pays one cheap change-count job on the
-    * (tiny, checkpointed) label frame and the loop exits at fixpoint.
-    * `maxRounds` is a hard stop — hitting it throws rather than silently
-    * under-merging.
+    * rounds run without convergence checks; after that each round pays
+    * one cheap change-count job on the (tiny, checkpointed) label frame
+    * and the loop exits at fixpoint. `maxRounds` is a hard stop —
+    * hitting it throws rather than silently under-merging.
+    *
+    * freeRounds default 6 → 2 (optimization round 19): near-dup graphs
+    * overwhelmingly have tiny components (a handful of re-uploads per
+    * cluster), so fixpoint lands by round 2-3 and the four blind rounds
+    * the old default ran were pure waste — each one is two joins, a
+    * shuffle and an eager localCheckpoint over the full label set,
+    * versus a convergence check that is one small join on the already-
+    * checkpointed labels. Measured (ProbeCc, sf0.1, alternated in one
+    * JVM so host steal hits both variants): freeRounds=6 2.88-6.16 s
+    * per invocation, freeRounds=2 1.44-1.84 s, identical labels. For a
+    * genuinely deep graph the extra checks cost O(rounds) tiny jobs —
+    * noise next to the rounds themselves.
     *
     * Bench note (round-7 verdict #2): the distributed branch's wall time
     * is high-variance even on an idle host (per-round eager
@@ -346,7 +357,7 @@ object Dedup {
     */
   def dupClusters(
       pairs: DataFrame, driverMaxEdges: Long = 1L << 20,
-      freeRounds: Int = 6, maxRounds: Int = 24): DataFrame = {
+      freeRounds: Int = 2, maxRounds: Int = 24): DataFrame = {
     // a freeRounds past maxRounds would skip EVERY convergence check
     // and throw "not converged" on a graph that reached fixpoint in
     // round 1 (round-12 review)
