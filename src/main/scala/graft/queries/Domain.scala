@@ -524,8 +524,10 @@ object Domain {
     * SMPNO, `o_orderpriority` = CRUISE_NO, `o_orderdate` = datetime).
     *
     * Scale shape: the group assignment is a map-side expression; the
-    * sample-grain sum partial-aggregates before its single shuffle; the
-    * second rollup reuses the same keys minus sample (tiny). The dim
+    * decimal sums partial-aggregate at final (sample-date, group) grain
+    * before the single rollup shuffle (exact decimal arithmetic is
+    * associative, so the per-sample intermediate grain the reference
+    * materializes is algebraically folded away — r19). The dim
     * join keys on orderkey — sample dims at 100 TB are the small side
     * and would broadcast, but lineitem→orders is the engine's standard
     * fact-dim shuffle join and AQE picks broadcast when the dim fits.
@@ -549,19 +551,23 @@ object Domain {
         year($"o_orderdate").as("myear"),
         $"o_orderpriority".as("cruise_no"),
         $"o_orderdate".as("datetime"))
-      val perSample = obs.join(sample, $"l_orderkey" === $"o_orderkey")
-        .groupBy($"myear", $"cruise_no", $"datetime", $"o_orderkey",
-          $"plankton_group")
-        // scale 6, not 4: /1000 yields 5-decimal values, and rounding
-        // them to 4 decimals hits exact .5 ties that Spark (half-up) and
-        // DuckDB (half-even) break differently; at scale 6 the cast is
-        // exact and engine-independent
-        .agg(sum(($"l_extendedprice" / 1000.0).cast(D6)).as("biomass"),
-          sum($"l_quantity".cast(D4)).as("biovol"))
-      perSample
+      // ONE grouped sum, not per-sample-then-rollup (optimization round
+      // 19, guide §2.3/§2.4): the old shape grouped by (…, o_orderkey,
+      // group) first — ~order-count groups, so the map-side partial
+      // barely reduced and the exchange carried near input-size rows —
+      // then re-shuffled on the sample-free key for the rollup. Decimal
+      // sums are exact and associative, so folding both levels into one
+      // groupBy produces the bit-identical result (oracle-proved) while
+      // shuffling partial sums at FINAL grain and dropping a whole
+      // exchange + aggregate pair. Scale 6, not 4: /1000 yields
+      // 5-decimal values, and rounding them to 4 decimals hits exact .5
+      // ties that Spark (half-up) and DuckDB (half-even) break
+      // differently; at scale 6 the cast is exact and engine-independent
+      obs.join(sample, $"l_orderkey" === $"o_orderkey")
         .groupBy($"myear", $"cruise_no", $"datetime", $"plankton_group")
-        .agg(sum($"biomass").cast("double").as("biomass"),
-          sum($"biovol").cast("double").as("biovol"))
+        .agg(sum(($"l_extendedprice" / 1000.0).cast(D6))
+            .cast("double").as("biomass"),
+          sum($"l_quantity".cast(D4)).cast("double").as("biovol"))
         .orderBy($"myear", $"cruise_no", $"datetime", $"plankton_group")
     },
     Some("""
