@@ -44,6 +44,21 @@ class DupClusterSpec extends SparkSpec {
     }
   }
 
+  test("convergence schedule never changes labels: default freeRounds == old 6-round schedule (r19)") {
+    // the r19 optimization moved the first convergence check from round
+    // 6 to round 2; fixpoint labels must be schedule-independent on a
+    // graph mixing tiny components with a chain deeper than both budgets
+    val pairs = ((1L until 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (200L, 201L), (201L, 202L)))
+      .toDF("id_a", "id_b")
+    val early = Dedup.dupClusters(pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    val late = Dedup.dupClusters(pairs, driverMaxEdges = 0L, freeRounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(early == late)
+    assert(early.values.toSet == Set(1L, 100L, 200L))
+  }
+
   test("driver union-find and distributed pointer jumping agree on a random graph") {
     val rnd = new scala.util.Random(1234)
     val edges = (0 until 800).map { _ =>
