@@ -43,14 +43,19 @@ object BenchIvf {
     // hier vs hier3 only — the flat trainer's O(pool·k·d) driver
     // seeding is exactly the term the hierarchical paths remove, and
     // paying it at k=32000 would waste most of the exclusive window
-    // re-measuring the r16 flat-vs-hier verdict
+    // re-measuring the r16 flat-vs-hier verdict.
+    // `recall` (round-20, r19 verdict task 8): the q112 sampled
+    // co-location floor as a BenchIvf row — re-measures the deep tier's
+    // recall price (two vs three co-location at SemDeDup's tau = 0.4
+    // over the deterministic 1/8 sample) whenever the codebook path
+    // changes, instead of only in closing audits
     val variants = (if (args.length > 2) args(2) else "flat,hier,hier3")
       .split(",").map(_.trim).toSet
     // fail loudly on a typo'd variant BEFORE the session starts: an
     // unknown name would run zero benches for it and silently waste
     // the exclusive window (r18 ADVICE — the same failure mode the
     // SPARK_GRAFT_BENCH_PASSES validation in Bench exists to prevent)
-    val knownVariants = Set("flat", "hier", "hier3")
+    val knownVariants = Set("flat", "hier", "hier3", "recall")
     val unknown = variants -- knownVariants
     require(unknown.isEmpty,
       s"unknown BenchIvf variant(s) ${unknown.mkString(", ")} — " +
@@ -136,6 +141,17 @@ object BenchIvf {
         s""""plan_bytes":${serializedBytes(cb3.coarse)},""" +
         s""""cells":$cells3}""")
       cb3.release()
+      }
+
+      if (variants("recall")) {
+      // deep-tier recall canary (round-20, r19 verdict task 8): the
+      // q112 floor's tau = 0.4 co-location ratio for the two- and
+      // three-level tiers at this k, over the same deterministic 1/8
+      // sample q112 uses — one {"probe":"tau",...} line per k. The
+      // acceptance bar is q112's DeepRecallBound: r_three/r_two ≥ 0.8
+      hygiene()
+      graft.tools.Probe.colocationSweep(spark, e, k,
+        hexBound = "2000", tiers = Set("two", "three"), taus = Seq(0.4))
       }
     }
     spark.stop()
