@@ -337,7 +337,8 @@ object Dedup {
     * the old default ran were pure waste — each one is two joins, a
     * shuffle and an eager localCheckpoint over the full label set,
     * versus a convergence check that is one small join on the already-
-    * checkpointed labels. Measured (ProbeCc, sf0.1, alternated in one
+    * checkpointed labels. Measured (`graft.tools.Probe cc` — ProbeCc
+    * through round 19 — sf0.1, alternated in one
     * JVM so host steal hits both variants): freeRounds=6 2.88-6.16 s
     * per invocation, freeRounds=2 1.44-1.84 s, identical labels. For a
     * genuinely deep graph the extra checks cost O(rounds) tiny jobs —
@@ -515,11 +516,17 @@ object Dedup {
     * materializes — the self-join's x and y sides otherwise each
     * re-run the assignment kernel, the operator's dominant cost
     * (round-14 review). The small dropped-id dim localCheckpoints
-    * (pair work never re-runs), the cache releases in finally (a bare
-    * persist leaked one cached frame per invocation for the session's
-    * life), and the RETURNED frame keeps its live join plan — the q91
-    * plan-shape pin must still see the cell-keyed equi join — at the
-    * cost of one kernel re-evaluation at the caller's action.
+    * (pair work never re-runs), and the narrow (id, cell) assignment
+    * is eagerly pinned FROM THE SAME CACHE before the cache releases
+    * in finally (a bare persist leaked one cached frame per invocation
+    * for the session's life). The round-19 form returned the LIVE
+    * assigned plan instead, which re-ran the assignment kernel (flat
+    * [[Similarity.cellAssign]] projection or the [[Ivf.assign]]/
+    * [[Ivf.assign3]] codebook-join chain) once more at every caller's
+    * action — one redundant corpus pass per rollup consumer
+    * (q91/q104/q111; r19 verdict task 2). The returned frame now joins
+    * two checkpointed narrow frames and never re-touches the kernel or
+    * the codebook; the q91/q104 plan pins assert exactly that shape.
     */
   def semDedupAssigned(assigned: DataFrame, id: String, vec: String,
       tau: Double, cellCol: String = "cell"): DataFrame = {
@@ -529,7 +536,8 @@ object Dedup {
           cached.filter(col(cellCol).isNotNull), id, vec, tau, Some(cellCol))
         .select(col("id_b").as("__did")).distinct()
         .localCheckpoint()
-      assigned.join(dropped, col(id) === col("__did"), "left")
+      val cells = cached.select(col(id), col(cellCol)).localCheckpoint()
+      cells.join(dropped, col(id) === col("__did"), "left")
         .select(col(id), col(cellCol).as("cell"),
           col("__did").isNotNull.as("dropped"))
     } finally {
@@ -562,12 +570,15 @@ object Dedup {
     * is measured — BENCH_SCALING r17/r18) the switch goes one level
     * deeper ([[Ivf.train3]]/[[Ivf.assign3]], per-row Θ(k^⅓·d)).
     *
-    * Hierarchical-branch lifecycle: the per-row (id, cell) assignment
-    * is eagerly localCheckpointed — two narrow columns — so the trained
-    * codebook's cache can release before returning; vectors rejoin by
-    * id for the pair stage (one corpus-sized hash join, the price of a
-    * returned frame that never re-touches the codebook). `id` must be
-    * integral and row-unique ([[Ivf.train]]'s enforced contract). For
+    * Hierarchical-branch lifecycle: [[semDedupAssigned]] materializes
+    * everything that touches the codebook (the dropped-id dim and the
+    * narrow (id, cell) assignment both localCheckpoint inside it), so
+    * the trained codebook's cache releases safely right after it
+    * returns — no re-join of vectors by id is needed (round-20: the
+    * r19 form pre-checkpointed (id, cell) itself and paid one extra
+    * corpus-sized hash join per invocation to rejoin vectors).
+    * `id` must be integral and row-unique ([[Ivf.train]]'s enforced
+    * contract). For
     * a DURABLE repeatedly-maintained index at deployment scale, prefer
     * [[graft.jobs.CorpusPrep.compactNearDups]] — this is the one-shot
     * form.
@@ -584,7 +595,7 @@ object Dedup {
         Similarity.trainKmeansCentroids(embs, vec, k, idCol = Some(id)), tau)
     else if (k < deepMinK) {
       val cb = Ivf.train(embs, vec, id, k)
-      try semDedupHier(embs, id, vec, tau,
+      try semDedupHier(id, vec, tau,
         Ivf.assign(embs.select(col(id), col(vec)), vec, cb, "__sdh_cell"))
       finally cb.release()
     } else {
@@ -597,26 +608,25 @@ object Dedup {
       // 8000 = the first measured point where the deep win and the
       // asymptotic term coincide.
       val cb = Ivf.train3(embs, vec, id, k)
-      try semDedupHier(embs, id, vec, tau,
+      try semDedupHier(id, vec, tau,
         Ivf.assign3(embs.select(col(id), col(vec)), vec, cb, "__sdh_cell"))
       finally cb.release()
     }
   }
 
   /** The shared hierarchical-branch lifecycle of [[semDedupScaled]]:
-    * eagerly checkpoint the narrow (id, cell) assignment so the trained
-    * codebook's cache can release before returning, then rejoin vectors
-    * by id for the pair stage. `assigned` must carry exactly
-    * (id, __sdh_cell) — the reserved out name (assigning straight into
-    * "cell" would silently REPLACE an id/vec column of that name).
+    * hand the assign output straight to [[semDedupAssigned]], which
+    * persists it for the pair stage and checkpoints both the dropped-id
+    * dim and the narrow (id, cell) assignment before returning — so the
+    * trained codebook's cache can release immediately after. (The r19
+    * form checkpointed (id, cell) here and re-joined vectors by id — a
+    * corpus-sized hash join per invocation that the checkpoint now
+    * inside semDedupAssigned makes redundant; round-20, guide §2.4.)
+    * `assigned` must carry (id, vec, __sdh_cell) — the reserved out
+    * name (assigning straight into "cell" would silently REPLACE an
+    * id/vec column of that name).
     */
-  private def semDedupHier(embs: DataFrame, id: String, vec: String,
-      tau: Double, assigned: DataFrame): DataFrame = {
-    val pinned = assigned
-      .select(col(id), col("__sdh_cell"))
-      .localCheckpoint(true)
-    semDedupAssigned(
-      pinned.join(embs.select(col(id), col(vec)), Seq(id)),
-      id, vec, tau, cellCol = "__sdh_cell")
-  }
+  private def semDedupHier(id: String, vec: String,
+      tau: Double, assigned: DataFrame): DataFrame =
+    semDedupAssigned(assigned, id, vec, tau, cellCol = "__sdh_cell")
 }
