@@ -75,4 +75,42 @@ object Strings {
     */
   def normalizeClassifierName(c: Column): Column =
     foldScandinavian(muToU(pathBasename(c)))
+
+  // --- lexicographic long carrier (optimization round 20) ------------------
+
+  /** Order-isomorphic LONG carrier for lexicographic min/max over
+    * strings of digits and '_' up to 15 chars. Each char maps to a hex
+    * digit that preserves its ASCII order ('0'-'9' → '1'-'a' and
+    * '_' → 'b', since '_' sorts above every digit), the result is
+    * right-padded to 15 nibbles with '0' (end-of-string, sorting below
+    * every real char — a prefix sorts before its extensions, exactly as
+    * strings do), and the 15-nibble hex number is read as a long
+    * (16^15 − 1 < Long.MaxValue, so no sign wrap). Numeric order of the
+    * carrier therefore equals byte-lexicographic order of the source.
+    *
+    * Why (guide §4/§5): a min/max over a STRING column carries an
+    * UnsafeRow-immutable buffer, and ONE such aggregate forces every
+    * phase of the enclosing aggregation into SortAggregate — q90 was
+    * map-side-sorting its full joined input for two string mins. A long
+    * buffer keeps the whole chain in whole-stage-codegen HashAggregate;
+    * [[lexCarrierDecode]] recovers the exact string from the aggregated
+    * carrier. Inputs longer than 15 chars raise at runtime — silent
+    * truncation would break the order contract (15 digit chars cover
+    * TPC-H orderkeys past the exabyte decade).
+    */
+  def lexCarrier(c: Column): Column =
+    when(length(c) <= 15,
+      conv(rpad(translate(c, "0123456789_", "123456789ab"), 15, "0"), 16, 10)
+        .cast("long"))
+      .otherwise(raise_error(
+        concat(lit("lexCarrier: input exceeds 15 chars: "), c)))
+
+  /** Inverse of [[lexCarrier]]: recovers the exact source string from an
+    * aggregated carrier. Trailing '0' nibbles are end-of-string padding
+    * (no real char encodes to 0), and `conv` emits uppercase hex.
+    */
+  def lexCarrierDecode(c: Column): Column =
+    translate(
+      regexp_replace(upper(lpad(conv(c, 10, 16), 15, "0")), "0+$", ""),
+      "123456789AB", "0123456789_")
 }

@@ -431,6 +431,23 @@ object Domain {
     * the plan keeps the structure that matters at scale: pruned 5-column
     * scan, both dims broadcast, partial aggregation before the single
     * category-keyed exchange.
+    *
+    * Round-20 addendum (r19 verdict task 6, guide §4/§5): the r7 note
+    * under-weighted the operator choice. The two string mins were the
+    * ONLY reason all four aggregation phases planned as SortAggregate —
+    * at 100 TB a sort-based aggregate over UnsafeRow string buffers is
+    * a spill risk, and at bench SF the map-side Sort of the full joined
+    * input dominated. Both mins now run over order-isomorphic LONG
+    * carriers ([[graft.functions.Strings.lexCarrier]]: object_id's
+    * variable tail is digits+'_' behind the constant "D2024_IFCB134_"
+    * prefix, which drops out of the comparison; object_time is a fixed
+    * 6-digit string, so a plain long cast carries it) and decode back
+    * to the exact strings after the aggregate — every phase is now
+    * whole-stage-codegen HashAggregate, zero Sorts before the display
+    * orderBy. Same-JVM A/B probe (graft.tools.Probe q90min) and the
+    * oracle (hash-identical at sf0.01 AND sf0.1) carry the evidence;
+    * the countDistinct stays keyed on the sample_id STRING — the r19
+    * ProbeQ90 measurement showed key width is immaterial there.
     */
   private val q90 = GraftQuery(
     "q90_ecotaxa_export",
@@ -468,12 +485,20 @@ object Domain {
           dsum($"object_area", D4).as("area_sum"),
           dsum($"object_h90_over_hflip", D6).as("ratio_sum"),
           count($"object_ring01").as("ring01_nonnull"),
-          min($"object_id").as("first_object_id"),
-          min($"object_time").as("first_time"),
+          // long-carrier mins, not string mins (round-20 addendum
+          // above): substring length 16 so a >15-char tail reaches
+          // lexCarrier's loud length guard instead of being truncated
+          min(graft.functions.Strings.lexCarrier(
+            substring($"object_id", 15, 16))).as("__id_min"),
+          min($"object_time".cast("long")).as("__time_min"),
           countDistinct($"sample_id").as("samples"))
         .select($"object_annotation_category".as("category"), $"n",
           $"area_sum", $"ratio_sum", $"ring01_nonnull",
-          $"first_object_id", $"first_time", $"samples")
+          concat(lit("D2024_IFCB134_"),
+            graft.functions.Strings.lexCarrierDecode($"__id_min"))
+            .as("first_object_id"),
+          lpad($"__time_min".cast("string"), 6, "0").as("first_time"),
+          $"samples")
         .orderBy($"category")
     },
     Some(s"""

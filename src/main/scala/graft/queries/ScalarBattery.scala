@@ -88,7 +88,15 @@ object ScalarBattery {
           sum(when($"in_window", 1L).otherwise(0L)).as("n_in_window"),
           max(dayofyear($"ts")).as("max_doy"),
           min(month($"ts")).as("min_month"),
-          max(date_format($"ts" + expr("INTERVAL 7 DAY"), "yyyy-MM-dd")).as("max_plus7"))
+          // format AFTER the max, not inside it (round-20, guide §4):
+          // date_format(·, "yyyy-MM-dd") is monotone non-decreasing in
+          // ts, so max(format(ts+7d)) = format(max(ts)+7d) — and the
+          // formatted-string max was the one immutable (string) agg
+          // buffer forcing this whole aggregation into SortAggregate;
+          // with a timestamp max buffer every phase is codegen
+          // HashAggregate
+          date_format(max($"ts") + expr("INTERVAL 7 DAY"), "yyyy-MM-dd")
+            .as("max_plus7"))
         .orderBy($"ymd")
     },
     Some("""

@@ -269,25 +269,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "part-class dim must broadcast")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("partial_count"), "category rollup combines map-side")
+    // round-20 (r19 verdict task 6): the two string mins ran as LONG
+    // carriers so NO phase of the rollup is sort-based — min(string)'s
+    // immutable buffer previously forced all four phases into
+    // SortAggregate, a map-side sort of the full joined input and a
+    // spill risk at deployment scale (guide §4/§5)
+    assert(!p.contains("SortAggregate"),
+      "string-min carriers must keep the whole rollup in HashAggregate")
   }
 
-  test("q91: SemDeDup pair space is cell-bucketed — equi join, no cross product") {
+  test("q91: SemDeDup rollup reads the pinned assignment once — no kernel re-run") {
     val p = plan("q91_semdedup")
-    // the intra-cell pair join and the dropped-id anti-lookup must both
-    // be equi joins; an all-pairs comparison would be a CartesianProduct
+    // the intra-cell pair join runs eagerly inside semDedupAssigned
+    // (against the persisted assignment) and the dropped-id dim and the
+    // narrow (id, cell) assignment both localCheckpoint there, so the
+    // RETURNED plan must join two checkpointed frames — never re-run
+    // the assignment kernel at the caller's action (round-20 pin
+    // renegotiation, r19 verdict task 2: the old pin accepted a live
+    // plan that re-scanned the corpus and re-ran cellAssign per action)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
-    assert(p.contains("Join"), "cell-keyed pair join present")
+    assert(p.contains("Join"), "dropped-id lookup stays an equi join")
     assert(p.contains("partial_count"), "cell ledger combines map-side")
+    assert(p.contains("Scan ExistingRDD"),
+      "assignment must come from the eager (id, cell) checkpoint")
+    assert(!p.contains("nearest_centroid"),
+      "the flat assignment kernel must not re-run at action time")
+    assert(!p.contains("Scan parquet"),
+      "no corpus re-scan at action time — one assignment computation")
   }
 
-  test("q104: hierarchical semDedup — codebook joins stay equi, pair space cell-bucketed") {
+  test("q104: hierarchical semDedup rollup — no codebook re-join at action time") {
     val p = plan("q104_semdedup_hierarchical")
-    // the Ivf.assign codebook join, the intra-cell pair join and the
-    // dropped-id anti-lookup must all be equi joins; an all-pairs
-    // comparison or a literal-exploded codebook would change shape
+    // same renegotiated shape as q91 one tier up (round-20): the
+    // Ivf.assign codebook join and the intra-cell pair join run eagerly
+    // inside semDedupAssigned; the returned rollup plan joins the
+    // checkpointed (id, cell) frame with the checkpointed dropped-id
+    // dim — an all-pairs comparison, a literal-exploded codebook, or a
+    // kernel re-run would each change this shape
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
-    assert(p.contains("Join"), "cell-keyed pair join present")
+    assert(p.contains("Join"), "dropped-id lookup stays an equi join")
     assert(p.contains("partial_count"), "cell ledger combines map-side")
+    assert(p.contains("Scan ExistingRDD"),
+      "assignment must come from the eager (id, cell) checkpoint")
+    assert(!p.contains("nearest_centroid") && !p.contains("nearest_candidate"),
+      "the codebook assignment chain must not re-run at action time")
+    assert(!p.contains("Scan parquet"),
+      "no corpus or codebook re-scan at action time")
   }
 
   test("q105: capped LSH — the cap is an anti join on bucket keys, never a pair blowup") {

@@ -261,4 +261,37 @@ class FunctionsSpec extends SparkSpec {
     val mu = Seq("a\u03bcm b\u00b5m").toDF("c")
     assert(mu.select(Strings.muToU($"c")).as[String].collect().head == "aum bum")
   }
+
+  test("lexCarrier: long order == string order, decode round-trips (property)") {
+    // q90's object_id tail domain: "<num>_<num>" plus prefix/edge shapes
+    // where lexicographic and numeric order DISAGREE ("10_1" < "2_1",
+    // "12_3" vs "123_4" — the '_' > digit tiebreak), and the extremes
+    val edges = Seq("1", "9", "10_1", "2_1", "12_3", "123_4", "12_34",
+      "1_1", "1_11", "11_1", "999999999999999", "100000000000_19", "0")
+    val gen = for {
+      a <- Gen.chooseNum(1L, 9999999999999L)
+      b <- Gen.chooseNum(1L, 9L)
+    } yield s"${a}_$b"
+    val pool = (edges ++ samples(gen, 60)).distinct.filter(_.length <= 15)
+    val rows = pool.toDF("s").select($"s",
+        Strings.lexCarrier($"s").as("k"),
+        Strings.lexCarrierDecode(Strings.lexCarrier($"s")).as("rt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    rows.foreach { case (s, _, rt) => assert(rt == s, s"round-trip $s -> $rt") }
+    val byString = rows.sortBy(_._1).map(_._1)
+    val byCarrier = rows.sortBy(_._2).map(_._1)
+    assert(byCarrier.toSeq == byString.toSeq,
+      "carrier order must equal lexicographic string order")
+  }
+
+  test("lexCarrier: >15 chars raises instead of silently truncating") {
+    val e = intercept[Exception] {
+      Seq("1234567890123456").toDF("s")
+        .select(Strings.lexCarrier($"s")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("lexCarrier")), e.toString)
+  }
 }
