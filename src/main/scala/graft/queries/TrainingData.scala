@@ -1244,20 +1244,89 @@ object TrainingData {
     * snapshot lives in a fresh JVM temp dir (k rows of integers —
     * bytes, not data-scale).
     */
-  private def durableCb(cb: Ivf.Codebook): Ivf.Codebook = {
-    val spark = cb.fine.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory("graft-cb").toString
-    Ivf.save(cb, dir)
-    cb.release()
-    Ivf.load(spark, dir)
+  /** Loaded codebook → its snapshot dir, so [[releaseCb]] (the memos'
+    * close hook) deletes the parquet snapshot along with the cache (the
+    * r19 form leaked one graft-cb* dir per (session, dir) cycle for the
+    * machine's lifetime — r19 verdict task 7), and a JVM shutdown hook
+    * sweeps whatever remains: SessionMemo.close only fires on key
+    * REPLACEMENT, so the last-trained snapshot always outlives every
+    * close.
+    */
+  private val cbSnapshots = new java.util.concurrent.ConcurrentHashMap[
+    AnyRef, (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path)]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(
+      () => {
+        val it = cbSnapshots.values.iterator()
+        while (it.hasNext) {
+          val (fs, p) = it.next()
+          try { fs.delete(p, true); () } catch { case _: Throwable => () }
+        }
+      },
+      "graft-cb-snapshot-sweep"))
   }
 
-  private def durableCb3(cb: Ivf.Codebook3): Ivf.Codebook3 = {
-    val spark = cb.fine.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory("graft-cb3").toString
-    Ivf.save3(cb, dir)
+  /** A fresh snapshot dir under a SPARK-VISIBLE scratch base (r19
+    * ADVICE, medium): `java.io.tmpdir` is a driver-local path, and
+    * Spark writes parquet from executor tasks — in any non-local
+    * deployment the parts would land on executor disks while the
+    * driver-side load reads nothing. The base is therefore
+    * configurable (`spark.graft.scratch.dir`, or the
+    * SPARK_GRAFT_SCRATCH_DIR env var — any Hadoop-visible URI; point it
+    * at a shared checkpoint/warehouse area in production) and only
+    * DEFAULTS to the JVM temp dir, which is correct precisely in local
+    * mode, where driver and executors are one process — the bench's
+    * configuration.
+    */
+  private def newSnapshotDir(spark: org.apache.spark.sql.SparkSession,
+      prefix: String): (org.apache.hadoop.fs.FileSystem,
+        org.apache.hadoop.fs.Path) = {
+    val base = spark.conf.get("spark.graft.scratch.dir",
+      sys.env.getOrElse("SPARK_GRAFT_SCRATCH_DIR",
+        System.getProperty("java.io.tmpdir")))
+    val p = new org.apache.hadoop.fs.Path(
+      base, s"$prefix-${java.util.UUID.randomUUID}")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    (fs, p)
+  }
+
+  /** The memos' close hook: release the cached frames AND delete the
+    * parquet snapshot the codebook was re-materialized from.
+    */
+  private[graft] def releaseCb(cb: Ivf.AnyCodebook): Unit = {
     cb.release()
-    Ivf.load3(spark, dir)
+    Option(cbSnapshots.remove(cb)).foreach { case (fs, p) =>
+      try { fs.delete(p, true); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** The snapshot dir backing a [[durableCb]]/[[durableCb3]] codebook,
+    * if it is still live (test seam for the delete-on-close contract).
+    */
+  private[graft] def snapshotDirOf(
+      cb: Ivf.AnyCodebook): Option[org.apache.hadoop.fs.Path] =
+    Option(cbSnapshots.get(cb)).map(_._2)
+
+  private[graft] def durableCb(cb: Ivf.Codebook): Ivf.Codebook = {
+    val spark = cb.fine.sparkSession
+    val (fs, dir) = newSnapshotDir(spark, "graft-cb")
+    Ivf.save(cb, dir.toString)
+    cb.release()
+    val loaded = Ivf.load(spark, dir.toString)
+    cbSnapshots.put(loaded, (fs, dir))
+    loaded
+  }
+
+  private[graft] def durableCb3(cb: Ivf.Codebook3): Ivf.Codebook3 = {
+    val spark = cb.fine.sparkSession
+    val (fs, dir) = newSnapshotDir(spark, "graft-cb3")
+    Ivf.save3(cb, dir.toString)
+    cb.release()
+    val loaded = Ivf.load3(spark, dir.toString)
+    cbSnapshots.put(loaded, (fs, dir))
+    loaded
   }
 
   /** Two-level IVF codebook shared by q101 (build+assign) and q102
@@ -1268,7 +1337,7 @@ object TrainingData {
   private val ivfCodebook = new GraftQuery.SessionMemo[Ivf.Codebook](
     (s, d) => durableCb(Ivf.train(embeddings(s, d), "embedding", "vec_id",
       k = 12, itersCoarse = 3, itersFine = 2)),
-    close = _.release())
+    close = releaseCb)
 
   /** q102's frozen pre-delta codebook: trained on the corpus MINUS the
     * delta slice, exactly the state a daily-ingest index holds before
@@ -1278,7 +1347,7 @@ object TrainingData {
     (s, d) => durableCb(
       Ivf.train(embeddings(s, d).filter(col("vec_id") % 7 =!= 0),
         "embedding", "vec_id", k = 12, itersCoarse = 3, itersFine = 2)),
-    close = _.release())
+    close = releaseCb)
 
   /** The `e` (coarse + quantized) and `a` (fine argmin) CTE pair every
     * hierarchical-IVF oracle shares — single-sourced so the
@@ -1466,7 +1535,7 @@ object TrainingData {
       durableCb(Ivf.train(e, "embedding", "vec_id", scaledK(e.count()),
         itersCoarse = 3, itersFine = 2))
     },
-    close = _.release())
+    close = releaseCb)
 
   /** SemDeDup over HIERARCHICAL cells (round-16 verdict task 3): the
     * two-level-codebook branch of the [[dedupModel]] switch, forced at
@@ -1739,7 +1808,7 @@ object TrainingData {
   private val ivf3Codebook = new GraftQuery.SessionMemo[Ivf.Codebook3](
     (s, d) => durableCb3(Ivf.train3(embeddings(s, d), "embedding", "vec_id",
       k = 27, itersCoarse = 3, itersLevel = 2)),
-    close = _.release())
+    close = releaseCb)
 
   /** Three-level IVF codebook build + assignment (round-18, r17 verdict
     * task 2): the corpus-scaled-k mitigation for the two-level
@@ -1858,7 +1927,7 @@ object TrainingData {
       durableCb3(Ivf.train3(e, "embedding", "vec_id", scaledK(e.count()),
         itersCoarse = 3, itersLevel = 2))
     },
-    close = _.release())
+    close = releaseCb)
 
   /** SemDeDup over the THREE-level codebook (round-19, r18 verdict
     * task 7): [[Dedup.semDedupScaled]]'s deep branch — forced at bench
@@ -1893,7 +1962,8 @@ object TrainingData {
   /** The deep tier's measured co-location CAPACITY floor vs the
     * two-level tier it replaces at [[DeepMinK]]: the ratio of true
     * tau-close pairs each partition co-locates (the pairs its SemDeDup
-    * can drop). Measured 112/113 = 0.9912 at sf1 (tools/Probe112,
+    * can drop). Measured 112/113 = 0.9912 at sf1 (`graft.tools.Probe
+    * recall112` — Probe112 through round 19,
     * round-19) — the extra approximation level costs ~1% of the
     * shallower tier's reachable drop mass. NOT a pair-wise
     * intersection: at a loose tau the co-located pairs are borderline
